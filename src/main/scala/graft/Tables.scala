@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table loader for the driver's test data (TESTDATA.md). */
+object Tables {
+  def T(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a raw
+    // long; normalize to micros TimestampType so temporal ops match DuckDB.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.name == "ts" && f.dataType == LongType =>
+        acc.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case (acc, _) => acc
+    }
+  }
+}
