@@ -1,0 +1,134 @@
+package graft
+
+import graft.gvalue._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import scala.collection.immutable.TreeMap
+
+class GValueSpec extends AnyFunSuite {
+
+  private val genScalar: Gen[GValue] = Gen.oneOf(
+    Gen.const(GNull),
+    Gen.oneOf(true, false).map(GBool.apply),
+    Gen.chooseNum(-1000000L, 1000000L).map(GInt.apply),
+    Gen.oneOf(
+      Gen.chooseNum(-1e6, 1e6).map(GFloat.apply),
+      Gen.const(GFloat(Double.NaN)),
+      Gen.const(GFloat(Double.PositiveInfinity))),
+    Gen.chooseNum(-1000000L, 1000000L).map(n => GNumeric(BigDecimal(n) / 100)),
+    Gen.alphaNumStr.map(GString.apply),
+    Gen.chooseNum(-100000000000L, 100000000000L).map(GTimestamp.apply),
+    Gen.chooseNum(-10000, 10000).map(GDate.apply))
+
+  private def genValue(depth: Int): Gen[GValue] =
+    if (depth <= 0) genScalar
+    else Gen.frequency(
+      6 -> genScalar,
+      1 -> Gen.listOfN(3, genValue(depth - 1)).map(l => GArray(l.toVector)),
+      1 -> Gen.listOfN(2, Gen.zip(Gen.alphaNumStr, genValue(depth - 1)))
+        .map(kvs => GMap(TreeMap(kvs: _*))))
+
+  // deterministic property sampling (scalatestplus bridge unavailable offline)
+  private def samples(n: Int): Seq[GValue] = {
+    val g = genValue(2)
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+  }
+
+  test("ordering is reflexive-equal") {
+    for (a <- samples(300)) assert(GValue.cmp(a, a) == 0, a.render)
+  }
+
+  test("ordering is antisymmetric") {
+    val xs = samples(60)
+    for (a <- xs; b <- xs)
+      assert(Integer.signum(GValue.cmp(a, b)) == -Integer.signum(GValue.cmp(b, a)),
+        s"${a.render} vs ${b.render}")
+  }
+
+  test("ordering is transitive on sampled triples") {
+    val xs = samples(25)
+    for (a <- xs; b <- xs; c <- xs) {
+      val Seq(x, y, z) = Seq(a, b, c).sorted(GValue.ordering)
+      assert(GValue.cmp(x, y) <= 0 && GValue.cmp(y, z) <= 0 && GValue.cmp(x, z) <= 0,
+        s"${x.render}, ${y.render}, ${z.render}")
+    }
+  }
+
+  test("cross-type priority: object < array < string < bool < number < temporal < null") {
+    val ranked = Seq(
+      GMap.of("a" -> GInt(1)), GArray(Vector(GInt(1))), GString("x"),
+      GBool(false), GInt(3), GTimestamp(0L), GDate(10000), GTime(1L),
+      GInterval(1, 0, 0), GNull)
+    val sorted = scala.util.Random.shuffle(ranked).sorted(GValue.ordering)
+    // numbers<->temporal cross-compare falls back to priority; ranked order holds
+    assert(sorted.map(GValue.sortPriority) == ranked.map(GValue.sortPriority))
+  }
+
+  test("number family mutually comparable, exact where possible") {
+    assert(GValue.cmp(GInt(2), GFloat(2.0)) == 0)
+    assert(GValue.cmp(GInt(2), GNumeric(BigDecimal(2))) == 0)
+    assert(GValue.cmp(GFloat(2.5), GNumeric(BigDecimal("2.5"))) == 0)
+    assert(GValue.cmp(GInt(2), GFloat(2.5)) < 0)
+    // NaN sorts above all numbers, equal to itself (gtype_util.c:1546)
+    assert(GValue.cmp(GFloat(Double.NaN), GFloat(1e308)) > 0)
+    assert(GValue.cmp(GFloat(Double.NaN), GFloat(Double.NaN)) == 0)
+    assert(GValue.cmp(GNumeric(BigDecimal(1)), GFloat(Double.NaN)) < 0)
+  }
+
+  test("date vs timestamp compares at midnight promotion") {
+    assert(GValue.cmp(GDate(1), GTimestamp(86400000000L)) == 0)
+    assert(GValue.cmp(GDate(1), GTimestamp(86400000001L)) < 0)
+  }
+
+  test("arithmetic promotion: int/float/numeric") {
+    assert(GValue.add(GInt(1), GInt(2)) == GInt(3))
+    assert(GValue.add(GInt(1), GFloat(2.5)) == GFloat(3.5))
+    assert(GValue.add(GNumeric(BigDecimal("1.1")), GInt(1)) == GNumeric(BigDecimal("2.1")))
+    assert(GValue.mul(GFloat(2.0), GNumeric(BigDecimal(3))) == GNumeric(BigDecimal(6)))
+    assert(GValue.div(GInt(7), GInt(2)) == GInt(3)) // integer division
+    intercept[ArithmeticException](GValue.div(GInt(1), GInt(0)))
+  }
+
+  test("promotion commutativity for + and *") {
+    val nums = samples(400).filter {
+      case _: GInt | _: GNumeric => true
+      case GFloat(f)             => !f.isNaN
+      case _                     => false
+    }
+    for (a <- nums.take(40); b <- nums.take(40)) {
+      // cmp-equality, not ==: Inf*0 = NaN on both sides, and NaN != NaN under
+      // primitive Double equality
+      assert(GValue.cmp(GValue.add(a, b), GValue.add(b, a)) == 0, s"${a.render} + ${b.render}")
+      assert(GValue.cmp(GValue.mul(a, b), GValue.mul(b, a)) == 0, s"${a.render} * ${b.render}")
+    }
+  }
+
+  test("string concat via +") {
+    assert(GValue.add(GString("a"), GString("b")) == GString("ab"))
+    assert(GValue.add(GString("n="), GInt(3)) == GString("n=3"))
+    assert(GValue.add(GInt(3), GString("!")) == GString("3!"))
+  }
+
+  test("list concat and append via +") {
+    assert(GValue.add(GArray(Vector(GInt(1))), GArray(Vector(GInt(2)))) ==
+      GArray(Vector(GInt(1), GInt(2))))
+    assert(GValue.add(GArray(Vector(GInt(1))), GInt(2)) ==
+      GArray(Vector(GInt(1), GInt(2))))
+  }
+
+  test("temporal arithmetic") {
+    val day = 86400000000L
+    assert(GValue.add(GTimestamp(0), GInterval(0, 1, 0)) == GTimestamp(day))
+    assert(GValue.sub(GTimestamp(day), GTimestamp(0)) == GInterval(0, 0, day))
+    assert(GValue.sub(GDate(10), GDate(3)) == GInt(7))
+    // month arithmetic goes through calendar (1970-01-01 + 1 month = 1970-02-01)
+    assert(GValue.add(GTimestamp(0), GInterval(1, 0, 0)) == GTimestamp(31L * day))
+  }
+
+  test("null propagates through arithmetic and equality") {
+    assert(GValue.add(GNull, GInt(1)) == GNull)
+    assert(GValue.eq3(GNull, GInt(1)) == GNull)
+    assert(GValue.eq3(GInt(1), GInt(1)) == GBool(true))
+  }
+}
