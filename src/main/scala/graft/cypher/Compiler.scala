@@ -1,0 +1,725 @@
+package graft.cypher
+
+import graft.graph.PropertyGraph
+import graft.gvalue._
+import Ast._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.immutable.ListMap
+
+/** Cypher clause-chain → DataFrame compiler.
+  *
+  * Mirrors the reference's analysis model — each clause is transformed with the
+  * previous clause's result as its input relation
+  * (/root/reference/src/backend/parser/cypher_clause.c:157-250, the
+  * "previous clause as subquery RTE" pattern) — but here that becomes literal
+  * DataFrame chaining, and Catalyst optimizes the whole chain as one plan.
+  *
+  * Variable layout: every bound entity variable `v` is a set of flat columns
+  * `v__id`, `v__label`, `v__<prop>` (edges add `v__start`, `v__end`); scalar
+  * variables are plain columns. Flat typed columns (not structs/maps) keep
+  * predicates pushdown-able and whole-stage-codegen-friendly — the scale
+  * decision that replaces the reference's dynamic gtype row format.
+  *
+  * Pattern joins are the reference's equi-join quals
+  * (make_path_join_quals, cypher_clause.c:3443-3520): a.id = e.start_id AND
+  * e.end_id = b.id, direction deciding start/end; undirected edges become a
+  * union of both orientations (keeps equi-join → hash join at scale).
+  */
+final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.empty) {
+
+  private val spark: SparkSession = graph.spark
+  import Compiler._
+
+  private var anonCounter = 0
+  private def freshAlias(): String = { anonCounter += 1; s"_anon$anonCounter" }
+
+  def run(query: String): DataFrame = compileQuery(Parser.parse(query))
+
+  def compileQuery(q: Query): DataFrame = q match {
+    case SingleQuery(clauses) =>
+      finish(clauses.foldLeft(Ctx.empty)(compileClause))
+    case SetOp(op, all, l, r) =>
+      val ld = compileQuery(l)
+      val rd = compileQuery(r)
+      op match {
+        case "UNION" if all => ld.unionByName(rd)
+        case "UNION"        => ld.unionByName(rd).distinct()
+        case "INTERSECT"    => ld.intersect(rd)
+        case "EXCEPT"       => ld.except(rd)
+      }
+  }
+
+  /** After the last clause the ctx must be a projected result (RETURN seen). */
+  private def finish(ctx: Ctx): DataFrame = {
+    require(ctx.projected, "query must end in RETURN")
+    ctx.df
+  }
+
+  // ------------------------------------------------------------------ clauses
+
+  private def compileClause(ctx: Ctx, clause: Clause): Ctx = clause match {
+    case m: Match  => compileMatch(ctx, m)
+    case u: Unwind => compileUnwind(ctx, u)
+    case w: With   => compileProjection(ctx, w.items, w.distinct, w.orderBy,
+      w.skip, w.limit, w.where, isReturn = false)
+    case r: Return => compileProjection(ctx, r.items, r.distinct, r.orderBy,
+      r.skip, r.limit, None, isReturn = true)
+    case other => throw new UnsupportedOperationException(
+      s"clause not supported yet: ${other.getClass.getSimpleName}")
+  }
+
+  // ------------------------------------------------------------------- MATCH
+
+  private def compileMatch(ctx: Ctx, m: Match): Ctx = {
+    if (m.optional) {
+      // Compile the pattern fresh, then LEFT JOIN on the shared entity vars
+      // (reference: transform_cypher_match builds JOIN_LEFT,
+      // cypher_clause.c:2283-2490).
+      var inner = m.patterns.foldLeft(Ctx.empty)((c, p) => compilePattern(c, p))
+      m.where.foreach(w => inner = inner.copy(df = inner.df.filter(compileExpr(w, inner))))
+      val shared = ctx.vars.keySet.intersect(inner.vars.keySet).toSeq.sorted
+      require(ctx.df != null, "OPTIONAL MATCH requires a previous clause")
+      // inner side keeps only its NEW columns plus temp join keys for the
+      // shared vars (outer side owns the shared vars' columns)
+      val dropCols = shared.flatMap(v =>
+        inner.df.columns.filter(c => c.startsWith(s"${v}__") && c != s"${v}__id"))
+      val renamed = shared.foldLeft(inner.df.drop(dropCols: _*))((df, v) =>
+        df.withColumnRenamed(s"${v}__id", s"__opt_${v}__id"))
+      val cond = shared.map(v => col(s"${v}__id") === col(s"__opt_${v}__id"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val joined = ctx.df.join(renamed, cond, "left_outer")
+        .drop(shared.map(v => s"__opt_${v}__id"): _*)
+      // drop duplicated non-id columns of shared vars from the inner side kept once
+      Ctx(joined, ctx.vars ++ (inner.vars -- ctx.vars.keySet), ctx.projected)
+    } else {
+      var out = m.patterns.foldLeft(ctx)((c, p) => compilePattern(c, p))
+      m.where.foreach { w =>
+        out = compileWhere(out, w)
+      }
+      out
+    }
+  }
+
+  /** WHERE with top-level EXISTS((pattern)) / NOT EXISTS rewritten to
+    * semi/anti joins (reference: transform_cypher_sub_pattern,
+    * cypher_clause.c:2575-2636); everything else is a plain filter.
+    */
+  private def compileWhere(ctx: Ctx, w: Expr): Ctx = w match {
+    case Bin("AND", l, r) => compileWhere(compileWhere(ctx, l), r)
+    case ExistsPattern(p) => existsJoin(ctx, p, anti = false)
+    case Un("NOT", ExistsPattern(p)) => existsJoin(ctx, p, anti = true)
+    case other => ctx.copy(df = ctx.df.filter(compileExpr(other, ctx)))
+  }
+
+  private def existsJoin(ctx: Ctx, p: PathPattern, anti: Boolean): Ctx = {
+    val inner = compilePattern(Ctx.empty, p)
+    val shared = ctx.vars.keySet.intersect(inner.vars.keySet).toSeq.sorted
+    require(shared.nonEmpty, "EXISTS pattern must share a variable with the outer query")
+    val proj = inner.df.select(shared.map(v => col(s"${v}__id").as(s"__ex_${v}__id")): _*)
+    val cond = shared.map(v => col(s"${v}__id") === col(s"__ex_${v}__id")).reduce(_ && _)
+    Ctx(ctx.df.join(proj, cond, if (anti) "left_anti" else "left_semi"), ctx.vars, ctx.projected)
+  }
+
+  // pattern → joins folded into ctx
+  private def compilePattern(ctx0: Ctx, pattern: PathPattern): Ctx = {
+    var ctx = ctx0
+    val elems = pattern.elements
+
+    def nodeAlias(n: NodePattern): String = n.variable.getOrElse(freshAlias())
+
+    // process first node
+    val firstNode = elems.head.asInstanceOf[NodePattern]
+    var prevAlias = nodeAlias(firstNode)
+    ctx = bindNode(ctx, prevAlias, firstNode, joinOn = None)
+
+    var rest = elems.tail
+    while (rest.nonEmpty) {
+      val rel = rest.head.asInstanceOf[RelPattern]
+      val node = rest(1).asInstanceOf[NodePattern]
+      val nextAlias = nodeAlias(node)
+      rel.varLength match {
+        case None =>
+          val relAlias = rel.variable.getOrElse(freshAlias())
+          ctx = bindRelAndNode(ctx, prevAlias, relAlias, rel, nextAlias, node)
+        case Some((lo, hi)) =>
+          ctx = bindVle(ctx, prevAlias, rel, lo, hi, nextAlias, node)
+      }
+      prevAlias = nextAlias
+      rest = rest.drop(2)
+    }
+    // path variable: record member aliases for later nodes()/relationships()
+    pattern.variable.foreach { pv =>
+      ctx = ctx.copy(vars = ctx.vars + (pv -> VarInfo.path(
+        elems.zipWithIndex.collect {
+          case (n: NodePattern, _) => n.variable.getOrElse("")
+        }.filter(_.nonEmpty))))
+    }
+    ctx
+  }
+
+  /** Scan a vertex label table with columns renamed to `alias__*`. */
+  private def vertexScan(alias: String, labels: List[String],
+      props: Map[String, Expr], ctx: Ctx): DataFrame = {
+    val base = labels match {
+      case Nil => graph.allVertices
+        .withColumnRenamed("__label", "label")
+      case l :: _ =>
+        graph.vertexLabels.getOrElse(l,
+          throw new IllegalArgumentException(s"unknown vertex label $l"))
+          .withColumn("label", lit(l))
+    }
+    val renamed = base.columns.foldLeft(base)((df, c) =>
+      df.withColumnRenamed(c, s"${alias}__$c"))
+    props.foldLeft(renamed) { case (df, (k, v)) =>
+      df.filter(col(s"${alias}__$k") === compileExpr(v, ctx))
+    }
+  }
+
+  private def edgeScan(alias: String, types: List[String],
+      props: Map[String, Expr], ctx: Ctx): DataFrame = {
+    val base = types match {
+      case Nil      => graph.allEdges.withColumnRenamed("__label", "label")
+      case t :: Nil => graph.edgeLabels.getOrElse(t,
+        throw new IllegalArgumentException(s"unknown edge label $t"))
+        .withColumn("label", lit(t))
+      case many =>
+        val common = many.map(t => graph.edgeLabels(t).columns.toSet)
+          .reduce(_ intersect _).toSeq.sorted :+ "label"
+        many.map(t => graph.edgeLabels(t).withColumn("label", lit(t))
+          .select(common.map(col): _*)).reduce(_ unionByName _)
+    }
+    val renamed = base.columns.foldLeft(base)((df, c) =>
+      df.withColumnRenamed(c, s"${alias}__$c"))
+    props.foldLeft(renamed) { case (df, (k, v)) =>
+      df.filter(col(s"${alias}__$k") === compileExpr(v, ctx))
+    }
+  }
+
+  private def bindNode(ctx: Ctx, alias: String, n: NodePattern,
+      joinOn: Option[Column]): Ctx = {
+    if (ctx.vars.contains(alias)) {
+      // re-mention of a bound variable: additional label/prop constraints
+      var df = ctx.df
+      n.labels.foreach(l => df = df.filter(col(s"${alias}__label") === lit(l)))
+      n.props.foreach { case (k, v) =>
+        df = df.filter(col(s"${alias}__$k") === compileExpr(v, ctx))
+      }
+      ctx.copy(df = df)
+    } else {
+      val scan = vertexScan(alias, n.labels, n.props, ctx)
+      val df =
+        if (ctx.df == null) scan
+        else joinOn match {
+          case Some(cond) => ctx.df.join(scan, cond)
+          case None       => ctx.df.crossJoin(scan)
+        }
+      Ctx(df, ctx.vars + (alias -> VarInfo.vertex), ctx.projected)
+    }
+  }
+
+  private def bindRelAndNode(ctx0: Ctx, prev: String, relAlias: String,
+      rel: RelPattern, next: String, node: NodePattern): Ctx = {
+    var ctx = ctx0
+    val scan0 = edgeScan(relAlias, rel.types, rel.props, ctx)
+    // orient: dir=1  prev--start, end--next; dir=-1 reversed; dir=0 union both
+    val scan = rel.dir match {
+      case 1  => scan0
+        .withColumn(s"${relAlias}__gsrc", col(s"${relAlias}__start_id"))
+        .withColumn(s"${relAlias}__gdst", col(s"${relAlias}__end_id"))
+      case -1 => scan0
+        .withColumn(s"${relAlias}__gsrc", col(s"${relAlias}__end_id"))
+        .withColumn(s"${relAlias}__gdst", col(s"${relAlias}__start_id"))
+      case 0 =>
+        scan0.withColumn(s"${relAlias}__gsrc", col(s"${relAlias}__start_id"))
+          .withColumn(s"${relAlias}__gdst", col(s"${relAlias}__end_id"))
+          .unionByName(
+            scan0.withColumn(s"${relAlias}__gsrc", col(s"${relAlias}__end_id"))
+              .withColumn(s"${relAlias}__gdst", col(s"${relAlias}__start_id")))
+    }
+    require(!ctx.vars.contains(relAlias), s"edge variable $relAlias reused")
+    var df = ctx.df.join(scan, col(s"${prev}__id") === col(s"${relAlias}__gsrc"))
+    ctx = Ctx(df, ctx.vars + (relAlias -> VarInfo.edge), ctx.projected)
+    if (ctx.vars.contains(next)) {
+      // closing a cycle: next already bound
+      var out = ctx.df.filter(col(s"${relAlias}__gdst") === col(s"${next}__id"))
+      node.labels.foreach(l => out = out.filter(col(s"${next}__label") === lit(l)))
+      node.props.foreach { case (k, v) =>
+        out = out.filter(col(s"${next}__$k") === compileExpr(v, ctx))
+      }
+      ctx.copy(df = out)
+    } else {
+      bindNode(ctx, next, node,
+        joinOn = Some(col(s"${relAlias}__gdst") === col(s"${next}__id")))
+    }
+  }
+
+  /** Variable-length edge expansion — the reference's DFS-based `vle()` SRF
+    * (/root/reference/src/backend/utils/path_finding/dfs.c:666-775) re-expressed
+    * as iterative frontier joins with per-path edge-uniqueness (the
+    * accumulated-edge-array ¬contains predicate). Bounded [lo, hi]; `hi`
+    * defaults to [[Compiler.VleMaxHops]] for unbounded `*..` (fixpoint-safe:
+    * edge-uniqueness bounds path length by |E| anyway).
+    */
+  private def bindVle(ctx0: Ctx, prev: String, rel: RelPattern, lo: Int,
+      hiOpt: Option[Int], next: String, node: NodePattern): Ctx = {
+    val ctx = ctx0
+    val hi = hiOpt.getOrElse(VleMaxHops)
+    require(lo >= 0 && hi >= lo, s"bad VLE bounds *$lo..$hi")
+    val relAlias = rel.variable.getOrElse(freshAlias())
+    val e = freshAlias()
+    val scan0 = edgeScan(e, rel.types, rel.props, ctx)
+    val directed = rel.dir match {
+      case 1 => scan0.select(col(s"${e}__id").as("eid"),
+        col(s"${e}__start_id").as("src"), col(s"${e}__end_id").as("dst"))
+      case -1 => scan0.select(col(s"${e}__id").as("eid"),
+        col(s"${e}__end_id").as("src"), col(s"${e}__start_id").as("dst"))
+      case 0 => scan0.select(col(s"${e}__id").as("eid"),
+        col(s"${e}__start_id").as("src"), col(s"${e}__end_id").as("dst"))
+        .unionByName(scan0.select(col(s"${e}__id").as("eid"),
+          col(s"${e}__end_id").as("src"), col(s"${e}__start_id").as("dst")))
+    }
+    val edges = directed.persist()
+
+    // frontier: all ctx columns + __vle_end + __vle_edges
+    var frontier = ctx.df
+      .withColumn("__vle_end", col(s"${prev}__id"))
+      .withColumn("__vle_edges", array().cast(ArrayType(LongType)))
+    var results: DataFrame = if (lo == 0) frontier else null
+    var k = 1
+    while (k <= hi) {
+      frontier = frontier
+        .join(edges, col("__vle_end") === col("src") &&
+          !array_contains(col("__vle_edges"), col("eid")))
+        .withColumn("__vle_end2", col("dst"))
+        .withColumn("__vle_edges2", array_append(col("__vle_edges"), col("eid")))
+        .drop("__vle_end", "__vle_edges", "eid", "src", "dst")
+        .withColumnRenamed("__vle_end2", "__vle_end")
+        .withColumnRenamed("__vle_edges2", "__vle_edges")
+      if (k >= lo) results = if (results == null) frontier else results.unionByName(frontier)
+      k += 1
+    }
+    require(results != null, "VLE produced no candidate lengths")
+    val withVar = results
+      .withColumnRenamed("__vle_edges", s"${relAlias}__ids")
+    // join the far node
+    val scanNext =
+      if (ctx.vars.contains(next)) null
+      else vertexScan(next, node.labels, node.props, ctx)
+    val joined =
+      if (scanNext == null)
+        withVar.filter(col("__vle_end") === col(s"${next}__id")).drop("__vle_end")
+      else withVar.join(scanNext, col("__vle_end") === col(s"${next}__id")).drop("__vle_end")
+    Ctx(joined,
+      ctx.vars + (relAlias -> VarInfo.vlePath) ++
+        (if (ctx.vars.contains(next)) Nil else Seq(next -> VarInfo.vertex)),
+      ctx.projected)
+  }
+
+  // ------------------------------------------------------------------ UNWIND
+
+  private def compileUnwind(ctx: Ctx, u: Unwind): Ctx = {
+    val c = compileExpr(u.expr, ctx)
+    val df0 = if (ctx.df == null) spark.range(1).toDF("__seed") else ctx.df
+    val df = df0.withColumn(u.alias, explode(c)).drop("__seed")
+    Ctx(df, ctx.vars + (u.alias -> VarInfo.scalar), ctx.projected)
+  }
+
+  // -------------------------------------------------------- RETURN/WITH body
+
+  private def compileProjection(ctx0: Ctx, items0: List[ReturnItem],
+      distinct: Boolean, orderBy: List[SortItem], skip: Option[Expr],
+      limit: Option[Expr], where: Option[Expr], isReturn: Boolean): Ctx = {
+    val ctx = if (ctx0.df == null) ctx0.copy(df = spark.range(1).toDF("__seed")) else ctx0
+
+    // RETURN * / WITH * expansion
+    val items = items0.flatMap {
+      case ReturnItem(Var("*"), _) =>
+        ctx.vars.keys.filterNot(_.startsWith("_anon")).toSeq.sorted
+          .map(v => ReturnItem(Var(v), None))
+      case other => List(other)
+    }
+
+    // name each item
+    def autoName(e: Expr): String = e match {
+      case Var(n)           => n
+      case Prop(Var(n), k)  => s"$n.$k"
+      case _                => s"expr${items.indexWhere(_.expr == e)}"
+    }
+    val named = items.map(it => (it.alias.getOrElse(autoName(it.expr)), it.expr))
+
+    val hasAgg = named.exists { case (_, e) => containsAggregate(e) }
+
+    var outVars = ListMap.empty[String, VarInfo]
+    var df = ctx.df
+
+    if (!hasAgg) {
+      // plain projection; entity vars keep their flat columns (renamed)
+      val cols = scala.collection.mutable.ListBuffer.empty[Column]
+      named.foreach {
+        case (name, Var(v)) if ctx.vars.get(v).exists(_.isEntity) =>
+          val info = ctx.vars(v)
+          entityColumns(ctx.df, v).foreach { c =>
+            cols += col(c).as(s"${name}__${c.stripPrefix(s"${v}__")}")
+          }
+          outVars += (name -> info)
+        case (name, e) =>
+          cols += compileExpr(e, ctx).as(name)
+          outVars += (name -> VarInfo.scalar)
+      }
+      df = df.select(cols.toSeq: _*)
+    } else {
+      // implicit grouping: non-aggregate items are the grouping keys
+      // (reference: cypher_item.c:169-240 / cypher_parse_agg.c)
+      val keyItems = named.filter { case (_, e) => !containsAggregate(e) }
+      val aggItems = named.filter { case (_, e) => containsAggregate(e) }
+      val keyCols = keyItems.map { case (n, e) => compileExpr(e, ctx).as(n) }
+      val aggCols = aggItems.map { case (n, e) => compileAggExpr(e, ctx).as(n) }
+      df = if (keyCols.isEmpty) ctx.df.agg(aggCols.head, aggCols.tail: _*)
+      else ctx.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      // column order should follow item order
+      df = df.select(named.map { case (n, _) => col(n) }: _*)
+      named.foreach { case (n, _) => outVars += (n -> VarInfo.scalar) }
+    }
+
+    if (distinct) df = df.dropDuplicates()
+
+    val postCtx = Ctx(df, outVars, projected = true)
+    where.foreach(wc => df = df.filter(compileExpr(wc, postCtx)))
+
+    if (orderBy.nonEmpty) {
+      val sortCols = orderBy.map { s =>
+        val c = compileExpr(s.expr, postCtx.copy(df = df))
+        val dir = if (s.descending) c.desc else c.asc
+        s.nullsFirst match {
+          case Some(true)  => if (s.descending) c.desc_nulls_first else c.asc_nulls_first
+          case Some(false) => if (s.descending) c.desc_nulls_last else c.asc_nulls_last
+          case None        => dir
+        }
+      }
+      df = df.orderBy(sortCols: _*)
+    }
+    skip.foreach(e => df = df.offset(constInt(e).toInt))
+    limit.foreach(e => df = df.limit(constInt(e).toInt))
+
+    Ctx(df, outVars, projected = true)
+  }
+
+  private def constInt(e: Expr): Long = e match {
+    case Lit(GInt(v)) => v
+    case Param(n) => params.get(n) match {
+      case Some(GInt(v)) => v
+      case other => throw new IllegalArgumentException(s"parameter $n is not an integer: $other")
+    }
+    case other => throw new UnsupportedOperationException(s"SKIP/LIMIT must be a literal, got $other")
+  }
+
+  private def entityColumns(df: DataFrame, v: String): Seq[String] =
+    df.columns.filter(_.startsWith(s"${v}__")).toSeq
+
+  // -------------------------------------------------------------- expressions
+
+  private def containsAggregate(e: Expr): Boolean = e match {
+    case FnCall(name, args, _) =>
+      AggFns(name) || args.exists(containsAggregate)
+    case CountStar()       => true
+    case Bin(_, l, r)      => containsAggregate(l) || containsAggregate(r)
+    case Un(_, x)          => containsAggregate(x)
+    case IsNull(x, _)      => containsAggregate(x)
+    case StringOp(_, l, r) => containsAggregate(l) || containsAggregate(r)
+    case CaseExpr(op, whens, otherwise) =>
+      op.exists(containsAggregate) ||
+        whens.exists(w => containsAggregate(w._1) || containsAggregate(w._2)) ||
+        otherwise.exists(containsAggregate)
+    case Index(b, i) => containsAggregate(b) || containsAggregate(i)
+    case _ => false
+  }
+
+  /** Compile an expression that contains aggregate calls (agg context). */
+  private def compileAggExpr(e: Expr, ctx: Ctx): Column = e match {
+    case CountStar() => count(lit(1))
+    case FnCall(name, args, dist) if AggFns(name) =>
+      val a = args.map(x => compileExpr(x, ctx))
+      name match {
+        case "count"   => if (dist) countDistinct(a.head) else count(a.head)
+        case "sum"     => sum(a.head)
+        case "avg"     => avg(a.head)
+        case "min"     => min(a.head)
+        case "max"     => max(a.head)
+        case "collect" => if (dist) collect_set(a.head) else collect_list(a.head)
+        case "stdev"   => stddev_samp(a.head)
+        case "stdevp"  => stddev_pop(a.head)
+        case "percentilecont" => call_function("percentile", a.head, a(1))
+        case "percentiledisc" =>
+          // discrete percentile: smallest value with cume_dist >= p; exact via
+          // sorted-collect is fine since groups are small post-aggregation
+          call_function("percentile", a.head, a(1)) // v1 approximation, see SURVEY §2.2
+      }
+    case Bin(op, l, r) => binOp(op, compileAggExpr(l, ctx), compileAggExpr(r, ctx), ctx)
+    case other => compileExpr(other, ctx)
+  }
+
+  def compileExpr(e: Expr, ctx: Ctx): Column = e match {
+    case Lit(v)   => litColumn(v)
+    case Param(n) => litColumn(params.getOrElse(n,
+      throw new IllegalArgumentException(s"missing parameter $$$n")))
+    case Var(n) =>
+      ctx.vars.get(n) match {
+        case Some(info) if info.isEntity =>
+          // whole-entity value → struct on the fly
+          val cs = entityColumns(ctx.df, n)
+          struct(cs.map(c => col(c).as(c.stripPrefix(s"${n}__"))): _*)
+        case _ => col(n)
+      }
+    case Prop(Var(n), k) if ctx.vars.get(n).exists(_.isEntity) => col(s"${n}__$k")
+    case Prop(base, k) =>
+      val b = compileExpr(base, ctx)
+      b.getField(k)
+    case ListLit(items)  => array(items.map(x => compileExpr(x, ctx)): _*)
+    case MapLit(entries) =>
+      map(entries.flatMap { case (k, v) => Seq(lit(k), compileExpr(v, ctx)) }: _*)
+    case Bin(op, l, r) => binOp(op, compileExpr(l, ctx), compileExpr(r, ctx), ctx,
+      rRaw = Some(r))
+    case Un("NOT", x) => !compileExpr(x, ctx)
+    case Un("NEG", x) => -compileExpr(x, ctx)
+    case IsNull(x, not) =>
+      val c = compileExpr(x, ctx)
+      if (not) c.isNotNull else c.isNull
+    case StringOp(op, l, r) =>
+      val lc = compileExpr(l, ctx)
+      lazy val rc = compileExpr(r, ctx)
+      op match {
+        case "STARTS"   => lc.startsWith(rc)
+        case "ENDS"     => lc.endsWith(rc)
+        case "CONTAINS" => lc.contains(rc)
+        case "REGEX"    => lc.rlike(litString(r))
+      }
+    case CaseExpr(operand, whens, otherwise) =>
+      val branches = operand match {
+        case Some(op) =>
+          val opc = compileExpr(op, ctx)
+          whens.map { case (c, v) => (opc === compileExpr(c, ctx), compileExpr(v, ctx)) }
+        case None =>
+          whens.map { case (c, v) => (compileExpr(c, ctx), compileExpr(v, ctx)) }
+      }
+      val start = when(branches.head._1, branches.head._2)
+      val chained = branches.tail.foldLeft(start)((acc, b) => acc.when(b._1, b._2))
+      otherwise.map(o => chained.otherwise(compileExpr(o, ctx))).getOrElse(chained)
+    case Index(base, idx) =>
+      val b = compileExpr(base, ctx)
+      val i = compileExpr(idx, ctx)
+      // Cypher list index is 0-based, negatives count from the end;
+      // element_at is 1-based with negative-from-end support.
+      when(i >= 0, element_at(b, (i + 1).cast("int")))
+        .otherwise(element_at(b, i.cast("int")))
+    case Slice(base, lo, hi) =>
+      val b = compileExpr(base, ctx)
+      val loC = lo.map(x => compileExpr(x, ctx)).getOrElse(lit(0))
+      val hiC = hi.map(x => compileExpr(x, ctx)).getOrElse(size(b))
+      slice(b, (loC + 1).cast("int"), (hiC - loC).cast("int"))
+    case ListComp(v, src, whereOpt, projOpt) =>
+      val srcC = compileExpr(src, ctx)
+      val filtered = whereOpt match {
+        case Some(p) => filter(srcC, x => compileLambda(p, v, x, ctx))
+        case None    => srcC
+      }
+      projOpt match {
+        case Some(p) => transform(filtered, x => compileLambda(p, v, x, ctx))
+        case None    => filtered
+      }
+    case CountStar() => throw new IllegalStateException("count(*) outside aggregation")
+    case FnCall(name, args, _) => compileFn(name, args, ctx)
+    case ExistsPattern(_) => throw new UnsupportedOperationException(
+      "EXISTS(pattern) is only supported at the top level of WHERE")
+  }
+
+  /** Compile expression with one lambda variable bound to a Column. */
+  private def compileLambda(e: Expr, v: String, x: Column, ctx: Ctx): Column = e match {
+    case Var(`v`)          => x
+    case Prop(Var(`v`), k) => x.getField(k)
+    case Lit(g)            => litColumn(g)
+    case Bin(op, l, r)     => binOp(op, compileLambda(l, v, x, ctx), compileLambda(r, v, x, ctx), ctx)
+    case Un("NOT", b)      => !compileLambda(b, v, x, ctx)
+    case Un("NEG", b)      => -compileLambda(b, v, x, ctx)
+    case IsNull(b, not)    =>
+      val c = compileLambda(b, v, x, ctx); if (not) c.isNotNull else c.isNull
+    case other             => compileExpr(other, ctx)
+  }
+
+  private def binOp(op: String, l: Column, r: Column, ctx: Ctx,
+      rRaw: Option[Expr] = None): Column = op match {
+    case "+"  => l + r
+    case "-"  => l - r
+    case "*"  => l * r
+    case "/"  => l / r
+    case "%"  => l % r
+    case "^"  => pow(l, r)
+    case "="  => l === r
+    case "<>" => l =!= r
+    case "<"  => l < r
+    case "<=" => l <= r
+    case ">"  => l > r
+    case ">=" => l >= r
+    case "AND" => l && r
+    case "OR"  => l || r
+    case "XOR" => (l || r) && !(l && r)
+    case "IN" => rRaw match {
+      case Some(ListLit(items)) if items.forall(_.isInstanceOf[Lit]) =>
+        l.isin(items.map { case Lit(g) => gValueToAny(g) }: _*)
+      case _ => array_contains(r, l)
+    }
+  }
+
+  private def compileFn(name: String, args: List[Expr], ctx: Ctx): Column = {
+    def a(i: Int): Column = compileExpr(args(i), ctx)
+    name match {
+      case "id"    => entityField(args.head, "id", ctx)
+      case "label" | "type" => entityField(args.head, "label", ctx)
+      case "startnode" | "start_id" => entityField(args.head, "start_id", ctx)
+      case "endnode" | "end_id"     => entityField(args.head, "end_id", ctx)
+      case "properties" => compileExpr(args.head, ctx)
+      case "keys" => args.head match {
+        case Var(v) if ctx.vars.get(v).exists(_.isEntity) =>
+          array(entityColumns(ctx.df, v)
+            .map(_.stripPrefix(s"${v}__"))
+            .filterNot(Set("id", "label", "start_id", "end_id"))
+            .sorted.map(lit): _*)
+        case _ => map_keys(a(0))
+      }
+      case "size" | "length" => args.head match {
+        case Var(v) if ctx.vars.get(v).exists(_.kind == VarKind.VlePath) =>
+          size(col(s"${v}__ids"))
+        case arg =>
+          val c = compileExpr(arg, ctx)
+          dataTypeOf(c, ctx) match {
+            case StringType => length(c)
+            case _          => size(c)
+          }
+      }
+      case "head"    => element_at(a(0), 1)
+      case "last"    => element_at(a(0), -1)
+      case "reverse" => reverse(a(0))
+      case "range" =>
+        if (args.length == 2) sequence(a(0), a(1))
+        else sequence(a(0), a(1), a(2))
+      case "coalesce" => coalesce(args.map(x => compileExpr(x, ctx)): _*)
+      case "abs"   => abs(a(0))
+      case "ceil"  => ceil(a(0))
+      case "floor" => floor(a(0))
+      case "round" => if (args.length == 2) round(a(0), constInt(args(1)).toInt) else round(a(0))
+      case "sign"  => signum(a(0))
+      case "sqrt"  => sqrt(a(0))
+      case "cbrt"  => cbrt(a(0))
+      case "exp"   => exp(a(0))
+      case "log"   => log(a(0))
+      case "log10" => log10(a(0))
+      case "sin"   => sin(a(0)); case "cos" => cos(a(0)); case "tan" => tan(a(0))
+      case "asin"  => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
+      case "atan2" => atan2(a(0), a(1))
+      case "pi"    => lit(math.Pi)
+      case "e"     => exp(lit(1.0))
+      case "degrees" => degrees(a(0))
+      case "radians" => radians(a(0))
+      case "toupper" | "upper" => upper(a(0))
+      case "tolower" | "lower" => lower(a(0))
+      case "trim"  => trim(a(0))
+      case "ltrim" => ltrim(a(0))
+      case "rtrim" => rtrim(a(0))
+      case "left"  => substring(a(0), 1, constInt(args(1)).toInt)
+      case "right" => a(0).substr(length(a(0)) - constInt(args(1)).toInt + 1, lit(constInt(args(1)).toInt))
+      case "replace" => regexp_replace(a(0), regexp_quote(args(1)), litString(args(2)))
+      case "split" => split(a(0), regexp_quote(args(1)))
+      case "substring" =>
+        // cypher substring(s, start[, len]) is 0-based
+        if (args.length == 3) a(0).substr(a(1).cast("int") + 1, a(2).cast("int"))
+        else a(0).substr(a(1).cast("int") + 1, length(a(0)))
+      case "initcap" => initcap(a(0))
+      case "tostring"  => a(0).cast("string")
+      case "tointeger" => a(0).cast("long")
+      case "tofloat"   => a(0).cast("double")
+      case "toboolean" => a(0).cast("boolean")
+      case "tonumeric" => a(0).cast("decimal(38,18)")
+      case "md5"    => md5(a(0).cast("string"))
+      case "sha256" => sha2(a(0).cast("string"), 256)
+      case "sha512" => sha2(a(0).cast("string"), 512)
+      case "nodes" | "relationships" | "edges" =>
+        throw new UnsupportedOperationException(s"$name() on paths lands with traversal values")
+      case other => throw new UnsupportedOperationException(s"unknown function $other()")
+    }
+  }
+
+  /** Static Spark type of a compiled column (resolved against the ctx frame). */
+  private def dataTypeOf(c: Column, ctx: Ctx): DataType =
+    if (ctx.df == null) NullType else ctx.df.select(c).schema.head.dataType
+
+  private def entityField(e: Expr, field: String, ctx: Ctx): Column = e match {
+    case Var(v) if ctx.vars.get(v).exists(_.isEntity) => col(s"${v}__$field")
+    case other => compileExpr(other, ctx).getField(field)
+  }
+
+  private def regexp_quote(e: Expr): String = e match {
+    case Lit(GString(s)) => java.util.regex.Pattern.quote(s)
+    case other => throw new UnsupportedOperationException(s"needs string literal, got $other")
+  }
+  private def litString(e: Expr): String = e match {
+    case Lit(GString(s)) => s
+    case other => throw new UnsupportedOperationException(s"needs string literal, got $other")
+  }
+
+  private def litColumn(v: GValue): Column = v match {
+    case GNull        => lit(null)
+    case GBool(b)     => lit(b)
+    case GInt(i)      => lit(i)
+    case GFloat(f)    => lit(f)
+    case GNumeric(n)  => lit(n.bigDecimal)
+    case GString(s)   => lit(s)
+    case GArray(xs)   => array(xs.map(litColumn): _*)
+    case GMap(m)      => map(m.toSeq.flatMap { case (k, x) => Seq(lit(k), litColumn(x)) }: _*)
+    case GDate(d)     => lit(java.time.LocalDate.ofEpochDay(d.toLong))
+    case GTimestamp(us) => lit(java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+    case other        => throw new UnsupportedOperationException(s"literal not supported: ${other.render}")
+  }
+
+  private def gValueToAny(v: GValue): Any = v match {
+    case GNull      => null
+    case GBool(b)   => b
+    case GInt(i)    => i
+    case GFloat(f)  => f
+    case GString(s) => s
+    case GNumeric(n) => n.bigDecimal
+    case other      => throw new UnsupportedOperationException(s"IN literal: ${other.render}")
+  }
+}
+
+object Compiler {
+  /** Cap for unbounded `*..` expansion; edge-uniqueness already bounds paths
+    * by |E|, this bounds the *plan* size (each hop is one join).
+    */
+  val VleMaxHops = 10
+
+  /** Aggregate function names (reference catalog: SURVEY.md §2.2,
+    * sql/postgraph-aggregation.sql.in).
+    */
+  val AggFns: Set[String] = Set("count", "sum", "avg", "min", "max", "collect",
+    "stdev", "stdevp", "percentilecont", "percentiledisc")
+
+  object VarKind extends Enumeration {
+    val Vertex, Edge, Scalar, Path, VlePath = Value
+  }
+  final case class VarInfo(kind: VarKind.Value, pathNodes: Seq[String] = Nil) {
+    def isEntity: Boolean = kind == VarKind.Vertex || kind == VarKind.Edge
+  }
+  object VarInfo {
+    val vertex: VarInfo = VarInfo(VarKind.Vertex)
+    val edge: VarInfo = VarInfo(VarKind.Edge)
+    val scalar: VarInfo = VarInfo(VarKind.Scalar)
+    val vlePath: VarInfo = VarInfo(VarKind.VlePath)
+    def path(nodes: Seq[String]): VarInfo = VarInfo(VarKind.Path, nodes)
+  }
+
+  final case class Ctx(df: DataFrame, vars: ListMap[String, VarInfo], projected: Boolean)
+  object Ctx {
+    val empty: Ctx = Ctx(null, ListMap.empty, projected = false)
+  }
+}

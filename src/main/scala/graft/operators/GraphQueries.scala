@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.Tables.T
+import graft.cypher.Compiler
+import graft.graph.{GraphBuilder, PropertyGraph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cypher-engine queries over a property graph derived from the TPC-H tables,
+  * each with a relational DuckDB oracle — proving the graph operator semantics
+  * (SURVEY.md §2.1) against plain SQL on the same data.
+  *
+  * Graph shape:
+  *   (:Customer)-[:IN_NATION]->(:Nation)-[:IN_REGION]->(:Region)
+  *   (:Supplier)-[:SUPP_IN_NATION]->(:Nation)
+  *   (:Customer)-[:PLACED]->(:Order)-[:CONTAINS]->(:Part)
+  *
+  * All ids are packed graphids from natural keys (pure projection — the id
+  * assignment itself costs nothing at 100 TB, see GraphBuilder).
+  */
+object GraphQueries {
+
+  def tpchGraph(s: SparkSession, dir: String): PropertyGraph = {
+    val lineitemKeyed = T(s, dir, "lineitem")
+      .withColumn("lkey", col("l_orderkey") * 8 + col("l_linenumber"))
+    new GraphBuilder(s)
+      .vertexLabel("Customer", T(s, dir, "customer"), "c_custkey")
+      .vertexLabel("Nation", T(s, dir, "nation"), "n_nationkey")
+      .vertexLabel("Region", T(s, dir, "region"), "r_regionkey")
+      .vertexLabel("Supplier", T(s, dir, "supplier"), "s_suppkey")
+      .vertexLabel("Order", T(s, dir, "orders"), "o_orderkey")
+      .vertexLabel("Part", T(s, dir, "part"), "p_partkey")
+      .edgeLabel("IN_NATION", T(s, dir, "customer"), "c_custkey",
+        "Customer", "c_custkey", "Nation", "c_nationkey")
+      .edgeLabel("IN_REGION", T(s, dir, "nation"), "n_nationkey",
+        "Nation", "n_nationkey", "Region", "n_regionkey")
+      .edgeLabel("SUPP_IN_NATION", T(s, dir, "supplier"), "s_suppkey",
+        "Supplier", "s_suppkey", "Nation", "s_nationkey")
+      .edgeLabel("PLACED", T(s, dir, "orders"), "o_orderkey",
+        "Customer", "o_custkey", "Order", "o_orderkey")
+      .edgeLabel("CONTAINS", lineitemKeyed, "lkey",
+        "Order", "l_orderkey", "Part", "l_partkey")
+      .build()
+  }
+
+  private def cy(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => new Compiler(tpchGraph(s, dir)).run(q)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // label scan + WHERE + count
+    "g1_label_scan" -> cy(
+      "MATCH (c:Customer) WHERE c.c_acctbal > 9000 RETURN count(*) AS n_cust"),
+
+    // single-hop pattern join with implicit grouping
+    "g2_pattern_join" -> cy(
+      "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) " +
+        "RETURN n.n_name AS nation, count(*) AS n_cust ORDER BY nation"),
+
+    // two-hop chain across edge labels
+    "g3_two_hop" -> cy(
+      "MATCH (c:Customer)-[:IN_NATION]->(:Nation)-[:IN_REGION]->(r:Region) " +
+        "RETURN r.r_name AS region, count(*) AS n_cust ORDER BY region"),
+
+    // OPTIONAL MATCH (left join semantics, unmatched → null)
+    "g4_optional_match" -> cy(
+      "MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order {o_orderstatus: 'F'}) " +
+        "RETURN c.c_mktsegment AS seg, count(o.o_orderkey) AS n_f_orders ORDER BY seg"),
+
+    // EXISTS pattern predicate → semi join
+    "g5_exists" -> cy(
+      "MATCH (c:Customer) WHERE EXISTS((c)-[:PLACED]->(o:Order {o_orderpriority: '1-URGENT'})) " +
+        "RETURN count(*) AS n_cust"),
+
+    // WITH pipeline: aggregate then filter on the aggregate
+    "g6_with_having" -> cy(
+      "MATCH (c:Customer)-[:PLACED]->(o:Order) " +
+        "WITH c.c_custkey AS ck, count(o.o_orderkey) AS n_ord WHERE n_ord >= 15 " +
+        "RETURN count(*) AS n_heavy_customers"),
+
+    // ORDER BY + LIMIT with deterministic tiebreak
+    "g7_topk" -> cy(
+      "MATCH (c:Customer) RETURN c.c_custkey AS ck, c.c_acctbal AS bal " +
+        "ORDER BY bal DESC, ck LIMIT 10"),
+
+    // UNWIND literal list
+    "g8_unwind" -> cy(
+      "UNWIND [1, 2, 3, 4, 5] AS x RETURN x, x * x AS sq ORDER BY x"),
+
+    // undirected relationship (label filter makes it one-sided)
+    "g9_undirected" -> cy(
+      "MATCH (n:Nation)-[:IN_REGION]-(r:Region) RETURN count(*) AS n"),
+
+    // three-hop directed chain across 3 edge labels
+    "g10_three_hop" -> cy(
+      "MATCH (c:Customer)-[:PLACED]->(:Order)-[:CONTAINS]->(p:Part) " +
+        "WHERE p.p_size > 40 RETURN count(*) AS n_paths"),
+
+    // VLE: undirected 2-hop supplier→nation→customer co-location paths
+    "g11_vle_colocated" -> cy(
+      "MATCH (s:Supplier)-[e*2..2]-(c:Customer) RETURN count(*) AS n_paths"),
+
+    // RETURN DISTINCT
+    "g12_distinct" -> cy(
+      "MATCH (:Customer)-[:PLACED]->(o:Order) RETURN DISTINCT o.o_orderpriority AS pri ORDER BY pri"),
+
+    // set op between two graph queries
+    "g13_setop" -> cy(
+      "MATCH (c:Customer) WHERE c.c_acctbal > 9990 RETURN c.c_nationkey AS nk " +
+        "UNION MATCH (s:Supplier) WHERE s.s_acctbal > 9000 RETURN s.s_nationkey AS nk"),
+
+    // CASE + grouping on computed key
+    "g14_case_band" -> cy(
+      "MATCH (p:Part) RETURN CASE WHEN p.p_size < 10 THEN 'small' " +
+        "WHEN p.p_size < 30 THEN 'mid' ELSE 'big' END AS band, count(*) AS n ORDER BY band"),
+
+    // scalar function surface over properties
+    "g15_functions" -> cy(
+      "MATCH (n:Nation) RETURN tolower(n.n_name) AS lname, size(n.n_name) AS len " +
+        "ORDER BY lname")
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g1_label_scan" ->
+      "SELECT count(*) AS n_cust FROM customer WHERE c_acctbal > 9000",
+    "g2_pattern_join" ->
+      """SELECT n_name AS nation, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "g3_two_hop" ->
+      """SELECT r_name AS region, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region""".stripMargin,
+    "g4_optional_match" ->
+      """SELECT c_mktsegment AS seg, count(o_orderkey) AS n_f_orders
+        |FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderstatus = 'F'
+        |GROUP BY c_mktsegment ORDER BY seg""".stripMargin,
+    "g5_exists" ->
+      """SELECT count(*) AS n_cust FROM customer WHERE EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "g6_with_having" ->
+      """SELECT count(*) AS n_heavy_customers FROM (
+        |  SELECT o_custkey, count(*) AS n_ord FROM orders GROUP BY o_custkey
+        |  HAVING count(*) >= 15)""".stripMargin,
+    "g7_topk" ->
+      """SELECT c_custkey AS ck, c_acctbal AS bal FROM customer
+        |ORDER BY bal DESC, ck LIMIT 10""".stripMargin,
+    "g8_unwind" ->
+      """SELECT CAST(x AS BIGINT) AS x, CAST(x * x AS BIGINT) AS sq
+        |FROM (SELECT unnest([1,2,3,4,5]) AS x) ORDER BY x""".stripMargin,
+    "g9_undirected" ->
+      "SELECT count(*) AS n FROM nation",
+    "g10_three_hop" ->
+      """SELECT count(*) AS n_paths
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size > 40""".stripMargin,
+    "g11_vle_colocated" ->
+      """SELECT count(*) AS n_paths FROM supplier s
+        |JOIN customer c ON s.s_nationkey = c.c_nationkey""".stripMargin,
+    "g12_distinct" ->
+      "SELECT DISTINCT o_orderpriority AS pri FROM orders ORDER BY pri",
+    "g13_setop" ->
+      """SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9990
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9000""".stripMargin,
+    "g14_case_band" ->
+      """SELECT CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'mid'
+        |  ELSE 'big' END AS band, count(*) AS n
+        |FROM part GROUP BY 1 ORDER BY band""".stripMargin,
+    "g15_functions" ->
+      """SELECT lower(n_name) AS lname, CAST(length(n_name) AS INTEGER) AS len
+        |FROM nation ORDER BY lname""".stripMargin
+  )
+}
