@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.Tables.T
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. The scale story: every variant is a
+  * per-row signature computation (codegen, linear) followed by ONE shuffle
+  * keyed on signature/band/chunk; nothing is O(n²) except the final
+  * verification restricted to candidate pairs.
+  */
+object Dedup {
+
+  private val JaccardThreshold = 0.3
+  private val LshThreshold = 0.3
+  private val MinhashK = 64
+  private val LshBands = 64 // r=1 rows/band: P[candidate] = 1-(1-j)^64; miss at j=0.3 ~ 1e-10
+
+  /** (doc_id, shingle) exploded-distinct pairs. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+
+  /** Exact word-3gram Jaccard similarity for all pairs meeting the threshold
+    * — the ground-truth near-dup set. Shuffle is keyed on shingle (scales
+    * with corpus, hot shingles are the skew risk — mitigated by the
+    * distinct() pre-aggregation).
+    */
+  private def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val sh = docShingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: md5-of-normalized-text groups
+    "d1_exact_dedup" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .groupBy(fingerprintMd5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keeper"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("copies")).as("n_docs"),
+          sum(when(col("copies") > 1, col("copies") - 1).otherwise(0L)).as("n_removed"))
+    }),
+
+    // ground-truth n-gram Jaccard near-dup pairs
+    "d2_ngram_jaccard" -> ((s, dir) => jaccardPairs(s, dir, JaccardThreshold)),
+
+    // MinHash+LSH candidates, then exact verification — same result as the
+    // ground truth when recall holds; the LSH join replaces the all-pairs
+    // shingle join with a band-key join (the 100 TB path).
+    "d3_minhash_lsh" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        .withColumn("sig", minhash(col("sh"), MinhashK))
+        .withColumn("bands", lshBandKeys(col("sig"), MinhashK, LshBands))
+        .persist()
+      val banded = docs.select(col("doc_id"), explode(col("bands")).as("band"))
+      val candidates = banded.as("a")
+        .join(banded.as("b"), col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      // exact verify candidates only
+      val withSets = candidates
+        .join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+        .join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      withSets
+        .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jaccard", col("i").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("i")))
+        .filter(col("jaccard") >= LshThreshold)
+        .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // SimHash near-dup pairs via 16-bit chunk banding (hamming ≤ 3 complete
+    // by pigeonhole; we report hamming ≤ 6 found through chunk collisions)
+    "d4_simhash" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), simhash64(col("text")).as("sig"))
+        .withColumn("chunks", simhashChunks(col("sig")))
+        .persist()
+      val chunked = docs.select(col("doc_id"), col("sig"), explode(col("chunks")).as("c"))
+      chunked.as("a")
+        .join(chunked.as("b"), col("a.c") === col("b.c") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy(col("da"), col("db"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT count(*) AS n_unique, sum(copies) AS n_docs,
+        |  sum(CASE WHEN copies > 1 THEN copies - 1 ELSE 0 END) AS n_removed
+        |FROM (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |         count(*) AS copies
+        |  FROM documents GROUP BY 1)""".stripMargin,
+    "d2_ngram_jaccard" -> jaccardOracle(JaccardThreshold),
+    "d3_minhash_lsh" -> jaccardOracle(LshThreshold)
+    // d4_simhash: rows-only (hash family not expressible in SQL)
+  )
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |    for i in range(1, len(w) - 1)])) AS shingle
+       |  FROM d WHERE len(w) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da, db,
+       |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON da = sa.doc_id
+       |JOIN sz sb ON db = sb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $threshold
+       |ORDER BY da, db""".stripMargin
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Tables.T
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType),
+  * 64-dim): brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH bucketed variant as the scale path (the IVFFlat
+  * analog — reference: /root/reference/src/backend/access/ivfflat.h, where
+  * clustering prunes the candidate set; here hyperplane buckets do).
+  *
+  * Vector math is `zip_with`/`aggregate` over array columns — codegen'd,
+  * no UDFs.
+  */
+object Similarity {
+
+  /** dot(a, b) with double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0.0), (acc, x) => acc + x))
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 → uniform in [-1, 1). */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Multi-table sign-LSH keys: `tables` independent hash tables of
+    * `planesPerTable` hyperplane sign bits each. A query's candidates are the
+    * union of its buckets across tables — for cosine-similar pairs
+    * (P[same side] = 1 − θ/π per plane), miss probability is
+    * (1 − p^planes)^tables, tunable to ~0 while each table stays coarse
+    * enough to keep buckets populated. Same banding trick as MinHash-LSH.
+    */
+  def lshBucketKeys(vec: Column, planesPerTable: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      val bits = (0 until planesPerTable).map { p =>
+        val plane = t * planesPerTable + p
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") * planeComponent(plane, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("table"),
+        bits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+    }: _*)
+
+  private val TopK = 3
+  private val NQuery = 20
+
+  /** Brute-force exact cosine top-k for the first NQuery vectors — the
+    * ground truth. The full cross join is the thing LSH/IVF replaces at
+    * scale; restricted here to a bounded query set.
+    */
+  private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < NQuery)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cand = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    import org.apache.spark.sql.expressions.Window
+    val scored = q.join(cand, col("qid") =!= col("cid"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("cid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_cosine_topk" -> ((s, dir) => bruteTopK(s, dir)),
+
+    // pairwise L2 distance stats per label cluster (uses typed metadata)
+    "s2_l2_within_label" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"),
+        col("label").as("la"))
+      val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+        col("label").as("lb"))
+      a.join(b, col("la") === col("lb") && col("ida") < col("idb"))
+        .select(col("la").as("label"), l2Distance(col("va"), col("vb")).as("d"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("d")), 4).as("avg_dist"),
+          round(min(col("d")), 4).as("min_dist"))
+        .orderBy(col("label"))
+    }),
+
+    // ANN via multi-table hyperplane LSH: candidate set = union of bucket
+    // matches across tables, then exact scoring of candidates only
+    // (rows-only: recall vs s1 asserted in PipelineSpec)
+    "s3_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .withColumn("keys", lshBucketKeys(col("embedding"), 4, 8))
+        .persist()
+      val q = emb.filter(col("vec_id") < NQuery)
+        .select(col("vec_id").as("qid"), explode(col("keys")).as("key"))
+      val cand = emb.select(col("vec_id").as("cid"), explode(col("keys")).as("ckey"))
+      val pairs = q.join(cand, col("key") === col("ckey") && col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid")).distinct()
+      val scored = pairs
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+        .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid")
+        .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("rank"), col("cid"), col("cos"))
+        .orderBy(col("qid"), col("rank"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQuery),
+         |scored AS (
+         |  SELECT qid, vec_id AS cid,
+         |    round(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 6) AS cos
+         |  FROM q JOIN embeddings ON vec_id <> qid),
+         |ranked AS (
+         |  SELECT qid, cid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, cid, cos FROM ranked WHERE rank <= $TopK
+         |ORDER BY qid, rank""".stripMargin,
+    "s2_l2_within_label" ->
+      """SELECT a.label, count(*) AS n_pairs,
+        |  round(avg(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 4) AS avg_dist,
+        |  round(min(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 4) AS min_dist
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |GROUP BY a.label ORDER BY a.label""".stripMargin
+    // s3_ann_lsh: rows-only (bucket hash family not expressible in SQL);
+    // recall vs s1 asserted in SimilaritySpec
+  )
+}
