@@ -59,7 +59,7 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
 
   // ------------------------------------------------------------------ clauses
 
-  private def compileClause(ctx: Ctx, clause: Clause): Ctx = clause match {
+  def compileClause(ctx: Ctx, clause: Clause): Ctx = clause match {
     case m: Match  => compileMatch(ctx, m)
     case u: Unwind => compileUnwind(ctx, u)
     case w: With   => compileProjection(ctx, w.items, w.distinct, w.orderBy,

@@ -1,0 +1,346 @@
+package graft.cypher
+
+import graft.graph.PropertyGraph
+import graft.gvalue._
+import Ast._
+import Compiler.{Ctx, VarInfo}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** Mutable graph + Cypher write-clause execution — the engine's equivalent of
+  * the reference's 4 write CustomScans (exec_cypher_create / cypher_set.c /
+  * cypher_delete.c / cypher_merge.c). Writes execute eagerly between clause
+  * compilations, so a later MATCH in the same query sees earlier writes —
+  * the reference's clause-ordered visibility.
+  *
+  * Scale note: literal CREATE/MERGE (DDL-sized) builds rows driver-side like
+  * any catalog op; bulk ingestion is GraphBuilder (projection-only ids) or
+  * streaming — writes here are the OLTP-ish tail of the surface.
+  */
+final class GraphSession(val spark: SparkSession) {
+
+  private val graphs = mutable.LinkedHashMap.empty[String, MutableGraph]
+  private var current: Option[String] = None
+
+  def createGraph(name: String): Unit = {
+    require(!graphs.contains(name), s"graph $name already exists")
+    graphs(name) = new MutableGraph(spark)
+    current = Some(name)
+  }
+  def useGraph(name: String): Unit = {
+    require(graphs.contains(name), s"unknown graph $name")
+    current = Some(name)
+  }
+  def dropGraph(name: String): Unit = { graphs.remove(name); if (current.contains(name)) current = None }
+  def graph: MutableGraph = graphs(current.getOrElse(
+    throw new IllegalStateException("no graph selected — createGraph/useGraph first")))
+
+  /** Run a Cypher query (reads and/or writes) against the current graph. */
+  def run(query: String, params: Map[String, GValue] = Map.empty): DataFrame = {
+    Parser.parse(query) match {
+      case SingleQuery(clauses) => runClauses(clauses, params)
+      case q: SetOp => new Compiler(graph.snapshot, params).compileQuery(q)
+    }
+  }
+
+  private def runClauses(clauses: List[Clause], params: Map[String, GValue]): DataFrame = {
+    var compiler = new Compiler(graph.snapshot, params)
+    var ctx = Ctx.empty
+    var wrote = false
+    clauses.foreach {
+      case c @ (_: Match | _: Unwind | _: With | _: Return) =>
+        if (wrote) { compiler = new Compiler(graph.snapshot, params); wrote = false }
+        ctx = compiler.compileClause(ctx, c)
+      case w =>
+        ctx = executeWrite(ctx, w, compiler)
+        wrote = true
+    }
+    if (ctx.projected) ctx.df
+    else spark.emptyDataFrame // write-only query returns no rows (reference behavior)
+  }
+
+  // ------------------------------------------------------------------- writes
+
+  private def executeWrite(ctx: Ctx, clause: Clause, compiler: Compiler): Ctx = clause match {
+    case Create(patterns) => patterns.foldLeft(ctx)((c, p) => executeCreate(c, p))
+    case Merge(pattern)   => executeMerge(ctx, pattern)
+    case SetClause(items) => executeSet(ctx, items, compiler); ctx
+    case Remove(items)    => executeRemove(ctx, items); ctx
+    case Delete(exprs, detach) => executeDelete(ctx, exprs, detach); ctx
+    case other => throw new UnsupportedOperationException(s"write clause: $other")
+  }
+
+  private def constEval(e: Expr): GValue = e match {
+    case Lit(v)          => v
+    case ListLit(items)  => GArray(items.map(constEval).toVector)
+    case MapLit(entries) => GMap.of(entries.map { case (k, v) => k -> constEval(v) }: _*)
+    case Un("NEG", x)    => GValue.neg(constEval(x))
+    case other => throw new UnsupportedOperationException(
+      s"CREATE property values must be literals, got $other")
+  }
+
+  /** CREATE: all-new literal pattern (binds its variables), or new edges
+    * between already-matched nodes (one edge per result row).
+    */
+  private def executeCreate(ctx0: Ctx, pattern: PathPattern): Ctx = {
+    var ctx = ctx0
+    val elems = pattern.elements
+    // single-node / chain creation where every node is new → literal create
+    val nodesBound = elems.collect { case n: NodePattern => n }
+      .forall(n => n.variable.exists(v => ctx.vars.contains(v)))
+    if (elems.length == 3 && nodesBound) {
+      // (a)-[:R {..}]->(b) between matched nodes — per matched row
+      val Seq(a: NodePattern, r: RelPattern, b: NodePattern) = elems: @unchecked
+      require(r.dir != 0, "CREATE edge requires a direction")
+      val (srcV, dstV) =
+        if (r.dir == 1) (a.variable.get, b.variable.get)
+        else (b.variable.get, a.variable.get)
+      val label = r.types.headOption.getOrElse(
+        throw new IllegalArgumentException("CREATE edge needs a type"))
+      val props = r.props.map { case (k, v) => k -> constEval(v) }
+      graph.createEdgesFrom(label,
+        ctx.df.select(col(s"${srcV}__id").as("start_id"),
+          col(s"${dstV}__id").as("end_id")), props)
+      ctx
+    } else {
+      // literal chain: nodes and edges all new
+      var createdVars = ctx.vars
+      var df = if (ctx.df == null) null else ctx.df
+      var prevId: Option[(String, Long)] = None // (varName, id) of previous node
+      var pendingRel: Option[RelPattern] = None
+      elems.foreach {
+        case n: NodePattern =>
+          val label = n.labels.headOption.getOrElse("_default")
+          val props = n.props.map { case (k, v) => k -> constEval(v) }
+          val id = graph.createVertex(label, props)
+          val alias = n.variable.getOrElse(s"_c${id & 0xFFFF}")
+          // bind created node: one-row DF with its columns
+          val nodeDf = graph.vertexRowDf(alias, label, id)
+          df = if (df == null) nodeDf else df.crossJoin(nodeDf)
+          if (n.variable.isDefined) createdVars += (alias -> VarInfo.vertex)
+          pendingRel.foreach { r =>
+            val (s, d) = if (r.dir == -1) (id, prevId.get._2) else (prevId.get._2, id)
+            val label = r.types.headOption.getOrElse(
+              throw new IllegalArgumentException("CREATE edge needs a type"))
+            graph.createEdge(label, s, d, r.props.map { case (k, v) => k -> constEval(v) })
+            pendingRel = None
+          }
+          prevId = Some((alias, id))
+        case r: RelPattern =>
+          require(r.varLength.isEmpty, "CREATE cannot use variable-length edges")
+          pendingRel = Some(r)
+      }
+      Ctx(df, createdVars, ctx0.projected)
+    }
+  }
+
+  /** MERGE (standalone): match the pattern; if no rows, create it
+    * (reference: cypher_merge.c check_path/process_path).
+    */
+  private def executeMerge(ctx: Ctx, pattern: PathPattern): Ctx = {
+    require(ctx.df == null, "MERGE after other clauses lands in a later round")
+    val probe = new Compiler(graph.snapshot, Map.empty)
+    val matched = try {
+      val c = probe.compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
+      c.df.limit(1).count() > 0
+    } catch { case _: IllegalArgumentException => false } // unknown label → no match
+    if (matched) {
+      val c = new Compiler(graph.snapshot, Map.empty)
+        .compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
+      c
+    } else executeCreate(Ctx.empty, pattern)
+  }
+
+  /** SET n.k = expr — copy-on-write column update keyed on entity id
+    * (reference: update_entity_tuple, cypher_set.c:100-176; ours is a join
+    * instead of a per-tuple heap update).
+    */
+  private def executeSet(ctx: Ctx, items: List[SetItem], compiler: Compiler): Unit =
+    items.foreach { case SetItem(v, k, valueExpr) =>
+      require(ctx.df != null && ctx.vars.get(v).exists(_.isEntity), s"SET target $v not matched")
+      val updates = ctx.df
+        .select(col(s"${v}__id").as("__set_id"),
+          compiler.compileExpr(valueExpr, ctx).as("__set_val"))
+        .dropDuplicates("__set_id")
+      graph.updateProperty(k, updates)
+    }
+
+  private def executeRemove(ctx: Ctx, items: List[(String, String)]): Unit =
+    items.foreach { case (v, k) =>
+      require(ctx.df != null && ctx.vars.get(v).exists(_.isEntity), s"REMOVE target $v not matched")
+      val updates = ctx.df.select(col(s"${v}__id").as("__set_id"),
+        lit(null).as("__set_val"))
+        .dropDuplicates("__set_id")
+      graph.updateProperty(k, updates)
+    }
+
+  /** DELETE / DETACH DELETE (reference: cypher_delete.c — DETACH cascades
+    * across every edge label; plain DELETE errors if edges remain).
+    */
+  private def executeDelete(ctx: Ctx, exprs: List[Expr], detach: Boolean): Unit =
+    exprs.foreach {
+      case Var(v) if ctx.vars.get(v).exists(_.isEntity) =>
+        val ids = ctx.df.select(col(s"${v}__id").as("id")).distinct()
+        graph.deleteVertices(ids, detach)
+      case other => throw new UnsupportedOperationException(s"DELETE target: $other")
+    }
+}
+
+/** In-memory mutable label tables + id allocation (the reference's per-label
+  * sequence, graph_commands.c:222-270).
+  */
+final class MutableGraph(spark: SparkSession) {
+  private val labelIds = mutable.LinkedHashMap.empty[String, Int]
+  private var nextLabelId = 1
+  private val nextEntry = mutable.Map.empty[String, Long]
+  private var vertexLabels = Map.empty[String, DataFrame]
+  private var edgeLabels = Map.empty[String, DataFrame]
+
+  def snapshot: PropertyGraph =
+    new PropertyGraph(spark,
+      if (vertexLabels.isEmpty)
+        Map("_default" -> spark.createDataFrame(
+          new java.util.ArrayList[Row](),
+          StructType(Seq(StructField("id", LongType)))))
+      else vertexLabels,
+      edgeLabels, labelIds.toMap)
+
+  private def labelId(l: String): Int =
+    labelIds.getOrElseUpdate(l, { val i = nextLabelId; nextLabelId += 1; i })
+
+  private def sparkType(v: GValue): DataType = v match {
+    case _: GBool    => BooleanType
+    case _: GInt     => LongType
+    case _: GFloat   => DoubleType
+    case _: GNumeric => DecimalType(38, 18)
+    case _: GString  => StringType
+    case GArray(xs)  => ArrayType(xs.headOption.map(sparkType).getOrElse(StringType))
+    case _: GTimestamp => TimestampType
+    case _: GDate    => DateType
+    case GNull       => NullType
+    case other => throw new UnsupportedOperationException(s"property type: ${other.render}")
+  }
+
+  private def sparkValue(v: GValue): Any = v match {
+    case GBool(b)   => b
+    case GInt(i)    => i
+    case GFloat(f)  => f
+    case GNumeric(n) => n.bigDecimal
+    case GString(s) => s
+    case GArray(xs) => xs.map(sparkValue)
+    case GTimestamp(us) => java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+    case GDate(d)   => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
+    case GNull      => null
+    case other => throw new UnsupportedOperationException(s"property value: ${other.render}")
+  }
+
+  /** Align a new-rows DF with an existing label table (union of columns). */
+  private def aligned(old: Option[DataFrame], add: DataFrame): DataFrame = old match {
+    case None => add
+    case Some(o) => o.unionByName(add, allowMissingColumns = true)
+  }
+
+  def createVertex(label: String, props: Map[String, GValue]): Long = {
+    val lid = labelId(label)
+    val entry = nextEntry.getOrElse(label, 0L) + 1
+    nextEntry(label) = entry
+    val id = PropertyGraph.packId(lid, entry)
+    val fields = StructField("id", LongType) +:
+      props.toSeq.sortBy(_._1).map { case (k, v) => StructField(k, sparkType(v)) }
+    val row = Row.fromSeq(id +: props.toSeq.sortBy(_._1).map { case (_, v) => sparkValue(v) })
+    val df = spark.createDataFrame(java.util.Arrays.asList(row), StructType(fields))
+    vertexLabels += (label -> aligned(vertexLabels.get(label), df))
+    id
+  }
+
+  def createEdge(label: String, startId: Long, endId: Long,
+      props: Map[String, GValue]): Long = {
+    val lid = labelId(label)
+    val entry = nextEntry.getOrElse(label, 0L) + 1
+    nextEntry(label) = entry
+    val id = PropertyGraph.packId(lid, entry)
+    val fields = Seq(StructField("id", LongType), StructField("start_id", LongType),
+      StructField("end_id", LongType)) ++
+      props.toSeq.sortBy(_._1).map { case (k, v) => StructField(k, sparkType(v)) }
+    val row = Row.fromSeq(Seq(id, startId, endId) ++
+      props.toSeq.sortBy(_._1).map { case (_, v) => sparkValue(v) })
+    val df = spark.createDataFrame(java.util.Arrays.asList(row), StructType(fields))
+    edgeLabels += (label -> aligned(edgeLabels.get(label), df))
+    id
+  }
+
+  /** Bulk edge creation from a (start_id, end_id) DataFrame: ids allocated by
+    * deterministic row_number + driver offset — one shuffle, no id service.
+    */
+  def createEdgesFrom(label: String, pairs: DataFrame, props: Map[String, GValue]): Unit = {
+    val lid = labelId(label)
+    val base = nextEntry.getOrElse(label, 0L)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("start_id"), col("end_id"))
+    var df = pairs
+      .withColumn("id", shiftleft(lit(lid.toLong), 48)
+        .bitwiseOR(row_number().over(w).cast("long") + base))
+      .select(Seq(col("id"), col("start_id"), col("end_id")) ++
+        props.toSeq.sortBy(_._1).map { case (k, v) => lit(sparkValue(v)).as(k) }: _*)
+    val n = df.count()
+    nextEntry(label) = base + n
+    edgeLabels += (label -> aligned(edgeLabels.get(label), df))
+  }
+
+  /** One-row DF for a just-created vertex, columns prefixed `alias__`. */
+  def vertexRowDf(alias: String, label: String, id: Long): DataFrame = {
+    val src = vertexLabels(label).filter(col("id") === id)
+      .withColumn("label", lit(label))
+    src.columns.foldLeft(src)((df, c) => df.withColumnRenamed(c, s"${alias}__$c"))
+  }
+
+  /** SET/REMOVE property k for ids in `updates(__set_id, __set_val)` across
+    * every label table containing those ids (copy-on-write).
+    */
+  def updateProperty(k: String, updates0: DataFrame): Unit = {
+    val updates = updates0.persist()
+    def apply(tables: Map[String, DataFrame]): Map[String, DataFrame] =
+      tables.map { case (l, df) =>
+        val hasAny = updates.filter(PropertyGraph.labelOfCol(col("__set_id")) === lit(labelIds(l)))
+          .limit(1).count() > 0
+        if (!hasAny) l -> df
+        else {
+          val joined = df.join(updates, df("id") === updates("__set_id"), "left_outer")
+          val updated =
+            if (df.columns.contains(k))
+              joined.withColumn(k,
+                when(col("__set_id").isNotNull, col("__set_val")).otherwise(col(k)))
+            else joined.withColumn(k, col("__set_val"))
+          l -> updated.drop("__set_id", "__set_val")
+        }
+      }
+    vertexLabels = apply(vertexLabels)
+    edgeLabels = apply(edgeLabels)
+  }
+
+  /** DELETE vertices by id; DETACH cascades to incident edges on every edge
+    * label (get_all_edge_labels_per_graph semantics); plain DELETE errors if
+    * any incident edge remains.
+    */
+  def deleteVertices(ids0: DataFrame, detach: Boolean): Unit = {
+    val ids = ids0.persist()
+    if (!detach) {
+      val incident = edgeLabels.values.map(e =>
+        e.join(ids, e("start_id") === ids("id") || e("end_id") === ids("id"), "left_semi")
+          .limit(1).count()).sum
+      if (incident > 0)
+        throw new IllegalStateException(
+          "cannot delete vertex with incident edges — use DETACH DELETE")
+    } else {
+      edgeLabels = edgeLabels.map { case (l, e) =>
+        l -> e.join(ids, e("start_id") === ids("id") || e("end_id") === ids("id"), "left_anti")
+      }
+    }
+    vertexLabels = vertexLabels.map { case (l, v) =>
+      l -> v.join(ids, v("id") === ids("id"), "left_anti")
+    }
+  }
+}

@@ -65,6 +65,10 @@ object PropertyGraph {
   def labelOf(id: Long): Int = (id >>> 48).toInt
   def entryOf(id: Long): Long = id & EntryIdMask
 
+  /** Column form of labelOf — `(id >> 48)`, prunable in scans. */
+  def labelOfCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.shiftrightunsigned(id, 48)
+
   def load(spark: SparkSession, dir: String): PropertyGraph = {
     val metaStr = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/_labels.json"))
     // minimal parse of the _labels.json we write ourselves
