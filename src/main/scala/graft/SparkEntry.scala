@@ -10,12 +10,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.GraphQueries.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
-      operators.Similarity.queries ++ operators.Multimodal.queries
+      operators.Similarity.queries ++ operators.Multimodal.queries ++
+      operators.FunctionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.GraphQueries.oracles ++
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
-      operators.Similarity.oracles ++ operators.Multimodal.oracles
+      operators.Similarity.oracles ++ operators.Multimodal.oracles ++
+      operators.FunctionQueries.oracles
 }
