@@ -11,7 +11,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.GraphQueries.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
-      operators.FunctionQueries.queries
+      operators.FunctionQueries.queries ++
+      operators.GraphAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -19,5 +20,6 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.GraphQueries.oracles ++
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
-      operators.FunctionQueries.oracles
+      operators.FunctionQueries.oracles ++
+      operators.GraphAnalytics.oracles
 }

@@ -1,0 +1,60 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphX bridge for whole-graph analytics (connected components, PageRank,
+  * degrees) over a PropertyGraph — the "analytics queries via GraphX" half of
+  * the engine (the reference has no whole-graph analytics; this is north-star
+  * surface). Vertex attribute = label id (Int), edge attribute = edge label
+  * id — attributes stay tiny so GraphX shuffles only ids, and results join
+  * back to label tables by packed graphid when properties are needed.
+  */
+object Algorithms {
+
+  def toGraphX(pg: PropertyGraph): Graph[Int, Int] = {
+    val vertexRdd: RDD[(VertexId, Int)] = pg.vertexLabels.toSeq.sortBy(_._1).map {
+      case (label, df) =>
+        val lid = pg.labelIdOf(label)
+        df.select("id").rdd.map(r => (r.getLong(0), lid))
+    }.reduce(_ union _)
+    val edgeRdd: RDD[Edge[Int]] = pg.edgeLabels.toSeq.sortBy(_._1).map {
+      case (label, df) =>
+        val lid = pg.labelIdOf(label)
+        df.select("start_id", "end_id").rdd
+          .map(r => Edge(r.getLong(0), r.getLong(1), lid))
+    }.reduce(_ union _)
+    Graph(vertexRdd, edgeRdd)
+  }
+
+  /** Connected components (undirected min-id propagation): (id, component). */
+  def connectedComponents(pg: PropertyGraph): DataFrame = {
+    val spark = pg.spark
+    import spark.implicits._
+    toGraphX(pg).connectedComponents().vertices
+      .toDF("id", "component")
+  }
+
+  /** Static PageRank with `iters` iterations: (id, rank). */
+  def pageRank(pg: PropertyGraph, iters: Int, resetProb: Double = 0.15): DataFrame = {
+    val spark = pg.spark
+    import spark.implicits._
+    toGraphX(pg).staticPageRank(iters, resetProb).vertices
+      .toDF("id", "rank")
+  }
+
+  /** In/out degrees joined back to the label: (id, label_id, in_deg, out_deg). */
+  def degrees(pg: PropertyGraph): DataFrame = {
+    val spark = pg.spark
+    import spark.implicits._
+    val g = toGraphX(pg)
+    val in = g.inDegrees.toDF("id", "in_deg")
+    val out = g.outDegrees.toDF("id", "out_deg")
+    g.vertices.toDF("id", "label_id")
+      .join(in, Seq("id"), "left_outer")
+      .join(out, Seq("id"), "left_outer")
+      .na.fill(0, Seq("in_deg", "out_deg"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Tables.T
+import graft.graph.{Algorithms, GraphBuilder, PropertyGraph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics via GraphX over the TPC-H location subgraph
+  * (Customer/Nation/Region/Supplier + membership edges). Regions are
+  * disconnected from each other, so connected components = regions — which
+  * makes CC oracle-checkable in plain SQL.
+  */
+object GraphAnalytics {
+
+  /** Location-only subgraph (no orders/parts — those would bridge regions). */
+  def locationGraph(s: SparkSession, dir: String): PropertyGraph =
+    new GraphBuilder(s)
+      .vertexLabel("Customer", T(s, dir, "customer"), "c_custkey")
+      .vertexLabel("Nation", T(s, dir, "nation"), "n_nationkey")
+      .vertexLabel("Region", T(s, dir, "region"), "r_regionkey")
+      .vertexLabel("Supplier", T(s, dir, "supplier"), "s_suppkey")
+      .edgeLabel("IN_NATION", T(s, dir, "customer"), "c_custkey",
+        "Customer", "c_custkey", "Nation", "c_nationkey")
+      .edgeLabel("IN_REGION", T(s, dir, "nation"), "n_nationkey",
+        "Nation", "n_nationkey", "Region", "n_regionkey")
+      .edgeLabel("SUPP_IN_NATION", T(s, dir, "supplier"), "s_suppkey",
+        "Supplier", "s_suppkey", "Nation", "s_nationkey")
+      .build()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // connected components: one per region; component id = min member id,
+    // which is always a Customer id (label id 1 = lowest bit-prefix)
+    "x1_connected_components" -> ((s, dir) => {
+      Algorithms.connectedComponents(locationGraph(s, dir))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(col("component"))
+    }),
+
+    // degree sums per vertex label (edges are all label→nation/region)
+    "x2_degrees_by_label" -> ((s, dir) => {
+      Algorithms.degrees(locationGraph(s, dir))
+        .groupBy(col("label_id"))
+        .agg(sum(col("in_deg")).as("in_total"),
+          sum(col("out_deg")).as("out_total"),
+          count(lit(1)).as("n_vertices"))
+        .orderBy(col("label_id"))
+    }),
+
+    // PageRank: rows-only (float iterations not SQL-mirrorable);
+    // sanity invariants asserted in AnalyticsSpec
+    "x3_pagerank_top" -> ((s, dir) => {
+      val pg = locationGraph(s, dir)
+      Algorithms.pageRank(pg, iters = 10)
+        .withColumn("label_id", shiftrightunsigned(col("id"), 48))
+        .withColumn("rank", round(col("rank"), 4))
+        .orderBy(col("rank").desc, col("id"))
+        .limit(10)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // component id = (1 << 48) | min custkey of the region (Customer label=1)
+    "x1_connected_components" ->
+      """WITH member AS (
+        |  SELECT n_regionkey AS region, min(c_custkey) AS min_cust,
+        |         count(*) AS n_cust
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |sups AS (
+        |  SELECT n_regionkey AS region, count(*) AS n_sup
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |nats AS (SELECT n_regionkey AS region, count(*) AS n_nat FROM nation GROUP BY 1)
+        |SELECT 281474976710656 + min_cust AS component,
+        |  n_cust + n_sup + n_nat + 1 AS size
+        |FROM member JOIN sups USING (region) JOIN nats USING (region)
+        |ORDER BY component""".stripMargin,
+    // label ids: Customer=1, Nation=2, Region=3, Supplier=4 (builder order)
+    "x2_degrees_by_label" ->
+      """SELECT 1 AS label_id, CAST(0 AS BIGINT) AS in_total,
+        |  (SELECT count(*) FROM customer) AS out_total,
+        |  (SELECT count(*) FROM customer) AS n_vertices
+        |UNION ALL
+        |SELECT 2,
+        |  (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM nation), (SELECT count(*) FROM nation)
+        |UNION ALL
+        |SELECT 3, (SELECT count(*) FROM nation), CAST(0 AS BIGINT), (SELECT count(*) FROM region)
+        |UNION ALL
+        |SELECT 4, CAST(0 AS BIGINT), (SELECT count(*) FROM supplier), (SELECT count(*) FROM supplier)
+        |ORDER BY label_id""".stripMargin
+  )
+}

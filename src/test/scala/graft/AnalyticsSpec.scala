@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.GraphAnalytics
+import graft.graph.Algorithms
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("connected components = one per region") {
+    val comps = GraphAnalytics.queries("x1_connected_components")(spark, sf).collect()
+    assert(comps.length == 5)
+  }
+
+  test("pagerank: nations outrank customers, ranks are positive") {
+    val pg = GraphAnalytics.locationGraph(spark, sf)
+    val ranks = Algorithms.pageRank(pg, iters = 10).collect()
+      .map(r => (r.getLong(0) >>> 48, r.getDouble(1)))
+    assert(ranks.forall(_._2 > 0))
+    val avgByLabel = ranks.groupBy(_._1).view.mapValues(v => v.map(_._2).sum / v.length).toMap
+    // all in-links point at nations (2) and regions (3): they must outrank
+    // customers (1) and suppliers (4), which only have out-edges
+    assert(avgByLabel(2L) > avgByLabel(1L) && avgByLabel(3L) > avgByLabel(4L))
+  }
+
+  test("top pagerank vertices are all nations or regions") {
+    val top = GraphAnalytics.queries("x3_pagerank_top")(spark, sf).collect()
+    assert(top.nonEmpty)
+    assert(top.forall(r => { val l = r.getLong(2); l == 2L || l == 3L }))
+  }
+}

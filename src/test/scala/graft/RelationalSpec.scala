@@ -21,7 +21,8 @@ class RelationalSpec extends AnyFunSuite {
     // rows-only queries are allowed but should be deliberate; list them here.
     val rowsOnly = Set(
       "d4_simhash", // simhash hash family not expressible in DuckDB SQL
-      "s3_ann_lsh") // LSH bucket hashing not expressible; recall asserted in PipelineSpec
+      "s3_ann_lsh", // LSH bucket hashing not expressible; recall asserted in PipelineSpec
+      "x3_pagerank_top") // float iterations not SQL-mirrorable; invariants in AnalyticsSpec
     assert(missing == rowsOnly, s"queries missing oracle SQL: $missing")
   }
 
