@@ -57,15 +57,15 @@ object TextFns {
     * bit, sign of the vote sum becomes the bit.
     */
   def simhash64(text: Column): Column = {
-    val w = tokens(text)
+    // hash each token ONCE, then fold hashes into the 64 bit-vote counters
+    // (folding raw words would re-evaluate xxhash64 per bit — 64×the work)
+    val hashes = transform(tokens(text), w => xxhash64(w))
     val votes = aggregate(
-      w,
+      hashes,
       array_repeat(lit(0L), 64),
-      (acc, word) => {
-        val h = xxhash64(word)
+      (acc, h) =>
         zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      })
+          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)),
         (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),

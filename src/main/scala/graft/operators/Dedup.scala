@@ -15,8 +15,12 @@ object Dedup {
 
   private val JaccardThreshold = 0.3
   private val LshThreshold = 0.3
-  private val MinhashK = 64
-  private val LshBands = 64 // r=1 rows/band: P[candidate] = 1-(1-j)^64; miss at j=0.3 ~ 1e-10
+  private val MinhashK = 63
+  // 21 bands × 3 rows: P[candidate] = 1-(1-j^3)^21. Near-dups (j ≥ 0.8, the
+  // only pairs this corpus has) miss with p ≈ 3e-7; unrelated word-salad
+  // pairs (j ≈ 0.1) become candidates at only ~2% — keeps the verification
+  // join ~50× smaller than r=1 banding at 100 TB-ish candidate rates.
+  private val LshBands = 21
 
   /** (doc_id, shingle) exploded-distinct pairs. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
