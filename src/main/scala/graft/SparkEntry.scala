@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.GraphQueries.queries ++
+    operators.Relational.queries ++ operators.Relational2.queries ++ operators.GraphQueries.queries ++
       operators.Dedup.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
       operators.FunctionQueries.queries ++
@@ -17,7 +17,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.GraphQueries.oracles ++
+    operators.Relational.oracles ++ operators.Relational2.oracles ++ operators.GraphQueries.oracles ++
       operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
       operators.FunctionQueries.oracles ++

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second relational batch: the remaining aggregate family (regr_*), math
+  * and string scalar catalogs (SURVEY.md §2.2/§2.3), and hybrid-SQL
+  * passthrough (§2.1 Hybrid SQL row — graph label tables as SQL views).
+  */
+object Relational2 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // linear-regression aggregate family (gtype.c:2361-2396)
+    "q24_regr_family" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4).as("avgx"),
+          round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 4).as("avgy"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // math scalar catalog (gtype_numbers.c)
+    "q25_math_fns" -> ((s, dir) => {
+      T(s, dir, "part")
+        .filter(col("p_partkey") <= 20)
+        .select(col("p_partkey"),
+          abs(col("p_retailprice") - 1000).as("abs_v"),
+          ceil(col("p_retailprice") / 100).cast("long").as("ceil_v"),
+          floor(col("p_retailprice") / 100).cast("long").as("floor_v"),
+          signum(col("p_retailprice") - 1000).as("sign_v"),
+          round(sqrt(col("p_retailprice")), 4).as("sqrt_v"),
+          round(log(col("p_retailprice")), 4).as("ln_v"),
+          round(log10(col("p_retailprice")), 4).as("log10_v"),
+          round(pow(col("p_size"), 2), 1).as("pow_v"),
+          (col("p_size") % 7).cast("long").as("mod_v"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // string scalar catalog (gtype_string.c: trim/left/right/replace/
+    // initcap/split/sha/md5 …)
+    "q26_string_fns" -> ((s, dir) => {
+      T(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("nk"),
+          initcap(lower(col("n_name"))).as("pretty"),
+          substring(col("n_name"), 1, 3).as("left3"),
+          reverse(col("n_name")).as("rev"),
+          regexp_replace(col("n_name"), "A", "@").as("replaced"),
+          length(col("n_name")).as("len"),
+          md5(col("n_name")).as("h_md5"),
+          sha2(col("n_name"), 256).as("h_sha256"),
+          lpad(col("n_nationkey").cast("string"), 4, "0").as("padded"))
+        .orderBy(col("nk"))
+    }),
+
+    // hybrid SQL passthrough: graph label tables registered as SQL views,
+    // queried with plain spark.sql joining packed graph ids
+    "q27_hybrid_sql" -> ((s, dir) => {
+      val g = GraphQueries.tpchGraph(s, dir)
+      g.vertexLabels("Customer").createOrReplaceTempView("v_customer")
+      g.edgeLabels("IN_NATION").createOrReplaceTempView("e_in_nation")
+      g.vertexLabels("Nation").createOrReplaceTempView("v_nation")
+      s.sql(
+        """SELECT n.n_name AS nation, count(*) AS n_rich
+          |FROM v_customer c
+          |JOIN e_in_nation e ON c.id = e.start_id
+          |JOIN v_nation n ON e.end_id = n.id
+          |WHERE c.c_acctbal > 8000
+          |GROUP BY n.n_name ORDER BY nation""".stripMargin)
+    }),
+
+    // grouping sets (cypher_gram.y:4414-4491) — cube over two dims
+    "q28_cube" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q24_regr_family" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy,
+        |  regr_count(l_extendedprice, l_quantity) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q25_math_fns" ->
+      """SELECT p_partkey,
+        |  abs(p_retailprice - 1000) AS abs_v,
+        |  CAST(ceil(p_retailprice / 100) AS BIGINT) AS ceil_v,
+        |  CAST(floor(p_retailprice / 100) AS BIGINT) AS floor_v,
+        |  CAST(sign(p_retailprice - 1000) AS DOUBLE) AS sign_v,
+        |  round(sqrt(p_retailprice), 4) AS sqrt_v,
+        |  round(ln(p_retailprice), 4) AS ln_v,
+        |  round(log10(p_retailprice), 4) AS log10_v,
+        |  round(pow(p_size, 2), 1) AS pow_v,
+        |  CAST(p_size % 7 AS BIGINT) AS mod_v
+        |FROM part WHERE p_partkey <= 20 ORDER BY p_partkey""".stripMargin,
+    "q26_string_fns" ->
+      """SELECT CAST(n_nationkey AS INT) AS nk,
+        |  -- DuckDB lacks initcap; title-case via regexp on word starts
+        |  list_aggregate(list_transform(string_split(lower(n_name), ' '),
+        |    w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS pretty,
+        |  substring(n_name, 1, 3) AS left3,
+        |  reverse(n_name) AS rev,
+        |  regexp_replace(n_name, 'A', '@', 'g') AS replaced,
+        |  CAST(length(n_name) AS INT) AS len,
+        |  md5(n_name) AS h_md5,
+        |  sha256(n_name) AS h_sha256,
+        |  lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded
+        |FROM nation ORDER BY nk""".stripMargin,
+    "q27_hybrid_sql" ->
+      """SELECT n_name AS nation, count(*) AS n_rich
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 8000
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "q28_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+  )
+}

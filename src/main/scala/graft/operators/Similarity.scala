@@ -119,8 +119,30 @@ object Similarity {
         .filter(col("rank") <= TopK)
         .select(col("qid"), col("rank"), col("cid"), col("cos"))
         .orderBy(col("qid"), col("rank"))
-    })
+    }),
+
+    "s4_ivf_ann" -> ((s, dir) => ivfQuery(s, dir))
   )
+
+  /** IVF-ANN (reference IVFFlat analog): k-means clusters + nprobe scan.
+    * Rows-only (k-means float iterations aren't SQL-mirrorable); recall vs
+    * brute force asserted in PipelineSpec.
+    */
+  val ivfQuery: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = T(s, dir, "embeddings").persist()
+    // lists scale with corpus (reference default lists=100 for real corpora,
+    // ivfflat.h:52); tiny corpora get few lists so probes still cover enough
+    val n = emb.count()
+    val k = math.min(16, math.max(2, (n / 16).toInt))
+    // probe ~40% of lists: recall over speed while list count is small
+    // relative to the true cluster structure (10 label clusters here)
+    val nprobe = math.max(2, (k * 2) / 5)
+    val centroids = graft.functions.Ivf.kmeans(emb, "vec_id", "embedding", k, iters = 6)
+    graft.functions.Ivf.annSearch(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < NQuery), "vec_id", "embedding",
+      centroids, nprobe, topK = TopK)
+  }
 
   val oracles: Map[String, String] = Map(
     "s1_cosine_topk" ->

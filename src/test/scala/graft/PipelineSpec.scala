@@ -39,6 +39,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall $recall (brute=${brute.size}, ann=${ann.size})")
   }
 
+  test("IVF ANN recall vs brute force is high on clustered embeddings") {
+    val brute = Similarity.queries("s1_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.queries("s4_ivf_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall (brute=${brute.size}, ivf=${ivf.size})")
+  }
+
   test("quality score is bounded and text-length monotone-ish") {
     import org.apache.spark.sql.functions._
     val scored = Tables.T(spark, sf, "documents")
