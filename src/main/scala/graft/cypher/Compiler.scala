@@ -132,6 +132,8 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     // process first node
     val firstNode = elems.head.asInstanceOf[NodePattern]
     var prevAlias = nodeAlias(firstNode)
+    val nodeAliases = scala.collection.mutable.ListBuffer(prevAlias)
+    val edgeAliases = scala.collection.mutable.ListBuffer.empty[String]
     ctx = bindNode(ctx, prevAlias, firstNode, joinOn = None)
 
     var rest = elems.tail
@@ -142,19 +144,20 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       rel.varLength match {
         case None =>
           val relAlias = rel.variable.getOrElse(freshAlias())
+          edgeAliases += relAlias
           ctx = bindRelAndNode(ctx, prevAlias, relAlias, rel, nextAlias, node)
         case Some((lo, hi)) =>
+          edgeAliases += rel.variable.getOrElse(freshAlias())
           ctx = bindVle(ctx, prevAlias, rel, lo, hi, nextAlias, node)
       }
+      nodeAliases += nextAlias
       prevAlias = nextAlias
       rest = rest.drop(2)
     }
-    // path variable: record member aliases for later nodes()/relationships()
+    // path variable: member aliases back nodes()/relationships()/length()
     pattern.variable.foreach { pv =>
-      ctx = ctx.copy(vars = ctx.vars + (pv -> VarInfo.path(
-        elems.zipWithIndex.collect {
-          case (n: NodePattern, _) => n.variable.getOrElse("")
-        }.filter(_.nonEmpty))))
+      ctx = ctx.copy(vars = ctx.vars +
+        (pv -> VarInfo.path(nodeAliases.toSeq, edgeAliases.toSeq)))
     }
     ctx
   }
@@ -590,6 +593,9 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       case "size" | "length" => args.head match {
         case Var(v) if ctx.vars.get(v).exists(_.kind == VarKind.VlePath) =>
           size(col(s"${v}__ids"))
+        case Var(v) if ctx.vars.get(v).exists(_.kind == VarKind.Path) =>
+          // length(p) = edge count (reference: traversal length semantics)
+          lit(ctx.vars(v).pathEdges.length)
         case arg =>
           val c = compileExpr(arg, ctx)
           dataTypeOf(c, ctx) match {
@@ -643,10 +649,33 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       case "md5"    => md5(a(0).cast("string"))
       case "sha256" => sha2(a(0).cast("string"), 256)
       case "sha512" => sha2(a(0).cast("string"), 512)
-      case "nodes" | "relationships" | "edges" =>
-        throw new UnsupportedOperationException(s"$name() on paths lands with traversal values")
+      // traversal accessors (reference: traversal.c nodes/relationships):
+      // the path value is (id, label) element structs — uniform across
+      // labels so the array type unifies; full property structs land with
+      // the GValue column codec
+      case "nodes" => pathMembers(args.head, ctx, edges = false)
+      case "relationships" | "edges" => pathMembers(args.head, ctx, edges = true)
       case other => throw new UnsupportedOperationException(s"unknown function $other()")
     }
+  }
+
+  private def pathInfo(e: Expr, ctx: Ctx): VarInfo = e match {
+    case Var(p) if ctx.vars.get(p).exists(_.kind == VarKind.Path) => ctx.vars(p)
+    case other => throw new UnsupportedOperationException(
+      s"nodes()/relationships() need a path variable, got $other")
+  }
+
+  private def pathMembers(e: Expr, ctx: Ctx, edges: Boolean): Column = {
+    val info = pathInfo(e, ctx)
+    // a VLE segment has no fixed member columns — refuse loudly rather than
+    // silently returning only the endpoints
+    require(info.pathEdges.forall(m =>
+      !ctx.vars.get(m).exists(_.kind == VarKind.VlePath) &&
+        ctx.df.columns.contains(s"${m}__id")),
+      "path accessors over variable-length segments land with traversal values")
+    val members = if (edges) info.pathEdges else info.pathNodes
+    array(members.map(m =>
+      struct(col(s"${m}__id").as("id"), col(s"${m}__label").as("label"))): _*)
   }
 
   /** Static Spark type of a compiled column (resolved against the ctx frame). */
@@ -707,7 +736,8 @@ object Compiler {
   object VarKind extends Enumeration {
     val Vertex, Edge, Scalar, Path, VlePath = Value
   }
-  final case class VarInfo(kind: VarKind.Value, pathNodes: Seq[String] = Nil) {
+  final case class VarInfo(kind: VarKind.Value, pathNodes: Seq[String] = Nil,
+      pathEdges: Seq[String] = Nil) {
     def isEntity: Boolean = kind == VarKind.Vertex || kind == VarKind.Edge
   }
   object VarInfo {
@@ -715,7 +745,8 @@ object Compiler {
     val edge: VarInfo = VarInfo(VarKind.Edge)
     val scalar: VarInfo = VarInfo(VarKind.Scalar)
     val vlePath: VarInfo = VarInfo(VarKind.VlePath)
-    def path(nodes: Seq[String]): VarInfo = VarInfo(VarKind.Path, nodes)
+    def path(nodes: Seq[String], edges: Seq[String]): VarInfo =
+      VarInfo(VarKind.Path, nodes, edges)
   }
 
   final case class Ctx(df: DataFrame, vars: ListMap[String, VarInfo], projected: Boolean)

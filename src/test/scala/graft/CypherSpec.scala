@@ -193,6 +193,21 @@ class CypherSpec extends AnyFunSuite {
     assert(ids.map(_ & ((1L << 48) - 1)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("path variable: nodes(), relationships(), length()") {
+    val r = run(
+      "MATCH p = (a:Person {name: 'Ann'})-[:KNOWS]->(b)-[:KNOWS]->(c) " +
+        "RETURN length(p) AS len, nodes(p) AS ns, relationships(p) AS rs")
+      .collect().head
+    assert(r.getInt(0) == 2)
+    val nodeLabels = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(1))
+    assert(nodeLabels == Seq("Person", "Person", "Person"))
+    val relLabels = r.getSeq[org.apache.spark.sql.Row](2).map(_.getString(1))
+    assert(relLabels == Seq("KNOWS", "KNOWS"))
+    // node ids follow the chain Ann -> Bob -> Cal
+    val entryIds = r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0) & 0xFFFFFFFFFFFFL)
+    assert(entryIds == Seq(1L, 2L, 3L))
+  }
+
   test("arithmetic with promotion in projections") {
     val r = run("RETURN 7 / 2 AS intdiv, 7.0 / 2 AS fdiv, 2 ^ 10 AS p")
       .collect().head
