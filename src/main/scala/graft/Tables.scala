@@ -13,7 +13,9 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) {
       case (acc, f) if f.name == "ts" && f.dataType == LongType =>
-        acc.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer `div`, NOT `/`: nanos (~1.7e18) exceed double's 2^53
+        // mantissa, so float division then cast is off by up to ~hundreds ns
+        acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case (acc, _) => acc
     }
   }

@@ -74,6 +74,36 @@ object Relational2 {
           |GROUP BY n.n_name ORDER BY nation""".stripMargin)
     }),
 
+    // window frames (cypher_gram.y:17394-17620): running sum per supplier
+    "q29_running_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w).as("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // lag/lead window functions: inter-event gap stats per user
+    "q30_lag_gap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .select(col("user_id"),
+          (unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          max(col("gap_us")).as("max_gap_us"),
+          min(col("gap_us")).as("min_gap_us"))
+        .filter(col("user_id") <= 50)
+        .orderBy(col("user_id"))
+    }),
+
     // grouping sets (cypher_gram.y:4414-4491) — cube over two dims
     "q28_cube" -> ((s, dir) => {
       T(s, dir, "orders")
@@ -124,6 +154,24 @@ object Relational2 {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > 8000
         |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "q29_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q30_lag_gap" ->
+      """SELECT user_id, count(*) AS n_gaps,
+        |  max(gap_us) AS max_gap_us, min(gap_us) AS min_gap_us
+        |FROM (
+        |  SELECT user_id,
+        |    CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+        |  FROM events)
+        |WHERE gap_us IS NOT NULL AND user_id <= 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q28_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)

@@ -46,7 +46,7 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
     spark.readStream.schema(schema).parquet(staged("events"))
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   test("watermarked windowed aggregation over the events stream") {
