@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit stdout directly instead of logging through sbt: the driver
+// json-parses Bench's output line, and sbt's default LoggedOutput prefixes
+// every line with "[info] " (BENCH_r01.json recorded parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -11,12 +11,24 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // write timestamp[us] (not INT96/ns) so the dumped arrow schema is
+      // bit-identical to DuckDB's timestamp[us] under any hash the driver uses
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // DuckDB TIMESTAMP is naive; Spark TimestampType is tz-aware (arrow
+      // timestamp[us, tz=UTC]). Session tz is UTC, so casting to NTZ keeps the
+      // wall-clock value and makes the dumped arrow schema identical.
+      def ntz(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.schema.fields.foldLeft(df) {
+          case (acc, f) if f.dataType == org.apache.spark.sql.types.TimestampType =>
+            acc.withColumn(f.name, acc.col(f.name).cast("timestamp_ntz"))
+          case (acc, _) => acc
+        }
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -114,8 +114,8 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
-      """SELECT count(*) AS n_unique, sum(copies) AS n_docs,
-        |  sum(CASE WHEN copies > 1 THEN copies - 1 ELSE 0 END) AS n_removed
+      """SELECT count(*) AS n_unique, CAST(sum(copies) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN copies > 1 THEN copies - 1 ELSE 0 END) AS BIGINT) AS n_removed
         |FROM (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |         count(*) AS copies

@@ -133,8 +133,8 @@ object FunctionQueries {
         |FROM orders GROUP BY 1, 2 ORDER BY years, months""".stripMargin,
     "f6_range" ->
       """SELECT
-        |  sum(CASE WHEN 25.0 >= qlo AND 25.0 <= qhi THEN 1 ELSE 0 END) AS contains_25,
-        |  sum(CASE WHEN qlo <= 5.0 AND 1.0 <= qhi THEN 1 ELSE 0 END) AS overlaps_1_5,
+        |  CAST(sum(CASE WHEN 25.0 >= qlo AND 25.0 <= qhi THEN 1 ELSE 0 END) AS BIGINT) AS contains_25,
+        |  CAST(sum(CASE WHEN qlo <= 5.0 AND 1.0 <= qhi THEN 1 ELSE 0 END) AS BIGINT) AS overlaps_1_5,
         |  count(*) AS n_orders
         |FROM (SELECT l_orderkey, min(l_quantity) AS qlo, max(l_quantity) AS qhi
         |      FROM lineitem GROUP BY 1)""".stripMargin,

@@ -43,7 +43,7 @@ object Multimodal {
       assets(s, dir)
         .filter(col("doc_id") < 50)
         .select(col("doc_id"),
-          length(col("payload")).as("n_bytes"),
+          length(col("payload")).cast("long").as("n_bytes"),
           hex(substring(col("payload"), 1, 4)).as("header_hex"),
           md5(col("payload")).as("payload_md5"),
           col("meta.origin").as("origin"))

@@ -16,12 +16,20 @@ import org.apache.spark.sql.expressions.Window
   * /root/reference/src/backend/utils/adt/gtype.c:2319-2770).
   *
   * Determinism contract with the DuckDB oracle: every float SUM is computed in
-  * DECIMAL (exact, order-independent); AVG/STDDEV/CORR-style results are rounded;
+  * DECIMAL (exact, order-independent) then final-cast to DOUBLE — round-1
+  * evidence showed the driver's exact hash compare fails on decimal128 output
+  * columns (CORRECTNESS_r01: all decimal-column queries mismatched, all
+  * float64/int64/string ones matched), and these 2-decimal money values are
+  * exactly representable in double. AVG/STDDEV/CORR-style results are rounded;
   * every query ends in a total ORDER BY.
   */
 object Relational {
 
   import graft.Tables.T
+
+  /** Exact decimal sum surfaced as a hash-stable double (see contract above). */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // RETURN with implicit grouping (TPC-H Q1 pricing summary).
@@ -30,11 +38,11 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          ).as("sum_disc_price"),
+          ).cast("double").as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -50,7 +58,7 @@ object Relational {
         .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        .agg(dsum(col("o_totalprice")).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("r_name"))
     }),
@@ -62,7 +70,7 @@ object Relational {
       li.groupBy(col("l_orderkey"))
         .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-        ).as("revenue"))
+        ).cast("double").as("revenue"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderkey"), col("o_orderpriority"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -76,7 +84,7 @@ object Relational {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_quantity") > 30)
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
+          dsum(col("l_extendedprice")).as("sum_price"))
     }),
 
     // OPTIONAL MATCH analog: left outer join keeping customers with no orders.
@@ -163,7 +171,7 @@ object Relational {
       T(s, dir, "customer")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("c_nationkey").cast("int").as("nk"), col("rn"),
+        .select(col("c_nationkey").cast("int").as("nk"), col("rn").cast("long").as("rn"),
           col("c_custkey"), col("c_acctbal"))
         .orderBy(col("nk"), col("rn"))
     }),
@@ -172,7 +180,7 @@ object Relational {
     "q15_rollup" -> ((s, dir) => {
       T(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
@@ -181,7 +189,7 @@ object Relational {
     "q16_having" -> ((s, dir) => {
       T(s, dir, "lineitem")
         .groupBy(col("l_suppkey"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"),
+        .agg(dsum(col("l_quantity")).as("total_qty"),
           count(lit(1)).as("n"))
         .filter(col("total_qty") > 1800)
         .orderBy(col("l_suppkey"))
@@ -205,7 +213,7 @@ object Relational {
       T(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+          dsum(col("o_totalprice")).as("revenue"))
         .orderBy(col("month"))
     }),
 
@@ -235,7 +243,8 @@ object Relational {
       T(s, dir, "lineitem")
         .filter(col("l_orderkey") < 100)
         .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("line_numbers"))
+        .agg(array_join(sort_array(collect_list(col("l_linenumber"))), ",")
+          .as("line_numbers"))
         .orderBy(col("l_orderkey"))
     }),
 
@@ -244,7 +253,7 @@ object Relational {
       T(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy(col("day"), col("event_type"))
     }),
 
@@ -264,16 +273,16 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_join_region_revenue" ->
       """SELECT r_name,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -282,13 +291,13 @@ object Relational {
     "q3_topn_orders" ->
       """SELECT o_orderkey, o_orderpriority, revenue FROM (
         |  SELECT l_orderkey,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |  FROM lineitem GROUP BY l_orderkey) li
         |JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q4_filter_pushdown" ->
       """SELECT count(*) AS n_rows,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_quantity > 30""".stripMargin,
@@ -339,12 +348,12 @@ object Relational {
         |WHERE rn <= 3 ORDER BY nk, rn""".stripMargin,
     "q15_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q16_having" ->
       """SELECT l_suppkey,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty, count(*) AS n
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty, count(*) AS n
         |FROM lineitem GROUP BY l_suppkey
         |HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 1800
         |ORDER BY l_suppkey""".stripMargin,
@@ -358,7 +367,7 @@ object Relational {
     "q18_temporal_trunc" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         |  count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
     "q19_stats_agg" ->
       """SELECT l_returnflag,
@@ -372,12 +381,12 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q21_collect" ->
-      """SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_numbers
+      """SELECT l_orderkey, array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS line_numbers
         |FROM lineitem WHERE l_orderkey < 100
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q22_events_hourly" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q23_above_nation_avg" ->
       """SELECT CAST(c_nationkey AS INT) AS nationkey, count(*) AS n_above

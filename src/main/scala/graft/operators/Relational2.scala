@@ -83,7 +83,8 @@ object Relational2 {
       T(s, dir, "lineitem")
         .filter(col("l_suppkey") <= 5)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          sum(col("l_quantity").cast("decimal(18,2)")).over(w).as("running_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running_qty"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -122,7 +123,7 @@ object Relational2 {
         |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
         |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
         |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy,
-        |  regr_count(l_extendedprice, l_quantity) AS n
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q25_math_fns" ->
       """SELECT p_partkey,
@@ -156,10 +157,10 @@ object Relational2 {
         |GROUP BY n_name ORDER BY nation""".stripMargin,
     "q29_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem WHERE l_suppkey <= 5
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q30_lag_gap" ->

@@ -74,7 +74,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
-      .select(col("qid"), col("rank"), col("cid"), col("cos"))
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"), col("cos"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -117,7 +117,7 @@ object Similarity {
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
-        .select(col("qid"), col("rank"), col("cid"), col("cos"))
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"), col("cos"))
         .orderBy(col("qid"), col("rank"))
     }),
 

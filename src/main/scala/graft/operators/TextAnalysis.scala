@@ -72,8 +72,8 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t1_token_count" ->
       """SELECT source,
-        |  sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS total_ws_tokens,
-        |  sum(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))) AS total_re_tokens,
+        |  CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_re_tokens,
         |  round(avg(len(string_split_regex(lower(trim(text)), '\s+'))), 4) AS avg_ws_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "t2_quality_score" ->

@@ -60,7 +60,7 @@ class PipelineSpec extends AnyFunSuite {
     val rows = Multimodal.queries("m2_frame_sample")(spark, sf).collect()
     assert(rows.nonEmpty)
     val meta = Multimodal.queries("m1_binary_meta")(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
       val nBytes = meta(r.getLong(0))
       assert(r.getLong(1) == math.ceil(nBytes / 64.0).toLong)
