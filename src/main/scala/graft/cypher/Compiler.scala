@@ -168,10 +168,15 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     val base = labels match {
       case Nil => graph.allVertices
         .withColumnRenamed("__label", "label")
-      case l :: _ =>
-        graph.vertexLabels.getOrElse(l,
+      case l :: more =>
+        // `(n:A:B)` is label conjunction; vertices carry exactly one label
+        // (reference: one table per label, ag_label.h), so every extra
+        // DISTINCT label must also hold — filter on all of them rather than
+        // silently matching only the first (folds to empty when they differ).
+        val first = graph.vertexLabels.getOrElse(l,
           throw new IllegalArgumentException(s"unknown vertex label $l"))
           .withColumn("label", lit(l))
+        more.foldLeft(first)((df, extra) => df.filter(col("label") === lit(extra)))
     }
     val renamed = base.columns.foldLeft(base)((df, c) =>
       df.withColumnRenamed(c, s"${alias}__$c"))

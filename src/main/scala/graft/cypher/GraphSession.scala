@@ -81,30 +81,17 @@ final class GraphSession(val spark: SparkSession) {
       s"CREATE property values must be literals, got $other")
   }
 
-  /** CREATE: all-new literal pattern (binds its variables), or new edges
-    * between already-matched nodes (one edge per result row).
+  /** CREATE: literal pattern when there is no input relation; otherwise
+    * executes once per input row (reference: exec_cypher_create pulls child
+    * tuples, cypher_create.c:210-330) — bound variables contribute their
+    * matched ids, unbound nodes are created one-per-row, edges wire
+    * adjacent pattern nodes per row.
     */
   private def executeCreate(ctx0: Ctx, pattern: PathPattern): Ctx = {
-    var ctx = ctx0
     val elems = pattern.elements
-    // single-node / chain creation where every node is new → literal create
-    val nodesBound = elems.collect { case n: NodePattern => n }
-      .forall(n => n.variable.exists(v => ctx.vars.contains(v)))
-    if (elems.length == 3 && nodesBound) {
-      // (a)-[:R {..}]->(b) between matched nodes — per matched row
-      val Seq(a: NodePattern, r: RelPattern, b: NodePattern) = elems: @unchecked
-      require(r.dir != 0, "CREATE edge requires a direction")
-      val (srcV, dstV) =
-        if (r.dir == 1) (a.variable.get, b.variable.get)
-        else (b.variable.get, a.variable.get)
-      val label = r.types.headOption.getOrElse(
-        throw new IllegalArgumentException("CREATE edge needs a type"))
-      val props = r.props.map { case (k, v) => k -> constEval(v) }
-      graph.createEdgesFrom(label,
-        ctx.df.select(col(s"${srcV}__id").as("start_id"),
-          col(s"${dstV}__id").as("end_id")), props)
-      ctx
-    } else {
+    if (ctx0.df != null) createPerRow(ctx0, elems)
+    else {
+      val ctx = ctx0
       // literal chain: nodes and edges all new
       var createdVars = ctx.vars
       var df = if (ctx.df == null) null else ctx.df
@@ -136,21 +123,110 @@ final class GraphSession(val spark: SparkSession) {
     }
   }
 
-  /** MERGE (standalone): match the pattern; if no rows, create it
-    * (reference: cypher_merge.c check_path/process_path).
+  /** CREATE with an input relation: one pattern instance per input row.
+    * Ids for new nodes are `(labelId << 48) | (rowNumber + reservedBase)` —
+    * a projection over a deterministic per-row numbering, no id service
+    * (same packing the bulk loader uses; scales as one window + appends).
+    */
+  private def createPerRow(ctx0: Ctx, elems: Seq[PatternElem]): Ctx = {
+    import org.apache.spark.sql.expressions.Window
+    var vars = ctx0.vars
+    val w = Window.orderBy(ctx0.df.columns.map(col).toSeq: _*)
+    var df = ctx0.df.withColumn("__crn", row_number().over(w).cast("long"))
+    val nRows = df.count()
+    val tempCols = mutable.ListBuffer.empty[String]
+    var prevIdName: String = null
+    var pendingRel: Option[RelPattern] = None
+    elems.foreach {
+      case n: NodePattern =>
+        val idName: String = n.variable.filter(vars.contains) match {
+          case Some(v) =>
+            require(n.labels.isEmpty && n.props.isEmpty,
+              s"cannot add labels/properties to bound variable $v in CREATE")
+            s"${v}__id"
+          case None =>
+            val label = n.labels.headOption.getOrElse("_default")
+            val props = n.props.map { case (k, pv) => k -> constEval(pv) }
+            val (lid, base) = graph.reserveEntries(label, nRows)
+            val idc = shiftleft(lit(lid.toLong), 48)
+              .bitwiseOR(col("__crn") + base)
+            val name = n.variable match {
+              case Some(v) => vars += (v -> VarInfo.vertex); s"${v}__id"
+              case None =>
+                val t = s"__cnode${tempCols.length}"; tempCols += t; t
+            }
+            df = df.withColumn(name, idc)
+            graph.createVerticesFrom(label, df.select(col(name).as("id")), props)
+            n.variable.foreach { v =>
+              df = df.withColumn(s"${v}__label", lit(label))
+              props.foreach { case (k, gv) =>
+                df = df.withColumn(s"${v}__$k", graph.gLit(gv))
+              }
+            }
+            name
+        }
+        pendingRel.foreach { r =>
+          require(r.dir != 0, "CREATE edge requires a direction")
+          val label = r.types.headOption.getOrElse(
+            throw new IllegalArgumentException("CREATE edge needs a type"))
+          val (s, d) = if (r.dir == 1) (prevIdName, idName) else (idName, prevIdName)
+          graph.createEdgesFrom(label,
+            df.select(col(s).as("start_id"), col(d).as("end_id")),
+            r.props.map { case (k, pv) => k -> constEval(pv) })
+          pendingRel = None
+        }
+        prevIdName = idName
+      case r: RelPattern =>
+        require(r.varLength.isEmpty, "CREATE cannot use variable-length edges")
+        pendingRel = Some(r)
+    }
+    Ctx(df.drop("__crn" +: tempCols.toSeq: _*), vars, ctx0.projected)
+  }
+
+  /** MERGE: match the pattern; create it where it doesn't exist.
+    *
+    * Standalone: whole-pattern existence probe then create
+    * (reference: cypher_merge.c check_path/process_path :202-268).
+    * After other clauses: the reference's lateral-left-join shape
+    * (transform_merge_make_lateral_join) — input rows whose binding has no
+    * pattern instance create one, deduped per distinct binding
+    * ("only-create-once-per-distinct-binding"), then the pattern is
+    * re-matched so every input row joins its (now guaranteed) instance.
     */
   private def executeMerge(ctx: Ctx, pattern: PathPattern): Ctx = {
-    require(ctx.df == null, "MERGE after other clauses lands in a later round")
-    val probe = new Compiler(graph.snapshot, Map.empty)
-    val matched = try {
-      val c = probe.compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
-      c.df.limit(1).count() > 0
-    } catch { case _: IllegalArgumentException => false } // unknown label → no match
-    if (matched) {
-      val c = new Compiler(graph.snapshot, Map.empty)
-        .compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
-      c
-    } else executeCreate(Ctx.empty, pattern)
+    if (ctx.df == null) {
+      val probe = new Compiler(graph.snapshot, Map.empty)
+      val matched = try {
+        val c = probe.compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
+        c.df.limit(1).count() > 0
+      } catch { case _: IllegalArgumentException => false } // unknown label → no match
+      if (matched) {
+        new Compiler(graph.snapshot, Map.empty)
+          .compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
+      } else executeCreate(Ctx.empty, pattern)
+    } else {
+      val boundVars = pattern.elements.collect {
+        case n: NodePattern if n.variable.exists(ctx.vars.contains) => n.variable.get
+      }.distinct
+      require(boundVars.nonEmpty,
+        "MERGE after a clause must share at least one bound variable")
+      // bindings with no existing pattern instance
+      val missing = try {
+        val inner = new Compiler(graph.snapshot, Map.empty)
+          .compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
+        val proj = inner.df.select(
+          boundVars.map(v => col(s"${v}__id").as(s"__m_${v}__id")): _*)
+        val cond = boundVars.map(v => col(s"${v}__id") === col(s"__m_${v}__id"))
+          .reduce(_ && _)
+        ctx.df.join(proj, cond, "left_anti")
+      } catch { case _: IllegalArgumentException => ctx.df } // unknown label → all missing
+      val distinctMissing = missing.dropDuplicates(boundVars.map(v => s"${v}__id"))
+      if (distinctMissing.limit(1).count() > 0)
+        createPerRow(Ctx(distinctMissing, ctx.vars, projected = false), pattern.elements)
+      // every binding now matches: inner-join the pattern from the new snapshot
+      new Compiler(graph.snapshot, Map.empty)
+        .compileClause(ctx, Match(List(pattern), optional = false, None))
+    }
   }
 
   /** SET n.k = expr — copy-on-write column update keyed on entity id
@@ -243,6 +319,29 @@ final class MutableGraph(spark: SparkSession) {
     case Some(o) => o.unionByName(add, allowMissingColumns = true)
   }
 
+  /** GValue → literal Column (arrays need functions.array, not lit(Seq)). */
+  private[cypher] def gLit(v: GValue): org.apache.spark.sql.Column = v match {
+    case GArray(xs) => array(xs.map(gLit): _*)
+    case other      => lit(sparkValue(other))
+  }
+
+  /** Reserve `n` consecutive entry ids for a label; returns (labelId, base). */
+  private[cypher] def reserveEntries(label: String, n: Long): (Int, Long) = {
+    val lid = labelId(label)
+    val base = nextEntry.getOrElse(label, 0L)
+    nextEntry(label) = base + n
+    (lid, base)
+  }
+
+  /** Bulk vertex creation from a pre-assigned `id` column (constant props). */
+  private[cypher] def createVerticesFrom(label: String, ids: DataFrame,
+      props: Map[String, GValue]): Unit = {
+    labelId(label)
+    val df = ids.select(col("id") +:
+      props.toSeq.sortBy(_._1).map { case (k, v) => gLit(v).as(k) }: _*)
+    vertexLabels += (label -> aligned(vertexLabels.get(label), df))
+  }
+
   def createVertex(label: String, props: Map[String, GValue]): Long = {
     val lid = labelId(label)
     val entry = nextEntry.getOrElse(label, 0L) + 1
@@ -284,7 +383,7 @@ final class MutableGraph(spark: SparkSession) {
       .withColumn("id", shiftleft(lit(lid.toLong), 48)
         .bitwiseOR(row_number().over(w).cast("long") + base))
       .select(Seq(col("id"), col("start_id"), col("end_id")) ++
-        props.toSeq.sortBy(_._1).map { case (k, v) => lit(sparkValue(v)).as(k) }: _*)
+        props.toSeq.sortBy(_._1).map { case (k, v) => gLit(v).as(k) }: _*)
     val n = df.count()
     nextEntry(label) = base + n
     edgeLabels += (label -> aligned(edgeLabels.get(label), df))

@@ -156,6 +156,24 @@ object GValue {
       var r = 0
       while (r == 0 && it.hasNext) { val (x, y) = it.next(); r = cmpFloat(x, y) }
       if (r != 0) r else java.lang.Integer.compare(xs.length, ys.length)
+    // array vs vector share sort priority but are distinct kinds: compare
+    // element-wise (vector elements as floats), then shorter-first, then
+    // array-before-vector so the total-order contract holds (eq3 must not
+    // conflate [1,2] with vector[1,2])
+    case (GArray(xs), GVector(ys)) =>
+      val it = xs.iterator.zip(ys.iterator.map(y => GFloat(y): GValue))
+      var r = 0
+      while (r == 0 && it.hasNext) { val (x, y) = it.next(); r = cmp(x, y) }
+      if (r != 0) r
+      else if (xs.length != ys.length) java.lang.Integer.compare(xs.length, ys.length)
+      else -1
+    case (GVector(xs), GArray(ys)) =>
+      val it = xs.iterator.map(x => GFloat(x): GValue).zip(ys.iterator)
+      var r = 0
+      while (r == 0 && it.hasNext) { val (x, y) = it.next(); r = cmp(x, y) }
+      if (r != 0) r
+      else if (xs.length != ys.length) java.lang.Integer.compare(xs.length, ys.length)
+      else 1
     case (GMap(xs), GMap(ys)) =>
       // pairwise on sorted keys, then fewer-pairs-first
       val it = xs.iterator.zip(ys.iterator)

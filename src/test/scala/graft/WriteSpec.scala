@@ -88,4 +88,77 @@ class WriteSpec extends AnyFunSuite {
       .collect().head
     assert(out.getString(0) == "Zed" && out.getLong(1) == 1L)
   }
+
+  test("CREATE with partially-bound pattern creates one new node per row") {
+    val gs = freshSession("g10")
+    gs.run("CREATE (:U {n: 1})")
+    gs.run("CREATE (:U {n: 2})")
+    gs.run("CREATE (:U {n: 3})")
+    // per input row: reuse matched u, create a fresh Post, wire the edge
+    gs.run("MATCH (u:U) CREATE (u)-[:WROTE]->(p:Post {title: 'hi'})")
+    val posts = gs.run("MATCH (p:Post) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(posts == 3, s"expected 3 new posts, got $posts")
+    val wired = gs.run(
+      "MATCH (u:U)-[:WROTE]->(p:Post) RETURN u.n AS n, p.title AS t ORDER BY n")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(wired.toSeq == Seq((1L, "hi"), (2L, "hi"), (3L, "hi")))
+    // and no duplicate U vertices were created (the round-1 bug)
+    val us = gs.run("MATCH (u:U) RETURN count(*) AS n").collect().head.getLong(0)
+    assert(us == 3)
+  }
+
+  test("CREATE unbound chain after MATCH creates one chain per row") {
+    val gs = freshSession("g11")
+    gs.run("CREATE (:S {k: 1})")
+    gs.run("CREATE (:S {k: 2})")
+    gs.run("MATCH (s:S) CREATE (a:L {v: 7})-[:R]->(b:M {w: 8})")
+    assert(gs.run("MATCH (:L) RETURN count(*) AS n").collect().head.getLong(0) == 2)
+    assert(gs.run("MATCH (:L)-[:R]->(:M) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 2)
+  }
+
+  test("MERGE after MATCH creates once per distinct binding, then matches all") {
+    val gs = freshSession("g12")
+    gs.run("CREATE (:Person {name: 'A'})")
+    gs.run("CREATE (:Person {name: 'B'})")
+    gs.run("CREATE (:Tag {t: 'x'})")
+    // A already has the edge; B doesn't — MERGE must create exactly one new
+    // edge (for B) and reuse A's
+    gs.run("MATCH (p:Person {name: 'A'}), (t:Tag) CREATE (p)-[:TAGGED]->(t)")
+    val out = gs.run(
+      "MATCH (p:Person) MERGE (p)-[:TAGGED]->(t:Tag {t: 'x'}) RETURN p.name AS n, t.t AS t ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("A", "x"), ("B", "x")))
+    val nEdges = gs.run("MATCH (:Person)-[e:TAGGED]->(:Tag) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(nEdges == 2, s"expected 2 TAGGED edges, got $nEdges")
+    // MERGE creates the WHOLE unmatched pattern per binding (reference:
+    // process_path creates every unbound element), so B gets a fresh Tag
+    // node — 2 tags total, and A's edge was reused (still 2 edges, not 3)
+    assert(gs.run("MATCH (t:Tag) RETURN count(*) AS n").collect().head.getLong(0) == 2)
+  }
+
+  test("MERGE after MATCH is idempotent on re-run") {
+    val gs = freshSession("g13")
+    gs.run("CREATE (:X {k: 1})")
+    gs.run("CREATE (:X {k: 2})")
+    gs.run("MATCH (x:X) MERGE (x)-[:HAS]->(:Y {v: 0}) RETURN x.k AS k")
+    val n1 = gs.run("MATCH (:X)-[:HAS]->(:Y) RETURN count(*) AS n").collect().head.getLong(0)
+    gs.run("MATCH (x:X) MERGE (x)-[:HAS]->(:Y {v: 0}) RETURN x.k AS k")
+    val n2 = gs.run("MATCH (:X)-[:HAS]->(:Y) RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n1 == 2 && n2 == 2, s"merge not idempotent: $n1 then $n2")
+  }
+
+  test("multi-label node pattern matches only when all labels hold") {
+    val gs = freshSession("g14")
+    gs.run("CREATE (:A {k: 1})")
+    gs.run("CREATE (:B {k: 2})")
+    // single-label vertices: (n:A:B) can never match (label conjunction)
+    val n = gs.run("MATCH (n:A:B) RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n == 0, s"(n:A:B) matched $n rows on single-label vertices")
+    // repeated same label is satisfiable
+    val m = gs.run("MATCH (n:A:A) RETURN count(*) AS n").collect().head.getLong(0)
+    assert(m == 1)
+  }
 }

@@ -47,12 +47,13 @@ def main():
     n_pass = n_fail = 0
     for name in sorted(oracles):
         res_dir = os.path.join(out_dir, name)
-        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        files = sorted(glob.glob(os.path.join(res_dir, "*.parquet")))
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        tbl = pq.read_table(files[0])
+        import pyarrow as pa
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
         spark_cols = sorted(tbl.column_names)
         spark_rows = [
             tuple(norm_cell(tbl.column(c)[i]) for c in spark_cols)
