@@ -32,6 +32,12 @@ object Ast {
   final case class SetClause(items: List[SetItem]) extends Clause
   final case class Remove(items: List[(String, String)]) extends Clause // (variable, key)
   final case class Delete(exprs: List[Expr], detach: Boolean) extends Clause
+  /** `CALL { <subquery> }` — reference: transform_cypher_call,
+    * cypher_clause.c:331-432. */
+  final case class CallSubquery(query: SingleQuery) extends Clause
+  /** `CALL ns.fn(args) YIELD cols` — procedure-style table function. */
+  final case class CallProc(name: String, args: List[Expr],
+      yields: List[String]) extends Clause
 
   final case class ReturnItem(expr: Expr, alias: Option[String])
   final case class SortItem(expr: Expr, descending: Boolean, nullsFirst: Option[Boolean])
@@ -69,6 +75,13 @@ object Ast {
   final case class Index(base: Expr, idx: Expr) extends Expr
   final case class Slice(base: Expr, lo: Option[Expr], hi: Option[Expr]) extends Expr
   final case class ExistsPattern(pattern: PathPattern) extends Expr
+  /** `EXISTS(MATCH ... RETURN ...)` — full-subquery existence
+    * (reference: CSP_EXISTS, cypher_nodes.h:33-46). */
+  final case class ExistsSubquery(query: SingleQuery) extends Expr
+  /** `expr op ANY/SOME/ALL (MATCH ... RETURN item)` — SQL sublink semantics
+    * (reference: ANY_SUBLINK/ALL_SUBLINK, cypher_gram.y:2551-2553). */
+  final case class SubLink(op: String, kind: String, left: Expr,
+      query: SingleQuery) extends Expr
   final case class ListComp(variable: String, source: Expr, where: Option[Expr],
       projection: Option[Expr]) extends Expr
 }

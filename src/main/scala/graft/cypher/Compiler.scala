@@ -66,8 +66,84 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       w.skip, w.limit, w.where, isReturn = false)
     case r: Return => compileProjection(ctx, r.items, r.distinct, r.orderBy,
       r.skip, r.limit, None, isReturn = true)
+    case c: CallSubquery => compileCallSubquery(ctx, c.query)
+    case c: CallProc     => compileCallProc(ctx, c)
     case other => throw new UnsupportedOperationException(
       s"clause not supported yet: ${other.getClass.getSimpleName}")
+  }
+
+  // -------------------------------------------------------------------- CALL
+
+  /** `CALL { subquery }` (reference: transform_cypher_call,
+    * cypher_clause.c:331-432). Uncorrelated subqueries compile standalone and
+    * cross-join the input; a leading import `WITH a, b` correlates by seeding
+    * the subquery with the outer rows (tagged with a row id) — the
+    * "previous clause as subquery RTE" decorrelation, so per-row semantics
+    * cost one join on the row id instead of a lateral loop.
+    */
+  private def compileCallSubquery(ctx: Ctx, q: SingleQuery): Ctx = {
+    require(q.clauses.forall {
+      case _: Match | _: Unwind | _: With | _: Return | _: CallSubquery | _: CallProc => true
+      case _ => false
+    }, "CALL {} subquery must be read-only")
+    val ret = q.clauses.last match {
+      case r: Return => r
+      case _ => throw new UnsupportedOperationException("CALL {} must end in RETURN")
+    }
+    val imports: List[String] = q.clauses.head match {
+      case With(items, false, None, Nil, None, None)
+        if items.nonEmpty && items.forall {
+          case ReturnItem(Var(_), None) => true; case _ => false } =>
+        items.map { case ReturnItem(Var(v), _) => v }
+      case _ => Nil
+    }
+    if (ctx.df == null) {
+      val sub = q.clauses.foldLeft(Ctx.empty)(compileClause)
+      sub.copy(projected = false)
+    } else if (imports.isEmpty) {
+      val sub = q.clauses.foldLeft(Ctx.empty)(compileClause)
+      val overlap = ctx.vars.keySet.intersect(sub.vars.keySet)
+      require(overlap.isEmpty, s"CALL {} rebinds outer variables: $overlap")
+      Ctx(ctx.df.crossJoin(sub.df), ctx.vars ++ sub.vars, ctx.projected)
+    } else {
+      require(imports.forall(ctx.vars.contains),
+        s"CALL {} imports unbound variables: ${imports.filterNot(ctx.vars.contains)}")
+      require(ret.skip.isEmpty && ret.limit.isEmpty && ret.orderBy.isEmpty,
+        "ORDER/SKIP/LIMIT inside a correlated CALL {} are per-row — not supported yet")
+      import org.apache.spark.sql.expressions.Window
+      val rid = "__call_rid"
+      val w = Window.orderBy(ctx.df.columns.map(col).toSeq: _*)
+      val outer = ctx.df.withColumn(rid, row_number().over(w).cast("long"))
+      val seedCols = rid +: imports.flatMap(v =>
+        if (ctx.vars(v).isEntity) outer.columns.filter(_.startsWith(s"${v}__")).toSeq
+        else Seq(v))
+      var sub = Ctx(outer.select(seedCols.map(col): _*),
+        ListMap(imports.map(v => v -> ctx.vars(v)): _*), projected = false)
+      q.clauses.tail.dropRight(1).foreach(c => sub = compileClause(sub, c))
+      val retWithRid = Return(ret.items :+ ReturnItem(Var(rid), Some(rid)),
+        ret.distinct, Nil, None, None)
+      sub = compileClause(sub, retWithRid)
+      val overlap = ctx.vars.keySet.intersect(sub.vars.keySet - rid)
+      require(overlap.isEmpty, s"CALL {} rebinds outer variables: $overlap")
+      val joined = outer.join(sub.df, Seq(rid)).drop(rid)
+      Ctx(joined, ctx.vars ++ (sub.vars - rid), ctx.projected)
+    }
+  }
+
+  /** `CALL ns.fn() YIELD cols` — catalog table functions. */
+  private def compileCallProc(ctx: Ctx, c: CallProc): Ctx = {
+    import spark.implicits._
+    val df = c.name match {
+      case "db.labels" =>
+        require(c.yields.length == 1, "db.labels yields one column")
+        graph.vertexLabels.keys.toSeq.sorted.toDF(c.yields.head)
+      case "db.relationshipTypes" =>
+        require(c.yields.length == 1, "db.relationshipTypes yields one column")
+        graph.edgeLabels.keys.toSeq.sorted.toDF(c.yields.head)
+      case other => throw new UnsupportedOperationException(s"unknown procedure $other")
+    }
+    val out = if (ctx.df == null) df else ctx.df.crossJoin(df)
+    Ctx(out, ctx.vars ++ c.yields.map(_ -> VarInfo.scalar), ctx.projected)
   }
 
   // ------------------------------------------------------------------- MATCH
@@ -110,7 +186,57 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     case Bin("AND", l, r) => compileWhere(compileWhere(ctx, l), r)
     case ExistsPattern(p) => existsJoin(ctx, p, anti = false)
     case Un("NOT", ExistsPattern(p)) => existsJoin(ctx, p, anti = true)
+    case ExistsSubquery(q) => existsSubJoin(ctx, q, anti = false)
+    case Un("NOT", ExistsSubquery(q)) => existsSubJoin(ctx, q, anti = true)
+    case s: SubLink => subLinkJoin(ctx, s)
     case other => ctx.copy(df = ctx.df.filter(compileExpr(other, ctx)))
+  }
+
+  /** EXISTS(MATCH ... RETURN ...): correlation is by shared variables, so the
+    * final RETURN is irrelevant to existence — compile the body and semi/anti
+    * join on the shared entity ids (reference: CSP_EXISTS sublink).
+    */
+  private def existsSubJoin(ctx: Ctx, q: SingleQuery, anti: Boolean): Ctx = {
+    val body = q.clauses.dropRight(1) match {
+      case Nil => q.clauses // RETURN-only subquery: fall through
+      case b => b
+    }
+    val inner = body.foldLeft(Ctx.empty)(compileClause)
+    val shared = ctx.vars.keySet.intersect(inner.vars.keySet)
+      .filter(v => ctx.vars(v).isEntity).toSeq.sorted
+    require(shared.nonEmpty, "EXISTS(subquery) must share a variable with the outer query")
+    val proj = inner.df.select(shared.map(v => col(s"${v}__id").as(s"__ex_${v}__id")): _*)
+    val cond = shared.map(v => col(s"${v}__id") === col(s"__ex_${v}__id")).reduce(_ && _)
+    Ctx(ctx.df.join(proj, cond, if (anti) "left_anti" else "left_semi"), ctx.vars, ctx.projected)
+  }
+
+  /** `expr op ANY/ALL (MATCH ... RETURN item)` — ANY: semi join where the
+    * comparison holds for some subquery row; ALL: anti join dropping rows
+    * where any subquery row compares false-or-null (SQL sublink semantics;
+    * empty subquery → ALL true, ANY false).
+    */
+  private def subLinkJoin(ctx: Ctx, s: SubLink): Ctx = {
+    val ret = s.query.clauses.last match {
+      case r: Return =>
+        require(r.items.length == 1, "ANY/ALL subquery must return one item")
+        r
+      case _ => throw new UnsupportedOperationException("ANY/ALL subquery must end in RETURN")
+    }
+    val inner = s.query.clauses.dropRight(1).foldLeft(Ctx.empty)(compileClause)
+    val shared = ctx.vars.keySet.intersect(inner.vars.keySet)
+      .filter(v => ctx.vars(v).isEntity).toSeq.sorted
+    val subVal = compileExpr(ret.items.head.expr, inner).as("__sl_val")
+    val proj = inner.df.select(
+      shared.map(v => col(s"${v}__id").as(s"__sl_${v}__id")) :+ subVal: _*)
+    val sharedCond = shared.map(v => col(s"${v}__id") === col(s"__sl_${v}__id"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val leftCol = compileExpr(s.left, ctx)
+    val cmp = binOp(s.op, leftCol, col("__sl_val"), ctx)
+    if (s.kind == "ANY")
+      Ctx(ctx.df.join(proj, sharedCond && cmp, "left_semi"), ctx.vars, ctx.projected)
+    else // ALL: drop rows with a false-or-null comparison against any sub row
+      Ctx(ctx.df.join(proj, sharedCond && (!cmp || cmp.isNull), "left_anti"),
+        ctx.vars, ctx.projected)
   }
 
   private def existsJoin(ctx: Ctx, p: PathPattern, anti: Boolean): Ctx = {
@@ -460,9 +586,12 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
         case "stdevp"  => stddev_pop(a.head)
         case "percentilecont" => call_function("percentile", a.head, a(1))
         case "percentiledisc" =>
-          // discrete percentile: smallest value with cume_dist >= p; exact via
-          // sorted-collect is fine since groups are small post-aggregation
-          call_function("percentile", a.head, a(1)) // v1 approximation, see SURVEY §2.2
+          // discrete percentile, exact: smallest value with cume_dist >= p =
+          // sorted element at ceil(p * n) (reference: gtype_percentile_
+          // aggtransfn/discfinalfn, gtype.c:2427-2632); null-skipping matches
+          // via collect_list/count-of-column
+          element_at(sort_array(collect_list(a.head)),
+            greatest(ceil(count(a.head) * a(1)), lit(1)).cast("int"))
       }
     case Bin(op, l, r) => binOp(op, compileAggExpr(l, ctx), compileAggExpr(r, ctx), ctx)
     case other => compileExpr(other, ctx)
@@ -538,8 +667,10 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       }
     case CountStar() => throw new IllegalStateException("count(*) outside aggregation")
     case FnCall(name, args, _) => compileFn(name, args, ctx)
-    case ExistsPattern(_) => throw new UnsupportedOperationException(
-      "EXISTS(pattern) is only supported at the top level of WHERE")
+    case ExistsPattern(_) | ExistsSubquery(_) => throw new UnsupportedOperationException(
+      "EXISTS(...) is only supported at the top level of WHERE")
+    case _: SubLink => throw new UnsupportedOperationException(
+      "ANY/ALL subqueries are only supported at the top level of WHERE")
   }
 
   /** Compile expression with one lambda variable bound to a Column. */

@@ -30,7 +30,8 @@ object Parser {
     "OR", "XOR", "NOT", "IN", "IS", "NULL", "TRUE", "FALSE", "DISTINCT",
     "CREATE", "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "UNION", "ALL",
     "INTERSECT", "EXCEPT", "CASE", "WHEN", "THEN", "ELSE", "END", "STARTS",
-    "ENDS", "CONTAINS", "EXISTS", "NULLS", "FIRST", "LAST")
+    "ENDS", "CONTAINS", "EXISTS", "NULLS", "FIRST", "LAST", "CALL", "YIELD",
+    "ANY", "SOME")
 
   def tokenize(q: String): Vector[Tok] = {
     val out = ListBuffer.empty[Tok]
@@ -163,6 +164,7 @@ object Parser {
             out += Delete(parseExprList(), detach = true)
           case TKw("DELETE", _) => pos += 1
             out += Delete(parseExprList(), detach = false)
+          case TKw("CALL", _) => pos += 1; out += parseCall()
           case _ => done = true
         }
       }
@@ -253,6 +255,28 @@ object Parser {
         more = eatSym(",")
       }
       Remove(items.toList)
+    }
+
+    private def parseCall(): Clause = {
+      if (eatSym("{")) {
+        val q = SingleQuery(parseClauses())
+        expectSym("}")
+        CallSubquery(q)
+      } else {
+        val name = new StringBuilder(ident())
+        while (eatSym(".")) { name += '.'; name ++= ident() }
+        expectSym("(")
+        val args = ListBuffer.empty[Expr]
+        if (!atSym(")")) {
+          args += parseExpr()
+          while (eatSym(",")) args += parseExpr()
+        }
+        expectSym(")")
+        expectKw("YIELD")
+        val yields = ListBuffer(ident())
+        while (eatSym(",")) yields += ident()
+        CallProc(name.toString, args.toList, yields.toList)
+      }
     }
 
     private def parseExprList(): List[Expr] = {
@@ -401,7 +425,14 @@ object Parser {
       while (!done) {
         cur match {
           case TSym(op @ ("=" | "<>" | "<" | "<=" | ">" | ">=")) =>
-            pos += 1; l = Bin(op, l, parseAdditive())
+            pos += 1
+            if (at("ANY") || at("SOME") || at("ALL")) {
+              val kind = if (eat("ALL")) "ALL" else { eat("ANY"); eat("SOME"); "ANY" }
+              expectSym("(")
+              val q = SingleQuery(parseClauses())
+              expectSym(")")
+              l = SubLink(op, kind, l, q)
+            } else l = Bin(op, l, parseAdditive())
           case TSym("=~") =>
             pos += 1; l = StringOp("REGEX", l, parseAdditive())
           case TKw("IN", _) =>
@@ -495,9 +526,15 @@ object Parser {
       case TKw("EXISTS", _) =>
         pos += 1
         expectSym("(")
-        val pat = parsePattern()
-        expectSym(")")
-        ExistsPattern(pat)
+        if (at("MATCH")) { // EXISTS(MATCH ... RETURN ...) full subquery
+          val q = SingleQuery(parseClauses())
+          expectSym(")")
+          ExistsSubquery(q)
+        } else {
+          val pat = parsePattern()
+          expectSym(")")
+          ExistsPattern(pat)
+        }
       case TSym("$") =>
         pos += 1; Param(ident())
       case TSym("(") =>

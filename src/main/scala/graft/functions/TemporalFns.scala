@@ -32,8 +32,42 @@ object TemporalFns {
       years.as("years"), months.as("months"), days.cast("long").as("days"))
   }
 
-  /** isfinite / overlaps come free from Spark; `justify_days/hours` operate
-    * on interval values — representable once GValue intervals land as a
-    * column codec (deferred; SURVEY.md §2.3).
+  // ---- intervals as struct(months INT, days INT, us LONG) — the reference's
+  // (month, day, time) triple (gtype_temporal.c justify_* family). isfinite /
+  // overlaps come free from Spark.
+
+  def interval(months: Column, days: Column, us: Column): Column =
+    struct(months.cast("int").as("months"), days.cast("int").as("days"),
+      us.cast("long").as("us"))
+
+  /** justify_hours: fold whole 24h blocks of the time part into days. */
+  def justifyHours(iv: Column): Column = {
+    val dayUs = 86400000000L
+    val extraDays = (iv.getField("us") / dayUs).cast("long") // trunc toward 0
+    interval(iv.getField("months"),
+      iv.getField("days") + extraDays.cast("int"),
+      iv.getField("us") - extraDays * dayUs)
+  }
+
+  /** justify_days: fold whole 30-day blocks into months. */
+  def justifyDays(iv: Column): Column = {
+    val extraMonths = (iv.getField("days") / 30).cast("int")
+    interval(iv.getField("months") + extraMonths,
+      iv.getField("days") - extraMonths * 30, iv.getField("us"))
+  }
+
+  /** justify_interval: hours then days, plus PG's sign normalization
+    * (borrow a month/day when a lower field's sign opposes the total's).
     */
+  def justifyInterval(iv: Column): Column = {
+    val h = justifyDays(justifyHours(iv))
+    val m = h.getField("months"); val d = h.getField("days"); val u = h.getField("us")
+    val dayUs = lit(86400000000L)
+    // borrow down: positive total with negative lower fields
+    val d1 = when(m > 0 && d < 0, d + 30).otherwise(when(m < 0 && d > 0, d - 30).otherwise(d))
+    val m1 = when(m > 0 && d < 0, m - 1).otherwise(when(m < 0 && d > 0, m + 1).otherwise(m))
+    val u1 = when(d1 > 0 && u < 0, u + dayUs).otherwise(when(d1 < 0 && u > 0, u - dayUs).otherwise(u))
+    val d2 = when(d1 > 0 && u < 0, d1 - 1).otherwise(when(d1 < 0 && u > 0, d1 + 1).otherwise(d1))
+    interval(m1, d2, u1)
+  }
 }

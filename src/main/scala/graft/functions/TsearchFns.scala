@@ -76,4 +76,34 @@ object TsearchFns {
     }
     eval(parseQuery(query))
   }
+
+  // ---- phrase search (tsquery_phrase / `<->` / phraseto_tsquery;
+  //      reference: gtype_tsearch.c, tests regress/sql/tsearch.sql)
+
+  /** Positional tsvector: array<struct(lex, pos)> keeping token order. */
+  def toTsvectorPos(text: Column): Column =
+    filter(
+      transform(split(lower(text), "[^a-z0-9]+"),
+        (x, i) => struct(x.as("lex"), i.as("pos"))),
+      s => s.getField("lex") =!= "")
+
+  /** `a <-> b` with explicit distance: some occurrence of `a` followed by
+    * `b` exactly `dist` tokens later (tsquery_phrase(q1, q2, dist)).
+    */
+  def tsPhraseDistMatch(tp: Column, a: String, b: String, dist: Int): Column =
+    exists(tp, s => s.getField("lex") === lit(a.toLowerCase) &&
+      exists(tp, t => t.getField("lex") === lit(b.toLowerCase) &&
+        t.getField("pos") === s.getField("pos") + dist))
+
+  /** phraseto_tsquery: every word of the phrase, adjacent and in order. */
+  def phraseMatch(tp: Column, phrase: String): Column = {
+    val words = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    require(words.nonEmpty, "empty phrase")
+    // anchor on the first word, then require each next word at pos+k
+    exists(tp, s => words.zipWithIndex.map { case (w, k) =>
+      if (k == 0) s.getField("lex") === lit(w)
+      else exists(tp, t => t.getField("lex") === lit(w) &&
+        t.getField("pos") === s.getField("pos") + k)
+    }.reduce(_ && _))
+  }
 }

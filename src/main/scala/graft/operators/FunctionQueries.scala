@@ -94,6 +94,77 @@ object FunctionQueries {
         .agg(round(max(RangeGeoFns.pointDistance(col("p"), origin)), 4).as("max_dist"),
           count(lit(1)).as("n"))
         .orderBy(col("nk"))
+    }),
+
+    // network fns (gtype_network.c): cidr/inet parse, render, mask math,
+    // containment — addresses synthesized from customer keys
+    "f8_network" -> ((s, dir) => {
+      val c = T(s, dir, "customer").filter(col("c_custkey") <= 200)
+        .select(col("c_custkey").as("ck"),
+          concat(lit("10."), col("c_nationkey").cast("long"), lit("."),
+            col("c_custkey") % 100, lit(".0/24")).as("cidr_s"),
+          concat(lit("10."), col("c_nationkey").cast("long"), lit("."),
+            col("c_custkey") % 100, lit("."), col("c_custkey") % 254 + 1).as("ip_s"))
+      val cidr = NetworkFns.toInet(col("cidr_s"))
+      val ip = NetworkFns.toInet(col("ip_s"))
+      c.select(col("ck"),
+          NetworkFns.abbrev(NetworkFns.network(cidr)).as("net"),
+          NetworkFns.host(ip).as("host"),
+          NetworkFns.netmask(cidr).as("mask"),
+          NetworkFns.broadcastAddr(cidr).as("bcast"),
+          NetworkFns.masklen(cidr).as("mlen"),
+          NetworkFns.containedInOrEq(ip, cidr).as("in_net"),
+          NetworkFns.abbrev(NetworkFns.inetMerge(ip,
+            NetworkFns.toInet(lit("10.0.0.0/8")))).as("merged"))
+        .orderBy(col("ck"))
+    }),
+
+    // justify_hours/days/interval (gtype_temporal.c) over synthesized
+    // intervals; oracle replicates the integer arithmetic
+    "f9_justify" -> ((s, dir) => {
+      val iv = TemporalFns.interval(lit(0),
+        col("l_partkey") % 45, col("l_quantity").cast("long") * 3600000000L)
+      val j = TemporalFns.justifyInterval(iv)
+      T(s, dir, "lineitem").filter(col("l_orderkey") <= 50)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          j.getField("months").cast("long").as("jm"),
+          j.getField("days").cast("long").as("jd"),
+          j.getField("us").as("jus"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // phrase full-text search: adjacency and distance-2 phrase operators
+    "f10_phrase" -> ((s, dir) => {
+      val tp = TsearchFns.toTsvectorPos(col("text"))
+      T(s, dir, "documents")
+        .agg(
+          sum(TsearchFns.phraseMatch(tp, "table table").cast("long")).as("n_tt"),
+          sum(TsearchFns.phraseMatch(tp, "fast key scan").cast("long")).as("n_fks"),
+          sum(TsearchFns.tsPhraseDistMatch(tp, "key", "scan", 2).cast("long")).as("n_k2s"))
+    }),
+
+    // regr_sxx/syy/sxy — the rest of the regression aggregate family
+    "f11_regr_extra" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_sxx(col("l_extendedprice"), col("l_quantity")), 2).as("sxx"),
+          round(regr_syy(col("l_extendedprice"), col("l_quantity")), 0).as("syy"),
+          round(regr_sxy(col("l_extendedprice"), col("l_quantity")), 2).as("sxy"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // exact percentile_disc: smallest value with cume_dist >= p
+    // (reference: gtype_percentile_aggtransfn/discfinalfn, gtype.c:2427-2632)
+    "f12_percentile_disc" -> ((s, dir) => {
+      def disc(c: org.apache.spark.sql.Column, p: Double) =
+        element_at(sort_array(collect_list(c)),
+          greatest(ceil(count(lit(1)) * p), lit(1)).cast("int"))
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(disc(col("l_quantity"), 0.5).as("disc_median"),
+          disc(col("l_extendedprice"), 0.9).as("disc_p90"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -143,6 +214,42 @@ object FunctionQueries {
         |  round(max(sqrt(c_acctbal * c_acctbal +
         |    CAST(c_custkey % 100 AS DOUBLE) * CAST(c_custkey % 100 AS DOUBLE))), 4) AS max_dist,
         |  count(*) AS n
-        |FROM customer GROUP BY 1 ORDER BY nk""".stripMargin
+        |FROM customer GROUP BY 1 ORDER BY nk""".stripMargin,
+    "f8_network" ->
+      """SELECT c_custkey AS ck,
+        |  '10.' || c_nationkey || '.' || (c_custkey % 100) || '.0/24' AS net,
+        |  '10.' || c_nationkey || '.' || (c_custkey % 100) || '.' || (c_custkey % 254 + 1) AS host,
+        |  '255.255.255.0' AS mask,
+        |  '10.' || c_nationkey || '.' || (c_custkey % 100) || '.255' AS bcast,
+        |  CAST(24 AS INT) AS mlen,
+        |  true AS in_net,
+        |  '10.0.0.0/8' AS merged
+        |FROM customer WHERE c_custkey <= 200 ORDER BY ck""".stripMargin,
+    "f9_justify" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST((l_partkey % 45 + CAST(floor(CAST(l_quantity AS BIGINT) * 3600000000 / 86400000000.0) AS BIGINT)) // 30 AS BIGINT) AS jm,
+        |  CAST((l_partkey % 45 + CAST(floor(CAST(l_quantity AS BIGINT) * 3600000000 / 86400000000.0) AS BIGINT)) % 30 AS BIGINT) AS jd,
+        |  CAST(CAST(l_quantity AS BIGINT) * 3600000000 % 86400000000 AS BIGINT) AS jus
+        |FROM lineitem WHERE l_orderkey <= 50 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f10_phrase" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN regexp_matches(lower(text),
+        |    '(^|[^a-z0-9])table[^a-z0-9]+table([^a-z0-9]|$)') THEN 1 ELSE 0 END) AS BIGINT) AS n_tt,
+        |  CAST(sum(CASE WHEN regexp_matches(lower(text),
+        |    '(^|[^a-z0-9])fast[^a-z0-9]+key[^a-z0-9]+scan([^a-z0-9]|$)') THEN 1 ELSE 0 END) AS BIGINT) AS n_fks,
+        |  CAST(sum(CASE WHEN regexp_matches(lower(text),
+        |    '(^|[^a-z0-9])key[^a-z0-9]+[a-z0-9]+[^a-z0-9]+scan([^a-z0-9]|$)') THEN 1 ELSE 0 END) AS BIGINT) AS n_k2s
+        |FROM documents""".stripMargin,
+    "f11_regr_extra" ->
+      """SELECT l_returnflag,
+        |  round(regr_sxx(l_extendedprice, l_quantity), 2) AS sxx,
+        |  round(regr_syy(l_extendedprice, l_quantity), 0) AS syy,
+        |  round(regr_sxy(l_extendedprice, l_quantity), 2) AS sxy
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "f12_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  list(l_quantity ORDER BY l_quantity)[CAST(greatest(ceil(count(*) * 0.5), 1) AS INT)] AS disc_median,
+        |  list(l_extendedprice ORDER BY l_extendedprice)[CAST(greatest(ceil(count(*) * 0.9), 1) AS INT)] AS disc_p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -116,7 +116,27 @@ object GraphQueries {
     // scalar function surface over properties
     "g15_functions" -> cy(
       "MATCH (n:Nation) RETURN tolower(n.n_name) AS lname, size(n.n_name) AS len " +
-        "ORDER BY lname")
+        "ORDER BY lname"),
+
+    // CALL {} correlated subquery with import WITH (decorrelated to one join)
+    "g16_call_subquery" -> cy(
+      "MATCH (n:Nation) CALL { WITH n MATCH (c:Customer)-[:IN_NATION]->(n) " +
+        "WHERE c.c_acctbal > 5000 RETURN count(*) AS n_rich } " +
+        "RETURN n.n_name AS nation, n_rich ORDER BY nation"),
+
+    // ANY sublink: nations having some high-balance supplier's nation key
+    "g17_any_sublink" -> cy(
+      "MATCH (n:Nation) WHERE n.n_nationkey = ANY " +
+        "(MATCH (s:Supplier) WHERE s.s_acctbal > 9000 RETURN s.s_nationkey) " +
+        "RETURN count(*) AS n_nations"),
+
+    // ALL sublink: customers above every SEA-segment-average-ish threshold —
+    // here: accounts above ALL supplier balances of their nation
+    "g18_all_sublink" -> cy(
+      "MATCH (c:Customer) WHERE c.c_acctbal > ALL " +
+        "(MATCH (s:Supplier)-[:SUPP_IN_NATION]->(n:Nation) " +
+        "WHERE n.n_nationkey = 3 RETURN s.s_acctbal) " +
+        "AND c.c_nationkey = 3 RETURN count(*) AS n_above")
   )
 
   val oracles: Map[String, String] = Map(
@@ -170,6 +190,18 @@ object GraphQueries {
         |FROM part GROUP BY 1 ORDER BY band""".stripMargin,
     "g15_functions" ->
       """SELECT lower(n_name) AS lname, CAST(length(n_name) AS INTEGER) AS len
-        |FROM nation ORDER BY lname""".stripMargin
+        |FROM nation ORDER BY lname""".stripMargin,
+    "g16_call_subquery" ->
+      """SELECT n_name AS nation, count(*) AS n_rich
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 5000
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "g17_any_sublink" ->
+      """SELECT count(*) AS n_nations FROM nation
+        |WHERE n_nationkey = ANY (SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)""".stripMargin,
+    "g18_all_sublink" ->
+      """SELECT count(*) AS n_above FROM customer
+        |WHERE c_acctbal > ALL (SELECT s_acctbal FROM supplier WHERE s_nationkey = 3)
+        |  AND c_nationkey = 3""".stripMargin
   )
 }

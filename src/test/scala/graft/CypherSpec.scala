@@ -213,4 +213,58 @@ class CypherSpec extends AnyFunSuite {
       .collect().head
     assert(r.getDouble(1) == 3.5 && r.getDouble(2) == 1024.0)
   }
+
+  test("CALL {} uncorrelated subquery cross-joins its result") {
+    val rows = run(
+      "MATCH (c:City) CALL { MATCH (p:Person) RETURN count(*) AS np } RETURN c.cname AS c, np ORDER BY c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("LAX", 5L), ("NYC", 5L), ("SEA", 5L)))
+  }
+
+  test("CALL {} with import WITH runs per outer row") {
+    val rows = run(
+      "MATCH (c:City) CALL { WITH c MATCH (p:Person)-[:LIVES_IN]->(c) RETURN count(*) AS np } " +
+      "RETURN c.cname AS city, np ORDER BY city")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("LAX", 1L), ("NYC", 2L), ("SEA", 2L)))
+  }
+
+  test("CALL db.labels() YIELD") {
+    val rows = run("CALL db.labels() YIELD label RETURN label ORDER BY label")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("City", "Person"))
+  }
+
+  test("= ANY (subquery) keeps rows matching some subquery value") {
+    // ages of SEA residents: 30, 24 — Eve (24) matches via ANY
+    val rows = run(
+      "MATCH (p:Person) WHERE p.age = ANY (MATCH (q:Person {city: 'SEA'}) RETURN q.age) " +
+      "RETURN p.name AS n ORDER BY n")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Ann", "Bob", "Eve"))
+  }
+
+  test("<> ALL (subquery) is the anti of = ANY") {
+    val rows = run(
+      "MATCH (p:Person) WHERE p.age <> ALL (MATCH (q:Person {city: 'SEA'}) RETURN q.age) " +
+      "RETURN p.name AS n ORDER BY n")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Cal", "Dee"))
+  }
+
+  test("> ALL (subquery) with empty subquery is true") {
+    val rows = run(
+      "MATCH (p:Person) WHERE p.age > ALL (MATCH (q:Person {city: 'NOPE'}) RETURN q.age) " +
+      "RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(rows == 5L)
+  }
+
+  test("EXISTS(MATCH ... RETURN ...) full-subquery form") {
+    val rows = run(
+      "MATCH (u:Person) WHERE EXISTS(MATCH (u)-[:KNOWS]->(x:Person {city: 'NYC'}) RETURN 1) " +
+      "RETURN u.name AS n ORDER BY n")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Bob", "Cal"))
+  }
 }

@@ -8,8 +8,8 @@ class FunctionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def one(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
-    spark.range(1).select(c).collect().head
+  private def one(cs: org.apache.spark.sql.Column*): org.apache.spark.sql.Row =
+    spark.range(1).select(cs: _*).collect().head
 
   test("tovector parses bracketed literals (reference vector.sql fixtures)") {
     val r = one(VectorFns.tovector(lit("[1.0, 9, 2, .9]")))
@@ -72,5 +72,63 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT l2_distance(tovector('[0,0]'), tovector('[3,4]')) AS d, dims(tovector('[1,2,3]')) AS n")
       .collect().head
     assert(r.getDouble(0) == 5.0 && r.getInt(1) == 3)
+  }
+
+  test("network: parse, render, mask math, containment, merge") {
+    val cidr = NetworkFns.toInet(lit("192.168.5.0/24"))
+    val ip = NetworkFns.toInet(lit("192.168.5.77"))
+    val r = one(
+      NetworkFns.host(ip), NetworkFns.abbrev(cidr), NetworkFns.netmask(cidr),
+      NetworkFns.broadcastAddr(cidr), NetworkFns.hostmask(cidr),
+      NetworkFns.masklen(ip), NetworkFns.containedIn(ip, cidr),
+      NetworkFns.containedInOrEq(cidr, cidr), NetworkFns.containedIn(cidr, cidr),
+      NetworkFns.abbrev(NetworkFns.inetMerge(
+        NetworkFns.toInet(lit("192.168.5.0/24")), NetworkFns.toInet(lit("192.168.6.0/24")))),
+      NetworkFns.inetOverlap(ip, cidr),
+      NetworkFns.inetOverlap(cidr, NetworkFns.toInet(lit("10.0.0.0/8"))))
+    assert(r.getString(0) == "192.168.5.77")
+    assert(r.getString(1) == "192.168.5.0/24")
+    assert(r.getString(2) == "255.255.255.0")
+    assert(r.getString(3) == "192.168.5.255")
+    assert(r.getString(4) == "0.0.0.255")
+    assert(r.getInt(5) == 32)
+    assert(r.getBoolean(6))        // host << network
+    assert(r.getBoolean(7))        // net <<= itself
+    assert(!r.getBoolean(8))       // strict << is false on itself
+    assert(r.getString(9) == "192.168.4.0/22") // common prefix of 5.0/24,6.0/24
+    assert(r.getBoolean(10))
+    assert(!r.getBoolean(11))
+  }
+
+  test("macaddr: parse, render, trunc, set7bit") {
+    val m = NetworkFns.toMacaddr(lit("08:00:2B:01:02:03"))
+    val r = one(NetworkFns.macaddrText(m),
+      NetworkFns.macaddrText(NetworkFns.macaddrTrunc(m)),
+      NetworkFns.macaddr8Set7bit(lit(0x08002B0102030405L)))
+    assert(r.getString(0) == "08:00:2b:01:02:03")
+    assert(r.getString(1) == "08:00:2b:00:00:00")
+    assert(r.getLong(2) == 0x0A002B0102030405L)
+  }
+
+  test("justify_hours/days/interval match PG decomposition") {
+    // 100 days, 27 hours -> justify_hours: 101 d 3 h; justify_days: 3 mo 11 d
+    val iv = TemporalFns.interval(lit(0), lit(100), lit(27L * 3600000000L))
+    val j = TemporalFns.justifyInterval(iv)
+    val r = one(j.getField("months"), j.getField("days"), j.getField("us"))
+    assert(r.getInt(0) == 3 && r.getInt(1) == 11 && r.getLong(2) == 3L * 3600000000L)
+    // sign normalization: 1 month -1 day borrows into 29 days
+    val neg = TemporalFns.justifyInterval(TemporalFns.interval(lit(1), lit(-1), lit(0L)))
+    val rn = one(neg.getField("months"), neg.getField("days"))
+    assert(rn.getInt(0) == 0 && rn.getInt(1) == 29)
+  }
+
+  test("phrase search: adjacency, order, distance") {
+    val tp = TsearchFns.toTsvectorPos(lit("Big fast key scan, slow key value scan"))
+    val r = one(
+      TsearchFns.phraseMatch(tp, "fast key scan"),
+      TsearchFns.phraseMatch(tp, "key fast"),        // wrong order
+      TsearchFns.tsPhraseDistMatch(tp, "key", "scan", 2),  // key value scan
+      TsearchFns.tsPhraseDistMatch(tp, "big", "scan", 1))
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && !r.getBoolean(3))
   }
 }
