@@ -288,6 +288,21 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     ctx
   }
 
+  /** Equality resolved against a specific frame, dynamic-value aware. */
+  private def eqOn(df: DataFrame, l: Column, r: Column): Column = {
+    import graft.gvalue.GValueCol
+    def t(c: Column) = scala.util.Try(df.select(c).schema.head.dataType).toOption
+    (t(l), t(r)) match {
+      case (Some(a), Some(b)) if GValueCol.isGValue(a) && GValueCol.isGValue(b) =>
+        GValueCol.eqv(l, r)
+      case (Some(a), Some(b)) if GValueCol.isGValue(a) && GValueCol.canEncode(b) =>
+        GValueCol.eqv(l, GValueCol.encode(r, b))
+      case (Some(a), Some(b)) if GValueCol.isGValue(b) && GValueCol.canEncode(a) =>
+        GValueCol.eqv(GValueCol.encode(l, a), r)
+      case _ => l === r
+    }
+  }
+
   /** Scan a vertex label table with columns renamed to `alias__*`. */
   private def vertexScan(alias: String, labels: List[String],
       props: Map[String, Expr], ctx: Ctx): DataFrame = {
@@ -307,7 +322,7 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     val renamed = base.columns.foldLeft(base)((df, c) =>
       df.withColumnRenamed(c, s"${alias}__$c"))
     props.foldLeft(renamed) { case (df, (k, v)) =>
-      df.filter(col(s"${alias}__$k") === compileExpr(v, ctx))
+      df.filter(eqOn(df, col(s"${alias}__$k"), compileExpr(v, ctx)))
     }
   }
 
@@ -327,7 +342,7 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     val renamed = base.columns.foldLeft(base)((df, c) =>
       df.withColumnRenamed(c, s"${alias}__$c"))
     props.foldLeft(renamed) { case (df, (k, v)) =>
-      df.filter(col(s"${alias}__$k") === compileExpr(v, ctx))
+      df.filter(eqOn(df, col(s"${alias}__$k"), compileExpr(v, ctx)))
     }
   }
 
@@ -338,7 +353,7 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       var df = ctx.df
       n.labels.foreach(l => df = df.filter(col(s"${alias}__label") === lit(l)))
       n.props.foreach { case (k, v) =>
-        df = df.filter(col(s"${alias}__$k") === compileExpr(v, ctx))
+        df = df.filter(eqOn(df, col(s"${alias}__$k"), compileExpr(v, ctx)))
       }
       ctx.copy(df = df)
     } else {
@@ -380,7 +395,7 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       var out = ctx.df.filter(col(s"${relAlias}__gdst") === col(s"${next}__id"))
       node.labels.foreach(l => out = out.filter(col(s"${next}__label") === lit(l)))
       node.props.foreach { case (k, v) =>
-        out = out.filter(col(s"${next}__$k") === compileExpr(v, ctx))
+        out = out.filter(eqOn(out, col(s"${next}__$k"), compileExpr(v, ctx)))
       }
       ctx.copy(df = out)
     } else {
@@ -488,6 +503,7 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     var outVars = ListMap.empty[String, VarInfo]
     var df = ctx.df
 
+    var hiddenSort = List.empty[String]
     if (!hasAgg) {
       // plain projection; entity vars keep their flat columns (renamed)
       val cols = scala.collection.mutable.ListBuffer.empty[Column]
@@ -501,6 +517,24 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
         case (name, e) =>
           cols += compileExpr(e, ctx).as(name)
           outVars += (name -> VarInfo.scalar)
+      }
+      // ORDER BY may reference the pre-projection scope (`RETURN tostring(x)
+      // AS s ORDER BY n.code`) — carry such sort keys through the projection
+      // as hidden columns, dropped after the sort.
+      if (orderBy.nonEmpty) {
+        val tentative = ctx.df.select(cols.toSeq: _*)
+        orderBy.zipWithIndex.foreach { case (s, i) =>
+          val postOk = scala.util.Try {
+            val c = compileExpr(s.expr,
+              Ctx(tentative, outVars, projected = true))
+            tentative.select(c).schema
+          }.isSuccess
+          if (!postOk) {
+            val pre = compileExpr(s.expr, ctx)
+            cols += pre.as(s"__sort$i")
+            hiddenSort ::= s"__sort$i"
+          }
+        }
       }
       df = df.select(cols.toSeq: _*)
     } else {
@@ -517,14 +551,26 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       named.foreach { case (n, _) => outVars += (n -> VarInfo.scalar) }
     }
 
-    if (distinct) df = df.dropDuplicates()
+    if (distinct) {
+      // hidden sort keys must not affect DISTINCT semantics
+      if (hiddenSort.isEmpty) df = df.dropDuplicates()
+      else df = df.dropDuplicates(df.columns.filterNot(hiddenSort.contains).toSeq)
+    }
 
     val postCtx = Ctx(df, outVars, projected = true)
     where.foreach(wc => df = df.filter(compileExpr(wc, postCtx)))
 
     if (orderBy.nonEmpty) {
-      val sortCols = orderBy.map { s =>
-        val c = compileExpr(s.expr, postCtx.copy(df = df))
+      val sortCols = orderBy.zipWithIndex.map { case (s, i) =>
+        val c0 =
+          if (hiddenSort.contains(s"__sort$i")) col(s"__sort$i")
+          else compileExpr(s.expr, postCtx.copy(df = df))
+        // dynamic values order by the gtype cross-type key
+        val c = dataTypeOpt(c0, postCtx.copy(df = df)) match {
+          case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
+            graft.gvalue.GValueCol.orderKey(c0)
+          case _ => c0
+        }
         val dir = if (s.descending) c.desc else c.asc
         s.nullsFirst match {
           case Some(true)  => if (s.descending) c.desc_nulls_first else c.asc_nulls_first
@@ -536,6 +582,7 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     }
     skip.foreach(e => df = df.offset(constInt(e).toInt))
     limit.foreach(e => df = df.limit(constInt(e).toInt))
+    if (hiddenSort.nonEmpty) df = df.drop(hiddenSort: _*)
 
     Ctx(df, outVars, projected = true)
   }
@@ -553,6 +600,13 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     df.columns.filter(_.startsWith(s"${v}__")).toSeq
 
   // -------------------------------------------------------------- expressions
+
+  /** All-literal list with more than one scalar type (ignoring nulls)? */
+  private def mixedLitTags(items: List[Expr]): Boolean =
+    items.nonEmpty && items.forall(_.isInstanceOf[Lit]) && {
+      val tags = items.collect { case Lit(g) if g != GNull => g.getClass }.distinct
+      tags.size > 1
+    }
 
   private def containsAggregate(e: Expr): Boolean = e match {
     case FnCall(name, args, _) =>
@@ -613,6 +667,10 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     case Prop(base, k) =>
       val b = compileExpr(base, ctx)
       b.getField(k)
+    case ListLit(items) if mixedLitTags(items) =>
+      // heterogeneous literal list → array of tagged dynamic values
+      // (the reference's gtype list holds mixed scalars natively)
+      array(items.map { case Lit(g) => graft.gvalue.GValueCol.gLit(g) }: _*)
     case ListLit(items)  => array(items.map(x => compileExpr(x, ctx)): _*)
     case MapLit(entries) =>
       map(entries.flatMap { case (k, v) => Seq(lit(k), compileExpr(v, ctx)) }: _*)
@@ -687,7 +745,10 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
   }
 
   private def binOp(op: String, l: Column, r: Column, ctx: Ctx,
-      rRaw: Option[Expr] = None): Column = op match {
+      rRaw: Option[Expr] = None): Column = (op match {
+    case "=" | "<>" | "<" | "<=" | ">" | ">=" => gAwareCmp(op, l, r, ctx)
+    case _ => None
+  }).getOrElse(op match {
     case "+"  => l + r
     case "-"  => l - r
     case "*"  => l * r
@@ -704,11 +765,12 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     case "OR"  => l || r
     case "XOR" => (l || r) && !(l && r)
     case "IN" => rRaw match {
-      case Some(ListLit(items)) if items.forall(_.isInstanceOf[Lit]) =>
+      case Some(ListLit(items)) if items.forall(_.isInstanceOf[Lit]) &&
+        !mixedLitTags(items) =>
         l.isin(items.map { case Lit(g) => gValueToAny(g) }: _*)
       case _ => array_contains(r, l)
     }
-  }
+  })
 
   private def compileFn(name: String, args: List[Expr], ctx: Ctx): Column = {
     def a(i: Int): Column = compileExpr(args(i), ctx)
@@ -777,7 +839,13 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
         if (args.length == 3) a(0).substr(a(1).cast("int") + 1, a(2).cast("int"))
         else a(0).substr(a(1).cast("int") + 1, length(a(0)))
       case "initcap" => initcap(a(0))
-      case "tostring"  => a(0).cast("string")
+      case "tostring" =>
+        val c = a(0)
+        dataTypeOpt(c, ctx) match {
+          case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
+            graft.gvalue.GValueCol.render(c)
+          case _ => c.cast("string")
+        }
       case "tointeger" => a(0).cast("long")
       case "tofloat"   => a(0).cast("double")
       case "toboolean" => a(0).cast("boolean")
@@ -817,6 +885,38 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
   /** Static Spark type of a compiled column (resolved against the ctx frame). */
   private def dataTypeOf(c: Column, ctx: Ctx): DataType =
     if (ctx.df == null) NullType else ctx.df.select(c).schema.head.dataType
+
+  /** Like dataTypeOf but never throws (lambda-bound columns don't resolve). */
+  private def dataTypeOpt(c: Column, ctx: Ctx): Option[DataType] =
+    scala.util.Try(dataTypeOf(c, ctx)).toOption
+
+  /** Equality that handles dynamic (GValueCol) operands: encode the typed
+    * side, compare order keys (cross-type 1 = 1.0 like gtype_btree_cmp).
+    */
+  private def gAwareCmp(op: String, l: Column, r: Column, ctx: Ctx): Option[Column] = {
+    import graft.gvalue.GValueCol
+    val lt = dataTypeOpt(l, ctx)
+    val rt = dataTypeOpt(r, ctx)
+    def enc(c: Column, dt: Option[DataType]): Option[Column] = dt match {
+      case Some(t) if GValueCol.isGValue(t) => Some(c)
+      case Some(t) => scala.util.Try(GValueCol.encode(c, t)).toOption
+      case None => None
+    }
+    val anyG = lt.exists(GValueCol.isGValue) || rt.exists(GValueCol.isGValue)
+    if (!anyG) None
+    else (enc(l, lt), enc(r, rt)) match {
+      case (Some(a), Some(b)) => op match {
+        case "="  => Some(GValueCol.eqv(a, b))
+        case "<>" => Some(!GValueCol.eqv(a, b))
+        case "<"  => Some(GValueCol.orderKey(a) < GValueCol.orderKey(b))
+        case "<=" => Some(GValueCol.orderKey(a) <= GValueCol.orderKey(b))
+        case ">"  => Some(GValueCol.orderKey(a) > GValueCol.orderKey(b))
+        case ">=" => Some(GValueCol.orderKey(a) >= GValueCol.orderKey(b))
+        case _    => None
+      }
+      case _ => None
+    }
+  }
 
   private def entityField(e: Expr, field: String, ctx: Ctx): Column = e match {
     case Var(v) if ctx.vars.get(v).exists(_.isEntity) => col(s"${v}__$field")

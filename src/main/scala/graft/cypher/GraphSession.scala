@@ -37,6 +37,13 @@ final class GraphSession(val spark: SparkSession) {
   def graph: MutableGraph = graphs(current.getOrElse(
     throw new IllegalStateException("no graph selected — createGraph/useGraph first")))
 
+  /** Unique-property constraint DDL (reference:
+    * create_unique_properties_constraint, label_commands.c:230-360) —
+    * metadata plus write-time enforcement on the label's vertex inserts.
+    */
+  def createUniqueConstraint(label: String, prop: String): Unit =
+    graph.addUniqueConstraint(label, prop)
+
   /** Run a Cypher query (reads and/or writes) against the current graph. */
   def run(query: String, params: Map[String, GValue] = Map.empty): DataFrame = {
     Parser.parse(query) match {
@@ -336,13 +343,48 @@ final class MutableGraph(spark: SparkSession) {
   /** Bulk vertex creation from a pre-assigned `id` column (constant props). */
   private[cypher] def createVerticesFrom(label: String, ids: DataFrame,
       props: Map[String, GValue]): Unit = {
+    // constant props: a unique constraint on one of them forbids >1 new row
+    // and any existing equal value
+    if (uniqueConstraints.exists(c => c._1 == label && props.contains(c._2))) {
+      checkUnique(label, props)
+      val n = ids.limit(2).count()
+      if (n > 1) throw new IllegalStateException(
+        s"unique constraint violation: bulk CREATE would duplicate a constrained $label property")
+    }
     labelId(label)
     val df = ids.select(col("id") +:
       props.toSeq.sortBy(_._1).map { case (k, v) => gLit(v).as(k) }: _*)
     vertexLabels += (label -> aligned(vertexLabels.get(label), df))
   }
 
+  private val uniqueConstraints = mutable.Set.empty[(String, String)]
+
+  /** Register a unique constraint; existing data must already satisfy it. */
+  def addUniqueConstraint(label: String, prop: String): Unit = {
+    vertexLabels.get(label).foreach { df =>
+      if (df.columns.contains(prop)) {
+        val dup = df.filter(col(prop).isNotNull).groupBy(col(prop))
+          .count().filter(col("count") > 1).limit(1).count()
+        require(dup == 0,
+          s"cannot add unique constraint: duplicate $label.$prop values exist")
+      }
+    }
+    uniqueConstraints += ((label, prop))
+  }
+
+  private def checkUnique(label: String, props: Map[String, GValue]): Unit =
+    uniqueConstraints.filter(_._1 == label).foreach { case (_, prop) =>
+      props.get(prop).filter(_ != GNull).foreach { v =>
+        vertexLabels.get(label).filter(_.columns.contains(prop)).foreach { df =>
+          val clash = df.filter(col(prop) === gLit(v)).limit(1).count()
+          if (clash > 0) throw new IllegalStateException(
+            s"unique constraint violation: $label.$prop = ${v.render}")
+        }
+      }
+    }
+
   def createVertex(label: String, props: Map[String, GValue]): Long = {
+    checkUnique(label, props)
     val lid = labelId(label)
     val entry = nextEntry.getOrElse(label, 0L) + 1
     nextEntry(label) = entry

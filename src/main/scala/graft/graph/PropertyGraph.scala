@@ -37,9 +37,23 @@ final class PropertyGraph(
     require(tables.nonEmpty, "graph has no label tables of requested kind")
     // union-by-name over the FULL column set: a property absent from some
     // label is null there, matching the reference's schemaless access
-    // (n.missing → null), not dropped.
+    // (n.missing → null), not dropped. A property whose TYPE differs across
+    // labels (legal in the reference — every property is gtype) is wrapped
+    // in the tagged dynamic-value struct so the union still types; the
+    // compiler compares/orders those via GValueCol order keys.
+    val typesByName = tables.values.toSeq
+      .flatMap(_.schema.fields.map(f => f.name -> f.dataType))
+      .groupMap(_._1)(_._2).view.mapValues(_.distinct).toMap
+    val conflicted = typesByName.collect {
+      case (name, ts) if ts.size > 1 && !Set("id", "start_id", "end_id")(name) &&
+        ts.forall(graft.gvalue.GValueCol.canEncode) => name
+    }.toSet
     tables.toSeq.sortBy(_._1)
-      .map { case (label, df) => df.withColumn("__label", lit(label)) }
+      .map { case (label, df) =>
+        val wrapped = conflicted.intersect(df.columns.toSet).foldLeft(df)((d, c) =>
+          d.withColumn(c, graft.gvalue.GValueCol.encode(col(c), d.schema(c).dataType)))
+        wrapped.withColumn("__label", lit(label))
+      }
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 

@@ -1,0 +1,128 @@
+package graft.gvalue
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-level codec for heterogeneous gtype values — the dynamic-type
+  * escape hatch of the engine's otherwise typed-column layout.
+  *
+  * A dynamic value is a tagged struct `(tag, b, i, f, s)`; only the field
+  * selected by `tag` is meaningful. Used where a single column must hold
+  * mixed types: properties whose type differs across labels (the reference
+  * stores every property as gtype, gtype.h:126-286) and heterogeneous
+  * literal lists (`UNWIND [1, 'a', true]`).
+  *
+  * Cross-type ORDER BY follows compare_gtype_containers_orderability
+  * (/root/reference/src/backend/utils/adt/gtype_util.c:210-330) via
+  * [[orderKey]]: a (family, number, string) struct whose lexicographic
+  * order equals GValue.cmp for scalars — string < bool < numbers <
+  * timestamp/date (one comparable family, dates promoted to midnight
+  * micros) < null. Pure column expressions, whole-stage codegen'd.
+  */
+object GValueCol {
+
+  val TString = 2; val TBool = 3; val TInt = 4; val TFloat = 5
+  val TTimestamp = 7; val TDate = 8; val TNull = 11
+
+  val structType: StructType = StructType(Seq(
+    StructField("tag", ByteType, nullable = false),
+    StructField("b", BooleanType, nullable = false),
+    StructField("i", LongType, nullable = false),
+    StructField("f", DoubleType, nullable = false),
+    StructField("s", StringType, nullable = false)))
+
+  def canEncode(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | BooleanType | TimestampType | TimestampNTZType | DateType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  def isGValue(dt: DataType): Boolean = dt match {
+    case st: StructType =>
+      st.fieldNames.sameElements(Array("tag", "b", "i", "f", "s"))
+    case _ => false
+  }
+
+  private def mk(tag: Int, b: Column, i: Column, f: Column, s: Column): Column =
+    struct(lit(tag).cast("tinyint").as("tag"), b.as("b"), i.cast("long").as("i"),
+      f.cast("double").as("f"), s.as("s"))
+
+  val nullValue: Column =
+    mk(TNull, lit(false), lit(0L), lit(0.0), lit(""))
+
+  /** Wrap a typed column into the tagged struct (null-aware). */
+  def encode(c: Column, dt: DataType): Column = {
+    val v = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        mk(TInt, lit(false), c, lit(0.0), lit(""))
+      case FloatType | DoubleType | _: DecimalType =>
+        mk(TFloat, lit(false), lit(0L), c, lit(""))
+      case StringType => mk(TString, lit(false), lit(0L), lit(0.0), c)
+      case BooleanType => mk(TBool, c, lit(0L), lit(0.0), lit(""))
+      case TimestampType | TimestampNTZType =>
+        mk(TTimestamp, lit(false), unix_micros(c.cast("timestamp")), lit(0.0), lit(""))
+      case DateType => mk(TDate, lit(false), unix_date(c), lit(0.0), lit(""))
+      case other => throw new UnsupportedOperationException(
+        s"GValueCol cannot encode $other")
+    }
+    when(c.isNull, nullValue).otherwise(v)
+  }
+
+  /** Literal GValue → tagged struct column. */
+  def gLit(v: GValue): Column = v match {
+    case GNull       => nullValue
+    case GBool(b)    => mk(TBool, lit(b), lit(0L), lit(0.0), lit(""))
+    case GInt(i)     => mk(TInt, lit(false), lit(i), lit(0.0), lit(""))
+    case GFloat(f)   => mk(TFloat, lit(false), lit(0L), lit(f), lit(""))
+    case GNumeric(n) => mk(TFloat, lit(false), lit(0L), lit(n.toDouble), lit(""))
+    case GString(s)  => mk(TString, lit(false), lit(0L), lit(0.0), lit(s))
+    case GTimestamp(us) => mk(TTimestamp, lit(false), lit(us), lit(0.0), lit(""))
+    case GDate(d)    => mk(TDate, lit(false), lit(d.toLong), lit(0.0), lit(""))
+    case other => throw new UnsupportedOperationException(
+      s"GValueCol literal: ${other.render}")
+  }
+
+  /** Sort key matching GValue.cmp scalar order: lexicographic struct
+    * (family, number, string). Numbers (int/float) are one family keyed by
+    * double value; timestamp+date are one family keyed by epoch micros
+    * (date → midnight, gtype date_cmp_timestamp semantics); NaN sorts
+    * largest (Spark double order matches gtype_util.c:1546-1560).
+    */
+  def orderKey(g: Column): Column = {
+    val tag = g.getField("tag")
+    val family =
+      when(tag === TString, 2)
+        .when(tag === TBool, 3)
+        .when(tag === TInt || tag === TFloat, 4)
+        .when(tag === TTimestamp || tag === TDate, 5)
+        .otherwise(11)
+    val num =
+      when(tag === TBool, g.getField("b").cast("double"))
+        .when(tag === TInt, g.getField("i").cast("double"))
+        .when(tag === TFloat, g.getField("f"))
+        .when(tag === TTimestamp, g.getField("i").cast("double"))
+        .when(tag === TDate, g.getField("i").cast("double") * 86400000000.0)
+        .otherwise(lit(0.0))
+    struct(family.as("fam"), num.as("num"),
+      when(tag === TString, g.getField("s")).otherwise(lit("")).as("str"))
+  }
+
+  /** 3-valued equality on dynamic values (cross-type: 1 = 1.0). */
+  def eqv(a: Column, b: Column): Column =
+    when(a.getField("tag") === TNull || b.getField("tag") === TNull, lit(null).cast("boolean"))
+      .otherwise(orderKey(a) === orderKey(b))
+
+  /** Render to text (tostring semantics) — for RETURN readability. */
+  def render(g: Column): Column = {
+    val tag = g.getField("tag")
+    when(tag === TNull, lit(null).cast("string"))
+      .when(tag === TString, g.getField("s"))
+      .when(tag === TBool, g.getField("b").cast("string"))
+      .when(tag === TInt, g.getField("i").cast("string"))
+      .when(tag === TFloat, g.getField("f").cast("string"))
+      .when(tag === TTimestamp, timestamp_micros(g.getField("i")).cast("string"))
+      .when(tag === TDate, date_from_unix_date(g.getField("i").cast("int")).cast("string"))
+  }
+}

@@ -267,4 +267,32 @@ class CypherSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(rows.toSeq == Seq("Bob", "Cal"))
   }
+
+  test("UNWIND heterogeneous literal list orders by gtype cross-type rules") {
+    // gtype order: string < bool < numbers < null (gtype_util.c:210-330)
+    val rows = run(
+      "UNWIND ['b', 1, true, 2.5, 'a', null, 0] AS x RETURN tostring(x) AS s ORDER BY x")
+      .collect().map(r => if (r.isNullAt(0)) "NULL" else r.getString(0))
+    assert(rows.toSeq == Seq("a", "b", "true", "0", "1", "2.5", "NULL"))
+  }
+
+  test("heterogeneous property type across labels via dynamic column") {
+    import spark.implicits._
+    val a = Seq((1L, 42L), (2L, 7L)).toDF("k", "code")        // code: LONG
+    val b = Seq((10L, "x7"), (11L, "a1")).toDF("k", "code")   // code: STRING
+    val g = new graft.graph.GraphBuilder(spark)
+      .vertexLabel("NumCode", a, "k")
+      .vertexLabel("StrCode", b, "k")
+      .build()
+    val out = new Compiler(g)
+      .run("MATCH (n) RETURN tostring(n.code) AS c ORDER BY n.code")
+      .collect().map(_.getString(0))
+    // strings sort before numbers in gtype order
+    assert(out.toSeq == Seq("a1", "x7", "7", "42"))
+    // equality against a typed literal still matches the dynamic column
+    val hit = new Compiler(g)
+      .run("MATCH (n {code: 42}) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(hit == 1L)
+  }
 }

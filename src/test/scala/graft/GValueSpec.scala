@@ -131,4 +131,33 @@ class GValueSpec extends AnyFunSuite {
     assert(GValue.eq3(GNull, GInt(1)) == GNull)
     assert(GValue.eq3(GInt(1), GInt(1)) == GBool(true))
   }
+
+  test("GValueCol orderKey order matches GValue.cmp for scalars (codec law)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val samples: Vector[GValue] = Vector(
+      GNull, GBool(false), GBool(true), GInt(-3), GInt(0), GInt(7),
+      GFloat(-2.5), GFloat(0.0), GFloat(3.14), GFloat(7.0),
+      GFloat(Double.NaN), GFloat(Double.PositiveInfinity),
+      GString(""), GString("a"), GString("ab"), GString("b"),
+      GTimestamp(0L), GTimestamp(86400000000L),
+      GDate(0), GDate(1), GDate(-1))
+    val expected = samples.sortWith((a, b) => GValue.cmp(a, b) < 0)
+    // sort the same values in Spark via the codec order key
+    val cols = samples.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.functions.struct(
+        lit(i).as("idx"), GValueCol.gLit(v).as("g"))
+    }
+    val sortedIdx = spark.range(1)
+      .select(explode(array(cols: _*)).as("x"))
+      .select(col("x.idx"), col("x.g"))
+      .orderBy(GValueCol.orderKey(col("g")), col("idx"))
+      .collect().map(_.getInt(0)).toVector
+    val sparkOrder = sortedIdx.map(samples)
+    // compare via cmp-equivalence classes (1 vs 1.0 may swap inside a tie)
+    (sparkOrder, expected).zipped.foreach { (s, e) =>
+      assert(GValue.cmp(s, e) == 0,
+        s"spark order ${sparkOrder.map(_.render)} != cmp order ${expected.map(_.render)}")
+    }
+  }
 }

@@ -161,4 +161,20 @@ class WriteSpec extends AnyFunSuite {
     val m = gs.run("MATCH (n:A:A) RETURN count(*) AS n").collect().head.getLong(0)
     assert(m == 1)
   }
+
+  test("unique constraint blocks duplicate inserts, allows distinct") {
+    val gs = freshSession("g15")
+    gs.run("CREATE (:Acct {email: 'a@x'})")
+    gs.createUniqueConstraint("Acct", "email")
+    gs.run("CREATE (:Acct {email: 'b@x'})") // distinct ok
+    val e = intercept[IllegalStateException] {
+      gs.run("CREATE (:Acct {email: 'a@x'})")
+    }
+    assert(e.getMessage.contains("unique constraint"))
+    // adding a constraint over data that violates it is refused
+    val gs2 = freshSession("g16")
+    gs2.run("CREATE (:U {k: 1})")
+    gs2.run("CREATE (:U {k: 1})")
+    intercept[IllegalArgumentException] { gs2.createUniqueConstraint("U", "k") }
+  }
 }
