@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 local executor threads in one JVM: an 8g heap GC-thrashes under
+  // shuffle buffers (bench variance was 75–130 s run-to-run); the box has
+  // 128 GiB, give the suite room
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -38,16 +38,18 @@ object Ivf {
       .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("dist"))
   }
 
-  /** Nearest-centroid assignment: (id, cluster). */
+  /** Nearest-centroid assignment: (id, cluster). `min_by` aggregation, not
+    * a row_number window — partial aggregation map-side combines, so the
+    * shuffle carries one row per (vector, cluster) partial instead of
+    * sorting whole partitions per vector id.
+    */
   def assignments(emb: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("__vid")).orderBy(col("dist"), col("cluster"))
+      centroids: Array[Array[Double]]): DataFrame =
     allDistances(emb, idCol, vecCol, centroids)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .groupBy(col("__vid"))
+      // struct(dist, cluster) is a unique ordering key → deterministic
+      .agg(min_by(col("cluster"), struct(col("dist"), col("cluster"))).as("cluster"))
       .select(col("__vid").as(idCol), col("cluster"))
-  }
 
   /** Deterministic Lloyd's k-means: seeds are an id-stride sample (no RNG —
     * reruns give identical centroids); each iteration collects only k×dim

@@ -58,9 +58,16 @@ object TemporalFns {
 
   /** justify_interval: hours then days, plus PG's sign normalization
     * (borrow a month/day when a lower field's sign opposes the total's).
+    *
+    * NOTE for wide data: each output field references the whole input tree,
+    * so feeding a deeply nested expression triplicates it — stage through a
+    * named column (`withColumn("h", justifyDays(justifyHours(iv)))` then
+    * `justifyNorm(col("h"))`) to keep codegen linear; see f9_justify.
     */
-  def justifyInterval(iv: Column): Column = {
-    val h = justifyDays(justifyHours(iv))
+  def justifyInterval(iv: Column): Column = justifyNorm(justifyDays(justifyHours(iv)))
+
+  /** The sign-normalization step of justify_interval alone. */
+  def justifyNorm(h: Column): Column = {
     val m = h.getField("months"); val d = h.getField("days"); val u = h.getField("us")
     val dayUs = lit(86400000000L)
     // borrow down: positive total with negative lower fields

@@ -36,12 +36,25 @@ object TextFns {
   }
 
   /** MinHash signature: k independent min-hashes over the shingle set.
-    * Mirrors the classic shingle→minhash pipeline; hash family is
-    * xxhash64(shingle, seed_i) — deterministic across runs and executors.
+    * Each variable-length shingle is string-hashed ONCE (xxhash64); the k
+    * hash functions then re-hash the fixed 8-byte value with the function
+    * index as a leading word — deterministic across runs/executors, and
+    * ANSI-safe (a multiply-add mix would overflow-throw under Spark 4's
+    * default ANSI mode). Re-hashing the string per function was 63× the
+    * variable-length hash work: 7.7 s → ~3 s at sf0.1.
     */
   def minhash(shingleArr: Column, k: Int): Column =
+    minhashFromHashes(transform(shingleArr, s => xxhash64(s)), k)
+
+  /** Minhash over a PRE-MATERIALIZED hash array column. Higher-order
+    * functions don't whole-stage-codegen, so common-subexpression
+    * elimination never kicks in — pass a *named column* of hashes
+    * (`withColumn("hs", transform(sh, xxhash64))`) or the base hashing
+    * re-runs once per function.
+    */
+  def minhashFromHashes(hashArr: Column, k: Int): Column =
     array((0 until k).map(i =>
-      array_min(transform(shingleArr, s => xxhash64(s, lit(i))))): _*)
+      array_min(transform(hashArr, h => xxhash64(lit(i), h)))): _*)
 
   /** LSH band keys: split a k-minhash signature into `bands` bands of
     * k/bands rows; the band key hashes band index + its slice. Docs sharing

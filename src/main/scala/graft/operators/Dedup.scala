@@ -22,6 +22,10 @@ object Dedup {
   // join ~50× smaller than r=1 banding at 100 TB-ish candidate rates.
   private val LshBands = 21
 
+  /** ±1 vote for bit `i` of the token hash (simhash aggregation term). */
+  private def bitVote(i: Int): org.apache.spark.sql.Column =
+    sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+
   /** (doc_id, shingle) exploded-distinct pairs. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
@@ -34,7 +38,7 @@ object Dedup {
     * distinct() pre-aggregation).
     */
   private def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val sh = docShingles(s, dir)
+    val sh = docShingles(s, dir).persist() // scanned 3× (sizes + both join sides)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -69,10 +73,26 @@ object Dedup {
     // ground truth when recall holds; the LSH join replaces the all-pairs
     // shingle join with a band-key join (the 100 TB path).
     "d3_minhash_lsh" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
+      // Signatures via explode + 63 codegen'd min() aggregates — NOT the
+      // array-lambda minhash: higher-order functions evaluate interpreted
+      // (no whole-stage codegen), measured 7.7 s just materializing
+      // signatures at sf0.1; the relational shape runs the same math inside
+      // codegen with map-side partial aggregation (~0.5 s), and is the form
+      // that scales (shuffle carries 63 partial mins per doc, not arrays).
+      val sh = T(s, dir, "documents")
         .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-        .withColumn("sig", minhash(col("sh"), MinhashK))
+        .persist()
+      val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("h", xxhash64(col("s")))
+      val sig = hashed.groupBy(col("doc_id"))
+        .agg(min(xxhash64(lit(0), col("h"))).as("m0"),
+          (1 until MinhashK).map(i =>
+            min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
+        .select(col("doc_id"),
+          array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+      val docs = sig
         .withColumn("bands", lshBandKeys(col("sig"), MinhashK, LshBands))
+        .join(sh, "doc_id")
         .persist()
       val banded = docs.select(col("doc_id"), explode(col("bands")).as("band"))
       val candidates = banded.as("a")
@@ -96,8 +116,17 @@ object Dedup {
     // SimHash near-dup pairs via 16-bit chunk banding (hamming ≤ 3 complete
     // by pigeonhole; we report hamming ≤ 6 found through chunk collisions)
     "d4_simhash" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-        .select(col("doc_id"), simhash64(col("text")).as("sig"))
+      // same explode + codegen'd aggregate shape as d3 (HOF bit-vote
+      // folding was interpreted); one sum per bit, then OR the sign bits
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+      val votes = toks.groupBy(col("doc_id"))
+        .agg(bitVote(0).as("v0"), (1 until 64).map(i => bitVote(i).as(s"v$i")): _*)
+      val sigCol = (0 until 64)
+        .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _)
+      val docs = votes.select(col("doc_id"), sigCol.as("sig"))
         .withColumn("chunks", simhashChunks(col("sig")))
         .persist()
       val chunked = docs.select(col("doc_id"), col("sig"), explode(col("chunks")).as("c"))

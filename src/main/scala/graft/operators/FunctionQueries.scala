@@ -105,9 +105,11 @@ object FunctionQueries {
             col("c_custkey") % 100, lit(".0/24")).as("cidr_s"),
           concat(lit("10."), col("c_nationkey").cast("long"), lit("."),
             col("c_custkey") % 100, lit("."), col("c_custkey") % 254 + 1).as("ip_s"))
-      val cidr = NetworkFns.toInet(col("cidr_s"))
-      val ip = NetworkFns.toInet(col("ip_s"))
-      c.select(col("ck"),
+      val cidr = col("cidr")
+      val ip = col("ip")
+      c.withColumn("cidr", NetworkFns.toInet(col("cidr_s")))
+        .withColumn("ip", NetworkFns.toInet(col("ip_s")))
+        .select(col("ck"),
           NetworkFns.abbrev(NetworkFns.network(cidr)).as("net"),
           NetworkFns.host(ip).as("host"),
           NetworkFns.netmask(cidr).as("mask"),
@@ -122,14 +124,18 @@ object FunctionQueries {
     // justify_hours/days/interval (gtype_temporal.c) over synthesized
     // intervals; oracle replicates the integer arithmetic
     "f9_justify" -> ((s, dir) => {
-      val iv = TemporalFns.interval(lit(0),
-        col("l_partkey") % 45, col("l_quantity").cast("long") * 3600000000L)
-      val j = TemporalFns.justifyInterval(iv)
+      // staged through named columns: each justify step's fields reference a
+      // named struct, not a re-expanded tree (codegen stays linear — the
+      // inlined version spent ~5 s compiling a ~10k-node projection)
       T(s, dir, "lineitem").filter(col("l_orderkey") <= 50)
+        .withColumn("iv", TemporalFns.interval(lit(0),
+          col("l_partkey") % 45, col("l_quantity").cast("long") * 3600000000L))
+        .withColumn("h", TemporalFns.justifyDays(TemporalFns.justifyHours(col("iv"))))
+        .withColumn("j", TemporalFns.justifyNorm(col("h")))
         .select(col("l_orderkey"), col("l_linenumber"),
-          j.getField("months").cast("long").as("jm"),
-          j.getField("days").cast("long").as("jd"),
-          j.getField("us").as("jus"))
+          col("j.months").cast("long").as("jm"),
+          col("j.days").cast("long").as("jd"),
+          col("j.us").as("jus"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
