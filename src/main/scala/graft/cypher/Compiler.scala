@@ -633,8 +633,18 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
         case "count"   => if (dist) countDistinct(a.head) else count(a.head)
         case "sum"     => sum(a.head)
         case "avg"     => avg(a.head)
-        case "min"     => min(a.head)
-        case "max"     => max(a.head)
+        case "min"     => // dynamic values order by the gtype key, not struct-lex
+          dataTypeOpt(a.head, ctx) match {
+            case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
+              min_by(a.head, graft.gvalue.GValueCol.orderKey(a.head))
+            case _ => min(a.head)
+          }
+        case "max"     =>
+          dataTypeOpt(a.head, ctx) match {
+            case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
+              max_by(a.head, graft.gvalue.GValueCol.orderKey(a.head))
+            case _ => max(a.head)
+          }
         case "collect" => if (dist) collect_set(a.head) else collect_list(a.head)
         case "stdev"   => stddev_samp(a.head)
         case "stdevp"  => stddev_pop(a.head)

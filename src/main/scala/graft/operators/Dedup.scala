@@ -113,6 +113,22 @@ object Dedup {
         .orderBy(col("da"), col("db"))
     }),
 
+    // embedding-cosine near-dup pairs, exact brute force (the gate
+    // baseline; the corpus has no true dups — max pairwise cosine ≈ 0.51 —
+    // so the threshold is data-calibrated). The scale path for this
+    // operator is s3 (hyperplane LSH) / s4 (IVF): candidates ∝ corpus,
+    // not corpus².
+    "d5_cosine_neardup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      pairs.filter(col("c") >= 0.45)
+        .select(col("va"), col("vb"), round(col("c"), 4).as("cos"))
+        .orderBy(col("va"), col("vb"))
+    }),
+
     // SimHash near-dup pairs via 16-bit chunk banding (hamming ≤ 3 complete
     // by pigeonhole; we report hamming ≤ 6 found through chunk collisions)
     "d4_simhash" -> ((s, dir) => {
@@ -150,7 +166,14 @@ object Dedup {
         |         count(*) AS copies
         |  FROM documents GROUP BY 1)""".stripMargin,
     "d2_ngram_jaccard" -> jaccardOracle(JaccardThreshold),
-    "d3_minhash_lsh" -> jaccardOracle(LshThreshold)
+    "d3_minhash_lsh" -> jaccardOracle(LshThreshold),
+    "d5_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        |ORDER BY va, vb""".stripMargin
     // d4_simhash: rows-only (hash family not expressible in SQL)
   )
 
