@@ -303,6 +303,25 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     }
   }
 
+  /** Property-map filter condition for one `(n {k: v})` entry — the
+    * reference's `properties @> {k:v}` containment (gtype_contains,
+    * gtype_ops.c:849-894; goldens regress/sql/cypher_match.sql "Property
+    * constraints"): scalars compare by equality; a map literal is key-wise
+    * containment of the stored map; a list literal requires every element
+    * present in the stored array. NULL anywhere → no match (3VL filter).
+    */
+  private def propCond(df: DataFrame, c: Column, v: Expr, ctx: Ctx): Column = v match {
+    case MapLit(entries) if entries.nonEmpty =>
+      entries.map { case (k, ve) =>
+        element_at(c, lit(k)) === compileExpr(ve, ctx)
+      }.reduce(_ && _)
+    case ListLit(items) if items.nonEmpty &&
+      scala.util.Try(df.select(c).schema.head.dataType)
+        .toOption.exists(_.isInstanceOf[ArrayType]) =>
+      items.map(i => array_contains(c, compileExpr(i, ctx))).reduce(_ && _)
+    case other => eqOn(df, c, compileExpr(other, ctx))
+  }
+
   /** Scan a vertex label table with columns renamed to `alias__*`. */
   private def vertexScan(alias: String, labels: List[String],
       props: Map[String, Expr], ctx: Ctx): DataFrame = {
@@ -322,7 +341,7 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     val renamed = base.columns.foldLeft(base)((df, c) =>
       df.withColumnRenamed(c, s"${alias}__$c"))
     props.foldLeft(renamed) { case (df, (k, v)) =>
-      df.filter(eqOn(df, col(s"${alias}__$k"), compileExpr(v, ctx)))
+      df.filter(propCond(df, col(s"${alias}__$k"), v, ctx))
     }
   }
 
@@ -342,7 +361,7 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     val renamed = base.columns.foldLeft(base)((df, c) =>
       df.withColumnRenamed(c, s"${alias}__$c"))
     props.foldLeft(renamed) { case (df, (k, v)) =>
-      df.filter(eqOn(df, col(s"${alias}__$k"), compileExpr(v, ctx)))
+      df.filter(propCond(df, col(s"${alias}__$k"), v, ctx))
     }
   }
 
@@ -353,7 +372,7 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       var df = ctx.df
       n.labels.foreach(l => df = df.filter(col(s"${alias}__label") === lit(l)))
       n.props.foreach { case (k, v) =>
-        df = df.filter(eqOn(df, col(s"${alias}__$k"), compileExpr(v, ctx)))
+        df = df.filter(propCond(df, col(s"${alias}__$k"), v, ctx))
       }
       ctx.copy(df = df)
     } else {
@@ -395,7 +414,7 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       var out = ctx.df.filter(col(s"${relAlias}__gdst") === col(s"${next}__id"))
       node.labels.foreach(l => out = out.filter(col(s"${next}__label") === lit(l)))
       node.props.foreach { case (k, v) =>
-        out = out.filter(eqOn(out, col(s"${next}__$k"), compileExpr(v, ctx)))
+        out = out.filter(propCond(out, col(s"${next}__$k"), v, ctx))
       }
       ctx.copy(df = out)
     } else {

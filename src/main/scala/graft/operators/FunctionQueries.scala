@@ -160,6 +160,24 @@ object FunctionQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // PostGIS subset: point construction, distance, azimuth, translate,
+    // 2-vertex trajectory length — arithmetic mirrored in the oracle
+    "f13_postgis" -> ((s, dir) => {
+      val c = T(s, dir, "customer").filter(col("c_custkey") <= 100)
+        .withColumn("p", PostgisFns.stMakePoint(
+          col("c_acctbal") / 100.0, (col("c_custkey") % 50).cast("double")))
+        .withColumn("q", PostgisFns.stMakePoint(lit(10.0), lit(20.0)))
+        .withColumn("line", PostgisFns.stMakeLine(col("p"),
+          PostgisFns.stTranslate(col("p"), lit(3.0), lit(4.0))))
+      c.select(col("c_custkey").as("ck"),
+          round(PostgisFns.stDistance(col("p"), col("q")), 4).as("dist"),
+          round(PostgisFns.stAzimuth(col("q"), col("p")), 4).as("azim"),
+          round(PostgisFns.stLength(col("line")), 1).as("seg_len"),
+          round(PostgisFns.stX(PostgisFns.stCentroid(col("line"))), 4).as("cx"),
+          PostgisFns.stAsText(PostgisFns.stMakePoint(lit(1.5), lit(-2.0))).as("wkt"))
+        .orderBy(col("ck"))
+    }),
+
     // exact percentile_disc: smallest value with cume_dist >= p
     // (reference: gtype_percentile_aggtransfn/discfinalfn, gtype.c:2427-2632)
     "f12_percentile_disc" -> ((s, dir) => {
@@ -252,6 +270,17 @@ object FunctionQueries {
         |  round(regr_syy(l_extendedprice, l_quantity), 0) AS syy,
         |  round(regr_sxy(l_extendedprice, l_quantity), 2) AS sxy
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "f13_postgis" ->
+      """SELECT c_custkey AS ck,
+        |  round(sqrt((c_acctbal/100.0 - 10.0)*(c_acctbal/100.0 - 10.0) +
+        |             (CAST(c_custkey % 50 AS DOUBLE) - 20.0)*(CAST(c_custkey % 50 AS DOUBLE) - 20.0)), 4) AS dist,
+        |  round(CASE WHEN atan2(c_acctbal/100.0 - 10.0, CAST(c_custkey % 50 AS DOUBLE) - 20.0) < 0
+        |             THEN atan2(c_acctbal/100.0 - 10.0, CAST(c_custkey % 50 AS DOUBLE) - 20.0) + 2*pi()
+        |             ELSE atan2(c_acctbal/100.0 - 10.0, CAST(c_custkey % 50 AS DOUBLE) - 20.0) END, 4) AS azim,
+        |  CAST(5.0 AS DOUBLE) AS seg_len,
+        |  round(c_acctbal/100.0 + 1.5, 4) AS cx,
+        |  'POINT(1.5 -2.0)' AS wkt
+        |FROM customer WHERE c_custkey <= 100 ORDER BY ck""".stripMargin,
     "f12_percentile_disc" ->
       """SELECT l_returnflag,
         |  list(l_quantity ORDER BY l_quantity)[CAST(greatest(ceil(count(*) * 0.5), 1) AS INT)] AS disc_median,

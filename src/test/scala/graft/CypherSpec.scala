@@ -295,4 +295,29 @@ class CypherSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(hit == 1L)
   }
+
+  test("property-map filter containment on map and list properties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{map => smap, lit, array}
+    // reference: regress/sql/cypher_match.sql "Property constraints" —
+    // map literals contain key-wise, list literals require element presence
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+      .withColumn("meta", smap(lit("key"), lit("value"), lit("k2"),
+        org.apache.spark.sql.functions.when(org.apache.spark.sql.functions.col("k") === 1, "x").otherwise("y")))
+      .withColumn("lst", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("k") === 1, array(lit(1L), lit(2L), lit(3L)))
+        .otherwise(array(lit(4L), lit(5L))))
+    val g = new graft.graph.GraphBuilder(spark).vertexLabel("D", docs, "k").build()
+    def n(q: String): Long =
+      new Compiler(g).run(q).collect().head.getLong(0)
+    // full map equality-style containment
+    assert(n("MATCH (d:D {meta: {key: 'value', k2: 'x'}}) RETURN count(*) AS n") == 1)
+    // partial map containment (subset of keys)
+    assert(n("MATCH (d:D {meta: {key: 'value'}}) RETURN count(*) AS n") == 2)
+    assert(n("MATCH (d:D {meta: {key: 'nope'}}) RETURN count(*) AS n") == 0)
+    // list containment: all pattern elements present
+    assert(n("MATCH (d:D {lst: [1, 2, 3]}) RETURN count(*) AS n") == 1)
+    assert(n("MATCH (d:D {lst: [1, 2]}) RETURN count(*) AS n") == 1)
+    assert(n("MATCH (d:D {lst: [1, 9]}) RETURN count(*) AS n") == 0)
+  }
 }

@@ -131,4 +131,38 @@ class FunctionsSpec extends AnyFunSuite {
       TsearchFns.tsPhraseDistMatch(tp, "big", "scan", 1))
     assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && !r.getBoolean(3))
   }
+
+  test("PostGIS subset: points, lines, azimuth, trajectory validity") {
+    import graft.functions.PostgisFns._
+    val p0 = stMakePoint(lit(0.0), lit(0.0))
+    val p34 = stMakePoint(lit(3.0), lit(4.0))
+    val r = one(
+      stDistance(p0, p34), stX(p34), stY(p34),
+      stAzimuth(p0, stMakePoint(lit(0.0), lit(5.0))),      // due north = 0
+      stAzimuth(p0, stMakePoint(lit(5.0), lit(0.0))),      // due east = pi/2
+      stAzimuth(p0, stMakePoint(lit(0.0), lit(-5.0))),     // due south = pi
+      stLength(stMakeLine(p0, p34, stTranslate(p34, lit(3.0), lit(4.0)))),
+      stNPoints(stMakeLine(p0, p34)),
+      stX(stCentroid(stMakeLine(p0, stMakePoint(lit(2.0), lit(2.0))))),
+      stAsText(stMakePoint(lit(1.5), lit(-2.0))),
+      stIsValidTrajectory(stMakeLine(
+        stMakePointM(lit(0.0), lit(0.0), lit(1.0)),
+        stMakePointM(lit(1.0), lit(1.0), lit(2.0)))),
+      stIsValidTrajectory(stMakeLine(
+        stMakePointM(lit(0.0), lit(0.0), lit(2.0)),
+        stMakePointM(lit(1.0), lit(1.0), lit(2.0)))),
+      stX(stAffine(p34, lit(0.0), lit(-1.0), lit(1.0), lit(0.0), lit(10.0), lit(0.0))))
+    assert(r.getDouble(0) == 5.0)
+    assert(r.getDouble(1) == 3.0 && r.getDouble(2) == 4.0)
+    assert(r.getDouble(3) == 0.0)
+    assert(math.abs(r.getDouble(4) - math.Pi / 2) < 1e-12)
+    assert(math.abs(r.getDouble(5) - math.Pi) < 1e-12)
+    assert(r.getDouble(6) == 10.0)
+    assert(r.getInt(7) == 2)
+    assert(r.getDouble(8) == 1.0)
+    assert(r.getString(9) == "POINT(1.5 -2.0)")
+    assert(r.getBoolean(10) && !r.getBoolean(11))
+    // rotate (3,4) by 90deg: x' = -y + 10 = 6
+    assert(r.getDouble(12) == 6.0)
+  }
 }
