@@ -48,5 +48,50 @@ object Registry {
     reg("quality_score", 1)(a => TextFns.qualityScore(a(0)))
     reg("simhash64", 1)(a => TextFns.simhash64(a(0)))
     reg("fingerprint_md5", 1)(a => TextFns.fingerprintMd5(a(0)))
+
+    // network surface (gtype_network.c / postgraph-network.sql.in)
+    reg("toinet", 1)(a => NetworkFns.toInet(a(0)))
+    reg("inet_host", 1)(a => NetworkFns.host(a(0)))
+    reg("abbrev", 1)(a => NetworkFns.abbrev(a(0)))
+    reg("masklen", 1)(a => NetworkFns.masklen(a(0)))
+    reg("netmask", 1)(a => NetworkFns.netmask(a(0)))
+    reg("hostmask", 1)(a => NetworkFns.hostmask(a(0)))
+    reg("network", 1)(a => NetworkFns.network(a(0)))
+    reg("broadcast", 1)(a => NetworkFns.broadcastAddr(a(0)))
+    reg("set_masklen", 2)(a => NetworkFns.setMasklen(a(0), a(1)))
+    reg("inet_same_family", 2)(a => NetworkFns.inetSameFamily(a(0), a(1)))
+    reg("inet_merge", 2)(a => NetworkFns.inetMerge(a(0), a(1)))
+    reg("inet_contained_or_eq", 2)(a => NetworkFns.containedInOrEq(a(0), a(1)))
+    reg("tomacaddr", 1)(a => NetworkFns.toMacaddr(a(0)))
+    reg("macaddr_text", 1)(a => NetworkFns.macaddrText(a(0)))
+    reg("macaddr_trunc", 1)(a => NetworkFns.macaddrTrunc(a(0)))
+    reg("macaddr8_set7bit", 1)(a => NetworkFns.macaddr8Set7bit(a(0)))
+
+    // temporal extras (gtype_temporal.c)
+    reg("justify_hours", 1)(a => TemporalFns.justifyHours(a(0)))
+    reg("justify_days", 1)(a => TemporalFns.justifyDays(a(0)))
+    reg("justify_interval", 1)(a => TemporalFns.justifyInterval(a(0)))
+
+    // PostGIS subset (gtype_postgis.c)
+    reg("st_makepoint", 2)(a => PostgisFns.stMakePoint(a(0), a(1)))
+    reg("st_makepointm", 3)(a => PostgisFns.stMakePointM(a(0), a(1), a(2)))
+    reg("st_x", 1)(a => PostgisFns.stX(a(0)))
+    reg("st_y", 1)(a => PostgisFns.stY(a(0)))
+    reg("st_z", 1)(a => PostgisFns.stZ(a(0)))
+    reg("st_m", 1)(a => PostgisFns.stM(a(0)))
+    reg("st_distance", 2)(a => PostgisFns.stDistance(a(0), a(1)))
+    reg("st_3ddistance", 2)(a => PostgisFns.st3DDistance(a(0), a(1)))
+    reg("st_dwithin", 3)(a => PostgisFns.stDWithin(a(0), a(1), a(2)))
+    reg("st_npoints", 1)(a => PostgisFns.stNPoints(a(0)))
+    reg("st_startpoint", 1)(a => PostgisFns.stStartPoint(a(0)))
+    reg("st_endpoint", 1)(a => PostgisFns.stEndPoint(a(0)))
+    reg("st_pointn", 2)(a => PostgisFns.stPointN(a(0), a(1)))
+    reg("st_length", 1)(a => PostgisFns.stLength(a(0)))
+    reg("st_3dlength", 1)(a => PostgisFns.st3DLength(a(0)))
+    reg("st_azimuth", 2)(a => PostgisFns.stAzimuth(a(0), a(1)))
+    reg("st_centroid", 1)(a => PostgisFns.stCentroid(a(0)))
+    reg("st_translate", 3)(a => PostgisFns.stTranslate(a(0), a(1), a(2)))
+    reg("st_astext", 1)(a => PostgisFns.stAsText(a(0)))
+    reg("st_isvalidtrajectory", 1)(a => PostgisFns.stIsValidTrajectory(a(0)))
   }
 }

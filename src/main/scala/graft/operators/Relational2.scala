@@ -105,6 +105,22 @@ object Relational2 {
         .orderBy(col("user_id"))
     }),
 
+    // WITH RECURSIVE analog: customer→nation→region reachability closure
+    // via the UNION-distinct fixpoint loop (oracle: DuckDB WITH RECURSIVE)
+    "q31_recursive" -> ((s, dir) => {
+      val edges = T(s, dir, "customer")
+        .select((col("c_custkey") + 1000).as("src"), (col("c_nationkey") + 100).as("dst"))
+        .unionByName(T(s, dir, "nation")
+          .select((col("n_nationkey") + 100).as("src"), col("n_regionkey").cast("long").as("dst")))
+      val seed = T(s, dir, "customer")
+        .select((col("c_custkey") + 1000).as("origin"), (col("c_custkey") + 1000).as("node"))
+      val reach = Recursive.fixpoint(seed, frontier =>
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(frontier("origin"), edges("dst").as("node")))
+      reach.agg(count(lit(1)).as("n_reach"),
+        sum(when(col("node") < 100, 1L).otherwise(0L)).as("n_region_links"))
+    }),
+
     // grouping sets (cypher_gram.y:4414-4491) — cube over two dims
     "q28_cube" -> ((s, dir) => {
       T(s, dir, "orders")
@@ -173,6 +189,19 @@ object Relational2 {
         |  FROM events)
         |WHERE gap_us IS NOT NULL AND user_id <= 50
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q31_recursive" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT c_custkey + 1000 AS src, c_nationkey + 100 AS dst FROM customer
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, CAST(n_regionkey AS BIGINT) FROM nation
+        |), reach AS (
+        |  SELECT c_custkey + 1000 AS origin, c_custkey + 1000 AS node FROM customer
+        |  UNION
+        |  SELECT r.origin, e.dst FROM reach r JOIN edges e ON r.node = e.src
+        |)
+        |SELECT count(*) AS n_reach,
+        |  CAST(sum(CASE WHEN node < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_region_links
+        |FROM reach""".stripMargin,
     "q28_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)

@@ -37,4 +37,39 @@ class RelationalSpec extends AnyFunSuite {
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
+
+  test("recursive fixpoint: transitive closure over a small DAG") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // chain 1 -> 2 -> 3 -> 4 plus a side edge 2 -> 5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("src", "dst")
+    val seed = Seq((1L, 1L)).toDF("origin", "node")
+    val reach = graft.operators.Recursive.fixpoint(seed, f =>
+      f.join(edges, f("node") === edges("src"))
+        .select(f("origin"), edges("dst").as("node")))
+    val nodes = reach.select(col("node")).collect().map(_.getLong(0)).sorted
+    assert(nodes.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // cycle safety: UNION-distinct terminates on cyclic graphs
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r2 = graft.operators.Recursive.fixpoint(seed, f =>
+      f.join(cyc, f("node") === cyc("src"))
+        .select(f("origin"), cyc("dst").as("node")))
+    assert(r2.count() == 2)
+  }
+
+  test("SQL registry: network/temporal/postgis names callable from spark.sql") {
+    val spark = TestSpark.spark
+    graft.functions.Registry.register(spark)
+    val r = spark.sql(
+      """SELECT inet_host(toinet('10.1.2.3/24')) AS h,
+        |  abbrev(network(toinet('10.1.2.3/24'))) AS net,
+        |  st_astext(st_translate(st_makepoint(1.0, 2.0), 1.5, -4.0)) AS wkt,
+        |  justify_days(named_struct('months', 0, 'days', 65, 'us', 0L)).months AS jm
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r.getString(0) == "10.1.2.3")
+    assert(r.getString(1) == "10.1.2.0/24")
+    assert(r.getString(2) == "POINT(2.5 -2.0)")
+    assert(r.getInt(3) == 2)
+  }
 }
