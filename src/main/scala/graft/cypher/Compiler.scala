@@ -148,12 +148,32 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
 
   // ------------------------------------------------------------------- MATCH
 
+  /** Pairwise edge-uniqueness quals for one MATCH clause (reference:
+    * prevent_duplicate_edges / _ag_enforce_edge_uniqueness,
+    * cypher_clause.c:2958-3010): single edges compare ids `<>`, VLE edge
+    * sets must not overlap, single-vs-VLE must not contain.
+    */
+  private def edgeUniqueness(df: DataFrame, singles: Seq[String],
+      vles: Seq[String]): DataFrame = {
+    val conds = scala.collection.mutable.ListBuffer.empty[Column]
+    for (Seq(a, b) <- singles.combinations(2))
+      conds += col(s"${a}__id") =!= col(s"${b}__id")
+    for (Seq(a, b) <- vles.combinations(2))
+      conds += !arrays_overlap(col(s"${a}__ids"), col(s"${b}__ids"))
+    for (e <- singles; v <- vles)
+      conds += !array_contains(col(s"${v}__ids"), col(s"${e}__id"))
+    conds.foldLeft(df)((d, c) => d.filter(c))
+  }
+
   private def compileMatch(ctx: Ctx, m: Match): Ctx = {
     if (m.optional) {
       // Compile the pattern fresh, then LEFT JOIN on the shared entity vars
       // (reference: transform_cypher_match builds JOIN_LEFT,
       // cypher_clause.c:2283-2490).
-      var inner = m.patterns.foldLeft(Ctx.empty)((c, p) => compilePattern(c, p))
+      val collect = new EdgeCollector
+      var inner = m.patterns.foldLeft(Ctx.empty)((c, p) => compilePattern(c, p, collect))
+      inner = inner.copy(df = edgeUniqueness(inner.df, collect.singles.toSeq,
+        collect.vles.toSeq))
       m.where.foreach(w => inner = inner.copy(df = inner.df.filter(compileExpr(w, inner))))
       val shared = ctx.vars.keySet.intersect(inner.vars.keySet).toSeq.sorted
       require(ctx.df != null, "OPTIONAL MATCH requires a previous clause")
@@ -170,7 +190,10 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       // drop duplicated non-id columns of shared vars from the inner side kept once
       Ctx(joined, ctx.vars ++ (inner.vars -- ctx.vars.keySet), ctx.projected)
     } else {
-      var out = m.patterns.foldLeft(ctx)((c, p) => compilePattern(c, p))
+      val collect = new EdgeCollector
+      var out = m.patterns.foldLeft(ctx)((c, p) => compilePattern(c, p, collect))
+      out = out.copy(df = edgeUniqueness(out.df, collect.singles.toSeq,
+        collect.vles.toSeq))
       m.where.foreach { w =>
         out = compileWhere(out, w)
       }
@@ -248,8 +271,15 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     Ctx(ctx.df.join(proj, cond, if (anti) "left_anti" else "left_semi"), ctx.vars, ctx.projected)
   }
 
+  /** Accumulates the edge aliases of one MATCH for uniqueness quals. */
+  private final class EdgeCollector {
+    val singles = scala.collection.mutable.LinkedHashSet.empty[String]
+    val vles = scala.collection.mutable.LinkedHashSet.empty[String]
+  }
+
   // pattern → joins folded into ctx
-  private def compilePattern(ctx0: Ctx, pattern: PathPattern): Ctx = {
+  private def compilePattern(ctx0: Ctx, pattern: PathPattern,
+      collect: EdgeCollector = new EdgeCollector): Ctx = {
     var ctx = ctx0
     val elems = pattern.elements
 
@@ -271,10 +301,13 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
         case None =>
           val relAlias = rel.variable.getOrElse(freshAlias())
           edgeAliases += relAlias
+          collect.singles += relAlias
           ctx = bindRelAndNode(ctx, prevAlias, relAlias, rel, nextAlias, node)
         case Some((lo, hi)) =>
-          edgeAliases += rel.variable.getOrElse(freshAlias())
-          ctx = bindVle(ctx, prevAlias, rel, lo, hi, nextAlias, node)
+          val relAlias = rel.variable.getOrElse(freshAlias())
+          edgeAliases += relAlias
+          collect.vles += relAlias
+          ctx = bindVle(ctx, prevAlias, rel, relAlias, lo, hi, nextAlias, node)
       }
       nodeAliases += nextAlias
       prevAlias = nextAlias
@@ -430,12 +463,11 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     * defaults to [[Compiler.VleMaxHops]] for unbounded `*..` (fixpoint-safe:
     * edge-uniqueness bounds path length by |E| anyway).
     */
-  private def bindVle(ctx0: Ctx, prev: String, rel: RelPattern, lo: Int,
-      hiOpt: Option[Int], next: String, node: NodePattern): Ctx = {
+  private def bindVle(ctx0: Ctx, prev: String, rel: RelPattern, relAlias: String,
+      lo: Int, hiOpt: Option[Int], next: String, node: NodePattern): Ctx = {
     val ctx = ctx0
     val hi = hiOpt.getOrElse(VleMaxHops)
     require(lo >= 0 && hi >= lo, s"bad VLE bounds *$lo..$hi")
-    val relAlias = rel.variable.getOrElse(freshAlias())
     val e = freshAlias()
     val scan0 = edgeScan(e, rel.types, rel.props, ctx)
     val directed = rel.dir match {

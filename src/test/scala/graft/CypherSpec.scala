@@ -65,10 +65,12 @@ class CypherSpec extends AnyFunSuite {
       "MATCH (a:Person)-[k1:KNOWS]->(b)-[k2:KNOWS]->(c) WHERE k1.since >= 2018 " +
         "RETURN a.name AS a, c.name AS c ORDER BY a")
       .collect().map(r => (r.getString(0), r.getString(1)))
-    // NOTE reference semantics: edge-uniqueness applies only within a VLE
-    // (dfs.c:777-830), not across separate edge patterns, so Eve's self-loop
-    // may serve as both k1 and k2.
-    assert(rows.toSeq == Seq(("Bob", "Dee"), ("Cal", "Ann"), ("Dee", "Bob"), ("Eve", "Eve")))
+    // Reference semantics: edge-uniqueness holds across ALL edges of a MATCH
+    // (prevent_duplicate_edges builds pairwise <> quals,
+    // cypher_clause.c:2958-3010) — Eve's self-loop cannot serve as both k1
+    // and k2, so (Eve, Eve) is excluded. (A round-1 comment here claimed
+    // uniqueness was VLE-only; that misread the transform.)
+    assert(rows.toSeq == Seq(("Bob", "Dee"), ("Cal", "Ann"), ("Dee", "Bob")))
   }
 
   test("node property map filter") {
