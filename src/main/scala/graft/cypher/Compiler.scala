@@ -110,10 +110,12 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
         s"CALL {} imports unbound variables: ${imports.filterNot(ctx.vars.contains)}")
       require(ret.skip.isEmpty && ret.limit.isEmpty && ret.orderBy.isEmpty,
         "ORDER/SKIP/LIMIT inside a correlated CALL {} are per-row — not supported yet")
-      import org.apache.spark.sql.expressions.Window
       val rid = "__call_rid"
-      val w = Window.orderBy(ctx.df.columns.map(col).toSeq: _*)
-      val outer = ctx.df.withColumn(rid, row_number().over(w).cast("long"))
+      // monotonically_increasing_id needs no global sort (a row_number
+      // window would single-partition the whole input); localCheckpoint
+      // freezes the ids so both sides of the rid join see the same values
+      val outer = ctx.df.withColumn(rid, monotonically_increasing_id())
+        .localCheckpoint()
       val seedCols = rid +: imports.flatMap(v =>
         if (ctx.vars(v).isEntity) outer.columns.filter(_.startsWith(s"${v}__")).toSeq
         else Seq(v))
