@@ -484,26 +484,29 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     }
     val edges = directed.persist()
 
-    // frontier: all ctx columns + __vle_end + __vle_edges
-    var frontier = ctx.df
-      .withColumn("__vle_end", col(s"${prev}__id"))
-      .withColumn("__vle_edges", array().cast(ArrayType(LongType)))
+    // Narrow frontier: only (row id, traversal end, edge set) travels
+    // through the hop joins — the input row's other columns rejoin once at
+    // the end by rid, so each hop's shuffle carries 3 columns instead of
+    // the whole binding row (the width matters at depth × 100 TB).
+    val rid = "__vle_rid"
+    val tagged = ctx.df.withColumn(rid, monotonically_increasing_id())
+      .localCheckpoint() // freeze ids: both the expansion and the rejoin see the same values
+    var frontier = tagged
+      .select(col(rid), col(s"${prev}__id").as("__vle_end"),
+        array().cast(ArrayType(LongType)).as("__vle_edges"))
     var results: DataFrame = if (lo == 0) frontier else null
     var k = 1
     while (k <= hi) {
       frontier = frontier
         .join(edges, col("__vle_end") === col("src") &&
           !array_contains(col("__vle_edges"), col("eid")))
-        .withColumn("__vle_end2", col("dst"))
-        .withColumn("__vle_edges2", array_append(col("__vle_edges"), col("eid")))
-        .drop("__vle_end", "__vle_edges", "eid", "src", "dst")
-        .withColumnRenamed("__vle_end2", "__vle_end")
-        .withColumnRenamed("__vle_edges2", "__vle_edges")
+        .select(col(rid), col("dst").as("__vle_end"),
+          array_append(col("__vle_edges"), col("eid")).as("__vle_edges"))
       if (k >= lo) results = if (results == null) frontier else results.unionByName(frontier)
       k += 1
     }
     require(results != null, "VLE produced no candidate lengths")
-    val withVar = results
+    val withVar = tagged.join(results, rid).drop(rid)
       .withColumnRenamed("__vle_edges", s"${relAlias}__ids")
     // join the far node
     val scanNext =
