@@ -119,12 +119,29 @@ object Dedup {
     // operator is s3 (hyperplane LSH) / s4 (IVF): candidates ∝ corpus,
     // not corpus².
     "d5_cosine_neardup" -> ((s, dir) => {
-      val e = T(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-          Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
-      pairs.filter(col("c") >= 0.45)
+      // Exact all-pairs cosine, fully columnar: normalize once, FLATTEN the
+      // vector to `dim` scalar double columns, then the pair score is a
+      // 64-term scalar multiply-add — plain codegen over flat columns.
+      // Two rejected shapes, both measured at sf0.1 (2M pairs):
+      //   · aggregate/zip_with lambda per pair — interpreted HOF, 80 s
+      //   · unrolled element_at over the array column — the projection
+      //     falls off codegen above the nested-loop join, 36 s
+      // flat columns: 2.2 s for the pair job. localCheckpoints keep the
+      // normalization from re-inlining above the join and the threshold
+      // filter out of the nested-loop join condition (where it would
+      // evaluate interpreted).
+      val e0 = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val dim = e0.select(size(col("embedding"))).head.getInt(0)
+      val e = e0
+        .withColumn("nrm", Similarity.l2norm(col("embedding")))
+        .withColumn("nv", transform(col("embedding"), x => x.cast("double") / col("nrm")))
+        .select(col("vec_id") +: (1 to dim).map(i => element_at(col("nv"), i).as(s"x$i")): _*)
+        .localCheckpoint()
+      val dot = (1 to dim).map(i => col(s"a.x$i") * col(s"b.x$i")).reduce(_ + _)
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), dot.as("c"))
+        .localCheckpoint()
+        .filter(col("c") >= 0.45)
         .select(col("va"), col("vb"), round(col("c"), 4).as("cos"))
         .orderBy(col("va"), col("vb"))
     }),
