@@ -21,4 +21,30 @@ class PersistSpec extends AnyFunSuite {
     val after = new Compiler(loaded).run(q).collect().map(_.toString).toSeq
     assert(before == after)
   }
+
+  test("CSV and JSON sources build the same graph as parquet") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_src").toString
+    val nation = Tables.T(spark, sf, "nation")
+    val region = Tables.T(spark, sf, "region")
+    nation.write.option("header", "true").csv(s"$dir/nation_csv")
+    region.write.json(s"$dir/region_json")
+    val nationCsv = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$dir/nation_csv")
+    val regionJson = spark.read.json(s"$dir/region_json")
+    val g = new graft.graph.GraphBuilder(spark)
+      .vertexLabel("Nation", nationCsv, "n_nationkey")
+      .vertexLabel("Region", regionJson, "r_regionkey")
+      .edgeLabel("IN_REGION", nationCsv, "n_nationkey",
+        "Nation", "n_nationkey", "Region", "n_regionkey")
+      .build()
+    val rows = new Compiler(g).run(
+      "MATCH (n:Nation)-[:IN_REGION]->(r:Region) RETURN r.r_name AS region, count(*) AS n ORDER BY region")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = nation.join(region,
+        nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name")).count().orderBy(col("r_name"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == expected.toSeq)
+  }
 }
