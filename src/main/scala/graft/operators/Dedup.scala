@@ -22,15 +22,41 @@ object Dedup {
   // join ~50× smaller than r=1 banding at 100 TB-ish candidate rates.
   private val LshBands = 21
 
-  /** ±1 vote for bit `i` of the token hash (simhash aggregation term). */
-  private def bitVote(i: Int): org.apache.spark.sql.Column =
-    sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+  /** SWAR bit-count lane mask: one `1` every 16 bits. Summing
+    * `(h >> j) & LaneMask` accumulates FOUR bit-position counts per long
+    * (16-bit lanes), so 64 simhash bit votes need 16 sums instead of 64
+    * conditional sums — 4× less aggregate work and a 4× narrower shuffle.
+    * Lane capacity 65535 tokens/doc; no ANSI overflow (≤ 2^16 docs·tokens
+    * per lane keeps the packed sum < 2^63).
+    */
+  private val LaneMask = 0x0001000100010001L
 
-  /** (doc_id, shingle) exploded-distinct pairs. */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
-      .distinct()
+  /** (doc_id, shingle) exploded-distinct pairs.
+    *
+    * Built with posexplode + window `lead` rather than the array-HOF
+    * (`transform`+`slice`) form: higher-order functions evaluate
+    * interpreted per element (measured ~5 s at sf0.1 just to build the
+    * arrays), while posexplode and lead run inside codegen / the window
+    * buffer. The window partitions by doc_id — per-doc state is bounded
+    * by the longest document, embarrassingly parallel at 100 TB.
+    */
+  private def docShingles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = T(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "w")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = toks
+      .select(col("doc_id"), col("w"),
+        lead("w", 1).over(win).as("w1"), lead("w", 2).over(win).as("w2"))
+      .filter(col("w2").isNotNull) // rows exist only for docs with ≥ 3 tokens
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
+    // docs with < 3 tokens contribute their whole (normalized) text as the
+    // single shingle — same fallback the array form used
+    val short = docs.filter(size(tokens(col("text"))) < 3)
+      .select(col("doc_id"), normalized(col("text")).as("shingle"))
+    grams.unionByName(short).distinct()
+  }
 
   /** Exact word-3gram Jaccard similarity for all pairs meeting the threshold
     * — the ground-truth near-dup set. Shuffle is keyed on shingle (scales
@@ -38,11 +64,19 @@ object Dedup {
     * distinct() pre-aggregation).
     */
   private def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val sh = docShingles(s, dir).persist() // scanned 3× (sizes + both join sides)
+    // Join on the 8-byte shingle hash, not the shingle string: the
+    // intersection shuffle carries (doc_id, long) instead of (doc_id,
+    // ~25-byte string) and sorts/compares longs. 64-bit collisions would
+    // merge two distinct shingles (P ≈ n²/2⁶⁴ — negligible below ~10⁹
+    // distinct shingles; at larger corpora switch the key to
+    // (xxhash64, length) or verify candidates exactly as d3 does).
+    val sh = docShingles(s, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("hk"))
+      .localCheckpoint() // eager: scanned 3× (sizes + both join sides) — persist() alone races (concurrent stages each recompute)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a")
     val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+    val inter = a.join(b, col("a.hk") === col("b.hk") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("i"))
@@ -77,23 +111,30 @@ object Dedup {
       // array-lambda minhash: higher-order functions evaluate interpreted
       // (no whole-stage codegen), measured 7.7 s just materializing
       // signatures at sf0.1; the relational shape runs the same math inside
-      // codegen with map-side partial aggregation (~0.5 s), and is the form
-      // that scales (shuffle carries 63 partial mins per doc, not arrays).
-      val sh = T(s, dir, "documents")
-        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-        .persist()
-      val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-        .withColumn("h", xxhash64(col("s")))
+      // codegen with map-side partial aggregation, and is the form that
+      // scales (shuffle carries 63 partial mins per doc, not arrays).
+      // Everything downstream of the shingle explode works on the 8-byte
+      // xxhash64 of the shingle — signature mins, and the exact-verify
+      // intersection over per-doc SORTED LONG ARRAYS (array_intersect on
+      // longs; the string-array form was the round-2 hot spot).
+      val hashed = docShingles(s, dir)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .localCheckpoint()
       val sig = hashed.groupBy(col("doc_id"))
         .agg(min(xxhash64(lit(0), col("h"))).as("m0"),
           (1 until MinhashK).map(i =>
             min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
         .select(col("doc_id"),
           array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+      // per-doc shingle-hash set for exact verification; co-partitioned
+      // with `sig` (both group on doc_id) so the join below is shuffle-free
+      val sets = hashed.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("h"))).as("hs"))
       val docs = sig
         .withColumn("bands", lshBandKeys(col("sig"), MinhashK, LshBands))
-        .join(sh, "doc_id")
-        .persist()
+        .join(sets, "doc_id")
+        .select(col("doc_id"), col("bands"), col("hs"))
+        .localCheckpoint()
       val banded = docs.select(col("doc_id"), explode(col("bands")).as("band"))
       val candidates = banded.as("a")
         .join(banded.as("b"), col("a.band") === col("b.band") &&
@@ -102,12 +143,12 @@ object Dedup {
         .distinct()
       // exact verify candidates only
       val withSets = candidates
-        .join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
-        .join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+        .join(docs.select(col("doc_id").as("da"), col("hs").as("hsa")), "da")
+        .join(docs.select(col("doc_id").as("db"), col("hs").as("hsb")), "db")
       withSets
-        .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("i", size(array_intersect(col("hsa"), col("hsb"))))
         .withColumn("jaccard", col("i").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("i")))
+          (size(col("hsa")) + size(col("hsb")) - col("i")))
         .filter(col("jaccard") >= LshThreshold)
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("da"), col("db"))
@@ -150,18 +191,26 @@ object Dedup {
     // by pigeonhole; we report hamming ≤ 6 found through chunk collisions)
     "d4_simhash" -> ((s, dir) => {
       // same explode + codegen'd aggregate shape as d3 (HOF bit-vote
-      // folding was interpreted); one sum per bit, then OR the sign bits
+      // folding was interpreted), but SWAR-packed: each of the 16 sums
+      // counts FOUR bit positions in 16-bit lanes (see LaneMask), plus one
+      // count(*) for the vote baseline. Bit i's +1/−1 vote sum is
+      // 2·cnt_i − n, so the sign bit is set iff 2·cnt_i > n — the unpack
+      // runs once per doc in the final projection, not per token.
       val toks = T(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
         .withColumn("h", xxhash64(col("w")))
       val votes = toks.groupBy(col("doc_id"))
-        .agg(bitVote(0).as("v0"), (1 until 64).map(i => bitVote(i).as(s"v$i")): _*)
-      val sigCol = (0 until 64)
-        .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_ bitwiseOR _)
+        .agg(count(lit(1)).as("n"),
+          (0 until 16).map(j =>
+            sum(shiftright(col("h"), j).bitwiseAND(LaneMask)).as(s"p$j")): _*)
+      val sigCol = (0 until 64).map { i =>
+        val (lane, j) = (i / 16, i % 16)
+        val cnt = shiftright(col(s"p$j"), lane * 16).bitwiseAND(0xFFFFL)
+        when(cnt * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
       val docs = votes.select(col("doc_id"), sigCol.as("sig"))
         .withColumn("chunks", simhashChunks(col("sig")))
-        .persist()
+        .localCheckpoint()
       val chunked = docs.select(col("doc_id"), col("sig"), explode(col("chunks")).as("c"))
       chunked.as("a")
         .join(chunked.as("b"), col("a.c") === col("b.c") &&
