@@ -482,7 +482,9 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
         .unionByName(scan0.select(col(s"${e}__id").as("eid"),
           col(s"${e}__end_id").as("src"), col(s"${e}__start_id").as("dst")))
     }
-    val edges = directed.persist()
+    // eager: every hop's join rescans the edge union, and those map stages
+    // can launch concurrently — lazy persist() let each recompute the union
+    val edges = directed.localCheckpoint()
 
     // Narrow frontier: only (row id, traversal end, edge set) travels
     // through the hop joins — the input row's other columns rejoin once at

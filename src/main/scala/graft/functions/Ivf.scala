@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) vector index — the Spark-native re-expression of the
@@ -14,62 +14,73 @@ import org.apache.spark.sql.functions._
   * measured 122 s vs ~5 s at sf0.1). This is also the shape that scales:
   * at 100 TB the centroid table stays tiny and broadcast, the vector side
   * streams.
+  *
+  * The exploded (id, pos, component) relation is built ONCE and
+  * localCheckpoint'd; every Lloyd iteration and the final index assignment
+  * reuse it — round-2 re-exploded per iteration, turning a 6-iteration
+  * build into ~20 full re-scans.
   */
 object Ivf {
 
+  /** (__vid, pos, v) exploded-component view of a vector column, eagerly
+    * materialized so iterative consumers don't recompute the explode.
+    */
+  def flatten(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("__vid"),
+        posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("pos", "v")))
+      .localCheckpoint()
+
   /** (cluster, pos, c) centroid table from driver arrays. */
-  private def centroidDf(emb: DataFrame, centroids: Array[Array[Double]]) = {
-    val spark = emb.sparkSession
+  private def centroidDf(spark: SparkSession, centroids: Array[Array[Double]]) = {
     import spark.implicits._
     centroids.zipWithIndex.flatMap { case (c, i) =>
       c.zipWithIndex.map { case (v, p) => (i, p, v) }
     }.toSeq.toDF("cluster", "pos", "c")
   }
 
-  /** Squared-L2 distance of every (id, vector) row to every centroid:
+  /** Squared-L2 distance of every flat row group to every centroid:
     * (id, cluster, dist). One broadcast join + one partial-aggregated sum.
     */
-  private def allDistances(emb: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val flat = emb.select(col(idCol).as("__vid"),
-      posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("pos", "v")))
-    flat.join(broadcast(centroidDf(emb, centroids)), "pos")
+  private def distancesFlat(flat: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    flat.join(broadcast(centroidDf(flat.sparkSession, centroids)), "pos")
       .groupBy(col("__vid"), col("cluster"))
       .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("dist"))
-  }
 
-  /** Nearest-centroid assignment: (id, cluster). `min_by` aggregation, not
-    * a row_number window — partial aggregation map-side combines, so the
-    * shuffle carries one row per (vector, cluster) partial instead of
+  /** Nearest-centroid assignment: (__vid, cluster). `min_by` aggregation,
+    * not a row_number window — partial aggregation map-side combines, so
+    * the shuffle carries one row per (vector, cluster) partial instead of
     * sorting whole partitions per vector id.
     */
-  def assignments(emb: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame =
-    allDistances(emb, idCol, vecCol, centroids)
+  def assignmentsFlat(flat: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    distancesFlat(flat, centroids)
       .groupBy(col("__vid"))
       // struct(dist, cluster) is a unique ordering key → deterministic
       .agg(min_by(col("cluster"), struct(col("dist"), col("cluster"))).as("cluster"))
+
+  /** Nearest-centroid assignment keyed back to the caller's id column. */
+  def assignments(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    assignmentsFlat(flatten(emb, idCol, vecCol), centroids)
       .select(col("__vid").as(idCol), col("cluster"))
 
-  /** Deterministic Lloyd's k-means: seeds are an id-stride sample (no RNG —
-    * reruns give identical centroids); each iteration collects only k×dim
-    * averages to the driver.
+  /** Deterministic Lloyd's k-means over a pre-flattened component relation:
+    * seeds are an id-stride sample (no RNG — reruns give identical
+    * centroids); each iteration collects only k×dim averages to the driver.
     */
-  def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): Array[Array[Double]] = {
-    val n = emb.count()
+  def kmeansFlat(flat: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val ids = flat.select(col("__vid")).distinct()
+    val n = ids.count()
     require(n >= k, s"need at least $k vectors")
     val stride = math.max(n / k, 1)
-    var centroids: Array[Array[Double]] = emb
-      .filter(col(idCol) % stride === 0)
-      .orderBy(col(idCol)).limit(k)
-      .select(transform(col(vecCol), _.cast("double")))
+    var centroids: Array[Array[Double]] = flat
+      .filter(col("__vid") % stride === 0)
+      .groupBy(col("__vid")).agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .orderBy(col("__vid")).limit(k)
+      .select(transform(col("pv"), _.getField("v")))
       .collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {
-      val assigned = assignments(emb, idCol, vecCol, centroids)
-      val means = emb.join(assigned, idCol)
-        .select(col("cluster"),
-          posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("pos", "v")))
+      val assigned = assignmentsFlat(flat, centroids)
+      val means = flat.join(assigned, "__vid")
         .groupBy(col("cluster"), col("pos"))
         .agg(avg(col("v")).as("m"))
         .collect()
@@ -80,19 +91,28 @@ object Ivf {
     centroids
   }
 
+  /** Compatibility wrapper: flatten then run [[kmeansFlat]]. */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): Array[Array[Double]] =
+    kmeansFlat(flatten(emb, idCol, vecCol), k, iters)
+
   /** ANN top-k by cosine: probe the `nprobe` nearest clusters per query,
     * exact-score candidates within those clusters only. Scan cost per query
     * drops from |corpus| to ~|corpus|·nprobe/k — the IVFFlat trade.
+    * `flatOpt` lets the caller pass the flattened corpus used for the
+    * k-means build so the index assignment reuses its checkpoint.
     */
   def annSearch(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      centroids: Array[Array[Double]], nprobe: Int, topK: Int): DataFrame = {
+      centroids: Array[Array[Double]], nprobe: Int, topK: Int,
+      flatOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val flat = flatOpt.getOrElse(flatten(emb, idCol, vecCol))
     val indexed = emb
-      .join(assignments(emb, idCol, vecCol, centroids), idCol)
+      .join(assignmentsFlat(flat, centroids).select(col("__vid").as(idCol), col("cluster")), idCol)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("cluster"))
     val wq = Window.partitionBy(col("__vid")).orderBy(col("dist"), col("cluster"))
-    val probes = allDistances(queries, qIdCol, qVecCol, centroids)
+    val probes = distancesFlat(flatten(queries, qIdCol, qVecCol), centroids)
       .withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nprobe)
       .select(col("__vid").as("qid"), col("cluster"))

@@ -101,13 +101,35 @@ object Similarity {
     // matches across tables, then exact scoring of candidates only
     // (rows-only: recall vs s1 asserted in PipelineSpec)
     "s3_ann_lsh" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-        .withColumn("keys", lshBucketKeys(col("embedding"), 4, 8))
-        .persist()
-      val q = emb.filter(col("vec_id") < NQuery)
-        .select(col("vec_id").as("qid"), explode(col("keys")).as("key"))
-      val cand = emb.select(col("vec_id").as("cid"), explode(col("keys")).as("ckey"))
-      val pairs = q.join(cand, col("key") === col("ckey") && col("qid") =!= col("cid"))
+      // Relational form of lshBucketKeys: explode vector components once,
+      // broadcast-join the (plane, pos, component) hyperplane table, sum
+      // projections per (vector, plane), then fold sign bits into a bucket
+      // per (vector, table). All codegen'd aggregates — the array-HOF form
+      // evaluated 32 planes × dim interpreted lambda steps per vector.
+      val planesPerTable = 4; val tables = 8
+      val emb = T(s, dir, "embeddings").localCheckpoint()
+      val flat = graft.functions.Ivf.flatten(emb, "vec_id", "embedding")
+      val spark = s
+      val planes = broadcast(
+        spark.range(0, tables.toLong * planesPerTable).toDF("plane")
+          .crossJoin(spark.range(0, 64).toDF("pos"))
+          // int/int hash args replicate planeComponent(plane: Int, dim: Int)
+          .select(col("plane").cast("int").as("plane"), col("pos").cast("int").as("pos"),
+            (xxhash64(col("plane").cast("int"), col("pos").cast("int")).cast("double") /
+              lit(Long.MaxValue.toDouble)).as("comp")))
+      val keys = flat.join(planes, "pos")
+        .groupBy(col("__vid"), col("plane"))
+        .agg(sum(col("v") * col("comp")).as("proj"))
+        .groupBy(col("__vid"), (col("plane") / planesPerTable).cast("int").as("table"))
+        .agg(sum(when(col("proj") >= 0, // shiftleft(Column,Int) only — call by name for a Column shift
+          call_function("shiftleft", lit(1L), (col("plane") % planesPerTable).cast("int")))
+          .otherwise(0L)).as("bucket"))
+        .localCheckpoint() // scanned twice (query + candidate side)
+      val q = keys.filter(col("__vid") < NQuery)
+        .select(col("__vid").as("qid"), col("table"), col("bucket"))
+      val cand = keys.select(col("__vid").as("cid"), col("table"), col("bucket"))
+      val pairs = q.join(cand, Seq("table", "bucket"))
+        .filter(col("qid") =!= col("cid"))
         .select(col("qid"), col("cid")).distinct()
       val scored = pairs
         .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
@@ -129,7 +151,7 @@ object Similarity {
     * brute force asserted in PipelineSpec.
     */
   val ivfQuery: (SparkSession, String) => DataFrame = (s, dir) => {
-    val emb = T(s, dir, "embeddings").persist()
+    val emb = T(s, dir, "embeddings").localCheckpoint()
     // lists scale with corpus (reference default lists=100 for real corpora,
     // ivfflat.h:52); tiny corpora get few lists so probes still cover enough
     val n = emb.count()
@@ -137,11 +159,16 @@ object Similarity {
     // probe ~40% of lists: recall over speed while list count is small
     // relative to the true cluster structure (10 label clusters here)
     val nprobe = math.max(2, (k * 2) / 5)
-    val centroids = graft.functions.Ivf.kmeans(emb, "vec_id", "embedding", k, iters = 6)
+    // one flatten feeds every Lloyd iteration AND the index assignment
+    val flat = graft.functions.Ivf.flatten(emb, "vec_id", "embedding")
+    // 3 Lloyd iterations: stride seeds on well-separated clusters converge
+    // by then (recall vs brute asserted in PipelineSpec); each extra
+    // iteration is a full corpus re-aggregation + driver sync
+    val centroids = graft.functions.Ivf.kmeansFlat(flat, k, iters = 3)
     graft.functions.Ivf.annSearch(
       emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < NQuery), "vec_id", "embedding",
-      centroids, nprobe, topK = TopK)
+      centroids, nprobe, topK = TopK, flatOpt = Some(flat))
   }
 
   val oracles: Map[String, String] = Map(
