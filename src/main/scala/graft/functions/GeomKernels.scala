@@ -1,0 +1,486 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Computational-geometry kernels the reference implements in
+  * gtype_postgis.c (ST_ConvexHull, ST_Simplify, ST_FrechetDistance,
+  * ST_HausdorffDistance, ST_Intersection, ST_DistanceSpheroid,
+  * ST_ClosestPointOfApproach / ST_DistanceCPA, ST_GeneratePoints — catalog
+  * sql/postgraph-postgis.sql.in) over the same struct(x,y,z,m) /
+  * array<point> encoding PostgisFns uses.
+  *
+  * These are iterative per-row algorithms (hull scan, Douglas-Peucker
+  * recursion, DP tables), so they're Catalyst Expressions with eval
+  * (CodegenFallback) rather than function compositions — still no UDF
+  * registration and no driver round-trips; each row's kernel runs inside
+  * the task. Cost is O(points²) worst case per ROW, independent of corpus
+  * size — scales linearly with data like any scalar function.
+  */
+object GeomKernels {
+
+  private[functions] val pointType: StructType = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false),
+    StructField("z", DoubleType, nullable = false),
+    StructField("m", DoubleType, nullable = false)))
+  private[functions] val lineType: ArrayType = ArrayType(pointType, containsNull = false)
+
+  final case class Pt(x: Double, y: Double, z: Double, m: Double)
+
+  private def readLine(a: Any): Array[Pt] = {
+    val ad = a.asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      val r = ad.getStruct(i, 4)
+      Pt(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+  }
+
+  private def writeLine(ps: Seq[Pt]): ArrayData =
+    new GenericArrayData(ps.map(p =>
+      InternalRow(p.x, p.y, p.z, p.m): Any).toArray)
+
+  private def d2(a: Pt, b: Pt): Double = {
+    val dx = a.x - b.x; val dy = a.y - b.y; dx * dx + dy * dy
+  }
+  private def cross(o: Pt, a: Pt, b: Pt): Double =
+    (a.x - o.x) * (b.y - o.y) - (a.y - o.y) * (b.x - o.x)
+
+  // ---------------------------------------------------------------- hull
+
+  /** Andrew's monotone chain; returns the hull ring CCW, closed (first
+    * point repeated) — PostGIS returns a closed POLYGON shell. Degenerate
+    * inputs (< 3 distinct points) return the distinct points unclosed.
+    */
+  private[functions] def convexHull(ps0: Array[Pt]): Seq[Pt] = {
+    val ps = ps0.distinctBy(p => (p.x, p.y)).sortBy(p => (p.x, p.y))
+    if (ps.length < 3) return ps.toSeq
+    val hull = new scala.collection.mutable.ArrayBuffer[Pt]
+    for (p <- ps) { // lower
+      while (hull.length >= 2 && cross(hull(hull.length - 2), hull.last, p) <= 0)
+        hull.remove(hull.length - 1)
+      hull += p
+    }
+    val lower = hull.length + 1
+    for (p <- ps.reverseIterator) { // upper
+      while (hull.length >= lower && cross(hull(hull.length - 2), hull.last, p) <= 0)
+        hull.remove(hull.length - 1)
+      hull += p
+    }
+    hull.toSeq // monotone chain ends where it started → already closed
+  }
+
+  case class StConvexHull(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = lineType
+    override def nullSafeEval(a: Any): Any = writeLine(convexHull(readLine(a)))
+    override protected def withNewChildInternal(c: Expression): StConvexHull = copy(child = c)
+  }
+
+  // ------------------------------------------------------------ simplify
+
+  /** Douglas-Peucker with perpendicular-distance tolerance (ST_Simplify). */
+  private[functions] def simplify(ps: Array[Pt], tol: Double): Seq[Pt] = {
+    if (ps.length < 3) return ps.toSeq
+    val keep = Array.fill(ps.length)(false)
+    keep(0) = true; keep(ps.length - 1) = true
+    def perpDist(p: Pt, a: Pt, b: Pt): Double = {
+      val len2 = d2(a, b)
+      if (len2 == 0) math.sqrt(d2(p, a))
+      else math.abs(cross(a, b, p)) / math.sqrt(len2)
+    }
+    def rec(lo: Int, hi: Int): Unit = if (hi > lo + 1) {
+      var best = -1.0; var bi = -1
+      var i = lo + 1
+      while (i < hi) {
+        val d = perpDist(ps(i), ps(lo), ps(hi))
+        if (d > best) { best = d; bi = i }
+        i += 1
+      }
+      if (best > tol) { keep(bi) = true; rec(lo, bi); rec(bi, hi) }
+    }
+    rec(0, ps.length - 1)
+    ps.indices.collect { case i if keep(i) => ps(i) }
+  }
+
+  case class StSimplify(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = lineType
+    override def nullSafeEval(a: Any, tol: Any): Any =
+      writeLine(simplify(readLine(a), tol.asInstanceOf[Double]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StSimplify =
+      copy(left = l, right = r)
+  }
+
+  // ---------------------------------------------------- frechet/hausdorff
+
+  /** Discrete Fréchet distance (coupling DP over vertices) — the same
+    * discrete approximation PostGIS computes for ST_FrechetDistance
+    * without densification.
+    */
+  private[functions] def frechet(p: Array[Pt], q: Array[Pt]): Double = {
+    val n = p.length; val m = q.length
+    if (n == 0 || m == 0) return Double.NaN
+    val ca = Array.fill(n, m)(-1.0)
+    def c(i: Int, j: Int): Double = {
+      if (ca(i)(j) >= 0) return ca(i)(j)
+      val d = math.sqrt(d2(p(i), q(j)))
+      ca(i)(j) =
+        if (i == 0 && j == 0) d
+        else if (i == 0) math.max(c(0, j - 1), d)
+        else if (j == 0) math.max(c(i - 1, 0), d)
+        else math.max(math.min(math.min(c(i - 1, j), c(i - 1, j - 1)), c(i, j - 1)), d)
+      ca(i)(j)
+    }
+    c(n - 1, m - 1)
+  }
+
+  /** Discrete (vertex-to-vertex) symmetric Hausdorff distance. */
+  private[functions] def hausdorff(p: Array[Pt], q: Array[Pt]): Double = {
+    if (p.isEmpty || q.isEmpty) return Double.NaN
+    def oneWay(a: Array[Pt], b: Array[Pt]): Double = {
+      var worst = 0.0
+      for (x <- a) {
+        var best = Double.MaxValue
+        for (y <- b) { val d = d2(x, y); if (d < best) best = d }
+        if (best > worst) worst = best
+      }
+      math.sqrt(worst)
+    }
+    math.max(oneWay(p, q), oneWay(q, p))
+  }
+
+  case class StFrechet(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = frechet(readLine(a), readLine(b))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StFrechet =
+      copy(left = l, right = r)
+  }
+
+  case class StHausdorff(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = hausdorff(readLine(a), readLine(b))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StHausdorff =
+      copy(left = l, right = r)
+  }
+
+  // -------------------------------------------------------- intersection
+
+  /** Segment-segment proper/collinear-endpoint intersection (2D). */
+  private[functions] def segIntersect(a: Pt, b: Pt, c: Pt, d: Pt): Option[Pt] = {
+    val d1 = cross(c, d, a); val d2x = cross(c, d, b)
+    val d3 = cross(a, b, c); val d4 = cross(a, b, d)
+    if (((d1 > 0 && d2x < 0) || (d1 < 0 && d2x > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) {
+      val t = d1 / (d1 - d2x)
+      Some(Pt(a.x + t * (b.x - a.x), a.y + t * (b.y - a.y), 0, 0))
+    } else if (d1 == 0 && onSeg(c, d, a)) Some(a)
+    else if (d2x == 0 && onSeg(c, d, b)) Some(b)
+    else if (d3 == 0 && onSeg(a, b, c)) Some(c)
+    else if (d4 == 0 && onSeg(a, b, d)) Some(d)
+    else None
+  }
+  private def onSeg(a: Pt, b: Pt, p: Pt): Boolean =
+    math.min(a.x, b.x) <= p.x && p.x <= math.max(a.x, b.x) &&
+      math.min(a.y, b.y) <= p.y && p.y <= math.max(a.y, b.y)
+
+  /** Sutherland–Hodgman clip of polygon `subj` by CONVEX polygon `clip`
+    * (rings given open or closed; result is an open CCW ring).
+    */
+  private[functions] def clipPolygon(subj0: Array[Pt], clip0: Array[Pt]): Seq[Pt] = {
+    def open(r: Array[Pt]): Array[Pt] =
+      if (r.length > 1 && r.head.x == r.last.x && r.head.y == r.last.y) r.dropRight(1) else r
+    def ccw(r: Array[Pt]): Array[Pt] = { // signed area ≥ 0
+      var s = 0.0
+      for (i <- r.indices) { val j = (i + 1) % r.length; s += r(i).x * r(j).y - r(j).x * r(i).y }
+      if (s < 0) r.reverse else r
+    }
+    var out = open(subj0).toSeq
+    val clip = ccw(open(clip0))
+    for (i <- clip.indices if out.nonEmpty) {
+      val e1 = clip(i); val e2 = clip((i + 1) % clip.length)
+      def inside(p: Pt): Boolean = cross(e1, e2, p) >= 0
+      def isect(a: Pt, b: Pt): Pt = {
+        val x1 = e1.x; val y1 = e1.y; val x2 = e2.x; val y2 = e2.y
+        val x3 = a.x; val y3 = a.y; val x4 = b.x; val y4 = b.y
+        val den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+        val px = ((x1 * y2 - y1 * x2) * (x3 - x4) - (x1 - x2) * (x3 * y4 - y3 * x4)) / den
+        val py = ((x1 * y2 - y1 * x2) * (y3 - y4) - (y1 - y2) * (x3 * y4 - y3 * x4)) / den
+        Pt(px, py, 0, 0)
+      }
+      val in = out
+      val next = new scala.collection.mutable.ArrayBuffer[Pt]
+      for (j <- in.indices) {
+        val cur = in(j); val prev = in((j + in.length - 1) % in.length)
+        if (inside(cur)) {
+          if (!inside(prev)) next += isect(prev, cur)
+          next += cur
+        } else if (inside(prev)) next += isect(prev, cur)
+      }
+      out = next.toSeq
+    }
+    out
+  }
+
+  /** ST_Intersection over this encoding: two 2-point lines → their segment
+    * intersection (0- or 1-point array); otherwise both inputs are treated
+    * as polygon rings (clip must be convex) → clipped ring.
+    */
+  case class StIntersection(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = lineType
+    override def nullSafeEval(a0: Any, b0: Any): Any = {
+      val a = readLine(a0); val b = readLine(b0)
+      if (a.length == 2 && b.length == 2)
+        writeLine(segIntersect(a(0), a(1), b(0), b(1)).toSeq)
+      else writeLine(clipPolygon(a, b))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersection =
+      copy(left = l, right = r)
+  }
+
+  // ------------------------------------------------------------ spheroid
+
+  /** Geodesic inverse distance on a spheroid (Vincenty, with the haversine
+    * great-circle fallback when the iteration fails near antipodes) —
+    * ST_DistanceSpheroid. Inputs are lon/lat degrees in x/y; axes default
+    * to WGS84.
+    */
+  private[functions] def spheroidDistance(p1: Pt, p2: Pt,
+      a: Double = 6378137.0, f: Double = 1.0 / 298.257223563): Double = {
+    val b = a * (1 - f)
+    val l = math.toRadians(p2.x - p1.x)
+    val u1 = math.atan((1 - f) * math.tan(math.toRadians(p1.y)))
+    val u2 = math.atan((1 - f) * math.tan(math.toRadians(p2.y)))
+    val (su1, cu1) = (math.sin(u1), math.cos(u1))
+    val (su2, cu2) = (math.sin(u2), math.cos(u2))
+    var lambda = l; var iter = 0
+    var cosSqAlpha = 0.0; var sinSigma = 0.0; var cosSigma = 0.0
+    var sigma = 0.0; var cos2SigmaM = 0.0
+    var converged = false
+    while (iter < 100 && !converged) {
+      val sl = math.sin(lambda); val cl = math.cos(lambda)
+      sinSigma = math.sqrt(math.pow(cu2 * sl, 2) + math.pow(cu1 * su2 - su1 * cu2 * cl, 2))
+      if (sinSigma == 0) return 0.0
+      cosSigma = su1 * su2 + cu1 * cu2 * cl
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cu1 * cu2 * sl / sinSigma
+      cosSqAlpha = 1 - sinAlpha * sinAlpha
+      cos2SigmaM = if (cosSqAlpha == 0) 0 else cosSigma - 2 * su1 * su2 / cosSqAlpha
+      val c = f / 16 * cosSqAlpha * (4 + f * (4 - 3 * cosSqAlpha))
+      val prev = lambda
+      lambda = l + (1 - c) * f * sinAlpha *
+        (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM)))
+      if (math.abs(lambda - prev) < 1e-12) converged = true
+      iter += 1
+    }
+    if (!converged) { // antipodal fallback: sphere haversine on mean radius
+      val r = (2 * a + b) / 3
+      val phi1 = math.toRadians(p1.y); val phi2 = math.toRadians(p2.y)
+      val h = math.pow(math.sin((phi2 - phi1) / 2), 2) +
+        math.cos(phi1) * math.cos(phi2) * math.pow(math.sin(l / 2), 2)
+      return 2 * r * math.asin(math.min(1.0, math.sqrt(h)))
+    }
+    val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
+    val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    val bigB = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+    val deltaSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4 *
+      (cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM) -
+        bigB / 6 * cos2SigmaM * (-3 + 4 * sinSigma * sinSigma) * (-3 + 4 * cos2SigmaM * cos2SigmaM)))
+    b * bigA * (sigma - deltaSigma)
+  }
+
+  case class StDistanceSpheroid(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val pa = readLine0(a); val pb = readLine0(b)
+      spheroidDistance(pa, pb)
+    }
+    private def readLine0(a: Any): Pt = {
+      val r = a.asInstanceOf[InternalRow]
+      Pt(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StDistanceSpheroid =
+      copy(left = l, right = r)
+  }
+
+  // ------------------------------------------------------------------ CPA
+
+  /** Closest point of approach between two trajectories (m = time):
+    * minimize distance between linearly interpolated positions over the
+    * overlapping m-range. Returns (m, distance); NaNs when ranges don't
+    * overlap. Evaluated per shared segment pair — O(n+m) two-pointer sweep.
+    */
+  private[functions] def cpa(p: Array[Pt], q: Array[Pt]): (Double, Double) = {
+    if (p.length < 1 || q.length < 1) return (Double.NaN, Double.NaN)
+    val lo = math.max(p.head.m, q.head.m)
+    val hi = math.min(p.last.m, q.last.m)
+    if (lo > hi) return (Double.NaN, Double.NaN)
+    def at(tr: Array[Pt], t: Double): Pt = {
+      var i = 0
+      while (i < tr.length - 1 && tr(i + 1).m < t) i += 1
+      if (i >= tr.length - 1) tr.last
+      else {
+        val a = tr(i); val b = tr(i + 1)
+        if (b.m == a.m) a
+        else {
+          val u = (t - a.m) / (b.m - a.m)
+          Pt(a.x + u * (b.x - a.x), a.y + u * (b.y - a.y), a.z + u * (b.z - a.z), t)
+        }
+      }
+    }
+    // candidate times: all vertex measures within range + per-segment-pair
+    // analytic minimum of |P(t) - Q(t)|² (quadratic in t on each piece)
+    val knots = (p.map(_.m) ++ q.map(_.m)).filter(t => t >= lo && t <= hi).distinct.sorted
+    var bestT = Double.NaN; var bestD = Double.MaxValue
+    def consider(t: Double): Unit = {
+      val d = math.sqrt(d2at(at(p, t), at(q, t)))
+      if (d < bestD || (d == bestD && (bestT.isNaN || t < bestT))) { bestD = d; bestT = t }
+    }
+    def d2at(a: Pt, b: Pt): Double = {
+      val dx = a.x - b.x; val dy = a.y - b.y; val dz = a.z - b.z
+      dx * dx + dy * dy + dz * dz
+    }
+    for (w <- knots.sliding(2)) {
+      val t0 = w.head; consider(t0)
+      if (w.length == 2 && w(1) > t0) {
+        val t1 = w(1); consider(t1)
+        // relative motion is linear on (t0, t1): minimize |Δp + v·u|²
+        val a0 = at(p, t0); val a1 = at(p, t1)
+        val b0 = at(q, t0); val b1 = at(q, t1)
+        val rx = a0.x - b0.x; val ry = a0.y - b0.y; val rz = a0.z - b0.z
+        val vx = (a1.x - a0.x) - (b1.x - b0.x)
+        val vy = (a1.y - a0.y) - (b1.y - b0.y)
+        val vz = (a1.z - a0.z) - (b1.z - b0.z)
+        val vv = vx * vx + vy * vy + vz * vz
+        if (vv > 0) {
+          val u = -(rx * vx + ry * vy + rz * vz) / vv
+          if (u > 0 && u < 1) consider(t0 + u * (t1 - t0))
+        }
+      }
+    }
+    if (knots.length == 1) consider(knots.head)
+    (bestT, bestD)
+  }
+
+  case class StCpaTime(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = cpa(readLine(a), readLine(b))._1
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StCpaTime =
+      copy(left = l, right = r)
+  }
+
+  case class StDistanceCpa(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = cpa(readLine(a), readLine(b))._2
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StDistanceCpa =
+      copy(left = l, right = r)
+  }
+
+  // -------------------------------------------------------- generate pts
+
+  /** Deterministic ST_GeneratePoints(polygon, n, seed): rejection-sample
+    * the ring's bbox with an xxhash-style SplitMix64 stream — identical
+    * output across executors/reruns (the reference takes an optional seed
+    * for the same reason).
+    */
+  private[functions] def generatePoints(ring: Array[Pt], n: Int, seed: Long): Seq[Pt] = {
+    if (ring.length < 3 || n <= 0) return Seq.empty
+    val minx = ring.map(_.x).min; val maxx = ring.map(_.x).max
+    val miny = ring.map(_.y).min; val maxy = ring.map(_.y).max
+    var state = seed
+    def next(): Double = { // SplitMix64 → [0, 1)
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble
+    }
+    def contains(p: Pt): Boolean = { // ray cast
+      var in = false; var j = ring.length - 1
+      for (i <- ring.indices) {
+        val a = ring(i); val b = ring(j)
+        if ((a.y > p.y) != (b.y > p.y) &&
+            p.x < (b.x - a.x) * (p.y - a.y) / (b.y - a.y) + a.x) in = !in
+        j = i
+      }
+      in
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Pt](n)
+    var attempts = 0
+    while (out.length < n && attempts < n * 1000) {
+      val p = Pt(minx + next() * (maxx - minx), miny + next() * (maxy - miny), 0, 0)
+      if (contains(p)) out += p
+      attempts += 1
+    }
+    out.toSeq
+  }
+
+  case class StGeneratePoints(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = lineType
+    override def nullSafeEval(a: Any, n: Any, seed: Any): Any =
+      writeLine(generatePoints(readLine(a),
+        n.asInstanceOf[Number].intValue(), seed.asInstanceOf[Number].longValue()))
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+        t: Expression): StGeneratePoints = copy(first = f, second = s, third = t)
+  }
+
+  // -------------------------------------------- length-weighted centroid
+
+  /** PostGIS linestring centroid: average of segment midpoints weighted by
+    * segment length (gtype_postgis.c ST_Centroid on LINESTRING; the plain
+    * vertex average lives in PostgisFns.stCentroid as the PG `center`
+    * builtin).
+    */
+  private[functions] def lineCentroid(ps: Array[Pt]): Pt = {
+    if (ps.isEmpty) return Pt(Double.NaN, Double.NaN, 0, 0)
+    if (ps.length == 1) return ps.head
+    var sx = 0.0; var sy = 0.0; var len = 0.0
+    for (i <- 0 until ps.length - 1) {
+      val a = ps(i); val b = ps(i + 1)
+      val l = math.sqrt(d2(a, b))
+      sx += (a.x + b.x) / 2 * l; sy += (a.y + b.y) / 2 * l; len += l
+    }
+    if (len == 0) ps.head else Pt(sx / len, sy / len, 0, 0)
+  }
+
+  case class StLineCentroid(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = pointType
+    override def nullSafeEval(a: Any): Any = {
+      val p = lineCentroid(readLine(a))
+      InternalRow(p.x, p.y, p.z, p.m)
+    }
+    override protected def withNewChildInternal(c: Expression): StLineCentroid = copy(child = c)
+  }
+
+  // ------------------------------------------------------------ Column API
+
+  private def c1(f: Expression => Expression)(a: Column): Column =
+    Bridge.column(f(Bridge.expression(a)))
+  private def c2(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
+    Bridge.column(f(Bridge.expression(a), Bridge.expression(b)))
+
+  def stConvexHull(line: Column): Column = c1(StConvexHull)(line)
+  def stSimplify(line: Column, tol: Column): Column = c2(StSimplify)(line, tol)
+  def stFrechetDistance(a: Column, b: Column): Column = c2(StFrechet)(a, b)
+  def stHausdorffDistance(a: Column, b: Column): Column = c2(StHausdorff)(a, b)
+  def stIntersection(a: Column, b: Column): Column = c2(StIntersection)(a, b)
+  def stDistanceSpheroid(a: Column, b: Column): Column = c2(StDistanceSpheroid)(a, b)
+  def stClosestPointOfApproach(a: Column, b: Column): Column = c2(StCpaTime)(a, b)
+  def stDistanceCPA(a: Column, b: Column): Column = c2(StDistanceCpa)(a, b)
+  def stGeneratePoints(ring: Column, n: Column, seed: Column): Column =
+    Bridge.column(StGeneratePoints(Bridge.expression(ring),
+      Bridge.expression(n), Bridge.expression(seed)))
+  def stLineCentroid(line: Column): Column = c1(StLineCentroid)(line)
+}

@@ -93,5 +93,18 @@ object Registry {
     reg("st_translate", 3)(a => PostgisFns.stTranslate(a(0), a(1), a(2)))
     reg("st_astext", 1)(a => PostgisFns.stAsText(a(0)))
     reg("st_isvalidtrajectory", 1)(a => PostgisFns.stIsValidTrajectory(a(0)))
+
+    // PostGIS geometry kernels (gtype_postgis.c — the computational-
+    // geometry block deferred in round 2)
+    reg("st_convexhull", 1)(a => GeomKernels.stConvexHull(a(0)))
+    reg("st_simplify", 2)(a => GeomKernels.stSimplify(a(0), a(1)))
+    reg("st_frechetdistance", 2)(a => GeomKernels.stFrechetDistance(a(0), a(1)))
+    reg("st_hausdorffdistance", 2)(a => GeomKernels.stHausdorffDistance(a(0), a(1)))
+    reg("st_intersection", 2)(a => GeomKernels.stIntersection(a(0), a(1)))
+    reg("st_distancespheroid", 2)(a => GeomKernels.stDistanceSpheroid(a(0), a(1)))
+    reg("st_closestpointofapproach", 2)(a => GeomKernels.stClosestPointOfApproach(a(0), a(1)))
+    reg("st_distancecpa", 2)(a => GeomKernels.stDistanceCPA(a(0), a(1)))
+    reg("st_generatepoints", 3)(a => GeomKernels.stGeneratePoints(a(0), a(1), a(2)))
+    reg("st_linecentroid", 1)(a => GeomKernels.stLineCentroid(a(0)))
   }
 }

@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object FunctionQueries {
 
+  /** Per-nation supplier point track (ordered by suppkey): synthetic but
+    * deterministic 2-D geometry from TPC-H columns — x = suppkey mod 97,
+    * y = acctbal/100 (2-decimal values are double-exact).
+    */
+  private def supplierTracks(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "supplier")
+      .select(col("s_nationkey").as("nk"), col("s_suppkey").as("k"),
+        struct((col("s_suppkey") % 97).cast("double").as("x"),
+          (col("s_acctbal") / 100.0).as("y"),
+          lit(0.0).as("z"), lit(0.0).as("m")).as("p"))
+      .groupBy(col("nk"))
+      .agg(array_sort(collect_list(struct(col("k"), col("p")))).as("kp"))
+      .select(col("nk"), transform(col("kp"), _.getField("p")).as("line"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // vector distance family on consecutive embedding pairs
     "f1_vector_distances" -> ((s, dir) => {
@@ -178,6 +192,30 @@ object FunctionQueries {
         .orderBy(col("ck"))
     }),
 
+    // geometry kernels over per-nation supplier "tracks": discrete
+    // Hausdorff distance between every nation pair (GeomKernels expression;
+    // oracle = the relational max-of-min form of the same metric)
+    "f14_hausdorff" -> ((s, dir) => {
+      val lines = supplierTracks(s, dir)
+      val a = lines.select(col("nk").as("na"), col("line").as("la"))
+      val b = lines.select(col("nk").as("nb"), col("line").as("lb"))
+      a.join(b, col("na") < col("nb"))
+        .select(col("na"), col("nb"),
+          round(GeomKernels.stHausdorffDistance(col("la"), col("lb")), 4).as("hd"))
+        .orderBy(col("na"), col("nb"))
+    }),
+
+    // length-weighted linestring centroid (PostGIS ST_Centroid semantics)
+    // per nation track; oracle mirrors the segment-midpoint weighting
+    "f15_line_centroid" -> ((s, dir) => {
+      supplierTracks(s, dir)
+        .filter(size(col("line")) >= 2) // single-point tracks have no segments
+        .select(col("nk"),
+          round(GeomKernels.stLineCentroid(col("line")).getField("x"), 4).as("cx"),
+          round(GeomKernels.stLineCentroid(col("line")).getField("y"), 4).as("cy"))
+        .orderBy(col("nk"))
+    }),
+
     // exact percentile_disc: smallest value with cume_dist >= p
     // (reference: gtype_percentile_aggtransfn/discfinalfn, gtype.c:2427-2632)
     "f12_percentile_disc" -> ((s, dir) => {
@@ -281,6 +319,38 @@ object FunctionQueries {
         |  round(c_acctbal/100.0 + 1.5, 4) AS cx,
         |  'POINT(1.5 -2.0)' AS wkt
         |FROM customer WHERE c_custkey <= 100 ORDER BY ck""".stripMargin,
+    "f14_hausdorff" ->
+      """WITH p AS (
+        |  SELECT s_nationkey AS nk, CAST(s_suppkey % 97 AS DOUBLE) AS x,
+        |         s_acctbal / 100.0 AS y
+        |  FROM supplier),
+        |dd AS (
+        |  SELECT a.nk AS na, b.nk AS nb, a.x AS ax, a.y AS ay,
+        |         min(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y))) AS mind
+        |  FROM p a JOIN p b ON a.nk <> b.nk
+        |  GROUP BY 1, 2, 3, 4),
+        |ow AS (SELECT na, nb, max(mind) AS h FROM dd GROUP BY 1, 2)
+        |SELECT o1.na AS na, o1.nb AS nb, round(greatest(o1.h, o2.h), 4) AS hd
+        |FROM ow o1 JOIN ow o2 ON o1.na = o2.nb AND o1.nb = o2.na
+        |WHERE o1.na < o1.nb
+        |ORDER BY na, nb""".stripMargin,
+    "f15_line_centroid" ->
+      """WITH p AS (
+        |  SELECT s_nationkey AS nk, s_suppkey AS k,
+        |         CAST(s_suppkey % 97 AS DOUBLE) AS x, s_acctbal / 100.0 AS y
+        |  FROM supplier),
+        |seg AS (
+        |  SELECT nk, x, y,
+        |         lead(x) OVER (PARTITION BY nk ORDER BY k) AS x2,
+        |         lead(y) OVER (PARTITION BY nk ORDER BY k) AS y2
+        |  FROM p),
+        |w AS (
+        |  SELECT nk, (x + x2) / 2 AS mx, (y + y2) / 2 AS my,
+        |         sqrt((x2-x)*(x2-x) + (y2-y)*(y2-y)) AS l
+        |  FROM seg WHERE x2 IS NOT NULL)
+        |SELECT nk, round(sum(mx * l) / sum(l), 4) AS cx,
+        |       round(sum(my * l) / sum(l), 4) AS cy
+        |FROM w GROUP BY nk ORDER BY nk""".stripMargin,
     "f12_percentile_disc" ->
       """SELECT l_returnflag,
         |  list(l_quantity ORDER BY l_quantity)[CAST(greatest(ceil(count(*) * 0.5), 1) AS INT)] AS disc_median,

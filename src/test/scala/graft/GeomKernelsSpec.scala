@@ -1,0 +1,118 @@
+package graft
+
+import graft.functions.GeomKernels
+import graft.functions.GeomKernels.Pt
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Geometry-kernel fixtures (reference: gtype_postgis.c semantics;
+  * values hand-computed).
+  */
+class GeomKernelsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def one(cs: org.apache.spark.sql.Column*): org.apache.spark.sql.Row =
+    spark.range(1).select(cs: _*).collect().head
+
+  private def pt(x: Double, y: Double, z: Double = 0, m: Double = 0) =
+    struct(lit(x).as("x"), lit(y).as("y"), lit(z).as("z"), lit(m).as("m"))
+
+  private def xy(row: org.apache.spark.sql.Row): Seq[(Double, Double)] =
+    row.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getDouble(0), r.getDouble(1)))
+
+  test("convex hull of a square plus interior points is the closed square ring") {
+    val pts = array(pt(0, 0), pt(2, 0), pt(2, 2), pt(0, 2), pt(1, 1), pt(1, 0.5))
+    val hull = xy(one(GeomKernels.stConvexHull(pts)))
+    assert(hull.head == hull.last) // closed ring
+    assert(hull.dropRight(1).toSet == Set((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)))
+  }
+
+  test("convex hull kernel: collinear and tiny inputs degrade gracefully") {
+    val collinear = xy(one(GeomKernels.stConvexHull(
+      array(pt(0, 0), pt(1, 1), pt(2, 2)))))
+    assert(collinear.toSet.subsetOf(Set((0.0, 0.0), (2.0, 2.0))))
+    assert(xy(one(GeomKernels.stConvexHull(array(pt(5, 5))))) == Seq((5.0, 5.0)))
+  }
+
+  test("simplify drops vertices within tolerance, keeps real corners") {
+    val wiggly = array(pt(0, 0), pt(1, 0.01), pt(2, -0.01), pt(3, 0), pt(3, 3))
+    val simp = xy(one(GeomKernels.stSimplify(wiggly, lit(0.1))))
+    assert(simp == Seq((0.0, 0.0), (3.0, 0.0), (3.0, 3.0)))
+    // tolerance below the wiggle keeps everything
+    val keep = xy(one(GeomKernels.stSimplify(wiggly, lit(0.001))))
+    assert(keep.length == 5)
+  }
+
+  test("discrete Frechet and Hausdorff on offset parallel lines equal the offset") {
+    val a = array(pt(0, 0), pt(1, 0), pt(2, 0), pt(3, 0))
+    val b = array(pt(0, 1), pt(1, 1), pt(2, 1), pt(3, 1))
+    assert(one(GeomKernels.stFrechetDistance(a, b)).getDouble(0) == 1.0)
+    assert(one(GeomKernels.stHausdorffDistance(a, b)).getDouble(0) == 1.0)
+    // frechet respects ordering: reversed line forces the full diagonal
+    val rev = array(pt(3, 1), pt(2, 1), pt(1, 1), pt(0, 1))
+    assert(one(GeomKernels.stFrechetDistance(a, rev)).getDouble(0) == math.sqrt(9 + 1))
+    assert(one(GeomKernels.stHausdorffDistance(a, rev)).getDouble(0) == 1.0)
+  }
+
+  test("segment intersection returns the crossing point; parallels return empty") {
+    val cross = one(GeomKernels.stIntersection(
+      array(pt(0, 0), pt(2, 2)), array(pt(0, 2), pt(2, 0))))
+    assert(xy(cross) == Seq((1.0, 1.0)))
+    val par = one(GeomKernels.stIntersection(
+      array(pt(0, 0), pt(1, 0)), array(pt(0, 1), pt(1, 1))))
+    assert(xy(par).isEmpty)
+  }
+
+  test("polygon intersection clips a square by an overlapping square") {
+    val a = array(pt(0, 0), pt(4, 0), pt(4, 4), pt(0, 4))
+    val b = array(pt(2, 2), pt(6, 2), pt(6, 6), pt(2, 6))
+    val clipped = xy(one(GeomKernels.stIntersection(a, b))).toSet
+    assert(clipped == Set((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0)))
+  }
+
+  test("spheroid distance: equator degree ~111.32 km, poles antipodal ~20003 km") {
+    val d1 = one(GeomKernels.stDistanceSpheroid(pt(0, 0), pt(1, 0))).getDouble(0)
+    assert(math.abs(d1 - 111319.49) < 10)
+    val d2 = one(GeomKernels.stDistanceSpheroid(pt(0, -90), pt(0, 90))).getDouble(0)
+    assert(math.abs(d2 - 20003931.0) < 5000)
+  }
+
+  test("closest point of approach of two crossing trajectories") {
+    // P walks (0,0)->(4,0) over m 0..4; Q walks (2,-2)->(2,2) over m 0..4:
+    // both reach (2, 0) at m = 2 — CPA time 2, distance 0
+    val p = array(pt(0, 0, 0, 0), pt(4, 0, 0, 4))
+    val q = array(pt(2, -2, 0, 0), pt(2, 2, 0, 4))
+    assert(one(GeomKernels.stClosestPointOfApproach(p, q)).getDouble(0) == 2.0)
+    assert(one(GeomKernels.stDistanceCPA(p, q)).getDouble(0) == 0.0)
+    // disjoint m-ranges → NaN
+    val late = array(pt(0, 0, 0, 10), pt(1, 0, 0, 11))
+    assert(one(GeomKernels.stClosestPointOfApproach(p, late)).getDouble(0).isNaN)
+  }
+
+  test("generate points is deterministic, inside the ring, n-sized") {
+    val ring = array(pt(0, 0), pt(10, 0), pt(10, 10), pt(0, 10))
+    val a = xy(one(GeomKernels.stGeneratePoints(ring, lit(25), lit(42L))))
+    val b = xy(one(GeomKernels.stGeneratePoints(ring, lit(25), lit(42L))))
+    assert(a == b && a.length == 25)
+    assert(a.forall { case (x, y) => x >= 0 && x <= 10 && y >= 0 && y <= 10 })
+    val other = xy(one(GeomKernels.stGeneratePoints(ring, lit(25), lit(7L))))
+    assert(other != a)
+  }
+
+  test("length-weighted line centroid differs from vertex average the right way") {
+    // L-shape with a long horizontal leg: centroid pulled toward it
+    val line = array(pt(0, 0), pt(10, 0), pt(10, 1))
+    val c = one(GeomKernels.stLineCentroid(line))
+    val row = c.getStruct(0)
+    assert(math.abs(row.getDouble(0) - (5.0 * 10 + 10.0 * 1) / 11) < 1e-9)
+    assert(math.abs(row.getDouble(1) - (0.0 * 10 + 0.5 * 1) / 11) < 1e-9)
+  }
+
+  test("kernels are SQL-registered") {
+    graft.functions.Registry.register(spark)
+    val r = spark.sql(
+      "SELECT st_hausdorffdistance(array(st_makepoint(0,0)), array(st_makepoint(3,4))) AS d")
+      .collect().head
+    assert(r.getDouble(0) == 5.0)
+  }
+}
