@@ -51,6 +51,7 @@ object Registry {
 
     // network surface (gtype_network.c / postgraph-network.sql.in)
     reg("toinet", 1)(a => NetworkFns.toInet(a(0)))
+    reg("inet_family", 1)(a => NetworkFns.family(a(0)))
     reg("inet_host", 1)(a => NetworkFns.host(a(0)))
     reg("abbrev", 1)(a => NetworkFns.abbrev(a(0)))
     reg("masklen", 1)(a => NetworkFns.masklen(a(0)))

@@ -74,6 +74,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 5.0 && r.getInt(1) == 3)
   }
 
+  test("network v6: parse, RFC 5952 render, mask math, containment, merge") {
+    val net = NetworkFns.toInet(lit("2001:db8::/32"))
+    val ip = NetworkFns.toInet(lit("2001:db8::5"))
+    val r = one(
+      NetworkFns.host(ip), NetworkFns.abbrev(net),
+      NetworkFns.masklen(ip), NetworkFns.family(ip),
+      NetworkFns.host(NetworkFns.toInet(lit("::1"))),
+      // RFC 5952: compress the LONGEST zero run (the second one here)
+      NetworkFns.host(NetworkFns.toInet(lit("2001:0:0:1:0:0:0:1"))),
+      NetworkFns.netmask(NetworkFns.toInet(lit("fe80::/10"))),
+      NetworkFns.broadcastAddr(net),
+      NetworkFns.containedIn(ip, net),
+      NetworkFns.containedIn(ip, NetworkFns.toInet(lit("2001:db9::/32"))),
+      NetworkFns.inetSameFamily(ip, NetworkFns.toInet(lit("10.0.0.1"))),
+      NetworkFns.containedIn(ip, NetworkFns.toInet(lit("10.0.0.0/8"))),
+      NetworkFns.abbrev(NetworkFns.inetMerge(
+        NetworkFns.toInet(lit("2001:db8:1::/48")), NetworkFns.toInet(lit("2001:db8:2::/48")))))
+    assert(r.getString(0) == "2001:db8::5")
+    assert(r.getString(1) == "2001:db8::/32")
+    assert(r.getInt(2) == 128)    // bare v6 host defaults to /128
+    assert(r.getInt(3) == 6)
+    assert(r.getString(4) == "::1")
+    assert(r.getString(5) == "2001:0:0:1::1")
+    assert(r.getString(6) == "ffc0::")
+    assert(r.getString(7) == "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff")
+    assert(r.getBoolean(8))       // host << its /32
+    assert(!r.getBoolean(9))      // not in the sibling /32
+    assert(!r.getBoolean(10))     // cross-family
+    assert(!r.getBoolean(11))     // cross-family containment is false, not error
+    assert(r.getString(12) == "2001:db8::/46") // cpl(…:1::, …:2::) = 46
+  }
+
   test("network: parse, render, mask math, containment, merge") {
     val cidr = NetworkFns.toInet(lit("192.168.5.0/24"))
     val ip = NetworkFns.toInet(lit("192.168.5.77"))
