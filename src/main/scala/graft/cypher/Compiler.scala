@@ -108,8 +108,6 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     } else {
       require(imports.forall(ctx.vars.contains),
         s"CALL {} imports unbound variables: ${imports.filterNot(ctx.vars.contains)}")
-      require(ret.skip.isEmpty && ret.limit.isEmpty && ret.orderBy.isEmpty,
-        "ORDER/SKIP/LIMIT inside a correlated CALL {} are per-row — not supported yet")
       val rid = "__call_rid"
       // monotonically_increasing_id needs no global sort (a row_number
       // window would single-partition the whole input); localCheckpoint
@@ -122,9 +120,12 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       var sub = Ctx(outer.select(seedCols.map(col): _*),
         ListMap(imports.map(v => v -> ctx.vars(v)): _*), projected = false)
       q.clauses.tail.dropRight(1).foreach(c => sub = compileClause(sub, c))
-      val retWithRid = Return(ret.items :+ ReturnItem(Var(rid), Some(rid)),
-        ret.distinct, Nil, None, None)
-      sub = compileClause(sub, retWithRid)
+      // ORDER/SKIP/LIMIT in the subquery RETURN are PER OUTER ROW —
+      // partitionCol turns them into a row_number window keyed on rid
+      sub = compileProjection(sub,
+        ret.items :+ ReturnItem(Var(rid), Some(rid)),
+        ret.distinct, ret.orderBy, ret.skip, ret.limit, None,
+        isReturn = true, partitionCol = Some(rid))
       val overlap = ctx.vars.keySet.intersect(sub.vars.keySet - rid)
       require(overlap.isEmpty, s"CALL {} rebinds outer variables: $overlap")
       val joined = outer.join(sub.df, Seq(rid)).drop(rid)
@@ -537,7 +538,8 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
 
   private def compileProjection(ctx0: Ctx, items0: List[ReturnItem],
       distinct: Boolean, orderBy: List[SortItem], skip: Option[Expr],
-      limit: Option[Expr], where: Option[Expr], isReturn: Boolean): Ctx = {
+      limit: Option[Expr], where: Option[Expr], isReturn: Boolean,
+      partitionCol: Option[String] = None): Ctx = {
     val ctx = if (ctx0.df == null) ctx0.copy(df = spark.range(1).toDF("__seed")) else ctx0
 
     // RETURN * / WITH * expansion
@@ -618,28 +620,43 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     val postCtx = Ctx(df, outVars, projected = true)
     where.foreach(wc => df = df.filter(compileExpr(wc, postCtx)))
 
-    if (orderBy.nonEmpty) {
-      val sortCols = orderBy.zipWithIndex.map { case (s, i) =>
-        val c0 =
-          if (hiddenSort.contains(s"__sort$i")) col(s"__sort$i")
-          else compileExpr(s.expr, postCtx.copy(df = df))
-        // dynamic values order by the gtype cross-type key
-        val c = dataTypeOpt(c0, postCtx.copy(df = df)) match {
-          case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
-            graft.gvalue.GValueCol.orderKey(c0)
-          case _ => c0
-        }
-        val dir = if (s.descending) c.desc else c.asc
-        s.nullsFirst match {
-          case Some(true)  => if (s.descending) c.desc_nulls_first else c.asc_nulls_first
-          case Some(false) => if (s.descending) c.desc_nulls_last else c.asc_nulls_last
-          case None        => dir
-        }
+    val sortCols = orderBy.zipWithIndex.map { case (s, i) =>
+      val c0 =
+        if (hiddenSort.contains(s"__sort$i")) col(s"__sort$i")
+        else compileExpr(s.expr, postCtx.copy(df = df))
+      // dynamic values order by the gtype cross-type key
+      val c = dataTypeOpt(c0, postCtx.copy(df = df)) match {
+        case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
+          graft.gvalue.GValueCol.orderKey(c0)
+        case _ => c0
       }
-      df = df.orderBy(sortCols: _*)
+      val dir = if (s.descending) c.desc else c.asc
+      s.nullsFirst match {
+        case Some(true)  => if (s.descending) c.desc_nulls_first else c.asc_nulls_first
+        case Some(false) => if (s.descending) c.desc_nulls_last else c.asc_nulls_last
+        case None        => dir
+      }
     }
-    skip.foreach(e => df = df.offset(constInt(e).toInt))
-    limit.foreach(e => df = df.limit(constInt(e).toInt))
+    partitionCol match {
+      case None =>
+        if (sortCols.nonEmpty) df = df.orderBy(sortCols: _*)
+        skip.foreach(e => df = df.offset(constInt(e).toInt))
+        limit.foreach(e => df = df.limit(constInt(e).toInt))
+      case Some(p) if sortCols.nonEmpty || skip.nonEmpty || limit.nonEmpty =>
+        // per-group semantics (correlated CALL {}): ORDER/SKIP/LIMIT apply
+        // within each outer row's partition — a row_number window, not a
+        // global sort (reference: the lateral subquery re-executes per
+        // outer row; here one windowed pass serves every row)
+        import org.apache.spark.sql.expressions.Window
+        val order = if (sortCols.nonEmpty) sortCols else Seq(col(p).asc)
+        val w = Window.partitionBy(col(p)).orderBy(order: _*)
+        df = df.withColumn("__pp_rn", row_number().over(w))
+        val lo = skip.map(constInt).getOrElse(0L)
+        if (lo > 0) df = df.filter(col("__pp_rn") > lo)
+        limit.foreach(l => df = df.filter(col("__pp_rn") <= lo + constInt(l)))
+        df = df.drop("__pp_rn")
+      case _ => ()
+    }
     if (hiddenSort.nonEmpty) df = df.drop(hiddenSort: _*)
 
     Ctx(df, outVars, projected = true)

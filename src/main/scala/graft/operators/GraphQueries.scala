@@ -136,7 +136,16 @@ object GraphQueries {
       "MATCH (c:Customer) WHERE c.c_acctbal > ALL " +
         "(MATCH (s:Supplier)-[:SUPP_IN_NATION]->(n:Nation) " +
         "WHERE n.n_nationkey = 3 RETURN s.s_acctbal) " +
-        "AND c.c_nationkey = 3 RETURN count(*) AS n_above")
+        "AND c.c_nationkey = 3 RETURN count(*) AS n_above"),
+
+    // correlated CALL {} with per-row ORDER BY + LIMIT: lateral top-2
+    // customers per nation (reference: lateral subquery re-executed per
+    // outer row; here one row_number window over the rid partition)
+    "g19_call_topk" -> cy(
+      "MATCH (n:Nation) CALL { WITH n MATCH (c:Customer)-[:IN_NATION]->(n) " +
+        "RETURN c.c_name AS top_cust, c.c_acctbal AS bal " +
+        "ORDER BY c.c_acctbal DESC, c.c_name LIMIT 2 } " +
+        "RETURN n.n_name AS nation, top_cust, bal ORDER BY nation, bal DESC, top_cust")
   )
 
   val oracles: Map[String, String] = Map(
@@ -202,6 +211,14 @@ object GraphQueries {
     "g18_all_sublink" ->
       """SELECT count(*) AS n_above FROM customer
         |WHERE c_acctbal > ALL (SELECT s_acctbal FROM supplier WHERE s_nationkey = 3)
-        |  AND c_nationkey = 3""".stripMargin
+        |  AND c_nationkey = 3""".stripMargin,
+    "g19_call_topk" ->
+      """WITH ranked AS (
+        |  SELECT n.n_name AS nation, c.c_name AS top_cust, c.c_acctbal AS bal,
+        |    row_number() OVER (PARTITION BY n.n_nationkey
+        |                       ORDER BY c.c_acctbal DESC, c.c_name) AS rn
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey)
+        |SELECT nation, top_cust, bal FROM ranked WHERE rn <= 2
+        |ORDER BY nation, bal DESC, top_cust""".stripMargin
   )
 }

@@ -231,6 +231,27 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("LAX", 1L), ("NYC", 2L), ("SEA", 2L)))
   }
 
+  test("CALL {} correlated with per-row ORDER BY + LIMIT (lateral top-k)") {
+    // youngest resident per city — the ORDER/LIMIT applies within each
+    // outer row's partition, not globally
+    val rows = run(
+      "MATCH (c:City) CALL { WITH c MATCH (p:Person)-[:LIVES_IN]->(c) " +
+      "RETURN p.name AS who ORDER BY p.age, p.name LIMIT 1 } " +
+      "RETURN c.cname AS city, who ORDER BY city")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("LAX", "Eve"), ("NYC", "Dee"), ("SEA", "Bob")))
+  }
+
+  test("CALL {} correlated with per-row SKIP drops each partition's head") {
+    val rows = run(
+      "MATCH (c:City) CALL { WITH c MATCH (p:Person)-[:LIVES_IN]->(c) " +
+      "RETURN p.name AS who ORDER BY p.age, p.name SKIP 1 } " +
+      "RETURN c.cname AS city, who ORDER BY city, who")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // LAX has one resident → skipped away entirely; SEA skips Bob(24), NYC skips Dee(35)
+    assert(rows.toSeq == Seq(("NYC", "Cal"), ("SEA", "Ann")))
+  }
+
   test("CALL db.labels() YIELD") {
     val rows = run("CALL db.labels() YIELD label RETURN label ORDER BY label")
       .collect().map(_.getString(0))
