@@ -864,7 +864,10 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       case "label" | "type" => entityField(args.head, "label", ctx)
       case "startnode" | "start_id" => entityField(args.head, "start_id", ctx)
       case "endnode" | "end_id"     => entityField(args.head, "end_id", ctx)
-      case "properties" => compileExpr(args.head, ctx)
+      case "properties" => args.head match {
+        case Var(v) if ctx.vars.get(v).exists(_.isEntity) => propertiesMap(v, ctx)
+        case _ => compileExpr(args.head, ctx)
+      }
       case "keys" => args.head match {
         case Var(v) if ctx.vars.get(v).exists(_.isEntity) =>
           array(entityColumns(ctx.df, v)
@@ -954,6 +957,28 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       s"nodes()/relationships() need a path variable, got $other")
   }
 
+  /** Property map of a bound entity: name → GValue-encoded value. The
+    * codec gives every property the same struct type, so maps (and path
+    * element arrays built from them) unify across labels with different
+    * property schemas — the reference's vertex/edge values carry a full
+    * gtype properties object the same way (vertex.h:44-76, edge.h:46-79).
+    */
+  private def propertiesMap(v: String, ctx: Ctx): Column = {
+    val props = entityColumns(ctx.df, v).map(_.stripPrefix(s"${v}__"))
+      .filterNot(Set("id", "label", "start_id", "end_id")).sorted
+    if (props.isEmpty)
+      map_from_arrays(array().cast(ArrayType(StringType)),
+        array().cast(ArrayType(graft.gvalue.GValueCol.structType)))
+    else map(props.flatMap { k =>
+      val c = col(s"${v}__$k")
+      val dt = ctx.df.schema(s"${v}__$k").dataType
+      val enc =
+        if (graft.gvalue.GValueCol.canEncode(dt)) graft.gvalue.GValueCol.encode(c, dt)
+        else graft.gvalue.GValueCol.encode(c.cast("string"), StringType)
+      Seq(lit(k), enc)
+    }: _*)
+  }
+
   private def pathMembers(e: Expr, ctx: Ctx, edges: Boolean): Column = {
     val info = pathInfo(e, ctx)
     // a VLE segment has no fixed member columns — refuse loudly rather than
@@ -963,8 +988,18 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
         ctx.df.columns.contains(s"${m}__id")),
       "path accessors over variable-length segments land with traversal values")
     val members = if (edges) info.pathEdges else info.pathNodes
-    array(members.map(m =>
-      struct(col(s"${m}__id").as("id"), col(s"${m}__label").as("label"))): _*)
+    // full entity values, per the reference's traversal layout: vertices
+    // (id, label, properties), edges (id, start_id, end_id, label,
+    // properties) — traversal.c build_traversal / vertex.h / edge.h
+    array(members.map { m =>
+      if (edges)
+        struct(col(s"${m}__id").as("id"),
+          col(s"${m}__start_id").as("start_id"), col(s"${m}__end_id").as("end_id"),
+          col(s"${m}__label").as("label"), propertiesMap(m, ctx).as("properties"))
+      else
+        struct(col(s"${m}__id").as("id"), col(s"${m}__label").as("label"),
+          propertiesMap(m, ctx).as("properties"))
+    }: _*)
   }
 
   /** Static Spark type of a compiled column (resolved against the ctx frame). */

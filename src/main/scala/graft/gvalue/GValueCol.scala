@@ -71,6 +71,20 @@ object GValueCol {
   }
 
   /** Literal GValue → tagged struct column. */
+  /** Driver-side decode of a collected tagged-struct Row (tests, result
+    * rendering). Timestamps/dates come back as their scalar GValue forms.
+    */
+  def decode(r: org.apache.spark.sql.Row): GValue = r.getByte(0).toInt match {
+    case TNull      => GNull
+    case TBool      => GBool(r.getBoolean(1))
+    case TInt       => GInt(r.getLong(2))
+    case TFloat     => GFloat(r.getDouble(3))
+    case TString    => GString(r.getString(4))
+    case TTimestamp => GTimestamp(r.getLong(2))
+    case TDate      => GInt(r.getLong(2)) // epoch days (no dedicated GDate)
+    case t => throw new IllegalArgumentException(s"unknown GValue tag $t")
+  }
+
   def gLit(v: GValue): Column = v match {
     case GNull       => nullValue
     case GBool(b)    => mk(TBool, lit(b), lit(0L), lit(0.0), lit(""))

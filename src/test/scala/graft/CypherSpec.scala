@@ -201,13 +201,34 @@ class CypherSpec extends AnyFunSuite {
         "RETURN length(p) AS len, nodes(p) AS ns, relationships(p) AS rs")
       .collect().head
     assert(r.getInt(0) == 2)
-    val nodeLabels = r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(1))
-    assert(nodeLabels == Seq("Person", "Person", "Person"))
-    val relLabels = r.getSeq[org.apache.spark.sql.Row](2).map(_.getString(1))
-    assert(relLabels == Seq("KNOWS", "KNOWS"))
+    // vertex elements are full values: (id, label, properties)
+    val ns = r.getSeq[org.apache.spark.sql.Row](1)
+    assert(ns.map(_.getString(1)) == Seq("Person", "Person", "Person"))
+    // edge elements are (id, start_id, end_id, label, properties)
+    val rs = r.getSeq[org.apache.spark.sql.Row](2)
+    assert(rs.map(_.getString(3)) == Seq("KNOWS", "KNOWS"))
     // node ids follow the chain Ann -> Bob -> Cal
-    val entryIds = r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0) & 0xFFFFFFFFFFFFL)
+    val entryIds = ns.map(_.getLong(0) & 0xFFFFFFFFFFFFL)
     assert(entryIds == Seq(1L, 2L, 3L))
+    // properties ride along as GValue-encoded maps
+    val annProps = ns.head.getMap[String, org.apache.spark.sql.Row](2)
+    assert(graft.gvalue.GValueCol.decode(annProps("name")) == graft.gvalue.GString("Ann"))
+    assert(graft.gvalue.GValueCol.decode(annProps("age")) == graft.gvalue.GInt(30))
+    // edge properties: the KNOWS 'since' year
+    val sinceVals = rs.map(e => graft.gvalue.GValueCol.decode(
+      e.getMap[String, org.apache.spark.sql.Row](4)("since")))
+    assert(sinceVals == Seq(graft.gvalue.GInt(2015), graft.gvalue.GInt(2018)))
+    // edge endpoints chain correctly: end of first = start of second
+    assert(rs(0).getLong(2) == rs(1).getLong(1))
+  }
+
+  test("properties(n) returns the full property map of an entity") {
+    val r = run("MATCH (p:Person {name: 'Eve'}) RETURN properties(p) AS m")
+      .collect().head
+    val m = r.getMap[String, org.apache.spark.sql.Row](0)
+    assert(graft.gvalue.GValueCol.decode(m("city")) == graft.gvalue.GString("LAX"))
+    assert(graft.gvalue.GValueCol.decode(m("age")) == graft.gvalue.GInt(24))
+    assert(m.keySet == Set("age", "city", "name", "pid"))
   }
 
   test("arithmetic with promotion in projections") {
