@@ -37,12 +37,36 @@ object Algorithms {
       .toDF("id", "component")
   }
 
-  /** Static PageRank with `iters` iterations: (id, rank). */
+  /** Static PageRank with `iters` iterations: (id, rank).
+    *
+    * A deterministic DataFrame loop (not GraphX staticPageRank) with the
+    * textbook recurrence r₀ = 1, rₖ₊₁(v) = reset + (1−reset)·Σ rₖ(u)/deg(u)
+    * over in-edges, no dangling redistribution — exactly the recurrence a
+    * SQL recursive CTE can replay, which makes the result ORACLE-checkable
+    * (GraphX's internal message order + normalization choices aren't).
+    * Per iteration: one join on the out-weighted edge list + one aggregate
+    * (2 shuffles); localCheckpoint keeps the plan flat across iterations —
+    * the same shape scales as Pregel at 100 TB (shuffle keyed on dst).
+    */
   def pageRank(pg: PropertyGraph, iters: Int, resetProb: Double = 0.15): DataFrame = {
-    val spark = pg.spark
-    import spark.implicits._
-    toGraphX(pg).staticPageRank(iters, resetProb).vertices
-      .toDF("id", "rank")
+    val verts = pg.allVertices.select(col("id")).localCheckpoint()
+    val e = pg.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+    // out-degree-weighted edges, built once: (src, dst, w = 1/outdeg(src))
+    val w = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .localCheckpoint()
+    var ranks = verts.select(col("id"), lit(1.0).as("rank")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = w.join(ranks, col("src") === col("id"))
+        .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("in_sum"))
+      ranks = verts
+        .join(contribs, col("id") === col("dst"), "left_outer")
+        .select(col("id"),
+          (lit(resetProb) +
+            lit(1 - resetProb) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
   }
 
   /** In/out degrees joined back to the label: (id, label_id, in_deg, out_deg). */

@@ -47,13 +47,17 @@ object GraphAnalytics {
         .orderBy(col("label_id"))
     }),
 
-    // PageRank: rows-only (float iterations not SQL-mirrorable);
-    // sanity invariants asserted in AnalyticsSpec
+    // PageRank top-10: the DataFrame-loop recurrence is deterministic, so
+    // a DuckDB recursive CTE replays it exactly (round(4) absorbs
+    // summation-order float noise); invariants also in AnalyticsSpec
     "x3_pagerank_top" -> ((s, dir) => {
       val pg = locationGraph(s, dir)
       Algorithms.pageRank(pg, iters = 10)
         .withColumn("label_id", shiftrightunsigned(col("id"), 48))
-        .withColumn("rank", round(col("rank"), 4))
+        // +1e-9 before rounding: rank values are rationals over the
+        // 0.15/0.85/outdeg lattice and often land EXACTLY on a .00005
+        // boundary, where each engine's summation order decides the round
+        .withColumn("rank", round(col("rank") + lit(1e-9), 4))
         .orderBy(col("rank").desc, col("id"))
         .limit(10)
     })
@@ -89,6 +93,39 @@ object GraphAnalytics {
         |SELECT 3, (SELECT count(*) FROM nation), CAST(0 AS BIGINT), (SELECT count(*) FROM region)
         |UNION ALL
         |SELECT 4, CAST(0 AS BIGINT), (SELECT count(*) FROM supplier), (SELECT count(*) FROM supplier)
-        |ORDER BY label_id""".stripMargin
+        |ORDER BY label_id""".stripMargin,
+    // replay of Algorithms.pageRank's recurrence (r0=1; r' = 0.15 + 0.85 ·
+    // Σ r/outdeg over in-edges; no dangling redistribution; 10 iterations)
+    // over the same packed graphids
+    "x3_pagerank_top" ->
+      """WITH RECURSIVE
+        |v(id) AS (
+        |  SELECT 281474976710656 + c_custkey FROM customer
+        |  UNION ALL SELECT 562949953421312 + n_nationkey FROM nation
+        |  UNION ALL SELECT 844424930131968 + r_regionkey FROM region
+        |  UNION ALL SELECT 1125899906842624 + s_suppkey FROM supplier),
+        |e(src, dst) AS (
+        |  SELECT 281474976710656 + c_custkey, 562949953421312 + c_nationkey FROM customer
+        |  UNION ALL SELECT 562949953421312 + n_nationkey, 844424930131968 + n_regionkey FROM nation
+        |  UNION ALL SELECT 1125899906842624 + s_suppkey, 562949953421312 + s_nationkey FROM supplier),
+        |w AS (
+        |  SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.deg AS w
+        |  FROM e JOIN (SELECT src, count(*) AS deg FROM e GROUP BY 1) d USING (src)),
+        |pr(iter, id, r) AS (
+        |  SELECT 0, id, CAST(1.0 AS DOUBLE) FROM v
+        |  UNION ALL
+        |  SELECT u.iter + 1, u.id,
+        |         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * sum(u.c)
+        |  FROM (
+        |    SELECT p.iter, w.dst AS id, p.r * w.w AS c FROM pr p JOIN w ON p.id = w.src
+        |    UNION ALL
+        |    SELECT p.iter, p.id, CAST(0.0 AS DOUBLE) FROM pr p
+        |  ) u
+        |  WHERE u.iter < 10
+        |  GROUP BY u.iter, u.id)
+        |SELECT id, round(r + 1e-9, 4) AS rank,
+        |       CAST(id // 281474976710656 AS BIGINT) AS label_id
+        |FROM pr WHERE iter = 10
+        |ORDER BY round(r + 1e-9, 4) DESC, id LIMIT 10""".stripMargin
   )
 }
