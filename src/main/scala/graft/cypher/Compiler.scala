@@ -909,6 +909,9 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       case "sin"   => sin(a(0)); case "cos" => cos(a(0)); case "tan" => tan(a(0))
       case "asin"  => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
       case "atan2" => atan2(a(0), a(1))
+      case "factorial" => factorial(a(0).cast("int"))
+      case "gcd" => graft.functions.MathKernels.gcd(a(0), a(1))
+      case "lcm" => graft.functions.MathKernels.lcm(a(0), a(1))
       case "pi"    => lit(math.Pi)
       case "e"     => exp(lit(1.0))
       case "degrees" => degrees(a(0))

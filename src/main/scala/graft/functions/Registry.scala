@@ -41,6 +41,8 @@ object Registry {
 
     // tsearch surface (gtype_tsearch.c)
     reg("totsvector", 1)(a => TsearchFns.toTsvector(a(0)))
+    reg("gcd", 2)(a => MathKernels.gcd(a(0), a(1)))
+    reg("lcm", 2)(a => MathKernels.lcm(a(0), a(1)))
     reg("ts_delete", 2)(a => TsearchFns.tsDelete(a(0), a(1)))
     reg("tsvector_concat", 2)(a => TsearchFns.tsvectorConcat(a(0), a(1)))
 

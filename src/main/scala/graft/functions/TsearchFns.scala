@@ -95,6 +95,46 @@ object TsearchFns {
       exists(tp, t => t.getField("lex") === lit(b.toLowerCase) &&
         t.getField("pos") === s.getField("pos") + dist))
 
+  /** plainto_tsquery semantics: every word of the text present (AND). */
+  def plainMatch(tsv: Column, text: String): Column = {
+    val ws = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    require(ws.nonEmpty, "empty plainto_tsquery text")
+    ws.map(w => array_contains(tsv, w)).toSeq.reduce(_ && _)
+  }
+
+  /** websearch_to_tsquery semantics (reference: the websearch parser in
+    * the tsearch catalog): bare words AND together, `"quoted words"` must
+    * appear adjacent in order, `-term` negates, the literal word OR
+    * alternates (binding looser than AND). Needs both the plain tsvector
+    * (membership) and the positional one (phrases).
+    */
+  def websearchMatch(tsv: Column, tp: Column, query: String): Column = {
+    val tokRe = "\"([^\"]*)\"|(\\S+)".r
+    val toks = tokRe.findAllMatchIn(query).map { m =>
+      if (m.group(1) != null) ("phrase", m.group(1)) else ("word", m.group(2))
+    }.toList
+    require(toks.nonEmpty, "empty websearch query")
+    // split into OR-separated conjunctive groups
+    val groups = toks.foldLeft(List(List.empty[(String, String)])) {
+      case (acc, ("word", "OR" | "or")) => Nil :: acc
+      case (g :: rest, t) => (t :: g) :: rest
+      case (Nil, t) => List(List(t))
+    }.map(_.reverse).reverse
+    def term(t: (String, String)): Option[Column] = t match {
+      case ("phrase", p) if p.trim.nonEmpty => Some(phraseMatch(tp, p))
+      case ("word", w0) =>
+        val neg = w0.startsWith("-")
+        val w = (if (neg) w0.drop(1) else w0).toLowerCase.replaceAll("[^a-z0-9]", "")
+        if (w.isEmpty) None
+        else Some(if (neg) !array_contains(tsv, w) else array_contains(tsv, w))
+      case _ => None
+    }
+    val alts = groups.map(g => g.flatMap(term))
+      .filter(_.nonEmpty).map(_.reduce(_ && _))
+    require(alts.nonEmpty, s"websearch query has no terms: $query")
+    alts.reduce(_ || _)
+  }
+
   /** phraseto_tsquery: every word of the phrase, adjacent and in order. */
   def phraseMatch(tp: Column, phrase: String): Column = {
     val words = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)

@@ -74,6 +74,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 5.0 && r.getInt(1) == 3)
   }
 
+  test("plainto / websearch tsquery semantics") {
+    val text = lit("the quick brown fox jumps over the lazy dog")
+    val tsv = TsearchFns.toTsvector(text)
+    val tp = TsearchFns.toTsvectorPos(text)
+    val r = one(
+      TsearchFns.plainMatch(tsv, "Quick Dog"),
+      TsearchFns.plainMatch(tsv, "quick cat"),
+      TsearchFns.websearchMatch(tsv, tp, "quick dog"),
+      TsearchFns.websearchMatch(tsv, tp, "\"brown fox\" -cat"),
+      TsearchFns.websearchMatch(tsv, tp, "\"fox brown\""),
+      TsearchFns.websearchMatch(tsv, tp, "cat OR dog"),
+      TsearchFns.websearchMatch(tsv, tp, "cat OR -dog"))
+    assert(r.getBoolean(0)); assert(!r.getBoolean(1))
+    assert(r.getBoolean(2))
+    assert(r.getBoolean(3))        // adjacent phrase + negation holds
+    assert(!r.getBoolean(4))       // phrase is order-sensitive
+    assert(r.getBoolean(5))        // OR alternation
+    assert(!r.getBoolean(6))       // both alternatives false
+  }
+
+  test("gcd / lcm / factorial kernels") {
+    graft.functions.Registry.register(spark)
+    val r = spark.sql(
+      "SELECT gcd(54, 24), lcm(4, 6), gcd(0, 7), lcm(0, 7), gcd(-8, 12)").collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 12L)
+    assert(r.getLong(2) == 7L && r.getLong(3) == 0L && r.getLong(4) == 4L)
+  }
+
   test("network v6: parse, RFC 5952 render, mask math, containment, merge") {
     val net = NetworkFns.toInet(lit("2001:db8::/32"))
     val ip = NetworkFns.toInet(lit("2001:db8::5"))
