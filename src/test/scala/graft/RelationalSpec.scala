@@ -22,8 +22,8 @@ class RelationalSpec extends AnyFunSuite {
     val rowsOnly = Set(
       "d4_simhash", // simhash hash family not expressible in DuckDB SQL
       "s3_ann_lsh", // LSH bucket hashing not expressible; recall asserted in PipelineSpec
-      "s4_ivf_ann", // k-means float iterations not SQL-mirrorable; recall in PipelineSpec
-      "x3_pagerank_top") // float iterations not SQL-mirrorable; invariants in AnalyticsSpec
+      "s4_ivf_ann") // k-means float iterations not SQL-mirrorable; recall in PipelineSpec
+    // (x3_pagerank_top graduated to a recursive-CTE oracle in round 3)
     assert(missing == rowsOnly, s"queries missing oracle SQL: $missing")
   }
 
