@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * tsquery = `&`/`|`/`!`/parens over terms, compiled driver-side into a
   * codegen'd array-membership predicate (no UDF).
   *
-  * Omitted vs reference: positions/weights on lexemes, phrase distance
-  * `<->`, websearch parser — deferred (SURVEY.md §2.3 Full-text row).
+  * Positions ride in the parallel positional tsvector (toTsvectorPos) for
+  * phrase distance `<->` / phraseto / websearch quoted phrases; lexeme
+  * WEIGHTS (A-D labels) remain the one omitted reference feature.
   */
 object TsearchFns {
 

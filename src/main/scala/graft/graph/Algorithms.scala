@@ -56,7 +56,7 @@ object Algorithms {
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
       .localCheckpoint()
     var ranks = verts.select(col("id"), lit(1.0).as("rank")).localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       val contribs = w.join(ranks, col("src") === col("id"))
         .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("in_sum"))
       ranks = verts
@@ -64,7 +64,9 @@ object Algorithms {
         .select(col("id"),
           (lit(resetProb) +
             lit(1 - resetProb) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      // flatten every few generations: each checkpoint is an eager job, but
+      // unbounded lineage makes analysis superlinear — 3 is the sweet spot
+      if (k % 3 == 0 || k == iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }
