@@ -196,9 +196,13 @@ object Dedup {
       // count(*) for the vote baseline. Bit i's +1/−1 vote sum is
       // 2·cnt_i − n, so the sign bit is set iff 2·cnt_i > n — the unpack
       // runs once per doc in the final projection, not per token.
+      // token hash = first 15 hex chars of md5 (60 bits): md5 is the one
+      // hash both engines compute identically, which makes the WHOLE
+      // simhash pipeline DuckDB-mirrorable (bits 60-63 vote -n everywhere
+      // → equal sign bits, harmless to banding and hamming)
       val toks = T(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .withColumn("h", xxhash64(col("w")))
+        .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
       val votes = toks.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n"),
           (0 until 16).map(j =>
@@ -233,6 +237,35 @@ object Dedup {
         |  FROM documents GROUP BY 1)""".stripMargin,
     "d2_ngram_jaccard" -> jaccardOracle(JaccardThreshold),
     "d3_minhash_lsh" -> jaccardOracle(LshThreshold),
+    // full relational replay of the simhash pipeline: md5-prefix token
+    // hash → per-bit ±1 votes → sign bits → 16-bit chunk banding →
+    // hamming over differing sign bits
+    "d4_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b.i AS bit,
+        |         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM sh CROSS JOIN range(64) b(i) GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, bit, CASE WHEN v > 0 THEN 1 ELSE 0 END AS s FROM votes),
+        |chunks AS (
+        |  SELECT doc_id, bit // 16 AS c,
+        |         sum(CASE WHEN s = 1 THEN 1 << (bit % 16) ELSE 0 END) AS val
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT cand.da, cand.db,
+        |         CAST(sum(CASE WHEN x.s <> y.s THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+        |  FROM cand
+        |  JOIN bits x ON x.doc_id = cand.da
+        |  JOIN bits y ON y.doc_id = cand.db AND y.bit = x.bit
+        |  GROUP BY 1, 2)
+        |SELECT da, db, hamming FROM ham WHERE hamming <= 6 ORDER BY da, db""".stripMargin,
     "d5_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -240,7 +273,6 @@ object Dedup {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         |ORDER BY va, vb""".stripMargin
-    // d4_simhash: rows-only (hash family not expressible in SQL)
   )
 
   private def jaccardOracle(threshold: Double): String =

@@ -20,7 +20,6 @@ class RelationalSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only queries are allowed but should be deliberate; list them here.
     val rowsOnly = Set(
-      "d4_simhash", // simhash hash family not expressible in DuckDB SQL
       "s3_ann_lsh", // LSH bucket hashing not expressible; recall asserted in PipelineSpec
       "s4_ivf_ann") // k-means float iterations not SQL-mirrorable; recall in PipelineSpec
     // (x3_pagerank_top graduated to a recursive-CTE oracle in round 3)
