@@ -31,16 +31,20 @@ object Dedup {
     */
   private val LaneMask = 0x0001000100010001L
 
-  /** (doc_id, shingle) exploded-distinct pairs.
+  /** (doc_id, xxhash64(shingle)) distinct word-3gram pairs — what d2/d3
+    * consume.
     *
     * Built with posexplode + window `lead` rather than the array-HOF
     * (`transform`+`slice`) form: higher-order functions evaluate
-    * interpreted per element (measured ~5 s at sf0.1 just to build the
+    * interpreted per element (measured ~5 s at sf0.1 just building the
     * arrays), while posexplode and lead run inside codegen / the window
-    * buffer. The window partitions by doc_id — per-doc state is bounded
-    * by the longest document, embarrassingly parallel at 100 TB.
+    * buffer; per-doc window state is bounded by the longest document.
+    * Hashing happens in the same stage that BUILDS the shingle, so the
+    * dedup shuffle (and everything downstream) carries an 8-byte long;
+    * the shingle string never crosses a shuffle boundary. Docs with < 3
+    * tokens contribute their whole normalized text as the single shingle.
     */
-  private def docShingles(s: SparkSession, dir: String): DataFrame = {
+  private def docShingleHashes(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = T(s, dir, "documents")
     val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))))
@@ -49,12 +53,11 @@ object Dedup {
     val grams = toks
       .select(col("doc_id"), col("w"),
         lead("w", 1).over(win).as("w1"), lead("w", 2).over(win).as("w2"))
-      .filter(col("w2").isNotNull) // rows exist only for docs with ≥ 3 tokens
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
-    // docs with < 3 tokens contribute their whole (normalized) text as the
-    // single shingle — same fallback the array form used
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("w"), col("w1"), col("w2"))).as("h"))
     val short = docs.filter(size(tokens(col("text"))) < 3)
-      .select(col("doc_id"), normalized(col("text")).as("shingle"))
+      .select(col("doc_id"), xxhash64(normalized(col("text"))).as("h"))
     grams.unionByName(short).distinct()
   }
 
@@ -70,8 +73,8 @@ object Dedup {
     // merge two distinct shingles (P ≈ n²/2⁶⁴ — negligible below ~10⁹
     // distinct shingles; at larger corpora switch the key to
     // (xxhash64, length) or verify candidates exactly as d3 does).
-    val sh = docShingles(s, dir)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("hk"))
+    val sh = docShingleHashes(s, dir)
+      .withColumnRenamed("h", "hk")
       .localCheckpoint() // eager: scanned 3× (sizes + both join sides) — persist() alone races (concurrent stages each recompute)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a")
@@ -117,9 +120,7 @@ object Dedup {
       // xxhash64 of the shingle — signature mins, and the exact-verify
       // intersection over per-doc SORTED LONG ARRAYS (array_intersect on
       // longs; the string-array form was the round-2 hot spot).
-      val hashed = docShingles(s, dir)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-        .localCheckpoint()
+      val hashed = docShingleHashes(s, dir).localCheckpoint()
       val sig = hashed.groupBy(col("doc_id"))
         .agg(min(xxhash64(lit(0), col("h"))).as("m0"),
           (1 until MinhashK).map(i =>
