@@ -386,6 +386,44 @@ object GeomKernels {
       copy(left = l, right = r)
   }
 
+  // ----------------------------------------------------- area / symdiff
+
+  /** Shoelace area of a ring (open or closed). */
+  private[functions] def ringArea(r0: Array[Pt]): Double = {
+    val r = if (r0.length > 1 && r0.head.x == r0.last.x && r0.head.y == r0.last.y)
+      r0.dropRight(1) else r0
+    if (r.length < 3) return 0.0
+    var s = 0.0
+    for (i <- r.indices) {
+      val j = (i + 1) % r.length
+      s += r(i).x * r(j).y - r(j).x * r(i).y
+    }
+    math.abs(s) / 2
+  }
+
+  case class StArea(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any): Any = ringArea(readLine(a))
+    override protected def withNewChildInternal(c: Expression): StArea = copy(child = c)
+  }
+
+  /** Area of the symmetric difference of two CONVEX rings:
+    * |A| + |B| − 2·|A∩B| (the clip kernel supplies the intersection).
+    * The reference's ST_SymDifference returns a geometry; our encoding has
+    * no multi-polygon value, so the area — the scalar the regression
+    * queries actually compare — is what we expose.
+    */
+  case class StSymDifferenceArea(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a0: Any, b0: Any): Any = {
+      val a = readLine(a0); val b = readLine(b0)
+      ringArea(a) + ringArea(b) - 2 * ringArea(clipPolygon(a, b).toArray)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StSymDifferenceArea =
+      copy(left = l, right = r)
+  }
+
   // -------------------------------------------------------- generate pts
 
   /** Deterministic ST_GeneratePoints(polygon, n, seed): rejection-sample
@@ -472,6 +510,8 @@ object GeomKernels {
     Bridge.column(f(Bridge.expression(a), Bridge.expression(b)))
 
   def stConvexHull(line: Column): Column = c1(StConvexHull)(line)
+  def stArea(ring: Column): Column = c1(StArea)(ring)
+  def stSymDifferenceArea(a: Column, b: Column): Column = c2(StSymDifferenceArea)(a, b)
   def stSimplify(line: Column, tol: Column): Column = c2(StSimplify)(line, tol)
   def stFrechetDistance(a: Column, b: Column): Column = c2(StFrechet)(a, b)
   def stHausdorffDistance(a: Column, b: Column): Column = c2(StHausdorff)(a, b)

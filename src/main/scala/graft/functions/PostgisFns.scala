@@ -120,6 +120,18 @@ object PostgisFns {
     concat(lit("POINT("), stX(p).cast("string"), lit(" "),
       stY(p).cast("string"), lit(")"))
 
+  /** `LINESTRING(x y, …)` WKT rendering of a point array. */
+  def stAsTextLine(line: Column): Column =
+    concat(lit("LINESTRING("),
+      array_join(transform(line, p =>
+        concat(p.getField("x").cast("string"), lit(" "),
+          p.getField("y").cast("string"))), ", "),
+      lit(")"))
+
+  /** EWKT: WKT prefixed with the SRID (reference asEWKT). */
+  def stAsEwkt(p: Column, srid: Column): Column =
+    concat(lit("SRID="), srid.cast("string"), lit(";"), stAsText(p))
+
   /** Trajectory validity: measures strictly increasing along the line
     * (reference: ST_IsValidTrajectory).
     */

@@ -109,5 +109,9 @@ object Registry {
     reg("st_distancecpa", 2)(a => GeomKernels.stDistanceCPA(a(0), a(1)))
     reg("st_generatepoints", 3)(a => GeomKernels.stGeneratePoints(a(0), a(1), a(2)))
     reg("st_linecentroid", 1)(a => GeomKernels.stLineCentroid(a(0)))
+    reg("st_area", 1)(a => GeomKernels.stArea(a(0)))
+    reg("st_symdifference_area", 2)(a => GeomKernels.stSymDifferenceArea(a(0), a(1)))
+    reg("st_astext_line", 1)(a => PostgisFns.stAsTextLine(a(0)))
+    reg("st_asewkt", 2)(a => PostgisFns.stAsEwkt(a(0), a(1)))
   }
 }

@@ -9,8 +9,10 @@ object Plans {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (name <- Seq("q4_filter_pushdown", "g2_pattern_join", "d3_minhash_lsh",
-        "g16_call_subquery", "q1_agg")) {
+    for (name <- (if (args.nonEmpty) args.toSeq
+        else Seq("q4_filter_pushdown", "g2_pattern_join", "d3_minhash_lsh",
+          "g16_call_subquery", "q1_agg", "d2_ngram_jaccard", "g19_call_topk",
+          "f14_hausdorff", "x3_pagerank_top", "s3_ann_lsh"))) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       println(s"==== $name")

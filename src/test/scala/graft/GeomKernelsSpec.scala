@@ -108,6 +108,25 @@ class GeomKernelsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(1) - (0.0 * 10 + 0.5 * 1) / 11) < 1e-9)
   }
 
+  test("area and symmetric-difference area on convex rings") {
+    val a = array(pt(0, 0), pt(4, 0), pt(4, 4), pt(0, 4))      // area 16
+    val b = array(pt(2, 2), pt(6, 2), pt(6, 6), pt(2, 6))      // area 16, ∩ = 4
+    val r = one(GeomKernels.stArea(a),
+      GeomKernels.stSymDifferenceArea(a, b),
+      GeomKernels.stArea(array(pt(0, 0), pt(1, 0))))            // degenerate
+    assert(r.getDouble(0) == 16.0)
+    assert(r.getDouble(1) == 16.0 + 16.0 - 2 * 4.0)
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("WKT renders: linestring and EWKT") {
+    val line = array(pt(0, 0), pt(1.5, 2.5))
+    val r = one(graft.functions.PostgisFns.stAsTextLine(line),
+      graft.functions.PostgisFns.stAsEwkt(pt(1.5, -2.0), lit(4326)))
+    assert(r.getString(0) == "LINESTRING(0.0 0.0, 1.5 2.5)")
+    assert(r.getString(1) == "SRID=4326;POINT(1.5 -2.0)")
+  }
+
   test("kernels are SQL-registered") {
     graft.functions.Registry.register(spark)
     val r = spark.sql(
