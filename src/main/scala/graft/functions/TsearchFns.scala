@@ -96,6 +96,37 @@ object TsearchFns {
       exists(tp, t => t.getField("lex") === lit(b.toLowerCase) &&
         t.getField("pos") === s.getField("pos") + dist))
 
+  // ---- lexeme weights (reference setweight / weighted term matching)
+
+  /** setweight: stamp every lexeme of a positional tsvector with a weight
+    * label A-D (reference setweight(tsvector, 'A')).
+    */
+  def setWeight(tp: Column, weight: String): Column = {
+    require(Set("A", "B", "C", "D")(weight), s"bad tsvector weight: $weight")
+    transform(tp, s => struct(s.getField("lex").as("lex"),
+      s.getField("pos").as("pos"), lit(weight).as("w")))
+  }
+
+  /** Concat of two WEIGHTED positional tsvectors, second one's positions
+    * shifted past the first (reference tsvector `||` keeps order).
+    */
+  def weightedConcat(a: Column, b: Column): Column =
+    concat(a, transform(b, s => struct(s.getField("lex").as("lex"),
+      (s.getField("pos") + size(a)).as("pos"), s.getField("w").as("w"))))
+
+  /** `term:AB`-style match: lexeme present with one of the given weights. */
+  def tsMatchWeighted(tw: Column, term: String, weights: String): Column = {
+    val ws = weights.toUpperCase.split("").filter(_.nonEmpty).toSeq
+    exists(tw, s => s.getField("lex") === lit(term.toLowerCase) &&
+      s.getField("w").isin(ws: _*))
+  }
+
+  /** strip(): drop positions/weights → the plain sorted-lexeme tsvector
+    * (true reference semantics; works on positional or weighted vectors).
+    */
+  def stripPositional(tp: Column): Column =
+    array_sort(array_distinct(transform(tp, s => s.getField("lex"))))
+
   /** plainto_tsquery semantics: every word of the text present (AND). */
   def plainMatch(tsv: Column, text: String): Column = {
     val ws = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)

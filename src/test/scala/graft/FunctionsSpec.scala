@@ -94,6 +94,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!r.getBoolean(6))       // both alternatives false
   }
 
+  test("tsvector weights: setweight, weighted match, strip") {
+    val title = TsearchFns.setWeight(TsearchFns.toTsvectorPos(lit("Spark Graph Engine")), "A")
+    val body = TsearchFns.setWeight(TsearchFns.toTsvectorPos(lit("a fast engine for graphs")), "D")
+    val doc = TsearchFns.weightedConcat(title, body)
+    val r = one(
+      TsearchFns.tsMatchWeighted(doc, "engine", "A"),    // in title
+      TsearchFns.tsMatchWeighted(doc, "fast", "A"),      // only in body
+      TsearchFns.tsMatchWeighted(doc, "fast", "AD"),
+      TsearchFns.stripPositional(doc))
+    assert(r.getBoolean(0)); assert(!r.getBoolean(1)); assert(r.getBoolean(2))
+    assert(r.getSeq[String](3) ==
+      Seq("a", "engine", "fast", "for", "graph", "graphs", "spark"))
+  }
+
   test("gcd / lcm / factorial kernels") {
     graft.functions.Registry.register(spark)
     val r = spark.sql(
