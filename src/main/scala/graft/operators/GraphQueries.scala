@@ -145,7 +145,23 @@ object GraphQueries {
       "MATCH (n:Nation) CALL { WITH n MATCH (c:Customer)-[:IN_NATION]->(n) " +
         "RETURN c.c_name AS top_cust, c.c_acctbal AS bal " +
         "ORDER BY c.c_acctbal DESC, c.c_name LIMIT 2 } " +
-        "RETURN n.n_name AS nation, top_cust, bal ORDER BY nation, bal DESC, top_cust")
+        "RETURN n.n_name AS nation, top_cust, bal ORDER BY nation, bal DESC, top_cust"),
+
+    // cypher() TABLE-VALUED FUNCTION (reference's cypher('graph', $$…$$)
+    // SQL entry, SURVEY §3.2): graph query composed inside plain SQL —
+    // Catalyst optimizes across the TVF boundary
+    "g20_cypher_tvf" -> ((s, dir) => {
+      graft.cypher.CypherTvf.registerGraph("tpch", tpchGraph(s, dir))
+      graft.cypher.CypherTvf.register(s)
+      s.sql(
+        s"""SELECT g.nation, g.n_cust, r.r_name AS region
+           |FROM cypher('tpch',
+           |  'MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+           |   RETURN n.n_name AS nation, n.n_regionkey AS rk, count(*) AS n_cust') g
+           |JOIN parquet.`$dir/region.parquet` r ON g.rk = r.r_regionkey
+           |ORDER BY g.nation""".stripMargin)
+        .select(col("nation"), col("n_cust"), col("region"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -219,6 +235,12 @@ object GraphQueries {
         |                       ORDER BY c.c_acctbal DESC, c.c_name) AS rn
         |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey)
         |SELECT nation, top_cust, bal FROM ranked WHERE rn <= 2
-        |ORDER BY nation, bal DESC, top_cust""".stripMargin
+        |ORDER BY nation, bal DESC, top_cust""".stripMargin,
+    "g20_cypher_tvf" ->
+      """SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_cust, r_name AS region
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name ORDER BY nation""".stripMargin
   )
 }

@@ -273,6 +273,25 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("NYC", "Cal"), ("SEA", "Ann")))
   }
 
+  test("cypher() table-valued function composes inside plain SQL") {
+    graft.cypher.CypherTvf.registerGraph("social", graph)
+    graft.cypher.CypherTvf.register(spark)
+    val rows = spark.sql(
+      "SELECT name, age FROM cypher('social', " +
+      "'MATCH (p:Person) RETURN p.name AS name, p.age AS age') " +
+      "WHERE age > 28 ORDER BY name").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("Ann", 30L), ("Cal", 41L), ("Dee", 35L)))
+    // graph TVF joined against an ordinary SQL view
+    spark.sql("SELECT 'SEA' AS city, 1 AS pop UNION ALL SELECT 'NYC', 2")
+      .createOrReplaceTempView("city_pop")
+    val joined = spark.sql(
+      "SELECT c.city, p.pop FROM cypher('social', " +
+      "'MATCH (x:Person)-[:LIVES_IN]->(c:City) RETURN DISTINCT c.cname AS city') c " +
+      "JOIN city_pop p ON c.city = p.city ORDER BY c.city").collect()
+    assert(joined.map(_.getString(0)).toSeq == Seq("NYC", "SEA"))
+  }
+
   test("CALL db.labels() YIELD") {
     val rows = run("CALL db.labels() YIELD label RETURN label ORDER BY label")
       .collect().map(_.getString(0))
