@@ -96,6 +96,51 @@ object Ivf {
       iters: Int): Array[Array[Double]] =
     kmeansFlat(flatten(emb, idCol, vecCol), k, iters)
 
+  /** Sampled k-means build — the reference's IVFFlat shape (ivfbuild.c
+    * samples rows before clustering; lists=100 needs only ~50·k samples):
+    * ONE deterministic id-stride sample collected to the driver, Lloyd's
+    * run locally, and only the ASSIGNMENT pass stays distributed. At any
+    * corpus size the driver holds ≤ cap vectors; the distributed variant
+    * ([[kmeansFlat]]) spent 4 shuffle stages + a collect PER ITERATION on
+    * cluster-scheduling overhead.
+    */
+  def kmeansSampled(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, cap: Int = 4096): Array[Array[Double]] = {
+    val n = emb.count()
+    require(n >= k, s"need at least $k vectors")
+    val stride = math.max(n / cap, 1)
+    val sample: Array[Array[Double]] = emb
+      .filter(col(idCol) % stride === 0)
+      .orderBy(col(idCol))
+      .limit(cap)
+      .select(transform(col(vecCol), _.cast("double")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dim = sample.head.length
+    val sstride = math.max(sample.length / k, 1)
+    var cent: Array[Array[Double]] =
+      Array.tabulate(k)(i => sample(math.min(i * sstride, sample.length - 1)).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Long](k)
+      for (v <- sample) {
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val x = v(i) - cent(c)(i); d += x * x; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        cnt(best) += 1
+      }
+      cent = Array.tabulate(k)(c =>
+        if (cnt(c) > 0) sums(c).map(_ / cnt(c)) else cent(c))
+    }
+    cent
+  }
+
   /** ANN top-k by cosine: probe the `nprobe` nearest clusters per query,
     * exact-score candidates within those clusters only. Scan cost per query
     * drops from |corpus| to ~|corpus|·nprobe/k — the IVFFlat trade.

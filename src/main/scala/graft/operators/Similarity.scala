@@ -159,12 +159,11 @@ object Similarity {
     // probe ~40% of lists: recall over speed while list count is small
     // relative to the true cluster structure (10 label clusters here)
     val nprobe = math.max(2, (k * 2) / 5)
-    // one flatten feeds every Lloyd iteration AND the index assignment
+    // sampled driver-side Lloyd build (the reference's ivfbuild.c shape);
+    // the flatten feeds the DISTRIBUTED index assignment + query probes
     val flat = graft.functions.Ivf.flatten(emb, "vec_id", "embedding")
-    // 3 Lloyd iterations: stride seeds on well-separated clusters converge
-    // by then (recall vs brute asserted in PipelineSpec); each extra
-    // iteration is a full corpus re-aggregation + driver sync
-    val centroids = graft.functions.Ivf.kmeansFlat(flat, k, iters = 3)
+    val centroids = graft.functions.Ivf.kmeansSampled(
+      emb, "vec_id", "embedding", k, iters = 6)
     graft.functions.Ivf.annSearch(
       emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < NQuery), "vec_id", "embedding",
