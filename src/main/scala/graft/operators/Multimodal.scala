@@ -68,6 +68,35 @@ object Multimodal {
         }
       }.toDF("doc_id", "n_frames", "first_frame_md5")
         .orderBy(col("doc_id"))
+    }),
+
+    // per-asset feature extraction through the stub codec: pixel-intensity
+    // stats as the stand-in feature vector. The per-doc byte sums are
+    // EXACT integers accumulated in one partition-local pass, and the
+    // float math is a fixed formula over them — bit-identical across
+    // engines, no summation-order noise.
+    "m3_feature_extract" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val ds = assets(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      ds.mapPartitions { it =>
+        it.map { case (docId, payload) =>
+          var sum = 0L; var sumSq = 0L
+          FakeCodec.frames(payload).foreach(_.foreach { b =>
+            val v = (b & 0xFF).toLong; sum += v; sumSq += v * v
+          })
+          val n = payload.length.toDouble
+          val mean = sum / 255.0 / n
+          val std = math.sqrt(sumSq.toDouble / n -
+            (sum.toDouble / n) * (sum.toDouble / n)) / 255.0
+          (docId, payload.length.toLong, mean, std)
+        }
+      }.toDF("doc_id", "n_px", "mean_raw", "std_raw")
+        .select(col("doc_id"), col("n_px"),
+          round(col("mean_raw"), 6).as("mean_px"),
+          round(col("std_raw"), 6).as("std_px"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -83,6 +112,21 @@ object Multimodal {
       """SELECT doc_id,
         |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
         |  md5(substring(text, 1, 64)) AS first_frame_md5
-        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+    "m3_feature_extract" ->
+      """WITH b AS (
+        |  SELECT doc_id, ord(substr(text, CAST(i + 1 AS INT), 1)) AS v
+        |  FROM documents CROSS JOIN range(100000) t(i)
+        |  WHERE doc_id < 20 AND i < octet_length(encode(text))),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS s,
+        |         CAST(sum(v * v) AS BIGINT) AS s2,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1)
+        |SELECT doc_id, n AS n_px,
+        |  round(s / 255.0 / n, 6) AS mean_px,
+        |  round(sqrt(CAST(s2 AS DOUBLE) / n -
+        |    (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / 255.0, 6) AS std_px
+        |FROM agg ORDER BY doc_id""".stripMargin
   )
 }
