@@ -941,6 +941,17 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       case "tofloat"   => a(0).cast("double")
       case "toboolean" => a(0).cast("boolean")
       case "tonumeric" => a(0).cast("decimal(38,18)")
+      // extended-type casts (reference gtype_typecasting.c to*() family)
+      case "tovector"   => graft.functions.VectorFns.tovector(a(0))
+      case "toinet"     => graft.functions.NetworkFns.toInet(a(0))
+      case "totsvector" => graft.functions.TsearchFns.toTsvector(a(0))
+      case "todate"      => a(0).cast("date")
+      case "totimestamp" => a(0).cast("timestamp")
+      case "tomacaddr"   => graft.functions.NetworkFns.toMacaddr(a(0))
+      case "topoint" => graft.functions.RangeGeoFns.point(a(0), a(1))
+      case "intrange" | "numrange" =>
+        graft.functions.RangeGeoFns.range(a(0), a(1),
+          if (args.length == 3) litString(args(2)) else "[)")
       case "md5"    => md5(a(0).cast("string"))
       case "sha256" => sha2(a(0).cast("string"), 256)
       case "sha512" => sha2(a(0).cast("string"), 512)

@@ -231,6 +231,19 @@ class CypherSpec extends AnyFunSuite {
     assert(m.keySet == Set("age", "city", "name", "pid"))
   }
 
+  test("extended-type casts: tovector / toinet / totsvector / ranges") {
+    val r = run(
+      "RETURN tovector('[1.5, 2, 3]') AS v, " +
+      "toinet('10.0.0.0/8') AS net, " +
+      "totsvector('A fat cat') AS tsv, " +
+      "intrange(3, 7) AS rng").collect().head
+    assert(r.getSeq[Double](0) == Seq(1.5, 2.0, 3.0))
+    assert(r.getStruct(1).getAs[Int]("masklen") == 8)
+    assert(r.getSeq[String](2) == Seq("a", "cat", "fat"))
+    val rng = r.getStruct(3)
+    assert(rng.getAs[Long]("lo") == 3L && rng.getAs[Long]("hi") == 7L)
+  }
+
   test("arithmetic with promotion in projections") {
     val r = run("RETURN 7 / 2 AS intdiv, 7.0 / 2 AS fdiv, 2 ^ 10 AS p")
       .collect().head
