@@ -401,6 +401,30 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     }
   }
 
+  /** Does the expression reference any of the given (outer) variables? */
+  private def referencesVars(e: Expr, vars: Set[String]): Boolean = e match {
+    case Var(n)            => vars(n)
+    case Prop(b, _)        => referencesVars(b, vars)
+    case Lit(_) | Param(_) | CountStar() => false
+    case ListLit(items)    => items.exists(referencesVars(_, vars))
+    case MapLit(entries)   => entries.exists(kv => referencesVars(kv._2, vars))
+    case Bin(_, l, r)      => referencesVars(l, vars) || referencesVars(r, vars)
+    case Un(_, x)          => referencesVars(x, vars)
+    case IsNull(x, _)      => referencesVars(x, vars)
+    case StringOp(_, l, r) => referencesVars(l, vars) || referencesVars(r, vars)
+    case FnCall(_, args, _) => args.exists(referencesVars(_, vars))
+    case CaseExpr(op, whens, otherwise) =>
+      op.exists(referencesVars(_, vars)) ||
+        whens.exists(w => referencesVars(w._1, vars) || referencesVars(w._2, vars)) ||
+        otherwise.exists(referencesVars(_, vars))
+    case Index(b, i)    => referencesVars(b, vars) || referencesVars(i, vars)
+    case Slice(b, l, h) => referencesVars(b, vars) ||
+      l.exists(referencesVars(_, vars)) || h.exists(referencesVars(_, vars))
+    case ListComp(_, src, where, proj) => referencesVars(src, vars) ||
+      where.exists(referencesVars(_, vars)) || proj.exists(referencesVars(_, vars))
+    case _ => true // sublinks / exists: be conservative, defer past the join
+  }
+
   private def bindNode(ctx: Ctx, alias: String, n: NodePattern,
       joinOn: Option[Column]): Ctx = {
     if (ctx.vars.contains(alias)) {
@@ -412,21 +436,34 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       }
       ctx.copy(df = df)
     } else {
-      val scan = vertexScan(alias, n.labels, n.props, ctx)
-      val df =
+      // prop filters referencing OUTER variables (`(m {i: n.i})`) can only
+      // resolve after the join — split them off the scan-time filters
+      val (correlated, local) = n.props.partition { case (_, v) =>
+        ctx.df != null && referencesVars(v, ctx.vars.keySet)
+      }
+      val scan = vertexScan(alias, n.labels, local, ctx)
+      var df =
         if (ctx.df == null) scan
         else joinOn match {
           case Some(cond) => ctx.df.join(scan, cond)
           case None       => ctx.df.crossJoin(scan)
         }
-      Ctx(df, ctx.vars + (alias -> VarInfo.vertex), ctx.projected)
+      val out = Ctx(df, ctx.vars + (alias -> VarInfo.vertex), ctx.projected)
+      correlated.foreach { case (k, v) =>
+        df = df.filter(propCond(df, col(s"${alias}__$k"), v, out))
+      }
+      out.copy(df = df)
     }
   }
 
   private def bindRelAndNode(ctx0: Ctx, prev: String, relAlias: String,
       rel: RelPattern, next: String, node: NodePattern): Ctx = {
     var ctx = ctx0
-    val scan0 = edgeScan(relAlias, rel.types, rel.props, ctx)
+    // same correlated-prop split as bindNode, for the edge's property map
+    val (corrRel, localRel) = rel.props.partition { case (_, v) =>
+      ctx.df != null && referencesVars(v, ctx.vars.keySet)
+    }
+    val scan0 = edgeScan(relAlias, rel.types, localRel, ctx)
     // orient: dir=1  prev--start, end--next; dir=-1 reversed; dir=0 union both
     val scan = rel.dir match {
       case 1  => scan0
@@ -445,6 +482,10 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     require(!ctx.vars.contains(relAlias), s"edge variable $relAlias reused")
     var df = ctx.df.join(scan, col(s"${prev}__id") === col(s"${relAlias}__gsrc"))
     ctx = Ctx(df, ctx.vars + (relAlias -> VarInfo.edge), ctx.projected)
+    corrRel.foreach { case (k, v) =>
+      ctx = ctx.copy(df = ctx.df.filter(
+        propCond(ctx.df, col(s"${relAlias}__$k"), v, ctx)))
+    }
     if (ctx.vars.contains(next)) {
       // closing a cycle: next already bound
       var out = ctx.df.filter(col(s"${relAlias}__gdst") === col(s"${next}__id"))
@@ -748,7 +789,13 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
           struct(cs.map(c => col(c).as(c.stripPrefix(s"${n}__"))): _*)
         case _ => col(n)
       }
-    case Prop(Var(n), k) if ctx.vars.get(n).exists(_.isEntity) => col(s"${n}__$k")
+    case Prop(Var(n), k) if ctx.vars.get(n).exists(_.isEntity) =>
+      // a property no row of any matched label carries resolves to NULL
+      // (Cypher/reference semantics: absent property ≡ null), not an
+      // unresolved-column error — the union view only null-fills props
+      // that exist SOMEWHERE; a fully-absent key has no column at all
+      if (ctx.df != null && !ctx.df.columns.contains(s"${n}__$k")) lit(null)
+      else col(s"${n}__$k")
     case Prop(base, k) =>
       val b = compileExpr(base, ctx)
       b.getField(k)

@@ -71,8 +71,8 @@ final class GraphSession(val spark: SparkSession) {
   // ------------------------------------------------------------------- writes
 
   private def executeWrite(ctx: Ctx, clause: Clause, compiler: Compiler): Ctx = clause match {
-    case Create(patterns) => patterns.foldLeft(ctx)((c, p) => executeCreate(c, p))
-    case Merge(pattern)   => executeMerge(ctx, pattern)
+    case Create(patterns) => patterns.foldLeft(ctx)((c, p) => executeCreate(c, p, compiler))
+    case Merge(pattern)   => executeMerge(ctx, pattern, compiler)
     case SetClause(items) => executeSet(ctx, items, compiler); ctx
     case Remove(items)    => executeRemove(ctx, items); ctx
     case Delete(exprs, detach) => executeDelete(ctx, exprs, detach); ctx
@@ -94,9 +94,10 @@ final class GraphSession(val spark: SparkSession) {
     * matched ids, unbound nodes are created one-per-row, edges wire
     * adjacent pattern nodes per row.
     */
-  private def executeCreate(ctx0: Ctx, pattern: PathPattern): Ctx = {
+  private def executeCreate(ctx0: Ctx, pattern: PathPattern,
+      compiler: Compiler): Ctx = {
     val elems = pattern.elements
-    if (ctx0.df != null) createPerRow(ctx0, elems)
+    if (ctx0.df != null) createPerRow(ctx0, elems, compiler)
     else {
       val ctx = ctx0
       // literal chain: nodes and edges all new
@@ -135,7 +136,8 @@ final class GraphSession(val spark: SparkSession) {
     * a projection over a deterministic per-row numbering, no id service
     * (same packing the bulk loader uses; scales as one window + appends).
     */
-  private def createPerRow(ctx0: Ctx, elems: Seq[PatternElem]): Ctx = {
+  private def createPerRow(ctx0: Ctx, elems: Seq[PatternElem],
+      compiler: Compiler): Ctx = {
     import org.apache.spark.sql.expressions.Window
     var vars = ctx0.vars
     val w = Window.orderBy(ctx0.df.columns.map(col).toSeq: _*)
@@ -153,7 +155,6 @@ final class GraphSession(val spark: SparkSession) {
             s"${v}__id"
           case None =>
             val label = n.labels.headOption.getOrElse("_default")
-            val props = n.props.map { case (k, pv) => k -> constEval(pv) }
             val (lid, base) = graph.reserveEntries(label, nRows)
             val idc = shiftleft(lit(lid.toLong), 48)
               .bitwiseOR(col("__crn") + base)
@@ -163,11 +164,22 @@ final class GraphSession(val spark: SparkSession) {
                 val t = s"__cnode${tempCols.length}"; tempCols += t; t
             }
             df = df.withColumn(name, idc)
-            graph.createVerticesFrom(label, df.select(col(name).as("id")), props)
+            // literal props keep their exact GValue typing; expressions
+            // referencing the input row (`{i: n.i}` — reference
+            // cypher_create per-tuple evaluation) compile per row
+            val propCols = n.props.toSeq.sortBy(_._1).map { case (k, pv) =>
+              k -> (scala.util.Try(constEval(pv)).toOption match {
+                case Some(gv) => graph.gLit(gv)
+                case None => compiler.compileExpr(pv, Ctx(df, vars, projected = false))
+              })
+            }
+            graph.createVerticesRows(label,
+              df.select(col(name).as("id") +:
+                propCols.map { case (k, c) => c.as(k) }: _*))
             n.variable.foreach { v =>
               df = df.withColumn(s"${v}__label", lit(label))
-              props.foreach { case (k, gv) =>
-                df = df.withColumn(s"${v}__$k", graph.gLit(gv))
+              propCols.foreach { case (k, c) =>
+                df = df.withColumn(s"${v}__$k", c)
               }
             }
             name
@@ -200,7 +212,7 @@ final class GraphSession(val spark: SparkSession) {
     * ("only-create-once-per-distinct-binding"), then the pattern is
     * re-matched so every input row joins its (now guaranteed) instance.
     */
-  private def executeMerge(ctx: Ctx, pattern: PathPattern): Ctx = {
+  private def executeMerge(ctx: Ctx, pattern: PathPattern, compiler: Compiler): Ctx = {
     if (ctx.df == null) {
       val probe = new Compiler(graph.snapshot, Map.empty)
       val matched = try {
@@ -210,13 +222,13 @@ final class GraphSession(val spark: SparkSession) {
       if (matched) {
         new Compiler(graph.snapshot, Map.empty)
           .compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
-      } else executeCreate(Ctx.empty, pattern)
+      } else executeCreate(Ctx.empty, pattern,
+        new Compiler(graph.snapshot, Map.empty))
     } else {
       val boundVars = pattern.elements.collect {
         case n: NodePattern if n.variable.exists(ctx.vars.contains) => n.variable.get
       }.distinct
-      require(boundVars.nonEmpty,
-        "MERGE after a clause must share at least one bound variable")
+      if (boundVars.isEmpty) return mergeByProps(ctx, pattern, compiler)
       // bindings with no existing pattern instance
       val missing = try {
         val inner = new Compiler(graph.snapshot, Map.empty)
@@ -229,11 +241,72 @@ final class GraphSession(val spark: SparkSession) {
       } catch { case _: IllegalArgumentException => ctx.df } // unknown label → all missing
       val distinctMissing = missing.dropDuplicates(boundVars.map(v => s"${v}__id"))
       if (distinctMissing.limit(1).count() > 0)
-        createPerRow(Ctx(distinctMissing, ctx.vars, projected = false), pattern.elements)
-      // every binding now matches: inner-join the pattern from the new snapshot
-      new Compiler(graph.snapshot, Map.empty)
-        .compileClause(ctx, Match(List(pattern), optional = false, None))
+        createPerRow(Ctx(distinctMissing, ctx.vars, projected = false),
+          pattern.elements, compiler)
+      // every binding now matches: inner-join the pattern from the new
+      // snapshot (zero input rows + a never-created label → empty result)
+      rematch(ctx, pattern)
     }
+  }
+
+  /** Lateral re-match after MERGE ensured instances exist. If nothing was
+    * ever created under the pattern's label (zero input rows), the label
+    * may not exist at all — that is an empty result, not an error.
+    */
+  private def rematch(ctx: Ctx, pattern: PathPattern): Ctx =
+    try new Compiler(graph.snapshot, Map.empty)
+      .compileClause(ctx, Match(List(pattern), optional = false, None))
+    catch { case _: IllegalArgumentException =>
+      Ctx(ctx.df.limit(0), ctx.vars, ctx.projected)
+    }
+
+  /** MERGE after a clause with NO shared variable: correlate on the
+    * pattern's property EXPRESSIONS (reference cypher_merge.sql test 3:
+    * `MATCH (n) MERGE ({i: n.i})` — zero input rows create nothing; each
+    * distinct evaluated binding creates at most once). Single-node
+    * patterns only; chains still need a shared variable.
+    */
+  private def mergeByProps(ctx: Ctx, pattern: PathPattern, compiler: Compiler): Ctx = {
+    import org.apache.spark.sql.expressions.Window
+    val n = pattern.elements match {
+      case List(node: NodePattern) if node.props.nonEmpty => node
+      case _ => throw new UnsupportedOperationException(
+        "MERGE after a clause must share a bound variable, or be a single node with correlating properties")
+    }
+    val label = n.labels.headOption.getOrElse("_default")
+    val keys = n.props.keys.toSeq.sorted
+    var withVals = ctx.df
+    keys.foreach { k =>
+      withVals = withVals.withColumn(s"__mv_$k", compiler.compileExpr(n.props(k), ctx))
+    }
+    // existing instances' property tuples (missing prop column → no match)
+    val mm = "__merge_probe"
+    val instOpt: Option[DataFrame] = try {
+      val c = new Compiler(graph.snapshot, Map.empty).compileClause(Ctx.empty,
+        Match(List(PathPattern(None,
+          List(NodePattern(Some(mm), n.labels, Map.empty)))), optional = false, None))
+      if (keys.forall(k => c.df.columns.contains(s"${mm}__$k")))
+        Some(c.df.select(keys.map(k => col(s"${mm}__$k").as(s"__mi_$k")): _*).distinct())
+      else None
+    } catch { case _: IllegalArgumentException => None } // unknown label
+    val distinctVals = withVals.select(keys.map(k => col(s"__mv_$k")): _*).distinct()
+    val missing = instOpt match {
+      case None => distinctVals
+      case Some(inst) => distinctVals.join(inst,
+        keys.map(k => col(s"__mv_$k") === col(s"__mi_$k")).reduce(_ && _), "left_anti")
+    }
+    val nRows = missing.count()
+    if (nRows > 0) {
+      val (lid, base) = graph.reserveEntries(label, nRows)
+      val w = Window.orderBy(keys.map(k => col(s"__mv_$k")): _*)
+      val rows = missing
+        .withColumn("__crn", row_number().over(w).cast("long"))
+        .select(shiftleft(lit(lid.toLong), 48).bitwiseOR(col("__crn") + base).as("id") +:
+          keys.map(k => col(s"__mv_$k").as(k)): _*)
+      graph.createVerticesRows(label, rows)
+    }
+    // re-match laterally: correlated prop filters now resolve post-join
+    rematch(ctx, pattern)
   }
 
   /** SET n.k = expr — copy-on-write column update keyed on entity id
@@ -354,6 +427,29 @@ final class MutableGraph(spark: SparkSession) {
     labelId(label)
     val df = ids.select(col("id") +:
       props.toSeq.sortBy(_._1).map { case (k, v) => gLit(v).as(k) }: _*)
+    vertexLabels += (label -> aligned(vertexLabels.get(label), df))
+  }
+
+  /** Append fully-formed vertex rows (id + ROW-VALUED property columns) —
+    * the general path for CREATE/MERGE whose properties are expressions
+    * over the input row, not constants.
+    */
+  private[cypher] def createVerticesRows(label: String, rows0: DataFrame): Unit = {
+    val rows = rows0
+    val propNames = rows.columns.filterNot(_ == "id").toSeq
+    uniqueConstraints.filter(c => c._1 == label && propNames.contains(c._2))
+      .foreach { case (_, k) =>
+        if (rows.groupBy(col(k)).count().filter(col("count") > 1).limit(1).count() > 0)
+          throw new IllegalStateException(
+            s"unique constraint violation: bulk CREATE would duplicate $label.$k")
+        vertexLabels.get(label).filter(_.columns.contains(k)).foreach { existing =>
+          if (existing.join(rows.select(col(k)), Seq(k), "left_semi").limit(1).count() > 0)
+            throw new IllegalStateException(
+              s"unique constraint violation: $label.$k already has one of these values")
+        }
+      }
+    labelId(label)
+    val df = rows.select(col("id") +: propNames.sorted.map(col): _*)
     vertexLabels += (label -> aligned(vertexLabels.get(label), df))
   }
 

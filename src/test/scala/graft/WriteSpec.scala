@@ -150,6 +150,23 @@ class WriteSpec extends AnyFunSuite {
     assert(n1 == 2 && n2 == 2, s"merge not idempotent: $n1 then $n2")
   }
 
+  test("MERGE after empty previous clause creates nothing (merge test 3)") {
+    // reference cypher_merge.sql test 3: MATCH (n) MERGE ({i: n.i}) on an
+    // empty graph must not create anything
+    val gs = freshSession("gm3")
+    gs.run("MATCH (n) MERGE (:Thing {i: n.i})")
+    assert(gs.run("MATCH (m) RETURN count(*) AS c").collect().head.getLong(0) == 0L)
+  }
+
+  test("MERGE sees SET from an earlier clause in the same query (merge/set chain)") {
+    // reference cypher_merge.sql:326 — MATCH ... SET n.i = 2 ... MERGE ({i: 2})
+    // must match the just-updated vertex, not create a duplicate
+    val gs = freshSession("gms")
+    gs.run("CREATE (:T {i: 1})")
+    gs.run("MATCH (n:T) SET n.i = 2 MERGE (:T {i: 2})")
+    assert(gs.run("MATCH (m:T) RETURN count(*) AS c").collect().head.getLong(0) == 1L)
+  }
+
   test("multi-label node pattern matches only when all labels hold") {
     val gs = freshSession("g14")
     gs.run("CREATE (:A {k: 1})")
