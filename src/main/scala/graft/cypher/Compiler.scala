@@ -302,10 +302,20 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       val nextAlias = nodeAlias(node)
       rel.varLength match {
         case None =>
-          val relAlias = rel.variable.getOrElse(freshAlias())
+          val named = rel.variable.getOrElse(freshAlias())
+          // re-mentioned edge variable: bind under a fresh alias, then
+          // constrain to the SAME edge id — combined with the per-MATCH
+          // edge-uniqueness quals this is the reference behavior (e.g.
+          // `(u)-[e]->(u)-[e]->(u)` is a contradiction → empty, not an
+          // error; regress cypher_match.sql:176)
+          val remention = ctx.vars.contains(named)
+          val relAlias = if (remention) freshAlias() else named
           edgeAliases += relAlias
           collect.singles += relAlias
           ctx = bindRelAndNode(ctx, prevAlias, relAlias, rel, nextAlias, node)
+          if (remention)
+            ctx = ctx.copy(df = ctx.df.filter(
+              col(s"${relAlias}__id") === col(s"${named}__id")))
         case Some((lo, hi)) =>
           val relAlias = rel.variable.getOrElse(freshAlias())
           edgeAliases += relAlias

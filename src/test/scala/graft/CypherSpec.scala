@@ -286,6 +286,25 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("NYC", "Cal"), ("SEA", "Ann")))
   }
 
+  test("re-mentioned edge variable constrains to the same edge (match.sql:176)") {
+    // (a)-[e]->(b)-[e]->(c): both hops must be THE SAME edge — a
+    // contradiction under edge uniqueness, so the result is empty
+    val n = run("MATCH (a)-[e:KNOWS]->(b)-[e:KNOWS]->(c) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n == 0)
+    // EXISTS with a re-mentioned bound edge: loop check — self-loop 5->5
+    val loops = run(
+      "MATCH (u:Person)-[e:KNOWS]->(v:Person) WHERE EXISTS ((u)-[e]->(u)) " +
+      "RETURN u.name AS n").collect().map(_.getString(0))
+    assert(loops.toSeq == Seq("Eve"))
+  }
+
+  test("property map constraint with NULL value matches nothing (match.sql:127)") {
+    val n = run("MATCH (p:Person {name: null}) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n == 0)
+  }
+
   test("cypher() table-valued function composes inside plain SQL") {
     graft.cypher.CypherTvf.registerGraph("social", graph)
     graft.cypher.CypherTvf.register(spark)
