@@ -228,6 +228,22 @@ object Dedup {
     })
   )
 
+  /** Static (doc_id, band) MinHash-LSH index over a corpus — the build
+    * side for streaming near-dup detection at ingest (Streams.nearDupIngest
+    * stream-static joins new documents' band keys against this).
+    */
+  def bandIndex(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docShingleHashes(s, dir)
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(min(xxhash64(lit(0), col("h"))).as("m0"),
+        (1 until MinhashK).map(i =>
+          min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+    sig.withColumn("bands", lshBandKeys(col("sig"), MinhashK, LshBands))
+      .select(col("doc_id"), explode(col("bands")).as("band"))
+  }
+
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT count(*) AS n_unique, CAST(sum(copies) AS BIGINT) AS n_docs,

@@ -74,6 +74,29 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-dup detection at ingest: per-document MinHash band
+    * keys (the per-row HOF form — corpus-wide aggregation shapes don't
+    * exist mid-stream, and per-row work keeps the stream stateless)
+    * stream-static joined against a prebuilt corpus band index
+    * (Dedup.bandIndex). Emits (doc_id, corpus_doc) candidate matches;
+    * exact verification happens downstream exactly as in d3. Scales as a
+    * broadcast of the band-bucketed index or a shuffle on band keys —
+    * either way per-batch cost ∝ batch size, not corpus size.
+    */
+  def nearDupIngest(docs: DataFrame, corpusIndex: DataFrame,
+      k: Int = 63, bands: Int = 21): DataFrame = {
+    import graft.functions.TextFns
+    val withHashes = docs.withColumn("__hs",
+      transform(TextFns.shingles(col("text"), 3), s => xxhash64(s)))
+    withHashes
+      .withColumn("bands",
+        TextFns.lshBandKeys(TextFns.minhashFromHashes(col("__hs"), k), k, bands))
+      .select(col("doc_id"), explode(col("bands")).as("band"))
+      .join(corpusIndex.withColumnRenamed("doc_id", "corpus_doc"), "band")
+      .filter(col("doc_id") =!= col("corpus_doc"))
+      .select(col("doc_id"), col("corpus_doc"))
+  }
+
   /** Event row for sessionization (ts in epoch micros). */
   final case class SessionEvent(user_id: Long, ts_us: Long)
   /** Closed session: event count + span. */

@@ -102,6 +102,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.distinct.length == 20)
   }
 
+  test("streaming near-dup detection flags corpus near-copies at ingest") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_neardup").toString
+    // incoming batch: one near-copy of corpus doc 0 (append two words),
+    // one exact copy of doc 1, one fresh unrelated doc
+    val corpus = Tables.T(spark, sf, "documents")
+    val t0 = corpus.filter(col("doc_id") === 0).select(col("text")).head.getString(0)
+    val t1 = corpus.filter(col("doc_id") === 1).select(col("text")).head.getString(0)
+    Seq((100000L, t0 + " trailing addition"), (100001L, t1),
+        (100002L, "completely unrelated fresh words nothing shared here at all"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val index = graft.operators.Dedup.bandIndex(spark, sf)
+    val q = Streams.nearDupIngest(stream, index).writeStream
+      .outputMode("append").format("memory").queryName("neardup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val hits = spark.sql("SELECT DISTINCT doc_id, corpus_doc FROM neardup_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((100000L, 0L)), s"near-copy of doc 0 not flagged: $hits")
+    assert(hits.contains((100001L, 1L)), s"exact copy of doc 1 not flagged: $hits")
+    assert(!hits.exists(_._1 == 100002L), s"fresh doc spuriously flagged: $hits")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions at the gap") {
     import spark.implicits._
     val gap = 60L * 1000000L // 1 minute
