@@ -337,6 +337,11 @@ final class GraphSession(val spark: SparkSession) {
     */
   private def executeDelete(ctx: Ctx, exprs: List[Expr], detach: Boolean): Unit =
     exprs.foreach {
+      case Var(v) if ctx.vars.get(v).exists(_.kind == Compiler.VarKind.Edge) =>
+        // DELETE e removes the matched edges (round-3 fix: this used to
+        // fall into the vertex path and silently delete nothing)
+        val ids = ctx.df.select(col(s"${v}__id").as("id")).distinct()
+        graph.deleteEdges(ids)
       case Var(v) if ctx.vars.get(v).exists(_.isEntity) =>
         val ids = ctx.df.select(col(s"${v}__id").as("id")).distinct()
         graph.deleteVertices(ids, detach)
@@ -562,6 +567,14 @@ final class MutableGraph(spark: SparkSession) {
     * label (get_all_edge_labels_per_graph semantics); plain DELETE errors if
     * any incident edge remains.
     */
+  /** DELETE edges by id across every edge label table. */
+  def deleteEdges(ids0: DataFrame): Unit = {
+    val ids = ids0.localCheckpoint()
+    edgeLabels = edgeLabels.map { case (l, e) =>
+      l -> e.join(ids, e("id") === ids("id"), "left_anti")
+    }
+  }
+
   def deleteVertices(ids0: DataFrame, detach: Boolean): Unit = {
     val ids = ids0.persist()
     if (!detach) {

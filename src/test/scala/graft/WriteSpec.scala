@@ -150,6 +150,18 @@ class WriteSpec extends AnyFunSuite {
     assert(n1 == 2 && n2 == 2, s"merge not idempotent: $n1 then $n2")
   }
 
+  test("DELETE on an edge variable removes the edge, keeps the endpoints") {
+    val gs = freshSession("gde")
+    gs.run("CREATE (:P {n: 'a'})-[:R {w: 1}]->(:P {n: 'b'})")
+    assert(gs.run("MATCH ()-[e:R]->() RETURN count(*) AS c").collect().head.getLong(0) == 1L)
+    gs.run("MATCH ()-[e:R]->() DELETE e")
+    assert(gs.run("MATCH ()-[e:R]->() RETURN count(*) AS c").collect().head.getLong(0) == 0L)
+    assert(gs.run("MATCH (p:P) RETURN count(*) AS c").collect().head.getLong(0) == 2L)
+    // endpoints now deletable without DETACH (no incident edges remain)
+    gs.run("MATCH (p:P) DELETE p")
+    assert(gs.run("MATCH (p:P) RETURN count(*) AS c").collect().head.getLong(0) == 0L)
+  }
+
   test("MERGE after empty previous clause creates nothing (merge test 3)") {
     // reference cypher_merge.sql test 3: MATCH (n) MERGE ({i: n.i}) on an
     // empty graph must not create anything
