@@ -73,8 +73,8 @@ final class GraphSession(val spark: SparkSession) {
   private def executeWrite(ctx: Ctx, clause: Clause, compiler: Compiler): Ctx = clause match {
     case Create(patterns) => patterns.foldLeft(ctx)((c, p) => executeCreate(c, p, compiler))
     case Merge(pattern)   => executeMerge(ctx, pattern, compiler)
-    case SetClause(items) => executeSet(ctx, items, compiler); ctx
-    case Remove(items)    => executeRemove(ctx, items); ctx
+    case SetClause(items) => executeSet(ctx, items, compiler)
+    case Remove(items)    => executeRemove(ctx, items)
     case Delete(exprs, detach) => executeDelete(ctx, exprs, detach); ctx
     case other => throw new UnsupportedOperationException(s"write clause: $other")
   }
@@ -313,7 +313,7 @@ final class GraphSession(val spark: SparkSession) {
     * (reference: update_entity_tuple, cypher_set.c:100-176; ours is a join
     * instead of a per-tuple heap update).
     */
-  private def executeSet(ctx: Ctx, items: List[SetItem], compiler: Compiler): Unit =
+  private def executeSet(ctx: Ctx, items: List[SetItem], compiler: Compiler): Ctx = {
     items.foreach { case SetItem(v, k, valueExpr) =>
       require(ctx.df != null && ctx.vars.get(v).exists(_.isEntity), s"SET target $v not matched")
       val updates = ctx.df
@@ -322,8 +322,17 @@ final class GraphSession(val spark: SparkSession) {
         .dropDuplicates("__set_id")
       graph.updateProperty(k, updates)
     }
+    // reflect the writes in the CURRENT binding too, so RETURN right after
+    // SET sees the new values (reference: paths/values updated in place,
+    // cypher_set.sql:33-49) — one projection, all values evaluated against
+    // the pre-update row (simultaneous semantics for multi-item SET)
+    val updatedCols = items.map { case SetItem(v, k, valueExpr) =>
+      s"${v}__$k" -> compiler.compileExpr(valueExpr, ctx)
+    }.toMap
+    ctx.copy(df = ctx.df.withColumns(updatedCols))
+  }
 
-  private def executeRemove(ctx: Ctx, items: List[(String, String)]): Unit =
+  private def executeRemove(ctx: Ctx, items: List[(String, String)]): Ctx = {
     items.foreach { case (v, k) =>
       require(ctx.df != null && ctx.vars.get(v).exists(_.isEntity), s"REMOVE target $v not matched")
       val updates = ctx.df.select(col(s"${v}__id").as("__set_id"),
@@ -331,6 +340,9 @@ final class GraphSession(val spark: SparkSession) {
         .dropDuplicates("__set_id")
       graph.updateProperty(k, updates)
     }
+    ctx.copy(df = ctx.df.withColumns(
+      items.map { case (v, k) => s"${v}__$k" -> lit(null) }.toMap))
+  }
 
   /** DELETE / DETACH DELETE (reference: cypher_delete.c — DETACH cascades
     * across every edge label; plain DELETE errors if edges remain).

@@ -150,6 +150,21 @@ class WriteSpec extends AnyFunSuite {
     assert(n1 == 2 && n2 == 2, s"merge not idempotent: $n1 then $n2")
   }
 
+  test("RETURN right after SET sees the updated values (set.sql:39)") {
+    val gs = freshSession("gsr")
+    gs.run("CREATE (:P {n: 'a', i: 1})")
+    val r = gs.run("MATCH (p:P) SET p.i = p.i + 10 RETURN p.i AS i").collect().head
+    assert(r.getLong(0) == 11L)
+    // simultaneous multi-item SET: both values evaluate pre-update
+    gs.run("CREATE (:Q {x: 1, y: 2})")
+    val r2 = gs.run("MATCH (q:Q) SET q.x = q.y, q.y = q.x RETURN q.x AS x, q.y AS y")
+      .collect().head
+    assert(r2.getLong(0) == 2L && r2.getLong(1) == 1L) // swapped, not chained
+    // REMOVE reflects immediately too
+    val r3 = gs.run("MATCH (p:P) REMOVE p.i RETURN p.i AS i").collect().head
+    assert(r3.isNullAt(0))
+  }
+
   test("DELETE on an edge variable removes the edge, keeps the endpoints") {
     val gs = freshSession("gde")
     gs.run("CREATE (:P {n: 'a'})-[:R {w: 1}]->(:P {n: 'b'})")
