@@ -103,18 +103,33 @@ final class GraphSession(val spark: SparkSession) {
       // literal chain: nodes and edges all new
       var createdVars = ctx.vars
       var df = if (ctx.df == null) null else ctx.df
+      val chainIds = mutable.Map.empty[String, Long] // vars created in THIS chain
       var prevId: Option[(String, Long)] = None // (varName, id) of previous node
       var pendingRel: Option[RelPattern] = None
       elems.foreach {
         case n: NodePattern =>
+          // re-mention of a variable created earlier in the chain
+          // (`CREATE (n:v)-[:e]->(n)` — reference cypher_delete.sql:64
+          // self-loop) reuses its id instead of creating a duplicate
+          val reused = n.variable.flatMap(chainIds.get)
+          val id = reused.getOrElse {
+            val label = n.labels.headOption.getOrElse("_default")
+            graph.createVertex(label, n.props.map { case (k, v) => k -> constEval(v) })
+          }
+          if (reused.isDefined)
+            require(n.labels.isEmpty && n.props.isEmpty,
+              s"cannot add labels/properties to re-mentioned ${n.variable.get} in CREATE")
           val label = n.labels.headOption.getOrElse("_default")
-          val props = n.props.map { case (k, v) => k -> constEval(v) }
-          val id = graph.createVertex(label, props)
           val alias = n.variable.getOrElse(s"_c${id & 0xFFFF}")
-          // bind created node: one-row DF with its columns
-          val nodeDf = graph.vertexRowDf(alias, label, id)
-          df = if (df == null) nodeDf else df.crossJoin(nodeDf)
-          if (n.variable.isDefined) createdVars += (alias -> VarInfo.vertex)
+          if (reused.isEmpty) {
+            // bind created node: one-row DF with its columns
+            val nodeDf = graph.vertexRowDf(alias, label, id)
+            df = if (df == null) nodeDf else df.crossJoin(nodeDf)
+          }
+          if (n.variable.isDefined) {
+            createdVars += (alias -> VarInfo.vertex)
+            chainIds(alias) = id
+          }
           pendingRel.foreach { r =>
             val (s, d) = if (r.dir == -1) (id, prevId.get._2) else (prevId.get._2, id)
             val label = r.types.headOption.getOrElse(

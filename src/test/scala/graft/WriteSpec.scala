@@ -150,6 +150,15 @@ class WriteSpec extends AnyFunSuite {
     assert(n1 == 2 && n2 == 2, s"merge not idempotent: $n1 then $n2")
   }
 
+  test("CREATE self-loop chain reuses the chain variable (delete.sql:64)") {
+    val gs = freshSession("gsl")
+    gs.run("CREATE (n:V)-[:E]->(n)")
+    assert(gs.run("MATCH (v:V) RETURN count(*) AS c").collect().head.getLong(0) == 1L)
+    val loop = gs.run("MATCH (a:V)-[:E]->(b:V) RETURN id(a) = id(b) AS self")
+      .collect().head
+    assert(loop.getBoolean(0)) // the edge is a true self-loop
+  }
+
   test("RETURN right after SET sees the updated values (set.sql:39)") {
     val gs = freshSession("gsr")
     gs.run("CREATE (:P {n: 'a', i: 1})")
