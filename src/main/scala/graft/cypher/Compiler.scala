@@ -581,7 +581,15 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
   private def compileUnwind(ctx: Ctx, u: Unwind): Ctx = {
     val c = compileExpr(u.expr, ctx)
     val df0 = if (ctx.df == null) spark.range(1).toDF("__seed") else ctx.df
-    val df = df0.withColumn(u.alias, explode(c)).drop("__seed")
+    // openCypher: UNWIND of a non-list value yields that single value;
+    // UNWIND null/missing yields no rows (explode of a null array)
+    val arr = dataTypeOpt(c, ctx.copy(df = df0)) match {
+      case Some(_: ArrayType) => c
+      case Some(org.apache.spark.sql.types.NullType) =>
+        lit(null).cast(ArrayType(org.apache.spark.sql.types.NullType))
+      case _ => when(c.isNotNull, array(c))
+    }
+    val df = df0.withColumn(u.alias, explode(arr)).drop("__seed")
     Ctx(df, ctx.vars + (u.alias -> VarInfo.scalar), ctx.projected)
   }
 

@@ -231,6 +231,15 @@ class CypherSpec extends AnyFunSuite {
     assert(m.keySet == Set("age", "city", "name", "pid"))
   }
 
+  test("UNWIND of scalars and null (unwind.sql nested-list shapes)") {
+    assert(run("UNWIND 5 AS x RETURN x").collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(run("UNWIND null AS x RETURN x").collect().isEmpty)
+    // nested double-unwind flattens
+    val ys = run("UNWIND [[1, 2], [3, 4]] AS x UNWIND x AS y RETURN y ORDER BY y")
+      .collect().map(_.getLong(0))
+    assert(ys.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("extended-type casts: tovector / toinet / totsvector / ranges") {
     val r = run(
       "RETURN tovector('[1.5, 2, 3]') AS v, " +
