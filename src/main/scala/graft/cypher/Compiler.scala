@@ -1101,8 +1101,25 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       case Some(t) => scala.util.Try(GValueCol.encode(c, t)).toOption
       case None => None
     }
+    // gtype family of a native Spark type: cross-FAMILY comparisons order
+    // by the type tag (reference compare_gtype_scalar_values; expr.sql:36
+    // `'string' < true`) — native Spark comparison would ANSI-cast and
+    // throw. Same-family comparisons stay native (codegen, pushdown).
+    def family(t: DataType): Int = t match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType => 1
+      case StringType => 2
+      case BooleanType => 3
+      case TimestampType | TimestampNTZType | DateType => 4
+      case _ => 0 // arrays/structs/etc: leave native
+    }
+    val crossFamily = (lt, rt) match {
+      case (Some(a), Some(b)) =>
+        family(a) != 0 && family(b) != 0 && family(a) != family(b)
+      case _ => false
+    }
     val anyG = lt.exists(GValueCol.isGValue) || rt.exists(GValueCol.isGValue)
-    if (!anyG) None
+    if (!anyG && !crossFamily) None
     else (enc(l, lt), enc(r, rt)) match {
       case (Some(a), Some(b)) => op match {
         case "="  => Some(GValueCol.eqv(a, b))

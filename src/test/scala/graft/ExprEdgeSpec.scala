@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-type expression semantics from the reference's expr.sql suite. */
+class ExprEdgeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val graph = new graft.graph.GraphBuilder(spark)
+    .vertexLabel("T", Seq((1L, 1L)).toDF("tid", "x"), "tid").build()
+  private def run(q: String) = new graft.cypher.Compiler(graph).run(q)
+
+  test("numeric cross-type comparisons (expr.sql:30-38)") {
+    assert(run("RETURN 1 = 1.0 AS r").collect().head.getBoolean(0))
+    assert(run("RETURN 1 > -1.0 AS r").collect().head.getBoolean(0))
+    assert(run("RETURN (1 + 1.0) = (7 % 5) AS r").collect().head.getBoolean(0))
+    assert(run("RETURN 'aaa' < 'z' AS r").collect().head.getBoolean(0))
+  }
+
+  test("cross-type ordering: string < bool < number family (expr.sql:36-37)") {
+    // gtype sort priority: string(2) orders before bool(3)? — reference
+    // compare_gtype_scalar_values: string < boolean, boolean < number?
+    val r1 = run("RETURN 'string' < true AS r").collect().head
+    val r2 = run("RETURN true < 1 AS r").collect().head
+    // exact expected values mirror GValue.cmp's documented type order
+    val expect1 = graft.gvalue.GValue.cmp(
+      graft.gvalue.GString("string"), graft.gvalue.GBool(true)) < 0
+    val expect2 = graft.gvalue.GValue.cmp(
+      graft.gvalue.GBool(true), graft.gvalue.GInt(1)) < 0
+    assert(r1.getBoolean(0) == expect1)
+    assert(r2.getBoolean(0) == expect2)
+  }
+
+  test("XOR truth table (expr.sql:62-65)") {
+    assert(run("RETURN true XOR false AS r").collect().head.getBoolean(0))
+    assert(!run("RETURN true XOR true AS r").collect().head.getBoolean(0))
+    assert(!run("RETURN false XOR false AS r").collect().head.getBoolean(0))
+  }
+}
