@@ -1006,6 +1006,17 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       case "tofloat"   => a(0).cast("double")
       case "toboolean" => a(0).cast("boolean")
       case "tonumeric" => a(0).cast("decimal(38,18)")
+      // vector fns (reference vector.c — the `<->`/`<#>`/`<=>` operator
+      // bodies, callable by name from Cypher like the SQL catalog names)
+      case "l2_distance" => graft.functions.VectorFns.l2Distance(a(0), a(1))
+      case "l2_squared_distance" => graft.functions.VectorFns.l2Squared(a(0), a(1))
+      case "l1_distance" => graft.functions.VectorFns.l1Distance(a(0), a(1))
+      case "inner_product" => graft.functions.VectorFns.innerProduct(a(0), a(1))
+      case "negative_inner_product" => graft.functions.VectorFns.negativeInnerProduct(a(0), a(1))
+      case "cosine_distance" => graft.functions.VectorFns.cosineDistance(a(0), a(1))
+      case "spherical_distance" => graft.functions.VectorFns.sphericalDistance(a(0), a(1))
+      case "dims" => graft.functions.VectorFns.dims(a(0))
+      case "norm" => graft.functions.VectorFns.norm(a(0))
       // extended-type casts (reference gtype_typecasting.c to*() family)
       case "tovector"   => graft.functions.VectorFns.tovector(a(0))
       case "toinet"     => graft.functions.NetworkFns.toInet(a(0))

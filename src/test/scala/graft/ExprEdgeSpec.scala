@@ -32,6 +32,20 @@ class ExprEdgeSpec extends AnyFunSuite {
     assert(r2.getBoolean(0) == expect2)
   }
 
+  test("vector fns from Cypher (vector.sql shapes)") {
+    val r = run(
+      "RETURN l2_distance(tovector('[1.0]'), tovector('[2.0]')) AS d, " +
+      "inner_product(tovector('[1.0, 9, 2, .9]'), tovector('[1.0, 9, 2, .9]')) AS ip, " +
+      "negative_inner_product(tovector('[1.0]'), tovector('[2.0]')) AS nip, " +
+      "dims(tovector('[1.0, 9, 2, .9]')) AS d4, " +
+      "norm(tovector('[3.0, 4.0]')) AS n").collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(math.abs(r.getDouble(1) - (1 + 81 + 4 + 0.81)) < 1e-12)
+    assert(r.getDouble(2) == -2.0)
+    assert(r.getInt(3) == 4)
+    assert(r.getDouble(4) == 5.0)
+  }
+
   test("XOR truth table (expr.sql:62-65)") {
     assert(run("RETURN true XOR false AS r").collect().head.getBoolean(0))
     assert(!run("RETURN true XOR true AS r").collect().head.getBoolean(0))
