@@ -1006,6 +1006,20 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       case "tofloat"   => a(0).cast("double")
       case "toboolean" => a(0).cast("boolean")
       case "tonumeric" => a(0).cast("decimal(38,18)")
+      // temporal fns (reference gtype_temporal.c, callable from Cypher)
+      case "extract" | "date_part" => date_part(a(0), a(1))
+      case "date_trunc" => date_trunc(litString(args(0)), a(1))
+      case "date_bin" =>
+        graft.functions.TemporalFns.dateBin(constInt(args(0)), a(1), a(2))
+      case "make_date" => make_date(a(0), a(1), a(2))
+      case "make_timestamp" => call_function("make_timestamp",
+        a(0), a(1), a(2), a(3), a(4), a(5))
+      case "age" => graft.functions.TemporalFns.ageParts(a(0), a(1))
+      case "justify_hours" => graft.functions.TemporalFns.justifyHours(a(0))
+      case "justify_days" => graft.functions.TemporalFns.justifyDays(a(0))
+      case "justify_interval" => graft.functions.TemporalFns.justifyInterval(a(0))
+      case "isfinite" => when(a(0).isNull, lit(null)).otherwise(lit(true))
+      case "overlaps" => a(0) < a(3) && a(2) < a(1) // (s1,e1,s2,e2)
       // vector fns (reference vector.c — the `<->`/`<#>`/`<=>` operator
       // bodies, callable by name from Cypher like the SQL catalog names)
       case "l2_distance" => graft.functions.VectorFns.l2Distance(a(0), a(1))

@@ -46,6 +46,22 @@ class ExprEdgeSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 5.0)
   }
 
+  test("temporal fns from Cypher (temporal.sql shapes)") {
+    val r = run(
+      "RETURN date_trunc('month', totimestamp('2024-03-15 10:30:00')) AS m, " +
+      "extract('year', totimestamp('2024-03-15 10:30:00')) AS y, " +
+      "make_date(2024, 3, 15) AS d, " +
+      "isfinite(totimestamp('2024-03-15 10:30:00')) AS fin, " +
+      "overlaps(totimestamp('2024-01-01 00:00:00'), totimestamp('2024-06-01 00:00:00'), " +
+      "totimestamp('2024-03-01 00:00:00'), totimestamp('2024-09-01 00:00:00')) AS ov")
+      .collect().head
+    assert(r.getTimestamp(0).toString.startsWith("2024-03-01"))
+    assert(r.getAs[Number](1).intValue == 2024)
+    assert(r.getDate(2).toString == "2024-03-15")
+    assert(r.getBoolean(3))
+    assert(r.getBoolean(4))
+  }
+
   test("XOR truth table (expr.sql:62-65)") {
     assert(run("RETURN true XOR false AS r").collect().head.getBoolean(0))
     assert(!run("RETURN true XOR true AS r").collect().head.getBoolean(0))
