@@ -1051,7 +1051,15 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
       // the GValue column codec
       case "nodes" => pathMembers(args.head, ctx, edges = false)
       case "relationships" | "edges" => pathMembers(args.head, ctx, edges = true)
-      case other => throw new UnsupportedOperationException(s"unknown function $other()")
+      case other =>
+        // Fallback: resolve through the session function registry. The
+        // reference registers its whole 496-function catalog for SQL use;
+        // our Registry mirrors ~90 names (st_*, inet/macaddr, tsearch,
+        // vector, text pipeline) — this makes every one of them, plus any
+        // Spark builtin, callable from Cypher. Unknown names surface as an
+        // analysis error naming the function.
+        graft.functions.Registry.register(spark)
+        call_function(other, args.map(x => compileExpr(x, ctx)): _*)
     }
   }
 

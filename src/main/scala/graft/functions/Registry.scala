@@ -23,6 +23,11 @@ object Registry {
       }
       fr.createOrReplaceTempFunction(name, builder, "internal")
     }
+    // variadic registration (no arity check)
+    def regVar(name: String)(f: Seq[Column] => Column): Unit =
+      fr.createOrReplaceTempFunction(name,
+        (exprs: Seq[Expression]) => session.expression(f(exprs.map(Bridge.column))),
+        "internal")
 
     // vector surface (vector.c / pgvector operators)
     reg("tovector", 1)(a => VectorFns.tovector(a(0)))
@@ -76,6 +81,7 @@ object Registry {
     reg("justify_interval", 1)(a => TemporalFns.justifyInterval(a(0)))
 
     // PostGIS subset (gtype_postgis.c)
+    regVar("st_makeline")(a => PostgisFns.stMakeLine(a: _*))
     reg("st_makepoint", 2)(a => PostgisFns.stMakePoint(a(0), a(1)))
     reg("st_makepointm", 3)(a => PostgisFns.stMakePointM(a(0), a(1), a(2)))
     reg("st_x", 1)(a => PostgisFns.stX(a(0)))

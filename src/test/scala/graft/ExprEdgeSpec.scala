@@ -62,6 +62,19 @@ class ExprEdgeSpec extends AnyFunSuite {
     assert(r.getBoolean(4))
   }
 
+  test("registry fallback: st_* / inet / tsearch names callable from Cypher") {
+    val r = run(
+      "RETURN st_x(st_makepoint(1.5, 2.5)) AS x, " +
+      "inet_host(toinet('10.1.2.3/24')) AS h, " +
+      "st_hausdorffdistance(st_makeline(st_makepoint(0,0)), " +
+      "st_makeline(st_makepoint(3,4))) AS hd, " +
+      "quality_score('some reasonable sentence here') AS q").collect().head
+    assert(r.getDouble(0) == 1.5)
+    assert(r.getString(1) == "10.1.2.3")
+    assert(r.getDouble(2) == 5.0)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("XOR truth table (expr.sql:62-65)") {
     assert(run("RETURN true XOR false AS r").collect().head.getBoolean(0))
     assert(!run("RETURN true XOR true AS r").collect().head.getBoolean(0))
