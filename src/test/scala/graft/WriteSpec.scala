@@ -150,6 +150,22 @@ class WriteSpec extends AnyFunSuite {
     assert(n1 == 2 && n2 == 2, s"merge not idempotent: $n1 then $n2")
   }
 
+  test("MERGE chain with bound start and correlated new-node props") {
+    val gs = freshSession("gmc")
+    gs.run("CREATE (:U {n: 'a', v: 1})")
+    gs.run("CREATE (:U {n: 'b', v: 2})")
+    // one (u)-[:HAS]->(s {w: u.v}) per distinct binding, created once
+    gs.run("MATCH (u:U) MERGE (u)-[:HAS]->(s:S {w: u.v})")
+    gs.run("MATCH (u:U) MERGE (u)-[:HAS]->(s:S {w: u.v})") // idempotent
+    assert(gs.run("MATCH (:U)-[:HAS]->(s:S) RETURN count(*) AS c")
+      .collect().head.getLong(0) == 2L)
+    assert(gs.run("MATCH (s:S) RETURN count(*) AS c").collect().head.getLong(0) == 2L)
+    val pairs = gs.run(
+      "MATCH (u:U)-[:HAS]->(s:S) RETURN u.n AS n, s.w AS w ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq(("a", 1L), ("b", 2L)))
+  }
+
   test("CREATE self-loop chain reuses the chain variable (delete.sql:64)") {
     val gs = freshSession("gsl")
     gs.run("CREATE (n:V)-[:E]->(n)")
