@@ -899,7 +899,14 @@ final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.emp
     case "=" | "<>" | "<" | "<=" | ">" | ">=" => gAwareCmp(op, l, r, ctx)
     case _ => None
   }).getOrElse(op match {
-    case "+"  => l + r
+    case "+"  =>
+      // gtype `+` is also string/list concatenation (gtype_ops.c:153-280)
+      (dataTypeOpt(l, ctx), dataTypeOpt(r, ctx)) match {
+        case (Some(StringType), _) | (_, Some(StringType)) =>
+          concat(l.cast("string"), r.cast("string"))
+        case (Some(_: ArrayType), Some(_: ArrayType)) => concat(l, r)
+        case _ => l + r
+      }
     case "-"  => l - r
     case "*"  => l * r
     case "/"  => l / r

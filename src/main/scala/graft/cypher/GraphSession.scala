@@ -204,9 +204,15 @@ final class GraphSession(val spark: SparkSession) {
           val label = r.types.headOption.getOrElse(
             throw new IllegalArgumentException("CREATE edge needs a type"))
           val (s, d) = if (r.dir == 1) (prevIdName, idName) else (idName, prevIdName)
-          graph.createEdgesFrom(label,
-            df.select(col(s).as("start_id"), col(d).as("end_id")),
-            r.props.map { case (k, pv) => k -> constEval(pv) })
+          val edgePropCols = r.props.toSeq.sortBy(_._1).map { case (k, pv) =>
+            k -> (scala.util.Try(constEval(pv)).toOption match {
+              case Some(gv) => graph.gLit(gv)
+              case None => compiler.compileExpr(pv, Ctx(df, vars, projected = false))
+            })
+          }
+          graph.createEdgesRows(label,
+            df.select(Seq(col(s).as("start_id"), col(d).as("end_id")) ++
+              edgePropCols.map { case (k, c) => c.as(k) }: _*))
           pendingRel = None
         }
         prevIdName = idName
@@ -544,16 +550,25 @@ final class MutableGraph(spark: SparkSession) {
   /** Bulk edge creation from a (start_id, end_id) DataFrame: ids allocated by
     * deterministic row_number + driver offset — one shuffle, no id service.
     */
-  def createEdgesFrom(label: String, pairs: DataFrame, props: Map[String, GValue]): Unit = {
+  def createEdgesFrom(label: String, pairs: DataFrame, props: Map[String, GValue]): Unit =
+    createEdgesRows(label, pairs.select(
+      Seq(col("start_id"), col("end_id")) ++
+        props.toSeq.sortBy(_._1).map { case (k, v) => gLit(v).as(k) }: _*))
+
+  /** Append edges from (start_id, end_id, ROW-VALUED property columns) —
+    * the general path for per-row CREATE/MERGE edge properties that are
+    * expressions over the input row (reference cypher_create.sql:72).
+    */
+  def createEdgesRows(label: String, rows: DataFrame): Unit = {
     val lid = labelId(label)
     val base = nextEntry.getOrElse(label, 0L)
     import org.apache.spark.sql.expressions.Window
+    val propNames = rows.columns.filterNot(Set("start_id", "end_id")).toSeq.sorted
     val w = Window.orderBy(col("start_id"), col("end_id"))
-    var df = pairs
+    val df = rows
       .withColumn("id", shiftleft(lit(lid.toLong), 48)
         .bitwiseOR(row_number().over(w).cast("long") + base))
-      .select(Seq(col("id"), col("start_id"), col("end_id")) ++
-        props.toSeq.sortBy(_._1).map { case (k, v) => gLit(v).as(k) }: _*)
+      .select(Seq(col("id"), col("start_id"), col("end_id")) ++ propNames.map(col): _*)
     val n = df.count()
     nextEntry(label) = base + n
     edgeLabels += (label -> aligned(edgeLabels.get(label), df))

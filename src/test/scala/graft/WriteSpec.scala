@@ -150,6 +150,16 @@ class WriteSpec extends AnyFunSuite {
     assert(n1 == 2 && n2 == 2, s"merge not idempotent: $n1 then $n2")
   }
 
+  test("CREATE edges with row-correlated properties (create.sql:72)") {
+    val gs = freshSession("gce")
+    gs.run("CREATE (:N {nm: 'A'})")
+    gs.run("CREATE (:N {nm: 'B'})")
+    gs.run("MATCH (a:N) CREATE (a)-[:E {tag: a.nm + '!'}]->(a)")
+    val tags = gs.run("MATCH ()-[e:E]->() RETURN e.tag AS t ORDER BY t")
+      .collect().map(_.getString(0))
+    assert(tags.toSeq == Seq("A!", "B!"))
+  }
+
   test("MERGE chain with bound start and correlated new-node props") {
     val gs = freshSession("gmc")
     gs.run("CREATE (:U {n: 'a', v: 1})")
