@@ -27,7 +27,7 @@ import scala.collection.immutable.ListMap
   * e.end_id = b.id, direction deciding start/end; undirected edges become a
   * union of both orientations (keeps equi-join → hash join at scale).
   */
-final class Compiler(graph: PropertyGraph, params: Map[String, GValue] = Map.empty) {
+final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map.empty) {
 
   private val spark: SparkSession = graph.spark
   import Compiler._

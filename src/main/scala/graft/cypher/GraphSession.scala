@@ -235,16 +235,16 @@ final class GraphSession(val spark: SparkSession) {
     */
   private def executeMerge(ctx: Ctx, pattern: PathPattern, compiler: Compiler): Ctx = {
     if (ctx.df == null) {
-      val probe = new Compiler(graph.snapshot, Map.empty)
+      val probe = new Compiler(graph.snapshot, compiler.params)
       val matched = try {
         val c = probe.compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
         c.df.limit(1).count() > 0
       } catch { case _: IllegalArgumentException => false } // unknown label → no match
       if (matched) {
-        new Compiler(graph.snapshot, Map.empty)
+        new Compiler(graph.snapshot, compiler.params)
           .compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
       } else executeCreate(Ctx.empty, pattern,
-        new Compiler(graph.snapshot, Map.empty))
+        new Compiler(graph.snapshot, compiler.params))
     } else {
       val boundVars = pattern.elements.collect {
         case n: NodePattern if n.variable.exists(ctx.vars.contains) => n.variable.get
@@ -252,7 +252,7 @@ final class GraphSession(val spark: SparkSession) {
       if (boundVars.isEmpty) return mergeByProps(ctx, pattern, compiler)
       // bindings with no existing pattern instance
       val missing = try {
-        val inner = new Compiler(graph.snapshot, Map.empty)
+        val inner = new Compiler(graph.snapshot, compiler.params)
           .compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
         val proj = inner.df.select(
           boundVars.map(v => col(s"${v}__id").as(s"__m_${v}__id")): _*)
@@ -266,7 +266,7 @@ final class GraphSession(val spark: SparkSession) {
           pattern.elements, compiler)
       // every binding now matches: inner-join the pattern from the new
       // snapshot (zero input rows + a never-created label → empty result)
-      rematch(ctx, pattern)
+      rematch(ctx, pattern, compiler.params)
     }
   }
 
@@ -274,8 +274,9 @@ final class GraphSession(val spark: SparkSession) {
     * ever created under the pattern's label (zero input rows), the label
     * may not exist at all — that is an empty result, not an error.
     */
-  private def rematch(ctx: Ctx, pattern: PathPattern): Ctx =
-    try new Compiler(graph.snapshot, Map.empty)
+  private def rematch(ctx: Ctx, pattern: PathPattern,
+      params: Map[String, GValue]): Ctx =
+    try new Compiler(graph.snapshot, params)
       .compileClause(ctx, Match(List(pattern), optional = false, None))
     catch { case _: IllegalArgumentException =>
       Ctx(ctx.df.limit(0), ctx.vars, ctx.projected)
@@ -303,7 +304,7 @@ final class GraphSession(val spark: SparkSession) {
     // existing instances' property tuples (missing prop column → no match)
     val mm = "__merge_probe"
     val instOpt: Option[DataFrame] = try {
-      val c = new Compiler(graph.snapshot, Map.empty).compileClause(Ctx.empty,
+      val c = new Compiler(graph.snapshot, compiler.params).compileClause(Ctx.empty,
         Match(List(PathPattern(None,
           List(NodePattern(Some(mm), n.labels, Map.empty)))), optional = false, None))
       if (keys.forall(k => c.df.columns.contains(s"${mm}__$k")))
@@ -327,7 +328,7 @@ final class GraphSession(val spark: SparkSession) {
       graph.createVerticesRows(label, rows)
     }
     // re-match laterally: correlated prop filters now resolve post-join
-    rematch(ctx, pattern)
+    rematch(ctx, pattern, compiler.params)
   }
 
   /** SET n.k = expr — copy-on-write column update keyed on entity id

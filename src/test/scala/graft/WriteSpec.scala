@@ -150,6 +150,15 @@ class WriteSpec extends AnyFunSuite {
     assert(n1 == 2 && n2 == 2, s"merge not idempotent: $n1 then $n2")
   }
 
+  test("MERGE with $parameters keeps the parameter binding (prepared-stmt shape)") {
+    val gs = freshSession("gpp")
+    gs.run("CREATE (:K {v: 7})")
+    import graft.gvalue.GInt
+    // matches the existing vertex — no duplicate created
+    gs.run("MATCH (k:K) WHERE k.v = $x MERGE (:K {v: 7})", Map("x" -> GInt(7)))
+    assert(gs.run("MATCH (k:K) RETURN count(*) AS c").collect().head.getLong(0) == 1L)
+  }
+
   test("CREATE edges with row-correlated properties (create.sql:72)") {
     val gs = freshSession("gce")
     gs.run("CREATE (:N {nm: 'A'})")
