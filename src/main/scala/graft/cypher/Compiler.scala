@@ -520,7 +520,10 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   private def bindVle(ctx0: Ctx, prev: String, rel: RelPattern, relAlias: String,
       lo: Int, hiOpt: Option[Int], next: String, node: NodePattern): Ctx = {
     val ctx = ctx0
-    val hi = hiOpt.getOrElse(VleMaxHops)
+    // unbounded `*..` iterates to the edge-uniqueness fixpoint (paths are
+    // simple in edges, so ≤ |E| hops); the literal bound is a safety rail,
+    // not a semantic cap — the loop exits as soon as a frontier empties
+    val hi = hiOpt.getOrElse(Int.MaxValue - 1)
     require(lo >= 0 && hi >= lo, s"bad VLE bounds *$lo..$hi")
     val e = freshAlias()
     val scan0 = edgeScan(e, rel.types, rel.props, ctx)
@@ -549,17 +552,41 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       .select(col(rid), col(s"${prev}__id").as("__vle_end"),
         array().cast(ArrayType(LongType)).as("__vle_edges"))
     var results: DataFrame = if (lo == 0) frontier else null
-    var k = 1
-    while (k <= hi) {
-      frontier = frontier
-        .join(edges, col("__vle_end") === col("src") &&
-          !array_contains(col("__vle_edges"), col("eid")))
-        .select(col(rid), col("dst").as("__vle_end"),
-          array_append(col("__vle_edges"), col("eid")).as("__vle_edges"))
-      if (k >= lo) results = if (results == null) frontier else results.unionByName(frontier)
-      k += 1
+    if (hi <= VleMaxHops) {
+      // small bound: unroll lazily — one plan, no per-hop actions
+      var k = 1
+      while (k <= hi) {
+        frontier = frontier
+          .join(edges, col("__vle_end") === col("src") &&
+            !array_contains(col("__vle_edges"), col("eid")))
+          .select(col(rid), col("dst").as("__vle_end"),
+            array_append(col("__vle_edges"), col("eid")).as("__vle_edges"))
+        if (k >= lo) results = if (results == null) frontier else results.unionByName(frontier)
+        k += 1
+      }
+    } else {
+      // large/unbounded bound: a 200-deep lazy unroll would explode the
+      // analyzer — materialize each generation (flat plan, fresh attr ids)
+      // and stop the moment a frontier empties (edge uniqueness guarantees
+      // that within |E| hops)
+      frontier = frontier.localCheckpoint()
+      var k = 1
+      var live = !frontier.isEmpty
+      while (live && k <= hi) {
+        frontier = frontier
+          .join(edges, col("__vle_end") === col("src") &&
+            !array_contains(col("__vle_edges"), col("eid")))
+          .select(col(rid), col("dst").as("__vle_end"),
+            array_append(col("__vle_edges"), col("eid")).as("__vle_edges"))
+          .localCheckpoint()
+        live = !frontier.isEmpty
+        if (live && k >= lo)
+          results = if (results == null) frontier else results.unionByName(frontier)
+        k += 1
+      }
     }
-    require(results != null, "VLE produced no candidate lengths")
+    // frontier died before `lo` hops → no qualifying paths (empty, not error)
+    if (results == null) results = frontier.limit(0)
     val withVar = tagged.join(results, rid).drop(rid)
       .withColumnRenamed("__vle_edges", s"${relAlias}__ids")
     // join the far node

@@ -295,6 +295,20 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("NYC", "Cal"), ("SEA", "Ann")))
   }
 
+  test("VLE large/unbounded bounds iterate to fixpoint (vle.sql:41-51)") {
+    // chain 1->2->3->4 with cycle 4->1: simple-edge paths from Ann reach
+    // length 4 max; *1..200 must terminate early, not unroll 200 joins
+    val n200 = run("MATCH (a:Person {name: 'Ann'})-[*1..200]->(b:Person) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val nUnb = run("MATCH (a:Person {name: 'Ann'})-[*]->(b:Person) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n200 == nUnb && nUnb == 4L) // Bob, Cal, Dee, back to Ann
+    // lo beyond the longest simple path → empty, not an error
+    val none = run("MATCH (a:Person {name: 'Ann'})-[*30..200]->(b) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(none == 0L)
+  }
+
   test("re-mentioned edge variable constrains to the same edge (match.sql:176)") {
     // (a)-[e]->(b)-[e]->(c): both hops must be THE SAME edge — a
     // contradiction under edge uniqueness, so the result is empty
