@@ -177,7 +177,10 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       var inner = m.patterns.foldLeft(Ctx.empty)((c, p) => compilePattern(c, p, collect))
       inner = inner.copy(df = edgeUniqueness(inner.df, collect.singles.toSeq,
         collect.vles.toSeq))
-      m.where.foreach(w => inner = inner.copy(df = inner.df.filter(compileExpr(w, inner))))
+      m.where.foreach { w =>
+        inner = ensureVleValues(inner, Seq(w))
+        inner = inner.copy(df = inner.df.filter(compileExpr(w, inner)))
+      }
       val shared = ctx.vars.keySet.intersect(inner.vars.keySet).toSeq.sorted
       require(ctx.df != null, "OPTIONAL MATCH requires a previous clause")
       // inner side keeps only its NEW columns plus temp join keys for the
@@ -215,7 +218,9 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case ExistsSubquery(q) => existsSubJoin(ctx, q, anti = false)
     case Un("NOT", ExistsSubquery(q)) => existsSubJoin(ctx, q, anti = true)
     case s: SubLink => subLinkJoin(ctx, s)
-    case other => ctx.copy(df = ctx.df.filter(compileExpr(other, ctx)))
+    case other =>
+      val c = ensureVleValues(ctx, Seq(other))
+      c.copy(df = c.df.filter(compileExpr(other, c)))
   }
 
   /** EXISTS(MATCH ... RETURN ...): correlation is by shared variables, so the
@@ -380,7 +385,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         // DISTINCT label must also hold — filter on all of them rather than
         // silently matching only the first (folds to empty when they differ).
         val first = graph.vertexLabels.getOrElse(l,
-          throw new IllegalArgumentException(s"unknown vertex label $l"))
+          throw new UnknownLabelException(s"unknown vertex label $l"))
           .withColumn("label", lit(l))
         more.foldLeft(first)((df, extra) => df.filter(col("label") === lit(extra)))
     }
@@ -396,7 +401,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     val base = types match {
       case Nil      => graph.allEdges.withColumnRenamed("__label", "label")
       case t :: Nil => graph.edgeLabels.getOrElse(t,
-        throw new IllegalArgumentException(s"unknown edge label $t"))
+        throw new UnknownLabelException(s"unknown edge label $t"))
         .withColumn("label", lit(t))
       case many =>
         val common = many.map(t => graph.edgeLabels(t).columns.toSet)
@@ -548,19 +553,26 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     val rid = "__vle_rid"
     val tagged = ctx.df.withColumn(rid, monotonically_increasing_id())
       .localCheckpoint() // freeze ids: both the expansion and the rejoin see the same values
+    // the frontier also carries the VISITED NODE id sequence — one extra
+    // long array per row, still narrow; it is what makes nodes(p) /
+    // relationships(p) over the traversal reconstructible later (for
+    // undirected hops the orientation is not recoverable from edge ids)
     var frontier = tagged
       .select(col(rid), col(s"${prev}__id").as("__vle_end"),
-        array().cast(ArrayType(LongType)).as("__vle_edges"))
+        array().cast(ArrayType(LongType)).as("__vle_edges"),
+        array(col(s"${prev}__id")).as("__vle_nodes"))
     var results: DataFrame = if (lo == 0) frontier else null
+    def hop(f: DataFrame): DataFrame = f
+      .join(edges, col("__vle_end") === col("src") &&
+        !array_contains(col("__vle_edges"), col("eid")))
+      .select(col(rid), col("dst").as("__vle_end"),
+        array_append(col("__vle_edges"), col("eid")).as("__vle_edges"),
+        array_append(col("__vle_nodes"), col("dst")).as("__vle_nodes"))
     if (hi <= VleMaxHops) {
       // small bound: unroll lazily — one plan, no per-hop actions
       var k = 1
       while (k <= hi) {
-        frontier = frontier
-          .join(edges, col("__vle_end") === col("src") &&
-            !array_contains(col("__vle_edges"), col("eid")))
-          .select(col(rid), col("dst").as("__vle_end"),
-            array_append(col("__vle_edges"), col("eid")).as("__vle_edges"))
+        frontier = hop(frontier)
         if (k >= lo) results = if (results == null) frontier else results.unionByName(frontier)
         k += 1
       }
@@ -573,12 +585,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       var k = 1
       var live = !frontier.isEmpty
       while (live && k <= hi) {
-        frontier = frontier
-          .join(edges, col("__vle_end") === col("src") &&
-            !array_contains(col("__vle_edges"), col("eid")))
-          .select(col(rid), col("dst").as("__vle_end"),
-            array_append(col("__vle_edges"), col("eid")).as("__vle_edges"))
-          .localCheckpoint()
+        frontier = hop(frontier).localCheckpoint()
         live = !frontier.isEmpty
         if (live && k >= lo)
           results = if (results == null) frontier else results.unionByName(frontier)
@@ -589,6 +596,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     if (results == null) results = frontier.limit(0)
     val withVar = tagged.join(results, rid).drop(rid)
       .withColumnRenamed("__vle_edges", s"${relAlias}__ids")
+      .withColumnRenamed("__vle_nodes", s"${relAlias}__nids")
     // join the far node
     val scanNext =
       if (ctx.vars.contains(next)) null
@@ -626,7 +634,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       distinct: Boolean, orderBy: List[SortItem], skip: Option[Expr],
       limit: Option[Expr], where: Option[Expr], isReturn: Boolean,
       partitionCol: Option[String] = None): Ctx = {
-    val ctx = if (ctx0.df == null) ctx0.copy(df = spark.range(1).toDF("__seed")) else ctx0
+    var ctx = if (ctx0.df == null) ctx0.copy(df = spark.range(1).toDF("__seed")) else ctx0
 
     // RETURN * / WITH * expansion
     val items = items0.flatMap {
@@ -635,6 +643,10 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           .map(v => ReturnItem(Var(v), None))
       case other => List(other)
     }
+
+    // traversal values for any VLE var referenced by the projection
+    ctx = ensureVleValues(ctx,
+      items.map(_.expr) ++ orderBy.map(_.expr) ++ where.toList)
 
     // name each item
     def autoName(e: Expr): String = e match {
@@ -832,6 +844,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           // whole-entity value → struct on the fly
           val cs = entityColumns(ctx.df, n)
           struct(cs.map(c => col(c).as(c.stripPrefix(s"${n}__"))): _*)
+        case Some(info) if info.kind == VarKind.VlePath =>
+          // RETURN e over a VLE var is the ordered edge list (reference:
+          // variable_edge.c:62 — a VARIABLE_EDGE is the edge array);
+          // materialized by ensureVleValues before projection compiles
+          require(ctx.df.columns.contains(s"${n}__edges"),
+            s"VLE variable $n's traversal values were not materialized here")
+          col(s"${n}__edges")
         case _ => col(n)
       }
     case Prop(Var(n), k) if ctx.vars.get(n).exists(_.isEntity) =>
@@ -979,8 +998,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case Var(v) if ctx.vars.get(v).exists(_.kind == VarKind.VlePath) =>
           size(col(s"${v}__ids"))
         case Var(v) if ctx.vars.get(v).exists(_.kind == VarKind.Path) =>
-          // length(p) = edge count (reference: traversal length semantics)
-          lit(ctx.vars(v).pathEdges.length)
+          // length(p) = edge count (reference: traversal length semantics);
+          // VLE segments contribute their per-row hop counts
+          val info = ctx.vars(v)
+          val (vles, fixed) = info.pathEdges.partition(m =>
+            ctx.vars.get(m).exists(_.kind == VarKind.VlePath))
+          vles.foldLeft(lit(fixed.length.toLong): Column)(
+            (acc, m) => acc + size(col(s"${m}__ids")).cast("long"))
         case arg =>
           val c = compileExpr(arg, ctx)
           dataTypeOf(c, ctx) match {
@@ -1097,6 +1121,129 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
   }
 
+  // ---------------------------------------------------- VLE traversal values
+
+  /** (id → full entity struct) lookup relation over every label table —
+    * vertices: (id, label, properties); edges add (start_id, end_id). The
+    * properties map is GValue-encoded so the struct unifies across labels
+    * with different property schemas (reference: traversal.c:64-120 /
+    * variable_edge.c:62 materialize the same full-entity varlenas).
+    */
+  private def entityStructTable(isEdge: Boolean): DataFrame = {
+    import graft.gvalue.GValueCol
+    val base = if (isEdge) graph.allEdges else graph.allVertices
+    val meta = Set("id", "start_id", "end_id", "__label")
+    val props = base.columns.filterNot(meta).toSeq.sorted
+    val pmap =
+      if (props.isEmpty)
+        map_from_arrays(array().cast(ArrayType(StringType)),
+          array().cast(ArrayType(GValueCol.structType)))
+      else map(props.flatMap { k =>
+        val dt = base.schema(k).dataType
+        val enc = if (GValueCol.canEncode(dt)) GValueCol.encode(col(k), dt)
+                  else GValueCol.encode(col(k).cast("string"), StringType)
+        Seq(lit(k), enc)
+      }: _*)
+    val fields =
+      if (isEdge) Seq(col("id").as("id"), col("start_id").as("start_id"),
+        col("end_id").as("end_id"), col("__label").as("label"), pmap.as("properties"))
+      else Seq(col("id").as("id"), col("__label").as("label"), pmap.as("properties"))
+    base.select(col("id").as("__lk_id"), struct(fields: _*).as("__ent"))
+  }
+
+  /** Turn an accumulated id array into an array of full entity structs in
+    * hop order: posexplode → hash join against the label tables → re-collect
+    * sorted by position, joined back on the (pre-frozen) row id. Runs once
+    * per query and only when a projection or predicate actually references
+    * the traversal's VALUES — the hop joins themselves only ever shuffle
+    * bare id arrays.
+    */
+  private def joinStructs(df: DataFrame, tagged: DataFrame, rid: String,
+      idsCol: String, out: String, isEdge: Boolean): DataFrame = {
+    val lookup = entityStructTable(isEdge)
+    val entType = lookup.schema("__ent").dataType
+    val exploded = tagged.select(col(rid),
+      posexplode(col(idsCol)).as(Seq("__pos", "__mid")))
+    val collected = exploded.join(lookup, col("__mid") === col("__lk_id"))
+      .groupBy(col(rid))
+      .agg(transform(
+        // comparator touches only the position (entity structs hold maps,
+        // which Spark cannot order natively)
+        array_sort(collect_list(struct(col("__pos").as("p"), col("__ent").as("e"))),
+          (l, r) => when(l.getField("p") < r.getField("p"), -1)
+            .when(l.getField("p") > r.getField("p"), 1).otherwise(0)),
+        x => x.getField("e")).as(out))
+    // left join + empty-array fill: a zero-hop path (lo=0) has no edges
+    df.join(collected, Seq(rid), "left_outer")
+      .withColumn(out, coalesce(col(out), array().cast(ArrayType(entType))))
+  }
+
+  /** Ensure `${v}__edges` / `${v}__nodes` struct arrays exist for VLE var v.
+    * One row-id tag + one checkpoint serves both lookups — the frozen
+    * binding row is the expensive thing to materialize, not the id arrays.
+    */
+  private def materializeVle(ctx0: Ctx, v: String, needNodes: Boolean,
+      needEdges: Boolean): Ctx = {
+    val needE = needEdges && !ctx0.df.columns.contains(s"${v}__edges")
+    val needN = needNodes && !ctx0.df.columns.contains(s"${v}__nodes")
+    if (!needE && !needN) return ctx0
+    val rid = "__vmat_rid"
+    val tagged = ctx0.df.withColumn(rid, monotonically_increasing_id())
+      .localCheckpoint() // freeze ids: explode side and join-back side agree
+    var df = tagged
+    if (needE) df = joinStructs(df, tagged, rid, s"${v}__ids", s"${v}__edges", isEdge = true)
+    if (needN) df = joinStructs(df, tagged, rid, s"${v}__nids", s"${v}__nodes", isEdge = false)
+    ctx0.copy(df = df.drop(rid))
+  }
+
+  /** VLE variables whose full traversal values the expression needs:
+    * `(var, "edges"|"nodes")` pairs. size()/length() work on the bare id
+    * arrays and are skipped.
+    */
+  private def vleValueNeeds(e: Expr, ctx: Ctx): Set[(String, String)] = {
+    def vleOf(p: String): Seq[String] = ctx.vars.get(p) match {
+      case Some(info) if info.kind == VarKind.Path =>
+        info.pathEdges.filter(m => ctx.vars.get(m).exists(_.kind == VarKind.VlePath))
+      case _ => Nil
+    }
+    e match {
+      case Var(n) if ctx.vars.get(n).exists(_.kind == VarKind.VlePath) =>
+        Set((n, "edges"))
+      case FnCall("size" | "length", List(Var(_)), _) => Set.empty
+      case FnCall("nodes", List(Var(p)), _) => vleOf(p).map((_, "nodes")).toSet
+      case FnCall("relationships" | "edges", List(Var(p)), _) =>
+        vleOf(p).map((_, "edges")).toSet
+      case FnCall(_, args, _) => args.flatMap(vleValueNeeds(_, ctx)).toSet
+      case Bin(_, l, r) => vleValueNeeds(l, ctx) ++ vleValueNeeds(r, ctx)
+      case Un(_, x) => vleValueNeeds(x, ctx)
+      case IsNull(x, _) => vleValueNeeds(x, ctx)
+      case Index(b, i) => vleValueNeeds(b, ctx) ++ vleValueNeeds(i, ctx)
+      case Slice(b, l, h) => vleValueNeeds(b, ctx) ++
+        (l.toList ++ h.toList).flatMap(vleValueNeeds(_, ctx))
+      case CaseExpr(op, whens, o) =>
+        (op.toList ++ whens.flatMap(w => List(w._1, w._2)) ++ o.toList)
+          .flatMap(vleValueNeeds(_, ctx)).toSet
+      case ListLit(items) => items.flatMap(vleValueNeeds(_, ctx)).toSet
+      case MapLit(es) => es.flatMap(kv => vleValueNeeds(kv._2, ctx)).toSet
+      case StringOp(_, l, r) => vleValueNeeds(l, ctx) ++ vleValueNeeds(r, ctx)
+      case Prop(b, _) => vleValueNeeds(b, ctx)
+      case ListComp(_, src, w, pj) =>
+        (Seq(src) ++ w.toList ++ pj.toList).flatMap(vleValueNeeds(_, ctx)).toSet
+      case _ => Set.empty
+    }
+  }
+
+  /** Materialize traversal values for every VLE var the expressions need. */
+  private def ensureVleValues(ctx0: Ctx, exprs: Seq[Expr]): Ctx = {
+    if (ctx0.df == null) return ctx0
+    val needs = exprs.flatMap(vleValueNeeds(_, ctx0)).toSet
+    needs.groupBy(_._1).foldLeft(ctx0) { case (c, (v, ks)) =>
+      materializeVle(c, v,
+        needNodes = ks.exists(_._2 == "nodes"),
+        needEdges = ks.exists(_._2 == "edges"))
+    }
+  }
+
   private def pathInfo(e: Expr, ctx: Ctx): VarInfo = e match {
     case Var(p) if ctx.vars.get(p).exists(_.kind == VarKind.Path) => ctx.vars(p)
     case other => throw new UnsupportedOperationException(
@@ -1125,27 +1272,43 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }: _*)
   }
 
+  /** nodes(p) / relationships(p) — full entity values, per the reference's
+    * traversal layout: vertices (id, label, properties), edges (id,
+    * start_id, end_id, label, properties) — traversal.c build_traversal /
+    * vertex.h / edge.h. VLE segments contribute their materialized struct
+    * arrays (see [[materializeVle]]); for nodes, a VLE segment's sequence
+    * starts at the segment's own start node, so only its tail concatenates
+    * after the preceding fixed node.
+    */
   private def pathMembers(e: Expr, ctx: Ctx, edges: Boolean): Column = {
     val info = pathInfo(e, ctx)
-    // a VLE segment has no fixed member columns — refuse loudly rather than
-    // silently returning only the endpoints
-    require(info.pathEdges.forall(m =>
-      !ctx.vars.get(m).exists(_.kind == VarKind.VlePath) &&
-        ctx.df.columns.contains(s"${m}__id")),
-      "path accessors over variable-length segments land with traversal values")
-    val members = if (edges) info.pathEdges else info.pathNodes
-    // full entity values, per the reference's traversal layout: vertices
-    // (id, label, properties), edges (id, start_id, end_id, label,
-    // properties) — traversal.c build_traversal / vertex.h / edge.h
-    array(members.map { m =>
-      if (edges)
-        struct(col(s"${m}__id").as("id"),
-          col(s"${m}__start_id").as("start_id"), col(s"${m}__end_id").as("end_id"),
-          col(s"${m}__label").as("label"), propertiesMap(m, ctx).as("properties"))
-      else
-        struct(col(s"${m}__id").as("id"), col(s"${m}__label").as("label"),
-          propertiesMap(m, ctx).as("properties"))
-    }: _*)
+    def isVle(m: String) = ctx.vars.get(m).exists(_.kind == VarKind.VlePath)
+    def nodeStruct(m: String) = struct(col(s"${m}__id").as("id"),
+      col(s"${m}__label").as("label"), propertiesMap(m, ctx).as("properties"))
+    def edgeStruct(m: String) = struct(col(s"${m}__id").as("id"),
+      col(s"${m}__start_id").as("start_id"), col(s"${m}__end_id").as("end_id"),
+      col(s"${m}__label").as("label"), propertiesMap(m, ctx).as("properties"))
+    if (edges) {
+      val segs = info.pathEdges.map { m =>
+        if (isVle(m)) col(s"${m}__edges") else array(edgeStruct(m))
+      }
+      if (segs.isEmpty) // single-node path: no relationships
+        array().cast(ArrayType(StructType(Seq(
+          StructField("id", LongType), StructField("start_id", LongType),
+          StructField("end_id", LongType), StructField("label", StringType),
+          StructField("properties",
+            MapType(StringType, graft.gvalue.GValueCol.structType))))))
+      else concat(segs: _*)
+    } else {
+      val head = array(nodeStruct(info.pathNodes.head))
+      val rest = info.pathEdges.zipWithIndex.map { case (m, i) =>
+        if (isVle(m)) {
+          val ns = col(s"${m}__nodes")
+          slice(ns, lit(2), size(ns) - lit(1)) // drop the segment's start node
+        } else array(nodeStruct(info.pathNodes(i + 1)))
+      }
+      concat(head +: rest: _*)
+    }
   }
 
   /** Static Spark type of a compiled column (resolved against the ctx frame). */
@@ -1239,6 +1402,14 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case other      => throw new UnsupportedOperationException(s"IN literal: ${other.render}")
   }
 }
+
+/** A pattern references a label no entity has ever carried. MERGE treats
+  * this as "no existing instances" (empty match), so it must be
+  * distinguishable from genuine compile failures that also surface as
+  * IllegalArgumentException (ADVICE r3: a broad catch silently returned
+  * zero rows for malformed patterns).
+  */
+final class UnknownLabelException(msg: String) extends IllegalArgumentException(msg)
 
 object Compiler {
   /** Cap for unbounded `*..` expansion; edge-uniqueness already bounds paths

@@ -9,6 +9,30 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import scala.collection.mutable
 
+/** Deterministic consecutive row numbering 1..n for write-path id
+  * assignment — distributed. zipWithIndex is per-partition counts + offsets
+  * (one small count job, then a parallel map); a `row_number() OVER
+  * (ORDER BY …)` window would collapse the whole input into ONE partition
+  * to sort it, which is fatal for `MATCH (big) CREATE …` at cluster scale.
+  * The localCheckpoint freezes the input first, so the numbering (and the
+  * property values paired with each id) cannot re-evaluate differently
+  * across downstream actions. Numbers are consecutive, so exactly n entry
+  * ids are consumed from the label's 48-bit sequence (a
+  * monotonically_increasing_id would burn 2^33 per partition).
+  */
+private[graft] object RowNumber {
+  def attach(df: DataFrame, name: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val frozen = df.localCheckpoint()
+    val n = frozen.count() // cheap: counts the materialized blocks
+    val schema = frozen.schema.add(name, LongType, nullable = false)
+    val rdd = frozen.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    (spark.createDataFrame(rdd, schema), n)
+  }
+}
+
 /** Mutable graph + Cypher write-clause execution — the engine's equivalent of
   * the reference's 4 write CustomScans (exec_cypher_create / cypher_set.c /
   * cypher_delete.c / cypher_merge.c). Writes execute eagerly between clause
@@ -149,15 +173,13 @@ final class GraphSession(val spark: SparkSession) {
   /** CREATE with an input relation: one pattern instance per input row.
     * Ids for new nodes are `(labelId << 48) | (rowNumber + reservedBase)` —
     * a projection over a deterministic per-row numbering, no id service
-    * (same packing the bulk loader uses; scales as one window + appends).
+    * (same packing the bulk loader uses; numbering is partition-local via
+    * [[RowNumber]], so the input never collapses to one partition).
     */
   private def createPerRow(ctx0: Ctx, elems: Seq[PatternElem],
       compiler: Compiler): Ctx = {
-    import org.apache.spark.sql.expressions.Window
     var vars = ctx0.vars
-    val w = Window.orderBy(ctx0.df.columns.map(col).toSeq: _*)
-    var df = ctx0.df.withColumn("__crn", row_number().over(w).cast("long"))
-    val nRows = df.count()
+    var (df, nRows) = RowNumber.attach(ctx0.df, "__crn")
     val tempCols = mutable.ListBuffer.empty[String]
     var prevIdName: String = null
     var pendingRel: Option[RelPattern] = None
@@ -239,7 +261,7 @@ final class GraphSession(val spark: SparkSession) {
       val matched = try {
         val c = probe.compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
         c.df.limit(1).count() > 0
-      } catch { case _: IllegalArgumentException => false } // unknown label → no match
+      } catch { case _: UnknownLabelException => false } // unknown label → no match
       if (matched) {
         new Compiler(graph.snapshot, compiler.params)
           .compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
@@ -259,7 +281,7 @@ final class GraphSession(val spark: SparkSession) {
         val cond = boundVars.map(v => col(s"${v}__id") === col(s"__m_${v}__id"))
           .reduce(_ && _)
         ctx.df.join(proj, cond, "left_anti")
-      } catch { case _: IllegalArgumentException => ctx.df } // unknown label → all missing
+      } catch { case _: UnknownLabelException => ctx.df } // unknown label → all missing
       val distinctMissing = missing.dropDuplicates(boundVars.map(v => s"${v}__id"))
       if (distinctMissing.limit(1).count() > 0)
         createPerRow(Ctx(distinctMissing, ctx.vars, projected = false),
@@ -278,7 +300,7 @@ final class GraphSession(val spark: SparkSession) {
       params: Map[String, GValue]): Ctx =
     try new Compiler(graph.snapshot, params)
       .compileClause(ctx, Match(List(pattern), optional = false, None))
-    catch { case _: IllegalArgumentException =>
+    catch { case _: UnknownLabelException =>
       Ctx(ctx.df.limit(0), ctx.vars, ctx.projected)
     }
 
@@ -289,7 +311,6 @@ final class GraphSession(val spark: SparkSession) {
     * patterns only; chains still need a shared variable.
     */
   private def mergeByProps(ctx: Ctx, pattern: PathPattern, compiler: Compiler): Ctx = {
-    import org.apache.spark.sql.expressions.Window
     val n = pattern.elements match {
       case List(node: NodePattern) if node.props.nonEmpty => node
       case _ => throw new UnsupportedOperationException(
@@ -310,19 +331,17 @@ final class GraphSession(val spark: SparkSession) {
       if (keys.forall(k => c.df.columns.contains(s"${mm}__$k")))
         Some(c.df.select(keys.map(k => col(s"${mm}__$k").as(s"__mi_$k")): _*).distinct())
       else None
-    } catch { case _: IllegalArgumentException => None } // unknown label
+    } catch { case _: UnknownLabelException => None } // unknown label
     val distinctVals = withVals.select(keys.map(k => col(s"__mv_$k")): _*).distinct()
     val missing = instOpt match {
       case None => distinctVals
       case Some(inst) => distinctVals.join(inst,
         keys.map(k => col(s"__mv_$k") === col(s"__mi_$k")).reduce(_ && _), "left_anti")
     }
-    val nRows = missing.count()
+    val (numbered, nRows) = RowNumber.attach(missing, "__crn")
     if (nRows > 0) {
       val (lid, base) = graph.reserveEntries(label, nRows)
-      val w = Window.orderBy(keys.map(k => col(s"__mv_$k")): _*)
-      val rows = missing
-        .withColumn("__crn", row_number().over(w).cast("long"))
+      val rows = numbered
         .select(shiftleft(lit(lid.toLong), 48).bitwiseOR(col("__crn") + base).as("id") +:
           keys.map(k => col(s"__mv_$k").as(k)): _*)
       graph.createVerticesRows(label, rows)
@@ -559,18 +578,20 @@ final class MutableGraph(spark: SparkSession) {
   /** Append edges from (start_id, end_id, ROW-VALUED property columns) —
     * the general path for per-row CREATE/MERGE edge properties that are
     * expressions over the input row (reference cypher_create.sql:72).
+    * Ids come from [[RowNumber]]'s partition-local numbering over the
+    * FROZEN input, so an edge's id/property pairing is fixed at create
+    * time (a global-order window both single-partitioned the input and,
+    * with property-tied orderings, could re-pair ids across actions).
     */
   def createEdgesRows(label: String, rows: DataFrame): Unit = {
     val lid = labelId(label)
     val base = nextEntry.getOrElse(label, 0L)
-    import org.apache.spark.sql.expressions.Window
     val propNames = rows.columns.filterNot(Set("start_id", "end_id")).toSeq.sorted
-    val w = Window.orderBy(col("start_id"), col("end_id"))
-    val df = rows
+    val (numbered, n) = RowNumber.attach(rows, "__ern")
+    val df = numbered
       .withColumn("id", shiftleft(lit(lid.toLong), 48)
-        .bitwiseOR(row_number().over(w).cast("long") + base))
+        .bitwiseOR(col("__ern") + base))
       .select(Seq(col("id"), col("start_id"), col("end_id")) ++ propNames.map(col): _*)
-    val n = df.count()
     nextEntry(label) = base + n
     edgeLabels += (label -> aligned(edgeLabels.get(label), df))
   }
@@ -586,7 +607,12 @@ final class MutableGraph(spark: SparkSession) {
     * every label table containing those ids (copy-on-write).
     */
   def updateProperty(k: String, updates0: DataFrame): Unit = {
-    val updates = updates0.persist()
+    // eager localCheckpoint, not persist(): the updated label tables hold a
+    // lazy reference to `updates`, so there is no "after the consuming
+    // action" point to unpersist at — checkpointing materializes once, cuts
+    // the lineage (deterministic re-scans), and the blocks are released by
+    // the context cleaner when the session drops the table version
+    val updates = updates0.localCheckpoint()
     def apply(tables: Map[String, DataFrame]): Map[String, DataFrame] =
       tables.map { case (l, df) =>
         val hasAny = updates.filter(PropertyGraph.labelOfCol(col("__set_id")) === lit(labelIds(l)))
@@ -619,7 +645,7 @@ final class MutableGraph(spark: SparkSession) {
   }
 
   def deleteVertices(ids0: DataFrame, detach: Boolean): Unit = {
-    val ids = ids0.persist()
+    val ids = ids0.localCheckpoint() // eager + lineage-cut (see updateProperty)
     if (!detach) {
       val incident = edgeLabels.values.map(e =>
         e.join(ids, e("start_id") === ids("id") || e("end_id") === ids("id"), "left_semi")

@@ -147,6 +147,17 @@ object GraphQueries {
         "ORDER BY c.c_acctbal DESC, c.c_name LIMIT 2 } " +
         "RETURN n.n_name AS nation, top_cust, bal ORDER BY nation, bal DESC, top_cust"),
 
+    // VLE traversal VALUES (reference: variable_edge.c / traversal.c, regress
+    // cypher_vle.sql): nodes(p)/relationships(p) over a variable-length
+    // segment — the last node's label + packed-key sum and the first edge's
+    // label prove the struct arrays carry the right entities in hop order
+    "g21_vle_path_values" -> cy(
+      "MATCH p = (c:Customer)-[e*1..2]->(x) " +
+        "RETURN size(e) AS hops, nodes(p)[-1].label AS dst, " +
+        "relationships(p)[0].label AS e0, count(*) AS n_paths, " +
+        "sum(nodes(p)[-1].id % 281474976710656) AS key_sum " +
+        "ORDER BY hops, dst"),
+
     // cypher() TABLE-VALUED FUNCTION (reference's cypher('graph', $$…$$)
     // SQL entry, SURVEY §3.2): graph query composed inside plain SQL —
     // Catalyst optimizes across the TVF boundary
@@ -236,6 +247,15 @@ object GraphQueries {
         |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey)
         |SELECT nation, top_cust, bal FROM ranked WHERE rn <= 2
         |ORDER BY nation, bal DESC, top_cust""".stripMargin,
+    "g21_vle_path_values" ->
+      """SELECT hops, dst, e0, count(*) AS n_paths, CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM (
+        |  SELECT 1 AS hops, 'Nation' AS dst, 'IN_NATION' AS e0, c_nationkey AS k FROM customer
+        |  UNION ALL SELECT 1, 'Order', 'PLACED', o_orderkey FROM orders
+        |  UNION ALL SELECT 2, 'Region', 'IN_NATION', n_regionkey
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 2, 'Part', 'PLACED', l_partkey FROM lineitem
+        |) GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
     "g20_cypher_tvf" ->
       """SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_cust, r_name AS region
         |FROM customer

@@ -200,7 +200,7 @@ class CypherSpec extends AnyFunSuite {
       "MATCH p = (a:Person {name: 'Ann'})-[:KNOWS]->(b)-[:KNOWS]->(c) " +
         "RETURN length(p) AS len, nodes(p) AS ns, relationships(p) AS rs")
       .collect().head
-    assert(r.getInt(0) == 2)
+    assert(r.getLong(0) == 2L)
     // vertex elements are full values: (id, label, properties)
     val ns = r.getSeq[org.apache.spark.sql.Row](1)
     assert(ns.map(_.getString(1)) == Seq("Person", "Person", "Person"))
@@ -220,6 +220,65 @@ class CypherSpec extends AnyFunSuite {
     assert(sinceVals == Seq(graft.gvalue.GInt(2015), graft.gvalue.GInt(2018)))
     // edge endpoints chain correctly: end of first = start of second
     assert(rs(0).getLong(2) == rs(1).getLong(1))
+  }
+
+  test("VLE traversal values: nodes(p)/relationships(p)/RETURN e (vle.sql)") {
+    // reference: variable_edge.c:62 / traversal.c:64-120 — path accessors
+    // over variable-length segments yield FULL entity values
+    val rows = run(
+      "MATCH p = (a:Person {name: 'Ann'})-[e:KNOWS*1..2]->(b) " +
+        "RETURN size(e) AS hops, length(p) AS len, nodes(p) AS ns, " +
+        "relationships(p) AS rs, e AS es ORDER BY hops")
+      .collect()
+    assert(rows.length == 2)
+    val one = rows(0); val two = rows(1)
+    assert(one.getInt(0) == 1 && one.getLong(1) == 1L)
+    // 1 hop: Ann -> Bob
+    val ns1 = one.getSeq[Row](2)
+    assert(ns1.map(_.getString(1)) == Seq("Person", "Person"))
+    assert(ns1.map(_.getLong(0) & 0xFFFFFFFFFFFFL) == Seq(1L, 2L))
+    val rs1 = one.getSeq[Row](3)
+    assert(rs1.map(_.getLong(0) & 0xFFFFFFFFFFFFL) == Seq(10L))
+    assert(rs1.head.getString(3) == "KNOWS")
+    // RETURN e == relationships of the segment, with full properties
+    val es1 = one.getSeq[Row](4)
+    assert(es1.map(_.getLong(0)) == rs1.map(_.getLong(0)))
+    assert(graft.gvalue.GValueCol.decode(
+      es1.head.getMap[String, Row](4)("since")) == graft.gvalue.GInt(2015))
+    // 2 hops: Ann -> Bob -> Cal, edges 10, 11, endpoints chain
+    val ns2 = two.getSeq[Row](2)
+    assert(ns2.map(_.getLong(0) & 0xFFFFFFFFFFFFL) == Seq(1L, 2L, 3L))
+    assert(graft.gvalue.GValueCol.decode(
+      ns2.last.getMap[String, Row](2)("name")) == graft.gvalue.GString("Cal"))
+    val rs2 = two.getSeq[Row](3)
+    assert(rs2.map(_.getLong(0) & 0xFFFFFFFFFFFFL) == Seq(10L, 11L))
+    assert(rs2(0).getLong(2) == rs2(1).getLong(1))
+  }
+
+  test("VLE traversal values: mixed fixed+VLE path and zero-hop segment") {
+    // fixed edge then VLE segment: nodes concatenate without duplication
+    val r = run(
+      "MATCH p = (a:Person {name: 'Ann'})-[:KNOWS]->(b)-[e:KNOWS*1..1]->(c) " +
+        "RETURN nodes(p) AS ns, relationships(p) AS rs, length(p) AS len")
+      .collect().head
+    assert(r.getSeq[Row](0).map(_.getLong(0) & 0xFFFFFFFFFFFFL) == Seq(1L, 2L, 3L))
+    assert(r.getSeq[Row](1).map(_.getLong(0) & 0xFFFFFFFFFFFFL) == Seq(10L, 11L))
+    assert(r.getLong(2) == 2L)
+    // zero-hop VLE: single-node traversal, no relationships
+    val z = run(
+      "MATCH p = (a:Person {name: 'Eve'})-[e:KNOWS*0..0]->(b) " +
+        "RETURN nodes(p) AS ns, relationships(p) AS rs, length(p) AS len")
+      .collect().head
+    assert(z.getSeq[Row](0).map(_.getLong(0) & 0xFFFFFFFFFFFFL) == Seq(5L))
+    assert(z.getSeq[Row](1).isEmpty)
+    assert(z.getLong(2) == 0L)
+    // undirected VLE: node sequence tracks the traversal orientation
+    val u = run(
+      "MATCH p = (a:Person {name: 'Bob'})-[e:KNOWS*1..1]-(c) " +
+        "RETURN nodes(p) AS ns ORDER BY nodes(p)[1].id")
+      .collect()
+    assert(u.map(_.getSeq[Row](0).map(_.getLong(0) & 0xFFFFFFFFFFFFL)).toSeq ==
+      Seq(Seq(2L, 1L), Seq(2L, 3L))) // Bob->Ann (reverse of 1->2), Bob->Cal
   }
 
   test("properties(n) returns the full property map of an entity") {

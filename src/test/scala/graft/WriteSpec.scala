@@ -250,6 +250,27 @@ class WriteSpec extends AnyFunSuite {
     assert(m == 1)
   }
 
+  test("write-path id assignment is distributed (no single-partition window)") {
+    // RowNumber.attach preserves partitioning and numbers 1..n exactly once
+    val df = spark.range(1000).repartition(8).toDF("x")
+    val (numbered, n) = graft.cypher.RowNumber.attach(df, "__rn")
+    assert(n == 1000)
+    assert(numbered.rdd.getNumPartitions > 1, "numbering collapsed to one partition")
+    val nums = numbered.select("__rn").collect().map(_.getLong(0)).sorted.toSeq
+    assert(nums == (1L to 1000L))
+    // and the stored label tables a per-row CREATE appends carry no Window
+    // node (the r3 scale hazard: a global-order row_number id assignment)
+    val gs = freshSession("gplan")
+    gs.run("CREATE (:U {k: 1})")
+    gs.run("CREATE (:U {k: 2})")
+    gs.run("MATCH (u:U) CREATE (u)-[:W {t: u.k}]->(:P {m: u.k})")
+    val q = gs.run("MATCH (u:U)-[w:W]->(p:P) RETURN u.k AS k, w.t AS t, p.m AS m")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"write path still plans a Window:\n$plan")
+    val rows = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rows == Seq((1L, 1L, 1L), (2L, 2L, 2L)))
+  }
+
   test("unique constraint blocks duplicate inserts, allows distinct") {
     val gs = freshSession("g15")
     gs.run("CREATE (:Acct {email: 'a@x'})")
