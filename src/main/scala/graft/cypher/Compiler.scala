@@ -884,7 +884,20 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case "STARTS"   => lc.startsWith(rc)
         case "ENDS"     => lc.endsWith(rc)
         case "CONTAINS" => lc.contains(rc)
-        case "REGEX"    => lc.rlike(litString(r))
+        // regex family (=~ / ~ / ~* / !~ / !~*): unanchored search, pattern
+        // may itself be a column (reference gtype_eq_tilde & friends,
+        // gtype_string.c:163-227). call_function keeps the codegen'd RLike
+        // even for non-literal patterns.
+        case "REGEX"        => call_function("rlike", lc, rc)
+        case "REGEX_CI"     => call_function("rlike", lc, concat(lit("(?i)"), rc))
+        case "NOT_REGEX"    => !call_function("rlike", lc, rc)
+        case "NOT_REGEX_CI" => !call_function("rlike", lc, concat(lit("(?i)"), rc))
+        // LIKE family (~~ / ~~* / !~~ / !~~*): %/_ wildcards, full-string
+        // anchor, backslash escape — PG textlike semantics
+        case "LIKE"      => call_function("like", lc, rc)
+        case "NOT_LIKE"  => !call_function("like", lc, rc)
+        case "ILIKE"     => call_function("ilike", lc, rc)
+        case "NOT_ILIKE" => !call_function("ilike", lc, rc)
       }
     case CaseExpr(operand, whens, otherwise) =>
       val branches = operand match {

@@ -31,7 +31,7 @@ object Parser {
     "CREATE", "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "UNION", "ALL",
     "INTERSECT", "EXCEPT", "CASE", "WHEN", "THEN", "ELSE", "END", "STARTS",
     "ENDS", "CONTAINS", "EXISTS", "NULLS", "FIRST", "LAST", "CALL", "YIELD",
-    "ANY", "SOME")
+    "ANY", "SOME", "LIKE", "ILIKE")
 
   def tokenize(q: String): Vector[Tok] = {
     val out = ListBuffer.empty[Tok]
@@ -94,8 +94,15 @@ object Parser {
       else {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
         val three = if (i + 2 < n) q.substring(i, i + 3) else ""
-        if (three == "<->") { out += TSym("<->"); i += 3 }
-        else if (Set("<=", ">=", "<>", "=~", "->", "<-", "..").contains(two)) {
+        val four = if (i + 3 < n) q.substring(i, i + 4) else ""
+        // longest match first: the PG operator family nests (~, ~*, ~~,
+        // ~~*, !~, !~*, !~~, !~~*) — reference gtype_string.c:163-227
+        if (four == "!~~*") { out += TSym(four); i += 4 }
+        else if (Set("<->", "!~~", "~~*", "!~*").contains(three)) {
+          out += TSym(three); i += 3
+        }
+        else if (Set("<=", ">=", "<>", "=~", "->", "<-", "..",
+            "~~", "~*", "!~").contains(two)) {
           out += TSym(two); i += 2
         } else {
           out += TSym(c.toString); i += 1
@@ -433,8 +440,30 @@ object Parser {
               expectSym(")")
               l = SubLink(op, kind, l, q)
             } else l = Bin(op, l, parseAdditive())
-          case TSym("=~") =>
+          case TSym("=~") | TSym("~") => // Cypher =~ / PG ~ : POSIX regex search
             pos += 1; l = StringOp("REGEX", l, parseAdditive())
+          case TSym("~*") =>
+            pos += 1; l = StringOp("REGEX_CI", l, parseAdditive())
+          case TSym("!~") =>
+            pos += 1; l = StringOp("NOT_REGEX", l, parseAdditive())
+          case TSym("!~*") =>
+            pos += 1; l = StringOp("NOT_REGEX_CI", l, parseAdditive())
+          case TSym("~~") => // symbol spellings of LIKE family (PG parity)
+            pos += 1; l = StringOp("LIKE", l, parseAdditive())
+          case TSym("~~*") =>
+            pos += 1; l = StringOp("ILIKE", l, parseAdditive())
+          case TSym("!~~") =>
+            pos += 1; l = StringOp("NOT_LIKE", l, parseAdditive())
+          case TSym("!~~*") =>
+            pos += 1; l = StringOp("NOT_ILIKE", l, parseAdditive())
+          case TKw("LIKE", _) =>
+            pos += 1; l = StringOp("LIKE", l, parseAdditive())
+          case TKw("ILIKE", _) =>
+            pos += 1; l = StringOp("ILIKE", l, parseAdditive())
+          case TKw("NOT", _) if isKw(toks(pos + 1), "LIKE") =>
+            pos += 2; l = StringOp("NOT_LIKE", l, parseAdditive())
+          case TKw("NOT", _) if isKw(toks(pos + 1), "ILIKE") =>
+            pos += 2; l = StringOp("NOT_ILIKE", l, parseAdditive())
           case TKw("IN", _) =>
             pos += 1; l = Bin("IN", l, parseAdditive())
           case TKw("STARTS", _) =>

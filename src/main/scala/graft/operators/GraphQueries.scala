@@ -46,6 +46,17 @@ object GraphQueries {
   private def cy(q: String): (SparkSession, String) => DataFrame =
     (s, dir) => new Compiler(tpchGraph(s, dir)).run(q)
 
+  /** documents as a vertex label — string-operator queries run over real
+    * text, as the reference's expr regress does.
+    */
+  def docGraph(s: SparkSession, dir: String): PropertyGraph =
+    new GraphBuilder(s)
+      .vertexLabel("Doc", T(s, dir, "documents"), "doc_id")
+      .build()
+
+  private def cyDoc(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => new Compiler(docGraph(s, dir)).run(q)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // label scan + WHERE + count
     "g1_label_scan" -> cy(
@@ -158,6 +169,21 @@ object GraphQueries {
         "sum(nodes(p)[-1].id % 281474976710656) AS key_sum " +
         "ORDER BY hops, dst"),
 
+    // regex + LIKE operator family (reference gtype_string.c:163-227:
+    // ~ / ~* / !~ / !~* POSIX search, ~~ LIKE / ~~* ILIKE / NOT forms;
+    // cypher_gram.y:2595-2602 maps the keywords to the same operators)
+    "g22_regex_like" -> cyDoc(
+      "MATCH (d:Doc) RETURN d.lang AS lang, " +
+        "sum(CASE WHEN d.text ~ 'fast [a-z]+ scan' THEN 1 ELSE 0 END) AS n_re, " +
+        "sum(CASE WHEN d.text ~* 'SPARK' THEN 1 ELSE 0 END) AS n_ci, " +
+        "sum(CASE WHEN d.text !~ 'merge' THEN 1 ELSE 0 END) AS n_nre, " +
+        "sum(CASE WHEN d.text !~* 'VECTOR' THEN 1 ELSE 0 END) AS n_nci, " +
+        "sum(CASE WHEN d.source LIKE 'src1%' THEN 1 ELSE 0 END) AS n_like, " +
+        "sum(CASE WHEN d.source ILIKE 'SRC1_' THEN 1 ELSE 0 END) AS n_ilike, " +
+        "sum(CASE WHEN d.source NOT LIKE '%7' THEN 1 ELSE 0 END) AS n_nlike, " +
+        "sum(CASE WHEN d.source NOT ILIKE 'SRC1%' THEN 1 ELSE 0 END) AS n_nilike " +
+        "ORDER BY lang"),
+
     // cypher() TABLE-VALUED FUNCTION (reference's cypher('graph', $$…$$)
     // SQL entry, SURVEY §3.2): graph query composed inside plain SQL —
     // Catalyst optimizes across the TVF boundary
@@ -256,6 +282,17 @@ object GraphQueries {
         |    FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  UNION ALL SELECT 2, 'Part', 'PLACED', l_partkey FROM lineitem
         |) GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+    "g22_regex_like" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN regexp_matches(text, 'fast [a-z]+ scan') THEN 1 ELSE 0 END) AS BIGINT) AS n_re,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '(?i)SPARK') THEN 1 ELSE 0 END) AS BIGINT) AS n_ci,
+        |  CAST(sum(CASE WHEN NOT regexp_matches(text, 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS n_nre,
+        |  CAST(sum(CASE WHEN NOT regexp_matches(text, '(?i)VECTOR') THEN 1 ELSE 0 END) AS BIGINT) AS n_nci,
+        |  CAST(sum(CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_like,
+        |  CAST(sum(CASE WHEN source ILIKE 'SRC1_' THEN 1 ELSE 0 END) AS BIGINT) AS n_ilike,
+        |  CAST(sum(CASE WHEN source NOT LIKE '%7' THEN 1 ELSE 0 END) AS BIGINT) AS n_nlike,
+        |  CAST(sum(CASE WHEN source NOT ILIKE 'SRC1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_nilike
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "g20_cypher_tvf" ->
       """SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_cust, r_name AS region
         |FROM customer

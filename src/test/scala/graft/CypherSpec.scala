@@ -281,6 +281,43 @@ class CypherSpec extends AnyFunSuite {
       Seq(Seq(2L, 1L), Seq(2L, 3L))) // Bob->Ann (reverse of 1->2), Bob->Cal
   }
 
+  test("regex + LIKE operator family (gtype_string.c:163-227, expr.sql)") {
+    // ~ unanchored search, ~* case-insensitive, !~ / !~* negations
+    val re = run("MATCH (p:Person) WHERE p.name ~ '^[AB]' RETURN p.name AS n ORDER BY n")
+      .collect().map(_.getString(0))
+    assert(re.toSeq == Seq("Ann", "Bob"))
+    val ci = run("MATCH (p:Person) WHERE p.name ~* 'ANN' RETURN p.name AS n")
+      .collect().map(_.getString(0))
+    assert(ci.toSeq == Seq("Ann"))
+    val nre = run("MATCH (p:Person) WHERE p.name !~ 'n' RETURN p.name AS n ORDER BY n")
+      .collect().map(_.getString(0))
+    assert(nre.toSeq == Seq("Bob", "Cal", "Dee", "Eve"))
+    val nci = run("MATCH (p:Person) WHERE p.name !~* 'E$' RETURN p.name AS n ORDER BY n")
+      .collect().map(_.getString(0))
+    assert(nci.toSeq == Seq("Ann", "Bob", "Cal"))
+    // LIKE is full-string anchored with %/_ wildcards; ILIKE folds case
+    val lk = run("MATCH (p:Person) WHERE p.city LIKE 'S%' RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(lk == 2)
+    val und = run("MATCH (p:Person) WHERE p.name LIKE '_e_' RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(und == 1) // Dee (anchored: 3 chars exactly)
+    val ilk = run("MATCH (p:Person) WHERE p.city ILIKE 'sea' RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(ilk == 2)
+    val nlk = run("MATCH (p:Person) WHERE p.city NOT LIKE '%A%' RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(nlk == 2) // NYC ×2 (SEA, LAX contain A)
+    val nilk = run("MATCH (p:Person) WHERE p.city NOT ILIKE '%a%' RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(nilk == 2)
+    // symbol spellings compile to the same operators
+    val sym = run("MATCH (p:Person) WHERE p.city ~~ 'NYC' AND p.name ~~* 'CAL' " +
+      "AND p.name !~~ 'Dee' AND p.name !~~* 'ANNE' RETURN p.name AS n")
+      .collect().map(_.getString(0))
+    assert(sym.toSeq == Seq("Cal"))
+  }
+
   test("properties(n) returns the full property map of an entity") {
     val r = run("MATCH (p:Person {name: 'Eve'}) RETURN properties(p) AS m")
       .collect().head
