@@ -84,4 +84,8 @@ object Ast {
       query: SingleQuery) extends Expr
   final case class ListComp(variable: String, source: Expr, where: Option[Expr],
       projection: Option[Expr]) extends Expr
+  /** Internal marker: a boolean column pre-materialized by the compiler's
+    * sublink binding (Compiler.bindSublinks) — never produced by the parser.
+    */
+  final case class BoolCol(name: String) extends Expr
 }

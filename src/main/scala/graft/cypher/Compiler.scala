@@ -178,8 +178,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       inner = inner.copy(df = edgeUniqueness(inner.df, collect.singles.toSeq,
         collect.vles.toSeq))
       m.where.foreach { w =>
-        inner = ensureVleValues(inner, Seq(w))
-        inner = inner.copy(df = inner.df.filter(compileExpr(w, inner)))
+        inner = compileWhere(ensureVleValues(inner, Seq(w)), w)
       }
       val shared = ctx.vars.keySet.intersect(inner.vars.keySet).toSeq.sorted
       require(ctx.df != null, "OPTIONAL MATCH requires a previous clause")
@@ -220,7 +219,10 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case s: SubLink => subLinkJoin(ctx, s)
     case other =>
       val c = ensureVleValues(ctx, Seq(other))
-      c.copy(df = c.df.filter(compileExpr(other, c)))
+      // sublinks in general positions (OR branches, CASE …) become derived
+      // boolean columns, dropped once the filter has consumed them
+      val (c2, rewritten, added) = bindSublinks(c, Seq(other))
+      c2.copy(df = c2.df.filter(compileExpr(rewritten.head, c2)).drop(added: _*))
   }
 
   /** EXISTS(MATCH ... RETURN ...): correlation is by shared variables, so the
@@ -268,6 +270,106 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     else // ALL: drop rows with a false-or-null comparison against any sub row
       Ctx(ctx.df.join(proj, sharedCond && (!cmp || cmp.isNull), "left_anti"),
         ctx.vars, ctx.projected)
+  }
+
+  // ------------------------------------------ sublinks as general expressions
+
+  private var sbCounter = 0
+  private def freshSb(): String = { sbCounter += 1; s"__sb$sbCounter" }
+
+  /** EXISTS / ANY / ALL nested anywhere inside an expression (an OR branch,
+    * a RETURN item, a CASE condition …) — the reference treats them as
+    * ordinary sublink expressions (cypher_expr.c:82; regress
+    * cypher_match.sql:98-130). Each sublink becomes ONE left join deriving a
+    * boolean column; the expression is rewritten to reference it. Top-level
+    * WHERE conjuncts keep the cheaper semi/anti-join path in
+    * [[compileWhere]]. Returns (ctx-with-joins, rewritten exprs, helper
+    * columns to drop once consumed).
+    */
+  private def bindSublinks(ctx0: Ctx, exprs: Seq[Expr]): (Ctx, Seq[Expr], Seq[String]) = {
+    var ctx = ctx0
+    val added = scala.collection.mutable.ListBuffer.empty[String]
+    def bindExists(inner: Ctx): Expr = {
+      val shared = ctx.vars.keySet.intersect(inner.vars.keySet)
+        .filter(v => ctx.vars(v).isEntity).toSeq.sorted
+      require(shared.nonEmpty,
+        "EXISTS must share a variable with the outer query")
+      val flag = freshSb()
+      // distinct on the join keys → at most one match per outer row: the
+      // left join cannot change outer multiplicity
+      val proj = inner.df
+        .select(shared.map(v => col(s"${v}__id").as(s"${flag}_${v}")): _*)
+        .distinct().withColumn(flag, lit(true))
+      val cond = shared.map(v => col(s"${v}__id") === col(s"${flag}_${v}")).reduce(_ && _)
+      val df = ctx.df.join(proj, cond, "left_outer")
+        .withColumn(flag, coalesce(col(flag), lit(false)))
+        .drop(shared.map(v => s"${flag}_${v}"): _*)
+      ctx = ctx.copy(df = df)
+      added += flag
+      BoolCol(flag)
+    }
+    def bindSubLink(s: SubLink): Expr = {
+      // the comparison references OUTER columns, so matches can't be
+      // pre-aggregated: tag rows, semi-join the matching row ids, flag them
+      val flag = freshSb()
+      val rid = s"${flag}_rid"
+      val tagged = ctx.df.withColumn(rid, monotonically_increasing_id())
+        .localCheckpoint() // freeze ids: probe and join-back must agree
+      val ret = s.query.clauses.last match {
+        case r: Return =>
+          require(r.items.length == 1, "ANY/ALL subquery must return one item")
+          r
+        case _ => throw new UnsupportedOperationException("ANY/ALL subquery must end in RETURN")
+      }
+      val inner = s.query.clauses.dropRight(1).foldLeft(Ctx.empty)(compileClause)
+      val shared = ctx.vars.keySet.intersect(inner.vars.keySet)
+        .filter(v => ctx.vars(v).isEntity).toSeq.sorted
+      val subVal = compileExpr(ret.items.head.expr, inner).as("__sl_val")
+      val proj = inner.df.select(
+        shared.map(v => col(s"${v}__id").as(s"${flag}_${v}")) :+ subVal: _*)
+      val sharedCond = shared.map(v => col(s"${v}__id") === col(s"${flag}_${v}"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val cmp = binOp(s.op, compileExpr(s.left, ctx.copy(df = tagged)), col("__sl_val"), ctx)
+      // ANY: true iff some row compares true. ALL: true iff NO row compares
+      // false-or-null (empty subquery → ALL true, ANY false).
+      val probeCond =
+        if (s.kind == "ANY") sharedCond && cmp
+        else sharedCond && (!cmp || cmp.isNull)
+      val hit = tagged.join(proj, probeCond, "left_semi")
+        .select(col(rid)).withColumn(flag, lit(true))
+      var df = tagged.join(hit, Seq(rid), "left_outer")
+        .withColumn(flag,
+          if (s.kind == "ANY") coalesce(col(flag), lit(false))
+          else !coalesce(col(flag), lit(false)))
+        .drop(rid)
+      ctx = ctx.copy(df = df)
+      added += flag
+      BoolCol(flag)
+    }
+    def walk(e: Expr): Expr = e match {
+      case ExistsPattern(p)  => bindExists(compilePattern(Ctx.empty, p))
+      case ExistsSubquery(q) =>
+        val body = q.clauses.dropRight(1) match {
+          case Nil => q.clauses // RETURN-only subquery
+          case b   => b
+        }
+        bindExists(body.foldLeft(Ctx.empty)(compileClause))
+      case s: SubLink        => bindSubLink(s)
+      case Bin(op, l, r)     => Bin(op, walk(l), walk(r))
+      case Un(op, x)         => Un(op, walk(x))
+      case IsNull(x, n)      => IsNull(walk(x), n)
+      case StringOp(op, l, r) => StringOp(op, walk(l), walk(r))
+      case FnCall(n, args, d) => FnCall(n, args.map(walk), d)
+      case CaseExpr(op, whens, o) =>
+        CaseExpr(op.map(walk), whens.map { case (c, v) => (walk(c), walk(v)) }, o.map(walk))
+      case Index(b, i)       => Index(walk(b), walk(i))
+      case Slice(b, l, h)    => Slice(walk(b), l.map(walk), h.map(walk))
+      case ListLit(items)    => ListLit(items.map(walk))
+      case MapLit(es)        => MapLit(es.map { case (k, v) => (k, walk(v)) })
+      case other             => other
+    }
+    val out = exprs.map(walk)
+    (ctx, out, added.toSeq)
   }
 
   private def existsJoin(ctx: Ctx, p: PathPattern, anti: Boolean): Ctx = {
@@ -648,13 +750,22 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     ctx = ensureVleValues(ctx,
       items.map(_.expr) ++ orderBy.map(_.expr) ++ where.toList)
 
+    // sublinks in RETURN/WITH items or sort keys → derived boolean columns
+    // (pre-projection scope; the projection's select drops the helpers)
+    val (boundCtx, boundExprs, _) =
+      bindSublinks(ctx, items.map(_.expr) ++ orderBy.map(_.expr))
+    ctx = boundCtx
+    val (itemEs, orderEs) = boundExprs.splitAt(items.length)
+    val boundItems = items.zip(itemEs).map { case (it, e) => it.copy(expr = e) }
+    val boundOrder = orderBy.zip(orderEs).map { case (s, e) => s.copy(expr = e) }
+
     // name each item
     def autoName(e: Expr): String = e match {
       case Var(n)           => n
       case Prop(Var(n), k)  => s"$n.$k"
-      case _                => s"expr${items.indexWhere(_.expr == e)}"
+      case _                => s"expr${boundItems.indexWhere(_.expr == e)}"
     }
-    val named = items.map(it => (it.alias.getOrElse(autoName(it.expr)), it.expr))
+    val named = boundItems.map(it => (it.alias.getOrElse(autoName(it.expr)), it.expr))
 
     val hasAgg = named.exists { case (_, e) => containsAggregate(e) }
 
@@ -679,9 +790,9 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // ORDER BY may reference the pre-projection scope (`RETURN tostring(x)
       // AS s ORDER BY n.code`) — carry such sort keys through the projection
       // as hidden columns, dropped after the sort.
-      if (orderBy.nonEmpty) {
+      if (boundOrder.nonEmpty) {
         val tentative = ctx.df.select(cols.toSeq: _*)
-        orderBy.zipWithIndex.foreach { case (s, i) =>
+        boundOrder.zipWithIndex.foreach { case (s, i) =>
           val postOk = scala.util.Try {
             val c = compileExpr(s.expr,
               Ctx(tentative, outVars, projected = true))
@@ -716,9 +827,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
 
     val postCtx = Ctx(df, outVars, projected = true)
-    where.foreach(wc => df = df.filter(compileExpr(wc, postCtx)))
+    where.foreach { wc =>
+      // WITH … WHERE may itself hold sublinks (post-projection scope)
+      val (wCtx, ws, added) = bindSublinks(postCtx.copy(df = df), Seq(wc))
+      df = wCtx.df.filter(compileExpr(ws.head, wCtx)).drop(added: _*)
+    }
 
-    val sortCols = orderBy.zipWithIndex.map { case (s, i) =>
+    val sortCols = boundOrder.zipWithIndex.map { case (s, i) =>
       val c0 =
         if (hiddenSort.contains(s"__sort$i")) col(s"__sort$i")
         else compileExpr(s.expr, postCtx.copy(df = df))
@@ -934,10 +1049,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       }
     case CountStar() => throw new IllegalStateException("count(*) outside aggregation")
     case FnCall(name, args, _) => compileFn(name, args, ctx)
+    case BoolCol(n) => col(n) // sublink pre-bound by bindSublinks
+    // raw sublinks only survive to here from positions bindSublinks doesn't
+    // cover (lambda bodies of list comprehensions)
     case ExistsPattern(_) | ExistsSubquery(_) => throw new UnsupportedOperationException(
-      "EXISTS(...) is only supported at the top level of WHERE")
+      "EXISTS(...) is not supported inside list-comprehension lambdas")
     case _: SubLink => throw new UnsupportedOperationException(
-      "ANY/ALL subqueries are only supported at the top level of WHERE")
+      "ANY/ALL subqueries are not supported inside list-comprehension lambdas")
   }
 
   /** Compile expression with one lambda variable bound to a Column. */

@@ -184,6 +184,18 @@ object GraphQueries {
         "sum(CASE WHEN d.source NOT ILIKE 'SRC1%' THEN 1 ELSE 0 END) AS n_nilike " +
         "ORDER BY lang"),
 
+    // sublinks as GENERAL expressions (reference cypher_expr.c:82 treats
+    // EXISTS as an ordinary sublink): an OR branch of WHERE and a CASE
+    // condition in a RETURN item, each one left join deriving a boolean
+    "g23_exists_general" -> cy(
+      "MATCH (n:Nation) WHERE n.n_regionkey <= 1 " +
+        "OR EXISTS(MATCH (s:Supplier)-[:SUPP_IN_NATION]->(n) " +
+        "WHERE s.s_acctbal > 9500 RETURN s) " +
+        "RETURN n.n_name AS nation, CASE WHEN " +
+        "EXISTS(MATCH (c:Customer)-[:IN_NATION]->(n) " +
+        "WHERE c.c_acctbal > 9900 RETURN c) THEN 1 ELSE 0 END AS has_rich " +
+        "ORDER BY nation"),
+
     // cypher() TABLE-VALUED FUNCTION (reference's cypher('graph', $$…$$)
     // SQL entry, SURVEY §3.2): graph query composed inside plain SQL —
     // Catalyst optimizes across the TVF boundary
@@ -282,6 +294,15 @@ object GraphQueries {
         |    FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  UNION ALL SELECT 2, 'Part', 'PLACED', l_partkey FROM lineitem
         |) GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+    "g23_exists_general" ->
+      """SELECT n_name AS nation,
+        |  CAST(CASE WHEN EXISTS(SELECT 1 FROM customer
+        |    WHERE c_nationkey = n_nationkey AND c_acctbal > 9900)
+        |  THEN 1 ELSE 0 END AS BIGINT) AS has_rich
+        |FROM nation
+        |WHERE n_regionkey <= 1 OR EXISTS(SELECT 1 FROM supplier
+        |  WHERE s_nationkey = n_nationkey AND s_acctbal > 9500)
+        |ORDER BY nation""".stripMargin,
     "g22_regex_like" ->
       """SELECT lang,
         |  CAST(sum(CASE WHEN regexp_matches(text, 'fast [a-z]+ scan') THEN 1 ELSE 0 END) AS BIGINT) AS n_re,

@@ -318,6 +318,35 @@ class CypherSpec extends AnyFunSuite {
     assert(sym.toSeq == Seq("Cal"))
   }
 
+  test("EXISTS/ANY as general expressions (cypher_expr.c:82, match.sql:98-130)") {
+    // EXISTS inside an OR branch of WHERE
+    val or = run("MATCH (p:Person) WHERE p.age > 40 " +
+      "OR EXISTS((p)-[:LIVES_IN]->(:City {cname: 'SEA'})) " +
+      "RETURN p.name AS n ORDER BY n").collect().map(_.getString(0))
+    assert(or.toSeq == Seq("Ann", "Bob", "Cal"))
+    // EXISTS as a RETURN item (boolean value per row)
+    val ret = run("MATCH (p:Person) RETURN p.name AS n, " +
+      "EXISTS((p)-[:KNOWS]->(:Person {name: 'Cal'})) AS k ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(ret.toSeq == Seq(("Ann", false), ("Bob", true), ("Cal", false),
+      ("Dee", false), ("Eve", false)))
+    // NOT EXISTS nested under OR
+    val nor = run("MATCH (p:Person) WHERE p.age = 24 " +
+      "OR NOT EXISTS((p)-[:KNOWS]->()) RETURN p.name AS n ORDER BY n")
+      .collect().map(_.getString(0))
+    assert(nor.toSeq == Seq("Bob", "Eve")) // everyone has an outgoing KNOWS
+    // ANY sublink in an OR branch
+    val any = run("MATCH (p:Person) WHERE p.name = 'Eve' " +
+      "OR p.age > ANY (MATCH (q:Person {city: 'NYC'}) RETURN q.age) " +
+      "RETURN p.name AS n ORDER BY n").collect().map(_.getString(0))
+    assert(any.toSeq == Seq("Cal", "Eve")) // NYC ages {41,35}: only 41 > 35
+    // EXISTS in a CASE condition inside an aggregate
+    val agg = run("MATCH (p:Person) RETURN sum(CASE WHEN " +
+      "EXISTS((p)-[:LIVES_IN]->(:City {cname: 'NYC'})) THEN 1 ELSE 0 END) AS n")
+      .collect().head.getLong(0)
+    assert(agg == 2) // Cal, Dee
+  }
+
   test("properties(n) returns the full property map of an entity") {
     val r = run("MATCH (p:Person {name: 'Eve'}) RETURN properties(p) AS m")
       .collect().head
