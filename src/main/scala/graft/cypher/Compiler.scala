@@ -1071,16 +1071,33 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case other             => compileExpr(other, ctx)
   }
 
+  private def isNumericLike(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    // dynamic gtype values resolve numeric-vs-not at runtime, like the
+    // reference's runtime dispatch — let them through
+    case t if graft.gvalue.GValueCol.isGValue(t) => true
+    case _ => false
+  }
+
   private def binOp(op: String, l: Column, r: Column, ctx: Ctx,
       rRaw: Option[Expr] = None): Column = (op match {
     case "=" | "<>" | "<" | "<=" | ">" | ">=" => gAwareCmp(op, l, r, ctx)
     case _ => None
   }).getOrElse(op match {
     case "+"  =>
-      // gtype `+` is also string/list concatenation (gtype_ops.c:153-280)
+      // gtype `+` is also string/list concatenation (gtype_ops.c:153-280).
+      // gtype_add only concatenates string with string or NUMBER — other
+      // mixes (string+bool, string+list …) ereport in the reference, so
+      // refuse them here too rather than silently stringifying.
       (dataTypeOpt(l, ctx), dataTypeOpt(r, ctx)) match {
+        case (Some(StringType), Some(StringType)) => concat(l, r)
+        case (Some(StringType), Some(t)) if isNumericLike(t) =>
+          concat(l, r.cast("string"))
+        case (Some(t), Some(StringType)) if isNumericLike(t) =>
+          concat(l.cast("string"), r)
         case (Some(StringType), _) | (_, Some(StringType)) =>
-          concat(l.cast("string"), r.cast("string"))
+          throw new UnsupportedOperationException(
+            "+ concatenates string with string or number only (gtype_add)")
         case (Some(_: ArrayType), Some(_: ArrayType)) => concat(l, r)
         case _ => l + r
       }
@@ -1227,7 +1244,15 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "todate"      => a(0).cast("date")
       case "totimestamp" => a(0).cast("timestamp")
       case "tomacaddr"   => graft.functions.NetworkFns.toMacaddr(a(0))
-      case "topoint" => graft.functions.RangeGeoFns.point(a(0), a(1))
+      case "topoint" => // 2-arg constructor, or 1-arg '(x,y)' string cast
+        if (args.length == 2) graft.functions.RangeGeoFns.point(a(0), a(1))
+        else graft.functions.RangeGeoFns.toPoint(a(0))
+      case "tobox"      => graft.functions.RangeGeoFns.toBox(a(0))
+      case "tointrange" => graft.functions.RangeGeoFns.toRange(a(0), numeric = false)
+      case "tonumrange" => graft.functions.RangeGeoFns.toRange(a(0), numeric = true)
+      case "tointerval" => graft.functions.TemporalFns.toInterval(a(0))
+      case "totime"     => graft.functions.TemporalFns.toTime(a(0))
+      case "totsquery"  => graft.functions.TsearchFns.toTsquery(a(0))
       case "intrange" | "numrange" =>
         graft.functions.RangeGeoFns.range(a(0), a(1),
           if (args.length == 3) litString(args(2)) else "[)")

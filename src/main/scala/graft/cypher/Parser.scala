@@ -33,6 +33,33 @@ object Parser {
     "ENDS", "CONTAINS", "EXISTS", "NULLS", "FIRST", "LAST", "CALL", "YIELD",
     "ANY", "SOME", "LIKE", "ILIKE")
 
+  /** `expr::type` → the to*() kernel name for the target type (reference:
+    * gtype_typecasting.c's 112-entry cast matrix; the common names below
+    * cover the regress-exercised surface — unknown type names fall through
+    * to `to<name>` so registry-resolved casts keep working).
+    */
+  def castFnFor(ty: String): String = ty match {
+    case "int" | "integer" | "int2" | "int4" | "int8" | "bigint" | "smallint" => "tointeger"
+    case "float" | "float4" | "float8" | "double" | "real" => "tofloat"
+    case "numeric" | "decimal"      => "tonumeric"
+    case "bool" | "boolean"         => "toboolean"
+    case "string" | "text" | "varchar" | "char" => "tostring"
+    case "timestamp" | "timestamptz" => "totimestamp"
+    case "date"                     => "todate"
+    case "time" | "timetz"          => "totime"
+    case "interval"                 => "tointerval"
+    case "inet" | "cidr"            => "toinet"
+    case "macaddr" | "macaddr8"     => "tomacaddr"
+    case "vector"                   => "tovector"
+    case "tsvector"                 => "totsvector"
+    case "tsquery"                  => "totsquery"
+    case "point"                    => "topoint"
+    case "box"                      => "tobox"
+    case "intrange" | "int4range" | "int8range" => "tointrange"
+    case "numrange"                 => "tonumrange"
+    case other                      => s"to$other"
+  }
+
   def tokenize(q: String): Vector[Tok] = {
     val out = ListBuffer.empty[Tok]
     var i = 0
@@ -101,7 +128,7 @@ object Parser {
         else if (Set("<->", "!~~", "~~*", "!~*").contains(three)) {
           out += TSym(three); i += 3
         }
-        else if (Set("<=", ">=", "<>", "=~", "->", "<-", "..",
+        else if (Set("<=", ">=", "<>", "=~", "->", "<-", "..", "::",
             "~~", "~*", "!~").contains(two)) {
           out += TSym(two); i += 2
         } else {
@@ -539,6 +566,12 @@ object Parser {
               e = Index(e, first)
             }
           }
+        } else if (atSym("::")) {
+          // PG typecast syntax (reference ag_scanner.l:1134 TYPECAST,
+          // gtype_typecasting.c cast matrix) — routes to the to*() kernels
+          pos += 1
+          val ty = ident().toLowerCase
+          e = FnCall(Parser.castFnFor(ty), List(e), distinct = false)
         } else done = true
       }
       e

@@ -72,4 +72,40 @@ object RangeGeoFns {
 
   def boxHeight(b: Column): Column = b.getField("y2") - b.getField("y1")
   def boxWidth(b: Column): Column = b.getField("x2") - b.getField("x1")
+
+  // ------------------------------------------- string-form casts (`::type`)
+  // reference: gtype_typecasting.c routes these to the type in-functions;
+  // the regexp extracts below accept the PG display forms.
+
+  /** "" (no regex match) → null without tripping ANSI cast errors. */
+  private def numOrNull(s: Column): Column =
+    when(s === "", lit(null)).otherwise(s).cast("double")
+
+  private val numPat = "(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"
+
+  /** '(x,y)' or 'x,y' → point. */
+  def toPoint(s: Column): Column = {
+    val pat = s"$numPat\\s*,\\s*$numPat"
+    point(numOrNull(regexp_extract(s, pat, 1)), numOrNull(regexp_extract(s, pat, 2)))
+  }
+
+  /** '(x1,y1),(x2,y2)' (parens optional) → normalized box. */
+  def toBox(s: Column): Column = {
+    val pat = s"$numPat\\s*,\\s*$numPat\\s*\\)?\\s*,\\s*\\(?\\s*$numPat\\s*,\\s*$numPat"
+    box(point(numOrNull(regexp_extract(s, pat, 1)), numOrNull(regexp_extract(s, pat, 2))),
+      point(numOrNull(regexp_extract(s, pat, 3)), numOrNull(regexp_extract(s, pat, 4))))
+  }
+
+  /** '[lo,hi)' → range struct; an absent bound is infinite (null). */
+  def toRange(s: Column, numeric: Boolean): Column = {
+    val pat = s"([\\[(])\\s*$numPat?\\s*,\\s*$numPat?\\s*([\\])])"
+    val loS = regexp_extract(s, pat, 2)
+    val hiS = regexp_extract(s, pat, 3)
+    def bound(b: Column) =
+      if (numeric) numOrNull(b)
+      else when(b === "", lit(null)).otherwise(b).cast("long")
+    struct(bound(loS).as("lo"), bound(hiS).as("hi"),
+      (regexp_extract(s, pat, 1) === "[").as("lo_inc"),
+      (regexp_extract(s, pat, 4) === "]").as("hi_inc"))
+  }
 }

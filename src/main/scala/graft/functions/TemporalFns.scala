@@ -66,6 +66,47 @@ object TemporalFns {
     */
   def justifyInterval(iv: Column): Column = justifyNorm(justifyDays(justifyHours(iv)))
 
+  /** '1 year 2 mons 3 days 04:05:06' / '2 hours 30 mins' → interval struct
+    * (reference interval_in forms routed through the `::interval` cast).
+    */
+  def toInterval(s: Column): Column = {
+    def n(pat: String): Column = {
+      val x = regexp_extract(s, pat, 1)
+      when(x === "", lit(0L)).otherwise(x.cast("long"))
+    }
+    val years = n("(-?\\d+)\\s*(?:years?|yrs?)")
+    val mons  = n("(-?\\d+)\\s*(?:months?|mons?)")
+    val weeks = n("(-?\\d+)\\s*(?:weeks?)")
+    val days  = n("(-?\\d+)\\s*(?:days?)")
+    val hours = n("(-?\\d+)\\s*(?:hours?|hrs?)")
+    val mins  = n("(-?\\d+)\\s*(?:minutes?|mins?)")
+    val secS  = regexp_extract(s, "(-?\\d+(?:\\.\\d+)?)\\s*(?:seconds?|secs?)", 1)
+    val secs  = when(secS === "", lit(0.0)).otherwise(secS.cast("double"))
+    // trailing (-)HH:MM[:SS.fff] clock form
+    val hms = "(-?)(\\d+):(\\d{2})(?::(\\d{2}(?:\\.\\d+)?))?\\s*$"
+    val hasHms = regexp_extract(s, hms, 2) =!= ""
+    val sign = when(regexp_extract(s, hms, 1) === "-", lit(-1L)).otherwise(lit(1L))
+    def hn(g: Int): Column = when(hasHms,
+      regexp_extract(s, hms, g).cast("long")).otherwise(lit(0L))
+    val ssS = regexp_extract(s, hms, 4)
+    val ss = when(hasHms && ssS =!= "", ssS.cast("double")).otherwise(lit(0.0))
+    val us = hours * 3600000000L + mins * 60000000L + (secs * 1e6).cast("long") +
+      sign * (hn(2) * 3600000000L + hn(3) * 60000000L + (ss * 1e6).cast("long"))
+    interval(years * 12 + mons, weeks * 7 + days, us)
+  }
+
+  /** 'HH:MM[:SS.fff]' → time-of-day as microseconds (LongType — the
+    * engine's time representation; reference time_in via `::time`).
+    */
+  def toTime(s: Column): Column = {
+    val pat = "(\\d+):(\\d{2})(?::(\\d{2}(?:\\.\\d+)?))?"
+    def g(i: Int): Column = regexp_extract(s, pat, i)
+    val h = when(g(1) === "", lit(0L)).otherwise(g(1).cast("long"))
+    val m = when(g(2) === "", lit(0L)).otherwise(g(2).cast("long"))
+    val sec = when(g(3) === "", lit(0.0)).otherwise(g(3).cast("double"))
+    h * 3600000000L + m * 60000000L + (sec * 1e6).cast("long")
+  }
+
   /** The sign-normalization step of justify_interval alone. */
   def justifyNorm(h: Column): Column = {
     val m = h.getField("months"); val d = h.getField("days"); val u = h.getField("us")

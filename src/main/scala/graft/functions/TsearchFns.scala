@@ -26,6 +26,17 @@ object TsearchFns {
   /** strip() — already positionless here; identity kept for API parity. */
   def strip(tsv: Column): Column = tsv
 
+  /** totsquery (`::tsquery` cast): PG's canonical display form — lexemes
+    * lowercased and quoted, operators single-spaced (tsquery_in +
+    * tsqueryout shape). The match fns keep taking the raw query text.
+    */
+  def toTsquery(s: Column): Column = {
+    val quoted = regexp_replace(lower(s), "([a-z0-9_]+)", "'$1'")
+    val spaced = regexp_replace(quoted, "\\s*([&|()])\\s*", " $1 ")
+    val bangTight = regexp_replace(spaced, "!\\s*", "!") // PG prints !'x'
+    trim(regexp_replace(bangTight, "\\s+", " "))
+  }
+
   def tsDelete(tsv: Column, lexeme: Column): Column = array_remove(tsv, lexeme)
 
   // ---- tsquery: tiny recursive-descent parser over & | ! ( ) terms

@@ -184,6 +184,22 @@ object GraphQueries {
         "sum(CASE WHEN d.source NOT ILIKE 'SRC1%' THEN 1 ELSE 0 END) AS n_nilike " +
         "ORDER BY lang"),
 
+    // `::` typecast syntax + cast matrix (reference ag_scanner.l:1134
+    // TYPECAST token, gtype_typecasting.c): string/number/bool/date/
+    // timestamp/time cross-casts, each mirrored in the oracle
+    "g24_cast_matrix" -> cy(
+      "MATCH (c:Customer) WHERE c.c_custkey <= 50 " +
+        "RETURN c.c_custkey AS ck, " +
+        "(tostring(c.c_custkey) + '7')::int AS i7, " +
+        "c.c_acctbal::int AS bal_t, " +
+        "c.c_custkey::float AS ckf, " +
+        "(c.c_custkey % 2 = 0)::int AS even, " +
+        "('1995-03-0' + tostring(c.c_custkey % 9 + 1))::date AS d, " +
+        "('1995-03-15 12:30:0' + tostring(c.c_custkey % 10))::timestamp AS ts, " +
+        "('0' + tostring(c.c_custkey % 10) + ':30:00')::time AS t_us, " +
+        "c.c_name::text AS nm " +
+        "ORDER BY ck"),
+
     // sublinks as GENERAL expressions (reference cypher_expr.c:82 treats
     // EXISTS as an ordinary sublink): an OR branch of WHERE and a CASE
     // condition in a RETURN item, each one left join deriving a boolean
@@ -294,6 +310,17 @@ object GraphQueries {
         |    FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  UNION ALL SELECT 2, 'Part', 'PLACED', l_partkey FROM lineitem
         |) GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+    "g24_cast_matrix" ->
+      """SELECT c_custkey AS ck,
+        |  CAST(CAST(c_custkey AS VARCHAR) || '7' AS BIGINT) AS i7,
+        |  CAST(trunc(c_acctbal) AS BIGINT) AS bal_t,
+        |  CAST(c_custkey AS DOUBLE) AS ckf,
+        |  CAST(c_custkey % 2 = 0 AS BIGINT) AS even,
+        |  CAST('1995-03-0' || CAST(c_custkey % 9 + 1 AS VARCHAR) AS DATE) AS d,
+        |  CAST('1995-03-15 12:30:0' || CAST(c_custkey % 10 AS VARCHAR) AS TIMESTAMP) AS ts,
+        |  CAST((c_custkey % 10) * 3600000000 + 1800000000 AS BIGINT) AS t_us,
+        |  c_name AS nm
+        |FROM customer WHERE c_custkey <= 50 ORDER BY ck""".stripMargin,
     "g23_exists_general" ->
       """SELECT n_name AS nation,
         |  CAST(CASE WHEN EXISTS(SELECT 1 FROM customer

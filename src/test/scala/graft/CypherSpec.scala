@@ -347,6 +347,36 @@ class CypherSpec extends AnyFunSuite {
     assert(agg == 2) // Cal, Dee
   }
 
+  test(":: typecast syntax routes the cast matrix (gtype_typecasting.c)") {
+    val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
+      "'42'::int AS i, '3.5'::float AS f, 'true'::bool AS b, " +
+      "'1 year 2 mons 3 days 04:05:06'::interval AS iv, " +
+      "'12:34:56'::time AS t, " +
+      "'(1,2),(3,4)'::box AS bx, '[2,7)'::intrange AS rg, " +
+      "'fast & !slow'::tsquery AS tq, '(1.5,2.5)'::point AS pt, " +
+      "p.age::string AS ages").collect().head
+    assert(r.getLong(0) == 42L && r.getDouble(1) == 3.5 && r.getBoolean(2))
+    val iv = r.getStruct(3)
+    assert(iv.getInt(0) == 14 && iv.getInt(1) == 3 &&
+      iv.getLong(2) == 4L * 3600000000L + 5L * 60000000L + 6000000L)
+    assert(r.getLong(4) == 12L * 3600000000L + 34L * 60000000L + 56000000L)
+    val bx = r.getStruct(5)
+    assert((bx.getDouble(0), bx.getDouble(1), bx.getDouble(2), bx.getDouble(3))
+      == (1.0, 2.0, 3.0, 4.0))
+    val rg = r.getStruct(6)
+    assert(rg.getLong(0) == 2L && rg.getLong(1) == 7L &&
+      rg.getBoolean(2) && !rg.getBoolean(3))
+    assert(r.getString(7) == "'fast' & !'slow'")
+    val pt = r.getStruct(8)
+    assert((pt.getDouble(0), pt.getDouble(1)) == (1.5, 2.5))
+    assert(r.getString(9) == "30")
+    // interval clock form with explicit unit words only
+    val iv2 = run("MATCH (p:Person {name: 'Ann'}) " +
+      "RETURN '2 weeks 3 hours 15 mins'::interval AS iv").collect().head.getStruct(0)
+    assert(iv2.getInt(0) == 0 && iv2.getInt(1) == 14 &&
+      iv2.getLong(2) == 3L * 3600000000L + 15L * 60000000L)
+  }
+
   test("properties(n) returns the full property map of an entity") {
     val r = run("MATCH (p:Person {name: 'Eve'}) RETURN properties(p) AS m")
       .collect().head
