@@ -49,26 +49,34 @@ object Algorithms {
     * the same shape scales as Pregel at 100 TB (shuffle keyed on dst).
     */
   def pageRank(pg: PropertyGraph, iters: Int, resetProb: Double = 0.15): DataFrame = {
-    val verts = pg.allVertices.select(col("id")).localCheckpoint()
     val e = pg.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
     // out-degree-weighted edges, built once: (src, dst, w = 1/outdeg(src))
     val w = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
       .localCheckpoint()
-    var ranks = verts.select(col("id"), lit(1.0).as("rank")).localCheckpoint()
-    for (k <- 1 to iters) {
-      val contribs = w.join(ranks, col("src") === col("id"))
-        .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("in_sum"))
-      ranks = verts
-        .join(contribs, col("id") === col("dst"), "left_outer")
-        .select(col("id"),
-          (lit(resetProb) +
-            lit(1 - resetProb) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+    // Iterate over CONTRIBUTIONS only: C_k(v) = Σ_{u→v} w(u,v)·r_{k-1}(u)
+    // with r(u) = reset + (1-reset)·coalesce(C(u), 0). A vertex with no
+    // in-edges has constant rank `reset` after step 1, so the all-vertices
+    // relation joins exactly ONCE at the end — one join + one partial-agg
+    // shuffle per iteration instead of two joins (the left_outer reset
+    // re-join each step was the 3× r3 regression).
+    def rank(inSum: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lit(resetProb) + lit(1 - resetProb) * coalesce(inSum, lit(0.0))
+    // iteration 1 closed-form: every rank is 1.0
+    var contribs = w.groupBy(col("dst")).agg(sum(col("w")).as("in_sum"))
+    for (k <- 2 to iters) {
+      contribs = w
+        .join(contribs.select(col("dst").as("cid"), col("in_sum")),
+          col("src") === col("cid"), "left_outer")
+        .groupBy(col("dst")).agg(sum(col("w") * rank(col("in_sum"))).as("in_sum"))
       // flatten every few generations: each checkpoint is an eager job, but
-      // unbounded lineage makes analysis superlinear — 3 is the sweet spot
-      if (k % 3 == 0 || k == iters) ranks = ranks.localCheckpoint()
+      // unbounded lineage makes analysis superlinear — 4 balances the two
+      // now that each generation is a single join+agg
+      if (k % 4 == 0) contribs = contribs.localCheckpoint()
     }
-    ranks
+    pg.allVertices.select(col("id"))
+      .join(contribs, col("id") === col("dst"), "left_outer")
+      .select(col("id"), rank(col("in_sum")).as("rank"))
   }
 
   /** In/out degrees joined back to the label: (id, label_id, in_deg, out_deg). */

@@ -30,13 +30,22 @@ object Recursive {
     var acc = seed.distinct().localCheckpoint()
     var frontier = acc
     var iter = 0
-    while (iter < maxIter && frontier.limit(1).count() > 0) {
+    // one driver action per generation: the step's localCheckpoint IS the
+    // materialization, and the emptiness probe reads its cached blocks.
+    // acc stays a lazy union of checkpointed frontiers (each leg cached, no
+    // recompute) with a lineage-bounding flatten every few generations.
+    var live = !frontier.isEmpty
+    while (iter < maxIter && live) {
       val stepped = step(frontier).select(cols.map(org.apache.spark.sql.functions.col): _*)
       frontier = stepped.distinct().join(acc, cols, "left_anti").localCheckpoint()
-      acc = acc.unionByName(frontier).localCheckpoint()
-      iter += 1
+      live = !frontier.isEmpty
+      if (live) {
+        acc = acc.unionByName(frontier)
+        iter += 1
+        if (iter % 3 == 0) acc = acc.localCheckpoint()
+      }
     }
-    require(iter < maxIter || frontier.limit(1).count() == 0,
+    require(iter < maxIter || !live,
       s"recursive fixpoint did not converge within $maxIter iterations")
     acc
   }

@@ -107,12 +107,19 @@ object Similarity {
       // per (vector, table). All codegen'd aggregates — the array-HOF form
       // evaluated 32 planes × dim interpreted lambda steps per vector.
       val planesPerTable = 4; val tables = 8
-      val emb = T(s, dir, "embeddings").localCheckpoint()
+      // no checkpoint on emb: each of the three scans is a pruned parquet
+      // read (cheaper than an eager materialization job at this size, and
+      // at scale the scans prune to the referenced columns anyway)
+      val emb = T(s, dir, "embeddings")
       val flat = graft.functions.Ivf.flatten(emb, "vec_id", "embedding")
       val spark = s
+      // 1024 covers any plausible embedding width (the inner join on pos
+      // keeps only real components, so over-provisioning is free — 32k
+      // broadcast rows); deriving it from data would cost a driver job
+      val maxDim = 1024
       val planes = broadcast(
         spark.range(0, tables.toLong * planesPerTable).toDF("plane")
-          .crossJoin(spark.range(0, 64).toDF("pos"))
+          .crossJoin(spark.range(0, maxDim.toLong).toDF("pos"))
           // int/int hash args replicate planeComponent(plane: Int, dim: Int)
           .select(col("plane").cast("int").as("plane"), col("pos").cast("int").as("pos"),
             (xxhash64(col("plane").cast("int"), col("pos").cast("int")).cast("double") /
