@@ -26,10 +26,14 @@ object Dedup {
     * `(h >> j) & LaneMask` accumulates FOUR bit-position counts per long
     * (16-bit lanes), so 64 simhash bit votes need 16 sums instead of 64
     * conditional sums — 4× less aggregate work and a 4× narrower shuffle.
-    * Lane capacity 65535 tokens/doc; no ANSI overflow (≤ 2^16 docs·tokens
-    * per lane keeps the packed sum < 2^63).
+    * Capacity: the TOP lane sits at bits 48-63 of a signed long, so the
+    * worst-case packed sum n·(2^48+2^32+2^16+1) stays under Long.MaxValue
+    * only for n ≤ 32767 tokens/doc — longer docs are clamped to their
+    * first [[SwarMaxTokens]] tokens before the aggregate (ANSI mode would
+    * otherwise throw on the overflow; non-ANSI would silently corrupt).
     */
   private val LaneMask = 0x0001000100010001L
+  private[operators] val SwarMaxTokens = 32767
 
   /** (doc_id, xxhash64(shingle)) distinct word-3gram pairs — what d2/d3
     * consume.
@@ -201,8 +205,12 @@ object Dedup {
       // hash both engines compute identically, which makes the WHOLE
       // simhash pipeline DuckDB-mirrorable (bits 60-63 vote -n everywhere
       // → equal sign bits, harmless to banding and hamming)
+      // posexplode + pos guard: deterministic first-32767-token prefix per
+      // doc (SWAR lane capacity — see LaneMask). Never binds on this
+      // corpus, so the DuckDB oracle replay needs no mirror clause.
       val toks = T(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+        .filter(col("pos") < SwarMaxTokens)
         .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
       val votes = toks.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n"),
