@@ -1079,9 +1079,45 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case _ => false
   }
 
+  private def geoKindOf(c: Column, ctx: Ctx): String = {
+    val k = dataTypeOpt(c, ctx).map(graft.functions.PgGeoFns.kindOf).getOrElse("")
+    require(k.nonEmpty, "geometric function requires a geometric operand")
+    k
+  }
+
+  /** Geometric infix operators — plan-time dispatch on the struct-schema
+    * type tags (the reference's GT_IS_* runtime dispatch, resolved
+    * statically; gtype_geometric.c / postgraph-geometric.sql.in).
+    */
+  private def geoOp(op: String, l: Column, r: Column, ctx: Ctx): Column = {
+    import graft.functions.PgGeoFns._
+    val lk = dataTypeOpt(l, ctx).map(kindOf).getOrElse("")
+    val rk = dataTypeOpt(r, ctx).map(kindOf).getOrElse("")
+    require(lk.nonEmpty && rk.nonEmpty,
+      s"$op requires geometric operands (got ${lk.isEmpty}/${rk.isEmpty})")
+    op match {
+      case "#"   => intersectionPoint(l, lk, r, rk)
+      case "##"  => closestPoint(l, r, rk)
+      case "?#"  => intersects(l, lk, r, rk)
+      case "?-|" => perp(l, lk, r, rk)
+      case "?||" => parallel(l, lk, r, rk)
+      case "@>"  => contains(l, lk, r, rk)
+      case "<@"  => contains(r, rk, l, lk)
+      case "<<"  => leftOf(l, lk, r, rk)
+      case ">>"  => rightOf(l, lk, r, rk)
+      case "<<|" => below(l, lk, r, rk)
+      case "|>>" => above(l, lk, r, rk)
+      case "&<"  => noExtendRight(l, lk, r, rk)
+      case "&>"  => noExtendLeft(l, lk, r, rk)
+    }
+  }
+
   private def binOp(op: String, l: Column, r: Column, ctx: Ctx,
       rRaw: Option[Expr] = None): Column = (op match {
     case "=" | "<>" | "<" | "<=" | ">" | ">=" => gAwareCmp(op, l, r, ctx)
+    case "#" | "##" | "?#" | "?-|" | "?||" | "@>" | "<@" |
+         "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>" =>
+      Some(geoOp(op, l, r, ctx))
     case _ => None
   }).getOrElse(op match {
     case "+"  =>
@@ -1256,6 +1292,33 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "intrange" | "numrange" =>
         graft.functions.RangeGeoFns.range(a(0), a(1),
           if (args.length == 3) litString(args(2)) else "[)")
+      // PG geometric values + named operator bodies (gtype_geometric.c,
+      // postgraph-geometric.sql.in); `gk` is the plan-time type tag
+      case "tolseg"    => graft.functions.PgGeoFns.toLseg(a(0))
+      case "toline"    => graft.functions.PgGeoFns.toLine(a(0))
+      case "topath"    => graft.functions.PgGeoFns.toPath(a(0))
+      case "topolygon" => graft.functions.PgGeoFns.toPolygon(a(0))
+      case "tocircle"  => graft.functions.PgGeoFns.toCircle(a(0))
+      case "lseg"      => graft.functions.PgGeoFns.lseg(a(0), a(1))
+      case "line" if args.length == 3 =>
+        graft.functions.PgGeoFns.line(a(0), a(1), a(2))
+      case "line"      => graft.functions.PgGeoFns.lineFromPoints(a(0), a(1))
+      case "circle"    => graft.functions.PgGeoFns.circle(a(0), a(1))
+      case "_geo_vertical"   => graft.functions.PgGeoFns.vertical(a(0), geoKindOf(a(0), ctx))
+      case "_geo_horizontal" => graft.functions.PgGeoFns.horizontal(a(0), geoKindOf(a(0), ctx))
+      case "center"          => graft.functions.PgGeoFns.center(a(0), geoKindOf(a(0), ctx))
+      case "_geo_length"     => graft.functions.PgGeoFns.geoLength(a(0), geoKindOf(a(0), ctx))
+      case "height" => graft.functions.RangeGeoFns.boxHeight(
+        graft.functions.PgGeoFns.boundBox(a(0), geoKindOf(a(0), ctx)))
+      case "width" => graft.functions.RangeGeoFns.boxWidth(
+        graft.functions.PgGeoFns.boundBox(a(0), geoKindOf(a(0), ctx)))
+      case "bound_box" =>
+        val b1 = graft.functions.PgGeoFns.boundBox(a(0), geoKindOf(a(0), ctx))
+        val b2 = graft.functions.PgGeoFns.boundBox(a(1), geoKindOf(a(1), ctx))
+        struct(least(b1.getField("x1"), b2.getField("x1")).as("x1"),
+          least(b1.getField("y1"), b2.getField("y1")).as("y1"),
+          greatest(b1.getField("x2"), b2.getField("x2")).as("x2"),
+          greatest(b1.getField("y2"), b2.getField("y2")).as("y2"))
       case "md5"    => md5(a(0).cast("string"))
       case "sha256" => sha2(a(0).cast("string"), 256)
       case "sha512" => sha2(a(0).cast("string"), 512)

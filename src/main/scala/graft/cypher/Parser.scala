@@ -125,11 +125,14 @@ object Parser {
         // longest match first: the PG operator family nests (~, ~*, ~~,
         // ~~*, !~, !~*, !~~, !~~*) — reference gtype_string.c:163-227
         if (four == "!~~*") { out += TSym(four); i += 4 }
-        else if (Set("<->", "!~~", "~~*", "!~*").contains(three)) {
+        else if (Set("<->", "!~~", "~~*", "!~*",
+            "@-@", "?-|", "?||", "<<|", "|>>").contains(three)) {
           out += TSym(three); i += 3
         }
         else if (Set("<=", ">=", "<>", "=~", "->", "<-", "..", "::",
-            "~~", "~*", "!~").contains(two)) {
+            "~~", "~*", "!~",
+            "##", "?#", "?|", "?-", "@@", "@>", "<@", "<<", ">>", "&<", "&>")
+            .contains(two)) {
           out += TSym(two); i += 2
         } else {
           out += TSym(c.toString); i += 1
@@ -491,6 +494,10 @@ object Parser {
             pos += 2; l = StringOp("NOT_LIKE", l, parseAdditive())
           case TKw("NOT", _) if isKw(toks(pos + 1), "ILIKE") =>
             pos += 2; l = StringOp("NOT_ILIKE", l, parseAdditive())
+          // infix geometric operators (gtype_geometric.c operator set)
+          case TSym(op @ ("#" | "##" | "?#" | "?-|" | "?||" | "@>" | "<@" |
+              "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>")) =>
+            pos += 1; l = Bin(op, l, parseAdditive())
           case TKw("IN", _) =>
             pos += 1; l = Bin("IN", l, parseAdditive())
           case TKw("STARTS", _) =>
@@ -538,6 +545,11 @@ object Parser {
     private def parseUnary(): Expr =
       if (eatSym("-")) Un("NEG", parseUnary())
       else if (eatSym("+")) parseUnary()
+      // prefix geometric operators (postgraph-geometric.sql.in RIGHTARG-only)
+      else if (eatSym("?|")) FnCall("_geo_vertical", List(parseUnary()), distinct = false)
+      else if (eatSym("?-")) FnCall("_geo_horizontal", List(parseUnary()), distinct = false)
+      else if (eatSym("@@")) FnCall("center", List(parseUnary()), distinct = false)
+      else if (eatSym("@-@")) FnCall("_geo_length", List(parseUnary()), distinct = false)
       else parsePostfix()
 
     private def parsePostfix(): Expr = {

@@ -184,6 +184,41 @@ object GraphQueries {
         "sum(CASE WHEN d.source NOT ILIKE 'SRC1%' THEN 1 ELSE 0 END) AS n_nilike " +
         "ORDER BY lang"),
 
+    // PG geometric operator matrix (gtype_geometric.c + postgraph-
+    // geometric.sql.in): containment @>/<@ over box/circle/polygon,
+    // prefix ?|/?-/@@/@-@, perp/parallel, # intersection, ## closest
+    // point, strict left <</above |>>, height/width/bound_box — every
+    // operator mirrored arithmetically in the oracle
+    "g25_geo_ops" -> cy(
+      "MATCH (c:Customer) WHERE c.c_custkey <= 100 " +
+        "WITH c.c_custkey AS ck, " +
+        "topoint(c.c_custkey % 7, c.c_custkey % 5) AS p, " +
+        "tobox('(0,0),(4,3)') AS b, " +
+        "lseg(topoint(0, 0), topoint(c.c_custkey % 7, 4)) AS s, " +
+        "tolseg('[(1,0),(1,4)]') AS s2, " +
+        "tolseg('[(0,2),(6,2)]') AS s3, " +
+        "toline('{1,-1,0}') AS ln, " +
+        "tocircle('<(2,2),' + tostring(c.c_custkey % 3 + 1) + '>') AS circ, " +
+        "topolygon('((0,0),(6,0),(6,6),(0,6))') AS poly " +
+        "RETURN ck, " +
+        "(b @> p)::int AS b_has_p, " +
+        "(circ @> p)::int AS c_has_p, " +
+        "(poly @> p)::int AS poly_has_p, " +
+        "(p <@ b)::int AS p_in_b, " +
+        "(?| s)::int AS vert, " +
+        "(?- s3)::int AS horiz, " +
+        "(s2 ?-| s3)::int AS perp, " +
+        "(ln ?|| toline('{3,-3,7}'))::int AS par, " +
+        "(s # s3).x AS interx, " +
+        "(p ## ln).x AS cpx, " +
+        "round((@-@ s) + 1e-9, 4) AS slen, " +
+        "(@@ s).x AS midx, " +
+        "(circ << tobox('(5,0),(9,9)'))::int AS lft, " +
+        "(b |>> tobox('(0,-5),(9,-4)'))::int AS abv, " +
+        "height(b) AS bh, " +
+        "width(bound_box(b, tobox('(5,5),(6,6)'))) AS bw " +
+        "ORDER BY ck"),
+
     // `::` typecast syntax + cast matrix (reference ag_scanner.l:1134
     // TYPECAST token, gtype_typecasting.c): string/number/bool/date/
     // timestamp/time cross-casts, each mirrored in the oracle
@@ -310,6 +345,26 @@ object GraphQueries {
         |    FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  UNION ALL SELECT 2, 'Part', 'PLACED', l_partkey FROM lineitem
         |) GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+    "g25_geo_ops" ->
+      """SELECT c_custkey AS ck,
+        |  CAST(CASE WHEN c_custkey % 7 <= 4 AND c_custkey % 5 <= 3 THEN 1 ELSE 0 END AS BIGINT) AS b_has_p,
+        |  CAST(CASE WHEN (c_custkey%7 - 2)*(c_custkey%7 - 2) + (c_custkey%5 - 2)*(c_custkey%5 - 2)
+        |       <= (c_custkey%3 + 1)*(c_custkey%3 + 1) THEN 1 ELSE 0 END AS BIGINT) AS c_has_p,
+        |  CAST(CASE WHEN c_custkey % 7 < 6 THEN 1 ELSE 0 END AS BIGINT) AS poly_has_p,
+        |  CAST(CASE WHEN c_custkey % 7 <= 4 AND c_custkey % 5 <= 3 THEN 1 ELSE 0 END AS BIGINT) AS p_in_b,
+        |  CAST(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS vert,
+        |  CAST(1 AS BIGINT) AS horiz,
+        |  CAST(1 AS BIGINT) AS perp,
+        |  CAST(1 AS BIGINT) AS par,
+        |  CAST(c_custkey % 7 AS DOUBLE) / 2 AS interx,
+        |  (CAST(c_custkey % 7 AS DOUBLE) + (c_custkey % 5)) / 2 AS cpx,
+        |  round(sqrt(CAST((c_custkey%7)*(c_custkey%7) + 16 AS DOUBLE)) + 1e-9, 4) AS slen,
+        |  CAST(c_custkey % 7 AS DOUBLE) / 2 AS midx,
+        |  CAST(CASE WHEN c_custkey % 3 < 2 THEN 1 ELSE 0 END AS BIGINT) AS lft,
+        |  CAST(1 AS BIGINT) AS abv,
+        |  CAST(3.0 AS DOUBLE) AS bh,
+        |  CAST(6.0 AS DOUBLE) AS bw
+        |FROM customer WHERE c_custkey <= 100 ORDER BY ck""".stripMargin,
     "g24_cast_matrix" ->
       """SELECT c_custkey AS ck,
         |  CAST(CAST(c_custkey AS VARCHAR) || '7' AS BIGINT) AS i7,

@@ -377,6 +377,24 @@ class CypherSpec extends AnyFunSuite {
       iv2.getLong(2) == 3L * 3600000000L + 15L * 60000000L)
   }
 
+  test("geometric values and operators (gtype_geometric.c)") {
+    val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
+      "tolseg('[(0,0),(2,0)]') # tolseg('[(5,1),(6,1)]') AS no_x, " +   // disjoint → null
+      "toline('{1,0,-2}') # toline('{0,1,-3}') AS lx, " +               // x=2 ∩ y=3
+      "@-@ topath('((0,0),(3,0),(3,4))') AS open_len, " +               // 3 + 4
+      "@-@ topath('[(0,0),(3,0),(3,4)]') AS open_len2, " +
+      "(tobox('(0,0),(2,2)') ?# tobox('(1,1),(3,3)'))::int AS bx, " +
+      "(tobox('(0,0),(2,2)') &< tobox('(1,1),(3,3)'))::int AS nxr, " +
+      "(topoint(1, 1) <@ topolygon('((0,0),(4,0),(4,4),(0,4))'))::int AS pin")
+      .collect().head
+    assert(r.isNullAt(0))
+    val lx = r.getStruct(1)
+    assert((lx.getDouble(0), lx.getDouble(1)) == (2.0, 3.0))
+    // '((…))' paths are CLOSED (adds the return segment 5.0); '[(…)]' open
+    assert(r.getDouble(2) == 12.0 && r.getDouble(3) == 7.0)
+    assert(r.getLong(4) == 1L && r.getLong(5) == 1L && r.getLong(6) == 1L)
+  }
+
   test("properties(n) returns the full property map of an entity") {
     val r = run("MATCH (p:Person {name: 'Eve'}) RETURN properties(p) AS m")
       .collect().head
