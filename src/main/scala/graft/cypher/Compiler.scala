@@ -1112,10 +1112,54 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
   }
 
+  /** Range/multirange type tag from schema ("" when neither). */
+  private def rangeKindOf(t: org.apache.spark.sql.types.DataType): String = t match {
+    case s: StructType if s.fieldNames.sameElements(Array("lo", "hi", "lo_inc", "hi_inc")) =>
+      "range"
+    case ArrayType(s: StructType, _)
+        if s.fieldNames.sameElements(Array("lo", "hi", "lo_inc", "hi_inc")) =>
+      "multirange"
+    case _ => ""
+  }
+
+  /** `@>` / `<@` / `&&` — range and multirange semantics (gtype_range.c)
+    * when either side is range-typed; geometric containment otherwise.
+    */
+  private def containOp(op: String, l: Column, r: Column, ctx: Ctx): Column = {
+    import graft.functions.{PgGeoFns, RangeGeoFns}
+    val lk = dataTypeOpt(l, ctx).map(rangeKindOf).getOrElse("")
+    val rk = dataTypeOpt(r, ctx).map(rangeKindOf).getOrElse("")
+    if (lk.isEmpty && rk.isEmpty) op match {
+      case "&&" => // geometric overlap via bounding boxes
+        val glk = geoKindOf(l, ctx); val grk = geoKindOf(r, ctx)
+        PgGeoFns.intersects(PgGeoFns.boundBox(l, glk), "box",
+          PgGeoFns.boundBox(r, grk), "box")
+      case _ => geoOp(op, l, r, ctx)
+    } else if (op == "<@") containOp("@>", r, l, ctx)
+    else op match {
+      case "@>" => (lk, rk) match {
+        case ("range", "range")           => RangeGeoFns.rangeContainsRange(l, r)
+        case ("range", "")                => RangeGeoFns.rangeContains(l, r)
+        case ("multirange", "range")      => RangeGeoFns.multiContainsRange(l, r)
+        case ("multirange", "multirange") => forall(r, q => RangeGeoFns.multiContainsRange(l, q))
+        case ("multirange", "")           => RangeGeoFns.multiContainsElem(l, r)
+        case other => throw new UnsupportedOperationException(s"@> over $other")
+      }
+      case "&&" => (lk, rk) match {
+        case ("range", "range")           => RangeGeoFns.rangeOverlaps(l, r)
+        case ("multirange", "multirange") => RangeGeoFns.multiOverlaps(l, r)
+        case ("multirange", "range")      => RangeGeoFns.multiOverlaps(l, array(r))
+        case ("range", "multirange")      => RangeGeoFns.multiOverlaps(array(l), r)
+        case other => throw new UnsupportedOperationException(s"&& over $other")
+      }
+    }
+  }
+
   private def binOp(op: String, l: Column, r: Column, ctx: Ctx,
       rRaw: Option[Expr] = None): Column = (op match {
     case "=" | "<>" | "<" | "<=" | ">" | ">=" => gAwareCmp(op, l, r, ctx)
-    case "#" | "##" | "?#" | "?-|" | "?||" | "@>" | "<@" |
+    case "@>" | "<@" | "&&" => Some(containOp(op, l, r, ctx))
+    case "#" | "##" | "?#" | "?-|" | "?||" |
          "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>" =>
       Some(geoOp(op, l, r, ctx))
     case _ => None
@@ -1134,6 +1178,14 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case (Some(StringType), _) | (_, Some(StringType)) =>
           throw new UnsupportedOperationException(
             "+ concatenates string with string or number only (gtype_add)")
+        // range/multirange union (PG range_union/multirange_union; a
+        // disjoint range+range yields the 2-part multirange rather than
+        // PG's error — total-function deviation, documented)
+        case (Some(lt), Some(rt))
+            if rangeKindOf(lt).nonEmpty && rangeKindOf(rt).nonEmpty =>
+          val la = if (rangeKindOf(lt) == "range") array(l) else l
+          val ra = if (rangeKindOf(rt) == "range") array(r) else r
+          graft.functions.RangeGeoFns.multiUnion(la, ra)
         case (Some(_: ArrayType), Some(_: ArrayType)) => concat(l, r)
         case _ => l + r
       }
@@ -1292,6 +1344,33 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "intrange" | "numrange" =>
         graft.functions.RangeGeoFns.range(a(0), a(1),
           if (args.length == 3) litString(args(2)) else "[)")
+      // temporal ranges + the five multirange types (gtype_range.c,
+      // GT_HEADER_RANGE_*_MULTI)
+      case "tsrange" | "tstzrange" =>
+        graft.functions.RangeGeoFns.tsRange(a(0), a(1),
+          if (args.length == 3) litString(args(2)) else "[)")
+      case "daterange" =>
+        graft.functions.RangeGeoFns.dateRange(a(0), a(1),
+          if (args.length == 3) litString(args(2)) else "[)")
+      case "intmultirange" | "int4multirange" | "int8multirange" |
+           "nummultirange" | "tsmultirange" | "tstzmultirange" |
+           "datemultirange" =>
+        graft.functions.RangeGeoFns.multirange(args.indices.map(a))
+      case "totsrange" | "totstzrange" =>
+        graft.functions.RangeGeoFns.toRangeTemporal(a(0), isDate = false)
+      case "todaterange" =>
+        graft.functions.RangeGeoFns.toRangeTemporal(a(0), isDate = true)
+      case "tointmultirange" =>
+        graft.functions.RangeGeoFns.toMultirange(a(0), numeric = false)
+      case "tonummultirange" =>
+        graft.functions.RangeGeoFns.toMultirange(a(0), numeric = true)
+      case "range_merge" | "multirange_isempty" if args.length == 1 =>
+        if (name == "multirange_isempty") size(a(0)) === 0
+        else { // bounding range of a multirange (PG range_merge)
+          val first = element_at(a(0), 1); val last = element_at(a(0), -1)
+          struct(first.getField("lo").as("lo"), last.getField("hi").as("hi"),
+            first.getField("lo_inc").as("lo_inc"), last.getField("hi_inc").as("hi_inc"))
+        }
       // PG geometric values + named operator bodies (gtype_geometric.c,
       // postgraph-geometric.sql.in); `gk` is the plan-time type tag
       case "tolseg"    => graft.functions.PgGeoFns.toLseg(a(0))

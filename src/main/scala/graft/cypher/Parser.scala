@@ -131,8 +131,8 @@ object Parser {
         }
         else if (Set("<=", ">=", "<>", "=~", "->", "<-", "..", "::",
             "~~", "~*", "!~",
-            "##", "?#", "?|", "?-", "@@", "@>", "<@", "<<", ">>", "&<", "&>")
-            .contains(two)) {
+            "##", "?#", "?|", "?-", "@@", "@>", "<@", "<<", ">>", "&<", "&>",
+            "&&").contains(two)) {
           out += TSym(two); i += 2
         } else {
           out += TSym(c.toString); i += 1
@@ -494,9 +494,10 @@ object Parser {
             pos += 2; l = StringOp("NOT_LIKE", l, parseAdditive())
           case TKw("NOT", _) if isKw(toks(pos + 1), "ILIKE") =>
             pos += 2; l = StringOp("NOT_ILIKE", l, parseAdditive())
-          // infix geometric operators (gtype_geometric.c operator set)
+          // infix geometric + range operators (gtype_geometric.c /
+          // gtype_range.c operator sets; && is range/box overlap)
           case TSym(op @ ("#" | "##" | "?#" | "?-|" | "?||" | "@>" | "<@" |
-              "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>")) =>
+              "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>" | "&&")) =>
             pos += 1; l = Bin(op, l, parseAdditive())
           case TKw("IN", _) =>
             pos += 1; l = Bin("IN", l, parseAdditive())

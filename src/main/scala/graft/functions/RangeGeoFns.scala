@@ -43,6 +43,112 @@ object RangeGeoFns {
       (r.getField("lo") === r.getField("hi") &&
         !(r.getField("lo_inc") && r.getField("hi_inc")))
 
+  /** `a @> b` range-contains-range, bound-inclusivity aware (null = ∞). */
+  def rangeContainsRange(a: Column, b: Column): Column = {
+    val loOk = when(a.getField("lo").isNull, lit(true))
+      .otherwise(b.getField("lo").isNotNull &&
+        (b.getField("lo") > a.getField("lo") ||
+          (b.getField("lo") === a.getField("lo") &&
+            (a.getField("lo_inc") || !b.getField("lo_inc")))))
+    val hiOk = when(a.getField("hi").isNull, lit(true))
+      .otherwise(b.getField("hi").isNotNull &&
+        (b.getField("hi") < a.getField("hi") ||
+          (b.getField("hi") === a.getField("hi") &&
+            (a.getField("hi_inc") || !b.getField("hi_inc")))))
+    loOk && hiOk
+  }
+
+  // -------------------------------------- temporal ranges (gtype_range.c)
+
+  /** tsrange/tstzrange — timestamps (session tz; tstz folds to UTC here). */
+  def tsRange(lo: Column, hi: Column, bounds: String = "[)"): Column =
+    range(lo.cast("timestamp"), hi.cast("timestamp"), bounds)
+
+  /** daterange with PG's discrete canonicalization to `[lo, hi)`. */
+  def dateRange(lo: Column, hi: Column, bounds: String = "[)"): Column = {
+    val lo2 = if (bounds(0) == '[') lo.cast("date") else date_add(lo.cast("date"), 1)
+    val hi2 = if (bounds(1) == ']') date_add(hi.cast("date"), 1) else hi.cast("date")
+    struct(lo2.as("lo"), hi2.as("hi"), lit(true).as("lo_inc"), lit(false).as("hi_inc"))
+  }
+
+  // --------------------------- multiranges (5 types — GT_HEADER_RANGE_*_MULTI)
+  // A multirange is a NORMALIZED array<range>: empties dropped, sorted by
+  // lo, overlapping-or-adjacent ranges merged — so containment never has
+  // to consider a value spanning two parts. Infinite (null) bounds are
+  // not supported inside multiranges (PG allows them; documented gap).
+
+  private def mergedPair(a: Column, b: Column): Column = {
+    // precondition: a.lo <= b.lo (sorted); result spans to the later hi
+    val bWins = b.getField("hi") > a.getField("hi") ||
+      (b.getField("hi") === a.getField("hi") && b.getField("hi_inc"))
+    struct(a.getField("lo").as("lo"),
+      when(bWins, b.getField("hi")).otherwise(a.getField("hi")).as("hi"),
+      (a.getField("lo_inc") ||
+        (b.getField("lo") === a.getField("lo") && b.getField("lo_inc"))).as("lo_inc"),
+      when(bWins, b.getField("hi_inc")).otherwise(a.getField("hi_inc")).as("hi_inc"))
+  }
+
+  /** Sort + merge into canonical multirange form. */
+  def normalizeMulti(arr: Column): Column = {
+    val live = array_sort(filter(arr, r => !rangeIsEmpty(r)))
+    val emptyAcc = slice(live, lit(1), lit(0)) // typed empty array
+    aggregate(live, emptyAcc, (acc, r) => {
+      val last = element_at(acc, -1)
+      val joins = r.getField("lo") < last.getField("hi") ||
+        (r.getField("lo") === last.getField("hi") &&
+          (last.getField("hi_inc") || r.getField("lo_inc")))
+      when(size(acc) === 0, array(r))
+        .when(joins, concat(slice(acc, lit(1), size(acc) - 1), array(mergedPair(last, r))))
+        .otherwise(concat(acc, array(r)))
+    })
+  }
+
+  /** Constructor for all five multirange types (element type from inputs). */
+  def multirange(ranges: Seq[Column]): Column = normalizeMulti(array(ranges: _*))
+
+  /** `mr @> x` element containment. */
+  def multiContainsElem(mr: Column, x: Column): Column =
+    exists(mr, r => rangeContains(r, x))
+
+  /** `mr @> r` range containment (normalized parts ⇒ single-part check). */
+  def multiContainsRange(mr: Column, rr: Column): Column =
+    exists(mr, r => rangeContainsRange(r, rr))
+
+  def multiOverlaps(a: Column, b: Column): Column =
+    exists(a, r => exists(b, q => rangeOverlaps(r, q)))
+
+  /** `a + b` multirange union (PG multirange_union): concat + renormalize. */
+  def multiUnion(a: Column, b: Column): Column = normalizeMulti(concat(a, b))
+
+  /** '{[1,3),[5,7)}' → multirange. */
+  def toMultirange(s: Column, numeric: Boolean): Column = {
+    val tok = "[\\[(][^\\[()\\]]*[\\])]"
+    normalizeMulti(transform(regexp_extract_all(s, lit(tok), lit(0)),
+      t => toRange(t, numeric)))
+  }
+
+  /** '[2024-01-01,2024-06-30)' (quotes optional) → ts/tstz/date range. */
+  def toRangeTemporal(s: Column, isDate: Boolean): Column = {
+    val t = trim(s)
+    val body = regexp_replace(regexp_replace(t, "^[\\[(]", ""), "[\\])]$", "")
+    def cv(x: Column): Column = {
+      val v = trim(regexp_replace(x, "\"", ""))
+      val c = when(v === "", lit(null)).otherwise(v)
+      if (isDate) c.cast("date") else c.cast("timestamp")
+    }
+    val parts = split(body, ",")
+    val lo = cv(element_at(parts, 1))
+    val hi = cv(element_at(parts, 2))
+    val loInc = t.startsWith("[")
+    val hiInc = t.endsWith("]")
+    if (isDate) // canonical [ , ) like dateRange
+      struct(when(loInc, lo).otherwise(date_add(lo, 1)).as("lo"),
+        when(hiInc, date_add(hi, 1)).otherwise(hi).as("hi"),
+        lit(true).as("lo_inc"), lit(false).as("hi_inc"))
+    else
+      struct(lo.as("lo"), hi.as("hi"), loInc.as("lo_inc"), hiInc.as("hi_inc"))
+  }
+
   // ------------------------------------------------------------ 2-D geometry
 
   def point(x: Column, y: Column): Column = struct(x.cast("double").as("x"), y.cast("double").as("y"))

@@ -184,6 +184,24 @@ object GraphQueries {
         "sum(CASE WHEN d.source NOT ILIKE 'SRC1%' THEN 1 ELSE 0 END) AS n_nilike " +
         "ORDER BY lang"),
 
+    // range completion (gtype_range.c + GT_HEADER_RANGE_*_MULTI):
+    // daterange canonicalization, tsrange casts, the multirange
+    // constructors with sort+merge normalization, @> containment
+    // (range/element, range/range, multirange/*), && overlap, + union
+    "g26_range_multirange" -> cy(
+      "MATCH (o:Order) WHERE o.o_orderkey <= 300 " +
+        "WITH o.o_orderkey AS ok, o.o_orderdate AS d " +
+        "RETURN ok, " +
+        "('[1995-01-01,1995-12-31]'::daterange @> d)::int AS in95, " +
+        "(daterange(todate('1995-01-01'), todate('1995-03-01'), '[)') @> d)::int AS q195, " +
+        "('[1995-01-01 00:00:00,1995-06-30 00:00:00)'::tsrange @> d::timestamp)::int AS h195, " +
+        "size(intmultirange(intrange(0,10), intrange(10,20), intrange(40,50))) AS parts, " +
+        "(intmultirange(intrange(0,10), intrange(10,20), intrange(40,50)) @> ok % 60)::int AS in_mr, " +
+        "((intrange(0,5) + intrange(20,30)) @> ok % 35)::int AS in_u, " +
+        "(intmultirange(intrange(0,20), intrange(40,50)) && intrange(ok % 60, ok % 60 + 5))::int AS ovl, " +
+        "(numrange(0, 50) @> numrange(ok % 60, ok % 60 + 5))::int AS rcr " +
+        "ORDER BY ok"),
+
     // PG geometric operator matrix (gtype_geometric.c + postgraph-
     // geometric.sql.in): containment @>/<@ over box/circle/polygon,
     // prefix ?|/?-/@@/@-@, perp/parallel, # intersection, ## closest
@@ -345,6 +363,17 @@ object GraphQueries {
         |    FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  UNION ALL SELECT 2, 'Part', 'PLACED', l_partkey FROM lineitem
         |) GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+    "g26_range_multirange" ->
+      """SELECT o_orderkey AS ok,
+        |  CAST(CASE WHEN o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01' THEN 1 ELSE 0 END AS BIGINT) AS in95,
+        |  CAST(CASE WHEN o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-03-01' THEN 1 ELSE 0 END AS BIGINT) AS q195,
+        |  CAST(CASE WHEN o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-06-30' THEN 1 ELSE 0 END AS BIGINT) AS h195,
+        |  CAST(2 AS INTEGER) AS parts,
+        |  CAST(CASE WHEN o_orderkey % 60 < 20 OR (o_orderkey % 60 >= 40 AND o_orderkey % 60 < 50) THEN 1 ELSE 0 END AS BIGINT) AS in_mr,
+        |  CAST(CASE WHEN o_orderkey % 35 < 5 OR (o_orderkey % 35 >= 20 AND o_orderkey % 35 < 30) THEN 1 ELSE 0 END AS BIGINT) AS in_u,
+        |  CAST(CASE WHEN o_orderkey % 60 <= 19 OR (o_orderkey % 60 >= 36 AND o_orderkey % 60 <= 49) THEN 1 ELSE 0 END AS BIGINT) AS ovl,
+        |  CAST(CASE WHEN o_orderkey % 60 <= 45 THEN 1 ELSE 0 END AS BIGINT) AS rcr
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY ok""".stripMargin,
     "g25_geo_ops" ->
       """SELECT c_custkey AS ck,
         |  CAST(CASE WHEN c_custkey % 7 <= 4 AND c_custkey % 5 <= 3 THEN 1 ELSE 0 END AS BIGINT) AS b_has_p,

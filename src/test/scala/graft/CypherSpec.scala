@@ -395,6 +395,23 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getLong(4) == 1L && r.getLong(5) == 1L && r.getLong(6) == 1L)
   }
 
+  test("multirange normalization: merge, adjacency, empty drop (gtype_range.c)") {
+    val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
+      "size(intmultirange(intrange(5,3), intrange(1,4), intrange(4,6), intrange(9,12))) AS n, " +
+      "(intmultirange(intrange(1,4), intrange(4,6)) @> 5)::int AS adj, " +
+      "(intmultirange(intrange(1,3), intrange(7,9)) @> intrange(7,9))::int AS rin, " +
+      "(intmultirange(intrange(1,3), intrange(7,9)) @> intrange(2,8))::int AS rsplit, " +
+      "(intmultirange(intrange(1,3)) && intmultirange(intrange(2,5)))::int AS mm, " +
+      "size(intrange(1,3) + intrange(5,7)) AS disj, " +
+      "size(intrange(1,5) + intrange(4,9)) AS merged").collect().head
+    // [5,3) is empty → dropped; [1,4)+[4,6) adjacent → merged; [9,12) apart
+    assert(r.getInt(0) == 2)
+    assert(r.getLong(1) == 1L) // merged span [1,6) contains 5
+    assert(r.getLong(2) == 1L && r.getLong(3) == 0L) // [2,8) spans the gap
+    assert(r.getLong(4) == 1L)
+    assert(r.getInt(5) == 2 && r.getInt(6) == 1)
+  }
+
   test("properties(n) returns the full property map of an entity") {
     val r = run("MATCH (p:Person {name: 'Eve'}) RETURN properties(p) AS m")
       .collect().head
