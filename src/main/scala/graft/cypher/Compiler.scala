@@ -143,6 +143,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "db.relationshipTypes" =>
         require(c.yields.length == 1, "db.relationshipTypes yields one column")
         graph.edgeLabels.keys.toSeq.sorted.toDF(c.yields.head)
+      case "get_cypher_keywords" =>
+        // reference: sql/postgraph.sql.in get_cypher_keywords() SETOF
+        // (word, catcode, catdesc); our grammar's keyword set, all
+        // reserved-category like the reference's cypher keyword list
+        require(c.yields.length == 3, "get_cypher_keywords yields (word, catcode, catdesc)")
+        Parser.keywordList.map(k => (k.toLowerCase, "R", "reserved"))
+          .toDF(c.yields: _*)
       case other => throw new UnsupportedOperationException(s"unknown procedure $other")
     }
     val out = if (ctx.df == null) df else ctx.df.crossJoin(df)
@@ -1398,6 +1405,18 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           least(b1.getField("y1"), b2.getField("y1")).as("y1"),
           greatest(b1.getField("x2"), b2.getField("x2")).as("x2"),
           greatest(b1.getField("y2"), b2.getField("y2")).as("y2"))
+      // graph utility fns (sql/postgraph.sql.in:481-486, gtype graphid ops)
+      case "_graphid" => shiftleft(a(0).cast("long"), 48).bitwiseOR(a(1).cast("long"))
+      case "_extract_label_id" => shiftrightunsigned(a(0).cast("long"), 48).cast("int")
+      case "_extract_entry_id" =>
+        a(0).cast("long").bitwiseAND(lit(graft.graph.PropertyGraph.EntryIdMask))
+      case "_label_name" =>
+        // small label catalog → case/when chain resolved at plan time
+        val lid = shiftrightunsigned(a(0).cast("long"), 48).cast("int")
+        graph.labelIds.foldLeft(lit(null).cast("string"))((acc, kv) =>
+          when(lid === lit(kv._2), lit(kv._1)).otherwise(acc))
+      case "age_properties" => compileFn("properties", args, ctx)
+      case "throw_error" => raise_error(a(0).cast("string"))
       case "md5"    => md5(a(0).cast("string"))
       case "sha256" => sha2(a(0).cast("string"), 256)
       case "sha512" => sha2(a(0).cast("string"), 512)

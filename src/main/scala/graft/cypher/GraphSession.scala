@@ -68,8 +68,26 @@ final class GraphSession(val spark: SparkSession) {
   def createUniqueConstraint(label: String, prop: String): Unit =
     graph.addUniqueConstraint(label, prop)
 
+  /** `CREATE GRAPH g` / `USE GRAPH g` / `DROP GRAPH g [CASCADE]` —
+    * statement-level DDL (reference cypher_gram.y:2926, 4297-4315), routed
+    * to the session catalog before clause parsing.
+    */
+  private val GraphDdl =
+    "(?is)^\\s*(CREATE|USE|DROP)\\s+GRAPH\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*(CASCADE)?\\s*;?\\s*$".r
+
   /** Run a Cypher query (reads and/or writes) against the current graph. */
   def run(query: String, params: Map[String, GValue] = Map.empty): DataFrame = {
+    query match {
+      case GraphDdl(op, nameRaw, _) =>
+        val name = nameRaw.stripPrefix("`").stripSuffix("`")
+        op.toUpperCase match {
+          case "CREATE" => createGraph(name)
+          case "USE"    => useGraph(name)
+          case "DROP"   => dropGraph(name)
+        }
+        return spark.emptyDataFrame
+      case _ => ()
+    }
     Parser.parse(query) match {
       case SingleQuery(clauses) => runClauses(clauses, params)
       case q: SetOp => new Compiler(graph.snapshot, params).compileQuery(q)

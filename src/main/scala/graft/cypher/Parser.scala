@@ -33,6 +33,9 @@ object Parser {
     "ENDS", "CONTAINS", "EXISTS", "NULLS", "FIRST", "LAST", "CALL", "YIELD",
     "ANY", "SOME", "LIKE", "ILIKE")
 
+  /** The grammar's keyword list (get_cypher_keywords backing). */
+  def keywordList: Seq[String] = keywords.toSeq.sorted
+
   /** `expr::type` → the to*() kernel name for the target type (reference:
     * gtype_typecasting.c's 112-entry cast matrix; the common names below
     * cover the regress-exercised surface — unknown type names fall through

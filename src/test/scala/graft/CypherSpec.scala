@@ -412,6 +412,24 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getInt(5) == 2 && r.getInt(6) == 1)
   }
 
+  test("graph utility fns: _graphid/_label_name/keywords (postgraph.sql.in:481)") {
+    val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
+      "_graphid(_extract_label_id(id(p)), _extract_entry_id(id(p))) AS rt, " +
+      "id(p) AS pid, _label_name(id(p)) AS lname, " +
+      "age_properties(p).name AS nm").collect().head
+    assert(r.getLong(0) == r.getLong(1)) // pack(unpack) round-trips
+    assert(r.getString(2) == "Person")
+    assert(graft.gvalue.GValueCol.decode(r.getAs[org.apache.spark.sql.Row](3))
+      == graft.gvalue.GString("Ann"))
+    val kw = run("CALL get_cypher_keywords() YIELD word, catcode, catdesc " +
+      "RETURN count(*) AS n").collect().head.getLong(0)
+    assert(kw > 40)
+    val err = intercept[Exception](
+      run("MATCH (p:Person) RETURN throw_error('boom') AS x").collect())
+    assert(err.getMessage.contains("boom") ||
+      err.getCause != null && err.getCause.getMessage.contains("boom"))
+  }
+
   test("properties(n) returns the full property map of an entity") {
     val r = run("MATCH (p:Person {name: 'Eve'}) RETURN properties(p) AS m")
       .collect().head

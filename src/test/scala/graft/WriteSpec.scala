@@ -271,6 +271,22 @@ class WriteSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 1L, 1L), (2L, 2L, 2L)))
   }
 
+  test("graph DDL statements: CREATE/USE/DROP GRAPH round-trip") {
+    // reference cypher_gram.y:2926 CreateGraphStmt / 4297-4315 Use/Drop
+    val gs = new GraphSession(spark)
+    gs.run("CREATE GRAPH ddl_a")
+    gs.run("CREATE (:T {k: 1})")
+    gs.run("CREATE GRAPH ddl_b") // CREATE also selects the new graph
+    gs.run("CREATE (:T {k: 2})")
+    assert(gs.run("MATCH (t:T) RETURN t.k AS k").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    gs.run("USE GRAPH ddl_a")
+    assert(gs.run("MATCH (t:T) RETURN t.k AS k").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    gs.run("DROP GRAPH ddl_b CASCADE")
+    intercept[IllegalArgumentException](gs.run("USE GRAPH ddl_b"))
+    // still on ddl_a after the drop
+    assert(gs.run("MATCH (t:T) RETURN count(*) AS n").collect().head.getLong(0) == 1L)
+  }
+
   test("unique constraint blocks duplicate inserts, allows distinct") {
     val gs = freshSession("g15")
     gs.run("CREATE (:Acct {email: 'a@x'})")
