@@ -1040,10 +1040,17 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       when(i >= 0, element_at(b, (i + 1).cast("int")))
         .otherwise(element_at(b, i.cast("int")))
     case Slice(base, lo, hi) =>
+      // negative bounds count from the end (reference lists.sql:55-75);
+      // bounds clamp to [0, size] like the reference's slice semantics
       val b = compileExpr(base, ctx)
-      val loC = lo.map(x => compileExpr(x, ctx)).getOrElse(lit(0))
-      val hiC = hi.map(x => compileExpr(x, ctx)).getOrElse(size(b))
-      slice(b, (loC + 1).cast("int"), (hiC - loC).cast("int"))
+      val n = size(b)
+      def norm(c: Column) = {
+        val fromEnd = when(c < 0, greatest(n + c, lit(0))).otherwise(least(c, n))
+        fromEnd.cast("int")
+      }
+      val loC = norm(lo.map(x => compileExpr(x, ctx)).getOrElse(lit(0)))
+      val hiC = norm(hi.map(x => compileExpr(x, ctx)).getOrElse(size(b)))
+      slice(b, loC + 1, greatest(hiC - loC, lit(0)))
     case ListComp(v, src, whereOpt, projOpt) =>
       val srcC = compileExpr(src, ctx)
       val filtered = whereOpt match {
@@ -1288,7 +1295,9 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "ltrim" => ltrim(a(0))
       case "rtrim" => rtrim(a(0))
       case "left"  => substring(a(0), 1, constInt(args(1)).toInt)
-      case "right" => a(0).substr(length(a(0)) - constInt(args(1)).toInt + 1, lit(constInt(args(1)).toInt))
+      case "right" => // PG right(): n > len yields the whole string
+        a(0).substr(greatest(length(a(0)) - constInt(args(1)).toInt + 1, lit(1)),
+          lit(constInt(args(1)).toInt))
       case "replace" => regexp_replace(a(0), regexp_quote(args(1)), litString(args(2)))
       case "split" => split(a(0), regexp_quote(args(1)))
       case "substring" =>

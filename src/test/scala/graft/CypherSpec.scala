@@ -430,6 +430,18 @@ class CypherSpec extends AnyFunSuite {
       err.getCause != null && err.getCause.getMessage.contains("boom"))
   }
 
+  test("negative slice indices and right() past-length (lists.sql:55-75)") {
+    val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
+      "[1,2,3,4,5][-3..] AS tail3, [1,2,3,4,5][..-2] AS drop2, " +
+      "[1,2,3,4,5][-4..-1] AS mid, [1,2,3][5..9] AS past, " +
+      "right('ab', 5) AS rshort, right('abcdef', 2) AS r2").collect().head
+    assert(r.getSeq[Long](0) == Seq(3L, 4L, 5L))
+    assert(r.getSeq[Long](1) == Seq(1L, 2L, 3L))
+    assert(r.getSeq[Long](2) == Seq(2L, 3L, 4L))
+    assert(r.getSeq[Long](3) == Seq.empty)
+    assert(r.getString(4) == "ab" && r.getString(5) == "ef")
+  }
+
   test("properties(n) returns the full property map of an entity") {
     val r = run("MATCH (p:Person {name: 'Eve'}) RETURN properties(p) AS m")
       .collect().head
