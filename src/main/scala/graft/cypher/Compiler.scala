@@ -1032,6 +1032,17 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       val start = when(branches.head._1, branches.head._2)
       val chained = branches.tail.foldLeft(start)((acc, b) => acc.when(b._1, b._2))
       otherwise.map(o => chained.otherwise(compileExpr(o, ctx))).getOrElse(chained)
+    // indexed path access pre-bound as a single-entity column (see
+    // materializeVleElem) — matches before the generic Index compile
+    case Index(FnCall("nodes", List(Var(p)), _), Lit(graft.gvalue.GInt(i)))
+        if singleVleOf(p, ctx).exists(v =>
+          ctx.df.columns.contains(vleElemName(v, edges = false, i))) =>
+      col(vleElemName(singleVleOf(p, ctx).get, edges = false, i))
+    case Index(FnCall("relationships" | "edges", List(Var(p)), _),
+        Lit(graft.gvalue.GInt(i)))
+        if singleVleOf(p, ctx).exists(v =>
+          ctx.df.columns.contains(vleElemName(v, edges = true, i))) =>
+      col(vleElemName(singleVleOf(p, ctx).get, edges = true, i))
     case Index(base, idx) =>
       val b = compileExpr(base, ctx)
       val i = compileExpr(idx, ctx)
@@ -1457,24 +1468,32 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     */
   private def entityStructTable(isEdge: Boolean): DataFrame = {
     import graft.gvalue.GValueCol
-    val base = if (isEdge) graph.allEdges else graph.allVertices
-    val meta = Set("id", "start_id", "end_id", "__label")
-    val props = base.columns.filterNot(meta).toSeq.sorted
-    val pmap =
-      if (props.isEmpty)
-        map_from_arrays(array().cast(ArrayType(StringType)),
-          array().cast(ArrayType(GValueCol.structType)))
-      else map(props.flatMap { k =>
-        val dt = base.schema(k).dataType
-        val enc = if (GValueCol.canEncode(dt)) GValueCol.encode(col(k), dt)
-                  else GValueCol.encode(col(k).cast("string"), StringType)
-        Seq(lit(k), enc)
-      }: _*)
-    val fields =
-      if (isEdge) Seq(col("id").as("id"), col("start_id").as("start_id"),
-        col("end_id").as("end_id"), col("__label").as("label"), pmap.as("properties"))
-      else Seq(col("id").as("id"), col("__label").as("label"), pmap.as("properties"))
-    base.select(col("id").as("__lk_id"), struct(fields: _*).as("__ent"))
+    // union of PER-LABEL projections, not the null-padded union view: each
+    // entity's map holds only its own label's columns (absent property =
+    // absent key, reference semantics) — the union view would encode every
+    // label's column set for every row (40 keys/vertex on the TPC-H graph,
+    // the r4 78-second g21 regression)
+    val meta = Set("id", "start_id", "end_id", "__label", "label")
+    val tables = if (isEdge) graph.edgeLabels else graph.vertexLabels
+    val parts = tables.toSeq.sortBy(_._1).map { case (label, base) =>
+      val props = base.columns.filterNot(meta).toSeq.sorted
+      val pmap =
+        if (props.isEmpty)
+          map_from_arrays(array().cast(ArrayType(StringType)),
+            array().cast(ArrayType(GValueCol.structType)))
+        else map(props.flatMap { k =>
+          val dt = base.schema(k).dataType
+          val enc = if (GValueCol.canEncode(dt)) GValueCol.encode(col(k), dt)
+                    else GValueCol.encode(col(k).cast("string"), StringType)
+          Seq(lit(k), enc)
+        }: _*)
+      val fields =
+        if (isEdge) Seq(col("id").as("id"), col("start_id").as("start_id"),
+          col("end_id").as("end_id"), lit(label).as("label"), pmap.as("properties"))
+        else Seq(col("id").as("id"), lit(label).as("label"), pmap.as("properties"))
+      base.select(col("id").as("__lk_id"), struct(fields: _*).as("__ent"))
+    }
+    parts.reduce(_.unionByName(_))
   }
 
   /** Turn an accumulated id array into an array of full entity structs in
@@ -1484,42 +1503,61 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     * the traversal's VALUES — the hop joins themselves only ever shuffle
     * bare id arrays.
     */
-  private def joinStructs(df: DataFrame, tagged: DataFrame, rid: String,
+  private def joinStructs(df: DataFrame, paths: DataFrame, keys: Seq[String],
       idsCol: String, out: String, isEdge: Boolean): DataFrame = {
     val lookup = entityStructTable(isEdge)
     val entType = lookup.schema("__ent").dataType
-    val exploded = tagged.select(col(rid),
-      posexplode(col(idsCol)).as(Seq("__pos", "__mid")))
-    val collected = exploded.join(lookup, col("__mid") === col("__lk_id"))
-      .groupBy(col(rid))
-      .agg(transform(
-        // comparator touches only the position (entity structs hold maps,
-        // which Spark cannot order natively)
-        array_sort(collect_list(struct(col("__pos").as("p"), col("__ent").as("e"))),
-          (l, r) => when(l.getField("p") < r.getField("p"), -1)
+    val exploded = paths.select(keys.map(col) :+
+      posexplode(col(idsCol)).as(Seq("__pos", "__mid")): _*)
+    val joined = exploded.join(lookup, col("__mid") === col("__lk_id"))
+    // collect_list runs as ObjectHashAggregate — NO sort. The alternatives
+    // all smuggle a sort in: first(struct-slot) aggregates fall back to
+    // SortAggregate (struct buffers aren't hash-agg mutable), and a
+    // frame-complete window collect_list is sort-based by definition —
+    // both measured 2-4× slower at sf0.1. The per-group reorder comparator
+    // is interpreted, but arrays are hop-count sized (≤ VleMaxHops+1), so
+    // it touches a handful of elements per path.
+    val collected = joined.groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(col("__pos").as("p"), col("__ent").as("e"))).as("__pe"))
+      .select(keys.map(col) :+ transform(
+        array_sort(col("__pe"), (l, r) =>
+          when(l.getField("p") < r.getField("p"), -1)
             .when(l.getField("p") > r.getField("p"), 1).otherwise(0)),
-        x => x.getField("e")).as(out))
+        x => x.getField("e")).as(out): _*)
     // left join + empty-array fill: a zero-hop path (lo=0) has no edges
-    df.join(collected, Seq(rid), "left_outer")
+    df.join(collected, keys, "left_outer")
       .withColumn(out, coalesce(col(out), array().cast(ArrayType(entType))))
   }
 
   /** Ensure `${v}__edges` / `${v}__nodes` struct arrays exist for VLE var v.
-    * One row-id tag + one checkpoint serves both lookups — the frozen
-    * binding row is the expensive thing to materialize, not the id arrays.
+    *
+    * The join key is the PATH CONTENT itself — the (edge-ids, node-ids)
+    * array pair, which uniquely identifies a traversal (zero-hop paths have
+    * empty edge arrays but distinct node arrays). Keying on content instead
+    * of a frozen row id means the WIDE binding relation is never
+    * checkpointed, so Catalyst's column pruning stays live across the
+    * materialization joins — freezing the 50-column relation was the r4
+    * 50-second g21 cost, not the lookups. Only the narrow distinct-path
+    * relation (two array columns) materializes, once, for both lookups.
     */
   private def materializeVle(ctx0: Ctx, v: String, needNodes: Boolean,
       needEdges: Boolean): Ctx = {
     val needE = needEdges && !ctx0.df.columns.contains(s"${v}__edges")
     val needN = needNodes && !ctx0.df.columns.contains(s"${v}__nodes")
     if (!needE && !needN) return ctx0
-    val rid = "__vmat_rid"
-    val tagged = ctx0.df.withColumn(rid, monotonically_increasing_id())
-      .localCheckpoint() // freeze ids: explode side and join-back side agree
-    var df = tagged
-    if (needE) df = joinStructs(df, tagged, rid, s"${v}__ids", s"${v}__edges", isEdge = true)
-    if (needN) df = joinStructs(df, tagged, rid, s"${v}__nids", s"${v}__nodes", isEdge = false)
-    ctx0.copy(df = df.drop(rid))
+    val keys = Seq(s"${v}__ids", s"${v}__nids")
+    // 64-bit content key → every materialization join is a LONG hash join
+    // (joining on the arrays themselves forces sort-merge with per-row
+    // array comparisons — measured 1.5× slower than even the frozen-rid
+    // checkpoint). Collision odds over ~10⁶ distinct paths ≈ 3e-8.
+    val key = s"__vmat_${v}_key"
+    def keyed(df: DataFrame) = df.withColumn(key, xxhash64(keys.map(col): _*))
+    val paths = keyed(ctx0.df.select(keys.map(col): _*).dropDuplicates(keys))
+      .localCheckpoint() // narrow: shared by the edge and node lookups
+    var df = keyed(ctx0.df)
+    if (needE) df = joinStructs(df, paths, Seq(key), s"${v}__ids", s"${v}__edges", isEdge = true)
+    if (needN) df = joinStructs(df, paths, Seq(key), s"${v}__nids", s"${v}__nodes", isEdge = false)
+    ctx0.copy(df = df.drop(key))
   }
 
   /** VLE variables whose full traversal values the expression needs:
@@ -1536,6 +1574,16 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case Var(n) if ctx.vars.get(n).exists(_.kind == VarKind.VlePath) =>
         Set((n, "edges"))
       case FnCall("size" | "length", List(Var(_)), _) => Set.empty
+      // indexed access with a literal index over a single-VLE-segment path
+      // prunes to ONE entity lookup join — no explode/collect of the whole
+      // traversal (the dominant cost when a query touches only the path's
+      // endpoints, the overwhelmingly common shape)
+      case Index(FnCall("nodes", List(Var(p)), _), Lit(graft.gvalue.GInt(i)))
+          if singleVleOf(p, ctx).isDefined =>
+        Set((singleVleOf(p, ctx).get, s"nodes@$i"))
+      case Index(FnCall("relationships" | "edges", List(Var(p)), _),
+          Lit(graft.gvalue.GInt(i))) if singleVleOf(p, ctx).isDefined =>
+        Set((singleVleOf(p, ctx).get, s"edges@$i"))
       case FnCall("nodes", List(Var(p)), _) => vleOf(p).map((_, "nodes")).toSet
       case FnCall("relationships" | "edges", List(Var(p)), _) =>
         vleOf(p).map((_, "edges")).toSet
@@ -1559,14 +1607,52 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
   }
 
+  /** A path var bound to exactly `(a)-[vle*]->(b)` — its nodes()/
+    * relationships() arrays are the VLE frontier's own nid/id sequences.
+    */
+  private def singleVleOf(p: String, ctx: Ctx): Option[String] =
+    ctx.vars.get(p) match {
+      case Some(info) if info.kind == VarKind.Path =>
+        info.pathEdges match {
+          case Seq(m) if ctx.vars.get(m).exists(_.kind == VarKind.VlePath) => Some(m)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def vleElemName(v: String, edges: Boolean, i: Long): String =
+    s"${v}__elem_${if (edges) "edges" else "nodes"}_$i"
+
+  /** One entity struct for position `i` of a VLE traversal: element_at on
+    * the id array (negatives from the end, OOB → null) + one hash join
+    * against the label tables. No explode, no per-path array rebuild.
+    */
+  private def materializeVleElem(ctx0: Ctx, v: String, edges: Boolean, i: Long): Ctx = {
+    val out = vleElemName(v, edges, i)
+    if (ctx0.df.columns.contains(out)) return ctx0
+    val arr = col(s"${v}__${if (edges) "ids" else "nids"}")
+    val elemId = try_element_at(arr, lit((if (i >= 0) i + 1 else i).toInt))
+    val lookup = entityStructTable(edges)
+      .select(col("__lk_id").as(s"${out}_k"), col("__ent").as(out))
+    val df = ctx0.df.withColumn(s"${out}_id", elemId)
+      .join(lookup, col(s"${out}_id") === col(s"${out}_k"), "left_outer")
+      .drop(s"${out}_id", s"${out}_k")
+    ctx0.copy(df = df)
+  }
+
   /** Materialize traversal values for every VLE var the expressions need. */
   private def ensureVleValues(ctx0: Ctx, exprs: Seq[Expr]): Ctx = {
     if (ctx0.df == null) return ctx0
     val needs = exprs.flatMap(vleValueNeeds(_, ctx0)).toSet
     needs.groupBy(_._1).foldLeft(ctx0) { case (c, (v, ks)) =>
-      materializeVle(c, v,
-        needNodes = ks.exists(_._2 == "nodes"),
-        needEdges = ks.exists(_._2 == "edges"))
+      val kinds = ks.map(_._2)
+      var c2 = materializeVle(c, v,
+        needNodes = kinds.contains("nodes"),
+        needEdges = kinds.contains("edges"))
+      kinds.filter(_.contains("@")).toSeq.sorted.foldLeft(c2) { (cc, k) =>
+        val Array(kind, iStr) = k.split("@")
+        materializeVleElem(cc, v, edges = kind == "edges", iStr.toLong)
+      }
     }
   }
 
