@@ -1232,7 +1232,31 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case Some(ListLit(items)) if items.forall(_.isInstanceOf[Lit]) &&
         !mixedLitTags(items) =>
         l.isin(items.map { case Lit(g) => gValueToAny(g) }: _*)
-      case _ => array_contains(r, l)
+      case _ =>
+        import graft.gvalue.GValueCol
+        val elemGv = dataTypeOpt(r, ctx) match {
+          case Some(ArrayType(et, _)) => GValueCol.isGValue(et)
+          case _ => false
+        }
+        if (!elemGv) array_contains(r, l)
+        else {
+          // heterogeneous (gtype) list: cross-type equality via the gvalue
+          // order key, with openCypher 3VL — null needle → null, no match
+          // but a null element present → null (lists.sql IN block)
+          val needle =
+            if (dataTypeOpt(l, ctx).exists(GValueCol.isGValue)) l
+            else {
+              val dt = dataTypeOpt(l, ctx).getOrElse(StringType)
+              if (GValueCol.canEncode(dt)) GValueCol.encode(l, dt)
+              else GValueCol.encode(l.cast("string"), StringType)
+            }
+          val matched = exists(r, e => coalesce(GValueCol.eqv(e, needle), lit(false)))
+          val hasNull = exists(r, e => GValueCol.isNullVal(e))
+          when(l.isNull, lit(null).cast("boolean"))
+            .when(matched, lit(true))
+            .when(hasNull, lit(null).cast("boolean"))
+            .otherwise(lit(false))
+        }
     }
   })
 

@@ -123,6 +123,9 @@ object GValueCol {
       when(tag === TString, g.getField("s")).otherwise(lit("")).as("str"))
   }
 
+  /** Is this dynamic value the gtype null? */
+  def isNullVal(g: Column): Column = g.getField("tag") === TNull
+
   /** 3-valued equality on dynamic values (cross-type: 1 = 1.0). */
   def eqv(a: Column, b: Column): Column =
     when(a.getField("tag") === TNull || b.getField("tag") === TNull, lit(null).cast("boolean"))

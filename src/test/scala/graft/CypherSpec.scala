@@ -442,6 +442,20 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getString(4) == "ab" && r.getString(5) == "ef")
   }
 
+  test("IN over heterogeneous lists: cross-type equality + 3VL (lists.sql)") {
+    val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
+      "1 IN ['str', 1, 1.0, true, null] AS hit, " +
+      "1 IN ['str', 2.0, 1.0] AS xnum, " +          // 1 = 1.0 cross-type
+      "0 IN ['str', 1, 1.0, true, null] AS miss_null, " +
+      "0 IN ['str', 1] AS miss, " +
+      "null IN ['str', 1] AS nullneedle").collect().head
+    assert(r.getBoolean(0))
+    assert(r.getBoolean(1))
+    assert(r.isNullAt(2)) // no match + null element → null, not false
+    assert(!r.getBoolean(3))
+    assert(r.isNullAt(4))
+  }
+
   test("properties(n) returns the full property map of an entity") {
     val r = run("MATCH (p:Person {name: 'Eve'}) RETURN properties(p) AS m")
       .collect().head
