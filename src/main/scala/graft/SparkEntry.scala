@@ -9,7 +9,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Relational2.queries ++ operators.GraphQueries.queries ++
-      operators.Dedup.queries ++ operators.TextAnalysis.queries ++
+      operators.Dedup.queries ++ operators.Pipeline.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
       operators.FunctionQueries.queries ++
       operators.GraphAnalytics.queries
@@ -18,7 +18,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Relational2.oracles ++ operators.GraphQueries.oracles ++
-      operators.Dedup.oracles ++ operators.TextAnalysis.oracles ++
+      operators.Dedup.oracles ++ operators.Pipeline.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
       operators.FunctionQueries.oracles ++
       operators.GraphAnalytics.oracles

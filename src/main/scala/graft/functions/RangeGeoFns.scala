@@ -38,10 +38,17 @@ object RangeGeoFns {
     leftOf(a, b) && leftOf(b, a)
   }
 
+  /** Null-SAFE emptiness: an infinite (null) bound can never make a range
+    * empty, so the 3VL null from `null > x` must collapse to false — under
+    * plain `>` a multirange part like `(,3)` would be silently DROPPED by
+    * normalizeMulti's filter.
+    */
   def rangeIsEmpty(r: Column): Column =
-    r.getField("lo") > r.getField("hi") ||
-      (r.getField("lo") === r.getField("hi") &&
-        !(r.getField("lo_inc") && r.getField("hi_inc")))
+    coalesce(
+      r.getField("lo") > r.getField("hi") ||
+        (r.getField("lo") === r.getField("hi") &&
+          !(r.getField("lo_inc") && r.getField("hi_inc"))),
+      lit(false))
 
   /** `a @> b` range-contains-range, bound-inclusivity aware (null = ∞). */
   def rangeContainsRange(a: Column, b: Column): Column = {
@@ -74,13 +81,16 @@ object RangeGeoFns {
   // --------------------------- multiranges (5 types — GT_HEADER_RANGE_*_MULTI)
   // A multirange is a NORMALIZED array<range>: empties dropped, sorted by
   // lo, overlapping-or-adjacent ranges merged — so containment never has
-  // to consider a value spanning two parts. Infinite (null) bounds are
-  // not supported inside multiranges (PG allows them; documented gap).
+  // to consider a value spanning two parts. Infinite bounds follow PG:
+  // a null lo is −∞, a null hi is +∞, in parts as well as ranges.
 
   private def mergedPair(a: Column, b: Column): Column = {
-    // precondition: a.lo <= b.lo (sorted); result spans to the later hi
-    val bWins = b.getField("hi") > a.getField("hi") ||
-      (b.getField("hi") === a.getField("hi") && b.getField("hi_inc"))
+    // precondition: a.lo <= b.lo (sorted); result spans to the later hi.
+    // null hi = +∞ beats any finite hi.
+    val bWins = when(a.getField("hi").isNull, lit(false))
+      .when(b.getField("hi").isNull, lit(true))
+      .otherwise(b.getField("hi") > a.getField("hi") ||
+        (b.getField("hi") === a.getField("hi") && b.getField("hi_inc")))
     struct(a.getField("lo").as("lo"),
       when(bWins, b.getField("hi")).otherwise(a.getField("hi")).as("hi"),
       (a.getField("lo_inc") ||
@@ -90,11 +100,24 @@ object RangeGeoFns {
 
   /** Sort + merge into canonical multirange form. */
   def normalizeMulti(arr: Column): Column = {
-    val live = array_sort(filter(arr, r => !rangeIsEmpty(r)))
+    // explicit comparator: null lo = −∞ sorts FIRST (default struct sort
+    // would order nulls after finite values), ties broken [ before (
+    val byLo = (l: Column, r: Column) => {
+      val (ll, rl) = (l.getField("lo"), r.getField("lo"))
+      when(ll.isNull && rl.isNull, lit(0))
+        .when(ll.isNull, lit(-1)).when(rl.isNull, lit(1))
+        .when(ll < rl, lit(-1)).when(ll > rl, lit(1))
+        .when(l.getField("lo_inc") && !r.getField("lo_inc"), lit(-1))
+        .when(!l.getField("lo_inc") && r.getField("lo_inc"), lit(1))
+        .otherwise(lit(0))
+    }
+    val live = array_sort(filter(arr, r => !rangeIsEmpty(r)), byLo)
     val emptyAcc = slice(live, lit(1), lit(0)) // typed empty array
     aggregate(live, emptyAcc, (acc, r) => {
       val last = element_at(acc, -1)
-      val joins = r.getField("lo") < last.getField("hi") ||
+      // r.lo (−∞ when null) reaches last.hi (+∞ when null)?
+      val joins = r.getField("lo").isNull || last.getField("hi").isNull ||
+        r.getField("lo") < last.getField("hi") ||
         (r.getField("lo") === last.getField("hi") &&
           (last.getField("hi_inc") || r.getField("lo_inc")))
       when(size(acc) === 0, array(r))

@@ -48,7 +48,7 @@ object Dedup {
     * the shingle string never crosses a shuffle boundary. Docs with < 3
     * tokens contribute their whole normalized text as the single shingle.
     */
-  private def docShingleHashes(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def docShingleHashes(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = T(s, dir, "documents")
     val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))))
@@ -113,51 +113,7 @@ object Dedup {
     // MinHash+LSH candidates, then exact verification — same result as the
     // ground truth when recall holds; the LSH join replaces the all-pairs
     // shingle join with a band-key join (the 100 TB path).
-    "d3_minhash_lsh" -> ((s, dir) => {
-      // Signatures via explode + 63 codegen'd min() aggregates — NOT the
-      // array-lambda minhash: higher-order functions evaluate interpreted
-      // (no whole-stage codegen), measured 7.7 s just materializing
-      // signatures at sf0.1; the relational shape runs the same math inside
-      // codegen with map-side partial aggregation, and is the form that
-      // scales (shuffle carries 63 partial mins per doc, not arrays).
-      // Everything downstream of the shingle explode works on the 8-byte
-      // xxhash64 of the shingle — signature mins, and the exact-verify
-      // intersection over per-doc SORTED LONG ARRAYS (array_intersect on
-      // longs; the string-array form was the round-2 hot spot).
-      val hashed = docShingleHashes(s, dir).localCheckpoint()
-      val sig = hashed.groupBy(col("doc_id"))
-        .agg(min(xxhash64(lit(0), col("h"))).as("m0"),
-          (1 until MinhashK).map(i =>
-            min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
-        .select(col("doc_id"),
-          array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
-      // per-doc shingle-hash set for exact verification; co-partitioned
-      // with `sig` (both group on doc_id) so the join below is shuffle-free
-      val sets = hashed.groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("h"))).as("hs"))
-      val docs = sig
-        .withColumn("bands", lshBandKeys(col("sig"), MinhashK, LshBands))
-        .join(sets, "doc_id")
-        .select(col("doc_id"), col("bands"), col("hs"))
-        .localCheckpoint()
-      val banded = docs.select(col("doc_id"), explode(col("bands")).as("band"))
-      val candidates = banded.as("a")
-        .join(banded.as("b"), col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      // exact verify candidates only
-      val withSets = candidates
-        .join(docs.select(col("doc_id").as("da"), col("hs").as("hsa")), "da")
-        .join(docs.select(col("doc_id").as("db"), col("hs").as("hsb")), "db")
-      withSets
-        .withColumn("i", size(array_intersect(col("hsa"), col("hsb"))))
-        .withColumn("jaccard", col("i").cast("double") /
-          (size(col("hsa")) + size(col("hsb")) - col("i")))
-        .filter(col("jaccard") >= LshThreshold)
-        .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy(col("da"), col("db"))
-    }),
+    "d3_minhash_lsh" -> ((s, dir) => lshVerifiedPairs(s, dir)),
 
     // embedding-cosine near-dup pairs, exact brute force (the gate
     // baseline; the corpus has no true dups — max pairwise cosine ≈ 0.51 —
@@ -235,6 +191,57 @@ object Dedup {
         .orderBy(col("da"), col("db"))
     })
   )
+
+  /** MinHash+LSH candidate generation + exact verification (the d3 body,
+    * shared with the dup-cluster canonicalization in [[Pipeline]]):
+    * (da, db, jaccard) for every pair at [[LshThreshold]], equal to the
+    * ground-truth d2 pair set whenever banding recall holds.
+    */
+  private[operators] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+      // Signatures via explode + 63 codegen'd min() aggregates — NOT the
+      // array-lambda minhash: higher-order functions evaluate interpreted
+      // (no whole-stage codegen), measured 7.7 s just materializing
+      // signatures at sf0.1; the relational shape runs the same math inside
+      // codegen with map-side partial aggregation, and is the form that
+      // scales (shuffle carries 63 partial mins per doc, not arrays).
+      // Everything downstream of the shingle explode works on the 8-byte
+      // xxhash64 of the shingle — signature mins, and the exact-verify
+      // intersection over per-doc SORTED LONG ARRAYS (array_intersect on
+      // longs; the string-array form was the round-2 hot spot).
+      val hashed = docShingleHashes(s, dir).localCheckpoint()
+      val sig = hashed.groupBy(col("doc_id"))
+        .agg(min(xxhash64(lit(0), col("h"))).as("m0"),
+          (1 until MinhashK).map(i =>
+            min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
+        .select(col("doc_id"),
+          array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+      // per-doc shingle-hash set for exact verification; co-partitioned
+      // with `sig` (both group on doc_id) so the join below is shuffle-free
+      val sets = hashed.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("h"))).as("hs"))
+      val docs = sig
+        .withColumn("bands", lshBandKeys(col("sig"), MinhashK, LshBands))
+        .join(sets, "doc_id")
+        .select(col("doc_id"), col("bands"), col("hs"))
+        .localCheckpoint()
+      val banded = docs.select(col("doc_id"), explode(col("bands")).as("band"))
+      val candidates = banded.as("a")
+        .join(banded.as("b"), col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      // exact verify candidates only
+      val withSets = candidates
+        .join(docs.select(col("doc_id").as("da"), col("hs").as("hsa")), "da")
+        .join(docs.select(col("doc_id").as("db"), col("hs").as("hsb")), "db")
+      withSets
+        .withColumn("i", size(array_intersect(col("hsa"), col("hsb"))))
+        .withColumn("jaccard", col("i").cast("double") /
+          (size(col("hsa")) + size(col("hsb")) - col("i")))
+        .filter(col("jaccard") >= LshThreshold)
+        .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("da"), col("db"))
+  }
 
   /** Static (doc_id, band) MinHash-LSH index over a corpus — the build
     * side for streaming near-dup detection at ingest (Streams.nearDupIngest

@@ -412,6 +412,22 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getInt(5) == 2 && r.getInt(6) == 1)
   }
 
+  test("multirange infinite bounds: null lo/hi are −∞/+∞ in parts (gtype_range.c)") {
+    val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
+      "size(intmultirange(intrange(null, 3), intrange(5, null))) AS parts, " +
+      "(intmultirange(intrange(null, 3), intrange(5, null)) @> -100)::int AS below, " +
+      "(intmultirange(intrange(null, 3), intrange(5, null)) @> 4)::int AS gap, " +
+      "(intmultirange(intrange(null, 3), intrange(5, null)) @> 1000)::int AS above, " +
+      "size(intmultirange(intrange(null, 4), intrange(2, null))) AS full, " +
+      "('(,3)'::intrange @> -5)::int AS castinf, " +
+      "(intmultirange(intrange(null, 3)) @> intrange(null, 2))::int AS infin").collect().head
+    assert(r.getInt(0) == 2) // (−∞,3) and [5,+∞) don't touch
+    assert(r.getLong(1) == 1L && r.getLong(2) == 0L && r.getLong(3) == 1L)
+    assert(r.getInt(4) == 1) // (−∞,4) ∪ [2,+∞) covers the line
+    assert(r.getLong(5) == 1L)
+    assert(r.getLong(6) == 1L) // (−∞,2) ⊆ (−∞,3)
+  }
+
   test("graph utility fns: _graphid/_label_name/keywords (postgraph.sql.in:481)") {
     val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
       "_graphid(_extract_label_id(id(p)), _extract_entry_id(id(p))) AS rt, " +

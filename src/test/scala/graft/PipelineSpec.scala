@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.operators.{Dedup, Pipeline, Similarity, TextAnalysis, Multimodal}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pipeline-operator tests at sf0.001 plus cross-checks the DuckDB oracle
@@ -64,6 +64,77 @@ class PipelineSpec extends AnyFunSuite {
     rows.foreach { r =>
       val nBytes = meta(r.getLong(0))
       assert(r.getLong(1) == math.ceil(nBytes / 64.0).toLong)
+    }
+  }
+
+  test("dup clusters = union-find over the ground-truth pair set") {
+    // reference clustering: driver-side union-find over the exact d2 pairs
+    val pairs = Dedup.queries("d2_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => (find(x), x)).toSeq
+      .groupBy(_._1).map { case (k, vs) => (k, vs.size.toLong, vs.map(_._2).sum) }.toSet
+    val got = Pipeline.queries("d6_dup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+  }
+
+  test("stratified sample: non-dominant languages kept whole, en downsampled") {
+    val rows = Pipeline.queries("d7_stratified_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, total, sampled) =>
+      assert(sampled <= total)
+      if (lang != "en") assert(sampled == total, s"$lang should keep all")
+    }
+    val (_, enTotal, enSampled) = rows.find(_._1 == "en").get
+    val frac = enSampled.toDouble / enTotal
+    assert(frac > 0.1 && frac < 0.5, s"en keep-rate $frac should be ~0.3")
+  }
+
+  test("sequence packing conserves documents and tokens per language") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns._
+    val bins = Pipeline.queries("d8_sequence_pack")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totals = Tables.T(spark, sf, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(size(tokens(col("text"))).cast("long")).as("tok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byLang = bins.groupBy(_._1)
+    assert(byLang.keySet == totals.keySet)
+    byLang.foreach { case (lang, bs) =>
+      assert(bs.map(_._3).sum == totals(lang)._1, s"$lang doc conservation")
+      assert(bs.map(_._4).sum == totals(lang)._2, s"$lang token conservation")
+      // chunk ids are the dense prefix 0..maxBin of the concat-and-chunk split
+      val ids = bs.map(_._2).sorted
+      assert(ids.sameElements(0L until ids.length), s"$lang bins dense")
+    }
+  }
+
+  test("contamination: reported pairs are train×eval with symmetric overlap") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("d9_contamination")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (train, ev, n) =>
+      assert(train % 50 != 0 && ev % 50 == 0 && n >= 2)
+    }
+    // spot-check one pair's overlap against a direct shingle intersection
+    rows.headOption.foreach { case (train, ev, n) =>
+      import graft.functions.TextFns.shingles
+      def shingleSet(id: Long): Set[String] =
+        Tables.T(spark, sf, "documents").filter(col("doc_id") === id)
+          .select(explode(shingles(col("text"), 3)).as("s"))
+          .collect().map(_.getString(0)).toSet
+      assert(shingleSet(train).intersect(shingleSet(ev)).size.toLong == n)
     }
   }
 
