@@ -193,14 +193,17 @@ object GeomKernels {
   /** Sutherland–Hodgman clip of polygon `subj` by CONVEX polygon `clip`
     * (rings given open or closed; result is an open CCW ring).
     */
+  private def openRing(r: Array[Pt]): Array[Pt] =
+    if (r.length > 1 && r.head.x == r.last.x && r.head.y == r.last.y) r.dropRight(1) else r
+  private def ccwRing(r: Array[Pt]): Array[Pt] = { // signed area ≥ 0
+    var s = 0.0
+    for (i <- r.indices) { val j = (i + 1) % r.length; s += r(i).x * r(j).y - r(j).x * r(i).y }
+    if (s < 0) r.reverse else r
+  }
+
   private[functions] def clipPolygon(subj0: Array[Pt], clip0: Array[Pt]): Seq[Pt] = {
-    def open(r: Array[Pt]): Array[Pt] =
-      if (r.length > 1 && r.head.x == r.last.x && r.head.y == r.last.y) r.dropRight(1) else r
-    def ccw(r: Array[Pt]): Array[Pt] = { // signed area ≥ 0
-      var s = 0.0
-      for (i <- r.indices) { val j = (i + 1) % r.length; s += r(i).x * r(j).y - r(j).x * r(i).y }
-      if (s < 0) r.reverse else r
-    }
+    def open(r: Array[Pt]): Array[Pt] = openRing(r)
+    def ccw(r: Array[Pt]): Array[Pt] = ccwRing(r)
     var out = open(subj0).toSeq
     val clip = ccw(open(clip0))
     for (i <- clip.indices if out.nonEmpty) {
@@ -401,17 +404,27 @@ object GeomKernels {
     math.abs(s) / 2
   }
 
+  /** ST_Area over a ring OR a multipolygon (array of rings) — dispatches on
+    * the child's schema at eval, like PostGIS's any-geometry ST_Area.
+    */
   case class StArea(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(a: Any): Any = ringArea(readLine(a))
+    private lazy val isMulti = child.dataType match {
+      case ArrayType(ArrayType(_, _), _) => true
+      case _ => false
+    }
+    override def nullSafeEval(a: Any): Any =
+      if (isMulti) {
+        val ad = a.asInstanceOf[ArrayData]
+        (0 until ad.numElements()).map(i => ringArea(readLine(ad.get(i, lineType)))).sum
+      } else ringArea(readLine(a))
     override protected def withNewChildInternal(c: Expression): StArea = copy(child = c)
   }
 
   /** Area of the symmetric difference of two CONVEX rings:
-    * |A| + |B| − 2·|A∩B| (the clip kernel supplies the intersection).
-    * The reference's ST_SymDifference returns a geometry; our encoding has
-    * no multi-polygon value, so the area — the scalar the regression
-    * queries actually compare — is what we expose.
+    * |A| + |B| − 2·|A∩B| (the clip kernel supplies the intersection) —
+    * cheaper than summing the [[symDifference]] decomposition and equal to
+    * it for convex inputs.
     */
   case class StSymDifferenceArea(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
@@ -421,6 +434,72 @@ object GeomKernels {
       ringArea(a) + ringArea(b) - 2 * ringArea(clipPolygon(a, b).toArray)
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): StSymDifferenceArea =
+      copy(left = l, right = r)
+  }
+
+  // ----------------------------------------------- symmetric difference
+
+  /** One Sutherland–Hodgman pass against a single half-plane: keeps the
+    * side where sign·cross(e1,e2,p) ≥ 0 (sign=+1 inside the CCW edge,
+    * −1 its complement).
+    */
+  private def clipHalf(poly: Seq[Pt], e1: Pt, e2: Pt, sign: Double): Seq[Pt] = {
+    if (poly.isEmpty) return poly
+    def s(p: Pt): Double = sign * cross(e1, e2, p)
+    val out = new scala.collection.mutable.ArrayBuffer[Pt]
+    val n = poly.length
+    for (j <- 0 until n) {
+      val cur = poly(j); val prev = poly((j + n - 1) % n)
+      val sc = s(cur); val sp = s(prev)
+      def isect: Pt = {
+        val t = sp / (sp - sc)
+        Pt(prev.x + t * (cur.x - prev.x), prev.y + t * (cur.y - prev.y), 0, 0)
+      }
+      if (sc >= 0) { if (sp < 0) out += isect; out += cur }
+      else if (sp >= 0) out += isect
+    }
+    out.toSeq
+  }
+
+  /** A \ B as DISJOINT convex pieces via B's edge wedges: piece_i =
+    * A ∩ h_1 ∩ … ∩ h_{i−1} ∩ ¬h_i, where h_i is the inside half-plane of
+    * CCW B's i-th edge. Exact for convex inputs (the SH-clip restriction
+    * this whole kernel family carries); B ⊂ A comes out naturally as the
+    * ring of wedge pieces around the hole — no hole encoding needed.
+    */
+  private[functions] def polyDifference(subj0: Array[Pt], clip0: Array[Pt]): Seq[Seq[Pt]] = {
+    def close(r: Seq[Pt]): Seq[Pt] = r :+ r.head
+    val subj = ccwRing(openRing(subj0)).toSeq
+    if (subj.length < 3) return Seq.empty
+    val clip = ccwRing(openRing(clip0))
+    if (clip.length < 3) return Seq(close(subj))
+    val pieces = Seq.newBuilder[Seq[Pt]]
+    var current = subj // A ∩ h_1 ∩ … ∩ h_{i−1}
+    var i = 0
+    while (i < clip.length && current.nonEmpty) {
+      val e1 = clip(i); val e2 = clip((i + 1) % clip.length)
+      val piece = clipHalf(current, e1, e2, -1.0)
+      if (ringArea(piece.toArray) > 1e-12) pieces += close(piece)
+      current = clipHalf(current, e1, e2, 1.0)
+      i += 1
+    }
+    pieces.result()
+  }
+
+  private[functions] def symDifference(a: Array[Pt], b: Array[Pt]): Seq[Seq[Pt]] =
+    polyDifference(a, b) ++ polyDifference(b, a)
+
+  /** ST_SymDifference returning the actual (multi-)polygon geometry —
+    * an array of closed convex rings (disjoint up to shared boundaries).
+    * reference: gtype_postgis.c:1347 (delegates to PostGIS lwgeom).
+    */
+  case class StSymDifference(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(lineType, containsNull = false)
+    override def nullSafeEval(a0: Any, b0: Any): Any =
+      new GenericArrayData(
+        symDifference(readLine(a0), readLine(b0)).map(p => writeLine(p): Any).toArray)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StSymDifference =
       copy(left = l, right = r)
   }
 
@@ -512,6 +591,7 @@ object GeomKernels {
   def stConvexHull(line: Column): Column = c1(StConvexHull)(line)
   def stArea(ring: Column): Column = c1(StArea)(ring)
   def stSymDifferenceArea(a: Column, b: Column): Column = c2(StSymDifferenceArea)(a, b)
+  def stSymDifference(a: Column, b: Column): Column = c2(StSymDifference)(a, b)
   def stSimplify(line: Column, tol: Column): Column = c2(StSimplify)(line, tol)
   def stFrechetDistance(a: Column, b: Column): Column = c2(StFrechet)(a, b)
   def stHausdorffDistance(a: Column, b: Column): Column = c2(StHausdorff)(a, b)

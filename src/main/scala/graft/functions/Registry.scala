@@ -117,6 +117,7 @@ object Registry {
     reg("st_linecentroid", 1)(a => GeomKernels.stLineCentroid(a(0)))
     reg("st_area", 1)(a => GeomKernels.stArea(a(0)))
     reg("st_symdifference_area", 2)(a => GeomKernels.stSymDifferenceArea(a(0), a(1)))
+    reg("st_symdifference", 2)(a => GeomKernels.stSymDifference(a(0), a(1)))
     reg("st_astext_line", 1)(a => PostgisFns.stAsTextLine(a(0)))
     reg("st_asewkt", 2)(a => PostgisFns.stAsEwkt(a(0), a(1)))
   }

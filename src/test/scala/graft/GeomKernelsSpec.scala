@@ -119,6 +119,32 @@ class GeomKernelsSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 0.0)
   }
 
+  test("symmetric difference returns a multipolygon; ST_Area sums its parts") {
+    def parts(row: org.apache.spark.sql.Row): Seq[Seq[(Double, Double)]] =
+      row.getAs[scala.collection.Seq[scala.collection.Seq[org.apache.spark.sql.Row]]](0)
+        .toSeq.map(_.toSeq.map(r => (r.getDouble(0), r.getDouble(1))))
+    // partial overlap: area |A|+|B|−2|∩| through the geometry path
+    val a = array(pt(0, 0), pt(4, 0), pt(4, 4), pt(0, 4))
+    val b = array(pt(2, 2), pt(6, 2), pt(6, 6), pt(2, 6))
+    val r1 = one(GeomKernels.stArea(GeomKernels.stSymDifference(a, b)),
+      GeomKernels.stSymDifferenceArea(a, b))
+    assert(math.abs(r1.getDouble(0) - r1.getDouble(1)) < 1e-9)
+    assert(r1.getDouble(0) == 24.0)
+    // hole: B strictly inside A → annulus as ≥2 disjoint pieces, area 16−4
+    val hole = array(pt(1, 1), pt(3, 1), pt(3, 3), pt(1, 3))
+    val r2 = one(GeomKernels.stSymDifference(a, hole),
+      GeomKernels.stArea(GeomKernels.stSymDifference(a, hole)))
+    val ps = parts(r2)
+    assert(ps.length >= 2 && ps.forall(p => p.head == p.last)) // closed rings
+    assert(math.abs(r2.getDouble(1) - 12.0) < 1e-9)
+    // disjoint: both inputs come back whole (as their own parts)
+    val far = array(pt(10, 10), pt(11, 10), pt(11, 11), pt(10, 11))
+    val r3 = one(GeomKernels.stSymDifference(a, far),
+      GeomKernels.stArea(GeomKernels.stSymDifference(a, far)))
+    assert(parts(r3).length == 2)
+    assert(math.abs(r3.getDouble(1) - 17.0) < 1e-9)
+  }
+
   test("WKT renders: linestring and EWKT") {
     val line = array(pt(0, 0), pt(1.5, 2.5))
     val r = one(graft.functions.PostgisFns.stAsTextLine(line),
