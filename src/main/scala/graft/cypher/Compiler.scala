@@ -1034,12 +1034,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       otherwise.map(o => chained.otherwise(compileExpr(o, ctx))).getOrElse(chained)
     // indexed path access pre-bound as a single-entity column (see
     // materializeVleElem) — matches before the generic Index compile
-    case Index(FnCall("nodes", List(Var(p)), _), Lit(graft.gvalue.GInt(i)))
+    case Index(FnCall("nodes", List(Var(p)), _), LitInt(i))
         if singleVleOf(p, ctx).exists(v =>
           ctx.df.columns.contains(vleElemName(v, edges = false, i))) =>
       col(vleElemName(singleVleOf(p, ctx).get, edges = false, i))
     case Index(FnCall("relationships" | "edges", List(Var(p)), _),
-        Lit(graft.gvalue.GInt(i)))
+        LitInt(i))
         if singleVleOf(p, ctx).exists(v =>
           ctx.df.columns.contains(vleElemName(v, edges = true, i))) =>
       col(vleElemName(singleVleOf(p, ctx).get, edges = true, i))
@@ -1601,12 +1601,20 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // indexed access with a literal index over a single-VLE-segment path
       // prunes to ONE entity lookup join — no explode/collect of the whole
       // traversal (the dominant cost when a query touches only the path's
-      // endpoints, the overwhelmingly common shape)
-      case Index(FnCall("nodes", List(Var(p)), _), Lit(graft.gvalue.GInt(i)))
+      // endpoints, the overwhelmingly common shape). When the access is a
+      // direct id/label FIELD of the element, the need carries the field
+      // ("kind@i#field") and even the lookup join is skipped.
+      case Prop(Index(FnCall("nodes", List(Var(p)), _), LitInt(i)), fld)
+          if singleVleOf(p, ctx).isDefined =>
+        Set((singleVleOf(p, ctx).get, s"nodes@$i#$fld"))
+      case Prop(Index(FnCall("relationships" | "edges", List(Var(p)), _),
+          LitInt(i)), fld) if singleVleOf(p, ctx).isDefined =>
+        Set((singleVleOf(p, ctx).get, s"edges@$i#$fld"))
+      case Index(FnCall("nodes", List(Var(p)), _), LitInt(i))
           if singleVleOf(p, ctx).isDefined =>
         Set((singleVleOf(p, ctx).get, s"nodes@$i"))
       case Index(FnCall("relationships" | "edges", List(Var(p)), _),
-          Lit(graft.gvalue.GInt(i))) if singleVleOf(p, ctx).isDefined =>
+          LitInt(i)) if singleVleOf(p, ctx).isDefined =>
         Set((singleVleOf(p, ctx).get, s"edges@$i"))
       case FnCall("nodes", List(Var(p)), _) => vleOf(p).map((_, "nodes")).toSet
       case FnCall("relationships" | "edges", List(Var(p)), _) =>
@@ -1631,6 +1639,17 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
   }
 
+  /** Literal integer index, folding the parser's unary-minus shape
+    * (`[-1]` arrives as Un("NEG", Lit(1))).
+    */
+  private object LitInt {
+    def unapply(e: Expr): Option[Long] = e match {
+      case Lit(graft.gvalue.GInt(i)) => Some(i)
+      case Un("NEG", Lit(graft.gvalue.GInt(i))) => Some(-i)
+      case _ => None
+    }
+  }
+
   /** A path var bound to exactly `(a)-[vle*]->(b)` — its nodes()/
     * relationships() arrays are the VLE frontier's own nid/id sequences.
     */
@@ -1651,14 +1670,36 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     * the id array (negatives from the end, OOB → null) + one hash join
     * against the label tables. No explode, no per-path array rebuild.
     */
-  private def materializeVleElem(ctx0: Ctx, v: String, edges: Boolean, i: Long): Ctx = {
+  private def materializeVleElem(ctx0: Ctx, v: String, edges: Boolean, i: Long,
+      narrow: Boolean = false): Ctx = {
     val out = vleElemName(v, edges, i)
-    if (ctx0.df.columns.contains(out)) return ctx0
+    var base = ctx0.df
+    if (base.columns.contains(out)) {
+      val hasProps = base.schema(out).dataType match {
+        case st: StructType => st.fieldNames.contains("properties")
+        case _ => false
+      }
+      // an existing full struct serves every access; an existing narrow
+      // struct serves narrow access — otherwise rebuild full below
+      if (hasProps || narrow) return ctx0
+      base = base.drop(out)
+    }
     val arr = col(s"${v}__${if (edges) "ids" else "nids"}")
     val elemId = try_element_at(arr, lit((if (i >= 0) i + 1 else i).toInt))
+    if (narrow) {
+      // only id/label are accessed: the label decodes from the packed id's
+      // 16-bit prefix through the plan-time label catalog — NO entity join,
+      // no properties-map construction (which was the dominant cost when a
+      // query touches just the path endpoints: the g21 hot path)
+      val lid = shiftrightunsigned(elemId, 48).cast("int")
+      val lname = graph.labelIds.foldLeft(lit(null).cast("string"))((acc, kv) =>
+        when(lid === lit(kv._2), lit(kv._1)).otherwise(acc))
+      return ctx0.copy(df = base.withColumn(out,
+        when(elemId.isNotNull, struct(elemId.as("id"), lname.as("label")))))
+    }
     val lookup = entityStructTable(edges)
       .select(col("__lk_id").as(s"${out}_k"), col("__ent").as(out))
-    val df = ctx0.df.withColumn(s"${out}_id", elemId)
+    val df = base.withColumn(s"${out}_id", elemId)
       .join(lookup, col(s"${out}_id") === col(s"${out}_k"), "left_outer")
       .drop(s"${out}_id", s"${out}_k")
     ctx0.copy(df = df)
@@ -1670,12 +1711,23 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     val needs = exprs.flatMap(vleValueNeeds(_, ctx0)).toSet
     needs.groupBy(_._1).foldLeft(ctx0) { case (c, (v, ks)) =>
       val kinds = ks.map(_._2)
-      var c2 = materializeVle(c, v,
+      val c2 = materializeVle(c, v,
         needNodes = kinds.contains("nodes"),
         needEdges = kinds.contains("edges"))
-      kinds.filter(_.contains("@")).toSeq.sorted.foldLeft(c2) { (cc, k) =>
-        val Array(kind, iStr) = k.split("@")
-        materializeVleElem(cc, v, edges = kind == "edges", iStr.toLong)
+      // element needs: "kind@i" (whole entity) or "kind@i#field"; a
+      // position whose every access is an id/label field skips the entity
+      // join entirely (narrow struct decoded from the packed id)
+      val elems = kinds.filter(_.contains("@")).map { k =>
+        val Array(kind, rest) = k.split("@", 2)
+        rest.split("#", 2) match {
+          case Array(iStr, fld) => ((kind, iStr.toLong), Some(fld))
+          case Array(iStr)      => ((kind, iStr.toLong), None)
+        }
+      }
+      elems.groupBy(_._1).toSeq.sortBy(t => (t._1._1, t._1._2)).foldLeft(c2) {
+        case (cc, ((kind, i), accs)) =>
+          val narrow = accs.forall(_._2.exists(Set("id", "label")))
+          materializeVleElem(cc, v, edges = kind == "edges", i, narrow = narrow)
       }
     }
   }
