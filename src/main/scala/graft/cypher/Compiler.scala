@@ -984,7 +984,16 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       else col(s"${n}__$k")
     case Prop(base, k) =>
       val b = compileExpr(base, ctx)
-      b.getField(k)
+      // property access on an entity VALUE (path element, collected
+      // vertex/edge): fields that aren't part of the struct shell read
+      // from its properties map — reference semantics, where `.name` on a
+      // vertex gtype is a property lookup (vertex.h accessors)
+      dataTypeOpt(b, ctx) match {
+        case Some(st: StructType) if st.fieldNames.contains("properties") &&
+            !st.fieldNames.contains(k) =>
+          b.getField("properties").getItem(k)
+        case _ => b.getField(k)
+      }
     case ListLit(items) if mixedLitTags(items) =>
       // heterogeneous literal list → array of tagged dynamic values
       // (the reference's gtype list holds mixed scalars natively)

@@ -412,6 +412,16 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getInt(5) == 2 && r.getInt(6) == 1)
   }
 
+  test("property access on path elements reads the properties map (vertex.h accessors)") {
+    val r = run("MATCH p = (a:Person {name: 'Ann'})-[e:LIVES_IN*1..1]->(c:City) " +
+      "RETURN nodes(p)[-1].cname AS cn, nodes(p)[-1].label AS lbl, " +
+      "nodes(p)[-1].no_such_prop AS missing").collect().head
+    assert(graft.gvalue.GValueCol.decode(r.getAs[org.apache.spark.sql.Row](0))
+      == graft.gvalue.GString("SEA"))
+    assert(r.getString(1) == "City") // mixed field+property access, same elem
+    assert(r.isNullAt(2)) // absent property ≡ null
+  }
+
   test("multirange infinite bounds: null lo/hi are −∞/+∞ in parts (gtype_range.c)") {
     val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
       "size(intmultirange(intrange(null, 3), intrange(5, null))) AS parts, " +
