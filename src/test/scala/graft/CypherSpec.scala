@@ -412,6 +412,31 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getInt(5) == 2 && r.getInt(6) == 1)
   }
 
+  test("EXISTS pattern reusing the outer edge var = same-edge constraint (cypher_match.sql:157-176)") {
+    // only Eve's self-loop satisfies (u)-[e]->(u) with the SAME e
+    val rows = run("MATCH (u:Person)-[e:KNOWS]->(v:Person) WHERE EXISTS((u)-[e]->(u)) " +
+      "RETURN u.name AS un, v.name AS vn").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("Eve", "Eve")))
+    // fresh variable x inside EXISTS is an independent sink (every u with an edge)
+    val all = run("MATCH (u:Person)-[e:KNOWS]->(v:Person) WHERE EXISTS((u)-[e]->(x)) " +
+      "RETURN count(*) AS n").collect().head.getLong(0)
+    assert(all == 5L)
+  }
+
+  test("EXISTS(MATCH ... RETURN ...) full-subquery forms (cypher_match.sql:182-204)") {
+    val n1 = run("MATCH (u:Person) WHERE EXISTS(MATCH (u)-[:LIVES_IN]->(c:City {cname: 'SEA'}) RETURN 1) " +
+      "RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n1 == 2L) // Ann, Bob
+    // two-MATCH body, correlation through the second MATCH
+    val n2 = run("MATCH (u:Person) WHERE EXISTS(MATCH (c:City {cname: 'NYC'}) MATCH (u)-[:LIVES_IN]->(c) RETURN 1) " +
+      "RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n2 == 2L) // Cal, Dee
+    // no match at all → empty
+    val n3 = run("MATCH (u:Person) WHERE EXISTS(MATCH (u)-[:LIVES_IN]->(:City {cname: 'nope'}) RETURN 1) " +
+      "RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n3 == 0L)
+  }
+
   test("property access on path elements reads the properties map (vertex.h accessors)") {
     val r = run("MATCH p = (a:Person {name: 'Ann'})-[e:LIVES_IN*1..1]->(c:City) " +
       "RETURN nodes(p)[-1].cname AS cn, nodes(p)[-1].label AS lbl, " +
