@@ -97,6 +97,51 @@ object Streams {
       .select(col("doc_id"), col("corpus_doc"))
   }
 
+  /** Doc row for streaming sequence packing. */
+  final case class PackDoc(lang: String, doc_id: Long, n_tokens: Long)
+  /** A closed packed chunk (training-sequence bin). */
+  final case class PackedChunk(lang: String, bin: Long, n_docs: Long,
+      bin_tokens: Long, first_doc: Long, last_doc: Long)
+  /** Open-chunk carry state per language stream (public: state encoder
+    * codegen needs constructor access). */
+  final case class PackState(cum: Long, bin: Long, nDocs: Long,
+      tokens: Long, firstDoc: Long, lastDoc: Long)
+
+  /** Streaming sequence packing — the stateful counterpart of the batch
+    * `d8_sequence_pack` operator, SAME semantics (concat-and-chunk: a doc
+    * belongs to the chunk its first token lands in): per language stream,
+    * the open chunk is flatMapGroupsWithState state; a chunk emits the
+    * moment a document lands in a LATER bin. Deterministic given per-lang
+    * in-order arrival (the ingest contract; an out-of-order source would
+    * need a watermark + sort buffer upstream). State per key is O(1) —
+    * six longs — so the state store stays tiny at any corpus size.
+    */
+  def packStream(docs: org.apache.spark.sql.Dataset[PackDoc],
+      budget: Long): org.apache.spark.sql.Dataset[PackedChunk] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang)
+      .flatMapGroupsWithState[PackState, PackedChunk](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (lang: String, rows: Iterator[PackDoc], state: GroupState[PackState]) =>
+          var st = state.getOption.getOrElse(PackState(0L, 0L, 0L, 0L, -1L, -1L))
+          val closed = scala.collection.mutable.ListBuffer.empty[PackedChunk]
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            val bin = st.cum / budget
+            if (bin != st.bin && st.nDocs > 0) {
+              closed += PackedChunk(lang, st.bin, st.nDocs, st.tokens,
+                st.firstDoc, st.lastDoc)
+              st = PackState(st.cum, bin, 0L, 0L, -1L, -1L)
+            }
+            st = PackState(st.cum + d.n_tokens, bin, st.nDocs + 1,
+              st.tokens + d.n_tokens,
+              if (st.nDocs == 0) d.doc_id else st.firstDoc, d.doc_id)
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+
   /** Event row for sessionization (ts in epoch micros). */
   final case class SessionEvent(user_id: Long, ts_us: Long)
   /** Closed session: event count + span. */

@@ -153,4 +153,34 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq == Seq((1L, 3L, 0L, 20000000L)))
   }
+
+  test("streaming sequence packer emits the same closed bins as batch d8") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    // same inputs as d8: (lang, doc_id, whitespace token count)
+    val docs = graft.Tables.T(spark, sf, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .as[Streams.PackDoc].collect().sortBy(d => (d.lang, d.doc_id))
+    val tmp = Files.createTempDirectory("graft_pack").toString
+    docs.toSeq.toDF().coalesce(1).write.parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in").schema)
+      .parquet(s"$tmp/in").as[Streams.PackDoc]
+    val q = Streams.packStream(stream, budget = 2048L).writeStream
+      .outputMode("append").format("memory").queryName("packed")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT lang, bin, n_docs, bin_tokens FROM packed")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch reference: every d8 bin except each language's LAST (still open
+    // in the stream's state, not emitted)
+    val batch = graft.operators.Pipeline.queries("d8_sequence_pack")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lastBin = batch.groupBy(_._1).map { case (l, bs) => l -> bs.map(_._2).max }
+    val closed = batch.filterNot { case (l, b, _, _) => lastBin(l) == b }.toSet
+    assert(streamed == closed, s"streamed=${streamed.size} closedBatch=${closed.size}")
+  }
 }
