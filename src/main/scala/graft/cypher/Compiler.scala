@@ -1001,6 +1001,22 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case ListLit(items)  => array(items.map(x => compileExpr(x, ctx)): _*)
     case MapLit(entries) =>
       map(entries.flatMap { case (k, v) => Seq(lit(k), compileExpr(v, ctx)) }: _*)
+    // variable_edge operator family (sql/postgraph-variable_edge.sql.in:
+    // 21-242): set/sequence ops over VLE edge sequences — all computed on
+    // the bare 8-byte edge-id arrays, no value materialization needed
+    case Bin(op @ ("&&" | "=" | "<>"), Var(a), Var(b))
+        if isVleVar(a, ctx) && isVleVar(b, ctx) =>
+      op match {
+        case "&&" => arrays_overlap(col(s"${a}__ids"), col(s"${b}__ids"))
+        case "="  => col(s"${a}__ids") === col(s"${b}__ids")
+        case "<>" => col(s"${a}__ids") =!= col(s"${b}__ids")
+      }
+    case Bin("@>", Var(a), Var(e))
+        if isVleVar(a, ctx) && ctx.vars.get(e).exists(_.kind == VarKind.Edge) =>
+      array_contains(col(s"${a}__ids"), col(s"${e}__id"))
+    case Bin("<@", Var(e), Var(a))
+        if isVleVar(a, ctx) && ctx.vars.get(e).exists(_.kind == VarKind.Edge) =>
+      array_contains(col(s"${a}__ids"), col(s"${e}__id"))
     case Bin(op, l, r) => binOp(op, compileExpr(l, ctx), compileExpr(r, ctx), ctx,
       rRaw = Some(r))
     case Un("NOT", x) => !compileExpr(x, ctx)
@@ -1477,8 +1493,18 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // the path value is (id, label) element structs — uniform across
       // labels so the array type unifies; full property structs land with
       // the GValue column codec
-      case "nodes" => pathMembers(args.head, ctx, edges = false)
-      case "relationships" | "edges" => pathMembers(args.head, ctx, edges = true)
+      case "nodes" => args.head match {
+        case Var(v) if isVleVar(v, ctx) =>
+          // nodes(variable_edge): the n−1 vertices BETWEEN the edges, not
+          // the endpoints (variable_edge.c:314-334 — odd children only)
+          val ns = col(s"${v}__nodes")
+          slice(ns, lit(2), greatest(size(ns) - 2, lit(0)))
+        case other => pathMembers(other, ctx, edges = false)
+      }
+      case "relationships" | "edges" => args.head match {
+        case Var(v) if isVleVar(v, ctx) => col(s"${v}__edges")
+        case other => pathMembers(other, ctx, edges = true)
+      }
       case other =>
         // Fallback: resolve through the session function registry. The
         // reference registers its whole 496-function catalog for SQL use;
@@ -1625,9 +1651,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case Index(FnCall("relationships" | "edges", List(Var(p)), _),
           LitInt(i)) if singleVleOf(p, ctx).isDefined =>
         Set((singleVleOf(p, ctx).get, s"edges@$i"))
-      case FnCall("nodes", List(Var(p)), _) => vleOf(p).map((_, "nodes")).toSet
+      case FnCall("nodes", List(Var(p)), _) =>
+        if (ctx.vars.get(p).exists(_.kind == VarKind.VlePath)) Set((p, "nodes"))
+        else vleOf(p).map((_, "nodes")).toSet
       case FnCall("relationships" | "edges", List(Var(p)), _) =>
-        vleOf(p).map((_, "edges")).toSet
+        if (ctx.vars.get(p).exists(_.kind == VarKind.VlePath)) Set((p, "edges"))
+        else vleOf(p).map((_, "edges")).toSet
       case FnCall(_, args, _) => args.flatMap(vleValueNeeds(_, ctx)).toSet
       case Bin(_, l, r) => vleValueNeeds(l, ctx) ++ vleValueNeeds(r, ctx)
       case Un(_, x) => vleValueNeeds(x, ctx)
@@ -1658,6 +1687,9 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case _ => None
     }
   }
+
+  private def isVleVar(n: String, ctx: Ctx): Boolean =
+    ctx.vars.get(n).exists(_.kind == VarKind.VlePath)
 
   /** A path var bound to exactly `(a)-[vle*]->(b)` — its nodes()/
     * relationships() arrays are the VLE frontier's own nid/id sequences.

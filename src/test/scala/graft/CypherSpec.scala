@@ -437,6 +437,30 @@ class CypherSpec extends AnyFunSuite {
     assert(n3 == 0L)
   }
 
+  test("variable_edge operators && @> <@ = <> and nodes/edges on bare VLE vars") {
+    // chain 1→2→3→4: e1 = Ann's 2-hop (edges 10,11), e2 = Bob's 2-hop
+    // (edges 11,12) — they share edge 11
+    // separate MATCH clauses: edge-uniqueness is per MATCH, so the two
+    // VLE expansions may legitimately share edge 11
+    val r = run("MATCH (a:Person {name: 'Ann'})-[e1:KNOWS*2..2]->(x) " +
+      "MATCH (b:Person {name: 'Bob'})-[e2:KNOWS*2..2]->(y) " +
+      "RETURN (e1 && e2)::int AS ov, (e1 = e1)::int AS eq, (e1 <> e2)::int AS ne")
+      .collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    // @> / <@ with a single edge: Bob→Cal (edge 11) lies on Ann's 2-hop VLE
+    val r2 = run("MATCH (a:Person {name: 'Ann'})-[e:KNOWS*2..2]->(x) " +
+      "MATCH (b:Person {name: 'Bob'})-[k:KNOWS]->(c:Person {name: 'Cal'}) " +
+      "RETURN (e @> k)::int AS cont, (k <@ e)::int AS inv").collect().head
+    assert(r2.getLong(0) == 1L && r2.getLong(1) == 1L)
+    // nodes(ve) = interior vertices only (variable_edge.c); edges(ve) = all
+    val r3 = run("MATCH (a:Person {name: 'Ann'})-[e:KNOWS*2..2]->(x) " +
+      "RETURN size(nodes(e)) AS ni, nodes(e)[0].name AS nm, size(edges(e)) AS ne")
+      .collect().head
+    assert(r3.getInt(0) == 1 && r3.getInt(2) == 2)
+    assert(graft.gvalue.GValueCol.decode(r3.getAs[org.apache.spark.sql.Row](1))
+      == graft.gvalue.GString("Bob"))
+  }
+
   test("property access on path elements reads the properties map (vertex.h accessors)") {
     val r = run("MATCH p = (a:Person {name: 'Ann'})-[e:LIVES_IN*1..1]->(c:City) " +
       "RETURN nodes(p)[-1].cname AS cn, nodes(p)[-1].label AS lbl, " +
