@@ -1017,6 +1017,33 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case Bin("<@", Var(e), Var(a))
         if isVleVar(a, ctx) && ctx.vars.get(e).exists(_.kind == VarKind.Edge) =>
       array_contains(col(s"${a}__ids"), col(s"${e}__id"))
+    // distance operators (postgraph-gtype.sql.in:140-167): arrays are
+    // vectors (l2 / negative inner product / cosine distance); `<->` on
+    // geometric values is point distance
+    case Bin(op @ ("<->" | "<#>" | "<=>"), l, r) =>
+      val lc = compileExpr(l, ctx); val rc = compileExpr(r, ctx)
+      (dataTypeOpt(lc, ctx), dataTypeOpt(rc, ctx)) match {
+        case (Some(_: ArrayType), Some(_: ArrayType)) => op match {
+          case "<->" => graft.functions.VectorFns.l2Distance(lc, rc)
+          case "<#>" => graft.functions.VectorFns.negativeInnerProduct(lc, rc)
+          case "<=>" => graft.functions.VectorFns.cosineDistance(lc, rc)
+        }
+        case _ if op == "<->" => graft.functions.RangeGeoFns.pointDistance(lc, rc)
+        case other => throw new UnsupportedOperationException(s"$op over $other")
+      }
+    // key-exists family (postgraph-vertex.sql.in:243-276 / gtype GIN ops):
+    // `m ? 'k'` key present, `m ?| keys` any present, `m ?& keys` all
+    case Bin(op @ ("?" | "?|" | "?&"), l, r) =>
+      val m = l match {
+        case Var(v) if ctx.vars.get(v).exists(_.isEntity) => propertiesMap(v, ctx)
+        case other => compileExpr(other, ctx)
+      }
+      val rc = compileExpr(r, ctx)
+      op match {
+        case "?"  => map_contains_key(m, rc)
+        case "?|" => exists(rc, k => map_contains_key(m, k))
+        case "?&" => forall(rc, k => map_contains_key(m, k))
+      }
     case Bin(op, l, r) => binOp(op, compileExpr(l, ctx), compileExpr(r, ctx), ctx,
       rRaw = Some(r))
     case Un("NOT", x) => !compileExpr(x, ctx)
@@ -1236,10 +1263,24 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           val la = if (rangeKindOf(lt) == "range") array(l) else l
           val ra = if (rangeKindOf(rt) == "range") array(r) else r
           graft.functions.RangeGeoFns.multiUnion(la, ra)
+        // temporal arithmetic (gtype_add temporal branches; temporal.sql:513-523)
+        case (Some(t), Some(ivt)) if isTemporalType(t) && isIntervalStruct(ivt) =>
+          graft.functions.TemporalFns.shiftTemporal(l, r, 1)
+        case (Some(ivt), Some(t)) if isIntervalStruct(ivt) && isTemporalType(t) =>
+          graft.functions.TemporalFns.shiftTemporal(r, l, 1)
+        case (Some(a), Some(b)) if isIntervalStruct(a) && isIntervalStruct(b) =>
+          graft.functions.TemporalFns.addIntervals(l, r, 1)
         case (Some(_: ArrayType), Some(_: ArrayType)) => concat(l, r)
         case _ => l + r
       }
-    case "-"  => l - r
+    case "-"  =>
+      (dataTypeOpt(l, ctx), dataTypeOpt(r, ctx)) match {
+        case (Some(t), Some(ivt)) if isTemporalType(t) && isIntervalStruct(ivt) =>
+          graft.functions.TemporalFns.shiftTemporal(l, r, -1)
+        case (Some(a), Some(b)) if isIntervalStruct(a) && isIntervalStruct(b) =>
+          graft.functions.TemporalFns.addIntervals(l, r, -1)
+        case _ => l - r
+      }
     case "*"  => l * r
     case "/"  => l / r
     case "%"  => l % r
@@ -1690,6 +1731,17 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
 
   private def isVleVar(n: String, ctx: Ctx): Boolean =
     ctx.vars.get(n).exists(_.kind == VarKind.VlePath)
+
+  private def isTemporalType(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+
+  /** The interval struct(months, days, us) triple from TemporalFns. */
+  private def isIntervalStruct(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fieldNames.sameElements(Array("months", "days", "us"))
+    case _ => false
+  }
 
   /** A path var bound to exactly `(a)-[vle*]->(b)` — its nodes()/
     * relationships() arrays are the VLE frontier's own nid/id sequences.

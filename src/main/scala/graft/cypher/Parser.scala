@@ -128,14 +128,14 @@ object Parser {
         // longest match first: the PG operator family nests (~, ~*, ~~,
         // ~~*, !~, !~*, !~~, !~~*) — reference gtype_string.c:163-227
         if (four == "!~~*") { out += TSym(four); i += 4 }
-        else if (Set("<->", "!~~", "~~*", "!~*",
-            "@-@", "?-|", "?||", "<<|", "|>>").contains(three)) {
+        else if (Set("<->", "<#>", "<=>", "!~~", "~~*", "!~*", "->>",
+            "@-@", "?-|", "?||", "<<|", "|>>", "!@=").contains(three)) {
           out += TSym(three); i += 3
         }
         else if (Set("<=", ">=", "<>", "=~", "->", "<-", "..", "::",
             "~~", "~*", "!~",
-            "##", "?#", "?|", "?-", "@@", "@>", "<@", "<<", ">>", "&<", "&>",
-            "&&").contains(two)) {
+            "##", "?#", "?|", "?-", "?&", "@@", "@>", "<@", "<<", ">>", "&<", "&>",
+            "&&", "@=").contains(two)) {
           out += TSym(two); i += 2
         } else {
           out += TSym(c.toString); i += 1
@@ -502,8 +502,21 @@ object Parser {
           case TSym(op @ ("#" | "##" | "?#" | "?-|" | "?||" | "@>" | "<@" |
               "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>" | "&&")) =>
             pos += 1; l = Bin(op, l, parseAdditive())
+          // key-exists family over properties/objects (?, ?|, ?& —
+          // postgraph-vertex.sql.in:243-276, gtype GIN operators)
+          case TSym(op @ ("?" | "?|" | "?&")) =>
+            pos += 1; l = Bin(op, l, parseAdditive())
+          // distance operators: vector l2 / neg-inner-product / cosine
+          // (postgraph-gtype.sql.in:140-167), `<->` also point distance
+          case TSym(op @ ("<->" | "<#>" | "<=>")) =>
+            pos += 1; l = Bin(op, l, parseAdditive())
           case TKw("IN", _) =>
             pos += 1; l = Bin("IN", l, parseAdditive())
+          // @= / !@= — the operator spellings of IN (gtype-lists.sql.in:36)
+          case TSym("@=") =>
+            pos += 1; l = Bin("IN", l, parseAdditive())
+          case TSym("!@=") =>
+            pos += 1; l = Un("NOT", Bin("IN", l, parseAdditive()))
           case TKw("STARTS", _) =>
             pos += 1; expectKw("WITH"); l = StringOp("STARTS", l, parseAdditive())
           case TKw("ENDS", _) =>
@@ -588,6 +601,18 @@ object Parser {
           pos += 1
           val ty = ident().toLowerCase
           e = FnCall(Parser.castFnFor(ty), List(e), distinct = false)
+        } else if (atSym("->") || atSym("->>")) {
+          // gtype/vertex/edge property-or-element access operators
+          // (postgraph-vertex.sql.in:160-188, gtype.sql.in) — `->` keyed or
+          // indexed access, `->>` the text form
+          val asText = atSym("->>")
+          pos += 1
+          val key = cur match {
+            case TStr(s) => pos += 1; Prop(e, s)
+            case TInt(v) => pos += 1; Index(e, Lit(GInt(v)))
+            case _       => Prop(e, ident())
+          }
+          e = if (asText) FnCall("tostring", List(key), distinct = false) else key
         } else done = true
       }
       e

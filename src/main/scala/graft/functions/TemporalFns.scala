@@ -40,6 +40,24 @@ object TemporalFns {
     struct(months.cast("int").as("months"), days.cast("int").as("days"),
       us.cast("long").as("us"))
 
+  /** timestamp/date ± interval (gtype_add/gtype_sub temporal branches):
+    * months calendar-shifted first, then days, then the time part — PG's
+    * interval application order. A date input yields a timestamp, like PG.
+    */
+  def shiftTemporal(t: Column, iv: Column, sign: Int): Column = {
+    val s = lit(sign)
+    t.cast("timestamp") + call_function("make_interval",
+      lit(0), iv.getField("months") * s, lit(0), iv.getField("days") * s,
+      lit(0), lit(0),
+      ((iv.getField("us") * s).cast("double") / 1e6).cast("decimal(18,6)"))
+  }
+
+  /** interval ± interval: component-wise (gtype temporal add/sub). */
+  def addIntervals(a: Column, b: Column, sign: Int): Column =
+    interval(a.getField("months") + b.getField("months") * sign,
+      a.getField("days") + b.getField("days") * sign,
+      a.getField("us") + b.getField("us") * sign)
+
   /** justify_hours: fold whole 24h blocks of the time part into days. */
   def justifyHours(iv: Column): Column = {
     val dayUs = 86400000000L

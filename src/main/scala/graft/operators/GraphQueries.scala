@@ -184,6 +184,23 @@ object GraphQueries {
         "sum(CASE WHEN d.source NOT ILIKE 'SRC1%' THEN 1 ELSE 0 END) AS n_nilike " +
         "ORDER BY lang"),
 
+    // round-4 operator spellings in one oracled matrix: key-exists ? on
+    // entities (postgraph-vertex.sql.in:243), -> / ->> access, @= / !@=
+    // (gtype-lists.sql.in:36), vector <-> <#> <=> (gtype.sql.in:140-167),
+    // temporal ± interval (gtype_add/sub; temporal.sql:513-523)
+    "g27_operator_forms" -> cy(
+      "MATCH (o:Order) WHERE o.o_orderkey <= 300 " +
+        "RETURN o.o_orderkey AS ok, " +
+        "(o ? 'o_orderstatus')::int AS has_st, (o ? 'nope')::int AS has_no, " +
+        "o -> 'o_orderstatus' AS st, o ->> 'o_orderpriority' AS pri_txt, " +
+        "((o.o_orderkey % 7) @= [0, 1, 2])::int AS inset, " +
+        "((o.o_orderkey % 7) !@= [0, 1, 2])::int AS notin, " +
+        "[tofloat(o.o_orderkey % 5), 1.0] <-> [0.0, 0.0] AS l2, " +
+        "[tofloat(o.o_orderkey % 5), 1.0] <#> [2.0, 3.0] AS nip, " +
+        "o.o_orderdate + '10 days'::interval AS d10, " +
+        "o.o_orderdate::timestamp - '1 month'::interval AS m1 " +
+        "ORDER BY ok"),
+
     // range completion (gtype_range.c + GT_HEADER_RANGE_*_MULTI):
     // daterange canonicalization, tsrange casts, the multirange
     // constructors with sort+merge normalization, @> containment
@@ -363,6 +380,17 @@ object GraphQueries {
         |    FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  UNION ALL SELECT 2, 'Part', 'PLACED', l_partkey FROM lineitem
         |) GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+    "g27_operator_forms" ->
+      """SELECT o_orderkey AS ok,
+        |  CAST(1 AS BIGINT) AS has_st, CAST(0 AS BIGINT) AS has_no,
+        |  o_orderstatus AS st, o_orderpriority AS pri_txt,
+        |  CAST(CASE WHEN o_orderkey % 7 IN (0, 1, 2) THEN 1 ELSE 0 END AS BIGINT) AS inset,
+        |  CAST(CASE WHEN o_orderkey % 7 IN (0, 1, 2) THEN 0 ELSE 1 END AS BIGINT) AS notin,
+        |  sqrt((o_orderkey % 5) * (o_orderkey % 5) + 1.0) AS l2,
+        |  -(2.0 * (o_orderkey % 5) + 3.0) AS nip,
+        |  CAST(o_orderdate AS TIMESTAMP) + INTERVAL 10 DAY AS d10,
+        |  CAST(o_orderdate AS TIMESTAMP) - INTERVAL 1 MONTH AS m1
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY ok""".stripMargin,
     "g26_range_multirange" ->
       """SELECT o_orderkey AS ok,
         |  CAST(CASE WHEN o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01' THEN 1 ELSE 0 END AS BIGINT) AS in95,

@@ -437,6 +437,57 @@ class CypherSpec extends AnyFunSuite {
     assert(n3 == 0L)
   }
 
+  test("key-exists ? ?| ?& and -> / ->> access operators (postgraph-vertex.sql.in)") {
+    val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
+      "(p ? 'age')::int AS has_age, (p ? 'nope')::int AS has_nope, " +
+      "(p ?| ['nope', 'city'])::int AS any_k, (p ?& ['name', 'age'])::int AS all_k, " +
+      "(p ?& ['name', 'nope'])::int AS all_miss, " +
+      "(properties(p) ? 'city')::int AS map_has, " +
+      "p -> 'name' AS arrow, p ->> 'age' AS arrow_text, " +
+      "[10, 20, 30] -> 1 AS elem").collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L && r.getLong(4) == 0L)
+    assert(r.getLong(5) == 1L)
+    assert(r.getString(6) == "Ann") // entity -> resolves to the typed column
+    assert(r.getString(7) == "30")
+    assert(r.getLong(8) == 20L)
+  }
+
+  test("temporal arithmetic: timestamp/date ± interval, interval ± interval (temporal.sql:513-523)") {
+    val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
+      "'2023-06-23 13:39:40'::timestamp + '10 days'::interval AS ts_plus, " +
+      "'2023-06-23'::date + '10 days'::interval AS d_plus, " +
+      "'2023-06-23 13:39:40'::timestamp - '1 month'::interval AS ts_minus, " +
+      "('10 days'::interval + '8 hours'::interval).days AS iv_d, " +
+      "('10 days'::interval + '8 hours'::interval).us AS iv_us, " +
+      "('10 days'::interval - '2 days'::interval).days AS iv_sub")
+      .collect().head
+    assert(r.getTimestamp(0).toString.startsWith("2023-07-03 13:39:40"))
+    assert(r.getTimestamp(1).toString.startsWith("2023-07-03 00:00:00"))
+    assert(r.getTimestamp(2).toString.startsWith("2023-05-23 13:39:40"))
+    assert(r.getInt(3) == 10 && r.getLong(4) == 8L * 3600000000L)
+    assert(r.getInt(5) == 8)
+  }
+
+  test("@= / !@= operator spellings of IN (gtype-lists.sql.in:36)") {
+    val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
+      "(2 @= [1, 2, 3])::int AS yes, (9 @= [1, 2, 3])::int AS no, " +
+      "(9 !@= [1, 2, 3])::int AS notin").collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L && r.getLong(2) == 1L)
+  }
+
+  test("vector distance operators <-> <#> <=> and point <-> (postgraph-gtype.sql.in:140)") {
+    val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
+      "[1.0, 0.0] <-> [0.0, 1.0] AS l2, " +
+      "[1.0, 2.0] <#> [3.0, 4.0] AS nip, " +
+      "[1.0, 0.0] <=> [0.0, 1.0] AS cosd, " +
+      "topoint(0, 0) <-> topoint(3, 4) AS pd").collect().head
+    assert(math.abs(r.getDouble(0) - math.sqrt(2)) < 1e-12)
+    assert(r.getDouble(1) == -11.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getDouble(3) == 5.0)
+  }
+
   test("variable_edge operators && @> <@ = <> and nodes/edges on bare VLE vars") {
     // chain 1→2→3→4: e1 = Ann's 2-hop (edges 10,11), e2 = Bob's 2-hop
     // (edges 11,12) — they share edge 11
