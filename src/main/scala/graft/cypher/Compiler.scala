@@ -800,13 +800,21 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       if (boundOrder.nonEmpty) {
         val tentative = ctx.df.select(cols.toSeq: _*)
         boundOrder.zipWithIndex.foreach { case (s, i) =>
-          val postOk = scala.util.Try {
+          // ORDER BY a path value sorts by the interleaved (v, e, v, …)
+          // id sequence (traversal.c:188-215 compare_traversal_orderability)
+          // — the full value's properties maps are not orderable
+          val pathKey = s.expr match {
+            case Var(p) if ctx.vars.get(p).exists(_.kind == VarKind.Path) =>
+              Some(pathOrderKey(p, ctx))
+            case _ => None
+          }
+          val postOk = pathKey.isEmpty && scala.util.Try {
             val c = compileExpr(s.expr,
               Ctx(tentative, outVars, projected = true))
             tentative.select(c).schema
           }.isSuccess
           if (!postOk) {
-            val pre = compileExpr(s.expr, ctx)
+            val pre = pathKey.getOrElse(compileExpr(s.expr, ctx))
             cols += pre.as(s"__sort$i")
             hiddenSort ::= s"__sort$i"
           }
@@ -973,6 +981,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           require(ctx.df.columns.contains(s"${n}__edges"),
             s"VLE variable $n's traversal values were not materialized here")
           col(s"${n}__edges")
+        case Some(info) if info.kind == VarKind.Path =>
+          // RETURN p — the traversal value (traversal.c:64-120 builds the
+          // interleaved vertex/edge varlena; the Spark-typed equivalent is
+          // a (nodes, edges) struct pair, orderable for ORDER BY p via
+          // traversal_ops-style sequence comparison)
+          struct(pathMembers(Var(n), ctx, edges = false).as("nodes"),
+            pathMembers(Var(n), ctx, edges = true).as("edges"))
         case _ => col(n)
       }
     case Prop(Var(n), k) if ctx.vars.get(n).exists(_.isEntity) =>
@@ -1282,7 +1297,16 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case _ => l - r
       }
     case "*"  => l * r
-    case "/"  => l / r
+    case "/"  =>
+      // gtype_div (gtype_ops.c:549-554): int / int is TRUNCATING integer
+      // division (C semantics, toward zero); any float operand promotes.
+      // The double→long cast truncates toward zero; ANSI mode raises on /0
+      // like the reference's ereport(DIVISION_BY_ZERO).
+      (dataTypeOpt(l, ctx), dataTypeOpt(r, ctx)) match {
+        case (Some(a), Some(b)) if isIntegralType(a) && isIntegralType(b) =>
+          (l / r).cast("long")
+        case _ => l / r
+      }
     case "%"  => l % r
     case "^"  => pow(l, r)
     case "="  => l === r
@@ -1673,6 +1697,9 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     e match {
       case Var(n) if ctx.vars.get(n).exists(_.kind == VarKind.VlePath) =>
         Set((n, "edges"))
+      case Var(p) if ctx.vars.get(p).exists(_.kind == VarKind.Path) =>
+        // bare path value needs both sequences of every VLE segment
+        vleOf(p).flatMap(m => Seq((m, "nodes"), (m, "edges"))).toSet
       case FnCall("size" | "length", List(Var(_)), _) => Set.empty
       // indexed access with a literal index over a single-VLE-segment path
       // prunes to ONE entity lookup join — no explode/collect of the whole
@@ -1732,8 +1759,31 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   private def isVleVar(n: String, ctx: Ctx): Boolean =
     ctx.vars.get(n).exists(_.kind == VarKind.VlePath)
 
+  /** Orderable surrogate for a path value: the interleaved
+    * (v0, e0, v1, e1, …) graphid sequence — exactly what the reference's
+    * traversal_btree_cmp compares (traversal.c:188-215). Lexicographic
+    * array<long> comparison (incl. the shorter-prefix tiebreak) matches.
+    */
+  private def pathOrderKey(p: String, ctx: Ctx): Column = {
+    val info = ctx.vars(p)
+    val head = array(col(s"${info.pathNodes.head}__id"))
+    val segs = info.pathEdges.zipWithIndex.map { case (m, i) =>
+      if (isVleVar(m, ctx)) {
+        val ids = col(s"${m}__ids"); val nids = col(s"${m}__nids")
+        flatten(zip_with(ids, slice(nids, lit(2), greatest(size(nids) - 1, lit(0))),
+          (e, v) => array(e, v)))
+      } else array(col(s"${m}__id"), col(s"${info.pathNodes(i + 1)}__id"))
+    }
+    concat(head +: segs: _*)
+  }
+
   private def isTemporalType(dt: DataType): Boolean = dt match {
     case TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+
+  private def isIntegralType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
 

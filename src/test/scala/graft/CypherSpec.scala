@@ -453,6 +453,25 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getLong(8) == 20L)
   }
 
+  test("RETURN p traversal values and ORDER BY p (traversal.c:64-215)") {
+    // fixed-length path: the value is a (nodes, edges) struct pair
+    val rows = run("MATCH p = (a:Person)-[:KNOWS]->(b:Person) RETURN p ORDER BY p")
+      .collect()
+    assert(rows.length == 5) // 4 chain/cycle edges + the self-loop
+    val first = rows.head.getStruct(0)
+    val nodes = first.getSeq[org.apache.spark.sql.Row](0)
+    val edges = first.getSeq[org.apache.spark.sql.Row](1)
+    assert(nodes.length == 2 && edges.length == 1)
+    // ORDER BY p = interleaved id order → first path starts at min vertex id
+    val startIds = rows.map(_.getStruct(0).getSeq[org.apache.spark.sql.Row](0).head.getLong(0))
+    assert(startIds.sameElements(startIds.sorted))
+    // path with a VLE segment: nodes/edges arrays stay in hop order
+    val vle = run("MATCH p = (a:Person {name: 'Ann'})-[e:KNOWS*2..2]->(b) RETURN p")
+      .collect().head.getStruct(0)
+    assert(vle.getSeq[org.apache.spark.sql.Row](0).length == 3)
+    assert(vle.getSeq[org.apache.spark.sql.Row](1).length == 2)
+  }
+
   test("temporal arithmetic: timestamp/date ± interval, interval ± interval (temporal.sql:513-523)") {
     val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
       "'2023-06-23 13:39:40'::timestamp + '10 days'::interval AS ts_plus, " +
@@ -614,9 +633,11 @@ class CypherSpec extends AnyFunSuite {
   }
 
   test("arithmetic with promotion in projections") {
-    val r = run("RETURN 7 / 2 AS intdiv, 7.0 / 2 AS fdiv, 2 ^ 10 AS p")
+    val r = run("RETURN 7 / 2 AS intdiv, -7 / 2 AS negdiv, 7.0 / 2 AS fdiv, 2 ^ 10 AS p")
       .collect().head
-    assert(r.getDouble(1) == 3.5 && r.getDouble(2) == 1024.0)
+    // gtype_div: int/int truncates toward zero (gtype_ops.c:549-554)
+    assert(r.getLong(0) == 3L && r.getLong(1) == -3L)
+    assert(r.getDouble(2) == 3.5 && r.getDouble(3) == 1024.0)
   }
 
   test("CALL {} uncorrelated subquery cross-joins its result") {
