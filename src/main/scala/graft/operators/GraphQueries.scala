@@ -387,7 +387,7 @@ object GraphQueries {
         |  CAST(CASE WHEN o_orderkey % 7 IN (0, 1, 2) THEN 1 ELSE 0 END AS BIGINT) AS inset,
         |  CAST(CASE WHEN o_orderkey % 7 IN (0, 1, 2) THEN 0 ELSE 1 END AS BIGINT) AS notin,
         |  sqrt((o_orderkey % 5) * (o_orderkey % 5) + 1.0) AS l2,
-        |  -(2.0 * (o_orderkey % 5) + 3.0) AS nip,
+        |  CAST(-(2.0 * (o_orderkey % 5) + 3.0) AS DOUBLE) AS nip,
         |  CAST(o_orderdate AS TIMESTAMP) + INTERVAL 10 DAY AS d10,
         |  CAST(o_orderdate AS TIMESTAMP) - INTERVAL 1 MONTH AS m1
         |FROM orders WHERE o_orderkey <= 300 ORDER BY ok""".stripMargin,
