@@ -948,7 +948,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
               max_by(a.head, graft.gvalue.GValueCol.orderKey(a.head))
             case _ => max(a.head)
           }
-        case "collect" => if (dist) collect_set(a.head) else collect_list(a.head)
+        case "collect" =>
+          val full = if (dist) collect_set(a.head) else collect_list(a.head)
+          // 2-arg form caps the result (vertex/edge/gtype_collect_transfn_w_limit,
+          // postgraph-aggregation.sql.in:294-334)
+          if (a.length >= 2) slice(full, lit(1), a(1).cast("int")) else full
         case "stdev"   => stddev_samp(a.head)
         case "stdevp"  => stddev_pop(a.head)
         case "percentilecont" => call_function("percentile", a.head, a(1))
@@ -961,6 +965,9 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             greatest(ceil(count(a.head) * a(1)), lit(1)).cast("int"))
       }
     case Bin(op, l, r) => binOp(op, compileAggExpr(l, ctx), compileAggExpr(r, ctx), ctx)
+    case FnCall(name, args, _) if !AggFns(name) && args.exists(containsAggregate) =>
+      // scalar function over an aggregate result: size(collect(…)) etc.
+      compileFn(name, args, ctx, inAgg = true)
     case other => compileExpr(other, ctx)
   }
 
@@ -1350,8 +1357,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
   })
 
-  private def compileFn(name: String, args: List[Expr], ctx: Ctx): Column = {
-    def a(i: Int): Column = compileExpr(args(i), ctx)
+  private def compileFn(name: String, args: List[Expr], ctx: Ctx,
+      inAgg: Boolean = false): Column = {
+    // in aggregate context, argument subtrees may contain aggregate calls
+    // (size(collect(x)), head(collect(x)) …) — compile them as aggregates
+    def sub(e: Expr): Column =
+      if (inAgg) compileAggExpr(e, ctx) else compileExpr(e, ctx)
+    def a(i: Int): Column = sub(args(i))
     name match {
       case "id"    => entityField(args.head, "id", ctx)
       case "label" | "type" => entityField(args.head, "label", ctx)
@@ -1381,7 +1393,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           vles.foldLeft(lit(fixed.length.toLong): Column)(
             (acc, m) => acc + size(col(s"${m}__ids")).cast("long"))
         case arg =>
-          val c = compileExpr(arg, ctx)
+          val c = sub(arg)
           dataTypeOf(c, ctx) match {
             case StringType => length(c)
             case _          => size(c)
@@ -1578,7 +1590,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         // Spark builtin, callable from Cypher. Unknown names surface as an
         // analysis error naming the function.
         graft.functions.Registry.register(spark)
-        call_function(other, args.map(x => compileExpr(x, ctx)): _*)
+        call_function(other, args.map(sub): _*)
     }
   }
 

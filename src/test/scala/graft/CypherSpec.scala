@@ -453,6 +453,13 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getLong(8) == 20L)
   }
 
+  test("collect with a limit arg caps the list (aggregation.sql.in:294)") {
+    val r = run("MATCH (p:Person) WITH p.name AS nm ORDER BY nm " +
+      "RETURN collect(nm, 2) AS two, size(collect(nm, 10)) AS all_n").collect().head
+    assert(r.getSeq[String](0) == Seq("Ann", "Bob"))
+    assert(r.getInt(1) == 5)
+  }
+
   test("RETURN p traversal values and ORDER BY p (traversal.c:64-215)") {
     // fixed-length path: the value is a (nodes, edges) struct pair
     val rows = run("MATCH p = (a:Person)-[:KNOWS]->(b:Person) RETURN p ORDER BY p")
