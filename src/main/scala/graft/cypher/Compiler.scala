@@ -1539,7 +1539,15 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "_geo_vertical"   => graft.functions.PgGeoFns.vertical(a(0), geoKindOf(a(0), ctx))
       case "_geo_horizontal" => graft.functions.PgGeoFns.horizontal(a(0), geoKindOf(a(0), ctx))
       case "center"          => graft.functions.PgGeoFns.center(a(0), geoKindOf(a(0), ctx))
-      case "_geo_length"     => graft.functions.PgGeoFns.geoLength(a(0), geoKindOf(a(0), ctx))
+      case "_geo_length"     => args.head match {
+        // `@-@ ve` / `@-@ p` = traversal length in edges (postgraph-
+        // variable_edge.sql.in:242, traversal.sql.in:192) — the operator
+        // shares its spelling with geometric path length
+        case Var(v) if isVleVar(v, ctx) => size(col(s"${v}__ids"))
+        case Var(v) if ctx.vars.get(v).exists(_.kind == VarKind.Path) =>
+          compileFn("length", args, ctx)
+        case _ => graft.functions.PgGeoFns.geoLength(a(0), geoKindOf(a(0), ctx))
+      }
       case "height" => graft.functions.RangeGeoFns.boxHeight(
         graft.functions.PgGeoFns.boundBox(a(0), geoKindOf(a(0), ctx)))
       case "width" => graft.functions.RangeGeoFns.boxWidth(

@@ -453,6 +453,12 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getLong(8) == 20L)
   }
 
+  test("@-@ on VLE vars and paths = edge count (variable_edge.sql.in:242)") {
+    val r = run("MATCH p = (a:Person {name: 'Ann'})-[e:KNOWS*2..2]->(b) " +
+      "RETURN @-@ e AS ve_len, @-@ p AS p_len").collect().head
+    assert(r.getInt(0) == 2 && r.getLong(1) == 2L)
+  }
+
   test("collect with a limit arg caps the list (aggregation.sql.in:294)") {
     val r = run("MATCH (p:Person) WITH p.name AS nm ORDER BY nm " +
       "RETURN collect(nm, 2) AS two, size(collect(nm, 10)) AS all_n").collect().head
