@@ -31,7 +31,7 @@ object Parser {
     "CREATE", "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "UNION", "ALL",
     "INTERSECT", "EXCEPT", "CASE", "WHEN", "THEN", "ELSE", "END", "STARTS",
     "ENDS", "CONTAINS", "EXISTS", "NULLS", "FIRST", "LAST", "CALL", "YIELD",
-    "ANY", "SOME", "LIKE", "ILIKE")
+    "ANY", "SOME", "LIKE", "ILIKE", "USING")
 
   /** The grammar's keyword list (get_cypher_keywords backing). */
   def keywordList: Seq[String] = keywords.toSeq.sorted
@@ -241,7 +241,15 @@ object Parser {
         var more = true
         while (more) {
           val e = parseExpr()
-          val desc = if (eat("DESC") || eat("DESCENDING")) true
+          // PG's `ORDER BY x USING <` / `USING >` (order_by.sql:46) — the
+          // btree-operator form of ASC/DESC
+          val desc =
+            if (eat("USING")) {
+              if (eatSym("<")) false
+              else if (eatSym(">")) true
+              else throw ParseException("ORDER BY ... USING expects < or >")
+            }
+            else if (eat("DESC") || eat("DESCENDING")) true
             else { eat("ASC"); eat("ASCENDING"); false }
           val nf = if (eat("NULLS")) {
             if (eat("FIRST")) Some(true) else { expectKw("LAST"); Some(false) }

@@ -453,6 +453,14 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getLong(8) == 20L)
   }
 
+  test("ORDER BY ... USING < / > (order_by.sql:46)") {
+    val asc = run("MATCH (p:Person) RETURN p.name AS nm ORDER BY nm USING <")
+      .collect().map(_.getString(0))
+    val desc = run("MATCH (p:Person) RETURN p.name AS nm ORDER BY nm USING >")
+      .collect().map(_.getString(0))
+    assert(asc.sameElements(asc.sorted) && desc.sameElements(asc.reverse))
+  }
+
   test("@-@ on VLE vars and paths = edge count (variable_edge.sql.in:242)") {
     val r = run("MATCH p = (a:Person {name: 'Ann'})-[e:KNOWS*2..2]->(b) " +
       "RETURN @-@ e AS ve_len, @-@ p AS p_len").collect().head
