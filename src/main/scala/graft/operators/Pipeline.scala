@@ -35,45 +35,52 @@ object Pipeline {
     conv(substring(md5(concat(lit("smp:"), docId.cast("string"))), 1, 15), 16, 10)
       .cast("long") % 1000
 
+  /** Near-dup component labels over the LSH-verified pair set:
+    * (id, lbl) with lbl = min doc_id of the component. Min-label
+    * propagation over the CANDIDATE node set only (docs appearing in some
+    * near-dup pair — a tiny fraction of the corpus), so each iteration is
+    * one join + one aggregate on a relation ∝ dup pairs, not ∝ corpus.
+    * Deep chain-shaped components would want the GraphX pointer-doubling
+    * CC (x1) instead; real near-dup graphs are small dense cliques where
+    * min-label converges in a couple of hops. Shared by d6 (cluster
+    * report) and d10 (corpus materialization).
+    */
+  private def dupClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.lshVerifiedPairs(s, dir)
+      .select(col("da"), col("db")).localCheckpoint()
+    val edges = pairs.unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+      .toDF("src", "dst").localCheckpoint()
+    var lbl = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < 50) {
+      val nb = edges
+        .join(lbl.select(col("id").as("src"), col("lbl").as("nlbl")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("nlbl")).as("nmin"))
+      // localCheckpoint materializes the generation; the convergence probe
+      // reads its cached blocks (one cheap extra action, no recompute)
+      val upd = lbl.join(nb, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          (col("nmin") < col("lbl")).as("chg"))
+        .localCheckpoint()
+      changed = !upd.filter(col("chg")).isEmpty
+      lbl = upd.select(col("id"), col("lbl"))
+      iter += 1
+    }
+    lbl
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Near-dup cluster canonicalization: connected components over the
-    // LSH-verified near-dup pair set (d3), keeper = min doc_id per cluster.
-    // The component loop is min-label propagation over the CANDIDATE node
-    // set only (docs that appear in some near-dup pair — a tiny fraction of
-    // the corpus), so each iteration is one join + one aggregate on a
-    // relation ∝ dup pairs, not ∝ corpus. Deep/huge components (chains of
-    // near-dups) would want the GraphX pointer-doubling CC (x1) instead;
-    // near-dup graphs in practice are small dense cliques, where min-label
-    // converges in a couple of hops.
-    "d6_dup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.lshVerifiedPairs(s, dir)
-        .select(col("da"), col("db")).localCheckpoint()
-      val edges = pairs.unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
-        .toDF("src", "dst").localCheckpoint()
-      var lbl = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint()
-      var changed = true
-      var iter = 0
-      while (changed && iter < 50) {
-        val nb = edges
-          .join(lbl.select(col("id").as("src"), col("lbl").as("nlbl")), "src")
-          .groupBy(col("dst").as("id")).agg(min(col("nlbl")).as("nmin"))
-        // localCheckpoint materializes the generation; the convergence probe
-        // reads its cached blocks (one cheap extra action, no recompute)
-        val upd = lbl.join(nb, Seq("id"), "left_outer")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-            (col("nmin") < col("lbl")).as("chg"))
-          .localCheckpoint()
-        changed = !upd.filter(col("chg")).isEmpty
-        lbl = upd.select(col("id"), col("lbl"))
-        iter += 1
-      }
-      lbl.groupBy(col("lbl").as("keeper"))
+    // Near-dup cluster canonicalization: per-cluster keeper (= min doc_id)
+    // and membership over the LSH-verified pair set — see dupClusterLabels
+    "d6_dup_clusters" -> ((s, dir) =>
+      dupClusterLabels(s, dir)
+        .groupBy(col("lbl").as("keeper"))
         .agg(count(lit(1)).as("csize"), sum(col("id")).as("id_sum"))
-        .orderBy(col("keeper"))
-    }),
+        .orderBy(col("keeper"))),
 
     // Deterministic stratified sampling: per-language keep-rates applied via
     // the md5 bucket — a pure codegen projection + filter (no shuffle for
@@ -110,6 +117,30 @@ object Pipeline {
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_tokens"))
         .orderBy(col("lang"), col("bin"))
+    }),
+
+    // The pipeline ENDPOINT: the deduplicated corpus itself. A document
+    // survives iff it is (a) the exact-dup keeper of its normalized-text
+    // fingerprint group (min doc_id, as d1 counts) and (b) not a non-keeper
+    // member of a near-dup cluster (as d6 derives from the LSH pair set).
+    // Both removal sets are joins against SMALL relations (dup groups and
+    // candidate clusters ∝ duplicates, not corpus), so the surviving-corpus
+    // scan stays one broadcast-anti-join pass at 100 TB. Output is the
+    // survivor summary (count, id sum, char sum) so the oracle pins exact
+    // membership.
+    "d10_dedup_corpus" -> ((s, dir) => {
+      import graft.functions.TextFns.fingerprintMd5
+      val docs = T(s, dir, "documents")
+      val exactKeepers = docs
+        .groupBy(fingerprintMd5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"))
+        .select(col("keeper"))
+      val nearDupLosers = dupClusterLabels(s, dir)
+        .filter(col("id") =!= col("lbl")).select(col("id"))
+      docs.join(broadcast(exactKeepers), col("doc_id") === col("keeper"), "left_semi")
+        .join(broadcast(nearDupLosers), col("doc_id") === col("id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("char_sum"))
     }),
 
     // Benchmark-contamination check: distinct word-3gram overlap between
@@ -191,6 +222,49 @@ object Pipeline {
         |SELECT lang, CAST(floor(cum / 2048.0) AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // survivors = exact-dup keepers minus near-dup cluster non-keepers
+    // (the d1 fingerprint grouping + the d6 transitive closure combined)
+    "d10_dedup_corpus" ->
+      """WITH RECURSIVE pairs AS (
+        |  WITH d AS (
+        |    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |    FROM documents),
+        |  sh AS (
+        |    SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      for i in range(1, len(w) - 1)])) AS shingle
+        |    FROM d WHERE len(w) >= 3),
+        |  sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |  inter AS (
+        |    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  SELECT da, db
+        |  FROM inter
+        |  JOIN sz sa ON da = sa.doc_id
+        |  JOIN sz sb ON db = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+        |),
+        |edges AS (SELECT da AS s, db AS d FROM pairs UNION ALL SELECT db, da FROM pairs),
+        |reach AS (
+        |  SELECT s AS id, s AS lbl FROM edges
+        |  UNION
+        |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+        |),
+        |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY 1),
+        |losers AS (SELECT id FROM comp WHERE id <> lbl),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM documents
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |surv AS (
+        |  SELECT d.doc_id, d.n_chars
+        |  FROM documents d
+        |  JOIN keepers k ON d.doc_id = k.doc_id
+        |  WHERE d.doc_id NOT IN (SELECT id FROM losers))
+        |SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+        |FROM surv""".stripMargin,
 
     "d9_contamination" ->
       """WITH d AS (

@@ -120,6 +120,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup corpus endpoint: survivors = exact keepers minus near-dup losers") {
+    val r = Pipeline.queries("d10_dedup_corpus")(spark, sf).collect().head
+    val total = Tables.T(spark, sf, "documents").count()
+    assert(r.getLong(0) > 0 && r.getLong(0) <= total)
+    // survivors can never exceed the exact-unique count (d1's n_unique),
+    // and drop below it exactly by the near-dup losers that were keepers
+    val d1 = Dedup.queries("d1_exact_dedup")(spark, sf).collect().head
+    assert(r.getLong(0) <= d1.getLong(0))
+    val clusters = Pipeline.queries("d6_dup_clusters")(spark, sf).collect()
+    val losers = clusters.map(c => c.getLong(1) - 1).sum // csize-1 per cluster
+    assert(r.getLong(0) >= d1.getLong(0) - losers)
+  }
+
   test("contamination: reported pairs are train×eval with symmetric overlap") {
     import org.apache.spark.sql.functions._
     val rows = Pipeline.queries("d9_contamination")(spark, sf).collect()
