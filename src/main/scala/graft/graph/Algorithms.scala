@@ -79,6 +79,34 @@ object Algorithms {
       .select(col("id"), rank(col("in_sum")).as("rank"))
   }
 
+  /** Unweighted single-source shortest paths, level-synchronous BFS:
+    * (id, d) for every vertex reachable from `src` within `maxHops`. One
+    * join + one distinct + one anti join per level, frontier checkpointed —
+    * the same shuffle-on-dst shape as the VLE expansion, with the visited
+    * set as the only growing state. Level order gives minimal d by
+    * construction, so a recursive CTE replays it exactly.
+    */
+  def sssp(pg: PropertyGraph, src: Long, maxHops: Int = 20): DataFrame = {
+    val spark = pg.spark
+    import spark.implicits._
+    val edges = pg.allEdges
+      .select(col("start_id").as("src"), col("end_id").as("dst"))
+      .localCheckpoint()
+    var dist = Seq((src, 0)).toDF("id", "d").localCheckpoint()
+    var frontier = dist
+    var level = 0
+    while (level < maxHops && !frontier.isEmpty) {
+      level += 1
+      frontier = frontier.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("d", lit(level))
+        .localCheckpoint()
+      if (!frontier.isEmpty) dist = dist.unionByName(frontier).localCheckpoint()
+    }
+    dist
+  }
+
   /** In/out degrees joined back to the label: (id, label_id, in_deg, out_deg). */
   def degrees(pg: PropertyGraph): DataFrame = {
     val spark = pg.spark

@@ -47,6 +47,16 @@ object GraphAnalytics {
         .orderBy(col("label_id"))
     }),
 
+    // single-source BFS over the FULL tpch graph from customer 1:
+    // level 1 = its nation + its orders, level 2 = its region + its parts
+    "x4_sssp_bfs" -> ((s, dir) => {
+      val pg = GraphQueries.tpchGraph(s, dir)
+      Algorithms.sssp(pg, (1L << 48) | 1L, maxHops = 8)
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+        .orderBy(col("d"))
+    }),
+
     // PageRank top-10: the DataFrame-loop recurrence is deterministic, so
     // a DuckDB recursive CTE replays it exactly (round(4) absorbs
     // summation-order float noise); invariants also in AnalyticsSpec
@@ -64,6 +74,25 @@ object GraphAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // BFS levels replayed as a recursive CTE over the same packed graphids
+    // (full TPC-H graph; labels Customer=1..Part=6 in builder order); min
+    // over walk depths = BFS level since the walk enumerates every path
+    "x4_sssp_bfs" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 281474976710656 + c_custkey AS s, 562949953421312 + c_nationkey AS d FROM customer
+        |  UNION ALL SELECT 562949953421312 + n_nationkey, 844424930131968 + n_regionkey FROM nation
+        |  UNION ALL SELECT 1125899906842624 + s_suppkey, 562949953421312 + s_nationkey FROM supplier
+        |  UNION ALL SELECT 281474976710656 + o_custkey, 1407374883553280 + o_orderkey FROM orders
+        |  UNION ALL SELECT 1407374883553280 + l_orderkey, 1688849860263936 + l_partkey FROM lineitem
+        |),
+        |walk AS (
+        |  SELECT CAST(281474976710657 AS BIGINT) AS id, 0 AS dd
+        |  UNION ALL
+        |  SELECT e.d, w.dd + 1 FROM walk w JOIN edges e ON e.s = w.id WHERE w.dd < 8
+        |),
+        |sssp AS (SELECT id, min(dd) AS dd FROM walk GROUP BY 1)
+        |SELECT dd AS d, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum
+        |FROM sssp GROUP BY 1 ORDER BY 1""".stripMargin,
     // component id = (1 << 48) | min custkey of the region (Customer label=1)
     "x1_connected_components" ->
       """WITH member AS (

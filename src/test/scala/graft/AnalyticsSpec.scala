@@ -24,6 +24,14 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(avgByLabel(2L) > avgByLabel(1L) && avgByLabel(3L) > avgByLabel(4L))
   }
 
+  test("BFS sssp levels: source, then nation+orders, then region+parts") {
+    val rows = GraphAnalytics.queries("x4_sssp_bfs")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.head == ((0, 1L))) // the source itself
+    assert(rows.map(_._1).sameElements(rows.map(_._1).sorted))
+    assert(rows.length >= 2 && rows.forall(_._2 > 0))
+  }
+
   test("top pagerank vertices are all nations or regions") {
     val top = GraphAnalytics.queries("x3_pagerank_top")(spark, sf).collect()
     assert(top.nonEmpty)
