@@ -1307,11 +1307,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case "/"  =>
       // gtype_div (gtype_ops.c:549-554): int / int is TRUNCATING integer
       // division (C semantics, toward zero); any float operand promotes.
-      // The double→long cast truncates toward zero; ANSI mode raises on /0
-      // like the reference's ereport(DIVISION_BY_ZERO).
+      // IntegralDivide (`div`) stays EXACT above 2^53 where a
+      // through-double round-trip corrupts the low bits (packed graphids
+      // with label id ≥ 32 live there); ANSI mode raises on /0 like the
+      // reference's ereport(DIVISION_BY_ZERO).
       (dataTypeOpt(l, ctx), dataTypeOpt(r, ctx)) match {
         case (Some(a), Some(b)) if isIntegralType(a) && isIntegralType(b) =>
-          (l / r).cast("long")
+          call_function("div", l, r)
         case _ => l / r
       }
     case "%"  => l % r

@@ -69,6 +69,11 @@ object Pipeline {
       lbl = upd.select(col("id"), col("lbl"))
       iter += 1
     }
+    // a component with diameter > the cap would return NON-minimal labels
+    // silently (wrong clusters, wrong d10 survivors) — fail loudly instead;
+    // chains that deep belong on the GraphX pointer-doubling CC (x1)
+    require(!changed,
+      s"dup-cluster label propagation did not converge within $iter iterations")
     lbl
   }
 
@@ -131,22 +136,26 @@ object Pipeline {
     "d10_dedup_corpus" -> ((s, dir) => {
       import graft.functions.TextFns.fingerprintMd5
       val docs = T(s, dir, "documents")
-      val exactKeepers = docs
-        .groupBy(fingerprintMd5(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("keeper"))
-        .select(col("keeper"))
+      // both REMOVAL sets are ∝ duplicates (small), never ∝ corpus — the
+      // keeper set would be corpus-sized and must not be the broadcast side
+      val exactLosers = docs
+        .select(fingerprintMd5(col("text")).as("fp"), col("doc_id"))
+        .withColumn("keeper", min(col("doc_id"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+        .filter(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id").as("loser"))
       val nearDupLosers = dupClusterLabels(s, dir)
-        .filter(col("id") =!= col("lbl")).select(col("id"))
-      docs.join(broadcast(exactKeepers), col("doc_id") === col("keeper"), "left_semi")
-        .join(broadcast(nearDupLosers), col("doc_id") === col("id"), "left_anti")
+        .filter(col("id") =!= col("lbl")).select(col("id").as("loser"))
+      docs.join(broadcast(exactLosers.unionByName(nearDupLosers).distinct()),
+          col("doc_id") === col("loser"), "left_anti")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
           sum(col("n_chars")).as("char_sum"))
     }),
 
     // Benchmark-contamination check: distinct word-3gram overlap between
     // train docs and a held-out eval set (doc_id % 50 = 0 stands in for the
-    // benchmark corpus). The eval side is tiny by construction, so it
-    // BROADCASTS: the shingle join is map-side and shuffle-free; the only
+    // benchmark corpus). With a real (bounded) benchmark set the eval side
+    // broadcasts automatically and the shingle join is map-side; the only
     // shuffle is the per-(train, eval) overlap count, bounded by actual
     // collisions. Same 8-byte shingle-hash discipline as d2/d3 — the
     // shingle string never crosses a stage boundary.
@@ -156,7 +165,10 @@ object Pipeline {
         .select(col("doc_id").as("eval_id"), col("h"))
       val train = sh.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id").as("train_id"), col("h"))
-      train.join(broadcast(eval), "h")
+      // no broadcast hint: REAL benchmark corpora are bounded and broadcast
+      // automatically under the threshold, but this %50 stand-in scales
+      // with the corpus — forcing it would blow the broadcast cap at scale
+      train.join(eval, "h")
         .groupBy(col("train_id"), col("eval_id"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)

@@ -659,6 +659,10 @@ class CypherSpec extends AnyFunSuite {
     // gtype_div: int/int truncates toward zero (gtype_ops.c:549-554)
     assert(r.getLong(0) == 3L && r.getLong(1) == -3L)
     assert(r.getDouble(2) == 3.5 && r.getDouble(3) == 1024.0)
+    // exact above 2^53 (a through-double division would drop the low bit)
+    val big = run("RETURN 9007199254740993 / 1 AS b, 9007199254740993 / 3 AS t")
+      .collect().head
+    assert(big.getLong(0) == 9007199254740993L && big.getLong(1) == 3002399751580331L)
   }
 
   test("CALL {} uncorrelated subquery cross-joins its result") {
