@@ -1069,7 +1069,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case Bin(op, l, r) => binOp(op, compileExpr(l, ctx), compileExpr(r, ctx), ctx,
       rRaw = Some(r))
     case Un("NOT", x) => !compileExpr(x, ctx)
-    case Un("NEG", x) => -compileExpr(x, ctx)
+    case Un("NEG", x) =>
+      val c = compileExpr(x, ctx)
+      dataTypeOpt(c, ctx) match {
+        case Some(t) if isIntervalStruct(t) => // gtype interval negation
+          graft.functions.TemporalFns.scaleInterval(c, lit(-1.0))
+        case _ => -c
+      }
     case IsNull(x, not) =>
       val c = compileExpr(x, ctx)
       if (not) c.isNotNull else c.isNull
@@ -1303,7 +1309,18 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           graft.functions.TemporalFns.addIntervals(l, r, -1)
         case _ => l - r
       }
-    case "*"  => l * r
+    case "*"  =>
+      (dataTypeOpt(l, ctx), dataTypeOpt(r, ctx)) match {
+        // interval × number / number × interval (PG interval_mul)
+        case (Some(a0), Some(b0)) if isIntervalStruct(a0) && isNumericLike(b0) =>
+          graft.functions.TemporalFns.scaleInterval(l, r.cast("double"))
+        case (Some(a0), Some(b0)) if isNumericLike(a0) && isIntervalStruct(b0) =>
+          graft.functions.TemporalFns.scaleInterval(r, l.cast("double"))
+        case _ => l * r
+      }
+    case "/" if dataTypeOpt(l, ctx).exists(isIntervalStruct) &&
+        dataTypeOpt(r, ctx).exists(isNumericLike) =>
+      graft.functions.TemporalFns.scaleInterval(l, lit(1.0) / r.cast("double"))
     case "/"  =>
       // gtype_div (gtype_ops.c:549-554): int / int is TRUNCATING integer
       // division (C semantics, toward zero); any float operand promotes.
@@ -1328,6 +1345,10 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case "OR"  => l || r
     case "XOR" => (l || r) && !(l && r)
     case "IN" => rRaw match {
+      case _ if dataTypeOpt(r, ctx).contains(org.apache.spark.sql.types.NullType) =>
+        // x IN null → null (lists.sql); an untyped NULL literal can't feed
+        // array_contains
+        lit(null).cast("boolean")
       case Some(ListLit(items)) if items.forall(_.isInstanceOf[Lit]) &&
         !mixedLitTags(items) =>
         l.isin(items.map { case Lit(g) => gValueToAny(g) }: _*)
@@ -1401,12 +1422,24 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             case _          => size(c)
           }
       }
-      case "head"    => element_at(a(0), 1)
-      case "last"    => element_at(a(0), -1)
+      case "head"    =>
+        if (dataTypeOpt(a(0), ctx).contains(org.apache.spark.sql.types.NullType)) lit(null)
+        else try_element_at(a(0), lit(1))  // [] → null, not error
+      case "last"    =>
+        if (dataTypeOpt(a(0), ctx).contains(org.apache.spark.sql.types.NullType)) lit(null)
+        else try_element_at(a(0), lit(-1))
       case "reverse" => reverse(a(0))
       case "range" =>
-        if (args.length == 2) sequence(a(0), a(1))
-        else sequence(a(0), a(1), a(2))
+        // gtype range(): float bounds truncate to ints; a wrong-sign step
+        // yields [] instead of erroring (lists.out:417-439)
+        val lo = a(0).cast("long"); val hi = a(1).cast("long")
+        if (args.length == 2) sequence(lo, hi)
+        else {
+          val st = a(2).cast("long")
+          when(st === 0 || (st > 0 && hi < lo) || (st < 0 && hi > lo),
+            array().cast(ArrayType(LongType)))
+            .otherwise(sequence(lo, hi, st))
+        }
       case "coalesce" => coalesce(args.map(x => compileExpr(x, ctx)): _*)
       case "abs"   => abs(a(0))
       case "ceil"  => ceil(a(0))
@@ -1456,19 +1489,82 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "toboolean" => a(0).cast("boolean")
       case "tonumeric" => a(0).cast("decimal(38,18)")
       // temporal fns (reference gtype_temporal.c, callable from Cypher)
-      case "extract" | "date_part" => date_part(a(0), a(1))
-      case "date_trunc" => date_trunc(litString(args(0)), a(1))
-      case "date_bin" =>
-        graft.functions.TemporalFns.dateBin(constInt(args(0)), a(1), a(2))
+      case "extract" | "date_part" => pgDatePart(litString(args(0)), a(1), ctx)
+      case "date_trunc" => dataTypeOpt(a(1), ctx) match {
+        case Some(t) if isIntervalStruct(t) =>
+          // truncate an interval: zero every field below the target
+          val iv = a(1)
+          litString(args(0)).toLowerCase match {
+            case "year"  => graft.functions.TemporalFns.interval(
+              (iv.getField("months") / 12).cast("int") * 12, lit(0), lit(0L))
+            case "month" => graft.functions.TemporalFns.interval(
+              iv.getField("months"), lit(0), lit(0L))
+            case "day"   => graft.functions.TemporalFns.interval(
+              iv.getField("months"), iv.getField("days"), lit(0L))
+            case "hour"  => graft.functions.TemporalFns.interval(
+              iv.getField("months"), iv.getField("days"),
+              (iv.getField("us") / 3600000000L).cast("long") * 3600000000L)
+            case "minute" => graft.functions.TemporalFns.interval(
+              iv.getField("months"), iv.getField("days"),
+              (iv.getField("us") / 60000000L).cast("long") * 60000000L)
+            case other => throw new UnsupportedOperationException(
+              s"date_trunc('$other', interval)")
+          }
+        case _ => date_trunc(litString(args(0)), a(1))
+      }
+      case "date_bin" => args(0) match {
+        // stride as an integer literal (seconds) or any interval expression
+        case Lit(graft.gvalue.GInt(v)) =>
+          graft.functions.TemporalFns.dateBin(v, a(1), a(2))
+        case _ =>
+          val iv = a(0)
+          graft.functions.TemporalFns.dateBinUs(
+            iv.getField("us") + iv.getField("days").cast("long") * 86400000000L,
+            a(1), a(2))
+      }
       case "make_date" => make_date(a(0), a(1), a(2))
       case "make_timestamp" => call_function("make_timestamp",
         a(0), a(1), a(2), a(3), a(4), a(5))
+      case "make_timestamptz" =>
+        if (args.length >= 7)
+          call_function("make_timestamp", a(0), a(1), a(2), a(3), a(4), a(5), a(6))
+        else call_function("make_timestamp", a(0), a(1), a(2), a(3), a(4), a(5))
+      case "make_time" => // time-of-day micros (the engine's time encoding)
+        a(0).cast("long") * 3600000000L + a(1).cast("long") * 60000000L +
+          (a(2).cast("double") * 1e6).cast("long")
       case "age" => graft.functions.TemporalFns.ageParts(a(0), a(1))
       case "justify_hours" => graft.functions.TemporalFns.justifyHours(a(0))
       case "justify_days" => graft.functions.TemporalFns.justifyDays(a(0))
       case "justify_interval" => graft.functions.TemporalFns.justifyInterval(a(0))
-      case "isfinite" => when(a(0).isNull, lit(null)).otherwise(lit(true))
-      case "overlaps" => a(0) < a(3) && a(2) < a(1) // (s1,e1,s2,e2)
+      case "isfinite" => // PG ±infinity timestamps map to the parse sentinels
+        when(a(0).isNull, lit(null))
+          .otherwise(!a(0).cast("string").isin("9999-12-31 23:59:59.999999",
+            "0001-01-01 00:00:00"))
+      case "overlaps" =>
+        // (s1,e1) OVERLAPS (s2,e2) or the 4-arg fn form. An interval
+        // endpoint means start+interval; reversed bounds are swapped
+        // (PG's OVERLAPS normalization), then s1 < e2 AND s2 < e1.
+        val flat = if (args.length == 2) args.flatMap {
+          case FnCall("_row2", List(x, y), _) => List(x, y)
+          case other => List(other)
+        } else args
+        require(flat.length == 4, "overlaps expects two (start, end) pairs")
+        val cs = flat.map(sub)
+        def norm(si: Int, ei: Int): (Column, Column) = {
+          val s0 = cs(si)
+          val e0 = dataTypeOpt(cs(ei), ctx) match {
+            case Some(t) if isIntervalStruct(t) =>
+              dataTypeOpt(s0, ctx) match {
+                // time (micros-of-day) + interval: add the time part
+                case Some(LongType) => s0 + cs(ei).getField("us")
+                case _ => graft.functions.TemporalFns.shiftTemporal(s0, cs(ei), 1)
+              }
+            case _ => cs(ei)
+          }
+          (least(s0, e0), greatest(s0, e0))
+        }
+        val (s1, e1) = norm(0, 1); val (s2, e2) = norm(2, 3)
+        s1 < e2 && s2 < e1
       // vector fns (reference vector.c — the `<->`/`<#>`/`<=>` operator
       // bodies, callable by name from Cypher like the SQL catalog names)
       case "l2_distance" => graft.functions.VectorFns.l2Distance(a(0), a(1))
@@ -1484,8 +1580,16 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "tovector"   => graft.functions.VectorFns.tovector(a(0))
       case "toinet"     => graft.functions.NetworkFns.toInet(a(0))
       case "totsvector" => graft.functions.TsearchFns.toTsvector(a(0))
-      case "todate"      => a(0).cast("date")
-      case "totimestamp" => a(0).cast("timestamp")
+      case "todate"      => dataTypeOpt(a(0), ctx) match {
+        case Some(StringType) => pgTimestampParse(a(0)).cast("date")
+        case _ => a(0).cast("date")
+      }
+      case "totimestamp" | "totimestamptz" => dataTypeOpt(a(0), ctx) match {
+        // PG accepts several datetime input styles (MM/DD/YYYY, day-name
+        // forms) beyond ISO — try them in order (datetime.c input parsing)
+        case Some(StringType) => pgTimestampParse(a(0))
+        case _ => a(0).cast("timestamp")
+      }
       case "tomacaddr"   => graft.functions.NetworkFns.toMacaddr(a(0))
       case "topoint" => // 2-arg constructor, or 1-arg '(x,y)' string cast
         if (args.length == 2) graft.functions.RangeGeoFns.point(a(0), a(1))
@@ -1494,7 +1598,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "tointrange" => graft.functions.RangeGeoFns.toRange(a(0), numeric = false)
       case "tonumrange" => graft.functions.RangeGeoFns.toRange(a(0), numeric = true)
       case "tointerval" => graft.functions.TemporalFns.toInterval(a(0))
-      case "totime"     => graft.functions.TemporalFns.toTime(a(0))
+      case "totime" | "totimetz" => dataTypeOpt(a(0), ctx) match {
+        case Some(TimestampType) | Some(TimestampNTZType) => // time part of a timestamp
+          unix_micros(a(0)) - unix_micros(date_trunc("day", a(0)))
+        case Some(t) if isIntervalStruct(t) => // interval's time-of-day part
+          pmod(a(0).getField("us"), lit(86400000000L))
+        case _ => graft.functions.TemporalFns.toTime(a(0))
+      }
       case "totsquery"  => graft.functions.TsearchFns.toTsquery(a(0))
       case "intrange" | "numrange" =>
         graft.functions.RangeGeoFns.range(a(0), a(1),
@@ -1797,6 +1907,85 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       } else array(col(s"${m}__id"), col(s"${info.pathNodes(i + 1)}__id"))
     }
     concat(head +: segs: _*)
+  }
+
+  /** date_part/extract with PG's full field vocabulary (datetime.c /
+    * timestamp.c extract): the fields Spark's date_part lacks are computed
+    * arithmetically, and interval / time-of-day operands extract from the
+    * struct / micros encoding directly.
+    */
+  private def pgDatePart(field0: String, src: Column, ctx: Ctx): Column = {
+    val field = field0.toLowerCase
+    dataTypeOpt(src, ctx) match {
+      case Some(t) if isIntervalStruct(t) =>
+        val us = src.getField("us")
+        field match {
+          case "year"    => (src.getField("months") / 12).cast("long").cast("double")
+          case "month"   => (src.getField("months") % 12).cast("double")
+          case "day"     => src.getField("days").cast("double")
+          case "hour"    => (us / 3600000000L).cast("long").cast("double")
+          case "minute"  => ((us % 3600000000L) / 60000000L).cast("long").cast("double")
+          case "second"  => (us % 60000000L).cast("double") / 1e6
+          case "epoch"   =>
+            src.getField("months").cast("double") * 2592000.0 +
+              src.getField("days").cast("double") * 86400.0 + us.cast("double") / 1e6
+          case other => throw new UnsupportedOperationException(
+            s"date_part('$other', interval)")
+        }
+      case Some(LongType) => // time-of-day micros
+        field match {
+          case "hour"   => (src / 3600000000L).cast("long").cast("double")
+          case "minute" => ((src % 3600000000L) / 60000000L).cast("long").cast("double")
+          case "second" => (src % 60000000L).cast("double") / 1e6
+          case "epoch"  => src.cast("double") / 1e6
+          case "timezone" => lit(0.0) // session zone is UTC
+          case other => throw new UnsupportedOperationException(
+            s"date_part('$other', time)")
+        }
+      case _ => field match {
+        case "isoyear" => date_part(lit("YEAROFWEEK"), src).cast("double")
+        case "isodow"  => date_part(lit("DAYOFWEEK_ISO"), src).cast("double")
+        case "epoch"   => unix_micros(src.cast("timestamp")).cast("double") / 1e6
+        case "decade"  => floor(year(src).cast("double") / 10)
+        case "century" => ceil(year(src).cast("double") / 100)
+        case "millennium" => ceil(year(src).cast("double") / 1000)
+        case "julian"  => // julian date incl. day fraction (PG timestamp.c)
+          unix_micros(src.cast("timestamp")).cast("double") / 86400000000.0 + 2440587.5
+        case "milliseconds" =>
+          (unix_micros(src.cast("timestamp")) % 60000000L).cast("double") / 1e3
+        case "microseconds" =>
+          (unix_micros(src.cast("timestamp")) % 60000000L).cast("double")
+        case "timezone" => lit(0.0) // session zone is UTC
+        case _ => date_part(lit(field0), src)
+      }
+    }
+  }
+
+  /** PG-style datetime input parsing: ISO (plain cast) plus the
+    * MM/DD/YYYY and day-name styles PG's datetime.c accepts and the
+    * regress suite uses. Unparseable strings yield null (PG errors; a
+    * total function is the documented dialect choice).
+    */
+  private def pgTimestampParse(c: Column): Column = {
+    val cleaned = regexp_replace(trim(c), "\"", "")
+    // Spark >= 3 bans the EEE day-name pattern: strip a leading day name
+    val noDow = regexp_replace(cleaned, "^(Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*\\s+", "")
+    coalesce(
+      when(lower(cleaned) === "infinity",
+        to_timestamp(lit("9999-12-31 23:59:59.999999"))),
+      when(lower(cleaned) === "-infinity",
+        to_timestamp(lit("0001-01-01 00:00:00"))),
+      try_to_timestamp(cleaned),
+      try_to_timestamp(cleaned, lit("M/d/yyyy H:m:s.SSXXX")),
+      try_to_timestamp(cleaned, lit("M/d/yyyy H:m:s.SSX")),
+      try_to_timestamp(cleaned, lit("M/d/yyyy H:m:s.SS")),
+      try_to_timestamp(cleaned, lit("M/d/yyyy H:m:sX")),
+      try_to_timestamp(cleaned, lit("M/d/yyyy H:m:s")),
+      try_to_timestamp(cleaned, lit("M/d/yyyy")),
+      try_to_timestamp(noDow, lit("MMM d H:m:s.SS yyyy")),
+      try_to_timestamp(noDow, lit("MMM d H:m:s yyyyX")),
+      try_to_timestamp(noDow, lit("MMM d H:m:s yyyy")),
+      try_to_timestamp(noDow, lit("MMM d yyyy")))
   }
 
   private def isTemporalType(dt: DataType): Boolean = dt match {

@@ -157,6 +157,11 @@ object Parser {
     def atSym(s: String): Boolean = cur == TSym(s)
     def eat(kw: String): Boolean = if (at(kw)) { pos += 1; true } else false
     def eatSym(s: String): Boolean = if (atSym(s)) { pos += 1; true } else false
+    def isWord(t: Tok, w: String): Boolean = t match {
+      case TIdent(x) => x.equalsIgnoreCase(w)
+      case TKw(k, _) => k == w.toUpperCase
+      case _ => false
+    }
     def expectKw(kw: String): Unit =
       if (!eat(kw)) throw ParseException(s"expected $kw, found $cur")
     def expectSym(s: String): Unit =
@@ -520,6 +525,9 @@ object Parser {
             pos += 1; l = Bin(op, l, parseAdditive())
           case TKw("IN", _) =>
             pos += 1; l = Bin("IN", l, parseAdditive())
+          case TIdent(w) if w.equalsIgnoreCase("overlaps") =>
+            // (s1, e1) OVERLAPS (s2, e2) — SQL row-pair form (temporal.sql)
+            pos += 1; l = FnCall("overlaps", List(l, parseAdditive()), distinct = false)
           // @= / !@= — the operator spellings of IN (gtype-lists.sql.in:36)
           case TSym("@=") =>
             pos += 1; l = Bin("IN", l, parseAdditive())
@@ -651,8 +659,14 @@ object Parser {
       case TSym("(") =>
         pos += 1
         val e = parseExpr()
-        expectSym(")")
-        e
+        if (eatSym(",")) { // (start, end) row pair — the OVERLAPS operand form
+          val e2 = parseExpr()
+          expectSym(")")
+          FnCall("_row2", List(e, e2), distinct = false)
+        } else {
+          expectSym(")")
+          e
+        }
       case TSym("[") =>
         pos += 1
         // list literal or comprehension [x IN list WHERE p | proj]
@@ -679,12 +693,68 @@ object Parser {
       case TSym("{") =>
         val m = parseMapLiteral()
         MapLit(m.toList)
+      case TIdent(name) if Set("TIMESTAMP", "DATE", "TIME", "INTERVAL",
+          "TIMESTAMPTZ", "TIMETZ").contains(name.toUpperCase) && {
+            val n1 = toks(pos + 1)
+            n1.isInstanceOf[TStr] || isWord(n1, "WITH") || isWord(n1, "WITHOUT")
+          } =>
+        // SQL typed literal: TIMESTAMP '…' / TIMESTAMP WITH[OUT] TIME ZONE '…'
+        var ty = name.toLowerCase
+        pos += 1
+        if (isWord(cur, "WITH")) {
+          pos += 1
+          if (isWord(cur, "TIME")) pos += 1
+          if (isWord(cur, "ZONE")) pos += 1
+          if (!ty.endsWith("tz")) ty += "tz"
+        } else if (isWord(cur, "WITHOUT")) {
+          pos += 1
+          if (isWord(cur, "TIME")) pos += 1
+          if (isWord(cur, "ZONE")) pos += 1
+        }
+        cur match {
+          case TStr(v) =>
+            pos += 1
+            FnCall(Parser.castFnFor(ty), List(Lit(GString(v))), distinct = false)
+          case other => throw ParseException(s"expected string after $ty literal, found $other")
+        }
+      case TKw(kw, orig) if toks(pos + 1) == TSym("(") &&
+          !Set("AND", "OR", "XOR", "NOT", "IN", "IS", "WHEN", "THEN", "ELSE",
+            "END", "EXISTS", "ANY", "SOME", "ALL", "CASE").contains(kw) =>
+        // keyword used as a plain function name: last(), left(), contains()…
+        pos += 2
+        val distinct = eat("DISTINCT")
+        val args = ListBuffer.empty[Expr]
+        if (!atSym(")")) {
+          args += parseExpr()
+          while (eatSym(",")) args += parseExpr()
+        }
+        expectSym(")")
+        FnCall(orig.toLowerCase, args.toList, distinct)
       case TIdent(name) =>
         if (toks(pos + 1) == TSym("(")) {
           pos += 2
           if (name.equalsIgnoreCase("count") && atSym("*")) {
             pos += 1; expectSym(")")
             CountStar()
+          } else if (name.equalsIgnoreCase("extract") &&
+              toks(pos + 1) != TSym(",") && {
+                // EXTRACT(field FROM expr) — the SQL form; the comma form
+                // parses through the generic path below
+                var depth = 0; var i = pos; var sawFrom = false
+                while (i < toks.length && (depth > 0 || toks(i) != TSym(")"))) {
+                  if (toks(i) == TSym("(")) depth += 1
+                  if (toks(i) == TSym(")")) depth -= 1
+                  if (depth == 0 && isWord(toks(i), "FROM")) sawFrom = true
+                  i += 1
+                }
+                sawFrom
+              }) {
+            val fld = ident()
+            if (!isWord(cur, "FROM")) throw ParseException("EXTRACT expects FROM")
+            pos += 1
+            val src = parseExpr()
+            expectSym(")")
+            FnCall("date_part", List(Lit(GString(fld.toLowerCase)), src), distinct = false)
           } else {
             val distinct = eat("DISTINCT")
             val args = ListBuffer.empty[Expr]

@@ -13,11 +13,17 @@ object TemporalFns {
   /** date_bin(strideSeconds, ts, origin) — floor ts into stride-sized
     * buckets anchored at origin (PG date_bin semantics for positive strides).
     */
-  def dateBin(strideSeconds: Long, ts: Column, origin: Column): Column = {
-    val us = unix_micros(ts)
-    val o = unix_micros(origin)
-    val stride = lit(strideSeconds * 1000000L)
-    timestamp_micros(o + floor((us - o) / stride).cast("long") * stride)
+  def dateBin(strideSeconds: Long, ts: Column, origin: Column): Column =
+    dateBinUs(lit(strideSeconds * 1000000L), ts, origin)
+
+  /** date_bin with a column stride in microseconds (the `'15 minutes'::
+    * interval` first-arg form); date inputs cast like PG's implicit
+    * promotion.
+    */
+  def dateBinUs(strideUs: Column, ts: Column, origin: Column): Column = {
+    val us = unix_micros(ts.cast("timestamp"))
+    val o = unix_micros(origin.cast("timestamp"))
+    timestamp_micros(o + floor((us - o) / strideUs).cast("long") * strideUs)
   }
 
   /** PG `age(a, b)` decomposed to (years, months, days) — calendar months
@@ -50,6 +56,21 @@ object TemporalFns {
       lit(0), iv.getField("months") * s, lit(0), iv.getField("days") * s,
       lit(0), lit(0),
       ((iv.getField("us") * s).cast("double") / 1e6).cast("decimal(18,6)"))
+  }
+
+  /** interval × factor (PG interval_mul/interval_div): each field scales,
+    * fractional months spill into days (30/month), fractional days into
+    * the time part — so '8 hours' * 8 = 64 hours, '1 month' * 1.5 =
+    * 1 mon 15 days.
+    */
+  def scaleInterval(iv: Column, f: Column): Column = {
+    val mF = iv.getField("months").cast("double") * f
+    val m = mF.cast("int")
+    val dF = iv.getField("days").cast("double") * f + (mF - m.cast("double")) * 30.0
+    val d = dF.cast("int")
+    val us = (iv.getField("us").cast("double") * f +
+      (dF - d.cast("double")) * 86400000000.0).cast("long")
+    interval(m, d, us)
   }
 
   /** interval ± interval: component-wise (gtype temporal add/sub). */

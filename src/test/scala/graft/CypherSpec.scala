@@ -493,6 +493,39 @@ class CypherSpec extends AnyFunSuite {
     assert(vle.getSeq[org.apache.spark.sql.Row](1).length == 2)
   }
 
+  test("SQL temporal forms: typed literals, EXTRACT FROM, OVERLAPS rows, interval scaling, PG formats") {
+    val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
+      "TIMESTAMP '12/17/1997 07:37:16.00' AS ts, " +
+      "DATE '12/17/1997' AS d, " +
+      "'Wed Dec 17 07:37:16 1997'::timestamp AS dn, " +
+      "EXTRACT(YEAR FROM TIMESTAMP '1997-12-17 07:37:16') AS yr, " +
+      "date_part('isodow', '2026-08-12'::date) AS dow, " +
+      "date_part('epoch', '1970-01-02 00:00:00'::timestamp) AS ep, " +
+      "(('2001-02-16'::date, '2001-10-31'::date) overlaps " +
+      " ('2001-10-30'::date, '2002-10-30'::date))::int AS ov, " +
+      "(('2001-02-16'::date, '365 days'::interval) overlaps " +
+      " ('2003-10-30'::date, '10 days'::interval))::int AS ov2, " +
+      "('8 hours'::interval * 8).us AS h64, " +
+      "('1 month'::interval * 1.5).days AS d15, " +
+      "(- '8 hours'::interval).us AS neg, " +
+      "date_bin('15 minutes'::interval, '2020-02-11 15:44:17'::timestamp, " +
+      "  '2001-01-01'::timestamp) AS bin, " +
+      "range(0, 10, -1) AS empt, range(0, -10.0, -3.0) AS rneg").collect().head
+    assert(r.getTimestamp(0).toString.startsWith("1997-12-17 07:37:16"))
+    assert(r.getDate(1).toString == "1997-12-17")
+    assert(r.getTimestamp(2).toString.startsWith("1997-12-17 07:37:16"))
+    assert(r.getInt(3) == 1997) // standard fields keep Spark's int type
+    assert(r.getDouble(4) == 3.0) // 2026-08-12 is a Wednesday
+    assert(r.getDouble(5) == 86400.0)
+    assert(r.getLong(6) == 1L && r.getLong(7) == 0L)
+    assert(r.getLong(8) == 8L * 8L * 3600000000L)
+    assert(r.getInt(9) == 15)
+    assert(r.getLong(10) == -8L * 3600000000L)
+    assert(r.getTimestamp(11).toString.startsWith("2020-02-11 15:30:00"))
+    assert(r.getSeq[Long](12).isEmpty)
+    assert(r.getSeq[Long](13) == Seq(0L, -3L, -6L, -9L))
+  }
+
   test("temporal arithmetic: timestamp/date ± interval, interval ± interval (temporal.sql:513-523)") {
     val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
       "'2023-06-23 13:39:40'::timestamp + '10 days'::interval AS ts_plus, " +
