@@ -911,6 +911,40 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       tags.size > 1
     }
 
+  /** Literal (possibly one-level-nested) GValue of an expression. */
+  private def litGValue(e: Expr): Option[GValue] = e match {
+    case Lit(g) => Some(g)
+    case Un("NEG", Lit(GInt(i))) => Some(GInt(-i))
+    case Un("NEG", Lit(GFloat(f))) => Some(GFloat(-f))
+    case ListLit(items) =>
+      val gs = items.map(litGValue)
+      if (gs.forall(_.exists(isScalarG))) Some(GArray(gs.map(_.get).toVector))
+      else None
+    case MapLit(entries) =>
+      val gs = entries.map { case (k, v) => litGValue(v).filter(isScalarG).map(k -> _) }
+      if (gs.forall(_.isDefined)) Some(GMap.of(gs.map(_.get): _*)) else None
+    case _ => None
+  }
+
+  private def isScalarG(g: GValue): Boolean = g match {
+    case _: GArray | _: GMap | _: GVector => false
+    case _ => true
+  }
+
+  /** A literal list that needs the DYNAMIC encoding: mixed scalar classes
+    * at the top level, or any nested list/object element.
+    */
+  private def heteroLitList(items: List[Expr]): Option[List[GValue]] = {
+    val gs = items.map(litGValue)
+    if (!gs.forall(_.isDefined)) return None
+    val vals = gs.map(_.get)
+    val classes = vals.filter(_ != GNull).map {
+      case _: GArray | _: GMap => classOf[GArray]: Class[_]
+      case v => v.getClass: Class[_]
+    }.distinct
+    if (classes.size > 1) Some(vals) else None
+  }
+
   private def containsAggregate(e: Expr): Boolean = e match {
     case FnCall(name, args, _) =>
       AggFns(name) || args.exists(containsAggregate)
@@ -1016,10 +1050,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           b.getField("properties").getItem(k)
         case _ => b.getField(k)
       }
-    case ListLit(items) if mixedLitTags(items) =>
+    case ListLit(items) if heteroLitList(items).isDefined =>
       // heterogeneous literal list → array of tagged dynamic values
-      // (the reference's gtype list holds mixed scalars natively)
-      array(items.map { case Lit(g) => graft.gvalue.GValueCol.gLit(g) }: _*)
+      // (the reference's gtype list holds mixed scalars natively; one
+      // level of nested list/object literals rides the `a`/canonical
+      // payloads — lists.sql's [1, 3, 5, [2, 4, 6]] shape)
+      array(heteroLitList(items).get.map(graft.gvalue.GValueCol.gLit): _*)
     case ListLit(items)  => array(items.map(x => compileExpr(x, ctx)): _*)
     case MapLit(entries) =>
       map(entries.flatMap { case (k, v) => Seq(lit(k), compileExpr(v, ctx)) }: _*)
@@ -1067,7 +1103,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case "?&" => forall(rc, k => map_contains_key(m, k))
       }
     case Bin(op, l, r) => binOp(op, compileExpr(l, ctx), compileExpr(r, ctx), ctx,
-      rRaw = Some(r))
+      rRaw = Some(r), lRaw = Some(l))
     case Un("NOT", x) => !compileExpr(x, ctx)
     case Un("NEG", x) =>
       val c = compileExpr(x, ctx)
@@ -1126,14 +1162,31 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case Index(base, idx) =>
       val b = compileExpr(base, ctx)
       val i = compileExpr(idx, ctx)
-      // Cypher list index is 0-based, negatives count from the end;
-      // element_at is 1-based with negative-from-end support.
-      when(i >= 0, element_at(b, (i + 1).cast("int")))
-        .otherwise(element_at(b, i.cast("int")))
+      import graft.gvalue.GValueCol
+      dataTypeOpt(b, ctx) match {
+        case Some(t) if GValueCol.isGValue(t) =>
+          // index into a dynamic ARRAY value (tag TArray): the one-level
+          // `a` payload; out-of-bounds or non-array → null
+          val el = when(i >= 0, try_element_at(b.getField("a"), (i + 1).cast("int")))
+            .otherwise(try_element_at(b.getField("a"), i.cast("int")))
+          when(el.isNull, lit(null).cast(GValueCol.structType))
+            .otherwise(GValueCol.promoteScalar(el))
+        case _ =>
+          // Cypher list index is 0-based, negatives count from the end;
+          // element_at is 1-based with negative-from-end support.
+          // try_: out-of-bounds access is null (lists.sql "should return
+          // null" rows), not an ANSI error.
+          when(i >= 0, try_element_at(b, (i + 1).cast("int")))
+            .otherwise(try_element_at(b, i.cast("int")))
+      }
     case Slice(base, lo, hi) =>
       // negative bounds count from the end (reference lists.sql:55-75);
       // bounds clamp to [0, size] like the reference's slice semantics
-      val b = compileExpr(base, ctx)
+      val b0 = compileExpr(base, ctx)
+      import graft.gvalue.GValueCol
+      // slicing a dynamic ARRAY value slices its payload and stays dynamic
+      val dynArr = dataTypeOpt(b0, ctx).exists(GValueCol.isGValue)
+      val b = if (dynArr) b0.getField("a") else b0
       val n = size(b)
       def norm(c: Column) = {
         val fromEnd = when(c < 0, greatest(n + c, lit(0))).otherwise(least(c, n))
@@ -1141,7 +1194,8 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       }
       val loC = norm(lo.map(x => compileExpr(x, ctx)).getOrElse(lit(0)))
       val hiC = norm(hi.map(x => compileExpr(x, ctx)).getOrElse(size(b)))
-      slice(b, loC + 1, greatest(hiC - loC, lit(0)))
+      val sliced = slice(b, loC + 1, greatest(hiC - loC, lit(0)))
+      if (dynArr) GValueCol.arrayValue(sliced) else sliced
     case ListComp(v, src, whereOpt, projOpt) =>
       val srcC = compileExpr(src, ctx)
       val filtered = whereOpt match {
@@ -1261,7 +1315,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   }
 
   private def binOp(op: String, l: Column, r: Column, ctx: Ctx,
-      rRaw: Option[Expr] = None): Column = (op match {
+      rRaw: Option[Expr] = None, lRaw: Option[Expr] = None): Column = (op match {
     case "=" | "<>" | "<" | "<=" | ">" | ">=" => gAwareCmp(op, l, r, ctx)
     case "@>" | "<@" | "&&" => Some(containOp(op, l, r, ctx))
     case "#" | "##" | "?#" | "?-|" | "?||" |
@@ -1363,8 +1417,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           // heterogeneous (gtype) list: cross-type equality via the gvalue
           // order key, with openCypher 3VL — null needle → null, no match
           // but a null element present → null (lists.sql IN block)
+          val needleFromLit = lRaw.flatMap(litGValue).collect {
+            case g @ (_: GArray | _: GMap) => GValueCol.gLit(g)
+          }
           val needle =
-            if (dataTypeOpt(l, ctx).exists(GValueCol.isGValue)) l
+            if (needleFromLit.isDefined) needleFromLit.get
+            else if (dataTypeOpt(l, ctx).exists(GValueCol.isGValue)) l
             else {
               val dt = dataTypeOpt(l, ctx).getOrElse(StringType)
               if (GValueCol.canEncode(dt)) GValueCol.encode(l, dt)

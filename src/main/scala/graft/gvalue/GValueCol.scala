@@ -7,30 +7,42 @@ import org.apache.spark.sql.types._
 /** Column-level codec for heterogeneous gtype values — the dynamic-type
   * escape hatch of the engine's otherwise typed-column layout.
   *
-  * A dynamic value is a tagged struct `(tag, b, i, f, s)`; only the field
-  * selected by `tag` is meaningful. Used where a single column must hold
-  * mixed types: properties whose type differs across labels (the reference
+  * A dynamic value is a tagged struct `(tag, b, i, f, s, a)`; only the
+  * field selected by `tag` is meaningful. `a` carries ONE level of list
+  * nesting (array of SCALAR tagged structs — the reference regress's
+  * `[1, 3, 5, [2, 4, 6]]` shape); objects carry their canonical sorted
+  * render in `s`. Deeper nesting falls back to an unsupported-literal
+  * error (documented gap). Used where a single column must hold mixed
+  * types: properties whose type differs across labels (the reference
   * stores every property as gtype, gtype.h:126-286) and heterogeneous
   * literal lists (`UNWIND [1, 'a', true]`).
   *
   * Cross-type ORDER BY follows compare_gtype_containers_orderability
   * (/root/reference/src/backend/utils/adt/gtype_util.c:210-330) via
   * [[orderKey]]: a (family, number, string) struct whose lexicographic
-  * order equals GValue.cmp for scalars — string < bool < numbers <
-  * timestamp/date (one comparable family, dates promoted to midnight
-  * micros) < null. Pure column expressions, whole-stage codegen'd.
+  * order equals GValue.cmp for scalars — object < array < string < bool <
+  * numbers < timestamp/date (one comparable family, dates promoted to
+  * midnight micros) < null. Arrays/objects key on a canonical string
+  * (equality-exact incl. 1 = 1.0 inside arrays; ORDER among containers is
+  * canonical-string order, a documented approximation of elementwise
+  * compare). Pure column expressions, whole-stage codegen'd.
   */
 object GValueCol {
 
   val TString = 2; val TBool = 3; val TInt = 4; val TFloat = 5
-  val TTimestamp = 7; val TDate = 8; val TNull = 11
+  val TTimestamp = 7; val TDate = 8; val TArray = 9; val TObject = 10
+  val TNull = 11
 
-  val structType: StructType = StructType(Seq(
+  /** Scalar payload shape — the element type of the one-level `a` array. */
+  val scalarType: StructType = StructType(Seq(
     StructField("tag", ByteType, nullable = false),
     StructField("b", BooleanType, nullable = false),
     StructField("i", LongType, nullable = false),
     StructField("f", DoubleType, nullable = false),
     StructField("s", StringType, nullable = false)))
+
+  val structType: StructType = StructType(scalarType.fields :+
+    StructField("a", ArrayType(scalarType, containsNull = false), nullable = true))
 
   def canEncode(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
@@ -41,11 +53,18 @@ object GValueCol {
 
   def isGValue(dt: DataType): Boolean = dt match {
     case st: StructType =>
-      st.fieldNames.sameElements(Array("tag", "b", "i", "f", "s"))
+      st.fieldNames.sameElements(Array("tag", "b", "i", "f", "s", "a"))
     case _ => false
   }
 
-  private def mk(tag: Int, b: Column, i: Column, f: Column, s: Column): Column =
+  private val noArr: Column = lit(null).cast(ArrayType(scalarType, containsNull = false))
+
+  private def mk(tag: Int, b: Column, i: Column, f: Column, s: Column,
+      a: Column = noArr): Column =
+    struct(lit(tag).cast("tinyint").as("tag"), b.as("b"), i.cast("long").as("i"),
+      f.cast("double").as("f"), s.as("s"), a.as("a"))
+
+  private def mkScalar(tag: Int, b: Column, i: Column, f: Column, s: Column): Column =
     struct(lit(tag).cast("tinyint").as("tag"), b.as("b"), i.cast("long").as("i"),
       f.cast("double").as("f"), s.as("s"))
 
@@ -70,7 +89,16 @@ object GValueCol {
     when(c.isNull, nullValue).otherwise(v)
   }
 
-  /** Literal GValue → tagged struct column. */
+  /** Wrap an array of scalar payloads as a dynamic ARRAY value. */
+  def arrayValue(a: Column): Column =
+    mk(TArray, lit(false), lit(0L), lit(0.0), lit(""), a)
+
+  /** Promote a scalar payload (an element of `a`) to the full shape. */
+  def promoteScalar(e: Column): Column =
+    struct(e.getField("tag").as("tag"), e.getField("b").as("b"),
+      e.getField("i").as("i"), e.getField("f").as("f"),
+      e.getField("s").as("s"), noArr.as("a"))
+
   /** Driver-side decode of a collected tagged-struct Row (tests, result
     * rendering). Timestamps/dates come back as their scalar GValue forms.
     */
@@ -82,7 +110,23 @@ object GValueCol {
     case TString    => GString(r.getString(4))
     case TTimestamp => GTimestamp(r.getLong(2))
     case TDate      => GInt(r.getLong(2)) // epoch days (no dedicated GDate)
+    case TArray     => GArray(
+      r.getSeq[org.apache.spark.sql.Row](5).map(decode).toVector)
+    case TObject    => GString(r.getString(4)) // canonical render (see gLit)
     case t => throw new IllegalArgumentException(s"unknown GValue tag $t")
+  }
+
+  private def gLitScalar(v: GValue): Column = v match {
+    case GNull       => mkScalar(TNull, lit(false), lit(0L), lit(0.0), lit(""))
+    case GBool(b)    => mkScalar(TBool, lit(b), lit(0L), lit(0.0), lit(""))
+    case GInt(i)     => mkScalar(TInt, lit(false), lit(i), lit(0.0), lit(""))
+    case GFloat(f)   => mkScalar(TFloat, lit(false), lit(0L), lit(f), lit(""))
+    case GNumeric(n) => mkScalar(TFloat, lit(false), lit(0L), lit(n.toDouble), lit(""))
+    case GString(s)  => mkScalar(TString, lit(false), lit(0L), lit(0.0), lit(s))
+    case GTimestamp(us) => mkScalar(TTimestamp, lit(false), lit(us), lit(0.0), lit(""))
+    case GDate(d)    => mkScalar(TDate, lit(false), lit(d.toLong), lit(0.0), lit(""))
+    case other => throw new UnsupportedOperationException(
+      s"GValueCol nested literal must be scalar, got ${other.render}")
   }
 
   def gLit(v: GValue): Column = v match {
@@ -94,8 +138,35 @@ object GValueCol {
     case GString(s)  => mk(TString, lit(false), lit(0L), lit(0.0), lit(s))
     case GTimestamp(us) => mk(TTimestamp, lit(false), lit(us), lit(0.0), lit(""))
     case GDate(d)    => mk(TDate, lit(false), lit(d.toLong), lit(0.0), lit(""))
+    case GArray(items) => // one level of nesting: elements must be scalars
+      mk(TArray, lit(false), lit(0L), lit(0.0), lit(""),
+        array(items.map(gLitScalar): _*))
+    case m: GMap => // canonical sorted render doubles as the equality key
+      mk(TObject, lit(false), lit(0L), lit(0.0), lit(m.render))
     case other => throw new UnsupportedOperationException(
       s"GValueCol literal: ${other.render}")
+  }
+
+  /** Canonical per-element repr used for container equality/order:
+    * family|number|string — numbers through double so 1 = 1.0 holds
+    * inside arrays exactly as at top level.
+    */
+  private def scalarCanon(e: Column): Column = {
+    val tag = e.getField("tag")
+    val fam =
+      when(tag === TString, 2).when(tag === TBool, 3)
+        .when(tag === TInt || tag === TFloat, 4)
+        .when(tag === TTimestamp || tag === TDate, 5)
+        .otherwise(11)
+    val num =
+      when(tag === TBool, e.getField("b").cast("double"))
+        .when(tag === TInt, e.getField("i").cast("double"))
+        .when(tag === TFloat, e.getField("f"))
+        .when(tag === TTimestamp, e.getField("i").cast("double"))
+        .when(tag === TDate, e.getField("i").cast("double") * 86400000000.0)
+        .otherwise(lit(0.0))
+    concat_ws("|", fam.cast("string"), num.cast("string"),
+      when(tag === TString, e.getField("s")).otherwise(lit("")))
   }
 
   /** Sort key matching GValue.cmp scalar order: lexicographic struct
@@ -103,11 +174,15 @@ object GValueCol {
     * double value; timestamp+date are one family keyed by epoch micros
     * (date → midnight, gtype date_cmp_timestamp semantics); NaN sorts
     * largest (Spark double order matches gtype_util.c:1546-1560).
+    * Containers: object=0 / array=1 families (get_type_sort_priority),
+    * keyed by canonical string.
     */
   def orderKey(g: Column): Column = {
     val tag = g.getField("tag")
     val family =
-      when(tag === TString, 2)
+      when(tag === TObject, 0)
+        .when(tag === TArray, 1)
+        .when(tag === TString, 2)
         .when(tag === TBool, 3)
         .when(tag === TInt || tag === TFloat, 4)
         .when(tag === TTimestamp || tag === TDate, 5)
@@ -119,8 +194,13 @@ object GValueCol {
         .when(tag === TTimestamp, g.getField("i").cast("double"))
         .when(tag === TDate, g.getField("i").cast("double") * 86400000000.0)
         .otherwise(lit(0.0))
-    struct(family.as("fam"), num.as("num"),
-      when(tag === TString, g.getField("s")).otherwise(lit("")).as("str"))
+    val str =
+      when(tag === TString, g.getField("s"))
+        .when(tag === TObject, g.getField("s"))
+        .when(tag === TArray,
+          array_join(transform(g.getField("a"), (e: Column) => scalarCanon(e)), ""))
+        .otherwise(lit(""))
+    struct(family.as("fam"), num.as("num"), str.as("str"))
   }
 
   /** Is this dynamic value the gtype null? */
@@ -131,15 +211,25 @@ object GValueCol {
     when(a.getField("tag") === TNull || b.getField("tag") === TNull, lit(null).cast("boolean"))
       .otherwise(orderKey(a) === orderKey(b))
 
+  private def renderScalarPayload(tag: Column, b: Column, i: Column, f: Column,
+      s: Column): Column =
+    when(tag === TNull, lit(null).cast("string"))
+      .when(tag === TString, s)
+      .when(tag === TBool, b.cast("string"))
+      .when(tag === TInt, i.cast("string"))
+      .when(tag === TFloat, f.cast("string"))
+      .when(tag === TTimestamp, timestamp_micros(i).cast("string"))
+      .when(tag === TDate, date_from_unix_date(i.cast("int")).cast("string"))
+
   /** Render to text (tostring semantics) — for RETURN readability. */
   def render(g: Column): Column = {
-    val tag = g.getField("tag")
-    when(tag === TNull, lit(null).cast("string"))
-      .when(tag === TString, g.getField("s"))
-      .when(tag === TBool, g.getField("b").cast("string"))
-      .when(tag === TInt, g.getField("i").cast("string"))
-      .when(tag === TFloat, g.getField("f").cast("string"))
-      .when(tag === TTimestamp, timestamp_micros(g.getField("i")).cast("string"))
-      .when(tag === TDate, date_from_unix_date(g.getField("i").cast("int")).cast("string"))
+    val scalar = renderScalarPayload(g.getField("tag"), g.getField("b"),
+      g.getField("i"), g.getField("f"), g.getField("s"))
+    when(g.getField("tag") === TArray,
+      concat(lit("["), array_join(transform(g.getField("a"), e =>
+        renderScalarPayload(e.getField("tag"), e.getField("b"), e.getField("i"),
+          e.getField("f"), e.getField("s"))), ", ", "null"), lit("]")))
+      .when(g.getField("tag") === TObject, g.getField("s"))
+      .otherwise(scalar)
   }
 }

@@ -542,6 +542,22 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getInt(5) == 8)
   }
 
+  test("one-level nested heterogeneous lists: index, slice, IN (lists.sql:36-108)") {
+    val r = run("WITH [0, 1, [2, 3, 4], 5, [6, 7, 8], 9] AS l RETURN " +
+      "l[2] AS nested, l[2][-2] AS inner, l[-1] AS last9, " +
+      "l[2][3] AS oob, l[-2..][-1..][-2] AS oob2, " +
+      "(1 @= [1, 'a', [2, 3]])::int AS inhet").collect().head
+    assert(graft.gvalue.GValueCol.decode(r.getAs[org.apache.spark.sql.Row](0))
+      == graft.gvalue.GArray(Vector(graft.gvalue.GInt(2),
+        graft.gvalue.GInt(3), graft.gvalue.GInt(4))))
+    assert(graft.gvalue.GValueCol.decode(r.getAs[org.apache.spark.sql.Row](1))
+      == graft.gvalue.GInt(3))
+    assert(graft.gvalue.GValueCol.decode(r.getAs[org.apache.spark.sql.Row](2))
+      == graft.gvalue.GInt(9))
+    assert(r.isNullAt(3) && r.isNullAt(4)) // OOB → null, not error
+    assert(r.getLong(5) == 1L)
+  }
+
   test("@= / !@= operator spellings of IN (gtype-lists.sql.in:36)") {
     val r = run("MATCH (p:Person {name: 'Ann'}) RETURN " +
       "(2 @= [1, 2, 3])::int AS yes, (9 @= [1, 2, 3])::int AS no, " +
