@@ -918,7 +918,14 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case Un("NEG", Lit(GFloat(f))) => Some(GFloat(-f))
     case ListLit(items) =>
       val gs = items.map(litGValue)
-      if (gs.forall(_.exists(isScalarG))) Some(GArray(gs.map(_.get).toVector))
+      // elements may themselves be one-level containers of scalars (their
+      // payload rides the canonical-string encoding — two levels total)
+      def elemOk(g: GValue): Boolean = g match {
+        case GArray(xs) => xs.forall(isScalarG)
+        case m: GMap    => m.entries.values.forall(isScalarG)
+        case x          => isScalarG(x)
+      }
+      if (gs.forall(_.exists(elemOk))) Some(GArray(gs.map(_.get).toVector))
       else None
     case MapLit(entries) =>
       val gs = entries.map { case (k, v) => litGValue(v).filter(isScalarG).map(k -> _) }
@@ -1057,8 +1064,16 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // payloads — lists.sql's [1, 3, 5, [2, 4, 6]] shape)
       array(heteroLitList(items).get.map(graft.gvalue.GValueCol.gLit): _*)
     case ListLit(items)  => array(items.map(x => compileExpr(x, ctx)): _*)
-    case MapLit(entries) =>
-      map(entries.flatMap { case (k, v) => Seq(lit(k), compileExpr(v, ctx)) }: _*)
+    case e @ MapLit(entries) =>
+      // mixed-VALUE-type literal objects ride the dynamic encoding (a
+      // plain map() cannot hold them); homogeneous maps stay native
+      val mixed = {
+        val classes = entries.flatMap(kv => litGValue(kv._2))
+          .filter(_ != GNull).map(_.getClass).distinct
+        classes.size > 1 && litGValue(e).isDefined
+      }
+      if (mixed) graft.gvalue.GValueCol.gLit(litGValue(e).get)
+      else map(entries.flatMap { case (k, v) => Seq(lit(k), compileExpr(v, ctx)) }: _*)
     // variable_edge operator family (sql/postgraph-variable_edge.sql.in:
     // 21-242): set/sequence ops over VLE edge sequences — all computed on
     // the bare 8-byte edge-id arrays, no value materialization needed

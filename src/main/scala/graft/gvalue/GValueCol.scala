@@ -116,6 +116,27 @@ object GValueCol {
     case t => throw new IllegalArgumentException(s"unknown GValue tag $t")
   }
 
+  /** Driver-side replica of [[scalarCanon]] for literal values — MUST
+    * render identically to the column expression (Java Double.toString on
+    * both sides) so a two-level nested literal equals its column-side
+    * encoding.
+    */
+  private def litCanon(v: GValue): String = {
+    val (fam, num, str) = v match {
+      case GString(x)  => (2, 0.0, x)
+      case GBool(x)    => (3, if (x) 1.0 else 0.0, "")
+      case GInt(x)     => (4, x.toDouble, "")
+      case GFloat(x)   => (4, x, "")
+      case GNumeric(x) => (4, x.toDouble, "")
+      case GTimestamp(us) => (5, us.toDouble, "")
+      case GDate(d)    => (5, d.toDouble * 86400000000.0, "")
+      case GNull       => (11, 0.0, "")
+      case other => throw new UnsupportedOperationException(
+        s"canon of ${other.render}")
+    }
+    s"$fam|$num|$str"
+  }
+
   private def gLitScalar(v: GValue): Column = v match {
     case GNull       => mkScalar(TNull, lit(false), lit(0L), lit(0.0), lit(""))
     case GBool(b)    => mkScalar(TBool, lit(b), lit(0L), lit(0.0), lit(""))
@@ -125,6 +146,11 @@ object GValueCol {
     case GString(s)  => mkScalar(TString, lit(false), lit(0L), lit(0.0), lit(s))
     case GTimestamp(us) => mkScalar(TTimestamp, lit(false), lit(us), lit(0.0), lit(""))
     case GDate(d)    => mkScalar(TDate, lit(false), lit(d.toLong), lit(0.0), lit(""))
+    case GArray(items) => // second nesting level: canonical-string payload
+      mkScalar(TArray, lit(false), lit(0L), lit(0.0),
+        lit(items.map(litCanon).mkString("\u0001")))
+    case m: GMap =>
+      mkScalar(TObject, lit(false), lit(0L), lit(0.0), lit(m.render))
     case other => throw new UnsupportedOperationException(
       s"GValueCol nested literal must be scalar, got ${other.render}")
   }
@@ -154,7 +180,8 @@ object GValueCol {
   private def scalarCanon(e: Column): Column = {
     val tag = e.getField("tag")
     val fam =
-      when(tag === TString, 2).when(tag === TBool, 3)
+      when(tag === TObject, 0).when(tag === TArray, 1)
+        .when(tag === TString, 2).when(tag === TBool, 3)
         .when(tag === TInt || tag === TFloat, 4)
         .when(tag === TTimestamp || tag === TDate, 5)
         .otherwise(11)
@@ -166,7 +193,8 @@ object GValueCol {
         .when(tag === TDate, e.getField("i").cast("double") * 86400000000.0)
         .otherwise(lit(0.0))
     concat_ws("|", fam.cast("string"), num.cast("string"),
-      when(tag === TString, e.getField("s")).otherwise(lit("")))
+      when(tag === TString || tag === TArray || tag === TObject, e.getField("s"))
+        .otherwise(lit("")))
   }
 
   /** Sort key matching GValue.cmp scalar order: lexicographic struct
