@@ -471,6 +471,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     * present in the stored array. NULL anywhere → no match (3VL filter).
     */
   private def propCond(df: DataFrame, c: Column, v: Expr, ctx: Ctx): Column = v match {
+    // container literal against a DYNAMIC (gvalue) stored property:
+    // compare via the codec's canonical equality
+    case _ if litGValue(v).exists(g => g.isInstanceOf[GArray] || g.isInstanceOf[GMap]) &&
+        scala.util.Try(df.select(c).schema.head.dataType)
+          .toOption.exists(graft.gvalue.GValueCol.isGValue) =>
+      coalesce(graft.gvalue.GValueCol.eqv(c,
+        graft.gvalue.GValueCol.gLit(litGValue(v).get)), lit(false))
     case MapLit(entries) if entries.nonEmpty =>
       entries.map { case (k, ve) =>
         element_at(c, lit(k)) === compileExpr(ve, ctx)
@@ -501,7 +508,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     val renamed = base.columns.foldLeft(base)((df, c) =>
       df.withColumnRenamed(c, s"${alias}__$c"))
     props.foldLeft(renamed) { case (df, (k, v)) =>
-      df.filter(propCond(df, col(s"${alias}__$k"), v, ctx))
+      df.filter(propCond(df, col(s"${alias}__${PropNames.esc(k)}"), v, ctx))
     }
   }
 
@@ -521,7 +528,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     val renamed = base.columns.foldLeft(base)((df, c) =>
       df.withColumnRenamed(c, s"${alias}__$c"))
     props.foldLeft(renamed) { case (df, (k, v)) =>
-      df.filter(propCond(df, col(s"${alias}__$k"), v, ctx))
+      df.filter(propCond(df, col(s"${alias}__${PropNames.esc(k)}"), v, ctx))
     }
   }
 
@@ -556,7 +563,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       var df = ctx.df
       n.labels.foreach(l => df = df.filter(col(s"${alias}__label") === lit(l)))
       n.props.foreach { case (k, v) =>
-        df = df.filter(propCond(df, col(s"${alias}__$k"), v, ctx))
+        df = df.filter(propCond(df, col(s"${alias}__${PropNames.esc(k)}"), v, ctx))
       }
       ctx.copy(df = df)
     } else {
@@ -574,7 +581,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         }
       val out = Ctx(df, ctx.vars + (alias -> VarInfo.vertex), ctx.projected)
       correlated.foreach { case (k, v) =>
-        df = df.filter(propCond(df, col(s"${alias}__$k"), v, out))
+        df = df.filter(propCond(df, col(s"${alias}__${PropNames.esc(k)}"), v, out))
       }
       out.copy(df = df)
     }
@@ -844,6 +851,20 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     val postCtx = Ctx(df, outVars, projected = true)
     where.foreach { wc =>
       // WITH … WHERE may itself hold sublinks (post-projection scope)
+      val postOk = scala.util.Try {
+        val (wCtx, ws, _) = bindSublinks(postCtx.copy(df = df), Seq(wc))
+        wCtx.df.filter(compileExpr(ws.head, wCtx)).schema
+      }.isSuccess
+      if (!postOk && !hasAgg) {
+        // `WITH n AS a WHERE n.i = 1` — the predicate may reference the
+        // PRE-projection scope (cypher_with.sql:44-51): filter the input
+        // first and re-run the projection (equivalent for non-aggregating
+        // WITH, where the predicate is row-local)
+        val (wCtx, ws, added) = bindSublinks(ctx, Seq(wc))
+        val filtered = wCtx.df.filter(compileExpr(ws.head, wCtx)).drop(added: _*)
+        return compileProjection(ctx.copy(df = filtered), items0, distinct,
+          orderBy, skip, limit, where = None, isReturn, partitionCol)
+      }
       val (wCtx, ws, added) = bindSublinks(postCtx.copy(df = df), Seq(wc))
       df = wCtx.df.filter(compileExpr(ws.head, wCtx)).drop(added: _*)
     }
@@ -1042,9 +1063,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // a property no row of any matched label carries resolves to NULL
       // (Cypher/reference semantics: absent property ≡ null), not an
       // unresolved-column error — the union view only null-fills props
-      // that exist SOMEWHERE; a fully-absent key has no column at all
-      if (ctx.df != null && !ctx.df.columns.contains(s"${n}__$k")) lit(null)
-      else col(s"${n}__$k")
+      // that exist SOMEWHERE; a fully-absent key has no column at all.
+      // Reserved names resolve to the ESCAPED property column (n.id is
+      // the property, never the graphid — vertex.h accessor split)
+      val ek = PropNames.esc(k)
+      if (ctx.df != null && !ctx.df.columns.contains(s"${n}__$ek")) lit(null)
+      else col(s"${n}__$ek")
     case Prop(base, k) =>
       val b = compileExpr(base, ctx)
       // property access on an entity VALUE (path element, collected
@@ -1474,7 +1498,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           array(entityColumns(ctx.df, v)
             .map(_.stripPrefix(s"${v}__"))
             .filterNot(Set("id", "label", "start_id", "end_id"))
-            .sorted.map(lit): _*)
+            .map(PropNames.unesc).sorted.map(lit): _*)
         case _ => map_keys(a(0))
       }
       case "size" | "length" => args.head match {
@@ -1814,7 +1838,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           val dt = base.schema(k).dataType
           val enc = if (GValueCol.canEncode(dt)) GValueCol.encode(col(k), dt)
                     else GValueCol.encode(col(k).cast("string"), StringType)
-          Seq(lit(k), enc)
+          Seq(lit(PropNames.unesc(k)), enc)
         }: _*)
       val fields =
         if (isEdge) Seq(col("id").as("id"), col("start_id").as("start_id"),
@@ -2183,7 +2207,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       val enc =
         if (graft.gvalue.GValueCol.canEncode(dt)) graft.gvalue.GValueCol.encode(c, dt)
         else graft.gvalue.GValueCol.encode(c.cast("string"), StringType)
-      Seq(lit(k), enc)
+      Seq(lit(PropNames.unesc(k)), enc)
     }: _*)
   }
 
@@ -2337,6 +2361,19 @@ object Compiler {
     */
   val AggFns: Set[String] = Set("count", "sum", "avg", "min", "max", "collect",
     "stdev", "stdevp", "percentilecont", "percentiledisc")
+
+  /** User property names that collide with the entity layout's internal
+    * columns are STORED escaped — the reference keeps a vertex's `id`
+    * property fully separate from its graphid (vertex.h accessors vs
+    * property map), so `CREATE (:v {id: 'x'})` must work and `n.id` must
+    * read the PROPERTY (null when absent), never the internal id.
+    */
+  object PropNames {
+    private val Reserved = Set("id", "label", "start_id", "end_id")
+    def esc(k: String): String = if (Reserved(k)) k + "_p$" else k
+    def unesc(k: String): String =
+      if (k.endsWith("_p$") && Reserved(k.dropRight(3))) k.dropRight(3) else k
+  }
 
   object VarKind extends Enumeration {
     val Vertex, Edge, Scalar, Path, VlePath = Value

@@ -230,7 +230,7 @@ final class GraphSession(val spark: SparkSession) {
             }
             graph.createVerticesRows(label,
               df.select(col(name).as("id") +:
-                propCols.map { case (k, c) => c.as(k) }: _*))
+                propCols.map { case (k, c) => c.as(Compiler.PropNames.esc(k)) }: _*))
             n.variable.foreach { v =>
               df = df.withColumn(s"${v}__label", lit(label))
               propCols.foreach { case (k, c) =>
@@ -252,7 +252,7 @@ final class GraphSession(val spark: SparkSession) {
           }
           graph.createEdgesRows(label,
             df.select(Seq(col(s).as("start_id"), col(d).as("end_id")) ++
-              edgePropCols.map { case (k, c) => c.as(k) }: _*))
+              edgePropCols.map { case (k, c) => c.as(Compiler.PropNames.esc(k)) }: _*))
           pendingRel = None
         }
         prevIdName = idName
@@ -346,8 +346,9 @@ final class GraphSession(val spark: SparkSession) {
       val c = new Compiler(graph.snapshot, compiler.params).compileClause(Ctx.empty,
         Match(List(PathPattern(None,
           List(NodePattern(Some(mm), n.labels, Map.empty)))), optional = false, None))
-      if (keys.forall(k => c.df.columns.contains(s"${mm}__$k")))
-        Some(c.df.select(keys.map(k => col(s"${mm}__$k").as(s"__mi_$k")): _*).distinct())
+      if (keys.forall(k => c.df.columns.contains(s"${mm}__${Compiler.PropNames.esc(k)}")))
+        Some(c.df.select(keys.map(k =>
+          col(s"${mm}__${Compiler.PropNames.esc(k)}").as(s"__mi_$k")): _*).distinct())
       else None
     } catch { case _: UnknownLabelException => None } // unknown label
     val distinctVals = withVals.select(keys.map(k => col(s"__mv_$k")): _*).distinct()
@@ -361,7 +362,7 @@ final class GraphSession(val spark: SparkSession) {
       val (lid, base) = graph.reserveEntries(label, nRows)
       val rows = numbered
         .select(shiftleft(lit(lid.toLong), 48).bitwiseOR(col("__crn") + base).as("id") +:
-          keys.map(k => col(s"__mv_$k").as(k)): _*)
+          keys.map(k => col(s"__mv_$k").as(Compiler.PropNames.esc(k))): _*)
       graph.createVerticesRows(label, rows)
     }
     // re-match laterally: correlated prop filters now resolve post-join
@@ -379,14 +380,14 @@ final class GraphSession(val spark: SparkSession) {
         .select(col(s"${v}__id").as("__set_id"),
           compiler.compileExpr(valueExpr, ctx).as("__set_val"))
         .dropDuplicates("__set_id")
-      graph.updateProperty(k, updates)
+      graph.updateProperty(Compiler.PropNames.esc(k), updates)
     }
     // reflect the writes in the CURRENT binding too, so RETURN right after
     // SET sees the new values (reference: paths/values updated in place,
     // cypher_set.sql:33-49) — one projection, all values evaluated against
     // the pre-update row (simultaneous semantics for multi-item SET)
     val updatedCols = items.map { case SetItem(v, k, valueExpr) =>
-      s"${v}__$k" -> compiler.compileExpr(valueExpr, ctx)
+      s"${v}__${Compiler.PropNames.esc(k)}" -> compiler.compileExpr(valueExpr, ctx)
     }.toMap
     ctx.copy(df = ctx.df.withColumns(updatedCols))
   }
@@ -397,10 +398,10 @@ final class GraphSession(val spark: SparkSession) {
       val updates = ctx.df.select(col(s"${v}__id").as("__set_id"),
         lit(null).as("__set_val"))
         .dropDuplicates("__set_id")
-      graph.updateProperty(k, updates)
+      graph.updateProperty(Compiler.PropNames.esc(k), updates)
     }
     ctx.copy(df = ctx.df.withColumns(
-      items.map { case (v, k) => s"${v}__$k" -> lit(null) }.toMap))
+      items.map { case (v, k) => s"${v}__${Compiler.PropNames.esc(k)}" -> lit(null) }.toMap))
   }
 
   /** DELETE / DETACH DELETE (reference: cypher_delete.c — DETACH cascades
@@ -442,17 +443,49 @@ final class MutableGraph(spark: SparkSession) {
   private def labelId(l: String): Int =
     labelIds.getOrElseUpdate(l, { val i = nextLabelId; nextLabelId += 1; i })
 
+  private def isScalarProp(v: GValue): Boolean = v match {
+    case _: GArray | _: GMap | _: GVector => false
+    case _ => true
+  }
+
+  /** Homogeneous scalar lists keep a typed array column; mixed/nested
+    * lists and objects store the DYNAMIC tagged struct (the reference
+    * keeps every property a full gtype — cypher_match.sql's
+    * {map_key: {…}, list_key: […]} shapes).
+    */
   private def sparkType(v: GValue): DataType = v match {
     case _: GBool    => BooleanType
     case _: GInt     => LongType
     case _: GFloat   => DoubleType
     case _: GNumeric => DecimalType(38, 18)
     case _: GString  => StringType
-    case GArray(xs)  => ArrayType(xs.headOption.map(sparkType).getOrElse(StringType))
+    case GArray(xs) if xs.nonEmpty && xs.forall(isScalarProp) &&
+        xs.map(_.getClass).distinct.size == 1 =>
+      ArrayType(sparkType(xs.head))
+    case _: GArray | _: GMap => graft.gvalue.GValueCol.structType
     case _: GTimestamp => TimestampType
     case _: GDate    => DateType
     case GNull       => NullType
     case other => throw new UnsupportedOperationException(s"property type: ${other.render}")
+  }
+
+  private def dynScalarRow(v: GValue): Row = {
+    import graft.gvalue.GValueCol._
+    v match {
+      case GNull       => Row(TNull.toByte, false, 0L, 0.0, "")
+      case GBool(x)    => Row(TBool.toByte, x, 0L, 0.0, "")
+      case GInt(x)     => Row(TInt.toByte, false, x, 0.0, "")
+      case GFloat(x)   => Row(TFloat.toByte, false, 0L, x, "")
+      case GNumeric(x) => Row(TFloat.toByte, false, 0L, x.toDouble, "")
+      case GString(x)  => Row(TString.toByte, false, 0L, 0.0, x)
+      case GTimestamp(us) => Row(TTimestamp.toByte, false, us, 0.0, "")
+      case GDate(d)    => Row(TDate.toByte, false, d.toLong, 0.0, "")
+      // second-level containers ride their canonical string, mirroring
+      // GValueCol.gLitScalar so MATCH filters compare equal
+      case GArray(xs) => Row(TArray.toByte, false, 0L, 0.0,
+        xs.map(litCanon).mkString("\u0001"))
+      case m: GMap    => Row(TObject.toByte, false, 0L, 0.0, m.render)
+    }
   }
 
   private def sparkValue(v: GValue): Any = v match {
@@ -461,7 +494,13 @@ final class MutableGraph(spark: SparkSession) {
     case GFloat(f)  => f
     case GNumeric(n) => n.bigDecimal
     case GString(s) => s
-    case GArray(xs) => xs.map(sparkValue)
+    case GArray(xs) if xs.nonEmpty && xs.forall(isScalarProp) &&
+        xs.map(_.getClass).distinct.size == 1 => xs.map(sparkValue)
+    case GArray(xs) =>
+      Row(graft.gvalue.GValueCol.TArray.toByte, false, 0L, 0.0, "",
+        xs.map(dynScalarRow))
+    case m: GMap =>
+      Row(graft.gvalue.GValueCol.TObject.toByte, false, 0L, 0.0, m.render, null)
     case GTimestamp(us) => java.sql.Timestamp.from(
       java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
     case GDate(d)   => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
@@ -502,7 +541,8 @@ final class MutableGraph(spark: SparkSession) {
     }
     labelId(label)
     val df = ids.select(col("id") +:
-      props.toSeq.sortBy(_._1).map { case (k, v) => gLit(v).as(k) }: _*)
+      props.toSeq.sortBy(_._1).map { case (k, v) =>
+        gLit(v).as(Compiler.PropNames.esc(k)) }: _*)
     vertexLabels += (label -> aligned(vertexLabels.get(label), df))
   }
 
@@ -541,7 +581,7 @@ final class MutableGraph(spark: SparkSession) {
           s"cannot add unique constraint: duplicate $label.$prop values exist")
       }
     }
-    uniqueConstraints += ((label, prop))
+    uniqueConstraints += ((label, Compiler.PropNames.esc(prop)))
   }
 
   private def checkUnique(label: String, props: Map[String, GValue]): Unit =
@@ -555,7 +595,8 @@ final class MutableGraph(spark: SparkSession) {
       }
     }
 
-  def createVertex(label: String, props: Map[String, GValue]): Long = {
+  def createVertex(label: String, props0: Map[String, GValue]): Long = {
+    val props = props0.map { case (k, v) => Compiler.PropNames.esc(k) -> v }
     checkUnique(label, props)
     val lid = labelId(label)
     val entry = nextEntry.getOrElse(label, 0L) + 1
@@ -570,7 +611,8 @@ final class MutableGraph(spark: SparkSession) {
   }
 
   def createEdge(label: String, startId: Long, endId: Long,
-      props: Map[String, GValue]): Long = {
+      props0: Map[String, GValue]): Long = {
+    val props = props0.map { case (k, v) => Compiler.PropNames.esc(k) -> v }
     val lid = labelId(label)
     val entry = nextEntry.getOrElse(label, 0L) + 1
     nextEntry(label) = entry
@@ -591,7 +633,8 @@ final class MutableGraph(spark: SparkSession) {
   def createEdgesFrom(label: String, pairs: DataFrame, props: Map[String, GValue]): Unit =
     createEdgesRows(label, pairs.select(
       Seq(col("start_id"), col("end_id")) ++
-        props.toSeq.sortBy(_._1).map { case (k, v) => gLit(v).as(k) }: _*))
+        props.toSeq.sortBy(_._1).map { case (k, v) =>
+          gLit(v).as(Compiler.PropNames.esc(k)) }: _*))
 
   /** Append edges from (start_id, end_id, ROW-VALUED property columns) —
     * the general path for per-row CREATE/MERGE edge properties that are

@@ -121,7 +121,7 @@ object GValueCol {
     * both sides) so a two-level nested literal equals its column-side
     * encoding.
     */
-  private def litCanon(v: GValue): String = {
+  def litCanon(v: GValue): String = {
     val (fam, num, str) = v match {
       case GString(x)  => (2, 0.0, x)
       case GBool(x)    => (3, if (x) 1.0 else 0.0, "")
