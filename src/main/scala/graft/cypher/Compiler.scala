@@ -35,6 +35,17 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   private var anonCounter = 0
   private def freshAlias(): String = { anonCounter += 1; s"_anon$anonCounter" }
 
+  /** Does any label store a user property whose name collides with the
+    * entity shell field `k` (escaped storage — PropNames)? Gates the
+    * shell-field shortcuts: with such a property present, `.id`/`.label`
+    * access on entity VALUES must resolve through the properties map.
+    */
+  private def hasEscapedProp(k: String): Boolean = {
+    val ek = PropNames.esc(k)
+    ek != k && (graph.vertexLabels.values ++ graph.edgeLabels.values)
+      .exists(_.columns.contains(ek))
+  }
+
   def run(query: String): DataFrame = compileQuery(Parser.parse(query))
 
   def compileQuery(q: Query): DataFrame = q match {
@@ -1078,6 +1089,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       dataTypeOpt(b, ctx) match {
         case Some(st: StructType) if st.fieldNames.contains("properties") &&
             !st.fieldNames.contains(k) =>
+          b.getField("properties").getItem(k)
+        case Some(st: StructType) if st.fieldNames.contains("properties") &&
+            st.fieldNames.contains(k) && hasEscapedProp(k) =>
+          // some label stores a user property literally named like this
+          // shell field (`id`, `label`): resolve to the PROPERTY (null
+          // when absent) so `nodes(p)[0].id` matches `n.id` on the bound
+          // variable; graphs without such a property keep the shell field
           b.getField("properties").getItem(k)
         case _ => b.getField(k)
       }
@@ -2177,7 +2195,10 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       }
       elems.groupBy(_._1).toSeq.sortBy(t => (t._1._1, t._1._2)).foldLeft(c2) {
         case (cc, ((kind, i), accs)) =>
-          val narrow = accs.forall(_._2.exists(Set("id", "label")))
+          // narrow decode shadows user properties named id/label — only
+          // valid when no label stores an escaped collision (hasEscapedProp)
+          val narrow = accs.forall(_._2.exists(Set("id", "label"))) &&
+            !Seq("id", "label").exists(hasEscapedProp)
           materializeVleElem(cc, v, edges = kind == "edges", i, narrow = narrow)
       }
     }
@@ -2370,9 +2391,18 @@ object Compiler {
     */
   object PropNames {
     private val Reserved = Set("id", "label", "start_id", "end_id")
-    def esc(k: String): String = if (Reserved(k)) k + "_p$" else k
+    // stem = the key with every trailing `_p$` layer removed; escaping any
+    // key whose stem is reserved (not just reserved keys themselves) makes
+    // esc injective — a user property literally named `id_p$` stores as
+    // `id_p$_p$` instead of aliasing the escaped `id`
+    private def stem(k: String): String = {
+      var s = k
+      while (s.endsWith("_p$")) s = s.dropRight(3)
+      s
+    }
+    def esc(k: String): String = if (Reserved(stem(k))) k + "_p$" else k
     def unesc(k: String): String =
-      if (k.endsWith("_p$") && Reserved(k.dropRight(3))) k.dropRight(3) else k
+      if (k.endsWith("_p$") && Reserved(stem(k))) k.dropRight(3) else k
   }
 
   object VarKind extends Enumeration {

@@ -234,7 +234,9 @@ final class GraphSession(val spark: SparkSession) {
             n.variable.foreach { v =>
               df = df.withColumn(s"${v}__label", lit(label))
               propCols.foreach { case (k, c) =>
-                df = df.withColumn(s"${v}__$k", c)
+                // escape like storage/reads do: an unescaped reserved name
+                // (`id`, `label`) would clobber the internal binding columns
+                df = df.withColumn(s"${v}__${Compiler.PropNames.esc(k)}", c)
               }
             }
             name

@@ -332,4 +332,87 @@ object GValue {
   /** Equality for Cypher `=`: same comparator, 0 ⇔ equal; null propagates. */
   def eq3(a: GValue, b: GValue): GValue =
     if (a == GNull || b == GNull) GNull else GBool(cmp(a, b) == 0)
+
+  /** Parse the text produced by [[GValue.render]] back into a value — the
+    * inverse used when a deeply nested container element (carried as its
+    * render string in the column codec) is decoded driver-side. Map keys
+    * are always quoted by render; unquoted value tokens resolve as
+    * keyword/number, then date/instant, then bare string.
+    */
+  def parseRender(s: String): GValue = {
+    var pos = 0
+    def peek: Char = s.charAt(pos)
+    def ws(): Unit = while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
+    def expect(c: Char): Unit = {
+      require(pos < s.length && peek == c, s"expected '$c' at $pos in: $s"); pos += 1
+    }
+    def quoted(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (peek != '"') {
+        if (peek == '\\') { pos += 1; sb += peek } else sb += peek
+        pos += 1
+      }
+      pos += 1
+      sb.toString
+    }
+    def bare(): String = {
+      val st = pos
+      while (pos < s.length && !",]}".contains(s.charAt(pos))) pos += 1
+      s.substring(st, pos).trim
+    }
+    def value(): GValue = {
+      ws()
+      peek match {
+        case '[' =>
+          pos += 1; ws()
+          val items = Vector.newBuilder[GValue]
+          if (peek == ']') pos += 1
+          else {
+            var more = true
+            while (more) {
+              items += value(); ws()
+              if (peek == ',') { pos += 1 } else { expect(']'); more = false }
+            }
+          }
+          GArray(items.result())
+        case '{' =>
+          pos += 1; ws()
+          var entries = TreeMap.empty[String, GValue]
+          if (peek == '}') pos += 1
+          else {
+            var more = true
+            while (more) {
+              ws(); val k = quoted(); ws(); expect(':')
+              entries = entries.updated(k, value()); ws()
+              if (peek == ',') { pos += 1 } else { expect('}'); more = false }
+            }
+          }
+          GMap(entries)
+        case '"' => GString(quoted())
+        case _ => bare() match {
+          case "null"      => GNull
+          case "true"      => GBool(true)
+          case "false"     => GBool(false)
+          case "NaN"       => GFloat(Double.NaN)
+          case "Infinity"  => GFloat(Double.PositiveInfinity)
+          case "-Infinity" => GFloat(Double.NegativeInfinity)
+          case t if t.matches("[+-]?\\d+") => GInt(t.toLong)
+          case t if t.matches("[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?") =>
+            GFloat(t.toDouble)
+          case t =>
+            scala.util.Try(GDate(java.time.LocalDate.parse(t).toEpochDay.toInt))
+              .orElse(scala.util.Try {
+                val i = java.time.Instant.parse(t)
+                GTimestamp(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+              })
+              .getOrElse(GString(t))
+        }
+      }
+    }
+    val v = value()
+    ws()
+    require(pos == s.length, s"trailing input at $pos in: $s")
+    v
+  }
 }

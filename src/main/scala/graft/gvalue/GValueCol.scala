@@ -10,9 +10,14 @@ import org.apache.spark.sql.types._
   * A dynamic value is a tagged struct `(tag, b, i, f, s, a)`; only the
   * field selected by `tag` is meaningful. `a` carries ONE level of list
   * nesting (array of SCALAR tagged structs — the reference regress's
-  * `[1, 3, 5, [2, 4, 6]]` shape); objects carry their canonical sorted
-  * render in `s`. Deeper nesting falls back to an unsupported-literal
-  * error (documented gap). Used where a single column must hold mixed
+  * `[1, 3, 5, [2, 4, 6]]` shape); a container BELOW that level rides in
+  * its element's `s` as `canon \u0002 render` — a recursive canonical
+  * order/equality key plus the exact text rendering — so nesting depth
+  * is unbounded (lists.sql:37 `[['str'], [1, [1.0], [[true]]], null]`)
+  * even though the Spark struct type cannot recurse. Objects carry their
+  * canonical sorted render in `s` at every level (render doubles as the
+  * equality key for maps — 1 vs 1.0 inside a map compare textually, a
+  * documented approximation). Used where a single column must hold mixed
   * types: properties whose type differs across labels (the reference
   * stores every property as gtype, gtype.h:126-286) and heterogeneous
   * literal lists (`UNWIND [1, 'a', true]`).
@@ -99,8 +104,24 @@ object GValueCol {
       e.getField("i").as("i"), e.getField("f").as("f"),
       e.getField("s").as("s"), noArr.as("a"))
 
+  /** Column-side halves of a nested-container `s` payload; a payload
+    * without the separator (objects — render doubles as canon) yields the
+    * whole string for both.
+    */
+  private def canonPart(s: Column): Column = substring_index(s, "\u0002", 1)
+  private def renderPart(s: Column): Column = substring_index(s, "\u0002", -1)
+
+  /** The `s` payload of a nested container is `canon \u0002 render`. */
+  private def splitPayload(s: String): (String, String) = {
+    val i = s.indexOf('\u0002')
+    if (i < 0) (s, s) else (s.substring(0, i), s.substring(i + 1))
+  }
+
   /** Driver-side decode of a collected tagged-struct Row (tests, result
     * rendering). Timestamps/dates come back as their scalar GValue forms.
+    * A container element below the `a` level (5-field row, or 6-field row
+    * with a null `a`) is reconstructed by parsing the render half of its
+    * `s` payload.
     */
   def decode(r: org.apache.spark.sql.Row): GValue = r.getByte(0).toInt match {
     case TNull      => GNull
@@ -110,16 +131,19 @@ object GValueCol {
     case TString    => GString(r.getString(4))
     case TTimestamp => GTimestamp(r.getLong(2))
     case TDate      => GInt(r.getLong(2)) // epoch days (no dedicated GDate)
-    case TArray     => GArray(
+    case TArray if r.length > 5 && !r.isNullAt(5) => GArray(
       r.getSeq[org.apache.spark.sql.Row](5).map(decode).toVector)
+    case TArray     => GValue.parseRender(splitPayload(r.getString(4))._2)
     case TObject    => GString(r.getString(4)) // canonical render (see gLit)
     case t => throw new IllegalArgumentException(s"unknown GValue tag $t")
   }
 
   /** Driver-side replica of [[scalarCanon]] for literal values — MUST
     * render identically to the column expression (Java Double.toString on
-    * both sides) so a two-level nested literal equals its column-side
-    * encoding.
+    * both sides) so a nested literal equals its column-side encoding.
+    * Recursive: a nested array's canon is its children's canons joined by
+    * u0001 — the SAME string [[orderKey]] computes column-side for a
+    * top-level array, so `[[1,2]][0] = [1.0,2]` holds at any depth.
     */
   def litCanon(v: GValue): String = {
     val (fam, num, str) = v match {
@@ -131,6 +155,8 @@ object GValueCol {
       case GTimestamp(us) => (5, us.toDouble, "")
       case GDate(d)    => (5, d.toDouble * 86400000000.0, "")
       case GNull       => (11, 0.0, "")
+      case GArray(items) => return "1|0.0|" + items.map(litCanon).mkString("\u0001")
+      case m: GMap     => return "0|0.0|" + m.render
       case other => throw new UnsupportedOperationException(
         s"canon of ${other.render}")
     }
@@ -146,9 +172,9 @@ object GValueCol {
     case GString(s)  => mkScalar(TString, lit(false), lit(0L), lit(0.0), lit(s))
     case GTimestamp(us) => mkScalar(TTimestamp, lit(false), lit(us), lit(0.0), lit(""))
     case GDate(d)    => mkScalar(TDate, lit(false), lit(d.toLong), lit(0.0), lit(""))
-    case GArray(items) => // second nesting level: canonical-string payload
+    case GArray(items) => // deeper nesting: canon \u0002 render payload
       mkScalar(TArray, lit(false), lit(0L), lit(0.0),
-        lit(items.map(litCanon).mkString("\u0001")))
+        lit(items.map(litCanon).mkString("\u0001") + "\u0002" + v.render))
     case m: GMap =>
       mkScalar(TObject, lit(false), lit(0L), lit(0.0), lit(m.render))
     case other => throw new UnsupportedOperationException(
@@ -193,7 +219,8 @@ object GValueCol {
         .when(tag === TDate, e.getField("i").cast("double") * 86400000000.0)
         .otherwise(lit(0.0))
     concat_ws("|", fam.cast("string"), num.cast("string"),
-      when(tag === TString || tag === TArray || tag === TObject, e.getField("s"))
+      when(tag === TString, e.getField("s"))
+        .when(tag === TArray || tag === TObject, canonPart(e.getField("s")))
         .otherwise(lit("")))
   }
 
@@ -224,9 +251,11 @@ object GValueCol {
         .otherwise(lit(0.0))
     val str =
       when(tag === TString, g.getField("s"))
-        .when(tag === TObject, g.getField("s"))
-        .when(tag === TArray,
-          array_join(transform(g.getField("a"), (e: Column) => scalarCanon(e)), ""))
+        .when(tag === TObject, canonPart(g.getField("s")))
+        // a promoted nested array has a null `a` and carries its canon in `s`
+        .when(tag === TArray, coalesce(
+          array_join(transform(g.getField("a"), (e: Column) => scalarCanon(e)), "\u0001"),
+          canonPart(g.getField("s"))))
         .otherwise(lit(""))
     struct(family.as("fam"), num.as("num"), str.as("str"))
   }
@@ -249,15 +278,24 @@ object GValueCol {
       .when(tag === TTimestamp, timestamp_micros(i).cast("string"))
       .when(tag === TDate, date_from_unix_date(i.cast("int")).cast("string"))
 
-  /** Render to text (tostring semantics) — for RETURN readability. */
+  /** Render to text (tostring semantics) — for RETURN readability.
+    * Nested containers render from the render half of their payload; a
+    * promoted nested array (null `a`) likewise.
+    */
   def render(g: Column): Column = {
     val scalar = renderScalarPayload(g.getField("tag"), g.getField("b"),
       g.getField("i"), g.getField("f"), g.getField("s"))
+    def elem(e: Column): Column =
+      when(e.getField("tag") === TArray || e.getField("tag") === TObject,
+        renderPart(e.getField("s")))
+        .otherwise(renderScalarPayload(e.getField("tag"), e.getField("b"),
+          e.getField("i"), e.getField("f"), e.getField("s")))
     when(g.getField("tag") === TArray,
-      concat(lit("["), array_join(transform(g.getField("a"), e =>
-        renderScalarPayload(e.getField("tag"), e.getField("b"), e.getField("i"),
-          e.getField("f"), e.getField("s"))), ", ", "null"), lit("]")))
-      .when(g.getField("tag") === TObject, g.getField("s"))
+      when(g.getField("a").isNull, renderPart(g.getField("s")))
+        .otherwise(concat(lit("["),
+          array_join(transform(g.getField("a"), e => elem(e)), ", ", "null"),
+          lit("]"))))
+      .when(g.getField("tag") === TObject, renderPart(g.getField("s")))
       .otherwise(scalar)
   }
 }
