@@ -52,8 +52,37 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case SingleQuery(clauses) =>
       finish(clauses.foldLeft(Ctx.empty)(compileClause))
     case SetOp(op, all, l, r) =>
-      val ld = compileQuery(l)
-      val rd = compileQuery(r)
+      var ld = compileQuery(l)
+      var rd = compileQuery(r)
+      // gtype is ONE type in the reference, so `RETURN [1,2,3] UNION
+      // RETURN 1` is valid (cypher_setop.sql:57) — where the two sides'
+      // Spark types disagree, re-encode BOTH columns through the dynamic
+      // codec; columns with no dynamic form (entities) keep their types
+      // and surface the same incompatibility the reference reports.
+      if (ld.columns.length == rd.columns.length) {
+        import graft.gvalue.GValueCol
+        val widened = ld.schema.fields.zip(rd.schema.fields).map {
+          case (a, b) if a.dataType == b.dataType => None
+          case (a, b) =>
+            (GValueCol.dynCoerce(col(a.name), a.dataType),
+              GValueCol.dynCoerce(col(b.name), b.dataType)) match {
+              case (Some(lc), Some(rc)) => Some((a.name, lc, rc))
+              case _ => None
+            }
+        }
+        if (widened.exists(_.isDefined)) {
+          val lcols = ld.schema.fields.zip(widened).map {
+            case (f, Some((n, lc, _))) => lc.as(n)
+            case (f, None) => col(f.name)
+          }
+          val rcols = rd.schema.fields.zip(widened).map {
+            case (f, Some((_, _, rc))) => rc.as(f.name)
+            case (f, None) => col(f.name)
+          }
+          ld = ld.select(lcols.toSeq: _*)
+          rd = rd.select(rcols.toSeq: _*)
+        }
+      }
       op match {
         case "UNION" if all => ld.unionByName(rd)
         case "UNION"        => ld.unionByName(rd).distinct()
@@ -199,7 +228,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         inner = compileWhere(ensureVleValues(inner, Seq(w)), w)
       }
       val shared = ctx.vars.keySet.intersect(inner.vars.keySet).toSeq.sorted
-      require(ctx.df != null, "OPTIONAL MATCH requires a previous clause")
+      // leading OPTIONAL MATCH (no prior clause): left-join the pattern
+      // from a one-row unit relation — pattern rows when any, one
+      // null-extended row when none (reference cypher_match.sql:630)
+      val outer = if (ctx.df != null) ctx.df
+        else spark.range(1).select(lit(true).as("__unit0"))
       // inner side keeps only its NEW columns plus temp join keys for the
       // shared vars (outer side owns the shared vars' columns)
       val dropCols = shared.flatMap(v =>
@@ -208,8 +241,8 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         df.withColumnRenamed(s"${v}__id", s"__opt_${v}__id"))
       val cond = shared.map(v => col(s"${v}__id") === col(s"__opt_${v}__id"))
         .reduceOption(_ && _).getOrElse(lit(true))
-      val joined = ctx.df.join(renamed, cond, "left_outer")
-        .drop(shared.map(v => s"__opt_${v}__id"): _*)
+      val joined = outer.join(renamed, cond, "left_outer")
+        .drop("__unit0" +: shared.map(v => s"__opt_${v}__id"): _*)
       // drop duplicated non-id columns of shared vars from the inner side kept once
       Ctx(joined, ctx.vars ++ (inner.vars -- ctx.vars.keySet), ctx.projected)
     } else {
@@ -855,8 +888,26 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
 
     if (distinct) {
       // hidden sort keys must not affect DISTINCT semantics
-      if (hiddenSort.isEmpty) df = df.dropDuplicates()
-      else df = df.dropDuplicates(df.columns.filterNot(hiddenSort.contains).toSeq)
+      val keep = df.columns.filterNot(hiddenSort.contains).toSeq
+      // Spark cannot set-operate on MapType (entity properties inside
+      // path/entity values) — substitute a canonical JSON key for any
+      // map-bearing column (path identity is its id sequence, but the
+      // full value key is equality-exact for all of them)
+      def hasMap(dt: DataType): Boolean = dt match {
+        case _: MapType => true
+        case st: StructType => st.fields.exists(f => hasMap(f.dataType))
+        case ArrayType(et, _) => hasMap(et)
+        case _ => false
+      }
+      val mapCols = keep.filter(c => hasMap(df.schema(c).dataType))
+      if (mapCols.isEmpty) df = df.dropDuplicates(keep)
+      else {
+        val keyed = mapCols.foldLeft(df)((d, c) =>
+          d.withColumn(s"__dk_$c", to_json(col(c))))
+        df = keyed.dropDuplicates(
+          keep.filterNot(mapCols.contains) ++ mapCols.map(c => s"__dk_$c"))
+          .drop(mapCols.map(c => s"__dk_$c"): _*)
+      }
     }
 
     val postCtx = Ctx(df, outVars, projected = true)
@@ -1386,6 +1437,10 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // mixes (string+bool, string+list …) ereport in the reference, so
       // refuse them here too rather than silently stringifying.
       (dataTypeOpt(l, ctx), dataTypeOpt(r, ctx)) match {
+        // null operand → null result (gtype_add null propagation — the
+        // reference CREATEs through `a.missing + ' -> '` with a null prop,
+        // cypher_create.sql:72)
+        case (Some(NullType), _) | (_, Some(NullType)) => lit(null)
         case (Some(StringType), Some(StringType)) => concat(l, r)
         case (Some(StringType), Some(t)) if isNumericLike(t) =>
           concat(l, r.cast("string"))

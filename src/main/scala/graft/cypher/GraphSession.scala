@@ -139,13 +139,19 @@ final class GraphSession(val spark: SparkSession) {
   private def executeCreate(ctx0: Ctx, pattern: PathPattern,
       compiler: Compiler): Ctx = {
     val elems = pattern.elements
-    if (ctx0.df != null) createPerRow(ctx0, elems, compiler)
+    if (ctx0.df != null) createPerRow(ctx0, elems, compiler, pattern.variable)
     else {
       val ctx = ctx0
-      // literal chain: nodes and edges all new
+      // literal chain: nodes and edges all new. EVERY created entity —
+      // named or anonymous, vertex or edge — is bound into the result
+      // frame so `CREATE … RETURN a, b` and `CREATE p=… RETURN p` yield
+      // the created values (reference cypher_create.sql:80-100; the
+      // executor returns the in-flight tuple, cypher_create.c:210-410).
       var createdVars = ctx.vars
       var df = if (ctx.df == null) null else ctx.df
       val chainIds = mutable.Map.empty[String, Long] // vars created in THIS chain
+      val nodeAliases = mutable.ListBuffer.empty[String]
+      val edgeAliases = mutable.ListBuffer.empty[String]
       var prevId: Option[(String, Long)] = None // (varName, id) of previous node
       var pendingRel: Option[RelPattern] = None
       elems.foreach {
@@ -172,17 +178,27 @@ final class GraphSession(val spark: SparkSession) {
             createdVars += (alias -> VarInfo.vertex)
             chainIds(alias) = id
           }
+          nodeAliases += alias
           pendingRel.foreach { r =>
             val (s, d) = if (r.dir == -1) (id, prevId.get._2) else (prevId.get._2, id)
             val label = r.types.headOption.getOrElse(
               throw new IllegalArgumentException("CREATE edge needs a type"))
-            graph.createEdge(label, s, d, r.props.map { case (k, v) => k -> constEval(v) })
+            val eid = graph.createEdge(label, s, d,
+              r.props.map { case (k, v) => k -> constEval(v) })
+            val ealias = r.variable.getOrElse(s"_ce${eid & 0xFFFF}")
+            val edgeDf = graph.edgeRowDf(ealias, label, eid)
+            df = if (df == null) edgeDf else df.crossJoin(edgeDf)
+            if (r.variable.isDefined) createdVars += (ealias -> VarInfo.edge)
+            edgeAliases += ealias
             pendingRel = None
           }
           prevId = Some((alias, id))
         case r: RelPattern =>
           require(r.varLength.isEmpty, "CREATE cannot use variable-length edges")
           pendingRel = Some(r)
+      }
+      pattern.variable.foreach { p =>
+        createdVars += (p -> VarInfo.path(nodeAliases.toList, edgeAliases.toList))
       }
       Ctx(df, createdVars, ctx0.projected)
     }
@@ -195,66 +211,85 @@ final class GraphSession(val spark: SparkSession) {
     * [[RowNumber]], so the input never collapses to one partition).
     */
   private def createPerRow(ctx0: Ctx, elems: Seq[PatternElem],
-      compiler: Compiler): Ctx = {
+      compiler: Compiler, pathVar: Option[String] = None): Ctx = {
     var vars = ctx0.vars
     var (df, nRows) = RowNumber.attach(ctx0.df, "__crn")
-    val tempCols = mutable.ListBuffer.empty[String]
+    // every created entity binds under an alias (anonymous ones under
+    // `_cn`/`_ce` temps) so RETURN of created edges and `CREATE p=…`
+    // path values work; anonymous bindings drop at the end unless a
+    // path variable needs them
+    val anonAliases = mutable.ListBuffer.empty[String]
+    val nodeAliases = mutable.ListBuffer.empty[String]
+    val edgeAliases = mutable.ListBuffer.empty[String]
     var prevIdName: String = null
     var pendingRel: Option[RelPattern] = None
+    // literal props keep their exact GValue typing; expressions
+    // referencing the input row (`{i: n.i}` — reference cypher_create
+    // per-tuple evaluation) compile per row
+    def compileProps(props: Map[String, Expr]): Seq[(String, org.apache.spark.sql.Column)] =
+      props.toSeq.sortBy(_._1).map { case (k, pv) =>
+        k -> (scala.util.Try(constEval(pv)).toOption match {
+          case Some(gv) => graph.gLit(gv)
+          case None => compiler.compileExpr(pv, Ctx(df, vars, projected = false))
+        })
+      }
     elems.foreach {
       case n: NodePattern =>
-        val idName: String = n.variable.filter(vars.contains) match {
+        val alias: String = n.variable.filter(vars.contains) match {
           case Some(v) =>
             require(n.labels.isEmpty && n.props.isEmpty,
               s"cannot add labels/properties to bound variable $v in CREATE")
-            s"${v}__id"
+            v
           case None =>
             val label = n.labels.headOption.getOrElse("_default")
             val (lid, base) = graph.reserveEntries(label, nRows)
             val idc = shiftleft(lit(lid.toLong), 48)
               .bitwiseOR(col("__crn") + base)
-            val name = n.variable match {
-              case Some(v) => vars += (v -> VarInfo.vertex); s"${v}__id"
+            val a = n.variable match {
+              case Some(v) => vars += (v -> VarInfo.vertex); v
               case None =>
-                val t = s"__cnode${tempCols.length}"; tempCols += t; t
+                val t = s"_cn${anonAliases.length}"; anonAliases += t; t
             }
-            df = df.withColumn(name, idc)
-            // literal props keep their exact GValue typing; expressions
-            // referencing the input row (`{i: n.i}` — reference
-            // cypher_create per-tuple evaluation) compile per row
-            val propCols = n.props.toSeq.sortBy(_._1).map { case (k, pv) =>
-              k -> (scala.util.Try(constEval(pv)).toOption match {
-                case Some(gv) => graph.gLit(gv)
-                case None => compiler.compileExpr(pv, Ctx(df, vars, projected = false))
-              })
-            }
+            df = df.withColumn(s"${a}__id", idc)
+            val propCols = compileProps(n.props)
             graph.createVerticesRows(label,
-              df.select(col(name).as("id") +:
+              df.select(col(s"${a}__id").as("id") +:
                 propCols.map { case (k, c) => c.as(Compiler.PropNames.esc(k)) }: _*))
-            n.variable.foreach { v =>
-              df = df.withColumn(s"${v}__label", lit(label))
-              propCols.foreach { case (k, c) =>
-                // escape like storage/reads do: an unescaped reserved name
-                // (`id`, `label`) would clobber the internal binding columns
-                df = df.withColumn(s"${v}__${Compiler.PropNames.esc(k)}", c)
-              }
+            df = df.withColumn(s"${a}__label", lit(label))
+            propCols.foreach { case (k, c) =>
+              // escape like storage/reads do: an unescaped reserved name
+              // (`id`, `label`) would clobber the internal binding columns
+              df = df.withColumn(s"${a}__${Compiler.PropNames.esc(k)}", c)
             }
-            name
+            a
         }
+        val idName = s"${alias}__id"
+        nodeAliases += alias
         pendingRel.foreach { r =>
           require(r.dir != 0, "CREATE edge requires a direction")
           val label = r.types.headOption.getOrElse(
             throw new IllegalArgumentException("CREATE edge needs a type"))
           val (s, d) = if (r.dir == 1) (prevIdName, idName) else (idName, prevIdName)
-          val edgePropCols = r.props.toSeq.sortBy(_._1).map { case (k, pv) =>
-            k -> (scala.util.Try(constEval(pv)).toOption match {
-              case Some(gv) => graph.gLit(gv)
-              case None => compiler.compileExpr(pv, Ctx(df, vars, projected = false))
-            })
+          val ealias = r.variable match {
+            case Some(v) => vars += (v -> VarInfo.edge); v
+            case None => val t = s"_ce${anonAliases.length}"; anonAliases += t; t
           }
-          graph.createEdgesRows(label,
-            df.select(Seq(col(s).as("start_id"), col(d).as("end_id")) ++
+          edgeAliases += ealias
+          val (elid, ebase) = graph.reserveEntries(label, nRows)
+          df = df
+            .withColumn(s"${ealias}__id", shiftleft(lit(elid.toLong), 48)
+              .bitwiseOR(col("__crn") + ebase))
+            .withColumn(s"${ealias}__start_id", col(s))
+            .withColumn(s"${ealias}__end_id", col(d))
+            .withColumn(s"${ealias}__label", lit(label))
+          val edgePropCols = compileProps(r.props)
+          graph.createEdgesWithIds(label,
+            df.select(Seq(col(s"${ealias}__id").as("id"), col(s).as("start_id"),
+              col(d).as("end_id")) ++
               edgePropCols.map { case (k, c) => c.as(Compiler.PropNames.esc(k)) }: _*))
+          edgePropCols.foreach { case (k, c) =>
+            df = df.withColumn(s"${ealias}__${Compiler.PropNames.esc(k)}", c)
+          }
           pendingRel = None
         }
         prevIdName = idName
@@ -262,7 +297,14 @@ final class GraphSession(val spark: SparkSession) {
         require(r.varLength.isEmpty, "CREATE cannot use variable-length edges")
         pendingRel = Some(r)
     }
-    Ctx(df.drop("__crn" +: tempCols.toSeq: _*), vars, ctx0.projected)
+    pathVar.foreach { p =>
+      vars += (p -> VarInfo.path(nodeAliases.toList, edgeAliases.toList))
+    }
+    val dropCols =
+      if (pathVar.isDefined) Seq("__crn")
+      else "__crn" +: df.columns.filter(c =>
+        anonAliases.exists(a => c.startsWith(s"${a}__"))).toSeq
+    Ctx(df.drop(dropCols: _*), vars, ctx0.projected)
   }
 
   /** MERGE: match the pattern; create it where it doesn't exist.
@@ -664,6 +706,25 @@ final class MutableGraph(spark: SparkSession) {
     val src = vertexLabels(label).filter(col("id") === id)
       .withColumn("label", lit(label))
     src.columns.foldLeft(src)((df, c) => df.withColumnRenamed(c, s"${alias}__$c"))
+  }
+
+  /** One-row DF for a just-created edge, columns prefixed `alias__`. */
+  def edgeRowDf(alias: String, label: String, id: Long): DataFrame = {
+    val src = edgeLabels(label).filter(col("id") === id)
+      .withColumn("label", lit(label))
+    src.columns.foldLeft(src)((df, c) => df.withColumnRenamed(c, s"${alias}__$c"))
+  }
+
+  /** Append edges whose ids the caller already assigned from a
+    * [[reserveEntries]] block — the per-row CREATE path that binds the
+    * edge variable needs the id visible to the same query's RETURN.
+    */
+  def createEdgesWithIds(label: String, rows: DataFrame): Unit = {
+    labelId(label)
+    val propNames = rows.columns.filterNot(Set("id", "start_id", "end_id")).toSeq.sorted
+    val df = rows.select(
+      Seq(col("id"), col("start_id"), col("end_id")) ++ propNames.map(col): _*)
+    edgeLabels += (label -> aligned(edgeLabels.get(label), df))
   }
 
   /** SET/REMOVE property k for ids in `updates(__set_id, __set_val)` across

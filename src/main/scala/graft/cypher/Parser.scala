@@ -175,16 +175,32 @@ object Parser {
     // ---- query / set ops
 
     def parseQuery(): Query = {
-      var left: Query = SingleQuery(parseClauses())
+      val q = parseSetOps()
+      if (cur != TEnd && !atSym(";")) throw ParseException(s"unexpected trailing token $cur")
+      q
+    }
+
+    private def parseSetOps(): Query = {
+      var left: Query = parsePrimaryQuery()
       while (at("UNION") || at("INTERSECT") || at("EXCEPT")) {
         val op = advance().asInstanceOf[TKw].s
         val all = eat("ALL")
-        val right = SingleQuery(parseClauses())
-        left = SetOp(op, all, left, right)
+        left = SetOp(op, all, left, parsePrimaryQuery())
       }
-      if (cur != TEnd && !atSym(";")) throw ParseException(s"unexpected trailing token $cur")
       left
     }
+
+    /** A clause sequence, or a parenthesized set-op subtree —
+      * `(RETURN 1 UNION RETURN 2) UNION ALL …` (reference grammar
+      * cypher_gram.y:1091-1102). Unambiguous: no clause starts with `(`.
+      */
+    private def parsePrimaryQuery(): Query =
+      if (atSym("(")) {
+        pos += 1
+        val q = parseSetOps()
+        expectSym(")")
+        q
+      } else SingleQuery(parseClauses())
 
     private def parseClauses(): List[Clause] = {
       val out = ListBuffer.empty[Clause]

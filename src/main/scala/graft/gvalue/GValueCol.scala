@@ -98,6 +98,32 @@ object GValueCol {
   def arrayValue(a: Column): Column =
     mk(TArray, lit(false), lit(0L), lit(0.0), lit(""), a)
 
+  /** Encode a typed array column as a dynamic ARRAY value: each element
+    * becomes a scalar payload. Used where a whole relation column must
+    * unify with a differently-typed peer (heterogeneous UNION — gtype is
+    * ONE type in the reference, so `[1,2,3] UNION 1` is valid).
+    */
+  def encodeArray(c: Column, et: DataType): Column = {
+    def toScalar(e: Column): Column = {
+      val g = encode(e, et)
+      struct(g.getField("tag").as("tag"), g.getField("b").as("b"),
+        g.getField("i").as("i"), g.getField("f").as("f"), g.getField("s").as("s"))
+    }
+    when(c.isNull, nullValue)
+      .otherwise(arrayValue(transform(c, e => toScalar(e))))
+  }
+
+  /** Best-effort coercion of an arbitrary typed column into the dynamic
+    * struct — None when the type has no dynamic form (entities, maps).
+    */
+  def dynCoerce(c: Column, dt: DataType): Option[Column] = dt match {
+    case t if isGValue(t) => Some(c)
+    case NullType => Some(nullValue)
+    case ArrayType(et, _) if canEncode(et) => Some(encodeArray(c, et))
+    case t if canEncode(t) => Some(encode(c, t))
+    case _ => None
+  }
+
   /** Promote a scalar payload (an element of `a`) to the full shape. */
   def promoteScalar(e: Column): Column =
     struct(e.getField("tag").as("tag"), e.getField("b").as("b"),

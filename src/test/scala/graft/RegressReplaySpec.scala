@@ -47,13 +47,21 @@ class RegressReplaySpec extends AnyFunSuite {
     (fails, stmts.length)
   }
 
-  // Ceilings triaged 2026-08: counted failures are reference-error parity
-  // (untyped created edges, unnamed WITH items, mismatched UNION arities)
-  // plus two documented gaps — RETURN of anonymous entities from literal
-  // CREATE chains, and SET through UNWIND-of-collect(vertex) rebinding.
-  test("replay cypher_match.sql") { assert(replay("cypher_match.sql")._1 <= 8) }
-  test("replay cypher_create.sql") { assert(replay("cypher_create.sql")._1 <= 12) }
+  // Ceilings triaged 2026-08 (round 5): every counted failure is
+  // reference-error parity — statements the reference's own expected
+  // output shows as ERROR:
+  //   match 5: re-mentioned var with props ("variable a already exists",
+  //     cypher_match.out:1331) ×1, scans of nonexistent labels ×4
+  //   create 2: untyped edge ("edges without labels", create.out) and
+  //     label on a bound variable (create.out:415)
+  //   with 1: unnamed WITH item (reference requires AS)
+  //   unwind 4: SET/CREATE through UNWIND-of-collect(vertex) rebinding
+  //     (documented gap — the one non-parity group)
+  //   setop 3: vertex-vs-gtype UNION ("could not convert type gtype to
+  //     vertex", setop.out:50-55) ×2, unresolved var in later branch ×1
+  test("replay cypher_match.sql") { assert(replay("cypher_match.sql")._1 <= 5) }
+  test("replay cypher_create.sql") { assert(replay("cypher_create.sql")._1 <= 2) }
   test("replay cypher_with.sql") { assert(replay("cypher_with.sql")._1 <= 1) }
   test("replay cypher_unwind.sql") { assert(replay("cypher_unwind.sql")._1 <= 4) }
-  test("replay cypher_setop.sql") { assert(replay("cypher_setop.sql")._1 <= 5) }
+  test("replay cypher_setop.sql") { assert(replay("cypher_setop.sql")._1 <= 3) }
 }

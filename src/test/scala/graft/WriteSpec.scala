@@ -302,4 +302,47 @@ class WriteSpec extends AnyFunSuite {
     gs2.run("CREATE (:U {k: 1})")
     intercept[IllegalArgumentException] { gs2.createUniqueConstraint("U", "k") }
   }
+
+  test("literal CREATE RETURNs created entities incl. edge vars and props (create.sql:82-96)") {
+    val gs = freshSession("g17")
+    // CREATE (a)-[b:e_var {id: 0}]->() RETURN a, b, b.id, b.id + 1
+    val r = gs.run("CREATE (a)-[b:e_var {id: 0}]->() RETURN id(a) AS a, id(b) AS b, b.id AS p, b.id + 1 AS q")
+      .collect().head
+    assert(r.getLong(2) == 0L && r.getLong(3) == 1L)
+    // edge binding carries endpoints: start_id(b) = id(a)
+    val r2 = gs.run("CREATE (a)-[b:e_var]->(c) RETURN id(a) AS s, start_id(b) AS bs, end_id(b) AS be, id(c) AS e")
+      .collect().head
+    assert(r2.getLong(0) == r2.getLong(1) && r2.getLong(2) == r2.getLong(3))
+  }
+
+  test("CREATE p=... RETURN p yields the created traversal (create.sql:94-100)") {
+    val gs = freshSession("g18")
+    val row = gs.run(
+      "CREATE p=(:V {n: 1})-[:E {w: 2}]->(:V {n: 3}) RETURN length(p) AS l, nodes(p)[0].n AS a, nodes(p)[1].n AS b")
+      .collect().head
+    assert(row.getLong(0) == 1L)
+    // per-row created path after MATCH (create.sql:98)
+    gs.run("CREATE (:S {i: 1})")
+    gs.run("CREATE (:S {i: 2})")
+    val rows = gs.run(
+      "MATCH (a:S) CREATE p=(a)-[:LOOP]->(a) RETURN length(p) AS l, a.i AS i ORDER BY i")
+      .collect()
+    assert(rows.length == 2 && rows.forall(_.getLong(0) == 1L))
+    // the loops were stored
+    val n = gs.run("MATCH (x:S)-[:LOOP]->(x) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n == 2L)
+  }
+
+  test("per-row CREATE binds the edge variable (create.sql:86-92)") {
+    val gs = freshSession("g19")
+    gs.run("CREATE (:N {i: 1})")
+    gs.run("CREATE (:N {i: 2})")
+    val rows = gs.run(
+      "MATCH (a:N) CREATE (a)-[b:E {w: a.i * 10}]->(c:M) RETURN a.i AS i, b.w AS w, id(c) AS c ORDER BY i")
+      .collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(10L, 20L))
+    // distinct targets were created per row
+    assert(rows.map(_.getLong(2)).distinct.length == 2)
+  }
 }
