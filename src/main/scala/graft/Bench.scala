@@ -15,21 +15,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb startup
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // ... and one pass of the window/agg/hash shapes the dedup family uses,
-    // on a 200-doc slice: whichever dedup query happens to sort first was
-    // absorbing ~6 s of first-compilation cost (alphabetical order moved it
-    // from d2 to d10 when d10 landed; neither number was the operator's)
+    // ... and one REAL pass of the dedup-corpus endpoint on a 200-doc
+    // slice written to a temp dir: d10 embeds the whole dedup family's
+    // codegen (fingerprint window, 63-way minhash agg, band join, label
+    // propagation, broadcast anti-join), so whichever dedup query sorts
+    // first was absorbing ~6 s of first-compilation cost that belongs to
+    // no operator. Generated-class caching makes the full-size runs reuse
+    // these compiled shapes.
     try {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
-      val toks = docs.select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")))
-        .toDF("doc_id", "pos", "w")
-      val win = Window.partitionBy("doc_id").orderBy("pos")
-      toks.select(col("doc_id"), xxhash64(concat_ws(" ",
-          col("w"), lead("w", 1).over(win), lead("w", 2).over(win))).as("h"))
-        .groupBy(col("doc_id")).agg(min(xxhash64(lit(0), col("h"))))
-        .count()
+      val warmDir = java.nio.file.Files.createTempDirectory("graft_warm").toString
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+        .write.mode("overwrite").parquet(s"$warmDir/documents.parquet")
+      SparkEntry.queries("d10_dedup_corpus")(spark, warmDir).count()
+      spark.catalog.clearCache()
     } catch { case _: Throwable => () } // dataset without documents: skip warmup
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

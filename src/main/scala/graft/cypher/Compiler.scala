@@ -514,6 +514,18 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     * containment of the stored map; a list literal requires every element
     * present in the stored array. NULL anywhere → no match (3VL filter).
     */
+  /** Scan-time property filter; a property no row of the label carries
+    * has no column at all — that is an EMPTY match (reference: a missing
+    * key probes to no tuples), not an unresolved-column error. MERGE's
+    * existence probe relies on this (`MERGE ({i: 1})` on a fresh graph).
+    */
+  private def propFilter(df: DataFrame, alias: String, k: String, v: Expr,
+      ctx: Ctx): Column = {
+    val cn = s"${alias}__${PropNames.esc(k)}"
+    if (!df.columns.contains(cn)) lit(false)
+    else propCond(df, col(cn), v, ctx)
+  }
+
   private def propCond(df: DataFrame, c: Column, v: Expr, ctx: Ctx): Column = v match {
     // container literal against a DYNAMIC (gvalue) stored property:
     // compare via the codec's canonical equality
@@ -552,7 +564,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     val renamed = base.columns.foldLeft(base)((df, c) =>
       df.withColumnRenamed(c, s"${alias}__$c"))
     props.foldLeft(renamed) { case (df, (k, v)) =>
-      df.filter(propCond(df, col(s"${alias}__${PropNames.esc(k)}"), v, ctx))
+      df.filter(propFilter(df, alias, k, v, ctx))
     }
   }
 
@@ -572,9 +584,10 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     val renamed = base.columns.foldLeft(base)((df, c) =>
       df.withColumnRenamed(c, s"${alias}__$c"))
     props.foldLeft(renamed) { case (df, (k, v)) =>
-      df.filter(propCond(df, col(s"${alias}__${PropNames.esc(k)}"), v, ctx))
+      df.filter(propFilter(df, alias, k, v, ctx))
     }
   }
+
 
   /** Does the expression reference any of the given (outer) variables? */
   private def referencesVars(e: Expr, vars: Set[String]): Boolean = e match {
@@ -607,7 +620,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       var df = ctx.df
       n.labels.foreach(l => df = df.filter(col(s"${alias}__label") === lit(l)))
       n.props.foreach { case (k, v) =>
-        df = df.filter(propCond(df, col(s"${alias}__${PropNames.esc(k)}"), v, ctx))
+        df = df.filter(propFilter(df, alias, k, v, ctx))
       }
       ctx.copy(df = df)
     } else {
@@ -625,7 +638,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         }
       val out = Ctx(df, ctx.vars + (alias -> VarInfo.vertex), ctx.projected)
       correlated.foreach { case (k, v) =>
-        df = df.filter(propCond(df, col(s"${alias}__${PropNames.esc(k)}"), v, out))
+        df = df.filter(propFilter(df, alias, k, v, out))
       }
       out.copy(df = df)
     }
@@ -783,6 +796,27 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case Some(org.apache.spark.sql.types.NullType) =>
         lit(null).cast(ArrayType(org.apache.spark.sql.types.NullType))
       case _ => when(c.isNotNull, array(c))
+    }
+    // UNWIND over collected entities rebinds the alias as a FULL entity
+    // variable (flat `alias__` columns, the same shape MATCH binds), so
+    // SET/CREATE/RETURN through the collect→UNWIND round trip update the
+    // store (cypher_unwind.sql:44-80; the reference flows the entity
+    // through its generic update path, cypher_set.c:100-176). Only the
+    // flat collect shape qualifies — path-member structs carry a
+    // `properties` map and stay scalar values.
+    dataTypeOpt(arr, ctx.copy(df = df0)) match {
+      case Some(ArrayType(st: StructType, _))
+          if st.fieldNames.contains("id") && st.fieldNames.contains("label") &&
+            !st.fieldNames.contains("properties") =>
+        var df = df0.withColumn("__uw", explode(arr))
+        st.fieldNames.foreach { f =>
+          df = df.withColumn(s"${u.alias}__$f", col("__uw").getField(f))
+        }
+        df = df.drop("__uw", "__seed")
+        val kind =
+          if (st.fieldNames.contains("start_id")) VarInfo.edge else VarInfo.vertex
+        return Ctx(df, ctx.vars + (u.alias -> kind), ctx.projected)
+      case _ => ()
     }
     val df = df0.withColumn(u.alias, explode(arr)).drop("__seed")
     Ctx(df, ctx.vars + (u.alias -> VarInfo.scalar), ctx.projected)
@@ -995,26 +1029,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
 
   /** Literal (possibly one-level-nested) GValue of an expression. */
-  private def litGValue(e: Expr): Option[GValue] = e match {
-    case Lit(g) => Some(g)
-    case Un("NEG", Lit(GInt(i))) => Some(GInt(-i))
-    case Un("NEG", Lit(GFloat(f))) => Some(GFloat(-f))
-    case ListLit(items) =>
-      val gs = items.map(litGValue)
-      // elements may themselves be one-level containers of scalars (their
-      // payload rides the canonical-string encoding — two levels total)
-      def elemOk(g: GValue): Boolean = g match {
-        case GArray(xs) => xs.forall(isScalarG)
-        case m: GMap    => m.entries.values.forall(isScalarG)
-        case x          => isScalarG(x)
-      }
-      if (gs.forall(_.exists(elemOk))) Some(GArray(gs.map(_.get).toVector))
-      else None
-    case MapLit(entries) =>
-      val gs = entries.map { case (k, v) => litGValue(v).filter(isScalarG).map(k -> _) }
-      if (gs.forall(_.isDefined)) Some(GMap.of(gs.map(_.get): _*)) else None
-    case _ => None
-  }
+  private def litGValue(e: Expr): Option[GValue] = Compiler.litGValue(e)
 
   private def isScalarG(g: GValue): Boolean = g match {
     case _: GArray | _: GMap | _: GVector => false
@@ -2281,7 +2296,8 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       val c = col(s"${v}__$k")
       val dt = ctx.df.schema(s"${v}__$k").dataType
       val enc =
-        if (graft.gvalue.GValueCol.canEncode(dt)) graft.gvalue.GValueCol.encode(c, dt)
+        if (graft.gvalue.GValueCol.isGValue(dt)) c // already dynamic
+        else if (graft.gvalue.GValueCol.canEncode(dt)) graft.gvalue.GValueCol.encode(c, dt)
         else graft.gvalue.GValueCol.encode(c.cast("string"), StringType)
       Seq(lit(PropNames.unesc(k)), enc)
     }: _*)
@@ -2444,6 +2460,42 @@ object Compiler {
     * property map), so `CREATE (:v {id: 'x'})` must work and `n.id` must
     * read the PROPERTY (null when absent), never the internal id.
     */
+  /** Compile-time constant evaluation of a literal expression tree —
+    * containers at any depth (the codec carries them recursively) plus the
+    * inline cast forms the regress fixtures use (`1.0::numeric`). Shared
+    * by the compiler's literal lowering and the write path's constEval.
+    */
+  private[cypher] def litGValue(e: Expr): Option[GValue] = e match {
+    case Lit(g) => Some(g)
+    case Un("NEG", x) => litGValue(x).collect {
+      case GInt(i)     => GInt(-i)
+      case GFloat(f)   => GFloat(-f)
+      case GNumeric(n) => GNumeric(-n)
+    }
+    case FnCall("tonumeric", List(x), _) => litGValue(x).collect {
+      case GInt(i)     => GNumeric(BigDecimal(i))
+      case GFloat(f)   => GNumeric(BigDecimal(f))
+      case n: GNumeric => n
+    }
+    case FnCall("tofloat", List(x), _) => litGValue(x).collect {
+      case GInt(i)     => GFloat(i.toDouble)
+      case f: GFloat   => f
+      case GNumeric(n) => GFloat(n.toDouble)
+    }
+    case FnCall("tointeger" | "toint", List(x), _) => litGValue(x).collect {
+      case i: GInt     => i
+      case GFloat(f)   => GInt(f.toLong)
+      case GNumeric(n) => GInt(n.toLong)
+    }
+    case ListLit(items) =>
+      val gs = items.map(litGValue)
+      if (gs.forall(_.isDefined)) Some(GArray(gs.map(_.get).toVector)) else None
+    case MapLit(entries) =>
+      val gs = entries.map { case (k, v) => litGValue(v).map(k -> _) }
+      if (gs.forall(_.isDefined)) Some(GMap.of(gs.map(_.get): _*)) else None
+    case _ => None
+  }
+
   object PropNames {
     private val Reserved = Set("id", "label", "start_id", "end_id")
     // stem = the key with every trailing `_p$` layer removed; escaping any

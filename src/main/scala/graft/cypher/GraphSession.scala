@@ -121,14 +121,9 @@ final class GraphSession(val spark: SparkSession) {
     case other => throw new UnsupportedOperationException(s"write clause: $other")
   }
 
-  private def constEval(e: Expr): GValue = e match {
-    case Lit(v)          => v
-    case ListLit(items)  => GArray(items.map(constEval).toVector)
-    case MapLit(entries) => GMap.of(entries.map { case (k, v) => k -> constEval(v) }: _*)
-    case Un("NEG", x)    => GValue.neg(constEval(x))
-    case other => throw new UnsupportedOperationException(
-      s"CREATE property values must be literals, got $other")
-  }
+  private def constEval(e: Expr): GValue =
+    Compiler.litGValue(e).getOrElse(throw new UnsupportedOperationException(
+      s"CREATE property values must be literals, got $e"))
 
   /** CREATE: literal pattern when there is no input relation; otherwise
     * executes once per input row (reference: exec_cypher_create pulls child
@@ -374,12 +369,28 @@ final class GraphSession(val spark: SparkSession) {
     */
   private def mergeByProps(ctx: Ctx, pattern: PathPattern, compiler: Compiler): Ctx = {
     val n = pattern.elements match {
-      case List(node: NodePattern) if node.props.nonEmpty => node
+      case List(node: NodePattern) => node
       case _ => throw new UnsupportedOperationException(
-        "MERGE after a clause must share a bound variable, or be a single node with correlating properties")
+        "MERGE after a clause must share a bound variable, or be a single node pattern")
     }
     val label = n.labels.headOption.getOrElse("_default")
     val keys = n.props.keys.toSeq.sorted
+    if (keys.isEmpty) {
+      // bare `MERGE (n)` after a clause (cypher_merge.sql test 27): one
+      // existence probe — any instance at all satisfies every input row;
+      // zero input rows merge nothing
+      val exists = try {
+        val c = new Compiler(graph.snapshot, compiler.params).compileClause(Ctx.empty,
+          Match(List(PathPattern(None,
+            List(NodePattern(Some("__merge_probe"), n.labels, Map.empty)))),
+            optional = false, None))
+        c.df.limit(1).count() > 0
+      } catch { case _: UnknownLabelException => false }
+      if (!exists && ctx.df.limit(1).count() > 0)
+        executeCreate(Ctx.empty, PathPattern(None, List(n)),
+          new Compiler(graph.snapshot, compiler.params))
+      return rematch(ctx, pattern, compiler.params)
+    }
     var withVals = ctx.df
     keys.foreach { k =>
       withVals = withVals.withColumn(s"__mv_$k", compiler.compileExpr(n.props(k), ctx))
@@ -398,8 +409,22 @@ final class GraphSession(val spark: SparkSession) {
     val distinctVals = withVals.select(keys.map(k => col(s"__mv_$k")): _*).distinct()
     val missing = instOpt match {
       case None => distinctVals
-      case Some(inst) => distinctVals.join(inst,
-        keys.map(k => col(s"__mv_$k") === col(s"__mi_$k")).reduce(_ && _), "left_anti")
+      case Some(inst) =>
+        // a heterogeneous stored property may have gone DYNAMIC while the
+        // merge expression stays typed (or vice versa) — compare through
+        // the codec when the sides' types disagree
+        import graft.gvalue.GValueCol
+        def mEq(k: String): org.apache.spark.sql.Column = {
+          val (a, b) = (col(s"__mv_$k"), col(s"__mi_$k"))
+          val at = distinctVals.schema(s"__mv_$k").dataType
+          val bt = inst.schema(s"__mi_$k").dataType
+          if (at == bt) a === b
+          else (GValueCol.dynCoerce(a, at), GValueCol.dynCoerce(b, bt)) match {
+            case (Some(x), Some(y)) => coalesce(GValueCol.eqv(x, y), lit(false))
+            case _ => a === b
+          }
+        }
+        distinctVals.join(inst, keys.map(mEq).reduce(_ && _), "left_anti")
     }
     val (numbered, nRows) = RowNumber.attach(missing, "__crn")
     if (nRows > 0) {
@@ -418,11 +443,18 @@ final class GraphSession(val spark: SparkSession) {
     * instead of a per-tuple heap update).
     */
   private def executeSet(ctx: Ctx, items: List[SetItem], compiler: Compiler): Ctx = {
+    // constant CONTAINER values store in the same typed-or-dynamic form
+    // the CREATE path uses (homogeneous scalar list → typed array; mixed/
+    // nested/map → dynamic struct), so reads and filters stay consistent
+    def valCol(valueExpr: Expr): org.apache.spark.sql.Column =
+      Compiler.litGValue(valueExpr) match {
+        case Some(gv @ (_: GArray | _: GMap)) => graph.gLit(gv)
+        case _ => compiler.compileExpr(valueExpr, ctx)
+      }
     items.foreach { case SetItem(v, k, valueExpr) =>
       require(ctx.df != null && ctx.vars.get(v).exists(_.isEntity), s"SET target $v not matched")
       val updates = ctx.df
-        .select(col(s"${v}__id").as("__set_id"),
-          compiler.compileExpr(valueExpr, ctx).as("__set_val"))
+        .select(col(s"${v}__id").as("__set_id"), valCol(valueExpr).as("__set_val"))
         .dropDuplicates("__set_id")
       graph.updateProperty(Compiler.PropNames.esc(k), updates)
     }
@@ -431,7 +463,7 @@ final class GraphSession(val spark: SparkSession) {
     // cypher_set.sql:33-49) — one projection, all values evaluated against
     // the pre-update row (simultaneous semantics for multi-item SET)
     val updatedCols = items.map { case SetItem(v, k, valueExpr) =>
-      s"${v}__${Compiler.PropNames.esc(k)}" -> compiler.compileExpr(valueExpr, ctx)
+      s"${v}__${Compiler.PropNames.esc(k)}" -> valCol(valueExpr)
     }.toMap
     ctx.copy(df = ctx.df.withColumns(updatedCols))
   }
@@ -552,16 +584,43 @@ final class MutableGraph(spark: SparkSession) {
     case other => throw new UnsupportedOperationException(s"property value: ${other.render}")
   }
 
-  /** Align a new-rows DF with an existing label table (union of columns). */
+  /** Align a new-rows DF with an existing label table (union of columns).
+    * A property column whose type CONFLICTS between the existing rows and
+    * the new ones (the reference stores every property as gtype, so
+    * `CREATE ({i: 1})` then `CREATE ({i: 'str'})` is legal — order_by.sql
+    * fixture) re-encodes through the dynamic codec on BOTH sides; the
+    * dynamic struct is paid only on conflict, never up front.
+    */
   private def aligned(old: Option[DataFrame], add: DataFrame): DataFrame = old match {
     case None => add
-    case Some(o) => o.unionByName(add, allowMissingColumns = true)
+    case Some(o) =>
+      import graft.gvalue.GValueCol
+      val conflicts = o.schema.fields.flatMap { f =>
+        add.schema.fields.find(_.name == f.name)
+          .filter(g => g.dataType != f.dataType &&
+            f.dataType != NullType && g.dataType != NullType)
+          .map(_ => f.name)
+      }.toSeq
+      def fix(df: DataFrame): DataFrame = conflicts.foldLeft(df) { (d, n) =>
+        GValueCol.dynCoerce(col(n), d.schema(n).dataType) match {
+          case Some(c) => d.withColumn(n, c)
+          case None => d // no dynamic form — surface the union error below
+        }
+      }
+      if (conflicts.isEmpty) o.unionByName(add, allowMissingColumns = true)
+      else fix(o).unionByName(fix(add), allowMissingColumns = true)
   }
 
-  /** GValue → literal Column (arrays need functions.array, not lit(Seq)). */
+  /** GValue → literal Column, matching [[sparkType]]'s storage decision:
+    * homogeneous scalar lists stay typed arrays; mixed/nested lists and
+    * objects take the dynamic struct.
+    */
   private[cypher] def gLit(v: GValue): org.apache.spark.sql.Column = v match {
-    case GArray(xs) => array(xs.map(gLit): _*)
-    case other      => lit(sparkValue(other))
+    case GArray(xs) if xs.nonEmpty && xs.forall(isScalarProp) &&
+        xs.map(_.getClass).distinct.size == 1 =>
+      array(xs.map(gLit): _*)
+    case g @ (_: GArray | _: GMap) => graft.gvalue.GValueCol.gLit(g)
+    case other => lit(sparkValue(other))
   }
 
   /** Reserve `n` consecutive entry ids for a label; returns (labelId, base). */
@@ -745,10 +804,26 @@ final class MutableGraph(spark: SparkSession) {
         else {
           val joined = df.join(updates, df("id") === updates("__set_id"), "left_outer")
           val updated =
-            if (df.columns.contains(k))
+            if (df.columns.contains(k)) {
+              val oldDt = df.schema(k).dataType
+              val newDt = updates.schema("__set_val").dataType
+              val (oldC, newC) =
+                if (oldDt == newDt || oldDt == NullType || newDt == NullType)
+                  (col(k), col("__set_val"))
+                else {
+                  // type-changing SET (long → list/map/string …): both the
+                  // kept and the new values re-encode through the dynamic
+                  // codec — reference stores every property as gtype
+                  import graft.gvalue.GValueCol
+                  (GValueCol.dynCoerce(col(k), oldDt),
+                    GValueCol.dynCoerce(col("__set_val"), newDt)) match {
+                    case (Some(o2), Some(n2)) => (o2, n2)
+                    case _ => (col(k), col("__set_val")) // no dynamic form
+                  }
+                }
               joined.withColumn(k,
-                when(col("__set_id").isNotNull, col("__set_val")).otherwise(col(k)))
-            else joined.withColumn(k, col("__set_val"))
+                when(col("__set_id").isNotNull, newC).otherwise(oldC))
+            } else joined.withColumn(k, col("__set_val"))
           l -> updated.drop("__set_id", "__set_val")
         }
       }

@@ -58,6 +58,10 @@ object Similarity {
 
   private val TopK = 3
   private val NQuery = 20
+  /** s5 sampling keep-rate out of 1000 buckets (~50% at test scale; at
+    * 100 TB the rate is the knob that bounds the within-label pair count).
+    */
+  private val SampleRate = 500L
 
   /** Brute-force exact cosine top-k for the first NQuery vectors — the
     * ground truth. The full cross join is the thing LSH/IVF replaces at
@@ -81,12 +85,40 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> ((s, dir) => bruteTopK(s, dir)),
 
-    // pairwise L2 distance stats per label cluster (uses typed metadata)
+    // pairwise L2 distance stats per label cluster (uses typed metadata).
+    // GATE-ONLY: all-pairs per label by construction — the small-scale
+    // exactness baseline; the 100 TB path is s5's sampled twin below.
     "s2_l2_within_label" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"),
         col("label").as("la"))
       val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+        col("label").as("lb"))
+      a.join(b, col("la") === col("lb") && col("ida") < col("idb"))
+        .select(col("la").as("label"), l2Distance(col("va"), col("vb")).as("d"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("d")), 4).as("avg_dist"),
+          round(min(col("d")), 4).as("min_dist"))
+        .orderBy(col("label"))
+    }),
+
+    // SCALE TWIN of s2: vectors thin per label through a deterministic
+    // md5 bucket (the d7 sampling trick on vec_id — membership is a pure
+    // projection, identically computable by the oracle), then the exact
+    // pair stats run within the SAMPLE only. Pair count per label is
+    // ∝ (n·rate)² — the rate, not the corpus, sets the quadratic term,
+    // so a hot label cannot blow up the join at 100 TB.
+    "s5_l2_within_label_sampled" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val bucket = conv(substring(
+        md5(concat(lit("vsmp:"), col("vec_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 1000
+      val sampled = emb.filter(bucket < SampleRate)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val a = sampled.select(col("vec_id").as("ida"), col("embedding").as("va"),
+        col("label").as("la"))
+      val b = sampled.select(col("vec_id").as("idb"), col("embedding").as("vb"),
         col("label").as("lb"))
       a.join(b, col("la") === col("lb") && col("ida") < col("idb"))
         .select(col("la").as("label"), l2Distance(col("va"), col("vb")).as("d"))
@@ -195,6 +227,19 @@ object Similarity {
         |  round(avg(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 4) AS avg_dist,
         |  round(min(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 4) AS min_dist
         |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |GROUP BY a.label ORDER BY a.label""".stripMargin,
+    // membership-exact: the oracle reproduces the md5 sample, so a wrong
+    // sample (not just wrong stats) hash-mismatches
+    "s5_l2_within_label_sampled" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE CAST(('0x' || substr(md5('vsmp:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 1000 < 500)
+        |SELECT a.label, count(*) AS n_pairs,
+        |  round(avg(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 4) AS avg_dist,
+        |  round(min(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 4) AS min_dist
+        |FROM s a JOIN s b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |GROUP BY a.label ORDER BY a.label""".stripMargin
     // s3_ann_lsh: rows-only (bucket hash family not expressible in SQL);

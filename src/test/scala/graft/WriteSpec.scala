@@ -303,6 +303,21 @@ class WriteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { gs2.createUniqueConstraint("U", "k") }
   }
 
+  test("SET through UNWIND of collect(vertex) updates the store (unwind.sql:54-70)") {
+    val gs = freshSession("g20")
+    gs.run("CREATE (:W {j: 1})")
+    gs.run("CREATE (:W {j: 2})")
+    gs.run("MATCH (n) WITH collect(n) AS ns UNWIND ns AS a SET a.i = a.j * 10 RETURN a")
+    val vals = gs.run("MATCH (w:W) RETURN w.i AS i ORDER BY i")
+      .collect().map(_.getLong(0))
+    assert(vals.toSeq == Seq(10L, 20L))
+    // CREATE through the rebound alias reads its properties (unwind.sql:75)
+    gs.run("MATCH (w:W) WITH collect(w) AS ws UNWIND ws AS a CREATE (:C {i: a.i})")
+    val cs = gs.run("MATCH (c:C) RETURN c.i AS i ORDER BY i")
+      .collect().map(_.getLong(0))
+    assert(cs.toSeq == Seq(10L, 20L))
+  }
+
   test("literal CREATE RETURNs created entities incl. edge vars and props (create.sql:82-96)") {
     val gs = freshSession("g17")
     // CREATE (a)-[b:e_var {id: 0}]->() RETURN a, b, b.id, b.id + 1
