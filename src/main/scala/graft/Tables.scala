@@ -19,4 +19,17 @@ object Tables {
       case (acc, _) => acc
     }
   }
+
+  /** Per-(dir, table) scalar metadata memo. A table's row count and an
+    * embedding table's vector width never change under a session, but each
+    * query that needed one used to pay a one-row driver job per RUN —
+    * bounded yet serialized ahead of the real work. One job per session
+    * per table instead.
+    */
+  private val statCache = new scala.collection.concurrent.TrieMap[(String, String), Long]
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    statCache.getOrElseUpdate((s"$dir/$name", "count"), T(spark, dir, name).count())
+  def embeddingDim(spark: SparkSession, dir: String, name: String = "embeddings"): Int =
+    statCache.getOrElseUpdate((s"$dir/$name", "dim"),
+      T(spark, dir, name).select(size(col("embedding"))).head.getInt(0).toLong).toInt
 }

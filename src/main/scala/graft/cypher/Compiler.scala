@@ -1047,7 +1047,24 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case _: GArray | _: GMap => classOf[GArray]: Class[_]
       case v => v.getClass: Class[_]
     }.distinct
-    if (classes.size > 1) Some(vals) else None
+    if (classes.size > 1) return Some(vals)
+    // single-class CONTAINER lists still need the dynamic form unless
+    // every element is an array of ONE scalar class ([[1,2],[3]] stays a
+    // typed array<array<long>>; [['s'], [1, [2]], null] cannot —
+    // lists.sql:37's three-level literal)
+    def scalarElemClass(v: GValue): Option[Class[_]] = v match {
+      case GArray(xs) if xs.nonEmpty && xs.forall(isScalarG) &&
+          !xs.contains(GNull) && xs.map(_.getClass).distinct.size == 1 =>
+        Some(xs.head.getClass)
+      case _ => None
+    }
+    if (classes.headOption.contains(classOf[GArray]: Class[_])) {
+      val ecs = vals.filter(_ != GNull).map(scalarElemClass)
+      val uniformTyped = ecs.forall(_.isDefined) &&
+        ecs.flatten.distinct.size == 1 && !vals.contains(GNull)
+      if (!uniformTyped) return Some(vals)
+    }
+    None
   }
 
   private def containsAggregate(e: Expr): Boolean = e match {
@@ -1411,6 +1428,15 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     import graft.functions.{PgGeoFns, RangeGeoFns}
     val lk = dataTypeOpt(l, ctx).map(rangeKindOf).getOrElse("")
     val rk = dataTypeOpt(r, ctx).map(rangeKindOf).getOrElse("")
+    // tsquery containment (tsquery_ops `@>`/`<@`, tsearch.sql:149-154):
+    // tsquery values are canonical strings, so string×string containment
+    // resolves here before the geometric dispatch
+    if (lk.isEmpty && rk.isEmpty && (op == "@>" || op == "<@") &&
+        dataTypeOpt(l, ctx).contains(StringType) &&
+        dataTypeOpt(r, ctx).contains(StringType)) {
+      return if (op == "@>") graft.functions.TsearchFns.tsqueryContains(l, r)
+      else graft.functions.TsearchFns.tsqueryContains(r, l)
+    }
     if (lk.isEmpty && rk.isEmpty) op match {
       case "&&" => // geometric overlap via bounding boxes
         val glk = geoKindOf(l, ctx); val grk = geoKindOf(r, ctx)
@@ -1479,6 +1505,14 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           graft.functions.TemporalFns.shiftTemporal(r, l, 1)
         case (Some(a), Some(b)) if isIntervalStruct(a) && isIntervalStruct(b) =>
           graft.functions.TemporalFns.addIntervals(l, r, 1)
+        // time ± interval (PG time_pl_interval: only the us part of the
+        // span moves a time-of-day, wrapping mod 24 h — temporal.sql)
+        case (Some(LongType), Some(ivt))
+            if isIntervalStruct(ivt) && lRaw.exists(isTimeExpr) =>
+          timeShift(l, r, 1)
+        case (Some(ivt), Some(LongType))
+            if isIntervalStruct(ivt) && rRaw.exists(isTimeExpr) =>
+          timeShift(r, l, 1)
         case (Some(_: ArrayType), Some(_: ArrayType)) => concat(l, r)
         case _ => l + r
       }
@@ -1488,6 +1522,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           graft.functions.TemporalFns.shiftTemporal(l, r, -1)
         case (Some(a), Some(b)) if isIntervalStruct(a) && isIntervalStruct(b) =>
           graft.functions.TemporalFns.addIntervals(l, r, -1)
+        case (Some(LongType), Some(ivt))
+            if isIntervalStruct(ivt) && lRaw.exists(isTimeExpr) =>
+          timeShift(l, r, -1)
+        // vector subtraction (gtype_vector elementwise ops, vector.sql)
+        case (Some(_: ArrayType), Some(_: ArrayType)) =>
+          zip_with(l, r, (x, y) => x - y)
         case _ => l - r
       }
     case "*"  =>
@@ -1497,7 +1537,31 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           graft.functions.TemporalFns.scaleInterval(l, r.cast("double"))
         case (Some(a0), Some(b0)) if isNumericLike(a0) && isIntervalStruct(b0) =>
           graft.functions.TemporalFns.scaleInterval(r, l.cast("double"))
+        // vector hadamard product (gtype_vector elementwise ops)
+        case (Some(_: ArrayType), Some(_: ArrayType)) =>
+          zip_with(l, r, (x, y) => x * y)
         case _ => l * r
+      }
+    case "||" =>
+      // gtype_tsquery_or's runtime tag dispatch, static here: tsvector
+      // (lexeme array) || tsvector merges sorted-distinct; tsquery
+      // (canonical string) || tsquery is the OR combinator (tsearch.sql:85,143)
+      (dataTypeOpt(l, ctx), dataTypeOpt(r, ctx)) match {
+        case (Some(_: ArrayType), Some(_: ArrayType)) =>
+          graft.functions.TsearchFns.tsvectorConcat(l, r)
+        case (Some(StringType), Some(StringType)) =>
+          graft.functions.TsearchFns.tsqueryCombine(l, r, "|")
+        case other => throw new UnsupportedOperationException(s"|| over $other")
+      }
+    case "&" =>
+      // gtype_bitwise_and's runtime tag dispatch: integers bitand, tsquery
+      // strings AND-combine (tsearch.sql:148)
+      (dataTypeOpt(l, ctx), dataTypeOpt(r, ctx)) match {
+        case (Some(a), Some(b)) if isIntegralType(a) && isIntegralType(b) =>
+          l.bitwiseAND(r)
+        case (Some(StringType), Some(StringType)) =>
+          graft.functions.TsearchFns.tsqueryCombine(l, r, "&")
+        case other => throw new UnsupportedOperationException(s"& over $other")
       }
     case "/" if dataTypeOpt(l, ctx).exists(isIntervalStruct) &&
         dataTypeOpt(r, ctx).exists(isNumericLike) =>
@@ -1711,9 +1775,22 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "make_timestamp" => call_function("make_timestamp",
         a(0), a(1), a(2), a(3), a(4), a(5))
       case "make_timestamptz" =>
-        if (args.length >= 7)
-          call_function("make_timestamp", a(0), a(1), a(2), a(3), a(4), a(5), a(6))
-        else call_function("make_timestamp", a(0), a(1), a(2), a(3), a(4), a(5))
+        if (args.length >= 7) {
+          // PG resolves bare zone ABBREVIATIONS (KST, PST, …) from its
+          // default abbrev list; Java only takes region ids/offsets — map
+          // the common PG abbreviations to fixed offsets (PG's defaults)
+          val zoneAbbrevs = Map(
+            "KST" -> "+09:00", "JST" -> "+09:00", "EST" -> "-05:00",
+            "EDT" -> "-04:00", "CST" -> "-06:00", "CDT" -> "-05:00",
+            "MST" -> "-07:00", "MDT" -> "-06:00", "PST" -> "-08:00",
+            "PDT" -> "-07:00", "GMT" -> "+00:00", "UTC" -> "+00:00",
+            "CET" -> "+01:00", "CEST" -> "+02:00", "IST" -> "+05:30",
+            "AEST" -> "+10:00", "BST" -> "+01:00")
+          val tzc = zoneAbbrevs.foldLeft(a(6)) { case (c, (abbr, off)) =>
+            when(upper(c) === abbr, lit(off)).otherwise(c)
+          }
+          call_function("make_timestamp", a(0), a(1), a(2), a(3), a(4), a(5), tzc)
+        } else call_function("make_timestamp", a(0), a(1), a(2), a(3), a(4), a(5))
       case "make_time" => // time-of-day micros (the engine's time encoding)
         a(0).cast("long") * 3600000000L + a(1).cast("long") * 60000000L +
           (a(2).cast("double") * 1e6).cast("long")
@@ -1764,15 +1841,33 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // extended-type casts (reference gtype_typecasting.c to*() family)
       case "tovector"   => graft.functions.VectorFns.tovector(a(0))
       case "toinet"     => graft.functions.NetworkFns.toInet(a(0))
-      case "totsvector" => graft.functions.TsearchFns.toTsvector(a(0))
+      case "totsvector" => args.head match {
+        // tsvector_in literal syntax ('w':4A,3B a:8 — quoted lexemes,
+        // position/weight lists) parses driver-side; plain text keeps the
+        // codegen'd split path
+        case Lit(GString(s)) if s.contains("'") || s.contains(":") =>
+          val lex = graft.functions.TsearchFns.tsvectorInLexemes(s)
+          array(lex.map(lit): _*)
+        case _ => graft.functions.TsearchFns.toTsvector(a(0))
+      }
       case "todate"      => dataTypeOpt(a(0), ctx) match {
-        case Some(StringType) => pgTimestampParse(a(0)).cast("date")
+        case Some(StringType) => pgTimestampParse(a(0), tz = false).cast("date")
         case _ => a(0).cast("date")
       }
-      case "totimestamp" | "totimestamptz" => dataTypeOpt(a(0), ctx) match {
+      // timestamp and timestamptz are DISTINCT types (gtype.h
+      // GT_HEADER_TIMESTAMPTZ): plain timestamp is wall-clock — an input
+      // offset is DROPPED (PG timestamp_in), carried as TIMESTAMP_NTZ;
+      // timestamptz is an instant — the offset shifts to UTC, carried as
+      // TIMESTAMP (session zone is UTC). Cross-casts follow PG: tstz→ts
+      // takes the session-zone wall clock, ts→tstz assumes session zone.
+      case "totimestamp" => dataTypeOpt(a(0), ctx) match {
         // PG accepts several datetime input styles (MM/DD/YYYY, day-name
         // forms) beyond ISO — try them in order (datetime.c input parsing)
-        case Some(StringType) => pgTimestampParse(a(0))
+        case Some(StringType) => pgTimestampParse(a(0), tz = false)
+        case _ => a(0).cast("timestamp").cast("timestamp_ntz")
+      }
+      case "totimestamptz" => dataTypeOpt(a(0), ctx) match {
+        case Some(StringType) => pgTimestampParse(a(0), tz = true)
         case _ => a(0).cast("timestamp")
       }
       case "tomacaddr"   => graft.functions.NetworkFns.toMacaddr(a(0))
@@ -1790,7 +1885,24 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           pmod(a(0).getField("us"), lit(86400000000L))
         case _ => graft.functions.TemporalFns.toTime(a(0))
       }
-      case "totsquery"  => graft.functions.TsearchFns.toTsquery(a(0))
+      case "totsquery"  => args.head match {
+        // literal tsquery_in canonicalization handles quoted phrases and
+        // the full operator grammar; column inputs keep the regex path
+        case Lit(GString(s)) =>
+          lit(graft.functions.TsearchFns.canonTsquery(s))
+        case _ => graft.functions.TsearchFns.toTsquery(a(0))
+      }
+      case "plainto_tsquery" | "phraseto_tsquery" | "websearch_to_tsquery" =>
+        args.head match {
+          case Lit(GString(s)) => lit(name match {
+            case "plainto_tsquery"   => graft.functions.TsearchFns.plaintoTsquery(s)
+            case "phraseto_tsquery"  => graft.functions.TsearchFns.phrasetoTsquery(s)
+            case _                   => graft.functions.TsearchFns.websearchTsquery(s)
+          })
+          case _ => throw new UnsupportedOperationException(
+            s"$name requires a literal argument (stemming runs driver-side)")
+        }
+      case "_tsquery_not" => graft.functions.TsearchFns.tsqueryNot(a(0))
       case "intrange" | "numrange" =>
         graft.functions.RangeGeoFns.range(a(0), a(1),
           if (args.length == 3) litString(args(2)) else "[)")
@@ -2151,26 +2263,45 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     * regress suite uses. Unparseable strings yield null (PG errors; a
     * total function is the documented dialect choice).
     */
-  private def pgTimestampParse(c: Column): Column = {
+  private def pgTimestampParse(c: Column, tz: Boolean = true): Column = {
     val cleaned = regexp_replace(trim(c), "\"", "")
     // Spark >= 3 bans the EEE day-name pattern: strip a leading day name
     val noDow = regexp_replace(cleaned, "^(Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*\\s+", "")
+    // tz=true (timestamptz): offsets shift the instant to UTC.
+    // tz=false (plain timestamp): the offset is parsed but DROPPED — the
+    // wall-clock fields are kept verbatim (PG timestamp_in), which is why
+    // the NTZ parser backs it. An explicit offset pattern would still
+    // shift under Spark's NTZ parser, so strip a trailing offset first.
+    // a trailing zone is only a zone AFTER a time-of-day — "2023-06-23"
+    // ends in "-23" (a day, not an offset), so anchor on h:mm being present
+    def stripZone(c: Column): Column =
+      when(c.rlike("\\d{1,2}:\\d{2}"),
+        regexp_replace(c, "(?i)\\s*([+-]\\d{1,2}(:\\d{2})?|Z| GMT| UTC)$", ""))
+        .otherwise(c)
+    val src = if (tz) cleaned else stripZone(cleaned)
+    val noDowSrc = if (tz) noDow else stripZone(noDow)
+    // no try_to_timestamp_ntz in Spark: parse offset-stripped input with
+    // the instant parser (session zone UTC -> wall preserved), cast NTZ
+    def parse(x: Column, fmt: Option[Column]): Column = {
+      val t = fmt.map(f => try_to_timestamp(x, f)).getOrElse(try_to_timestamp(x))
+      if (tz) t else t.cast("timestamp_ntz")
+    }
     coalesce(
       when(lower(cleaned) === "infinity",
-        to_timestamp(lit("9999-12-31 23:59:59.999999"))),
+        parse(lit("9999-12-31 23:59:59.999999"), None)),
       when(lower(cleaned) === "-infinity",
-        to_timestamp(lit("0001-01-01 00:00:00"))),
-      try_to_timestamp(cleaned),
-      try_to_timestamp(cleaned, lit("M/d/yyyy H:m:s.SSXXX")),
-      try_to_timestamp(cleaned, lit("M/d/yyyy H:m:s.SSX")),
-      try_to_timestamp(cleaned, lit("M/d/yyyy H:m:s.SS")),
-      try_to_timestamp(cleaned, lit("M/d/yyyy H:m:sX")),
-      try_to_timestamp(cleaned, lit("M/d/yyyy H:m:s")),
-      try_to_timestamp(cleaned, lit("M/d/yyyy")),
-      try_to_timestamp(noDow, lit("MMM d H:m:s.SS yyyy")),
-      try_to_timestamp(noDow, lit("MMM d H:m:s yyyyX")),
-      try_to_timestamp(noDow, lit("MMM d H:m:s yyyy")),
-      try_to_timestamp(noDow, lit("MMM d yyyy")))
+        parse(lit("0001-01-01 00:00:00"), None)),
+      parse(src, None),
+      parse(src, Some(lit("M/d/yyyy H:m:s.SSXXX"))),
+      parse(src, Some(lit("M/d/yyyy H:m:s.SSX"))),
+      parse(src, Some(lit("M/d/yyyy H:m:s.SS"))),
+      parse(src, Some(lit("M/d/yyyy H:m:sX"))),
+      parse(src, Some(lit("M/d/yyyy H:m:s"))),
+      parse(src, Some(lit("M/d/yyyy"))),
+      parse(noDowSrc, Some(lit("MMM d H:m:s.SS yyyy"))),
+      parse(noDowSrc, Some(lit("MMM d H:m:s yyyyX"))),
+      parse(noDowSrc, Some(lit("MMM d H:m:s yyyy"))),
+      parse(noDowSrc, Some(lit("MMM d yyyy"))))
   }
 
   private def isTemporalType(dt: DataType): Boolean = dt match {
@@ -2187,6 +2318,23 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   private def isIntervalStruct(dt: DataType): Boolean = dt match {
     case st: StructType => st.fieldNames.sameElements(Array("months", "days", "us"))
     case _ => false
+  }
+
+  /** Times are micros-of-day LONGs — indistinguishable from ints by
+    * schema, so time±interval dispatches on the RAW expr being a
+    * time-producing cast/constructor.
+    */
+  private def isTimeExpr(e: Expr): Boolean = e match {
+    case FnCall("totime" | "totimetz" | "make_time", _, _) => true
+    case _ => false
+  }
+
+  /** PG time_pl_interval/time_mi_interval: shift by the span's us part,
+    * wrap mod 24 h (months/days never move a time-of-day).
+    */
+  private def timeShift(time: Column, iv: Column, sign: Int): Column = {
+    val day = lit(86400000000L)
+    ((time + lit(sign) * iv.getField("us")) % day + day) % day
   }
 
   /** A path var bound to exactly `(a)-[vle*]->(b)` — its nodes()/
@@ -2357,6 +2505,24 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     import graft.gvalue.GValueCol
     val lt = dataTypeOpt(l, ctx)
     val rt = dataTypeOpt(r, ctx)
+    // two dynamic ARRAYS (mixed literal lists compile to array-of-struct):
+    // element-wise canonical comparison, so [1, [2]] = [1.0, [2.0]] holds
+    // exactly as it does inside a single TArray value
+    (lt, rt) match {
+      case (Some(ArrayType(a, _)), Some(ArrayType(b, _)))
+          if GValueCol.isGValue(a) && GValueCol.isGValue(b) =>
+        val key = (c: Column) => transform(c, e => GValueCol.orderKey(e))
+        return op match {
+          case "="  => Some(key(l) === key(r))
+          case "<>" => Some(key(l) =!= key(r))
+          case "<"  => Some(key(l) < key(r))
+          case "<=" => Some(key(l) <= key(r))
+          case ">"  => Some(key(l) > key(r))
+          case ">=" => Some(key(l) >= key(r))
+          case _    => None
+        }
+      case _ => ()
+    }
     def enc(c: Column, dt: Option[DataType]): Option[Column] = dt match {
       case Some(t) if GValueCol.isGValue(t) => Some(c)
       case Some(t) => scala.util.Try(GValueCol.encode(c, t)).toOption

@@ -47,7 +47,8 @@ object Parser {
     case "numeric" | "decimal"      => "tonumeric"
     case "bool" | "boolean"         => "toboolean"
     case "string" | "text" | "varchar" | "char" => "tostring"
-    case "timestamp" | "timestamptz" => "totimestamp"
+    case "timestamp"                => "totimestamp"
+    case "timestamptz"              => "totimestamptz"
     case "date"                     => "todate"
     case "time" | "timetz"          => "totime"
     case "interval"                 => "tointerval"
@@ -92,17 +93,22 @@ object Parser {
         val quote = c
         val sb = new StringBuilder
         i += 1
-        while (i < n && q.charAt(i) != quote) {
-          if (q.charAt(i) == '\\' && i + 1 < n) {
+        var done = false
+        while (!done && i < n) {
+          if (q.charAt(i) == quote) {
+            // SQL-style doubled quote is an escaped quote ('' → ', "" → ")
+            if (i + 1 < n && q.charAt(i + 1) == quote) { sb += quote; i += 2 }
+            else done = true
+          } else if (q.charAt(i) == '\\' && i + 1 < n) {
             i += 1
             sb += (q.charAt(i) match {
               case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
               case other => other
             })
-          } else sb += q.charAt(i)
-          i += 1
+            i += 1
+          } else { sb += q.charAt(i); i += 1 }
         }
-        if (i >= n) throw ParseException("unterminated string literal")
+        if (!done) throw ParseException("unterminated string literal")
         i += 1
         out += TStr(sb.toString)
       }
@@ -133,7 +139,7 @@ object Parser {
           out += TSym(three); i += 3
         }
         else if (Set("<=", ">=", "<>", "=~", "->", "<-", "..", "::",
-            "~~", "~*", "!~",
+            "~~", "~*", "!~", "||", "!!",
             "##", "?#", "?|", "?-", "?&", "@@", "@>", "<@", "<<", ">>", "&<", "&>",
             "&&", "@=").contains(two)) {
           out += TSym(two); i += 2
@@ -531,6 +537,10 @@ object Parser {
           case TSym(op @ ("#" | "##" | "?#" | "?-|" | "?||" | "@>" | "<@" |
               "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>" | "&&")) =>
             pos += 1; l = Bin(op, l, parseAdditive())
+          // tsvector/tsquery concat-or (gtype_tsquery_or catalog `||`) and
+          // bitwise/tsquery AND (gtype_bitwise_and catalog `&`)
+          case TSym(op @ ("||" | "&")) =>
+            pos += 1; l = Bin(op, l, parseAdditive())
           // key-exists family over properties/objects (?, ?|, ?& —
           // postgraph-vertex.sql.in:243-276, gtype GIN operators)
           case TSym(op @ ("?" | "?|" | "?&")) =>
@@ -599,6 +609,8 @@ object Parser {
       else if (eatSym("?-")) FnCall("_geo_horizontal", List(parseUnary()), distinct = false)
       else if (eatSym("@@")) FnCall("center", List(parseUnary()), distinct = false)
       else if (eatSym("@-@")) FnCall("_geo_length", List(parseUnary()), distinct = false)
+      // tsquery NOT (catalog `!!`, RIGHTARG-only — tsearch.sql:156)
+      else if (eatSym("!!")) FnCall("_tsquery_not", List(parseUnary()), distinct = false)
       else parsePostfix()
 
     private def parsePostfix(): Expr = {

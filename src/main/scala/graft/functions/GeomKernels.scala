@@ -231,9 +231,105 @@ object GeomKernels {
     out
   }
 
+  // ------------------------------------------- general (non-convex) rings
+
+  /** Is the (open or closed) ring convex? Degenerate rings count as
+    * convex — every kernel here already handles them.
+    */
+  private[functions] def isConvex(r0: Array[Pt]): Boolean = {
+    val r = openRing(r0)
+    if (r.length <= 3) return true
+    var pos = false; var neg = false
+    for (i <- r.indices) {
+      val c = cross(r(i), r((i + 1) % r.length), r((i + 2) % r.length))
+      if (c > 1e-12) pos = true else if (c < -1e-12) neg = true
+    }
+    !(pos && neg)
+  }
+
+  /** Ear-clipping triangulation of a SIMPLE polygon (any convexity, no
+    * holes/self-intersections — the class the reference's regress
+    * geometry stays in). Exact: the triangles partition the ring, so
+    * clipping each (convex) triangle with the convex SH kernel extends
+    * every boolean op below to non-convex inputs without a new clipping
+    * algorithm. O(n²) per ROW — per-row scalar work, corpus-independent.
+    */
+  private[functions] def triangulate(r0: Array[Pt]): Seq[Array[Pt]] = {
+    val ring = ccwRing(openRing(r0))
+    if (ring.length < 3) return Seq.empty
+    if (ring.length == 3) return Seq(ring)
+    val idx = scala.collection.mutable.ArrayBuffer(ring.indices: _*)
+    val tris = Seq.newBuilder[Array[Pt]]
+    // BOUNDARY-INCLUSIVE containment blocks an ear: a reflex vertex lying
+    // exactly ON a candidate triangle's edge (the L-shape's notch corner on
+    // the would-be diagonal) means the triangle spills outside the polygon
+    // even though nothing is strictly inside it. Vertices coincident with
+    // the ear's own corners (pinched rings mid-clip) never block.
+    def blocks(a: Pt, b: Pt, c: Pt, p: Pt): Boolean = {
+      def same(q: Pt) = math.abs(p.x - q.x) < 1e-12 && math.abs(p.y - q.y) < 1e-12
+      !same(a) && !same(b) && !same(c) &&
+        cross(a, b, p) >= -1e-12 && cross(b, c, p) >= -1e-12 && cross(c, a, p) >= -1e-12
+    }
+    var guard = 0
+    while (idx.length > 3 && guard < r0.length * r0.length) {
+      guard += 1
+      var ear = -1
+      var i = 0
+      while (ear < 0 && i < idx.length) {
+        val ia = idx((i + idx.length - 1) % idx.length)
+        val ib = idx(i)
+        val ic = idx((i + 1) % idx.length)
+        val a = ring(ia); val b = ring(ib); val c = ring(ic)
+        if (cross(a, b, c) > 1e-12 && // strictly convex corner
+            !idx.exists(j => j != ia && j != ib && j != ic && blocks(a, b, c, ring(j))))
+          ear = i
+        i += 1
+      }
+      if (ear < 0) { // numeric degeneracy: drop a vertex and keep going
+        idx.remove(0)
+      } else {
+        val a = ring(idx((ear + idx.length - 1) % idx.length))
+        val b = ring(idx(ear))
+        val c = ring(idx((ear + 1) % idx.length))
+        tris += Array(a, b, c)
+        idx.remove(ear)
+      }
+    }
+    if (idx.length == 3) tris += Array(ring(idx(0)), ring(idx(1)), ring(idx(2)))
+    tris.result().filter(t => ringArea(t) > 1e-12)
+  }
+
+  /** A ∩ B as disjoint convex pieces, exact for ANY simple rings: the
+    * convex×convex case is one SH clip; otherwise clip every triangle of
+    * A's partition by every triangle of B's — triangles are convex, so
+    * each pairwise clip is exact, and pieces are disjoint because each
+    * triangulation is a partition. (gtype_postgis.c delegates the general
+    * case to lwgeom; partition-and-clip is the Spark-kernel-sized
+    * equivalent.)
+    */
+  private[functions] def intersectionPieces(a: Array[Pt], b: Array[Pt]): Seq[Seq[Pt]] = {
+    if (isConvex(a) && isConvex(b)) {
+      val r = clipPolygon(a, b)
+      if (ringArea(r.toArray) > 1e-12) Seq(r) else Seq.empty
+    } else {
+      for {
+        ta <- triangulate(a)
+        tb <- triangulate(b)
+        piece = clipPolygon(ta, tb)
+        if ringArea(piece.toArray) > 1e-12
+      } yield piece
+    }
+  }
+
   /** ST_Intersection over this encoding: two 2-point lines → their segment
-    * intersection (0- or 1-point array); otherwise both inputs are treated
-    * as polygon rings (clip must be convex) → clipped ring.
+    * intersection (0- or 1-point array); otherwise polygon ∩ polygon.
+    * Sutherland–Hodgman only needs the CLIP side convex — the subject may
+    * be any simple ring — so when either input is convex the result is one
+    * exact ring (with zero-width bridge edges, which shoelace cancels, in
+    * the rare disconnected case). Two non-convex inputs fall back to the
+    * triangulated piece decomposition concatenated as closed sub-rings —
+    * use [[StIntersectionMulti]] (`st_intersection_multi`) for the
+    * faithful MULTIPOLYGON analog.
     */
   case class StIntersection(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
@@ -242,9 +338,29 @@ object GeomKernels {
       val a = readLine(a0); val b = readLine(b0)
       if (a.length == 2 && b.length == 2)
         writeLine(segIntersect(a(0), a(1), b(0), b(1)).toSeq)
-      else writeLine(clipPolygon(a, b))
+      else if (isConvex(b)) writeLine(clipPolygon(a, b))
+      else if (isConvex(a)) writeLine(clipPolygon(b, a))
+      else intersectionPieces(a, b) match {
+        case Seq() => writeLine(Seq.empty)
+        case Seq(one) => writeLine(one)
+        case many => writeLine(many.flatMap(p => p :+ p.head))
+      }
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersection =
+      copy(left = l, right = r)
+  }
+
+  /** Polygon ∩ polygon as a multipolygon (array of closed convex rings) —
+    * the lossless form of [[StIntersection]] for disconnected results,
+    * mirroring [[StSymDifference]]'s encoding.
+    */
+  case class StIntersectionMulti(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(lineType, containsNull = false)
+    override def nullSafeEval(a0: Any, b0: Any): Any =
+      new GenericArrayData(intersectionPieces(readLine(a0), readLine(b0))
+        .map(p => writeLine(p :+ p.head): Any).toArray)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersectionMulti =
       copy(left = l, right = r)
   }
 
@@ -421,17 +537,21 @@ object GeomKernels {
     override protected def withNewChildInternal(c: Expression): StArea = copy(child = c)
   }
 
-  /** Area of the symmetric difference of two CONVEX rings:
-    * |A| + |B| − 2·|A∩B| (the clip kernel supplies the intersection) —
-    * cheaper than summing the [[symDifference]] decomposition and equal to
-    * it for convex inputs.
+  /** Area of the symmetric difference of two simple rings:
+    * |A| + |B| − 2·|A∩B| — cheaper than summing the [[symDifference]]
+    * decomposition and equal to it. |A∩B| comes from one SH clip when both
+    * rings are convex, else from the triangulated piece decomposition, so
+    * the identity holds exactly for non-convex inputs too.
     */
   case class StSymDifferenceArea(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a0: Any, b0: Any): Any = {
       val a = readLine(a0); val b = readLine(b0)
-      ringArea(a) + ringArea(b) - 2 * ringArea(clipPolygon(a, b).toArray)
+      val inter =
+        if (isConvex(a) && isConvex(b)) ringArea(clipPolygon(a, b).toArray)
+        else intersectionPieces(a, b).map(p => ringArea(p.toArray)).sum
+      ringArea(a) + ringArea(b) - 2 * inter
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): StSymDifferenceArea =
       copy(left = l, right = r)
@@ -486,8 +606,24 @@ object GeomKernels {
     pieces.result()
   }
 
+  /** A \ B exact for ANY simple rings: convex×convex keeps the direct
+    * wedge decomposition (fewer pieces); otherwise partition A into
+    * triangles and subtract B's triangles from each — every step is a
+    * convex\convex wedge difference, so the general case inherits the
+    * convex kernel's exactness.
+    */
+  private[functions] def polyDifferenceGeneral(a: Array[Pt], b: Array[Pt]): Seq[Seq[Pt]] = {
+    if (isConvex(a) && isConvex(b)) return polyDifference(a, b)
+    val bTris = triangulate(b)
+    triangulate(a).flatMap { ta =>
+      bTris.foldLeft(Seq[Seq[Pt]](ta.toSeq)) { (pieces, tb) =>
+        pieces.flatMap(p => polyDifference(p.toArray, tb))
+      }
+    }
+  }
+
   private[functions] def symDifference(a: Array[Pt], b: Array[Pt]): Seq[Seq[Pt]] =
-    polyDifference(a, b) ++ polyDifference(b, a)
+    polyDifferenceGeneral(a, b) ++ polyDifferenceGeneral(b, a)
 
   /** ST_SymDifference returning the actual (multi-)polygon geometry —
     * an array of closed convex rings (disjoint up to shared boundaries).
@@ -596,6 +732,7 @@ object GeomKernels {
   def stFrechetDistance(a: Column, b: Column): Column = c2(StFrechet)(a, b)
   def stHausdorffDistance(a: Column, b: Column): Column = c2(StHausdorff)(a, b)
   def stIntersection(a: Column, b: Column): Column = c2(StIntersection)(a, b)
+  def stIntersectionMulti(a: Column, b: Column): Column = c2(StIntersectionMulti)(a, b)
   def stDistanceSpheroid(a: Column, b: Column): Column = c2(StDistanceSpheroid)(a, b)
   def stClosestPointOfApproach(a: Column, b: Column): Column = c2(StCpaTime)(a, b)
   def stDistanceCPA(a: Column, b: Column): Column = c2(StDistanceCpa)(a, b)

@@ -105,8 +105,8 @@ object Ivf {
     * cluster-scheduling overhead.
     */
   def kmeansSampled(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, cap: Int = 4096): Array[Array[Double]] = {
-    val n = emb.count()
+      iters: Int, cap: Int = 4096, nHint: Option[Long] = None): Array[Array[Double]] = {
+    val n = nHint.getOrElse(emb.count()) // callers pass the session-cached count
     require(n >= k, s"need at least $k vectors")
     val stride = math.max(n / cap, 1)
     val sample: Array[Array[Double]] = emb

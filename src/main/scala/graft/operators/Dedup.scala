@@ -133,7 +133,7 @@ object Dedup {
       // filter out of the nested-loop join condition (where it would
       // evaluate interpreted).
       val e0 = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val dim = e0.select(size(col("embedding"))).head.getInt(0)
+      val dim = graft.Tables.embeddingDim(s, dir)
       val e = e0
         .withColumn("nrm", Similarity.l2norm(col("embedding")))
         .withColumn("nv", transform(col("embedding"), x => x.cast("double") / col("nrm")))

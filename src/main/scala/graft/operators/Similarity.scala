@@ -193,7 +193,7 @@ object Similarity {
     val emb = T(s, dir, "embeddings").localCheckpoint()
     // lists scale with corpus (reference default lists=100 for real corpora,
     // ivfflat.h:52); tiny corpora get few lists so probes still cover enough
-    val n = emb.count()
+    val n = graft.Tables.rowCount(s, dir, "embeddings")
     val k = math.min(16, math.max(2, (n / 16).toInt))
     // probe ~40% of lists: recall over speed while list count is small
     // relative to the true cluster structure (10 label clusters here)
@@ -202,7 +202,7 @@ object Similarity {
     // the flatten feeds the DISTRIBUTED index assignment + query probes
     val flat = graft.functions.Ivf.flatten(emb, "vec_id", "embedding")
     val centroids = graft.functions.Ivf.kmeansSampled(
-      emb, "vec_id", "embedding", k, iters = 6)
+      emb, "vec_id", "embedding", k, iters = 6, nHint = Some(n))
     graft.functions.Ivf.annSearch(
       emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < NQuery), "vec_id", "embedding",

@@ -64,6 +64,23 @@ object TextAnalysis {
         .select((floor(col("n_chars") / 100) * 100).cast("long").as("len_bucket"))
         .groupBy(col("len_bucket")).agg(count(lit(1)).as("n"))
         .orderBy(col("len_bucket"))
+    }),
+
+    // full-text over the corpus: tsvector width per doc + tsquery match
+    // count per source (gtype_tsearch totsvector/`@@`; per-row codegen'd
+    // array ops + one aggregation — linear at 100 TB)
+    "t6_tsvector_stats" -> ((s, dir) => {
+      import graft.functions.TsearchFns
+      val tsv = TsearchFns.toTsvector(col("text"))
+      T(s, dir, "documents")
+        .select(col("source"), size(tsv).as("lex_cnt"),
+          TsearchFns.tsMatch(tsv, "the & of").cast("int").as("hit"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("lex_cnt")).as("total_lex"),
+          round(avg(col("lex_cnt")), 4).as("avg_lex"),
+          sum(col("hit")).as("n_match"))
+        .orderBy(col("source"))
     })
   )
 
@@ -102,6 +119,18 @@ object TextAnalysis {
          |FROM documents GROUP BY 1 ORDER BY lang_pred""".stripMargin,
     "t5_length_stats" ->
       """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket, count(*) AS n
-        |FROM documents GROUP BY 1 ORDER BY len_bucket""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY len_bucket""".stripMargin,
+    "t6_tsvector_stats" ->
+      """WITH lex AS (
+        |  SELECT source,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                              x -> x <> '')) AS lx
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(lx)) AS BIGINT) AS total_lex,
+        |  round(avg(len(lx)), 4) AS avg_lex,
+        |  CAST(sum(CASE WHEN list_contains(lx, 'the') AND list_contains(lx, 'of')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |FROM lex GROUP BY source ORDER BY source""".stripMargin
   )
 }

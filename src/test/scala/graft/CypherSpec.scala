@@ -511,9 +511,12 @@ class CypherSpec extends AnyFunSuite {
       "date_bin('15 minutes'::interval, '2020-02-11 15:44:17'::timestamp, " +
       "  '2001-01-01'::timestamp) AS bin, " +
       "range(0, 10, -1) AS empt, range(0, -10.0, -3.0) AS rneg").collect().head
-    assert(r.getTimestamp(0).toString.startsWith("1997-12-17 07:37:16"))
+    // plain ::timestamp is wall-clock TIMESTAMP_NTZ now (LocalDateTime in
+    // rows) — normalize the ISO 'T' so both encodings assert the same way
+    def tstr(i: Int): String = r.get(i).toString.replace("T", " ")
+    assert(tstr(0).startsWith("1997-12-17 07:37:16"))
     assert(r.getDate(1).toString == "1997-12-17")
-    assert(r.getTimestamp(2).toString.startsWith("1997-12-17 07:37:16"))
+    assert(tstr(2).startsWith("1997-12-17 07:37:16"))
     assert(r.getInt(3) == 1997) // standard fields keep Spark's int type
     assert(r.getDouble(4) == 3.0) // 2026-08-12 is a Wednesday
     assert(r.getDouble(5) == 86400.0)
@@ -521,7 +524,7 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getLong(8) == 8L * 8L * 3600000000L)
     assert(r.getInt(9) == 15)
     assert(r.getLong(10) == -8L * 3600000000L)
-    assert(r.getTimestamp(11).toString.startsWith("2020-02-11 15:30:00"))
+    assert(tstr(11).startsWith("2020-02-11 15:30:00"))
     assert(r.getSeq[Long](12).isEmpty)
     assert(r.getSeq[Long](13) == Seq(0L, -3L, -6L, -9L))
   }
@@ -535,9 +538,10 @@ class CypherSpec extends AnyFunSuite {
       "('10 days'::interval + '8 hours'::interval).us AS iv_us, " +
       "('10 days'::interval - '2 days'::interval).days AS iv_sub")
       .collect().head
-    assert(r.getTimestamp(0).toString.startsWith("2023-07-03 13:39:40"))
-    assert(r.getTimestamp(1).toString.startsWith("2023-07-03 00:00:00"))
-    assert(r.getTimestamp(2).toString.startsWith("2023-05-23 13:39:40"))
+    def tstr(i: Int): String = r.get(i).toString.replace("T", " ")
+    assert(tstr(0).startsWith("2023-07-03 13:39:40"))
+    assert(tstr(1).startsWith("2023-07-03 00:00:00"))
+    assert(tstr(2).startsWith("2023-05-23 13:39:40"))
     assert(r.getInt(3) == 10 && r.getLong(4) == 8L * 3600000000L)
     assert(r.getInt(5) == 8)
   }

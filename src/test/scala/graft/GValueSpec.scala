@@ -160,4 +160,28 @@ class GValueSpec extends AnyFunSuite {
         s"spark order ${sparkOrder.map(_.render)} != cmp order ${expected.map(_.render)}")
     }
   }
+
+  test("arbitrary-depth nested literals encode, index, decode (lists.sql:37)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val people = Seq((1L, "Ann")).toDF("pid", "name")
+    val c = new graft.cypher.Compiler(
+      new graft.graph.GraphBuilder(spark).vertexLabel("Pn", people, "pid").build())
+    // three-level literal collects without throwing; decode reconstructs it
+    val r1 = c.run("RETURN [['str'], [1, [1.0], [[true]]], null] AS x")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    val decoded = GArray(r1.map(GValueCol.decode).toVector)
+    assert(decoded == GArray(Vector(
+      GArray(Vector(GString("str"))),
+      GArray(Vector(GInt(1), GArray(Vector(GFloat(1.0))),
+        GArray(Vector(GArray(Vector(GBool(true))))))),
+      GNull)))
+    // indexing promotes a nested element; its deep payload decodes back
+    val r2 = c.run("RETURN [0, [1, [2, 3]]][1] AS y").collect().head
+    assert(GValueCol.decode(r2.getStruct(0)) ==
+      GArray(Vector(GInt(1), GArray(Vector(GInt(2), GInt(3))))))
+    // deep numeric equality holds through the recursive canon
+    val r3 = c.run("RETURN [1, [2]] = [1.0, [2.0]] AS z").collect().head
+    assert(r3.getBoolean(0))
+  }
 }

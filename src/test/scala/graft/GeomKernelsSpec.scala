@@ -145,6 +145,33 @@ class GeomKernelsSpec extends AnyFunSuite {
     assert(math.abs(r3.getDouble(1) - 17.0) < 1e-9)
   }
 
+  test("non-convex clipping is exact: L-shapes, U-shape, disconnected pieces") {
+    // L-shape (area 12 = 4×4 minus the 2×2 top-right notch), non-convex
+    val L = array(pt(0, 0), pt(4, 0), pt(4, 2), pt(2, 2), pt(2, 4), pt(0, 4))
+    val sq = array(pt(1, 1), pt(5, 1), pt(5, 5), pt(1, 5)) // convex, area 16
+    // L ∩ sq = [1..4]×[1..2] ∪ [1..2]×[2..4] → area 5
+    val r1 = one(GeomKernels.stArea(GeomKernels.stIntersection(L, sq)),
+      GeomKernels.stSymDifferenceArea(L, sq),
+      GeomKernels.stArea(GeomKernels.stSymDifference(L, sq)))
+    assert(math.abs(r1.getDouble(0) - 5.0) < 1e-9)
+    assert(math.abs(r1.getDouble(1) - (12 + 16 - 2 * 5.0)) < 1e-9)
+    assert(math.abs(r1.getDouble(2) - 18.0) < 1e-9)
+    // both sides non-convex: mirrored L (area 12); ∩ area 5 again
+    val L2 = array(pt(1, 1), pt(5, 1), pt(5, 3), pt(3, 3), pt(3, 5), pt(1, 5))
+    val r2 = one(GeomKernels.stArea(GeomKernels.stIntersectionMulti(L, L2)),
+      GeomKernels.stSymDifferenceArea(L, L2))
+    assert(math.abs(r2.getDouble(0) - 5.0) < 1e-9)
+    assert(math.abs(r2.getDouble(1) - (12 + 12 - 2 * 5.0)) < 1e-9)
+    // genuinely disconnected intersection: U-shape ∩ bar = two unit squares
+    val u = array(pt(0, 0), pt(5, 0), pt(5, 3), pt(4, 3), pt(4, 1), pt(1, 1), pt(1, 3), pt(0, 3))
+    val bar = array(pt(0, 2), pt(5, 2), pt(5, 3), pt(0, 3))
+    val r3 = one(GeomKernels.stArea(GeomKernels.stIntersectionMulti(u, bar)),
+      GeomKernels.stArea(GeomKernels.stIntersection(u, bar)))
+    assert(math.abs(r3.getDouble(0) - 2.0) < 1e-9)
+    // SH single-ring form: bridge edges cancel in shoelace — area still 2
+    assert(math.abs(r3.getDouble(1) - 2.0) < 1e-9)
+  }
+
   test("WKT renders: linestring and EWKT") {
     val line = array(pt(0, 0), pt(1.5, 2.5))
     val r = one(graft.functions.PostgisFns.stAsTextLine(line),
