@@ -24,9 +24,23 @@ object Ast {
   final case class Unwind(expr: Expr, alias: String) extends Clause
   final case class With(items: List[ReturnItem], distinct: Boolean,
       where: Option[Expr], orderBy: List[SortItem], skip: Option[Expr],
-      limit: Option[Expr]) extends Clause
+      limit: Option[Expr], group: Option[GroupSpec] = None,
+      windows: Map[String, WindowDef] = Map.empty) extends Clause
   final case class Return(items: List[ReturnItem], distinct: Boolean,
-      orderBy: List[SortItem], skip: Option[Expr], limit: Option[Expr]) extends Clause
+      orderBy: List[SortItem], skip: Option[Expr], limit: Option[Expr],
+      group: Option[GroupSpec] = None,
+      windows: Map[String, WindowDef] = Map.empty) extends Clause
+
+  /** Explicit `GROUP BY [ROLLUP|CUBE] keys [HAVING pred]` — the reference's
+    * unified grammar extends RETURN/WITH with PG grouping (old regress
+    * aggregation.sql:540-710). kind: "" plain, "rollup", "cube". */
+  final case class GroupSpec(kind: String, keys: List[Expr], having: Option[Expr])
+
+  /** `OVER (PARTITION BY … ORDER BY … [ROWS|RANGE BETWEEN …])` — frame
+    * bounds: None = UNBOUNDED, Some(0) = CURRENT ROW, Some(n) = n
+    * PRECEDING (lo) / FOLLOWING (hi). */
+  final case class WindowDef(partitionBy: List[Expr], orderBy: List[SortItem],
+      frame: Option[(Boolean, Option[Long], Option[Long])])
   final case class Create(patterns: List[PathPattern]) extends Clause
   final case class Merge(pattern: PathPattern) extends Clause
   final case class SetClause(items: List[SetItem]) extends Clause
@@ -37,7 +51,8 @@ object Ast {
   final case class CallSubquery(query: SingleQuery) extends Clause
   /** `CALL ns.fn(args) YIELD cols` — procedure-style table function. */
   final case class CallProc(name: String, args: List[Expr],
-      yields: List[String]) extends Clause
+      yields: List[String], srf: Boolean = false,
+      where: Option[Expr] = None) extends Clause
 
   final case class ReturnItem(expr: Expr, alias: Option[String])
   final case class SortItem(expr: Expr, descending: Boolean, nullsFirst: Option[Boolean])
@@ -88,4 +103,12 @@ object Ast {
     * sublink binding (Compiler.bindSublinks) — never produced by the parser.
     */
   final case class BoolCol(name: String) extends Expr
+  /** `fn(args) OVER (def)` / `fn(args) OVER w` (window name resolved from
+    * the clause's WINDOW list at compile). */
+  final case class WindowCall(fn: Expr, over: Either[String, WindowDef]) extends Expr
+  /** `agg(args) FILTER (WHERE pred)` — PG aggregate filter. */
+  final case class AggFilter(agg: Expr, pred: Expr) extends Expr
+  /** `fn(args) WITHIN GROUP (ORDER BY …)` — hypothetical-set rank family. */
+  final case class WithinGroup(fn: String, args: List[Expr],
+      order: List[SortItem]) extends Expr
 }

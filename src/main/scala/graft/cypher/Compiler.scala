@@ -176,6 +176,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   /** `CALL ns.fn() YIELD cols` — catalog table functions. */
   private def compileCallProc(ctx: Ctx, c: CallProc): Ctx = {
     import spark.implicits._
+    if (c.srf) return compileCallSrf(ctx, c)
     val df = c.name match {
       case "db.labels" =>
         require(c.yields.length == 1, "db.labels yields one column")
@@ -194,6 +195,28 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
     val out = if (ctx.df == null) df else ctx.df.crossJoin(df)
     Ctx(out, ctx.vars ++ c.yields.map(_ -> VarInfo.scalar), ctx.projected)
+  }
+
+  /** `CALL fn(args) AS v [WHERE pred]` — the old-regress SRF CALL
+    * (cypher_call.sql:26-52): `unnest(list)` lateral-explodes one row per
+    * element against the incoming binding; scalar functions emit one row;
+    * WHERE filters the emitted rows before later clauses see them.
+    */
+  private def compileCallSrf(ctx0: Ctx, c: CallProc): Ctx = {
+    val v = c.yields.head
+    val ctx = if (ctx0.df == null)
+      ctx0.copy(df = spark.range(1).toDF("__seed")) else ctx0
+    val base = c.name.toLowerCase match {
+      case "unnest" =>
+        require(c.args.length == 1, "unnest(list) takes one argument")
+        ctx.df.withColumn(v, explode(compileExpr(c.args.head, ctx)))
+      case _ =>
+        ctx.df.withColumn(v, compileExpr(FnCall(c.name, c.args, distinct = false), ctx))
+    }
+    val dropped = if (base.columns.contains("__seed")) base.drop("__seed") else base
+    var out = Ctx(dropped, ctx0.vars + (v -> VarInfo.scalar), ctx0.projected)
+    c.where.foreach { w => out = out.copy(df = out.df.filter(compileExpr(w, out))) }
+    out
   }
 
   // ------------------------------------------------------------------- MATCH
@@ -664,7 +687,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         scan0.withColumn(s"${relAlias}__gsrc", col(s"${relAlias}__start_id"))
           .withColumn(s"${relAlias}__gdst", col(s"${relAlias}__end_id"))
           .unionByName(
-            scan0.withColumn(s"${relAlias}__gsrc", col(s"${relAlias}__end_id"))
+            // self-loops match an undirected pattern once, not twice — the
+            // reversed copy is identical, so drop it (matches the
+            // reference's DFS which visits a loop edge once)
+            scan0.filter(col(s"${relAlias}__start_id") =!= col(s"${relAlias}__end_id"))
+              .withColumn(s"${relAlias}__gsrc", col(s"${relAlias}__end_id"))
               .withColumn(s"${relAlias}__gdst", col(s"${relAlias}__start_id")))
     }
     require(!ctx.vars.contains(relAlias), s"edge variable $relAlias reused")
@@ -712,8 +739,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         col(s"${e}__end_id").as("src"), col(s"${e}__start_id").as("dst"))
       case 0 => scan0.select(col(s"${e}__id").as("eid"),
         col(s"${e}__start_id").as("src"), col(s"${e}__end_id").as("dst"))
-        .unionByName(scan0.select(col(s"${e}__id").as("eid"),
-          col(s"${e}__end_id").as("src"), col(s"${e}__start_id").as("dst")))
+        .unionByName(scan0
+          // a self-loop's reversed copy is identical to its forward copy —
+          // keeping both would double-count every path through it (the
+          // reference's DFS visits a loop edge once; dfs.c get_next_vertex)
+          .filter(col(s"${e}__start_id") =!= col(s"${e}__end_id"))
+          .select(col(s"${e}__id").as("eid"),
+            col(s"${e}__end_id").as("src"), col(s"${e}__start_id").as("dst")))
     }
     // eager: every hop's join rescans the edge union, and those map stages
     // can launch concurrently — lazy persist() let each recompute the union
@@ -876,7 +908,15 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           }
           outVars += (name -> info)
         case (name, e) =>
-          cols += compileExpr(e, ctx).as(name)
+          val c = compileExpr(e, ctx)
+          // schema-underdetermined gtype kinds (time is a LONG, tsvector
+          // an ARRAY<STRING>) carry a marker in the alias metadata so the
+          // value surface (PgOut) and later clauses can re-dispatch
+          cols += (typeMarker(e, ctx) match {
+            case Some(m) => c.as(name, new MetadataBuilder()
+              .putString(graft.gvalue.PgOut.TypeKey, m).build())
+            case None => c.as(name)
+          })
           outVars += (name -> VarInfo.scalar)
       }
       // ORDER BY may reference the pre-projection scope (`RETURN tostring(x)
@@ -1017,7 +1057,10 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   }
 
   private def entityColumns(df: DataFrame, v: String): Seq[String] =
-    df.columns.filter(_.startsWith(s"${v}__")).toSeq
+    // gsrc/gdst are bind-time orientation internals of the undirected
+    // edge scan, not entity state — they never belong to the value
+    df.columns.filter(c => c.startsWith(s"${v}__") &&
+      c != s"${v}__gsrc" && c != s"${v}__gdst").toSeq
 
   // -------------------------------------------------------------- expressions
 
@@ -1138,12 +1181,18 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           val cs = entityColumns(ctx.df, n)
           struct(cs.map(c => col(c).as(c.stripPrefix(s"${n}__"))): _*)
         case Some(info) if info.kind == VarKind.VlePath =>
-          // RETURN e over a VLE var is the ordered edge list (reference:
-          // variable_edge.c:62 — a VARIABLE_EDGE is the edge array);
+          // RETURN e over a VLE var is the VariableEdge container —
+          // [edge, vertex, edge, …, edge] with the INTERIOR vertices
+          // between the edges (variable_edge.c:40-59 variable_edge_out
+          // interleaves odd children; endpoints excluded). Spark-typed as
+          // a (nodes, edges) struct pair like Path, nodes = interior only;
           // materialized by ensureVleValues before projection compiles
-          require(ctx.df.columns.contains(s"${n}__edges"),
+          require(ctx.df.columns.contains(s"${n}__edges") &&
+            ctx.df.columns.contains(s"${n}__nodes"),
             s"VLE variable $n's traversal values were not materialized here")
-          col(s"${n}__edges")
+          val ns = col(s"${n}__nodes")
+          struct(slice(ns, lit(2), greatest(size(ns) - 2, lit(0))).as("nodes"),
+            col(s"${n}__edges").as("edges"))
         case Some(info) if info.kind == VarKind.Path =>
           // RETURN p — the traversal value (traversal.c:64-120 builds the
           // interleaved vertex/edge varlena; the Spark-typed equivalent is
@@ -1218,6 +1267,9 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     // distance operators (postgraph-gtype.sql.in:140-167): arrays are
     // vectors (l2 / negative inner product / cosine distance); `<->` on
     // geometric values is point distance
+    case e @ Bin("<->", l, r) if litTsqueryStr(e).isDefined =>
+      // tsquery phrase combine (tsquery `<->`, tsearch.out:529-533)
+      lit(litTsqueryStr(e).get)
     case Bin(op @ ("<->" | "<#>" | "<=>"), l, r) =>
       val lc = compileExpr(l, ctx); val rc = compileExpr(r, ctx)
       (dataTypeOpt(lc, ctx), dataTypeOpt(rc, ctx)) match {
@@ -1500,33 +1552,60 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           graft.functions.RangeGeoFns.multiUnion(la, ra)
         // temporal arithmetic (gtype_add temporal branches; temporal.sql:513-523)
         case (Some(t), Some(ivt)) if isTemporalType(t) && isIntervalStruct(ivt) =>
-          graft.functions.TemporalFns.shiftTemporal(l, r, 1)
+          graft.functions.TemporalFns.shiftTemporal(l, r, 1, ntz = t == TimestampNTZType)
         case (Some(ivt), Some(t)) if isIntervalStruct(ivt) && isTemporalType(t) =>
-          graft.functions.TemporalFns.shiftTemporal(r, l, 1)
+          graft.functions.TemporalFns.shiftTemporal(r, l, 1, ntz = t == TimestampNTZType)
         case (Some(a), Some(b)) if isIntervalStruct(a) && isIntervalStruct(b) =>
           graft.functions.TemporalFns.addIntervals(l, r, 1)
         // time ± interval (PG time_pl_interval: only the us part of the
         // span moves a time-of-day, wrapping mod 24 h — temporal.sql)
         case (Some(LongType), Some(ivt))
-            if isIntervalStruct(ivt) && lRaw.exists(isTimeExpr) =>
+            if isIntervalStruct(ivt) && lRaw.exists(e => isTimeExpr(e, ctx)) =>
           timeShift(l, r, 1)
         case (Some(ivt), Some(LongType))
-            if isIntervalStruct(ivt) && rRaw.exists(isTimeExpr) =>
+            if isIntervalStruct(ivt) && rRaw.exists(e => isTimeExpr(e, ctx)) =>
           timeShift(r, l, 1)
-        case (Some(_: ArrayType), Some(_: ArrayType)) => concat(l, r)
+        // timetz ± interval: the us part shifts, the written zone stays
+        case (Some(tzt), Some(ivt)) if isTimetzStruct(tzt) && isIntervalStruct(ivt) =>
+          graft.functions.TemporalFns.timetz(
+            timeShift(l.getField("us"), r, 1), l.getField("off"))
+        case (Some(ivt), Some(tzt)) if isIntervalStruct(ivt) && isTimetzStruct(tzt) =>
+          graft.functions.TemporalFns.timetz(
+            timeShift(r.getField("us"), l, 1), r.getField("off"))
+        // vector + vector is ELEMENTWISE (gtype_vector_add, vector.out:263+);
+        // any other array + array is list concatenation, with mixed
+        // dynamic/typed sides re-encoded to the dynamic codec
+        case (Some(at @ ArrayType(ae, _)), Some(bt @ ArrayType(be, _))) =>
+          if (isVectorOperand(lRaw, at) || isVectorOperand(rRaw, bt))
+            zip_with(l, r, (x, y) => x + y)
+          else {
+            import graft.gvalue.GValueCol
+            if (GValueCol.isGValue(ae) != GValueCol.isGValue(be)) {
+              val lc = if (GValueCol.isGValue(ae)) l
+                else transform(l, e => GValueCol.encode(e, ae))
+              val rc = if (GValueCol.isGValue(be)) r
+                else transform(r, e => GValueCol.encode(e, be))
+              concat(lc, rc)
+            } else concat(l, r)
+          }
         case _ => l + r
       }
     case "-"  =>
       (dataTypeOpt(l, ctx), dataTypeOpt(r, ctx)) match {
         case (Some(t), Some(ivt)) if isTemporalType(t) && isIntervalStruct(ivt) =>
-          graft.functions.TemporalFns.shiftTemporal(l, r, -1)
+          graft.functions.TemporalFns.shiftTemporal(l, r, -1, ntz = t == TimestampNTZType)
         case (Some(a), Some(b)) if isIntervalStruct(a) && isIntervalStruct(b) =>
           graft.functions.TemporalFns.addIntervals(l, r, -1)
         case (Some(LongType), Some(ivt))
-            if isIntervalStruct(ivt) && lRaw.exists(isTimeExpr) =>
+            if isIntervalStruct(ivt) && lRaw.exists(e => isTimeExpr(e, ctx)) =>
           timeShift(l, r, -1)
-        // vector subtraction (gtype_vector elementwise ops, vector.sql)
-        case (Some(_: ArrayType), Some(_: ArrayType)) =>
+        case (Some(tzt), Some(ivt)) if isTimetzStruct(tzt) && isIntervalStruct(ivt) =>
+          graft.functions.TemporalFns.timetz(
+            timeShift(l.getField("us"), r, -1), l.getField("off"))
+        // vector subtraction (gtype_vector elementwise ops, vector.sql) —
+        // numeric-element arrays only; the reference rejects `-` on lists
+        case (Some(ArrayType(ae, _)), Some(ArrayType(be, _)))
+            if isNumericLike(ae) && isNumericLike(be) =>
           zip_with(l, r, (x, y) => x - y)
         case _ => l - r
       }
@@ -1537,8 +1616,10 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           graft.functions.TemporalFns.scaleInterval(l, r.cast("double"))
         case (Some(a0), Some(b0)) if isNumericLike(a0) && isIntervalStruct(b0) =>
           graft.functions.TemporalFns.scaleInterval(r, l.cast("double"))
-        // vector hadamard product (gtype_vector elementwise ops)
-        case (Some(_: ArrayType), Some(_: ArrayType)) =>
+        // vector hadamard product (gtype_vector elementwise ops) —
+        // numeric-element arrays only
+        case (Some(ArrayType(ae, _)), Some(ArrayType(be, _)))
+            if isNumericLike(ae) && isNumericLike(be) =>
           zip_with(l, r, (x, y) => x * y)
         case _ => l * r
       }
@@ -1550,7 +1631,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case (Some(_: ArrayType), Some(_: ArrayType)) =>
           graft.functions.TsearchFns.tsvectorConcat(l, r)
         case (Some(StringType), Some(StringType)) =>
-          graft.functions.TsearchFns.tsqueryCombine(l, r, "|")
+          (lRaw.flatMap(litTsqueryStr), rRaw.flatMap(litTsqueryStr)) match {
+            case (Some(a), Some(b)) =>
+              lit(graft.functions.TsearchFns.combineTsq(a, b, "|"))
+            case _ => graft.functions.TsearchFns.tsqueryCombine(l, r, "|")
+          }
         case other => throw new UnsupportedOperationException(s"|| over $other")
       }
     case "&" =>
@@ -1560,7 +1645,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case (Some(a), Some(b)) if isIntegralType(a) && isIntegralType(b) =>
           l.bitwiseAND(r)
         case (Some(StringType), Some(StringType)) =>
-          graft.functions.TsearchFns.tsqueryCombine(l, r, "&")
+          (lRaw.flatMap(litTsqueryStr), rRaw.flatMap(litTsqueryStr)) match {
+            case (Some(a), Some(b)) =>
+              lit(graft.functions.TsearchFns.combineTsq(a, b, "&"))
+            case _ => graft.functions.TsearchFns.tsqueryCombine(l, r, "&")
+          }
         case other => throw new UnsupportedOperationException(s"& over $other")
       }
     case "/" if dataTypeOpt(l, ctx).exists(isIntervalStruct) &&
@@ -1771,9 +1860,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             iv.getField("us") + iv.getField("days").cast("long") * 86400000000L,
             a(1), a(2))
       }
-      case "make_date" => make_date(a(0), a(1), a(2))
+      // PG make_date(-44, …) means 44 BC — astronomical year -43 (no
+      // year 0); make_timestamp returns a PLAIN (NTZ) timestamp
+      case "make_date" => make_date(
+        when(a(0) < 0, a(0) + lit(1)).otherwise(a(0)), a(1), a(2))
       case "make_timestamp" => call_function("make_timestamp",
-        a(0), a(1), a(2), a(3), a(4), a(5))
+        a(0), a(1), a(2), a(3), a(4), a(5)).cast("timestamp_ntz")
       case "make_timestamptz" =>
         if (args.length >= 7) {
           // PG resolves bare zone ABBREVIATIONS (KST, PST, …) from its
@@ -1811,7 +1903,15 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           case other => List(other)
         } else args
         require(flat.length == 4, "overlaps expects two (start, end) pairs")
-        val cs = flat.map(sub)
+        // timetz endpoints flatten to UTC-normalized micros up front so
+        // endpoint arithmetic/ordering below is uniform
+        val cs = flat.map(sub).map { c =>
+          dataTypeOpt(c, ctx) match {
+            case Some(t) if isTimetzStruct(t) =>
+              c.getField("us") - c.getField("off").cast("long") * 1000000L
+            case _ => c
+          }
+        }
         def norm(si: Int, ei: Int): (Column, Column) = {
           val s0 = cs(si)
           val e0 = dataTypeOpt(cs(ei), ctx) match {
@@ -1864,10 +1964,17 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         // PG accepts several datetime input styles (MM/DD/YYYY, day-name
         // forms) beyond ISO — try them in order (datetime.c input parsing)
         case Some(StringType) => pgTimestampParse(a(0), tz = false)
+        // numeric input counts MICROSECONDS from the PG epoch 2000-01-01
+        // (gtype_typecasting.c int→timestamp; temporal.out `0::timestamp`
+        // → `Sat Jan 01 00:00:00 2000`)
+        case Some(t) if isNumericLike(t) =>
+          timestamp_micros(a(0).cast("long") + lit(PgEpochUs)).cast("timestamp_ntz")
         case _ => a(0).cast("timestamp").cast("timestamp_ntz")
       }
       case "totimestamptz" => dataTypeOpt(a(0), ctx) match {
         case Some(StringType) => pgTimestampParse(a(0), tz = true)
+        case Some(t) if isNumericLike(t) =>
+          timestamp_micros(a(0).cast("long") + lit(PgEpochUs))
         case _ => a(0).cast("timestamp")
       }
       case "tomacaddr"   => graft.functions.NetworkFns.toMacaddr(a(0))
@@ -1878,12 +1985,25 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "tointrange" => graft.functions.RangeGeoFns.toRange(a(0), numeric = false)
       case "tonumrange" => graft.functions.RangeGeoFns.toRange(a(0), numeric = true)
       case "tointerval" => graft.functions.TemporalFns.toInterval(a(0))
-      case "totime" | "totimetz" => dataTypeOpt(a(0), ctx) match {
+      case "totime" => dataTypeOpt(a(0), ctx) match {
         case Some(TimestampType) | Some(TimestampNTZType) => // time part of a timestamp
           unix_micros(a(0)) - unix_micros(date_trunc("day", a(0)))
         case Some(t) if isIntervalStruct(t) => // interval's time-of-day part
           pmod(a(0).getField("us"), lit(86400000000L))
+        case Some(t) if isTimetzStruct(t) => a(0).getField("us")
         case _ => graft.functions.TemporalFns.toTime(a(0))
+      }
+      // timetz is a DISTINCT value (PG TimeTzADT): wall clock + written
+      // zone offset, struct(us, off)
+      case "totimetz" => dataTypeOpt(a(0), ctx) match {
+        case Some(TimestampType) | Some(TimestampNTZType) =>
+          graft.functions.TemporalFns.timetz(
+            unix_micros(a(0)) - unix_micros(date_trunc("day", a(0))), lit(0))
+        case Some(t) if isIntervalStruct(t) =>
+          graft.functions.TemporalFns.timetz(
+            pmod(a(0).getField("us"), lit(86400000000L)), lit(0))
+        case Some(t) if isTimetzStruct(t) => a(0)
+        case _ => graft.functions.TemporalFns.toTimeTz(a(0))
       }
       case "totsquery"  => args.head match {
         // literal tsquery_in canonicalization handles quoted phrases and
@@ -1902,7 +2022,18 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           case _ => throw new UnsupportedOperationException(
             s"$name requires a literal argument (stemming runs driver-side)")
         }
-      case "_tsquery_not" => graft.functions.TsearchFns.tsqueryNot(a(0))
+      case "_tsquery_not" => litTsqueryStr(args.head) match {
+        case Some(q) => lit(graft.functions.TsearchFns.notTsq(q))
+        case None => graft.functions.TsearchFns.tsqueryNot(a(0))
+      }
+      // tsquery_phrase(q1, q2[, dist]) — succeeds here where the reference
+      // ereports "unrecognized node type" (its own bug, tsearch.out:527)
+      case "tsquery_phrase" =>
+        litTsqueryStr(FnCall("tsquery_phrase", args, distinct = false)) match {
+          case Some(q) => lit(q)
+          case None => throw new UnsupportedOperationException(
+            "tsquery_phrase requires literal tsquery arguments")
+        }
       case "intrange" | "numrange" =>
         graft.functions.RangeGeoFns.range(a(0), a(1),
           if (args.length == 3) litString(args(2)) else "[)")
@@ -2125,7 +2256,9 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
     e match {
       case Var(n) if ctx.vars.get(n).exists(_.kind == VarKind.VlePath) =>
-        Set((n, "edges"))
+        // the VariableEdge VALUE interleaves interior vertices (see the
+        // Var projection) — both sequences materialize
+        Set((n, "nodes"), (n, "edges"))
       case Var(p) if ctx.vars.get(p).exists(_.kind == VarKind.Path) =>
         // bare path value needs both sequences of every VLE segment
         vleOf(p).flatMap(m => Seq((m, "nodes"), (m, "edges"))).toSet
@@ -2314,9 +2447,18 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case _ => false
   }
 
+  /** Microseconds from the Unix epoch to PG's 2000-01-01 epoch. */
+  private val PgEpochUs = 946684800000000L
+
   /** The interval struct(months, days, us) triple from TemporalFns. */
   private def isIntervalStruct(dt: DataType): Boolean = dt match {
     case st: StructType => st.fieldNames.sameElements(Array("months", "days", "us"))
+    case _ => false
+  }
+
+  /** The timetz struct(us, off) pair from TemporalFns. */
+  private def isTimetzStruct(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fieldNames.sameElements(Array("us", "off"))
     case _ => false
   }
 
@@ -2324,9 +2466,76 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     * schema, so time±interval dispatches on the RAW expr being a
     * time-producing cast/constructor.
     */
-  private def isTimeExpr(e: Expr): Boolean = e match {
-    case FnCall("totime" | "totimetz" | "make_time", _, _) => true
+  private def isTimeExpr(e: Expr, ctx: Ctx): Boolean = e match {
+    case FnCall("totime" | "make_time", _, _) => true
+    case Bin("+" | "-", l, r) => isTimeExpr(l, ctx) || isTimeExpr(r, ctx)
+    case Var(v) => ctx.df != null && ctx.df.schema.fields.exists(f =>
+      f.name == v && f.metadata.contains(graft.gvalue.PgOut.TypeKey) &&
+        f.metadata.getString(graft.gvalue.PgOut.TypeKey) == "time")
     case _ => false
+  }
+
+  /** Vector-producing raw exprs, for the `+` elementwise-vs-concat
+    * dispatch (gtype_vector_add vs list concatenation).
+    */
+  private def isVectorExpr(e: Expr): Boolean = e match {
+    case FnCall("tovector", _, _) => true
+    case Bin("+" | "-" | "*", l, r) => isVectorExpr(l) || isVectorExpr(r)
+    case _ => false
+  }
+
+  private def isVectorOperand(raw: Option[Expr], dt: ArrayType): Boolean =
+    isNumericLike(dt.elementType) && raw.exists(isVectorExpr)
+
+  /** The canonical tsquery string of a LITERAL-rooted tsquery expr, when
+    * statically computable — combines re-parse + re-print driver-side so
+    * the result parenthesizes correctly for its new root (tsqueryout).
+    */
+  private def litTsqueryStr(e: Expr): Option[String] = {
+    import graft.functions.TsearchFns
+    e match {
+      case FnCall("totsquery", List(Lit(GString(s))), _) =>
+        Some(TsearchFns.canonTsquery(s))
+      case FnCall("plainto_tsquery", List(Lit(GString(s))), _) =>
+        Some(TsearchFns.plaintoTsquery(s))
+      case FnCall("phraseto_tsquery", List(Lit(GString(s))), _) =>
+        Some(TsearchFns.phrasetoTsquery(s))
+      case FnCall("websearch_to_tsquery", List(Lit(GString(s))), _) =>
+        Some(TsearchFns.websearchTsquery(s))
+      case FnCall("_tsquery_not", List(x), _) => litTsqueryStr(x).map(TsearchFns.notTsq)
+      case FnCall("tsquery_phrase", a :: b :: rest, _) =>
+        val d = rest match { case List(Lit(GInt(n))) => n.toInt; case _ => 1 }
+        for { x <- litTsqueryStr(a); y <- litTsqueryStr(b) }
+          yield TsearchFns.combineTsq(x, y, "<->", d)
+      case Bin("&", l, r) =>
+        for { x <- litTsqueryStr(l); y <- litTsqueryStr(r) }
+          yield TsearchFns.combineTsq(x, y, "&")
+      case Bin("||", l, r) =>
+        for { x <- litTsqueryStr(l); y <- litTsqueryStr(r) }
+          yield TsearchFns.combineTsq(x, y, "|")
+      case Bin("<->", l, r) =>
+        for { x <- litTsqueryStr(l); y <- litTsqueryStr(r) }
+          yield TsearchFns.combineTsq(x, y, "<->")
+      case _ => None
+    }
+  }
+
+  /** The `graft.type` marker for a projected item, when its Spark type
+    * underdetermines the gtype kind (PgOut.TypeKey semantics).
+    */
+  private def typeMarker(e: Expr, ctx: Ctx): Option[String] = e match {
+    case _ if isTimeExpr(e, ctx) => Some("time")
+    case FnCall("totsvector" | "ts_delete" | "strip" | "setweight", _, _) =>
+      Some("tsvector")
+    case Bin("||", l, r) =>
+      (typeMarker(l, ctx) orElse typeMarker(r, ctx)).filter(_ == "tsvector")
+    case Var(v) => ctx.df match {
+      case null => None
+      case df => df.schema.fields.find(_.name == v)
+        .filter(_.metadata.contains(graft.gvalue.PgOut.TypeKey))
+        .map(_.metadata.getString(graft.gvalue.PgOut.TypeKey))
+    }
+    case _ => None
   }
 
   /** PG time_pl_interval/time_mi_interval: shift by the span's us part,
@@ -2436,7 +2645,8 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     */
   private def propertiesMap(v: String, ctx: Ctx): Column = {
     val props = entityColumns(ctx.df, v).map(_.stripPrefix(s"${v}__"))
-      .filterNot(Set("id", "label", "start_id", "end_id")).sorted
+      // gsrc/gdst are the undirected bind's orientation internals
+      .filterNot(Set("id", "label", "start_id", "end_id", "gsrc", "gdst")).sorted
     if (props.isEmpty)
       map_from_arrays(array().cast(ArrayType(StringType)),
         array().cast(ArrayType(graft.gvalue.GValueCol.structType)))
@@ -2505,6 +2715,34 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     import graft.gvalue.GValueCol
     val lt = dataTypeOpt(l, ctx)
     val rt = dataTypeOpt(r, ctx)
+    def cmpOn(ka: Column, kb: Column): Option[Column] = op match {
+      case "="  => Some(ka === kb)
+      case "<>" => Some(ka =!= kb)
+      case "<"  => Some(ka < kb)
+      case "<=" => Some(ka <= kb)
+      case ">"  => Some(ka > kb)
+      case ">=" => Some(ka >= kb)
+      case _    => None
+    }
+    (lt, rt) match {
+      // timetz × time(tz): compare UTC-normalized micros (PG timetz_cmp;
+      // a bare time promotes at the UTC session zone, offset 0)
+      case (Some(a), Some(b)) if isTimetzStruct(a) || isTimetzStruct(b) =>
+        def key(c: Column, t: DataType): Column =
+          if (isTimetzStruct(t))
+            c.getField("us") - c.getField("off").cast("long") * 1000000L
+          else c.cast("long")
+        return cmpOn(key(l, a), key(r, b))
+      // interval × interval: PG interval_cmp folds months into 30-day
+      // blocks and days into micros — NOT fieldwise struct order
+      // ((0,31,0) sorts above (1,0,0))
+      case (Some(a), Some(b)) if isIntervalStruct(a) && isIntervalStruct(b) =>
+        def key(c: Column): Column =
+          (c.getField("months").cast("long") * 30L + c.getField("days").cast("long")) *
+            86400000000L + c.getField("us")
+        return cmpOn(key(l), key(r))
+      case _ => ()
+    }
     // two dynamic ARRAYS (mixed literal lists compile to array-of-struct):
     // element-wise canonical comparison, so [1, [2]] = [1.0, [2.0]] holds
     // exactly as it does inside a single TArray value

@@ -75,8 +75,16 @@ final class GraphSession(val spark: SparkSession) {
   private val GraphDdl =
     "(?is)^\\s*(CREATE|USE|DROP)\\s+GRAPH\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*(CASCADE)?\\s*;?\\s*$".r
 
+  /** The reference's unified-grammar SQL statements (new_cypher.sql):
+    * SELECT/TABLE/INSERT/UPDATE/CREATE TABLE/DELETE FROM run through
+    * Spark SQL over session temp views.
+    */
+  private lazy val sqlSurface = new SqlSurface(spark)
+
   /** Run a Cypher query (reads and/or writes) against the current graph. */
   def run(query: String, params: Map[String, GValue] = Map.empty): DataFrame = {
+    if (sqlSurface.accepts(query.trim.stripSuffix(";")))
+      return sqlSurface.run(query)
     query match {
       case GraphDdl(op, nameRaw, _) =>
         val name = nameRaw.stripPrefix("`").stripSuffix("`")
@@ -95,19 +103,42 @@ final class GraphSession(val spark: SparkSession) {
   }
 
   private def runClauses(clauses: List[Clause], params: Map[String, GValue]): DataFrame = {
+    queryDeletedIds = None
+    val ctx = runClausesCtx(clauses, params)
+    if (ctx.projected) ctx.df
+    else spark.emptyDataFrame // write-only query returns no rows (reference behavior)
+  }
+
+  private def runClausesCtx(clauses: List[Clause], params: Map[String, GValue]): Ctx = {
     var compiler = new Compiler(graph.snapshot, params)
     var ctx = Ctx.empty
     var wrote = false
     clauses.foreach {
-      case c @ (_: Match | _: Unwind | _: With | _: Return) =>
+      // CALL {…} containing writes: run the subquery's clauses through
+      // this same write-capable loop (reference exec path; old regress
+      // cypher_call.sql:146 `CALL { CREATE (n) RETURN n as n } RETURN n`).
+      // The reference requires a trailing RETURN — same error here.
+      case CallSubquery(SingleQuery(sub)) if sub.exists {
+          case _: Match | _: Unwind | _: With | _: Return |
+               _: CallSubquery | _: CallProc => false
+          case _ => true
+        } =>
+        require(ctx.df == null,
+          "correlated CALL subquery with writes is not supported")
+        if (sub.lastOption.forall(!_.isInstanceOf[Return]))
+          throw new IllegalArgumentException(
+            "Call Cypher Subquery must end with a RETURN")
+        ctx = runClausesCtx(sub, params)
+        compiler = new Compiler(graph.snapshot, params); wrote = false
+      case c @ (_: Match | _: Unwind | _: With | _: Return |
+                _: CallSubquery | _: CallProc) =>
         if (wrote) { compiler = new Compiler(graph.snapshot, params); wrote = false }
         ctx = compiler.compileClause(ctx, c)
       case w =>
         ctx = executeWrite(ctx, w, compiler)
         wrote = true
     }
-    if (ctx.projected) ctx.df
-    else spark.emptyDataFrame // write-only query returns no rows (reference behavior)
+    ctx
   }
 
   // ------------------------------------------------------------------- writes
@@ -134,6 +165,7 @@ final class GraphSession(val spark: SparkSession) {
   private def executeCreate(ctx0: Ctx, pattern: PathPattern,
       compiler: Compiler): Ctx = {
     val elems = pattern.elements
+    registerLabelsTextually(elems, ctx0.vars.keySet)
     if (ctx0.df != null) createPerRow(ctx0, elems, compiler, pattern.variable)
     else {
       val ctx = ctx0
@@ -147,6 +179,10 @@ final class GraphSession(val spark: SparkSession) {
       val chainIds = mutable.Map.empty[String, Long] // vars created in THIS chain
       val nodeAliases = mutable.ListBuffer.empty[String]
       val edgeAliases = mutable.ListBuffer.empty[String]
+      // PASS 1 — vertices, textual order (the reference numbers vertex
+      // entries left-to-right); pending edges collect as
+      // (rel, srcId, dstId) for pass 2
+      val rels = mutable.ListBuffer.empty[(RelPattern, Long, Long)]
       var prevId: Option[(String, Long)] = None // (varName, id) of previous node
       var pendingRel: Option[RelPattern] = None
       elems.foreach {
@@ -163,7 +199,7 @@ final class GraphSession(val spark: SparkSession) {
             require(n.labels.isEmpty && n.props.isEmpty,
               s"cannot add labels/properties to re-mentioned ${n.variable.get} in CREATE")
           val label = n.labels.headOption.getOrElse("_default")
-          val alias = n.variable.getOrElse(s"_c${id & 0xFFFF}")
+          val alias = n.variable.getOrElse(s"_c$id") // full packed id: collision-free across labels
           if (reused.isEmpty) {
             // bind created node: one-row DF with its columns
             val nodeDf = graph.vertexRowDf(alias, label, id)
@@ -176,15 +212,7 @@ final class GraphSession(val spark: SparkSession) {
           nodeAliases += alias
           pendingRel.foreach { r =>
             val (s, d) = if (r.dir == -1) (id, prevId.get._2) else (prevId.get._2, id)
-            val label = r.types.headOption.getOrElse(
-              throw new IllegalArgumentException("CREATE edge needs a type"))
-            val eid = graph.createEdge(label, s, d,
-              r.props.map { case (k, v) => k -> constEval(v) })
-            val ealias = r.variable.getOrElse(s"_ce${eid & 0xFFFF}")
-            val edgeDf = graph.edgeRowDf(ealias, label, eid)
-            df = if (df == null) edgeDf else df.crossJoin(edgeDf)
-            if (r.variable.isDefined) createdVars += (ealias -> VarInfo.edge)
-            edgeAliases += ealias
+            rels += ((r, s, d))
             pendingRel = None
           }
           prevId = Some((alias, id))
@@ -192,10 +220,47 @@ final class GraphSession(val spark: SparkSession) {
           require(r.varLength.isEmpty, "CREATE cannot use variable-length edges")
           pendingRel = Some(r)
       }
+      // PASS 2 — edges, REVERSE textual order: the reference's create
+      // executor builds the path targetlist by prepending, so edge entry
+      // ids within one path chain descend left-to-right (cypher_vle.out:
+      // `:edge` entry 1 is u3→e, entry 4 is b→u1). Aliases still bind in
+      // textual order for path values.
+      val edgeBinds = rels.reverse.map { case (r, s, d) =>
+        val label = r.types.headOption.getOrElse(
+          throw new IllegalArgumentException("CREATE edge needs a type"))
+        val eid = graph.createEdge(label, s, d,
+          r.props.map { case (k, v) => k -> constEval(v) })
+        val ealias = r.variable.getOrElse(s"_ce$eid") // full packed id (masking dropped the label bits: two anon edges of different labels collided)
+        (r, ealias, label, eid)
+      }.reverse
+      edgeBinds.foreach { case (r, ealias, label, eid) =>
+        val edgeDf = graph.edgeRowDf(ealias, label, eid)
+        df = if (df == null) edgeDf else df.crossJoin(edgeDf)
+        if (r.variable.isDefined) createdVars += (ealias -> VarInfo.edge)
+        edgeAliases += ealias
+      }
       pattern.variable.foreach { p =>
         createdVars += (p -> VarInfo.path(nodeAliases.toList, edgeAliases.toList))
       }
       Ctx(df, createdVars, ctx0.projected)
+    }
+  }
+
+  /** Pre-register every label the pattern will create, LEFT TO RIGHT — the
+    * reference catalog numbers vertex and edge labels from one shared
+    * sequence in textual first-appearance order (label_commands.c), while
+    * our chain walk creates each far node before its incoming edge; without
+    * this the edge/node label ids swap and packed entity ids diverge from
+    * the reference's (the value-level replays compare them byte-for-byte).
+    */
+  private def registerLabelsTextually(elems: Seq[PatternElem],
+      bound: Set[String]): Unit = {
+    val seen = mutable.Set.empty[String]
+    elems.foreach {
+      case n: NodePattern =>
+        val reused = n.variable.exists(v => bound.contains(v) || !seen.add(v))
+        if (!reused) graph.ensureLabel(n.labels.headOption.getOrElse("_default"))
+      case r: RelPattern => r.types.headOption.foreach(graph.ensureLabel)
     }
   }
 
@@ -234,6 +299,7 @@ final class GraphSession(val spark: SparkSession) {
           case Some(v) =>
             require(n.labels.isEmpty && n.props.isEmpty,
               s"cannot add labels/properties to bound variable $v in CREATE")
+            requireNotDeleted(v, df)
             v
           case None =>
             val label = n.labels.headOption.getOrElse("_default")
@@ -491,9 +557,25 @@ final class GraphSession(val spark: SparkSession) {
         val ids = ctx.df.select(col(s"${v}__id").as("id")).distinct()
         graph.deleteEdges(ids)
       case Var(v) if ctx.vars.get(v).exists(_.isEntity) =>
-        val ids = ctx.df.select(col(s"${v}__id").as("id")).distinct()
+        val ids = ctx.df.select(col(s"${v}__id").as("id")).distinct().localCheckpoint()
         graph.deleteVertices(ids, detach)
+        // remember what this query deleted: a later CREATE reusing a
+        // variable bound to one of these ids must error
+        // ("vertex assigned to variable n was deleted", cypher_delete.c —
+        // delete.out:276,296,411)
+        queryDeletedIds = Some(queryDeletedIds.map(_.union(ids)).getOrElse(ids))
       case other => throw new UnsupportedOperationException(s"DELETE target: $other")
+    }
+
+  /** Vertex ids deleted by earlier clauses of the CURRENT query. */
+  private var queryDeletedIds: Option[DataFrame] = None
+
+  private[cypher] def requireNotDeleted(v: String, binding: DataFrame): Unit =
+    queryDeletedIds.foreach { del =>
+      val hit = binding.select(col(s"${v}__id").as("id"))
+        .join(del, Seq("id"), "left_semi").limit(1).count() > 0
+      if (hit) throw new IllegalStateException(
+        s"vertex assigned to variable $v was deleted")
     }
 }
 
@@ -502,7 +584,11 @@ final class GraphSession(val spark: SparkSession) {
   */
 final class MutableGraph(spark: SparkSession) {
   private val labelIds = mutable.LinkedHashMap.empty[String, Int]
-  private var nextLabelId = 1
+  // user labels number from 3, as in the reference: ids 1/2 belong to the
+  // catalog's _ag_label_vertex/_ag_label_edge (label_commands.c) — packed
+  // entity ids then match the reference's byte-for-byte (844424930131969 =
+  // 3<<48 | 1), which the value-level replay diffs rely on
+  private var nextLabelId = 3
   private val nextEntry = mutable.Map.empty[String, Long]
   private var vertexLabels = Map.empty[String, DataFrame]
   private var edgeLabels = Map.empty[String, DataFrame]
@@ -518,6 +604,15 @@ final class MutableGraph(spark: SparkSession) {
 
   private def labelId(l: String): Int =
     labelIds.getOrElseUpdate(l, { val i = nextLabelId; nextLabelId += 1; i })
+
+  /** Pre-register a label so ids assign in the reference's TEXTUAL order —
+    * its catalog numbers vertex and edge labels from one shared sequence
+    * in first-appearance order across the whole CREATE pattern
+    * (label_commands.c), so `(b:begin)-[:edge]->(u:middle)` is
+    * begin=3, edge=4, middle=5; creating the far node before its incoming
+    * edge would swap the last two.
+    */
+  private[cypher] def ensureLabel(l: String): Unit = labelId(l)
 
   private def isScalarProp(v: GValue): Boolean = v match {
     case _: GArray | _: GMap | _: GVector => false

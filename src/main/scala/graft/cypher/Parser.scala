@@ -50,7 +50,8 @@ object Parser {
     case "timestamp"                => "totimestamp"
     case "timestamptz"              => "totimestamptz"
     case "date"                     => "todate"
-    case "time" | "timetz"          => "totime"
+    case "time"                     => "totime"
+    case "timetz"                   => "totimetz"
     case "interval"                 => "tointerval"
     case "inet" | "cidr"            => "toinet"
     case "macaddr" | "macaddr8"     => "tomacaddr"
@@ -347,10 +348,19 @@ object Parser {
           while (eatSym(",")) args += parseExpr()
         }
         expectSym(")")
-        expectKw("YIELD")
-        val yields = ListBuffer(ident())
-        while (eatSym(",")) yields += ident()
-        CallProc(name.toString, args.toList, yields.toList)
+        // `CALL fn(args) AS var [WHERE pred]` — the old-regress SRF form
+        // (cypher_call.sql:26-52): set-returning fns emit one row per
+        // element, scalars one row; WHERE filters the emitted rows
+        if (eat("AS")) {
+          val v = ident()
+          val where = if (eat("WHERE")) Some(parseExpr()) else None
+          CallProc(name.toString, args.toList, List(v), srf = true, where = where)
+        } else {
+          expectKw("YIELD")
+          val yields = ListBuffer(ident())
+          while (eatSym(",")) yields += ident()
+          CallProc(name.toString, args.toList, yields.toList)
+        }
       }
     }
 

@@ -430,6 +430,94 @@ object GeomKernels {
       copy(left = l, right = r)
   }
 
+  /** `'SPHEROID["name",a,rf]'` → (a, f). Unparseable input falls back to
+    * WGS84 (PostGIS errors; total-function deviation like elsewhere).
+    */
+  private[functions] def parseSpheroid(s: String): (Double, Double) = {
+    val m = "(?i)SPHEROID\\[[^,]*,\\s*([0-9.eE+-]+)\\s*,\\s*([0-9.eE+-]+)".r
+      .findFirstMatchIn(s)
+    m.map { g =>
+      val a = g.group(1).toDouble
+      val rf = g.group(2).toDouble
+      (a, if (rf == 0) 0.0 else 1.0 / rf)
+    }.getOrElse((6378137.0, 1.0 / 298.257223563))
+  }
+
+  /** ST_LengthSpheroid(line, spheroid): geodesic length — the sum of
+    * per-segment Vincenty distances on the NAMED spheroid
+    * (gtype_length_ellipsoid_linestring, sql/postgraph-postgis.sql.in:572).
+    */
+  case class StLengthSpheroid(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val ps = readLine(a)
+      val (ax, f) = parseSpheroid(b.toString)
+      var s = 0.0
+      var i = 0
+      while (i < ps.length - 1) { s += spheroidDistance(ps(i), ps(i + 1), ax, f); i += 1 }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StLengthSpheroid =
+      copy(left = l, right = r)
+  }
+
+  /** SIGNED double shoelace sum; positive = counter-clockwise vertex
+    * order (the sign lwgeom_is_clockwise tests).
+    */
+  private[functions] def signedAreaSum(r0: Array[Pt]): Double = {
+    val r = if (r0.length > 1 && r0.head.x == r0.last.x && r0.head.y == r0.last.y)
+      r0.dropRight(1) else r0
+    if (r.length < 3) return 0.0
+    var s = 0.0
+    for (i <- r.indices) {
+      val j = (i + 1) % r.length
+      s += r(i).x * r(j).y - r(j).x * r(i).y
+    }
+    s
+  }
+
+  /** ST_IsPolygonCW / ST_IsPolygonCCW (gtype_postgis.c:1105-1141 —
+    * lwgeom_is_clockwise, the CCW form reverses first): sign of the
+    * shoelace sum per ring; a multipolygon requires every ring to agree.
+    */
+  case class StIsPolygonCW(child: Expression, ccw: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    private lazy val isMulti = child.dataType match {
+      case ArrayType(ArrayType(_, _), _) => true
+      case _ => false
+    }
+    override def nullSafeEval(a: Any): Any = {
+      def ok(ring: Array[Pt]): Boolean = {
+        val s = signedAreaSum(ring)
+        if (ccw) s > 0 else s < 0
+      }
+      if (isMulti) {
+        val ad = a.asInstanceOf[ArrayData]
+        (0 until ad.numElements()).forall(i => ok(readLine(ad.getArray(i))))
+      } else ok(readLine(a))
+    }
+    override protected def withNewChildInternal(c: Expression): StIsPolygonCW =
+      copy(child = c)
+  }
+
+  /** ST_CPAWithin(t1, t2, dist): closest point of approach of two
+    * M-parameterized trajectories is within `dist` (false when the
+    * M-ranges don't overlap — cpa() yields NaN and NaN <= d is false).
+    */
+  case class StCpaWithin(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+      val d = cpa(readLine(a), readLine(b))._2
+      d <= c.asInstanceOf[Number].doubleValue()
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): StCpaWithin =
+      copy(first = f, second = s, third = t)
+  }
+
   // ------------------------------------------------------------------ CPA
 
   /** Closest point of approach between two trajectories (m = time):
@@ -734,6 +822,14 @@ object GeomKernels {
   def stIntersection(a: Column, b: Column): Column = c2(StIntersection)(a, b)
   def stIntersectionMulti(a: Column, b: Column): Column = c2(StIntersectionMulti)(a, b)
   def stDistanceSpheroid(a: Column, b: Column): Column = c2(StDistanceSpheroid)(a, b)
+  def stLengthSpheroid(a: Column, b: Column): Column = c2(StLengthSpheroid)(a, b)
+  def stIsPolygonCW(a: Column): Column =
+    Bridge.column(StIsPolygonCW(Bridge.expression(a), ccw = false))
+  def stIsPolygonCCW(a: Column): Column =
+    Bridge.column(StIsPolygonCW(Bridge.expression(a), ccw = true))
+  def stCpaWithin(a: Column, b: Column, d: Column): Column =
+    Bridge.column(StCpaWithin(Bridge.expression(a), Bridge.expression(b),
+      Bridge.expression(d)))
   def stClosestPointOfApproach(a: Column, b: Column): Column = c2(StCpaTime)(a, b)
   def stDistanceCPA(a: Column, b: Column): Column = c2(StDistanceCpa)(a, b)
   def stGeneratePoints(ring: Column, n: Column, seed: Column): Column =

@@ -121,5 +121,17 @@ object Registry {
     reg("st_symdifference", 2)(a => GeomKernels.stSymDifference(a(0), a(1)))
     reg("st_astext_line", 1)(a => PostgisFns.stAsTextLine(a(0)))
     reg("st_asewkt", 2)(a => PostgisFns.stAsEwkt(a(0), a(1)))
+    // catalog tail (round-6; sql/postgraph-postgis.sql.in:433-672)
+    reg("st_ispolygoncw", 1)(a => GeomKernels.stIsPolygonCW(a(0)))
+    reg("st_ispolygonccw", 1)(a => GeomKernels.stIsPolygonCCW(a(0)))
+    reg("st_lengthspheroid", 2)(a => GeomKernels.stLengthSpheroid(a(0), a(1)))
+    reg("st_cpawithin", 3)(a => GeomKernels.stCpaWithin(a(0), a(1), a(2)))
+    // addbbox/dropbbox add/strip the cached serialized bounding box —
+    // a storage-layout concern with no value-level effect; identity here
+    // (gtype_addBBOX/gtype_dropBBOX, gtype_postgis.c:176-200)
+    reg("addbbox", 1)(a => a(0))
+    reg("dropbbox", 1)(a => a(0))
+    reg("postgis_addbbox", 1)(a => a(0))
+    reg("postgis_dropbbox", 1)(a => a(0))
   }
 }

@@ -50,9 +50,12 @@ object TemporalFns {
     * months calendar-shifted first, then days, then the time part — PG's
     * interval application order. A date input yields a timestamp, like PG.
     */
-  def shiftTemporal(t: Column, iv: Column, sign: Int): Column = {
+  def shiftTemporal(t: Column, iv: Column, sign: Int, ntz: Boolean = false): Column = {
     val s = lit(sign)
-    t.cast("timestamp") + call_function("make_interval",
+    // plain (NTZ) timestamps stay NTZ through ± interval; date inputs
+    // promote to timestamptz like PG's date + interval → timestamptz
+    val base = if (ntz) t.cast("timestamp_ntz") else t.cast("timestamp")
+    base + call_function("make_interval",
       lit(0), iv.getField("months") * s, lit(0), iv.getField("days") * s,
       lit(0), lit(0),
       ((iv.getField("us") * s).cast("double") / 1e6).cast("decimal(18,6)"))
@@ -105,13 +108,17 @@ object TemporalFns {
     */
   def justifyInterval(iv: Column): Column = justifyNorm(justifyDays(justifyHours(iv)))
 
-  /** '1 year 2 mons 3 days 04:05:06' / '2 hours 30 mins' → interval struct
-    * (reference interval_in forms routed through the `::interval` cast).
+  /** '1 year 2 mons 3 days 04:05:06' / '2 Hours 30 Mins' / '30 Seconds
+    * Ago' → interval struct (reference interval_in forms routed through
+    * the `::interval` cast; unit words match case-insensitively and a
+    * trailing `ago` negates every field, PG DecodeInterval).
     */
-  def toInterval(s: Column): Column = {
+  def toInterval(s0: Column): Column = {
+    val s = lower(s0)
+    val agoSign = when(s.rlike("\\bago\\b"), lit(-1L)).otherwise(lit(1L))
     def n(pat: String): Column = {
       val x = regexp_extract(s, pat, 1)
-      when(x === "", lit(0L)).otherwise(x.cast("long"))
+      agoSign * (when(x === "", lit(0L)).otherwise(x.cast("long")))
     }
     val years = n("(-?\\d+)\\s*(?:years?|yrs?)")
     val mons  = n("(-?\\d+)\\s*(?:months?|mons?)")
@@ -120,11 +127,13 @@ object TemporalFns {
     val hours = n("(-?\\d+)\\s*(?:hours?|hrs?)")
     val mins  = n("(-?\\d+)\\s*(?:minutes?|mins?)")
     val secS  = regexp_extract(s, "(-?\\d+(?:\\.\\d+)?)\\s*(?:seconds?|secs?)", 1)
-    val secs  = when(secS === "", lit(0.0)).otherwise(secS.cast("double"))
+    val secs  = agoSign.cast("double") *
+      when(secS === "", lit(0.0)).otherwise(secS.cast("double"))
     // trailing (-)HH:MM[:SS.fff] clock form
     val hms = "(-?)(\\d+):(\\d{2})(?::(\\d{2}(?:\\.\\d+)?))?\\s*$"
     val hasHms = regexp_extract(s, hms, 2) =!= ""
-    val sign = when(regexp_extract(s, hms, 1) === "-", lit(-1L)).otherwise(lit(1L))
+    val sign = agoSign *
+      when(regexp_extract(s, hms, 1) === "-", lit(-1L)).otherwise(lit(1L))
     def hn(g: Int): Column = when(hasHms,
       regexp_extract(s, hms, g).cast("long")).otherwise(lit(0L))
     val ssS = regexp_extract(s, hms, 4)
@@ -145,6 +154,24 @@ object TemporalFns {
     val sec = when(g(3) === "", lit(0.0)).otherwise(g(3).cast("double"))
     h * 3600000000L + m * 60000000L + (sec * 1e6).cast("long")
   }
+
+  /** 'HH:MM[:SS.fff][±HH[:MM]]' → timetz struct(us LONG, off INT): local
+    * wall-clock micros + displayed offset seconds (east positive, 0 when
+    * absent — PG timetz_in keeps the written zone, UTC session default).
+    */
+  def toTimeTz(s: Column): Column = {
+    val offPat = "([+-])(\\d{1,2})(?::(\\d{2}))?\\s*$"
+    val offSign = when(regexp_extract(s, offPat, 1) === "-", lit(-1)).otherwise(lit(1))
+    val offH = regexp_extract(s, offPat, 2)
+    val offM = regexp_extract(s, offPat, 3)
+    val off = when(offH === "", lit(0)).otherwise(offSign *
+      (offH.cast("int") * 3600 +
+        when(offM === "", lit(0)).otherwise(offM.cast("int") * 60)))
+    timetz(toTime(s), off)
+  }
+
+  def timetz(us: Column, off: Column): Column =
+    struct(us.cast("long").as("us"), off.cast("int").as("off"))
 
   /** The sign-normalization step of justify_interval alone. */
   def justifyNorm(h: Column): Column = {

@@ -206,52 +206,135 @@ object TsearchFns {
     "that", "the", "their", "then", "there", "these", "they", "this",
     "to", "was", "will", "with")
 
-  /** Light english stemmer covering the snowball cases the regress hits
-    * (rats→rat, dogs→dog); full snowball is deliberately out of scope.
+  /** English snowball (Porter2) stemming — PG's `english` text-search
+    * config, which plainto/phraseto/websearch inherit ("running" → "run",
+    * "flies" → "fli"). [[Snowball.stem]] implements the published
+    * algorithm; all callers are literal-driven, so this never runs per-row.
     */
-  private def stem(w: String): String =
-    if (w.length > 3 && w.endsWith("ies")) w.dropRight(3) + "y"
-    else if (w.length > 2 && w.endsWith("s") &&
-      !w.endsWith("ss") && !w.endsWith("us") && !w.endsWith("is")) w.dropRight(1)
-    else w
+  private def stem(w: String): String = Snowball.stem(w)
 
-  /** tsquery_in canonicalization of a literal: `!1|2&3` →
-    * `!'1' | '2' & '3'`, quoted phrases stay single lexemes (`'1 2'`).
-    */
-  def canonTsquery(s: String): String = {
+  // ---- tsquery VALUE tree (tsquery_in → tsqueryout round trip). PG
+  //      prints with operator precedence |(1) < &(2) < <->(3) < !(4):
+  //      parens only around a child of strictly LOWER priority, so
+  //      same-op chains flatten (`'1' | '2' | '4'`) and `!(1)&2` prints
+  //      `!'1' & '2'` (tsearch.out:418-470).
+
+  sealed trait TsQ
+  final case class TsTerm(lex: String, star: Boolean, weights: String) extends TsQ
+  final case class TsNode(op: String, l: TsQ, r: TsQ, dist: Int = 1) extends TsQ
+  final case class TsNot(q: TsQ) extends TsQ
+
+  private def tsPrio(q: TsQ): Int = q match {
+    case _: TsTerm => 5
+    case _: TsNot => 4
+    case TsNode("<->", _, _, _) => 3
+    case TsNode("&", _, _, _) => 2
+    case _ => 1
+  }
+
+  def parseTsq(s: String): TsQ = {
     var i = 0
     val n = s.length
-    val out = new StringBuilder
-    def sp(): Unit = if (out.nonEmpty && out.last != ' ' && out.last != '!') out += ' '
-    while (i < n) {
-      val c = s.charAt(i)
-      if (c.isWhitespace) i += 1
-      else if (c == '\'') { // quoted lexeme, '' escapes a quote
-        val sb = new StringBuilder
-        i += 1
-        var done = false
-        while (!done && i < n) {
-          if (s.charAt(i) == '\'') {
-            if (i + 1 < n && s.charAt(i + 1) == '\'') { sb += '\''; i += 2 }
-            else { done = true; i += 1 }
-          } else { sb += s.charAt(i); i += 1 }
-        }
-        sp(); out ++= s"'${sb.result().toLowerCase}'"
-      } else if (c == '&' || c == '|' || c == '(' || c == ')') {
-        sp(); out += c; out += ' '; i += 1
-      } else if (c == '!') { sp(); out += '!'; i += 1 }
-      else if (c == '<') { // phrase distance <-> or <N>
+    def ws(): Unit = while (i < n && s.charAt(i).isWhitespace) i += 1
+    def parseOr(): TsQ = {
+      var l = parseAnd(); ws()
+      while (i < n && s.charAt(i) == '|') { i += 1; l = TsNode("|", l, parseAnd()); ws() }
+      l
+    }
+    def parseAnd(): TsQ = {
+      var l = parsePhrase(); ws()
+      while (i < n && s.charAt(i) == '&') { i += 1; l = TsNode("&", l, parsePhrase()); ws() }
+      l
+    }
+    def parsePhrase(): TsQ = {
+      var l = parseNot(); ws()
+      while (i < n && s.charAt(i) == '<') {
         val j = s.indexOf('>', i)
         require(j > i, s"bad tsquery: $s")
-        sp(); out ++= s.substring(i, j + 1); out += ' '; i = j + 1
-      } else {
-        val start = i
-        while (i < n && !"'&|()!<".contains(s.charAt(i)) && !s.charAt(i).isWhitespace) i += 1
-        sp(); out ++= s"'${s.substring(start, i).toLowerCase}'"
+        val d = s.substring(i + 1, j) match { case "-" => 1; case x => x.trim.toInt }
+        i = j + 1
+        l = TsNode("<->", l, parseNot(), d); ws()
       }
+      l
     }
-    out.result().replaceAll("\\s+", " ").trim
+    def parseNot(): TsQ = {
+      ws()
+      require(i < n, s"bad tsquery: $s")
+      if (s.charAt(i) == '!') { i += 1; TsNot(parseNot()) }
+      else if (s.charAt(i) == '(') {
+        i += 1
+        val q = parseOr(); ws()
+        require(i < n && s.charAt(i) == ')', s"bad tsquery: $s")
+        i += 1
+        q
+      } else parseTerm()
+    }
+    def parseTerm(): TsQ = {
+      val lex =
+        if (s.charAt(i) == '\'') { // quoted lexeme, '' escapes a quote
+          val sb = new StringBuilder
+          i += 1
+          var done = false
+          while (!done && i < n) {
+            if (s.charAt(i) == '\'') {
+              if (i + 1 < n && s.charAt(i + 1) == '\'') { sb += '\''; i += 2 }
+              else { done = true; i += 1 }
+            } else { sb += s.charAt(i); i += 1 }
+          }
+          sb.result()
+        } else {
+          val start = i
+          while (i < n && !"':&|()!<".contains(s.charAt(i)) && !s.charAt(i).isWhitespace) i += 1
+          require(i > start, s"bad tsquery: $s")
+          s.substring(start, i)
+        }
+      // `:PLW` label list — `*` prefix-match plus weight letters (a:*, doo:a*)
+      var star = false
+      val wts = scala.collection.mutable.SortedSet.empty[Char]
+      if (i < n && s.charAt(i) == ':') {
+        i += 1
+        val start = i
+        while (i < n && (s.charAt(i) == '*' || "abcdABCD".contains(s.charAt(i)))) {
+          if (s.charAt(i) == '*') star = true else wts += s.charAt(i).toUpper
+          i += 1
+        }
+        require(i > start, s"bad tsquery: $s")
+      }
+      TsTerm(lex.toLowerCase, star, wts.mkString)
+    }
+    val q = parseOr()
+    ws()
+    require(i == n, s"bad tsquery: $s")
+    q
   }
+
+  def printTsq(q: TsQ): String = q match {
+    case TsTerm(lex, star, w) =>
+      val lbl = if (!star && w.isEmpty) "" else ":" + (if (star) "*" else "") + w
+      s"'${lex.replace("'", "''")}'$lbl"
+    case TsNot(x) =>
+      if (tsPrio(x) >= 4) "!" + printTsq(x) else "!( " + printTsq(x) + " )"
+    case node @ TsNode(op, l, r, dist) =>
+      val os = if (op == "<->") { if (dist == 1) "<->" else s"<$dist>" } else op
+      def side(c: TsQ) =
+        if (tsPrio(c) < tsPrio(node)) "( " + printTsq(c) + " )" else printTsq(c)
+      s"${side(l)} $os ${side(r)}"
+  }
+
+  /** tsquery_in canonicalization of a literal: `!(1)&2` → `!'1' & '2'`,
+    * right-nested same-op chains flatten, labels normalize (`doo:a*` →
+    * `'doo':*A`).
+    */
+  def canonTsquery(s: String): String = printTsq(parseTsq(s))
+
+  /** Driver-side combine of two canonical tsquery literals under an
+    * operator (tsquery_and/or/phrase): re-parse, join, re-print — the
+    * result carries the right parenthesization for its new root.
+    */
+  def combineTsq(l: String, r: String, op: String, dist: Int = 1): String =
+    printTsq(TsNode(op, parseTsq(l), parseTsq(r), dist))
+
+  def notTsq(q: String): String = printTsq(TsNot(parseTsq(q)))
 
   /** plainto_tsquery('The Fat Rats') → `'fat' & 'rat'` — stopwords out,
     * stemmed, AND-joined (quotes in the input are plain punctuation).
@@ -308,23 +391,42 @@ object TsearchFns {
   }
 
   /** tsvector_in literal syntax (`'w':4A,3B a:8`, tsearch.sql:27): quoted
-    * or bare lexemes with optional `:pos[weight]` lists → this engine's
-    * sorted-distinct lexeme array (positions ride toTsvectorPos).
+    * or bare lexemes with optional `:pos[weight]` lists → stored entries
+    * `lex` or `lex:1,2C,3B` (positions sorted, weight letters A/B/C kept,
+    * default D dropped — tsvectorout canonical order), sorted by lexeme.
     */
   def tsvectorInLexemes(s: String): Seq[String] = {
-    val lexRe = "'((?:[^']|'')*)'(?::[0-9A-Da-d,]+)?|([^\\s:]+)(?::[0-9A-Da-d,]+)?".r
+    val lexRe = "'((?:[^']|'')*)'(:[0-9A-Da-d,]+)?|([^\\s:]+)(:[0-9A-Da-d,]+)?".r
     lexRe.findAllMatchIn(s).map { m =>
-      (if (m.group(1) != null) m.group(1).replace("''", "'") else m.group(2)).toLowerCase
-    }.toSeq.distinct.sorted
+      val lex = (if (m.group(1) != null) m.group(1).replace("''", "'")
+        else m.group(3)).toLowerCase
+      val posRaw = Option(m.group(2)).orElse(Option(m.group(4))).getOrElse("")
+      if (posRaw.isEmpty) lex
+      else {
+        val entries = posRaw.drop(1).split(",").filter(_.nonEmpty).map { p =>
+          val (num, w) =
+            if (p.last.isLetter) (p.dropRight(1).toInt, p.last.toUpper)
+            else (p.toInt, 'D')
+          (num, w)
+        }.sortBy(_._1).map { case (n, w) =>
+          n.toString + (if (w == 'D') "" else w.toString)
+        }
+        s"$lex:${entries.mkString(",")}"
+      }
+    }.toSeq.distinct.sortBy(_.takeWhile(_ != ':'))
   }
 
-  /** tsquery containment (`@>` / `<@`, tsquery_ops): term-set inclusion
-    * over the canonical string form — 'cat & rat' ⊇ 'rat'.
+  /** tsquery containment (`@>` / `<@`, tsquery_ops): POSITIVE-term-set
+    * inclusion over the canonical string form — 'cat & rat' ⊇ 'rat'.
+    * Directly-negated terms (`!'cat'`) are excluded from both sets, so
+    * `!cat @> cat` is false (PG tsq_mcontains walks the tree; terms
+    * negated through a parenthesized group still leak — documented gap).
     */
   def tsqueryContains(sup: Column, sub: Column): Column = {
     def terms(c: Column) =
-      array_distinct(regexp_extract_all(c, lit("'([^']*)'"), lit(1)))
-    forall(terms(sub), t => array_contains(terms(sup), t))
+      array_distinct(regexp_extract_all(c, lit("(?<!!)'([^']*)'"), lit(1)))
+    size(terms(sub)) > 0 &&
+      forall(terms(sub), t => array_contains(terms(sup), t))
   }
 
   /** tsquery combine ops (`&` / `||` between tsquery values): canonical

@@ -18,7 +18,9 @@ object VectorFns {
   def tovector(s: Column): Column =
     transform(split(regexp_replace(s, "[\\[\\]\\s]", ""), ","), x => x.cast("double"))
 
-  def dims(v: Column): Column = size(v)
+  /** dims() returns a gtype FLOAT in the reference (vector.out:221-236
+    * prints `4.0`). */
+  def dims(v: Column): Column = size(v).cast("double")
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, x) => acc + x)
@@ -48,9 +50,13 @@ object VectorFns {
   def cosineSimilarity(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Spherical (angular) distance = arccos(cos_sim) / π. */
+  /** Spherical distance — the reference clamps the RAW dot product (not
+    * the cosine) into [-1,1] and takes arccos/π
+    * (gtype_spherical_distance, vector.c:552-600): callers are expected
+    * to pass unit vectors, so unnormalized inputs saturate to 0.
+    */
   def sphericalDistance(a: Column, b: Column): Column =
-    acos(least(greatest(cosineSimilarity(a, b), lit(-1.0)), lit(1.0))) / math.Pi
+    acos(least(greatest(dot(a, b), lit(-1.0)), lit(1.0))) / math.Pi
 
   def vadd(a: Column, b: Column): Column = zip_with(a, b, (x, y) => d(x) + d(y))
   def vsub(a: Column, b: Column): Column = zip_with(a, b, (x, y) => d(x) - d(y))

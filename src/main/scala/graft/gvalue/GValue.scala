@@ -340,6 +340,7 @@ object GValue {
     * keyword/number, then date/instant, then bare string.
     */
   def parseRender(s: String): GValue = {
+    if (s.isEmpty) return GString("") // render of "" is bare and empty
     var pos = 0
     def peek: Char = s.charAt(pos)
     def ws(): Unit = while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1

@@ -240,8 +240,10 @@ class CypherSpec extends AnyFunSuite {
     val rs1 = one.getSeq[Row](3)
     assert(rs1.map(_.getLong(0) & 0xFFFFFFFFFFFFL) == Seq(10L))
     assert(rs1.head.getString(3) == "KNOWS")
-    // RETURN e == relationships of the segment, with full properties
-    val es1 = one.getSeq[Row](4)
+    // RETURN e is the VariableEdge container: (interior nodes, edges) —
+    // its edges == relationships of the segment, with full properties
+    val es1 = one.getStruct(4).getSeq[Row](1)
+    assert(one.getStruct(4).getSeq[Row](0).isEmpty) // 1 hop: no interior
     assert(es1.map(_.getLong(0)) == rs1.map(_.getLong(0)))
     assert(graft.gvalue.GValueCol.decode(
       es1.head.getMap[String, Row](4)("since")) == graft.gvalue.GInt(2015))

@@ -187,4 +187,42 @@ class GeomKernelsSpec extends AnyFunSuite {
       .collect().head
     assert(r.getDouble(0) == 5.0)
   }
+
+  test("ST_IsPolygonCW/CCW: shoelace sign per ring") {
+    val ccwRing = array(pt(0, 0), pt(2, 0), pt(2, 2), pt(0, 2), pt(0, 0))
+    val cwRing = array(pt(0, 0), pt(0, 2), pt(2, 2), pt(2, 0), pt(0, 0))
+    val r = one(
+      GeomKernels.stIsPolygonCW(cwRing), GeomKernels.stIsPolygonCW(ccwRing),
+      GeomKernels.stIsPolygonCCW(ccwRing), GeomKernels.stIsPolygonCCW(cwRing))
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    // a degenerate (zero-area) ring is neither CW nor CCW
+    val flat = array(pt(0, 0), pt(1, 0), pt(2, 0))
+    val d = one(GeomKernels.stIsPolygonCW(flat), GeomKernels.stIsPolygonCCW(flat))
+    assert(!d.getBoolean(0) && !d.getBoolean(1))
+  }
+
+  test("ST_LengthSpheroid sums per-segment geodesics on the named spheroid") {
+    // one degree of longitude at the equator, twice (0→1→2): ~2 × 111.32 km
+    val line = array(pt(0, 0), pt(1, 0), pt(2, 0))
+    val wgs = lit("SPHEROID[\"WGS 84\",6378137,298.257223563]")
+    val r = one(GeomKernels.stLengthSpheroid(line, wgs))
+    assert(math.abs(r.getDouble(0) - 2 * 111319.49) < 20)
+    // a sphere (rf huge → f≈0) gives a slightly different length
+    val sphere = lit("SPHEROID[\"sphere\",6370997,1e12]")
+    val r2 = one(GeomKernels.stLengthSpheroid(line, sphere))
+    assert(math.abs(r2.getDouble(0) - 2 * 111194.9) < 50)
+  }
+
+  test("ST_CPAWithin thresholds the CPA distance") {
+    // parallel walkers 1 apart over the same m-range: CPA distance 1
+    val p = array(pt(0, 0, 0, 0), pt(4, 0, 0, 4))
+    val q = array(pt(0, 1, 0, 0), pt(4, 1, 0, 4))
+    val r = one(GeomKernels.stCpaWithin(p, q, lit(1.5)),
+      GeomKernels.stCpaWithin(p, q, lit(0.5)))
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    // disjoint m-ranges → CPA undefined → false at any threshold
+    val late = array(pt(0, 0, 0, 10), pt(1, 0, 0, 11))
+    assert(!one(GeomKernels.stCpaWithin(p, late, lit(1e18))).getBoolean(0))
+  }
 }

@@ -33,107 +33,19 @@ class GoldenSweepSpec extends AnyFunSuite {
       new graft.graph.GraphBuilder(spark).vertexLabel("Person", people, "pid").build())
   }
 
-  sealed trait Expect
-  case object ExpectError extends Expect
-  case class ExpectRows(rows: Seq[Seq[String]]) extends Expect
-  case class Golden(file: String, stmt: String, expect: Expect)
+  import GoldenOut.{ExpectError, ExpectRows, Golden}
 
-  private val RowCount = """\((\d+) rows?\)""".r
+  private def parseOut(file: String): Seq[Golden] =
+    GoldenOut.parseOut(s"/root/reference/regress/expected/$file")
 
-  /** Parse a regress expected .out file: statements are echoed verbatim, each
-    * followed by either an ERROR block or a psql table
-    * (header / dashes / rows / "(N rows)").
-    */
-  def parseOut(file: String): Seq[Golden] = {
-    val raw = scala.io.Source.fromFile(
-      s"/root/reference/regress/expected/$file").getLines().toVector
-    // drop the license block comment
-    var i = if (raw.nonEmpty && raw.head.startsWith("/*"))
-      raw.indexWhere(_.contains("*/")) + 1 else 0
-    val out = Vector.newBuilder[Golden]
-    val StmtStart = "^(RETURN|CYPHER|MATCH|WITH|UNWIND|OPTIONAL|CALL|SELECT)\\b".r
-    def isNoise(l: String): Boolean = {
-      val t = l.trim
-      t.isEmpty || t.startsWith("NOTICE:") || t.startsWith("WARNING:") ||
-        t.startsWith("LOAD ") || t.startsWith("SET ") || t.startsWith("--")
-    }
-    while (i < raw.length) {
-      val line = raw(i)
-      val t = line.trim
-      if (StmtStart.findFirstIn(t.toUpperCase).isDefined) {
-        // accumulate statement until it ends with ';'
-        val sb = new StringBuilder(t)
-        while (!sb.toString.trim.endsWith(";") && i + 1 < raw.length) {
-          i += 1; sb.append(" ").append(raw(i).trim)
-        }
-        val stmt = sb.toString.trim.stripSuffix(";").replaceAll("\\s+", " ").trim
-        i += 1
-        // skip notices between statement and result
-        while (i < raw.length && raw(i).trim.startsWith("NOTICE:")) i += 1
-        if (i < raw.length && raw(i).startsWith("ERROR:")) {
-          // swallow the error block (LINE n / caret / DETAIL / HINT)
-          i += 1
-          while (i < raw.length && (raw(i).startsWith("LINE ") ||
-            raw(i).trim == "^" || raw(i).trim.endsWith("^") ||
-            raw(i).startsWith("DETAIL:") || raw(i).startsWith("HINT:"))) i += 1
-          out += Golden(file, stmt, ExpectError)
-        } else if (i + 1 < raw.length && raw(i + 1).trim.matches("-+\\+?[-+]*")) {
-          val multi = raw(i).contains("|") || raw(i + 1).contains("+")
-          i += 2 // header + dashes
-          val rows = Vector.newBuilder[Seq[String]]
-          var done = false
-          while (i < raw.length && !done) {
-            raw(i) match {
-              case RowCount(_) => done = true
-              case r =>
-                val cells =
-                  if (multi) r.split("\\|", -1).toSeq.map(_.trim)
-                  else Seq(r.stripPrefix(" ").reverse.dropWhile(_ == ' ').reverse.mkString)
-                rows += cells
-                i += 1
-            }
-          }
-          i += 1 // past "(N rows)"
-          out += Golden(file, stmt, ExpectRows(rows.result()))
-        }
-        // else: result shape not recognized (psql \commands etc.) — skip
-      } else i += 1
-    }
-    out.result()
-  }
-
-  private def parseNum(s: String): Option[Double] =
-    Try(s.toDouble).toOption.filter(_ => s.nonEmpty && s.head != '"')
-
-  private def isFloatForm(s: String): Boolean =
-    s.exists(c => c == '.' || c == 'e' || c == 'E') ||
-      s == "NaN" || s.endsWith("Infinity")
-
-  private def boolNorm(s: String): String = s match {
-    case "t" => "true"; case "f" => "false"; case other => other
-  }
-
-  def cellsEqual(exp: String, got: String): Boolean = {
-    if (exp == got) true
-    else if (boolNorm(exp) == boolNorm(got)) true
-    else if (exp == "\"" + got + "\"" || got == "\"" + exp + "\"") true
-    else (parseNum(exp), parseNum(got)) match {
-      case (Some(a), Some(b)) if isFloatForm(exp) == isFloatForm(got) =>
-        if (a.isNaN && b.isNaN) true
-        else math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
-      case _ => false
-    }
-  }
-
-  private def rowsEqual(exp: Seq[Seq[String]], got: Seq[Seq[String]]): Boolean =
-    exp.length == got.length && exp.zip(got).forall { case (e, g) =>
-      e.length == g.length && e.zip(g).forall { case (ec, gc) => cellsEqual(ec, gc) }
-    }
+  private def rowsEqual(exp: Seq[Seq[String]], got: Seq[Seq[String]]) =
+    GoldenOut.rowsEqual(exp, got)
 
   /** Run one file's standalone RETURNs against their goldens.
-    * Returns (valueMismatches, throwWhereGoldenHasRows, total compared).
+    * Returns (valueMismatches, throwWhereGoldenHasRows, refOnlyErrors,
+    * total compared).
     */
-  private def sweep(file: String): (Int, Int, Int) = {
+  private def sweep(file: String): (Int, Int, Int, Int) = {
     val goldens = parseOut(file).filter { g =>
       val u = g.stmt.toUpperCase
       (u.startsWith("RETURN ") || u.startsWith("CYPHER WITH ")) && !g.stmt.contains("$")
@@ -147,11 +59,13 @@ class GoldenSweepSpec extends AnyFunSuite {
         val schema = df.schema
         df.collect().toSeq.map { row =>
           schema.fields.indices.map(c =>
-            graft.gvalue.PgOut.cell(row.get(c), schema.fields(c).dataType))
+            graft.gvalue.PgOut.cell(row.get(c), schema.fields(c)))
         }
       }, g.expect) match {
         case (Failure(_), ExpectError) => () // parity
-        case (Success(_), ExpectError) => softErr += 1 // reference-only error; reported
+        case (Success(_), ExpectError) =>
+          softErr += 1 // we succeed where the reference errors; triaged below
+          println(s"REFERR $file | ${g.stmt.take(140)}")
         case (Failure(e), ExpectRows(_)) =>
           threw += 1; total += 1
           val msg = Option(e.getMessage).getOrElse("null").linesIterator.take(1).mkString
@@ -168,24 +82,53 @@ class GoldenSweepSpec extends AnyFunSuite {
     }
     println(s"GOLDEN $file: $bad value mismatches, $threw throws, " +
       s"$softErr ref-only-errors, $total compared")
-    (bad, threw, total)
+    (bad, threw, softErr, total)
   }
 
-  // Ceilings asserted per file; every counted mismatch below a ceiling is
-  // triaged in a comment next to the test.
+  // Round-6 state: EVERY compared statement matches its golden rows
+  // byte-for-byte under PgOut (567 compared across the five files) —
+  // the value-mismatch + throw ceiling is 0 everywhere.
+  //
+  // ref-only-errors (we succeed where the reference's expected output
+  // shows ERROR) are asserted as ceilings too; triage per file:
+  //   expr 0.
+  //   lists 40: every one is `l[i]`/`l[i..j]` indexing or IN over a
+  //     NON-list scalar or null — the reference hard-errors
+  //     ("cannot index/slice a scalar"), we return null (SQL-style
+  //     total functions). Deviation documented in SCALE.md; returning
+  //     null instead of aborting is strictly more permissive, never a
+  //     wrong value.
+  //   temporal 91: three families — (a) make_timestamp/make_date/
+  //     make_time with out-of-range fields the reference range-checks
+  //     eagerly (month 13, sec 61 …) where Spark normalizes or nulls;
+  //     (b) EXTRACT/date_part field names the reference does not accept
+  //     on that input type (timezone_hour from a date …); (c) casts
+  //     between temporal kinds the reference forbids (interval::date …).
+  //     All three are reference ERROR paths, not silent wrong values.
+  //   tsearch 2: tsquery_phrase(q1, q2[, dist]) — the reference crashes
+  //     with "unrecognized node type: 364" (its own bug,
+  //     tsearch.out:527-536); we implement it and return the phrase
+  //     combine.
+  //   vector 3: `::vector` casts of non-bracket strings the reference
+  //     rejects in vector_in; our tovector parses the bare numeric list.
   test("golden values: expr.out") {
-    val (bad, threw, _) = sweep("expr.out"); assert(bad + threw <= 999)
+    val (bad, threw, softErr, _) = sweep("expr.out")
+    assert(bad + threw == 0); assert(softErr <= 0)
   }
   test("golden values: lists.out") {
-    val (bad, threw, _) = sweep("lists.out"); assert(bad + threw <= 999)
+    val (bad, threw, softErr, _) = sweep("lists.out")
+    assert(bad + threw == 0); assert(softErr <= 40)
   }
   test("golden values: temporal.out") {
-    val (bad, threw, _) = sweep("temporal.out"); assert(bad + threw <= 999)
+    val (bad, threw, softErr, _) = sweep("temporal.out")
+    assert(bad + threw == 0); assert(softErr <= 91)
   }
   test("golden values: tsearch.out") {
-    val (bad, threw, _) = sweep("tsearch.out"); assert(bad + threw <= 999)
+    val (bad, threw, softErr, _) = sweep("tsearch.out")
+    assert(bad + threw == 0); assert(softErr <= 2)
   }
   test("golden values: vector.out") {
-    val (bad, threw, _) = sweep("vector.out"); assert(bad + threw <= 999)
+    val (bad, threw, softErr, _) = sweep("vector.out")
+    assert(bad + threw == 0); assert(softErr <= 3)
   }
 }

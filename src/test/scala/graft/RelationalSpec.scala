@@ -9,6 +9,10 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // collect as java.time values: java.sql.Date round-trips ancient dates
+    // through the hybrid calendar and loses the proleptic era (44 BC
+    // surfaced as 0044 AD — make_date(-44,3,15), temporal.out)
+    .config("spark.sql.datetime.java8API.enabled", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
