@@ -2,19 +2,22 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver's test data (TESTDATA.md). */
 object Tables {
   def T(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a raw
-    // long; normalize to micros TimestampType so temporal ops match DuckDB.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.ts is parquet TIMESTAMP(NANOS). Spark 4.1 reads it natively as
+    // TIMESTAMP_NTZ truncated to micros (the legacy nanosAsLong conf no
+    // longer applies); normalize to tz-aware TimestampType so temporal ops
+    // match DuckDB — session tz is UTC, so the wall-clock value is kept.
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.name == "ts" && f.dataType == TimestampNTZType =>
+        acc.withColumn("ts", col("ts").cast(TimestampType))
       case (acc, f) if f.name == "ts" && f.dataType == LongType =>
-        // integer `div`, NOT `/`: nanos (~1.7e18) exceed double's 2^53
-        // mantissa, so float division then cast is off by up to ~hundreds ns
+        // older Spark read nanos as a raw long; integer `div`, NOT `/`:
+        // nanos (~1.7e18) exceed double's 2^53 mantissa
         acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case (acc, _) => acc
     }

@@ -131,8 +131,8 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case _ => throw new UnsupportedOperationException("CALL {} must end in RETURN")
     }
     val imports: List[String] = q.clauses.head match {
-      case With(items, false, None, Nil, None, None)
-        if items.nonEmpty && items.forall {
+      case With(items, false, None, Nil, None, None, None, w)
+        if w.isEmpty && items.nonEmpty && items.forall {
           case ReturnItem(Var(_), None) => true; case _ => false } =>
         items.map { case ReturnItem(Var(v), _) => v }
       case _ => Nil
@@ -687,11 +687,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         scan0.withColumn(s"${relAlias}__gsrc", col(s"${relAlias}__start_id"))
           .withColumn(s"${relAlias}__gdst", col(s"${relAlias}__end_id"))
           .unionByName(
-            // self-loops match an undirected pattern once, not twice — the
-            // reversed copy is identical, so drop it (matches the
-            // reference's DFS which visits a loop edge once)
-            scan0.filter(col(s"${relAlias}__start_id") =!= col(s"${relAlias}__end_id"))
-              .withColumn(s"${relAlias}__gsrc", col(s"${relAlias}__end_id"))
+            // union-ALL of both orientations, self-loops included: a
+            // single-hop undirected MATCH counts a self-loop twice (the
+            // reference's join-qual path, make_path_join_quals — unlike the
+            // VLE DFS below, which visits a loop edge once)
+            scan0.withColumn(s"${relAlias}__gsrc", col(s"${relAlias}__end_id"))
               .withColumn(s"${relAlias}__gdst", col(s"${relAlias}__start_id")))
     }
     require(!ctx.vars.contains(relAlias), s"edge variable $relAlias reused")

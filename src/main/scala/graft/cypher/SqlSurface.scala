@@ -34,11 +34,16 @@ final class SqlSurface(spark: SparkSession) {
   private val GtypeCmp =
     "(?is)^SELECT\\s+'(.*)'::gtype\\s*(=|<>|<@|@>)\\s*'(.*)'::gtype$".r
 
-  /** Does this statement belong to the SQL surface (vs Cypher clauses)? */
+  /** Does this statement belong to the SQL surface (vs Cypher clauses)?
+    * `ag_*`/`pg_*` catalog probes (e.g. `SELECT * FROM ag_label` — psql
+    * scaffolding in the regress scripts) are NOT accepted: there is no
+    * backing catalog here, and the replay treats them as scaffolding.
+    */
   def accepts(q: String): Boolean =
-    "(?is)^\\s*(SELECT|TABLE\\s+\\w+\\s*$|INSERT\\s+INTO|UPDATE\\s+\\w+\\s+SET|CREATE\\s+(TEMPORARY\\s+)?TABLE|DROP\\s+TABLE|DELETE\\s+FROM)\\b.*".r
+    ("(?is)^\\s*(SELECT|TABLE\\s+\\w+\\s*$|INSERT\\s+INTO|UPDATE\\s+\\w+\\s+SET|CREATE\\s+(TEMPORARY\\s+)?TABLE|DROP\\s+TABLE|DELETE\\s+FROM)\\b.*".r
       .pattern.matcher(q).matches() ||
-      "(?is)^\\s*TABLE\\s+\\w+\\s*$".r.pattern.matcher(q).matches()
+      "(?is)^\\s*TABLE\\s+\\w+\\s*$".r.pattern.matcher(q).matches()) &&
+      !"(?is).*\\b(FROM|JOIN)\\s+(ONLY\\s+)?(ag_|pg_)\\w+.*".r.pattern.matcher(q).matches()
 
   def run(q0: String): DataFrame = {
     val q = q0.trim.stripSuffix(";").trim

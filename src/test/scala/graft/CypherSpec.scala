@@ -517,7 +517,7 @@ class CypherSpec extends AnyFunSuite {
     // rows) — normalize the ISO 'T' so both encodings assert the same way
     def tstr(i: Int): String = r.get(i).toString.replace("T", " ")
     assert(tstr(0).startsWith("1997-12-17 07:37:16"))
-    assert(r.getDate(1).toString == "1997-12-17")
+    assert(r.get(1).toString == "1997-12-17") // java8API: LocalDate
     assert(tstr(2).startsWith("1997-12-17 07:37:16"))
     assert(r.getInt(3) == 1997) // standard fields keep Spark's int type
     assert(r.getDouble(4) == 3.0) // 2026-08-12 is a Wednesday

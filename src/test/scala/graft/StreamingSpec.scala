@@ -43,10 +43,11 @@ class StreamingSpec extends AnyFunSuite {
     * micros, mirroring Tables.T.
     */
   private def eventStream = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    // ts arrives as TIMESTAMP_NTZ (nanos truncated to micros by the parquet
+    // reader); same normalization as Tables.T — cast to tz-aware under UTC
     spark.readStream.schema(schema).parquet(staged("events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   test("watermarked windowed aggregation over the events stream") {
@@ -59,10 +60,10 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(120000)
     // append mode emits only watermark-closed windows; check a prefix matches batch
     val streamed = spark.sql("SELECT win_start, event_type, n FROM win_counts")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      .collect().map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet // java8API: Instant
     val expected = Streams.windowedEventCounts(
       Tables.T(spark, sf, "events"), watermark = "1 hour", window_ = "6 hours")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      .collect().map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet // java8API: Instant
     assert(streamed.nonEmpty)
     assert(streamed.subsetOf(expected))
   }
