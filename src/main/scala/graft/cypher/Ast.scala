@@ -36,9 +36,10 @@ object Ast {
     * aggregation.sql:540-710). kind: "" plain, "rollup", "cube". */
   final case class GroupSpec(kind: String, keys: List[Expr], having: Option[Expr])
 
-  /** `OVER (PARTITION BY … ORDER BY … [ROWS|RANGE BETWEEN …])` — frame
-    * bounds: None = UNBOUNDED, Some(0) = CURRENT ROW, Some(n) = n
-    * PRECEDING (lo) / FOLLOWING (hi). */
+  /** `OVER (PARTITION BY … ORDER BY … [ROWS|RANGE BETWEEN …])` — frame is
+    * (isRows, lo, hi) with Spark-signed bounds: None = UNBOUNDED (preceding
+    * for lo, following for hi); Some(v): v<0 = |v| PRECEDING, 0 = CURRENT
+    * ROW, v>0 = v FOLLOWING. */
   final case class WindowDef(partitionBy: List[Expr], orderBy: List[SortItem],
       frame: Option[(Boolean, Option[Long], Option[Long])])
   final case class Create(patterns: List[PathPattern]) extends Clause

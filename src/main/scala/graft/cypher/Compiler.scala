@@ -103,9 +103,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case m: Match  => compileMatch(ctx, m)
     case u: Unwind => compileUnwind(ctx, u)
     case w: With   => compileProjection(ctx, w.items, w.distinct, w.orderBy,
-      w.skip, w.limit, w.where, isReturn = false)
+      w.skip, w.limit, w.where, isReturn = false, group = w.group,
+      windows = w.windows)
     case r: Return => compileProjection(ctx, r.items, r.distinct, r.orderBy,
-      r.skip, r.limit, None, isReturn = true)
+      r.skip, r.limit, None, isReturn = true, group = r.group,
+      windows = r.windows)
     case c: CallSubquery => compileCallSubquery(ctx, c.query)
     case c: CallProc     => compileCallProc(ctx, c)
     case other => throw new UnsupportedOperationException(
@@ -859,7 +861,8 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   private def compileProjection(ctx0: Ctx, items0: List[ReturnItem],
       distinct: Boolean, orderBy: List[SortItem], skip: Option[Expr],
       limit: Option[Expr], where: Option[Expr], isReturn: Boolean,
-      partitionCol: Option[String] = None): Ctx = {
+      partitionCol: Option[String] = None, group: Option[GroupSpec] = None,
+      windows: Map[String, WindowDef] = Map.empty): Ctx = {
     var ctx = if (ctx0.df == null) ctx0.copy(df = spark.range(1).toDF("__seed")) else ctx0
 
     // RETURN * / WITH * expansion
@@ -868,6 +871,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         ctx.vars.keys.filterNot(_.startsWith("_anon")).toSeq.sorted
           .map(v => ReturnItem(Var(v), None))
       case other => List(other)
+    }.map { it =>
+      // resolve named windows (`OVER w`) against the clause's WINDOW list
+      it.copy(expr = rewriteExpr(it.expr) {
+        case WindowCall(fn, Left(w)) =>
+          WindowCall(fn, Right(windows.getOrElse(w, throw new
+            IllegalArgumentException(s"window \"$w\" does not exist"))))
+      })
     }
 
     // traversal values for any VLE var referenced by the projection
@@ -891,13 +901,61 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
     val named = boundItems.map(it => (it.alias.getOrElse(autoName(it.expr)), it.expr))
 
-    val hasAgg = named.exists { case (_, e) => containsAggregate(e) }
+    val hasAgg = group.isEmpty &&
+      named.exists { case (_, e) => containsAggregate(e) }
 
     var outVars = ListMap.empty[String, VarInfo]
     var df = ctx.df
 
     var hiddenSort = List.empty[String]
-    if (!hasAgg) {
+    if (group.isDefined) {
+      // Explicit `GROUP BY [ROLLUP|CUBE] keys [HAVING pred]` (reference
+      // unified grammar; old regress aggregation.sql:264-337). Two-phase:
+      // aggregate the collected maximal aggregate subtrees alongside the
+      // key expressions, then evaluate each item over (__gk*, __agg*) —
+      // identical duplicate aggregates share one column, and an item
+      // referencing a non-key non-aggregate column fails to resolve, which
+      // is the reference's "must be part of an explicitly listed key or
+      // used inside an aggregate" error.
+      val g = group.get
+      val keys = g.keys
+      def isAggNode(e: Expr): Boolean = e match {
+        case FnCall(n, _, _) => AggFns(n)
+        case CountStar() | WithinGroup(_, _, _) | AggFilter(_, _) => true
+        case _ => false
+      }
+      val aggs = scala.collection.mutable.ListBuffer.empty[Expr]
+      def collectAggs(e: Expr): Unit = { rewriteExpr(e) {
+        case k if keys.contains(k) => k // stop: key subtree
+        case a if isAggNode(a) => if (!aggs.contains(a)) aggs += a; a
+      }; () }
+      named.foreach { case (_, e) => collectAggs(e) }
+      g.having.foreach(collectAggs)
+      val keyCols = keys.zipWithIndex.map { case (k, i) =>
+        compileExpr(k, ctx).as(s"__gk$i") }
+      val aggCols = aggs.toList.zipWithIndex.map { case (a, j) =>
+        compileAggExpr(a, ctx).as(s"__agg$j") }
+      val gd = g.kind match {
+        case "rollup" => ctx.df.rollup(keyCols: _*)
+        case "cube"   => ctx.df.cube(keyCols: _*)
+        case _        => ctx.df.groupBy(keyCols: _*)
+      }
+      var adf =
+        if (aggCols.isEmpty) gd.agg(count(lit(1)).as("__gcnt"))
+        else gd.agg(aggCols.head, aggCols.tail: _*)
+      def subst(e: Expr): Expr = rewriteExpr(e) {
+        case k if keys.indexOf(k) >= 0 => Var(s"__gk${keys.indexOf(k)}")
+        case a if aggs.indexOf(a) >= 0 => Var(s"__agg${aggs.indexOf(a)}")
+      }
+      g.having.foreach { h =>
+        adf = adf.filter(compileExpr(subst(h),
+          Ctx(adf, ListMap.empty, projected = false)))
+      }
+      val postCtx = Ctx(adf, ListMap.empty, projected = false)
+      df = adf.select(named.map { case (n, e) =>
+        compileExpr(subst(e), postCtx).as(n) }: _*)
+      named.foreach { case (n, _) => outVars += (n -> VarInfo.scalar) }
+    } else if (!hasAgg) {
       // plain projection; entity vars keep their flat columns (renamed)
       val cols = scala.collection.mutable.ListBuffer.empty[Column]
       named.foreach {
@@ -948,15 +1006,18 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       df = df.select(cols.toSeq: _*)
     } else {
       // implicit grouping: non-aggregate items are the grouping keys
-      // (reference: cypher_item.c:169-240 / cypher_parse_agg.c)
-      val keyItems = named.filter { case (_, e) => !containsAggregate(e) }
-      val aggItems = named.filter { case (_, e) => containsAggregate(e) }
-      val keyCols = keyItems.map { case (n, e) => compileExpr(e, ctx).as(n) }
-      val aggCols = aggItems.map { case (n, e) => compileAggExpr(e, ctx).as(n) }
+      // (reference: cypher_item.c:169-240 / cypher_parse_agg.c); items
+      // aggregate under positional temp names so duplicate aliases and
+      // textually identical aggregates (`collect(x), collect(x)`) stay
+      // unambiguous, then the final select restores order + display names
+      val indexed = named.zipWithIndex
+      val keyItems = indexed.filter { case ((_, e), _) => !containsAggregate(e) }
+      val aggItems = indexed.filter { case ((_, e), _) => containsAggregate(e) }
+      val keyCols = keyItems.map { case ((_, e), i) => compileExpr(e, ctx).as(s"__p$i") }
+      val aggCols = aggItems.map { case ((_, e), i) => compileAggExpr(e, ctx).as(s"__p$i") }
       df = if (keyCols.isEmpty) ctx.df.agg(aggCols.head, aggCols.tail: _*)
       else ctx.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
-      // column order should follow item order
-      df = df.select(named.map { case (n, _) => col(n) }: _*)
+      df = df.select(indexed.map { case ((n, _), i) => col(s"__p$i").as(n) }: _*)
       named.foreach { case (n, _) => outVars += (n -> VarInfo.scalar) }
     }
 
@@ -999,7 +1060,8 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         val (wCtx, ws, added) = bindSublinks(ctx, Seq(wc))
         val filtered = wCtx.df.filter(compileExpr(ws.head, wCtx)).drop(added: _*)
         return compileProjection(ctx.copy(df = filtered), items0, distinct,
-          orderBy, skip, limit, where = None, isReturn, partitionCol)
+          orderBy, skip, limit, where = None, isReturn, partitionCol,
+          group, windows)
       }
       val (wCtx, ws, added) = bindSublinks(postCtx.copy(df = df), Seq(wc))
       df = wCtx.df.filter(compileExpr(ws.head, wCtx)).drop(added: _*)
@@ -1114,6 +1176,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case FnCall(name, args, _) =>
       AggFns(name) || args.exists(containsAggregate)
     case CountStar()       => true
+    // a window call is row-scoped, not a grouping aggregate — even when the
+    // windowed function is itself an aggregate (`sum(x) OVER w`)
+    case WindowCall(_, _)  => false
+    case AggFilter(_, _)   => true
+    case WithinGroup(_, _, _) => true
     case Bin(_, l, r)      => containsAggregate(l) || containsAggregate(r)
     case Un(_, x)          => containsAggregate(x)
     case IsNull(x, _)      => containsAggregate(x)
@@ -1126,43 +1193,61 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case _ => false
   }
 
+  /** Pre-order expression rewrite: `f` is tried at each node before its
+    * children; where it applies, the replacement subtree is NOT revisited
+    * (so whole-subtree substitutions — group keys, aggregate extraction —
+    * match maximally).
+    */
+  private def rewriteExpr(e: Expr)(f: PartialFunction[Expr, Expr]): Expr =
+    if (f.isDefinedAt(e)) f(e)
+    else {
+      val rec: Expr => Expr = rewriteExpr(_)(f)
+      def recSort(ss: List[SortItem]) = ss.map(s => s.copy(expr = rec(s.expr)))
+      e match {
+        case Bin(op, l, r)      => Bin(op, rec(l), rec(r))
+        case Un(op, x)          => Un(op, rec(x))
+        case IsNull(x, n)       => IsNull(rec(x), n)
+        case StringOp(op, l, r) => StringOp(op, rec(l), rec(r))
+        case FnCall(n, args, d) => FnCall(n, args.map(rec), d)
+        case Prop(b, k)         => Prop(rec(b), k)
+        case ListLit(xs)        => ListLit(xs.map(rec))
+        case MapLit(es)         => MapLit(es.map { case (k, v) => (k, rec(v)) })
+        case CaseExpr(op, whens, ow) => CaseExpr(op.map(rec),
+          whens.map { case (a, b) => (rec(a), rec(b)) }, ow.map(rec))
+        case Index(b, i)        => Index(rec(b), rec(i))
+        case Slice(b, lo, hi)   => Slice(rec(b), lo.map(rec), hi.map(rec))
+        case WindowCall(fn, over) => WindowCall(rec(fn), over match {
+          case Right(wd) => Right(WindowDef(wd.partitionBy.map(rec),
+            recSort(wd.orderBy), wd.frame))
+          case l => l
+        })
+        case AggFilter(a, p)       => AggFilter(rec(a), rec(p))
+        case WithinGroup(n, as, o) => WithinGroup(n, as.map(rec), recSort(o))
+        case other => other
+      }
+    }
+
   /** Compile an expression that contains aggregate calls (agg context). */
   private def compileAggExpr(e: Expr, ctx: Ctx): Column = e match {
     case CountStar() => count(lit(1))
     case FnCall(name, args, dist) if AggFns(name) =>
-      val a = args.map(x => compileExpr(x, ctx))
-      name match {
-        case "count"   => if (dist) countDistinct(a.head) else count(a.head)
-        case "sum"     => sum(a.head)
-        case "avg"     => avg(a.head)
-        case "min"     => // dynamic values order by the gtype key, not struct-lex
-          dataTypeOpt(a.head, ctx) match {
-            case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
-              min_by(a.head, graft.gvalue.GValueCol.orderKey(a.head))
-            case _ => min(a.head)
-          }
-        case "max"     =>
-          dataTypeOpt(a.head, ctx) match {
-            case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
-              max_by(a.head, graft.gvalue.GValueCol.orderKey(a.head))
-            case _ => max(a.head)
-          }
-        case "collect" =>
-          val full = if (dist) collect_set(a.head) else collect_list(a.head)
-          // 2-arg form caps the result (vertex/edge/gtype_collect_transfn_w_limit,
-          // postgraph-aggregation.sql.in:294-334)
-          if (a.length >= 2) slice(full, lit(1), a(1).cast("int")) else full
-        case "stdev"   => stddev_samp(a.head)
-        case "stdevp"  => stddev_pop(a.head)
-        case "percentilecont" => call_function("percentile", a.head, a(1))
-        case "percentiledisc" =>
-          // discrete percentile, exact: smallest value with cume_dist >= p =
-          // sorted element at ceil(p * n) (reference: gtype_percentile_
-          // aggtransfn/discfinalfn, gtype.c:2427-2632); null-skipping matches
-          // via collect_list/count-of-column
-          element_at(sort_array(collect_list(a.head)),
-            greatest(ceil(count(a.head) * a(1)), lit(1)).cast("int"))
+      compileAggFn(name, args, dist, ctx, filter = None)
+    case AggFilter(agg, pred) =>
+      // `agg(...) FILTER (WHERE p)` — rows failing p are excluded from the
+      // aggregate. Compiled by null-masking each argument (every aggregate
+      // here is null-skipping), keeping the aggregation single-pass.
+      val p = compileExpr(pred, ctx)
+      agg match {
+        case CountStar() => count(when(p, lit(1)))
+        case FnCall(name, args, dist) if AggFns(name) =>
+          compileAggFn(name, args, dist, ctx, filter = Some(p))
+        case WithinGroup(fn, args, ord) =>
+          compileWithinGroup(fn, args, ord, ctx, filter = Some(p))
+        case other => throw new UnsupportedOperationException(
+          s"FILTER on a non-aggregate: $other")
       }
+    case WithinGroup(fn, args, ord) =>
+      compileWithinGroup(fn, args, ord, ctx, filter = None)
     case Bin(op, l, r) => binOp(op, compileAggExpr(l, ctx), compileAggExpr(r, ctx), ctx)
     case FnCall(name, args, _) if !AggFns(name) && args.exists(containsAggregate) =>
       // scalar function over an aggregate result: size(collect(…)) etc.
@@ -1170,10 +1255,194 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case other => compileExpr(other, ctx)
   }
 
+  private def compileAggFn(name: String, args: List[Expr], dist: Boolean,
+      ctx: Ctx, filter: Option[Column]): Column = {
+    // FILTER masks the aggregated value to null on excluded rows; literal
+    // extra args (collect's limit, percentile's fraction) stay unmasked
+    def masked(c: Column): Column = filter.map(f => when(f, c)).getOrElse(c)
+    val a0 = args.map(x => compileExpr(x, ctx))
+    val a = if (a0.isEmpty) a0 else masked(a0.head) :: a0.tail
+    name match {
+      case "count"   => if (dist) countDistinct(a.head) else count(a.head)
+      case "sum"     => sum(a.head)
+      case "avg"     => avg(a.head)
+      case "min"     => // dynamic values order by the gtype key, not struct-lex
+        dataTypeOpt(a.head, ctx) match {
+          case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
+            min_by(a.head, graft.gvalue.GValueCol.orderKey(a.head))
+          case _ => min(a.head)
+        }
+      case "max"     =>
+        dataTypeOpt(a.head, ctx) match {
+          case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
+            max_by(a.head, graft.gvalue.GValueCol.orderKey(a.head))
+          case _ => max(a.head)
+        }
+      case "collect" =>
+        val full = if (dist) collect_set(a.head) else collect_list(a.head)
+        // 2-arg form caps the result (vertex/edge/gtype_collect_transfn_w_limit,
+        // postgraph-aggregation.sql.in:294-334)
+        if (a.length >= 2) slice(full, lit(1), a(1).cast("int")) else full
+      case "stdev"   => stddev_samp(a.head)
+      case "stdevp"  => stddev_pop(a.head)
+      case "percentilecont" => call_function("percentile", a.head, a(1))
+      case "percentiledisc" =>
+        // discrete percentile, exact: smallest value with cume_dist >= p =
+        // sorted element at ceil(p * n) (reference: gtype_percentile_
+        // aggtransfn/discfinalfn, gtype.c:2427-2632); null-skipping matches
+        // via collect_list/count-of-column
+        element_at(sort_array(collect_list(a.head)),
+          greatest(ceil(count(a.head) * a(1)), lit(1)).cast("int"))
+    }
+  }
+
+  /** `fn(args) OVER (PARTITION BY … ORDER BY … [frame])` → the Spark
+    * Window API (reference: PG window functions via the unified grammar,
+    * old regress aggregation.sql:343-485). Ranking/offset functions map
+    * 1:1; windowed aggregates reuse the aggregate kernels over the spec.
+    * Scale: one shuffle on the partition keys per distinct window spec —
+    * exactly the reference executor's sort-based windowing, distributed.
+    */
+  private def compileWindowCall(fn: Expr, wd: WindowDef, ctx: Ctx): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = wd.partitionBy.map(e => compileExpr(e, ctx))
+    val sorts = wd.orderBy.map { s =>
+      val c0 = compileExpr(s.expr, ctx)
+      val c = dataTypeOpt(c0, ctx) match {
+        case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
+          graft.gvalue.GValueCol.orderKey(c0)
+        case _ => c0
+      }
+      // PG defaults: ASC = NULLS LAST, DESC = NULLS FIRST
+      s.nullsFirst match {
+        case Some(true)  => if (s.descending) c.desc_nulls_first else c.asc_nulls_first
+        case Some(false) => if (s.descending) c.desc_nulls_last else c.asc_nulls_last
+        case None        => if (s.descending) c.desc_nulls_first else c.asc_nulls_last
+      }
+    }
+    var w = Window.partitionBy(parts: _*)
+    if (sorts.nonEmpty) w = w.orderBy(sorts: _*)
+    wd.frame.foreach { case (isRows, lo, hi) =>
+      val l = lo.getOrElse(Window.unboundedPreceding)
+      val h = hi.getOrElse(Window.unboundedFollowing)
+      w = if (isRows) w.rowsBetween(l, h) else w.rangeBetween(l, h)
+    }
+    def litInt(e: Expr): Int = constInt(e).toInt
+    val f = fn match {
+      case CountStar() => count(lit(1))
+      case AggFilter(_, _) | WithinGroup(_, _, _) =>
+        throw new UnsupportedOperationException(
+          "FILTER/WITHIN GROUP over a window is not supported")
+      case FnCall(name, args, dist) =>
+        lazy val a = args.map(x => compileExpr(x, ctx))
+        name match {
+          case "row_number"   => row_number()
+          case "rank"         => rank()
+          case "dense_rank"   => dense_rank()
+          case "percent_rank" => percent_rank()
+          case "cume_dist"    => cume_dist()
+          case "ntile"        => ntile(litInt(args.head))
+          case "lag" => args.length match {
+            case 1 => lag(a.head, 1)
+            case 2 => lag(a.head, litInt(args(1)))
+            case _ => lag(a.head, litInt(args(1)), constLit(args(2)))
+          }
+          case "lead" => args.length match {
+            case 1 => lead(a.head, 1)
+            case 2 => lead(a.head, litInt(args(1)))
+            case _ => lead(a.head, litInt(args(1)), constLit(args(2)))
+          }
+          case "first_value" => first(a.head)
+          case "last_value"  => last(a.head)
+          case "nth_value"   => nth_value(a.head, litInt(args(1)))
+          case n if AggFns(n) => compileAggFn(n, args, dist, ctx, filter = None)
+          case other => throw new UnsupportedOperationException(
+            s"$other is not a window function")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"OVER on a non-function: $other")
+    }
+    f.over(w)
+  }
+
+  private def constLit(e: Expr): Any = e match {
+    case Lit(v) => gValueToAny(v)
+    case other => throw new UnsupportedOperationException(
+      s"expected a literal, got $other")
+  }
+
+  /** `fn(args) WITHIN GROUP (ORDER BY keys)` — PG ordered-set /
+    * hypothetical-set aggregates (reference: unified grammar; hypothetical
+    * rank family per old regress aggregation.sql:495). The hypothetical
+    * forms compute the rank a row built from `args` would take among the
+    * group's rows ordered by `keys` — expressed as counting aggregates
+    * over the lexicographic precedes/equals predicates, one pass, no sort.
+    */
+  private def compileWithinGroup(fn: String, args: List[Expr],
+      order: List[SortItem], ctx: Ctx, filter: Option[Column]): Column = {
+    def masked(c: Column): Column = filter.map(f => when(f, c)).getOrElse(c)
+    val keys = order.map(s => compileExpr(s.expr, ctx))
+    fn match {
+      // ordered-set aggregates: the ORDER BY key is the aggregated column
+      case "percentile_cont" | "percentilecont" =>
+        call_function("percentile", masked(keys.head),
+          compileExpr(args.head, ctx))
+      case "percentile_disc" | "percentiledisc" =>
+        val k = masked(keys.head)
+        element_at(sort_array(collect_list(k)),
+          greatest(ceil(count(k) * compileExpr(args.head, ctx)), lit(1)).cast("int"))
+      case "mode" => mode(masked(keys.head))
+      case "rank" | "dense_rank" | "percent_rank" | "cume_dist" =>
+        // hypothetical-set: pair sort keys with the hypothetical args
+        // positionally (extra args beyond the key list are ignored, as the
+        // reference does — aggregation.out:1072 rank(x.i, x.j) w/ 1 key).
+        // PG null ordering: ASC = NULLS LAST, DESC = NULLS FIRST.
+        val pairs = order.zip(args).map { case (s, argE) =>
+          val k = compileExpr(s.expr, ctx)
+          val v = compileExpr(argE, ctx)
+          val kPrecedes =
+            if (s.descending) (k > v) || (k.isNull && v.isNotNull)
+            else (k < v) || (v.isNull && k.isNotNull)
+          val eq = (k === v) || (k.isNull && v.isNull)
+          (kPrecedes, eq)
+        }
+        // lexicographic "row strictly precedes the hypothetical row"
+        val precedes = pairs.foldRight(lit(false)) { case ((p, eq), rest) =>
+          p || (eq && rest)
+        }
+        val nPrec = sum(when(masked(precedes), 1L).otherwise(0L))
+        fn match {
+          case "rank" => nPrec + lit(1)
+          case "dense_rank" =>
+            // distinct preceding key-tuples + 1
+            countDistinct(when(masked(precedes),
+              struct(keys: _*))) + lit(1)
+          case "percent_rank" =>
+            when(count(masked(lit(1))) === 0, lit(0.0))
+              .otherwise(nPrec.cast("double") / count(masked(lit(1))))
+          case "cume_dist" =>
+            val precedesOrEq = pairs.foldRight(lit(true)) { case ((p, eq), rest) =>
+              p || (eq && rest)
+            }
+            (sum(when(masked(precedesOrEq), 1L).otherwise(0L)) + lit(1))
+              .cast("double") / (count(masked(lit(1))) + lit(1))
+        }
+      case other => throw new UnsupportedOperationException(
+        s"WITHIN GROUP is not supported for $other")
+    }
+  }
+
   def compileExpr(e: Expr, ctx: Ctx): Column = e match {
     case Lit(v)   => litColumn(v)
     case Param(n) => litColumn(params.getOrElse(n,
       throw new IllegalArgumentException(s"missing parameter $$$n")))
+    case WindowCall(fn, over) =>
+      val wd = over match {
+        case Right(d) => d
+        case Left(w) => throw new IllegalArgumentException(
+          s"window \"$w\" does not exist")
+      }
+      compileWindowCall(fn, wd, ctx)
     case Var(n) =>
       ctx.vars.get(n) match {
         case Some(info) if info.isEntity =>

@@ -249,47 +249,137 @@ object Parser {
     private def parseWith(): With = {
       val distinct = eat("DISTINCT")
       val items = parseReturnItems()
+      val (group, windows) = parseGroupAndWindows()
       val (order, skip, limit) = parseOrderSkipLimit()
       val where = if (eat("WHERE")) Some(parseExpr()) else None
-      With(items, distinct, where, order, skip, limit)
+      With(items, distinct, where, order, skip, limit, group, windows)
     }
 
     private def parseReturn(): Return = {
       val distinct = eat("DISTINCT")
       val items = parseReturnItems()
+      val (group, windows) = parseGroupAndWindows()
       val (order, skip, limit) = parseOrderSkipLimit()
-      Return(items, distinct, order, skip, limit)
+      Return(items, distinct, order, skip, limit, group, windows)
+    }
+
+    /** PG tail of RETURN/WITH: `GROUP BY [ROLLUP|CUBE] keys [HAVING pred]`
+      * and named `WINDOW w AS (def), …` (reference unified grammar,
+      * cypher_gram.y windows/group_clause; old regress aggregation.sql).
+      */
+    private def parseGroupAndWindows(): (Option[GroupSpec], Map[String, WindowDef]) = {
+      var group: Option[GroupSpec] = None
+      var windows = Map.empty[String, WindowDef]
+      var cont = true
+      while (cont) {
+        if (isWord(cur, "GROUP") && isWord(toks(pos + 1), "BY")) {
+          pos += 2
+          val kind =
+            if (isWord(cur, "ROLLUP")) { pos += 1; "rollup" }
+            else if (isWord(cur, "CUBE")) { pos += 1; "cube" }
+            else ""
+          val keys =
+            if (kind.nonEmpty) { expectSym("("); val ks = parseExprList(); expectSym(")"); ks }
+            else parseExprList()
+          val having = if (isWord(cur, "HAVING")) { pos += 1; Some(parseExpr()) } else None
+          group = Some(GroupSpec(kind, keys, having))
+        } else if (isWord(cur, "WINDOW")) {
+          pos += 1
+          var more = true
+          while (more) {
+            val w = ident(); expectKw("AS")
+            windows += (w -> parseWindowDef())
+            more = eatSym(",")
+          }
+        } else cont = false
+      }
+      (group, windows)
+    }
+
+    /** `( [PARTITION BY exprs] [ORDER BY items] [ROWS|RANGE frame] )`.
+      * Frame bounds are Spark-signed offsets: None = UNBOUNDED
+      * (preceding for lo, following for hi), Some(v) with v<0 =
+      * |v| PRECEDING, 0 = CURRENT ROW, v>0 = v FOLLOWING.
+      */
+    private def parseWindowDef(): WindowDef = {
+      expectSym("(")
+      var pb: List[Expr] = Nil
+      if (isWord(cur, "PARTITION")) { pos += 1; expectKw("BY"); pb = parseExprList() }
+      val ord = if (eat("ORDER")) { expectKw("BY"); parseSortItems() } else Nil
+      val frame =
+        if (isWord(cur, "ROWS") || isWord(cur, "RANGE")) {
+          val isRows = isWord(cur, "ROWS"); pos += 1
+          // bound → signed offset; MinValue/MaxValue mark UNBOUNDED
+          def bound(): Long = {
+            if (isWord(cur, "UNBOUNDED")) {
+              pos += 1
+              if (isWord(cur, "PRECEDING")) { pos += 1; Long.MinValue }
+              else if (isWord(cur, "FOLLOWING")) { pos += 1; Long.MaxValue }
+              else throw ParseException(s"expected PRECEDING/FOLLOWING, found $cur")
+            } else if (isWord(cur, "CURRENT")) {
+              pos += 1
+              if (!isWord(cur, "ROW")) throw ParseException("expected CURRENT ROW")
+              pos += 1; 0L
+            } else cur match {
+              case TInt(v) =>
+                pos += 1
+                if (isWord(cur, "PRECEDING")) { pos += 1; -v }
+                else if (isWord(cur, "FOLLOWING")) { pos += 1; v }
+                else throw ParseException(s"expected PRECEDING/FOLLOWING, found $cur")
+              case other => throw ParseException(s"bad frame bound: $other")
+            }
+          }
+          val (lo, hi) =
+            if (isWord(cur, "BETWEEN")) {
+              pos += 1
+              val l = bound()
+              if (!isWord(cur, "AND") && !at("AND"))
+                throw ParseException(s"expected AND in frame, found $cur")
+              pos += 1
+              (l, bound())
+            } else (bound(), 0L) // single bound: BETWEEN b AND CURRENT ROW
+          def enc(v: Long): Option[Long] =
+            if (v == Long.MinValue || v == Long.MaxValue) None else Some(v)
+          Some((isRows, enc(lo), enc(hi)))
+        } else None
+      expectSym(")")
+      WindowDef(pb, ord, frame)
     }
 
     private def parseOrderSkipLimit(): (List[SortItem], Option[Expr], Option[Expr]) = {
       var order: List[SortItem] = Nil
       if (eat("ORDER")) {
         expectKw("BY")
-        val items = ListBuffer.empty[SortItem]
-        var more = true
-        while (more) {
-          val e = parseExpr()
-          // PG's `ORDER BY x USING <` / `USING >` (order_by.sql:46) — the
-          // btree-operator form of ASC/DESC
-          val desc =
-            if (eat("USING")) {
-              if (eatSym("<")) false
-              else if (eatSym(">")) true
-              else throw ParseException("ORDER BY ... USING expects < or >")
-            }
-            else if (eat("DESC") || eat("DESCENDING")) true
-            else { eat("ASC"); eat("ASCENDING"); false }
-          val nf = if (eat("NULLS")) {
-            if (eat("FIRST")) Some(true) else { expectKw("LAST"); Some(false) }
-          } else None
-          items += SortItem(e, desc, nf)
-          more = eatSym(",")
-        }
-        order = items.toList
+        order = parseSortItems()
       }
       val skip = if (eat("SKIP")) Some(parseExpr()) else None
       val limit = if (eat("LIMIT")) Some(parseExpr()) else None
       (order, skip, limit)
+    }
+
+    /** Comma-separated sort items (after ORDER BY is consumed). */
+    private def parseSortItems(): List[SortItem] = {
+      val items = ListBuffer.empty[SortItem]
+      var more = true
+      while (more) {
+        val e = parseExpr()
+        // PG's `ORDER BY x USING <` / `USING >` (order_by.sql:46) — the
+        // btree-operator form of ASC/DESC
+        val desc =
+          if (eat("USING")) {
+            if (eatSym("<")) false
+            else if (eatSym(">")) true
+            else throw ParseException("ORDER BY ... USING expects < or >")
+          }
+          else if (eat("DESC") || eat("DESCENDING")) true
+          else { eat("ASC"); eat("ASCENDING"); false }
+        val nf = if (eat("NULLS")) {
+          if (eat("FIRST")) Some(true) else { expectKw("LAST"); Some(false) }
+        } else None
+        items += SortItem(e, desc, nf)
+        more = eatSym(",")
+      }
+      items.toList
     }
 
     private def parseReturnItems(): List[ReturnItem] = {
@@ -668,6 +758,40 @@ object Parser {
           }
           e = if (asText) FnCall("tostring", List(key), distinct = false) else key
         } else done = true
+      }
+      // PG aggregate/window suffixes on a function call, in grammar order:
+      // fn(args) [WITHIN GROUP (ORDER BY …)] [FILTER (WHERE …)] [OVER w|(def)]
+      // (reference unified grammar; old regress aggregation.sql:433-495)
+      e match {
+        case _: FnCall | _: CountStar =>
+          if (isWord(cur, "WITHIN") && isWord(toks(pos + 1), "GROUP")) {
+            val fc = e match {
+              case FnCall(n, args, _) => (n, args)
+              case _ => throw ParseException("WITHIN GROUP needs a function call")
+            }
+            pos += 2; expectSym("("); expectKw("ORDER"); expectKw("BY")
+            val ord = parseSortItems(); expectSym(")")
+            e = WithinGroup(fc._1, fc._2, ord)
+          }
+          if (isWord(cur, "FILTER") && toks(pos + 1) == TSym("(") &&
+              isKw(toks(pos + 2), "WHERE")) {
+            pos += 2; expectKw("WHERE")
+            val pred = parseExpr(); expectSym(")")
+            e = AggFilter(e, pred)
+          }
+          if (isWord(cur, "OVER")) {
+            toks(pos + 1) match {
+              case TSym("(") =>
+                pos += 1
+                e = WindowCall(e, Right(parseWindowDef()))
+              case TIdent(w) =>
+                pos += 2
+                e = WindowCall(e, Left(w))
+              case _ => () // `over` used as a plain identifier elsewhere
+            }
+          }
+        case _: WithinGroup | _: AggFilter => () // handled above
+        case _ => ()
       }
       e
     }
