@@ -1174,7 +1174,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
 
   private def containsAggregate(e: Expr): Boolean = e match {
     case FnCall(name, args, _) =>
-      AggFns(name) || args.exists(containsAggregate)
+      AggFns(name) || TwoColStatAggs(name) || args.exists(containsAggregate)
     case CountStar()       => true
     // a window call is row-scoped, not a grouping aggregate — even when the
     // windowed function is itself an aggregate (`sum(x) OVER w`)
@@ -1261,7 +1261,18 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     // extra args (collect's limit, percentile's fraction) stay unmasked
     def masked(c: Column): Column = filter.map(f => when(f, c)).getOrElse(c)
     val a0 = args.map(x => compileExpr(x, ctx))
-    val a = if (a0.isEmpty) a0 else masked(a0.head) :: a0.tail
+    // numeric aggregates over a heterogeneous (dynamic) property column
+    // decode the numeric payload — non-numeric rows aggregate as null,
+    // matching the reference's gtype agg transfns skipping them
+    def num(c: Column): Column = dataTypeOpt(c, ctx) match {
+      case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
+        graft.gvalue.GValueCol.numeric(c)
+      case _ => c
+    }
+    val numericAgg = Set("sum", "avg", "stdev", "stdevp",
+      "percentilecont", "percentiledisc")
+    val a1 = if (numericAgg(name) && a0.nonEmpty) num(a0.head) :: a0.tail else a0
+    val a = if (a1.isEmpty) a1 else masked(a1.head) :: a1.tail
     name match {
       case "count"   => if (dist) countDistinct(a.head) else count(a.head)
       case "sum"     => sum(a.head)
@@ -1322,7 +1333,15 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
     var w = Window.partitionBy(parts: _*)
     if (sorts.nonEmpty) w = w.orderBy(sorts: _*)
-    wd.frame.foreach { case (isRows, lo, hi) =>
+    // ranking/offset functions ignore any user frame (PG semantics: the
+    // frame affects only value/aggregate window functions; Spark rejects a
+    // non-default frame on them outright)
+    val framed = fn match {
+      case FnCall(n, _, _) => !Set("row_number", "rank", "dense_rank",
+        "percent_rank", "cume_dist", "ntile", "lag", "lead")(n)
+      case _ => true
+    }
+    if (framed) wd.frame.foreach { case (isRows, lo, hi) =>
       val l = lo.getOrElse(Window.unboundedPreceding)
       val h = hi.getOrElse(Window.unboundedFollowing)
       w = if (isRows) w.rowsBetween(l, h) else w.rangeBetween(l, h)
@@ -2407,7 +2426,18 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         // Spark builtin, callable from Cypher. Unknown names surface as an
         // analysis error naming the function.
         graft.functions.Registry.register(spark)
-        call_function(other, args.map(sub): _*)
+        val cs = args.map(sub)
+        // the two-column stat aggregates (corr/covar/regr_*) reach Spark's
+        // builtins directly — decode dynamic property inputs to numeric
+        val cs2 =
+          if (TwoColStatAggs(other))
+            cs.map { c => dataTypeOpt(c, ctx) match {
+              case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
+                graft.gvalue.GValueCol.numeric(c)
+              case _ => c
+            }}
+          else cs
+        call_function(other, cs2: _*)
     }
   }
 
@@ -3126,6 +3156,15 @@ object Compiler {
     */
   val AggFns: Set[String] = Set("count", "sum", "avg", "min", "max", "collect",
     "stdev", "stdevp", "percentilecont", "percentiledisc")
+
+  /** Spark-builtin two-column stat aggregates the reference also exposes
+    * (old regress aggregation.sql:38-130) — resolved via the registry
+    * fallthrough; listed here so dynamic inputs get the numeric decode and
+    * containment checks treat them as aggregates.
+    */
+  val TwoColStatAggs: Set[String] = Set("corr", "covar_pop", "covar_samp",
+    "regr_sxx", "regr_syy", "regr_sxy", "regr_slope", "regr_intercept",
+    "regr_avgx", "regr_avgy", "regr_r2", "regr_count")
 
   /** User property names that collide with the entity layout's internal
     * columns are STORED escaped — the reference keeps a vertex's `id`

@@ -75,20 +75,45 @@ object Parser {
       if (c.isWhitespace) i += 1
       else if (c == '/' && peek(1) == '/') { while (i < n && q.charAt(i) != '\n') i += 1 }
       else if (c.isDigit || (c == '.' && peek(1).isDigit)) {
-        val start = i
-        while (i < n && q.charAt(i).isDigit) i += 1
-        var isFloat = false
-        if (i < n && q.charAt(i) == '.' && i + 1 < n && q.charAt(i + 1).isDigit) {
-          isFloat = true; i += 1
+        // numeric literal family per the reference scanner (ag_scanner.l,
+        // old regress scan.sql): decimal, 0x/0X hex, leading-0 octal,
+        // trailing-dot (`3.`) and leading-dot (`.5`) floats; integers
+        // that overflow int8 become floats (scan.out:135 1.8e19)
+        def isHexDigit(ch: Char) = ch.isDigit ||
+          (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')
+        if (c == '0' && (peek(1) == 'x' || peek(1) == 'X') && isHexDigit(peek(2))) {
+          i += 2
+          val hs = i
+          while (i < n && isHexDigit(q.charAt(i))) i += 1
+          val big = BigInt(q.substring(hs, i), 16)
+          out += (if (big.isValidLong) TInt(big.toLong) else TFloat(big.toDouble))
+        } else {
+          val start = i
           while (i < n && q.charAt(i).isDigit) i += 1
+          var isFloat = false
+          // a dot NOT starting a `..` range/slice makes it a float —
+          // `3.141`, `3.`, `.5` all included, `1..5` excluded
+          if (i < n && q.charAt(i) == '.' && peek(1) != '.') {
+            isFloat = true; i += 1
+            while (i < n && q.charAt(i).isDigit) i += 1
+          }
+          if (i < n && (q.charAt(i) == 'e' || q.charAt(i) == 'E') &&
+              (peek(1).isDigit ||
+                ((peek(1) == '+' || peek(1) == '-') && peek(2).isDigit))) {
+            isFloat = true; i += 1
+            if (i < n && (q.charAt(i) == '+' || q.charAt(i) == '-')) i += 1
+            while (i < n && q.charAt(i).isDigit) i += 1
+          }
+          val s = q.substring(start, i)
+          if (isFloat) out += TFloat(s.toDouble)
+          else {
+            val big =
+              if (s.length > 1 && s.charAt(0) == '0' && s.forall(d => d >= '0' && d <= '7'))
+                BigInt(s, 8) // octal (PG C-style)
+              else BigInt(s)
+            out += (if (big.isValidLong) TInt(big.toLong) else TFloat(big.toDouble))
+          }
         }
-        if (i < n && (q.charAt(i) == 'e' || q.charAt(i) == 'E')) {
-          isFloat = true; i += 1
-          if (i < n && (q.charAt(i) == '+' || q.charAt(i) == '-')) i += 1
-          while (i < n && q.charAt(i).isDigit) i += 1
-        }
-        val s = q.substring(start, i)
-        out += (if (isFloat) TFloat(s.toDouble) else TInt(s.toLong))
       }
       else if (c == '\'' || c == '"') {
         val quote = c

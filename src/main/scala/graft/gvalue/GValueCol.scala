@@ -289,6 +289,16 @@ object GValueCol {
   /** Is this dynamic value the gtype null? */
   def isNullVal(g: Column): Column = g.getField("tag") === TNull
 
+  /** Numeric view of a dynamic value: int/float payloads as double,
+    * anything else (incl. the gtype null and SQL null) → SQL NULL. The
+    * input decode for numeric aggregates over heterogeneous property
+    * columns (avg/sum/stddev/percentile/corr… skip non-numeric rows the
+    * way the reference's gtype agg transfns do).
+    */
+  def numeric(g: Column): Column =
+    when(g.getField("tag") === TInt, g.getField("i").cast("double"))
+      .when(g.getField("tag") === TFloat, g.getField("f"))
+
   /** 3-valued equality on dynamic values (cross-type: 1 = 1.0). */
   def eqv(a: Column, b: Column): Column =
     when(a.getField("tag") === TNull || b.getField("tag") === TNull, lit(null).cast("boolean"))

@@ -86,11 +86,13 @@ class OldRegressReplaySpec extends AnyFunSuite {
     (fails, ran)
   }
 
-  // Ceilings triaged round 6 — counted failures are non-parity gaps, each
-  // inspected (see comments); parity throws (the reference's own expected
-  // output shows ERROR) never count.
-  test("old replay cypher_call.sql") { assert(replay("cypher_call.sql")._1 <= 12) }
-  test("old replay regex.sql") { assert(replay("regex.sql")._1 <= 12) }
-  test("old replay aggregation.sql") { assert(replay("aggregation.sql")._1 <= 12) }
-  test("old replay scan.sql") { assert(replay("scan.sql")._1 <= 12) }
+  // Ceilings re-triaged round 7: all four suites replay clean — window/
+  // GROUP BY/FILTER/WITHIN GROUP (aggregation), hex/octal/trailing-dot
+  // literals (scan), dynamic-column numeric aggregates closed the gaps.
+  // Parity throws (the reference's own expected output shows ERROR) never
+  // count.
+  test("old replay cypher_call.sql") { assert(replay("cypher_call.sql")._1 == 0) }
+  test("old replay regex.sql") { assert(replay("regex.sql")._1 == 0) }
+  test("old replay aggregation.sql") { assert(replay("aggregation.sql")._1 == 0) }
+  test("old replay scan.sql") { assert(replay("scan.sql")._1 == 0) }
 }
