@@ -423,7 +423,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       BoolCol(flag)
     }
     def walk(e: Expr): Expr = e match {
-      case ExistsPattern(p)  => bindExists(compilePattern(Ctx.empty, p))
+      case ExistsPattern(p)  =>
+        val collect = new EdgeCollector
+        val sub = compilePattern(Ctx.empty, p, collect)
+        bindExists(sub.copy(df = edgeUniqueness(sub.df,
+          collect.singles.toSeq, collect.vles.toSeq)))
       case ExistsSubquery(q) =>
         val body = q.clauses.dropRight(1) match {
           case Nil => q.clauses // RETURN-only subquery
@@ -449,7 +453,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   }
 
   private def existsJoin(ctx: Ctx, p: PathPattern, anti: Boolean): Ctx = {
-    val inner = compilePattern(Ctx.empty, p)
+    // edge-uniqueness applies INSIDE the sub-pattern too: a bound edge
+    // used across two hops (`EXISTS((u)-[e]->(u)-[e]->(u))`) is a
+    // contradiction → empty (cypher_match.out:1090)
+    val collect = new EdgeCollector
+    val inner0 = compilePattern(Ctx.empty, p, collect)
+    val inner = inner0.copy(df = edgeUniqueness(inner0.df,
+      collect.singles.toSeq, collect.vles.toSeq))
     val shared = ctx.vars.keySet.intersect(inner.vars.keySet).toSeq.sorted
     require(shared.nonEmpty, "EXISTS pattern must share a variable with the outer query")
     val proj = inner.df.select(shared.map(v => col(s"${v}__id").as(s"__ex_${v}__id")): _*)
@@ -2952,10 +2962,9 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     else map(props.flatMap { k =>
       val c = col(s"${v}__$k")
       val dt = ctx.df.schema(s"${v}__$k").dataType
-      val enc =
-        if (graft.gvalue.GValueCol.isGValue(dt)) c // already dynamic
-        else if (graft.gvalue.GValueCol.canEncode(dt)) graft.gvalue.GValueCol.encode(c, dt)
-        else graft.gvalue.GValueCol.encode(c.cast("string"), StringType)
+      val enc = graft.gvalue.GValueCol.dynCoerce(c, dt).getOrElse(
+        // no dynamic form (maps, structs): canonical JSON string payload
+        graft.gvalue.GValueCol.encode(c.cast("string"), StringType))
       Seq(lit(PropNames.unesc(k)), enc)
     }: _*)
   }

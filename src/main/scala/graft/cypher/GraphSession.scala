@@ -102,8 +102,26 @@ final class GraphSession(val spark: SparkSession) {
     }
   }
 
-  private def runClauses(clauses: List[Clause], params: Map[String, GValue]): DataFrame = {
+  private def runClauses(clauses0: List[Clause], params: Map[String, GValue]): DataFrame = {
     queryDeletedIds = None
+    // A query ENDING in a bare MATCH gets an implicit projection: each
+    // named pattern variable as (value, id, properties) — the reference's
+    // `MATCH (n:v);` form (old cypher_match.out:1313-1321 columns
+    // n | _id_n___ | _pr_n)
+    val clauses = clauses0.lastOption match {
+      case Some(m: Match) =>
+        val vars = m.patterns.flatMap(_.elements).collect {
+          case n: NodePattern if n.variable.isDefined => n.variable.get
+          case r: RelPattern if r.variable.isDefined => r.variable.get
+        }.distinct
+        if (vars.isEmpty) clauses0
+        else clauses0 :+ Return(vars.flatMap(v => List(
+          ReturnItem(Var(v), None),
+          ReturnItem(FnCall("id", List(Var(v)), distinct = false), Some(s"_id_${v}___")),
+          ReturnItem(FnCall("properties", List(Var(v)), distinct = false), Some(s"_pr_$v")))),
+          distinct = false, Nil, None, None)
+      case _ => clauses0
+    }
     val ctx = runClausesCtx(clauses, params)
     if (ctx.projected) ctx.df
     else spark.emptyDataFrame // write-only query returns no rows (reference behavior)
@@ -603,7 +621,12 @@ final class MutableGraph(spark: SparkSession) {
       edgeLabels, labelIds.toMap)
 
   private def labelId(l: String): Int =
-    labelIds.getOrElseUpdate(l, { val i = nextLabelId; nextLabelId += 1; i })
+    // the unlabeled-vertex label IS the catalog's _ag_label_vertex, id 1
+    // (label_commands.c) — it never consumes a user label id, so packed
+    // ids of unlabeled entities match the reference byte-for-byte
+    // (281474976710657 = 1<<48 | 1) and later user labels don't shift
+    labelIds.getOrElseUpdate(l,
+      if (l == "_default") 1 else { val i = nextLabelId; nextLabelId += 1; i })
 
   /** Pre-register a label so ids assign in the reference's TEXTUAL order —
     * its catalog numbers vertex and edge labels from one shared sequence

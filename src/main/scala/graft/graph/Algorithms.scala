@@ -95,14 +95,24 @@ object Algorithms {
     var dist = Seq((src, 0)).toDF("id", "d").localCheckpoint()
     var frontier = dist
     var level = 0
-    while (level < maxHops && !frontier.isEmpty) {
+    var fCount = 1L
+    while (level < maxHops && fCount > 0) {
       level += 1
       frontier = frontier.join(edges, col("id") === col("src"))
         .select(col("dst").as("id")).distinct()
         .join(dist, Seq("id"), "left_anti")
         .withColumn("d", lit(level))
         .localCheckpoint()
-      if (!frontier.isEmpty) dist = dist.unionByName(frontier).localCheckpoint()
+      // ONE driver action per level: the count runs over the partitions the
+      // eager checkpoint just cached (the old double `frontier.isEmpty`
+      // probes were two extra jobs per level — SCALE.md fixpoint rule)
+      fCount = frontier.count()
+      if (fCount > 0) {
+        // dist's lineage stays a shallow union of checkpointed frontiers —
+        // flatten only every few levels to keep analysis linear
+        dist = dist.unionByName(frontier)
+        if (level % 4 == 0) dist = dist.localCheckpoint()
+      }
     }
     dist
   }

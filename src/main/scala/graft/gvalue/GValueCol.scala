@@ -159,8 +159,17 @@ object GValueCol {
     case TDate      => GInt(r.getLong(2)) // epoch days (no dedicated GDate)
     case TArray if r.length > 5 && !r.isNullAt(5) => GArray(
       r.getSeq[org.apache.spark.sql.Row](5).map(decode).toVector)
-    case TArray     => GValue.parseRender(splitPayload(r.getString(4))._2)
-    case TObject    => GString(r.getString(4)) // canonical render (see gLit)
+    case TArray =>
+      val render = splitPayload(r.getString(4))._2
+      if (render.isEmpty || render == "[]") GArray(Vector.empty)
+      else GValue.parseRender(render)
+    case TObject =>
+      // nested object: reconstruct the structured value from the render
+      // half of the payload so `{"key": "value"}` prints as an object, not
+      // a quoted string (cypher_match.out:586 map_key)
+      val render = splitPayload(r.getString(4))._2
+      if (render.isEmpty || render == "{}") GMap.of()
+      else GValue.parseRender(render)
     case t => throw new IllegalArgumentException(s"unknown GValue tag $t")
   }
 

@@ -261,8 +261,12 @@ object PgOut {
         s""""start_id": ${r.getLong(st.fieldIndex("start_id"))}, """ +
           s""""end_id": ${r.getLong(st.fieldIndex("end_id"))}, """
       else ""
+    // the default (unlabeled) label renders as "" (vertex_out on
+    // _ag_label_vertex entities, old regress cypher_match.out)
+    val rawLabel = r.getString(st.fieldIndex("label"))
+    val label = if (rawLabel == "_default") "" else rawLabel
     s"""{"id": ${r.getLong(st.fieldIndex("id"))}, $ends""" +
-      s""""label": "${r.getString(st.fieldIndex("label"))}", "properties": {$ps}}"""
+      s""""label": "$label", "properties": {$ps}}"""
   }
 
   /** traversal_out / variable_edge_out: the interleaved entity sequence.
@@ -367,6 +371,15 @@ object PgOut {
           "[" + seq.map(e => elemInContainer(e, et)).mkString(", ") + "]"
         case _ => seq.mkString("[", ", ", "]")
       }
+    case m: scala.collection.Map[_, _] =>
+      // a properties map (properties(n) projections): jsonb object order —
+      // key length, then bytewise; null values = absent keys
+      val vt = dt match { case MapType(_, t, _) => t; case _ => NullType }
+      m.asInstanceOf[scala.collection.Map[String, Any]].toSeq
+        .filter(_._2 != null)
+        .sortBy { case (k, _) => (k.length, k) }
+        .map { case (k, v) => s""""$k": ${elemInContainer(v, vt)}""" }
+        .mkString("{", ", ", "}")
     case other => other.toString
   }
 

@@ -296,7 +296,29 @@ object GraphQueries {
            |JOIN parquet.`$dir/region.parquet` r ON g.rk = r.r_regionkey
            |ORDER BY g.nation""".stripMargin)
         .select(col("nation"), col("n_cust"), col("region"))
-    })
+    }),
+
+    // window functions over a Cypher pipeline (reference unified grammar
+    // OVER/PARTITION BY, old regress aggregation.sql:343-470): per-nation
+    // top-3 customers by balance via row_number — the windowed WITH then
+    // filters on the rank. One shuffle on the partition key at scale.
+    "g28_window" -> cy(
+      "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) " +
+        "WITH n.n_name AS nation, c.c_custkey AS ck, c.c_acctbal AS bal, " +
+        "toInteger(row_number() OVER (PARTITION BY n.n_name " +
+        "ORDER BY c.c_acctbal DESC, c.c_custkey)) AS rn " +
+        "WHERE rn <= 3 " +
+        "RETURN nation, ck, bal, rn ORDER BY nation, rn"),
+
+    // explicit GROUP BY … HAVING with a FILTER'd aggregate (reference
+    // unified grammar group_clause; aggregation.sql:264-337,490)
+    "g29_group_filter" -> cy(
+      "MATCH (c:Customer) " +
+        "RETURN c.c_mktsegment AS seg, " +
+        "count(*) FILTER (WHERE c.c_acctbal > 5000) AS n_rich, " +
+        "count(*) AS n " +
+        "GROUP BY c.c_mktsegment HAVING count(*) > 10 " +
+        "ORDER BY seg")
   )
 
   val oracles: Map[String, String] = Map(
@@ -458,6 +480,19 @@ object GraphQueries {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY n_name, r_name ORDER BY nation""".stripMargin
+        |GROUP BY n_name, r_name ORDER BY nation""".stripMargin,
+    "g28_window" ->
+      """SELECT nation, ck, bal, rn FROM (
+        |  SELECT n_name AS nation, c_custkey AS ck, c_acctbal AS bal,
+        |         row_number() OVER (PARTITION BY n_name
+        |           ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |WHERE rn <= 3 ORDER BY nation, rn""".stripMargin,
+    "g29_group_filter" ->
+      """SELECT c_mktsegment AS seg,
+        |  CAST(count(*) FILTER (WHERE c_acctbal > 5000) AS BIGINT) AS n_rich,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY c_mktsegment HAVING count(*) > 10
+        |ORDER BY seg""".stripMargin
   )
 }

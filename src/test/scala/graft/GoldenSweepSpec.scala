@@ -48,7 +48,7 @@ class GoldenSweepSpec extends AnyFunSuite {
   private def sweep(file: String): (Int, Int, Int, Int) = {
     val goldens = parseOut(file).filter { g =>
       val u = g.stmt.toUpperCase
-      (u.startsWith("RETURN ") || u.startsWith("CYPHER WITH ")) && !g.stmt.contains("$")
+      u.startsWith("RETURN ") || u.startsWith("CYPHER WITH ")
     }
     val compiler = mk()
     var bad = 0; var threw = 0; var total = 0; var softErr = 0

@@ -79,6 +79,23 @@ class OldRegressReplaySpec extends AnyFunSuite {
                 s"${e.getClass.getSimpleName}: ${msg.take(110)}")
             case _ => ()
           }
+        case sql if "(?is)^(SELECT|CREATE\\s+TABLE|INSERT\\s+INTO|UPDATE\\s+|DELETE\\s+FROM|TABLE\\s+)\\b.*".r
+            .pattern.matcher(sql).matches() &&
+            !"(?i).*\\b(create_graph|drop_graph|create_vlabel|create_elabel|ag_|pg_)".r
+              .findFirstIn(sql).isDefined =>
+          // raw-SQL statements (gtype.sql's gtype_table exercises) route
+          // through the session's SQL surface with the same error parity
+          ran += 1
+          Try { val df = session.run(sql); if (df != null) df.collect() } match {
+            case Failure(_) if refErrors(q0) => parity += 1
+            case Failure(e) =>
+              fails += 1
+              val msg = Option(e.getMessage).getOrElse("null")
+                .linesIterator.take(1).mkString
+              println(s"OLDREPLAYFAIL $file | ${sql.take(110)} | " +
+                s"${e.getClass.getSimpleName}: ${msg.take(110)}")
+            case _ => ()
+          }
         case _ => () // LOAD/SET search_path/create_vlabel/raw-SQL scaffolding
       }
     }
@@ -95,4 +112,16 @@ class OldRegressReplaySpec extends AnyFunSuite {
   test("old replay regex.sql") { assert(replay("regex.sql")._1 == 0) }
   test("old replay aggregation.sql") { assert(replay("aggregation.sql")._1 == 0) }
   test("old replay scan.sql") { assert(replay("scan.sql")._1 == 0) }
+  // Round-7 mining (VERDICT r6 #8): the remaining TVF-form suites plus the
+  // raw-SQL gtype suite. Ceilings = measured residue at adoption, each
+  // counted failure a real gap to close, not parity.
+  test("old replay expr.sql") { assert(replay("expr.sql")._1 <= 40) }
+  test("old replay temporal.sql") { assert(replay("temporal.sql")._1 <= 40) }
+  test("old replay network.sql") { assert(replay("network.sql")._1 <= 20) }
+  test("old replay range.sql") { assert(replay("range.sql")._1 <= 20) }
+  test("old replay geometric.sql") { assert(replay("geometric.sql")._1 <= 20) }
+  test("old replay index.sql") { assert(replay("index.sql")._1 <= 15) }
+  test("old replay traversal_functions.sql") {
+    assert(replay("traversal_functions.sql")._1 <= 5) }
+  test("old replay gtype.sql") { assert(replay("gtype.sql")._1 <= 40) }
 }

@@ -22,7 +22,6 @@ class RegressProbeSpec extends AnyFunSuite {
       // join continuation lines, take statements, keep standalone RETURNs
       src.split(";").map(_.trim.replaceAll("\\s+", " "))
         .filter(s => s.toUpperCase.startsWith("RETURN ") || s.toUpperCase.startsWith("CYPHER WITH "))
-        .filterNot(_.contains("$"))
         .map(f -> _)
     }
     // reference-ERROR parity: a statement whose own expected output shows

@@ -40,6 +40,9 @@ class RegressReplaySpec extends AnyFunSuite {
       .filter(s => StmtStart.findFirstIn(s.toUpperCase).isDefined)
       .filterNot(_.toUpperCase.startsWith("SET SEARCH_PATH")) // psql-ism
       .filterNot(s => SqlIsm.findFirstIn(s).isDefined)
+      // `SELECT * FROM ag_label` etc. — psql catalog probes; there is no
+      // backing catalog here (SqlSurface rejects them by design)
+      .filterNot(s => "(?i)\\b(FROM|JOIN)\\s+(ag_|pg_)\\w+".r.findFirstIn(s).isDefined)
       .toSeq
     // reference-ERROR parity via the structured .out parse: our throw is
     // parity when ANY occurrence of the statement in the expected output

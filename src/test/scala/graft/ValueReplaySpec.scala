@@ -58,7 +58,8 @@ class ValueReplaySpec extends AnyFunSuite {
       val idIdx = cols.find(j => fields(j).name == s"${p}__id").get
       if (row.isNullAt(idIdx)) return ""
       val id = row.getLong(idIdx)
-      val label = row.getString(cols.find(j => fields(j).name == s"${p}__label").get)
+      val label0 = row.getString(cols.find(j => fields(j).name == s"${p}__label").get)
+      val label = if (label0 == "_default") "" else label0 // _ag_label_vertex renders ""
       def opt(n: String): Option[Int] =
         cols.find(j => fields(j).name == s"${p}__$n").filterNot(row.isNullAt)
       val props = cols.filter { j =>
@@ -120,7 +121,10 @@ class ValueReplaySpec extends AnyFunSuite {
             println(s"VREPLAY THROW $file | ${g.stmt.take(100)} | ${msg.take(100)}")
           case (Success(Some((rows, schema))), ExpectRows(exp)) =>
             renderRows(rows, schema) match {
-              case None => skipped += 1
+              case None =>
+                skipped += 1
+                println(s"VREPLAY SKIP $file | ${g.stmt.take(100)} | " +
+                  s"cols=${schema.fieldNames.mkString(",").take(90)}")
               case Some(got) =>
                 compared += 1
                 if (!(rowsEqual(exp, got) || rowsEqualUnordered(exp, got))) {
@@ -145,16 +149,25 @@ class ValueReplaySpec extends AnyFunSuite {
     (bad, threw, skipped, compared)
   }
 
-  // Ceilings measured + triaged round 6 (each counted residue inspected;
-  // regressions push counts UP, improvements tighten them).
+  // Ceilings measured + triaged round 7. Residue, each inspected:
+  // - cypher_match 1 mismatch: `RETURN DISTINCT p` over the duplicate
+  //   graph — the reference's OWN run lost the second dup_edge path (its
+  //   preceding DISTINCT u errored with a missing label_id operator,
+  //   cypher_match.out:571); we return both distinct paths, correctly.
+  // - cypher_vle 2 mismatches: *3..3 path enumeration — the golden rows
+  //   embed interior vertices inconsistent with their adjacent edge
+  //   endpoints (traversal.c interior-index quirk); our paths are
+  //   id-consistent.
   test("value replay cypher_match.sql") {
-    val (bad, threw, _, compared) = replay("cypher_match.out")
+    val (bad, threw, skipped, compared) = replay("cypher_match.out")
     assert(compared > 40, s"value coverage collapsed: $compared compared")
-    assert(bad + threw <= 12)
+    assert(bad + threw <= 1)
+    assert(skipped <= 1)
   }
   test("value replay cypher_vle.sql") {
-    val (bad, threw, _, compared) = replay("cypher_vle.out")
+    val (bad, threw, skipped, compared) = replay("cypher_vle.out")
     assert(compared > 20, s"value coverage collapsed: $compared compared")
-    assert(bad + threw <= 12)
+    assert(bad + threw <= 2)
+    assert(skipped == 0)
   }
 }
