@@ -1814,6 +1814,53 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   }
 
   private def binOp(op: String, l: Column, r: Column, ctx: Ctx,
+      rRaw: Option[Expr] = None, lRaw: Option[Expr] = None): Column = {
+    // inet operator family first (inet.c / gtype_network.c): subnet
+    // containment, overlap, bitwise ops, address arithmetic — these reuse
+    // symbols the geometric/tsearch families also claim, so type-dispatch
+    // on the inet struct before the shared tables below
+    val lInetT = dataTypeOpt(l, ctx).exists(isInetStruct)
+    val rInetT = dataTypeOpt(r, ctx).exists(isInetStruct)
+    if (lInetT || rInetT) {
+      val N = graft.functions.NetworkFns
+      (op match {
+        case "<<" if lInetT && rInetT  => Some(N.containedIn(l, r))
+        case "<<=" if lInetT && rInetT => Some(N.containedInOrEq(l, r))
+        case ">>" if lInetT && rInetT  => Some(N.containedIn(r, l))
+        case ">>=" if lInetT && rInetT => Some(N.containedInOrEq(r, l))
+        case "&&" if lInetT && rInetT =>
+          Some(N.containedInOrEq(l, r) || N.containedInOrEq(r, l))
+        case "&" | "|" if lInetT && rInetT =>
+          def bw(f: (Column, Column) => Column) = struct(
+            l.getField("family").as("family"),
+            f(l.getField("hi"), r.getField("hi")).as("hi"),
+            f(l.getField("lo"), r.getField("lo")).as("lo"),
+            greatest(l.getField("masklen"), r.getField("masklen")).as("masklen"))
+          Some(if (op == "&") bw(_ bitwiseAND _) else bw(_ bitwiseOR _))
+        case "+" if lInetT && !rInetT => Some(struct(
+          l.getField("family").as("family"), l.getField("hi").as("hi"),
+          (l.getField("lo") + r.cast("long")).as("lo"),
+          l.getField("masklen").as("masklen")))
+        case "+" if rInetT && !lInetT => Some(struct(
+          r.getField("family").as("family"), r.getField("hi").as("hi"),
+          (r.getField("lo") + l.cast("long")).as("lo"),
+          r.getField("masklen").as("masklen")))
+        case "-" if lInetT && !rInetT => Some(struct(
+          l.getField("family").as("family"), l.getField("hi").as("hi"),
+          (l.getField("lo") - r.cast("long")).as("lo"),
+          l.getField("masklen").as("masklen")))
+        case "-" if lInetT && rInetT => // address difference → bigint
+          Some(l.getField("lo") - r.getField("lo"))
+        case _ => None
+      }) match {
+        case Some(c) => return c
+        case None => ()
+      }
+    }
+    binOpRest(op, l, r, ctx, rRaw, lRaw)
+  }
+
+  private def binOpRest(op: String, l: Column, r: Column, ctx: Ctx,
       rRaw: Option[Expr] = None, lRaw: Option[Expr] = None): Column = (op match {
     case "=" | "<>" | "<" | "<=" | ">" | ">=" => gAwareCmp(op, l, r, ctx)
     case "@>" | "<@" | "&&" => Some(containOp(op, l, r, ctx))
@@ -2238,7 +2285,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "norm" => graft.functions.VectorFns.norm(a(0))
       // extended-type casts (reference gtype_typecasting.c to*() family)
       case "tovector"   => graft.functions.VectorFns.tovector(a(0))
-      case "toinet"     => graft.functions.NetworkFns.toInet(a(0))
+      case "toinet" | "tocidr" => dataTypeOpt(a(0), ctx) match {
+        // already an inet struct (e.g. `toinet(x)::inet` re-cast) → identity
+        case Some(t) if isInetStruct(t) => a(0)
+        case _ => graft.functions.NetworkFns.toInet(a(0))
+      }
       case "totsvector" => args.head match {
         // tsvector_in literal syntax ('w':4A,3B a:8 — quoted lexemes,
         // position/weight lists) parses driver-side; plain text keeps the
@@ -2275,7 +2326,42 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           timestamp_micros(a(0).cast("long") + lit(PgEpochUs))
         case _ => a(0).cast("timestamp")
       }
-      case "tomacaddr"   => graft.functions.NetworkFns.toMacaddr(a(0))
+      case "tomacaddr"   => dataTypeOpt(a(0), ctx) match {
+        // macaddr travels as a 48-bit long: a long input is either already
+        // a macaddr (identity) or a macaddr8 with the FF:FE splice (PG
+        // macaddr8tomacaddr) — dispatch on the splice pattern
+        case Some(t) if isIntegralType(t) =>
+          when(shiftright(a(0), 24).bitwiseAND(lit(0xFFFFL)) === 0xFFFEL,
+            graft.functions.NetworkFns.macaddr8ToMacaddr(a(0))).otherwise(a(0))
+        case _ => graft.functions.NetworkFns.toMacaddr(a(0))
+      }
+      case "tomacaddr8"  => dataTypeOpt(a(0), ctx) match {
+        // macaddr (long) → macaddr8: splice FF:FE into the middle (PG
+        // macaddrtomacaddr8); an 8-byte long would round-trip wrongly but
+        // the cast is only reachable from macaddr/text inputs
+        case Some(t) if isIntegralType(t) =>
+          shiftleft(shiftright(a(0), 24), 40)
+            .bitwiseOR(lit(0xFFFEL << 24)).bitwiseOR(a(0).bitwiseAND(lit(0xFFFFFFL)))
+        case _ => graft.functions.NetworkFns.toMacaddr8(a(0))
+      }
+      case "trunc" if args.length == 1 =>
+        // PG overloads trunc(): macaddr/macaddr8 zero their NIC bytes
+        // (mac.c/mac8.c), numerics truncate toward zero — macaddr longs are
+        // schema-indistinguishable from ints, so dispatch syntactically on
+        // the argument being a macaddr constructor/cast
+        args.head match {
+          case FnCall("tomacaddr", _, _) =>
+            graft.functions.NetworkFns.macaddrTrunc(a(0))
+          case FnCall("tomacaddr8", _, _) =>
+            graft.functions.NetworkFns.macaddr8Trunc(a(0))
+          case _ => dataTypeOpt(a(0), ctx) match {
+            case Some(DoubleType | FloatType) =>
+              when(a(0) >= 0, floor(a(0))).otherwise(ceil(a(0))).cast("double")
+            case Some(_: DecimalType) =>
+              when(a(0) >= 0, floor(a(0))).otherwise(ceil(a(0)))
+            case _ => a(0) // integral trunc is identity
+          }
+        }
       case "topoint" => // 2-arg constructor, or 1-arg '(x,y)' string cast
         if (args.length == 2) graft.functions.RangeGeoFns.point(a(0), a(1))
         else graft.functions.RangeGeoFns.toPoint(a(0))
@@ -2303,6 +2389,36 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case Some(t) if isTimetzStruct(t) => a(0)
         case _ => graft.functions.TemporalFns.toTimeTz(a(0))
       }
+      case "_bitnot" => dataTypeOpt(a(0), ctx) match {
+        // prefix `~`: inet → family-width complement; integers → bitwise NOT
+        case Some(t) if isInetStruct(t) => graft.functions.NetworkFns.inetNot(a(0))
+        case _ => bitwise_not(a(0).cast("long"))
+      }
+      // SQL niladic datetime pseudo-functions + the PG now() family (PG
+      // gram.y func_expr_common_subexpr; old/regress/temporal.sql:600-660).
+      // Precision arguments are accepted and ignored (PG rounds fractional
+      // seconds; sub-second parity is unobservable for a volatile value).
+      case "current_timestamp" | "now" | "transaction_timestamp" |
+           "statement_timestamp" | "clock_timestamp" =>
+        current_timestamp()
+      case "localtimestamp" => current_timestamp().cast("timestamp_ntz")
+      case "current_date"   => current_date()
+      case "current_time" =>
+        graft.functions.TemporalFns.timetz(
+          unix_micros(current_timestamp()) -
+            unix_micros(date_trunc("day", current_timestamp())), lit(0))
+      case "localtime" =>
+        unix_micros(current_timestamp()) -
+          unix_micros(date_trunc("day", current_timestamp()))
+      case "timeofday" =>
+        // PG 'Thu Aug 14 02:00:00.000000 2026 UTC' (Spark bans EEE — day
+        // name via dayofweek lookup)
+        concat(
+          element_at(
+            array(Seq("Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat").map(lit): _*),
+            dayofweek(current_timestamp())),
+          date_format(current_timestamp(), " MMM d HH:mm:ss.SSSSSS yyyy "),
+          lit("UTC"))
       case "totsquery"  => args.head match {
         // literal tsquery_in canonicalization handles quoted phrases and
         // the full operator grammar; column inputs keep the regex path
@@ -2338,10 +2454,22 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // temporal ranges + the five multirange types (gtype_range.c,
       // GT_HEADER_RANGE_*_MULTI)
       case "tsrange" | "tstzrange" =>
-        graft.functions.RangeGeoFns.tsRange(a(0), a(1),
+        // string bounds go through the PG-flexible parser (MDY, AM/PM —
+        // old/regress/range.sql:140-200 '1/1/2000 4:00:00 PM')
+        def tsArg(i: Int): Column = dataTypeOpt(a(i), ctx) match {
+          case Some(StringType) =>
+            graft.functions.TemporalFns.pgTimestampParse(a(i), tz = name == "tstzrange")
+          case _ => a(i)
+        }
+        graft.functions.RangeGeoFns.tsRange(tsArg(0), tsArg(1),
           if (args.length == 3) litString(args(2)) else "[)")
       case "daterange" =>
-        graft.functions.RangeGeoFns.dateRange(a(0), a(1),
+        def dArg(i: Int): Column = dataTypeOpt(a(i), ctx) match {
+          case Some(StringType) =>
+            graft.functions.TemporalFns.pgTimestampParse(a(i), tz = false).cast("date")
+          case _ => a(i)
+        }
+        graft.functions.RangeGeoFns.dateRange(dArg(0), dArg(1),
           if (args.length == 3) litString(args(2)) else "[)")
       case "intmultirange" | "int4multirange" | "int8multirange" |
            "nummultirange" | "tsmultirange" | "tstzmultirange" |
@@ -2705,46 +2833,8 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     * regress suite uses. Unparseable strings yield null (PG errors; a
     * total function is the documented dialect choice).
     */
-  private def pgTimestampParse(c: Column, tz: Boolean = true): Column = {
-    val cleaned = regexp_replace(trim(c), "\"", "")
-    // Spark >= 3 bans the EEE day-name pattern: strip a leading day name
-    val noDow = regexp_replace(cleaned, "^(Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*\\s+", "")
-    // tz=true (timestamptz): offsets shift the instant to UTC.
-    // tz=false (plain timestamp): the offset is parsed but DROPPED — the
-    // wall-clock fields are kept verbatim (PG timestamp_in), which is why
-    // the NTZ parser backs it. An explicit offset pattern would still
-    // shift under Spark's NTZ parser, so strip a trailing offset first.
-    // a trailing zone is only a zone AFTER a time-of-day — "2023-06-23"
-    // ends in "-23" (a day, not an offset), so anchor on h:mm being present
-    def stripZone(c: Column): Column =
-      when(c.rlike("\\d{1,2}:\\d{2}"),
-        regexp_replace(c, "(?i)\\s*([+-]\\d{1,2}(:\\d{2})?|Z| GMT| UTC)$", ""))
-        .otherwise(c)
-    val src = if (tz) cleaned else stripZone(cleaned)
-    val noDowSrc = if (tz) noDow else stripZone(noDow)
-    // no try_to_timestamp_ntz in Spark: parse offset-stripped input with
-    // the instant parser (session zone UTC -> wall preserved), cast NTZ
-    def parse(x: Column, fmt: Option[Column]): Column = {
-      val t = fmt.map(f => try_to_timestamp(x, f)).getOrElse(try_to_timestamp(x))
-      if (tz) t else t.cast("timestamp_ntz")
-    }
-    coalesce(
-      when(lower(cleaned) === "infinity",
-        parse(lit("9999-12-31 23:59:59.999999"), None)),
-      when(lower(cleaned) === "-infinity",
-        parse(lit("0001-01-01 00:00:00"), None)),
-      parse(src, None),
-      parse(src, Some(lit("M/d/yyyy H:m:s.SSXXX"))),
-      parse(src, Some(lit("M/d/yyyy H:m:s.SSX"))),
-      parse(src, Some(lit("M/d/yyyy H:m:s.SS"))),
-      parse(src, Some(lit("M/d/yyyy H:m:sX"))),
-      parse(src, Some(lit("M/d/yyyy H:m:s"))),
-      parse(src, Some(lit("M/d/yyyy"))),
-      parse(noDowSrc, Some(lit("MMM d H:m:s.SS yyyy"))),
-      parse(noDowSrc, Some(lit("MMM d H:m:s yyyyX"))),
-      parse(noDowSrc, Some(lit("MMM d H:m:s yyyy"))),
-      parse(noDowSrc, Some(lit("MMM d yyyy"))))
-  }
+  private def pgTimestampParse(c: Column, tz: Boolean = true): Column =
+    graft.functions.TemporalFns.pgTimestampParse(c, tz)
 
   private def isTemporalType(dt: DataType): Boolean = dt match {
     case TimestampType | TimestampNTZType | DateType => true
@@ -2768,6 +2858,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   /** The timetz struct(us, off) pair from TemporalFns. */
   private def isTimetzStruct(dt: DataType): Boolean = dt match {
     case st: StructType => st.fieldNames.sameElements(Array("us", "off"))
+    case _ => false
+  }
+
+  /** The inet struct(family, hi, lo, masklen) from NetworkFns. */
+  private def isInetStruct(dt: DataType): Boolean = dt match {
+    case st: StructType =>
+      st.fieldNames.sameElements(Array("family", "hi", "lo", "masklen"))
     case _ => false
   }
 

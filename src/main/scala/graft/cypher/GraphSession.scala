@@ -81,8 +81,34 @@ final class GraphSession(val spark: SparkSession) {
     */
   private lazy val sqlSurface = new SqlSurface(spark)
 
+  /** Index/constraint catalog functions (postgraph.sql.in:161-167;
+    * label_commands.c). A non-unique property index is metadata-only here —
+    * the engine's access path is typed-column pushdown (SCALE.md), so the
+    * btree/GIN structures the reference builds have no Spark analog; the
+    * UNIQUE variants register write-time enforcement.
+    */
+  private val CatalogFnRx =
+    ("(?is)^\\s*SELECT\\s+(create_unique_properties_constraint|create_property_index)" +
+      "\\s*\\(\\s*'([^']+)'\\s*,\\s*'([^']+)'\\s*(?:,\\s*'([^']+)'\\s*)?" +
+      "(?:,\\s*(true|false)\\s*)?\\)\\s*;?\\s*$").r
+
   /** Run a Cypher query (reads and/or writes) against the current graph. */
   def run(query: String, params: Map[String, GValue] = Map.empty): DataFrame = {
+    query match {
+      case CatalogFnRx(fn, g, label, prop, uniq) =>
+        useGraph(g)
+        fn.toLowerCase match {
+          case "create_unique_properties_constraint" =>
+            graph.addUniquePropertiesConstraint(label)
+          case _ =>
+            if (prop != null && "true".equalsIgnoreCase(Option(uniq).getOrElse("")))
+              graph.addUniqueConstraint(label, prop)
+        }
+        return spark.emptyDataFrame
+      case _ => ()
+    }
+    if (HybridTvfRx.findFirstIn(query).isDefined)
+      return runHybridSql(query)
     if (sqlSurface.accepts(query.trim.stripSuffix(";")))
       return sqlSurface.run(query)
     query match {
@@ -100,6 +126,87 @@ final class GraphSession(val spark: SparkSession) {
       case SingleQuery(clauses) => runClauses(clauses, params)
       case q: SetOp => new Compiler(graph.snapshot, params).compileQuery(q)
     }
+  }
+
+  /** `cypher('g', $$…$$) AS alias(col type, …)` occurrences inside a SQL
+    * statement. The dollar-quoted body is non-greedy; the column definition
+    * list is mandatory (the reference's SETOF-record TVF requires it too).
+    */
+  private val HybridTvfRx =
+    "(?is)\\bcypher\\s*\\(\\s*'([^']+)'\\s*,\\s*\\$\\$(.*?)\\$\\$\\s*(?:,\\s*('[^']*'|\\$\\d+)\\s*)?\\)\\s+as\\s+([A-Za-z_]\\w*)?\\s*\\(([^)]*)\\)".r
+
+  private var hybridViewSeq = 0
+
+  /** The reference's hybrid SQL surface over the cypher() TVF (SURVEY §3.2;
+    * old/regress/expr.sql:563, temporal.sql:600-660, index.sql): an
+    * arbitrary outer SELECT — projection expressions, WHERE, aggregates,
+    * comma'd scalar functions in FROM — over one or more `cypher('g',
+    * $$…$$) AS a(cols)` calls. Each TVF call compiles through the Cypher
+    * pipeline and lands in a session temp view named per its AS clause;
+    * the rewritten statement then runs through Spark SQL, so Catalyst
+    * plans the outer query over the graph scan like any other relation.
+    */
+  private def runHybridSql(q0: String): DataFrame = {
+    var q = q0.trim.stripSuffix(";")
+    val saved = current
+    try {
+      q = HybridTvfRx.replaceAllIn(q, m => {
+        val g = m.group(1); val inner = m.group(2).trim
+        val alias = Option(m.group(4))
+        val cols = m.group(5).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.split("\\s+")(0))
+        if (!graphs.contains(g)) createGraph(g) else useGraph(g)
+        // optional third TVF argument: a jsonish parameter map literal
+        val tvfParams: Map[String, GValue] = Option(m.group(3)) match {
+          case Some(p) if p.startsWith("'") =>
+            GValue.parseRender(p.stripPrefix("'").stripSuffix("'")) match {
+              case GMap(entries) => entries.toMap
+              case _ => Map.empty
+            }
+          case _ => Map.empty
+        }
+        val df0 = run(inner, params = tvfParams)
+        // positional rename to the AS-clause column names (PG record TVF
+        // semantics); a count mismatch surfaces downstream as the analysis
+        // error PG also raises
+        val df = if (cols.length == df0.columns.length) df0.toDF(cols.toSeq: _*) else df0
+        hybridViewSeq += 1
+        val view = s"__ctvf$hybridViewSeq"
+        df.createOrReplaceTempView(view)
+        java.util.regex.Matcher.quoteReplacement(
+          view + alias.map(a => s" AS $a").getOrElse(""))
+      })
+    } finally current = saved
+    sqlSurface.run(rewriteHybridPgisms(q))
+  }
+
+  /** Outer-SQL PG-isms around a rewritten TVF that Spark SQL lacks. */
+  private def rewriteHybridPgisms(q0: String): String = {
+    var q = q0
+    // gtype is our value surface already — the cast is a no-op outside
+    // the gtype literal parser
+    q = q.replaceAll("(?i)::gtype", "")
+    // precision arguments on niladic datetime fns; CURRENT_TIME family
+    q = q.replaceAll("(?i)\\bCURRENT_TIMESTAMP\\s*\\(\\s*\\d+\\s*\\)", "now()")
+    q = q.replaceAll("(?i)\\bLOCALTIMESTAMP\\s*(\\(\\s*\\d+\\s*\\))?", "localtimestamp")
+    q = q.replaceAll("(?i)\\b(CURRENT_TIME|LOCALTIME)\\s*(\\(\\s*\\d+\\s*\\))?\\b(?!STAMP)",
+      "(unix_micros(now()) - unix_micros(date_trunc('DAY', now())))")
+    q = q.replaceAll("(?i)\\b(transaction_timestamp|statement_timestamp|clock_timestamp)\\s*\\(\\s*\\)", "now()")
+    q = q.replaceAll("(?i)\\btimeofday\\s*\\(\\s*\\)", "cast(now() as string)")
+    // PG 1-based subscripts and array_length over the view's array columns
+    q = q.replaceAll("(?i)\\barray_length\\s*\\(\\s*(\\w+)\\s*,\\s*1\\s*\\)", "size($1)")
+    q = "(?<![\\w'])([A-Za-z_]\\w*)\\[([^\\]\\[]+)\\]".r.replaceAllIn(q, m =>
+      if (m.group(1).equalsIgnoreCase("array")) m.matched
+      else java.util.regex.Matcher.quoteReplacement(
+        s"element_at(${m.group(1)}, ${m.group(2)})"))
+    // scalar function calls comma'd onto the TVF in FROM become a one-row
+    // lateral relation named after the function (PG function-in-FROM):
+    // `FROM cypher(…) AS (r gtype), tan(3.1415)` — anchored on the
+    // substituted view so projection/ORDER BY commas never capture
+    q = "(?i)(FROM\\s+__ctvf\\d+(?:\\s+AS\\s+\\w+)?)\\s*,\\s*([A-Za-z_]\\w*)\\s*\\(([^()]*)\\)".r
+      .replaceAllIn(q, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} CROSS JOIN (SELECT ${m.group(2)}(${m.group(3)}) AS ${m.group(2)}) "))
+    q
   }
 
   private def runClauses(clauses0: List[Clause], params: Map[String, GValue]): DataFrame = {
@@ -805,6 +912,33 @@ final class MutableGraph(spark: SparkSession) {
     uniqueConstraints += ((label, Compiler.PropNames.esc(prop)))
   }
 
+  private val wholePropsUnique = mutable.Set.empty[String]
+
+  /** Whole-properties uniqueness (create_unique_properties_constraint,
+    * postgraph.sql.in:161): no two vertices of the label may carry an
+    * identical property map.
+    */
+  def addUniquePropertiesConstraint(label: String): Unit =
+    wholePropsUnique += label
+
+  private def checkWholeUnique(label: String, props: Map[String, GValue]): Unit =
+    if (wholePropsUnique.contains(label))
+      vertexLabels.get(label).foreach { df =>
+        val propCols = df.columns.filterNot(Set("id"))
+        // identical map ⇔ every stored column matches the incoming value
+        // (null where the key is absent) — one filtered limit-1 probe
+        val pred = propCols.map { c =>
+          props.get(c) match {
+            case Some(v) if v != GNull => col(c) <=> gLit(v)
+            case _ => col(c).isNull
+          }
+        }.foldLeft(lit(true))(_ && _)
+        val extraKeys = props.keySet.diff(propCols.toSet).nonEmpty
+        if (!extraKeys && df.filter(pred).limit(1).count() > 0)
+          throw new IllegalStateException(
+            s"unique properties constraint violation on $label")
+      }
+
   private def checkUnique(label: String, props: Map[String, GValue]): Unit =
     uniqueConstraints.filter(_._1 == label).foreach { case (_, prop) =>
       props.get(prop).filter(_ != GNull).foreach { v =>
@@ -819,6 +953,7 @@ final class MutableGraph(spark: SparkSession) {
   def createVertex(label: String, props0: Map[String, GValue]): Long = {
     val props = props0.map { case (k, v) => Compiler.PropNames.esc(k) -> v }
     checkUnique(label, props)
+    checkWholeUnique(label, props)
     val lid = labelId(label)
     val entry = nextEntry.getOrElse(label, 0L) + 1
     nextEntry(label) = entry

@@ -22,6 +22,17 @@ object Parser {
   final case class TFloat(v: Double) extends Tok
   final case class TStr(s: String) extends Tok
   final case class TSym(s: String) extends Tok
+  /** Bare IPv4/CIDR literal (ag_scanner.l inet rule): `192.168.1.5`,
+    * `192.168.1/24` — at least three octet groups so arithmetic like
+    * `1.5/2` never captures.
+    */
+  final case class TInet(s: String) extends Tok
+  private val InetLitRx = "(?:\\d{1,3}\\.){2,3}\\d{1,3}(?:/\\d{1,2})?".r
+
+  /** SQL niladic datetime pseudo-function names (PG gram.y). */
+  private val NiladicTemporal = Set(
+    "CURRENT_TIMESTAMP", "CURRENT_DATE", "CURRENT_TIME",
+    "LOCALTIME", "LOCALTIMESTAMP")
   case object TEnd extends Tok
 
   private val keywords = Set(
@@ -54,7 +65,8 @@ object Parser {
     case "timetz"                   => "totimetz"
     case "interval"                 => "tointerval"
     case "inet" | "cidr"            => "toinet"
-    case "macaddr" | "macaddr8"     => "tomacaddr"
+    case "macaddr"                  => "tomacaddr"
+    case "macaddr8"                 => "tomacaddr8"
     case "vector"                   => "tovector"
     case "tsvector"                 => "totsvector"
     case "tsquery"                  => "totsquery"
@@ -81,7 +93,17 @@ object Parser {
         // that overflow int8 become floats (scan.out:135 1.8e19)
         def isHexDigit(ch: Char) = ch.isDigit ||
           (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')
-        if (c == '0' && (peek(1) == 'x' || peek(1) == 'X') && isHexDigit(peek(2))) {
+        // bare inet/cidr literal (reference scanner's inet rule;
+        // old/regress/network.sql `RETURN 192.168.1.5`, `192.168.1/24`):
+        // ≥3 dot-separated octet groups with an optional /mask — two-group
+        // forms stay arithmetic (`1.5/2` is division)
+        val inetM = InetLitRx.findPrefixOf(q.substring(i))
+        if (c.isDigit && inetM.isDefined) {
+          val s = inetM.get
+          out += TInet(s)
+          i += s.length
+        }
+        else if (c == '0' && (peek(1) == 'x' || peek(1) == 'X') && isHexDigit(peek(2))) {
           i += 2
           val hs = i
           while (i < n && isHexDigit(q.charAt(i))) i += 1
@@ -161,11 +183,12 @@ object Parser {
         // ~~*, !~, !~*, !~~, !~~*) — reference gtype_string.c:163-227
         if (four == "!~~*") { out += TSym(four); i += 4 }
         else if (Set("<->", "<#>", "<=>", "!~~", "~~*", "!~*", "->>",
-            "@-@", "?-|", "?||", "<<|", "|>>", "!@=").contains(three)) {
+            "@-@", "?-|", "?||", "<<|", "|>>", "!@=", "&<|", "|&>",
+            "<<=", ">>=").contains(three)) {
           out += TSym(three); i += 3
         }
         else if (Set("<=", ">=", "<>", "=~", "->", "<-", "..", "::",
-            "~~", "~*", "!~", "||", "!!",
+            "~~", "~*", "!~", "||", "!!", "~=",
             "##", "?#", "?|", "?-", "?&", "@@", "@>", "<@", "<<", ">>", "&<", "&>",
             "&&", "@=").contains(two)) {
           out += TSym(two); i += 2
@@ -182,6 +205,9 @@ object Parser {
 
   final class P(toks: Vector[Tok]) {
     var pos = 0
+    /** >0 while parsing a list-comprehension WHERE, where `|` is the
+      * projection separator rather than the inet OR operator. */
+    private var pipeDepth = 0
     def cur: Tok = toks(pos)
     def advance(): Tok = { val t = cur; pos += 1; t }
     def isKw(t: Tok, kw: String): Boolean = t match { case TKw(`kw`, _) => true; case _ => false }
@@ -660,12 +686,17 @@ object Parser {
           // infix geometric + range operators (gtype_geometric.c /
           // gtype_range.c operator sets; && is range/box overlap)
           case TSym(op @ ("#" | "##" | "?#" | "?-|" | "?||" | "@>" | "<@" |
-              "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>" | "&&")) =>
+              "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>" | "&&" |
+              "<<=" | ">>=" | "~=" | "&<|" | "|&>")) =>
             pos += 1; l = Bin(op, l, parseAdditive())
           // tsvector/tsquery concat-or (gtype_tsquery_or catalog `||`) and
           // bitwise/tsquery AND (gtype_bitwise_and catalog `&`)
           case TSym(op @ ("||" | "&")) =>
             pos += 1; l = Bin(op, l, parseAdditive())
+          // inet OR (gtype_bitwise_or catalog `|`) — disabled inside a list
+          // comprehension's WHERE, where `|` separates the projection
+          case TSym("|") if pipeDepth == 0 =>
+            pos += 1; l = Bin("|", l, parseAdditive())
           // key-exists family over properties/objects (?, ?|, ?& —
           // postgraph-vertex.sql.in:243-276, gtype GIN operators)
           case TSym(op @ ("?" | "?|" | "?&")) =>
@@ -736,6 +767,8 @@ object Parser {
       else if (eatSym("@-@")) FnCall("_geo_length", List(parseUnary()), distinct = false)
       // tsquery NOT (catalog `!!`, RIGHTARG-only — tsearch.sql:156)
       else if (eatSym("!!")) FnCall("_tsquery_not", List(parseUnary()), distinct = false)
+      // bitwise/inet NOT (PG `~ inet` / `~ int` — inet.c inet_not)
+      else if (eatSym("~")) FnCall("_bitnot", List(parseUnary()), distinct = false)
       else parsePostfix()
 
     private def parsePostfix(): Expr = {
@@ -825,6 +858,7 @@ object Parser {
       case TInt(v)   => pos += 1; Lit(GInt(v))
       case TFloat(v) => pos += 1; Lit(GFloat(v))
       case TStr(s)   => pos += 1; Lit(GString(s))
+      case TInet(s)  => pos += 1; FnCall("toinet", List(Lit(GString(s))), distinct = false)
       case TKw("TRUE", _)  => pos += 1; Lit(GBool(true))
       case TKw("FALSE", _) => pos += 1; Lit(GBool(false))
       case TKw("NULL", _)  => pos += 1; Lit(GNull)
@@ -864,7 +898,10 @@ object Parser {
             case TIdent(v) if isKw(toks(pos + 1), "IN") =>
               pos += 2
               val src = parseExpr()
-              val where = if (eat("WHERE")) Some(parseExpr()) else None
+              val where = if (eat("WHERE")) {
+                pipeDepth += 1
+                try Some(parseExpr()) finally pipeDepth -= 1
+              } else None
               val proj = if (eatSym("|")) Some(parseExpr()) else None
               expectSym("]")
               ListComp(v, src, where, proj)
@@ -952,6 +989,12 @@ object Parser {
             expectSym(")")
             FnCall(name.toLowerCase, args.toList, distinct)
           }
+        } else if (NiladicTemporal(name.toUpperCase)) {
+          // SQL niladic datetime pseudo-functions (PG gram.y func_expr_common_subexpr;
+          // old/regress/temporal.sql:600-660): CURRENT_TIMESTAMP and family
+          // are bare identifiers that evaluate as zero-arg calls
+          pos += 1
+          FnCall(name.toLowerCase, Nil, distinct = false)
         } else { pos += 1; Var(name) }
       case other => throw ParseException(s"unexpected token $other")
     }

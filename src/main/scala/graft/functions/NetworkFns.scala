@@ -69,8 +69,11 @@ object NetworkFns {
       val m = ml.getOrElse(32)
       require(m >= 0 && m <= 32, s"bad inet masklen: $s0")
       val o = ip.split("\\.")
-      require(o.length == 4, s"bad inet: $s0")
-      val b = o.map { t => val v = t.toInt; require(v >= 0 && v <= 255, s"bad inet octet: $s0"); v.toLong }
+      // PG inet_in accepts shortened network forms ('192.168.1/24') —
+      // missing trailing octets are zero (inet.c network_in)
+      require(o.length >= 1 && o.length <= 4 && o.forall(_.nonEmpty), s"bad inet: $s0")
+      val b = (o ++ Array.fill(4 - o.length)("0"))
+        .map { t => val v = t.toInt; require(v >= 0 && v <= 255, s"bad inet octet: $s0"); v.toLong }
       (4, 0L, (b(0) << 24) | (b(1) << 16) | (b(2) << 8) | b(3), m)
     }
   }
@@ -256,6 +259,44 @@ object NetworkFns {
 
   /** trunc(macaddr) — zero the NIC-specific last 3 bytes (vendor prefix). */
   def macaddrTrunc(m: Column): Column = m - pmod(m, lit(16777216L))
+
+  /** trunc(macaddr8) — zero the last FIVE bytes (PG mac8.c macaddr8_trunc). */
+  def macaddr8Trunc(m: Column): Column = m - pmod(m, lit(1L << 40))
+
+  /** macaddr8 input (PG mac8.c macaddr8_in): 8 hex bytes with any of the
+    * usual separators; a 6-byte EUI-48 input is stored with FF:FE spliced
+    * into the 4th/5th byte positions.
+    */
+  def toMacaddr8(s: Column): Column = {
+    val hexs = regexp_replace(lower(s), "[:.\\-]", "")
+    val six = conv(hexs, 16, 10).cast("long")
+    when(length(hexs) === 12,
+      shiftleft(shiftright(six, 24), 40)
+        .bitwiseOR(lit(0xFFFEL << 24)).bitwiseOR(six.bitwiseAND(lit(0xFFFFFFL))))
+      .otherwise(conv(hexs, 16, 10).cast("long"))
+  }
+
+  /** Render 64-bit long → 'aa:bb:cc:dd:ee:ff:00:11'. */
+  def macaddr8Text(m: Column): Column = {
+    val h = lpad(lower(hex(m)), 16, "0")
+    concat_ws(":", (1 to 15 by 2).map(i => substring(h, i, 2)): _*)
+  }
+
+  /** macaddr8 → macaddr (PG macaddr8tomacaddr: requires FF:FE middle). */
+  def macaddr8ToMacaddr(m: Column): Column =
+    when(shiftright(m, 24).bitwiseAND(lit(0xFFFFL)) === 0xFFFEL,
+      shiftleft(shiftright(m, 40), 24).bitwiseOR(m.bitwiseAND(lit(0xFFFFFFL))))
+      .otherwise(raise_error(concat(lit("macaddr8 data out of range to convert to macaddr: "), m.cast("string"))).cast("long"))
+
+  /** `~ inet` — bitwise NOT within the address family's width (inet.c inet_not). */
+  def inetNot(i: Column): Column = {
+    val fam = family(i)
+    val hi = when(fam === 4, lit(0L)).otherwise(i.getField("hi").bitwiseXOR(lit(-1L)))
+    val lo = when(fam === 4,
+      i.getField("lo").bitwiseXOR(lit(0xFFFFFFFFL)))
+      .otherwise(i.getField("lo").bitwiseXOR(lit(-1L)))
+    struct(fam.as("family"), hi.as("hi"), lo.as("lo"), masklen(i).as("masklen"))
+  }
 
   /** macaddr8_set7bit — set the locally-administered bit (0x02 of octet 1)
     * of an 8-byte EUI-64 address. */

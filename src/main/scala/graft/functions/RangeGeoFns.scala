@@ -155,9 +155,12 @@ object RangeGeoFns {
     val t = trim(s)
     val body = regexp_replace(regexp_replace(t, "^[\\[(]", ""), "[\\])]$", "")
     def cv(x: Column): Column = {
-      val v = trim(regexp_replace(x, "\"", ""))
+      // bounds may be quoted with either quote style inside the range text
+      // ("['1/1/2000 12:00:00 GMT', …]") and use any PG datetime style
+      val v = trim(regexp_replace(x, "[\"']", ""))
       val c = when(v === "", lit(null)).otherwise(v)
-      if (isDate) c.cast("date") else c.cast("timestamp")
+      if (isDate) TemporalFns.pgTimestampParse(c, tz = false).cast("date")
+      else TemporalFns.pgTimestampParse(c, tz = false)
     }
     val parts = split(body, ",")
     val lo = cv(element_at(parts, 1))

@@ -74,6 +74,12 @@ object Registry {
     reg("macaddr_text", 1)(a => NetworkFns.macaddrText(a(0)))
     reg("macaddr_trunc", 1)(a => NetworkFns.macaddrTrunc(a(0)))
     reg("macaddr8_set7bit", 1)(a => NetworkFns.macaddr8Set7bit(a(0)))
+    // PG catalog spellings of the inet/macaddr accessors (inet.c SQL names)
+    reg("family", 1)(a => NetworkFns.family(a(0)))
+    reg("host", 1)(a => NetworkFns.host(a(0)))
+    reg("tocidr", 1)(a => NetworkFns.toInet(a(0)))
+    reg("tomacaddr8", 1)(a => NetworkFns.toMacaddr8(a(0)))
+    reg("macaddr8_text", 1)(a => NetworkFns.macaddr8Text(a(0)))
 
     // temporal extras (gtype_temporal.c)
     reg("justify_hours", 1)(a => TemporalFns.justifyHours(a(0)))

@@ -173,6 +173,60 @@ object TemporalFns {
   def timetz(us: Column, off: Column): Column =
     struct(us.cast("long").as("us"), off.cast("int").as("off"))
 
+  /** PG-flexible datetime string parsing (datetime.c DecodeDateTime): ISO,
+    * MDY slash dates (DateStyle=MDY), 12-hour AM/PM clocks, day-name
+    * prefixed render forms, GMT/UTC suffixes, ±infinity.
+    *
+    * tz=true (timestamptz): offsets shift the instant to UTC. tz=false
+    * (plain timestamp): the offset is parsed but DROPPED — wall-clock
+    * fields kept verbatim (PG timestamp_in), carried TIMESTAMP_NTZ. An
+    * explicit offset pattern would still shift under Spark's parser, so a
+    * trailing offset is stripped first; a trailing token is only a zone
+    * AFTER a time-of-day — "2023-06-23" ends in "-23" (a day).
+    */
+  def pgTimestampParse(c: Column, tz: Boolean = true): Column = {
+    val cleaned0 = regexp_replace(trim(c), "\"", "")
+    // named UTC-equivalent zones normalize to an explicit +00 offset so the
+    // pattern-based parses below see a uniform X suffix
+    val cleaned = regexp_replace(cleaned0, "(?i)\\s+(GMT|UTC|Z)$", "+00")
+    // Spark >= 3 bans the EEE day-name pattern: strip a leading day name
+    val noDow = regexp_replace(cleaned, "^(Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*\\s+", "")
+    def stripZone(c: Column): Column =
+      when(c.rlike("\\d{1,2}:\\d{2}"),
+        regexp_replace(c, "(?i)\\s*([+-]\\d{1,2}(:\\d{2})?|Z| GMT| UTC)$", ""))
+        .otherwise(c)
+    val src = if (tz) cleaned else stripZone(cleaned)
+    val noDowSrc = if (tz) noDow else stripZone(noDow)
+    // no try_to_timestamp_ntz in Spark: parse offset-stripped input with
+    // the instant parser (session zone UTC -> wall preserved), cast NTZ
+    def parse(x: Column, fmt: Option[Column]): Column = {
+      val t = fmt.map(f => try_to_timestamp(x, f)).getOrElse(try_to_timestamp(x))
+      if (tz) t else t.cast("timestamp_ntz")
+    }
+    coalesce(
+      when(lower(cleaned0) === "infinity",
+        parse(lit("9999-12-31 23:59:59.999999"), None)),
+      when(lower(cleaned0) === "-infinity",
+        parse(lit("0001-01-01 00:00:00"), None)),
+      parse(src, None),
+      parse(src, Some(lit("M/d/yyyy H:m:s.SSXXX"))),
+      parse(src, Some(lit("M/d/yyyy H:m:s.SSX"))),
+      parse(src, Some(lit("M/d/yyyy H:m:s.SS"))),
+      parse(src, Some(lit("M/d/yyyy H:m:sX"))),
+      parse(src, Some(lit("M/d/yyyy H:m:s"))),
+      // 12-hour clock forms ('1/1/2000 4:00:00 PM [GMT]')
+      parse(src, Some(lit("M/d/yyyy h:m:s.SS aX"))),
+      parse(src, Some(lit("M/d/yyyy h:m:s.SS a"))),
+      parse(src, Some(lit("M/d/yyyy h:m:s aX"))),
+      parse(src, Some(lit("M/d/yyyy h:m:s a"))),
+      parse(src, Some(lit("M/d/yyyy h:m a"))),
+      parse(src, Some(lit("M/d/yyyy"))),
+      parse(noDowSrc, Some(lit("MMM d H:m:s.SS yyyy"))),
+      parse(noDowSrc, Some(lit("MMM d H:m:s yyyyX"))),
+      parse(noDowSrc, Some(lit("MMM d H:m:s yyyy"))),
+      parse(noDowSrc, Some(lit("MMM d yyyy"))))
+  }
+
   /** The sign-normalization step of justify_interval alone. */
   def justifyNorm(h: Column): Column = {
     val m = h.getField("months"); val d = h.getField("days"); val u = h.getField("us")
