@@ -1581,6 +1581,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       }
     // key-exists family (postgraph-vertex.sql.in:243-276 / gtype GIN ops):
     // `m ? 'k'` key present, `m ?| keys` any present, `m ?& keys` all
+    case Bin(op @ ("?" | "?|" | "?&"), l, r)
+        if constG(l).isDefined && constG(r).isDefined &&
+          (constG(l).exists(_._2) || constG(r).exists(_._2)) =>
+      // explicit-gtype constants fold (SQL-surface GIN operator forms)
+      binOp(op, compileExpr(l, ctx), compileExpr(r, ctx), ctx,
+        rRaw = Some(r), lRaw = Some(l))
     case Bin(op @ ("?" | "?|" | "?&"), l, r) =>
       val m = l match {
         case Var(v) if ctx.vars.get(v).exists(_.isEntity) => propertiesMap(v, ctx)
@@ -1813,8 +1819,70 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
   }
 
+  /** Constant gtype value of an expression subtree. The Boolean marks an
+    * EXPLICIT gtype provenance (`::gtype` / gtype_in / container literal) —
+    * PG's unknown-literal coercion only fires against an explicitly typed
+    * operand, and pure-Cypher literal comparisons must keep their column
+    * path untouched.
+    */
+  private def constG(e: Expr): Option[(GValue, Boolean)] = e match {
+    case Lit(v) => Some((v, false))
+    case FnCall("togtype" | "gtype_in", List(x), _) => x match {
+      case Lit(GString(s)) =>
+        scala.util.Try(GValue.parseRender(s)).toOption.map((_, true))
+      case other => constG(other).map { case (v, _) => (v, true) }
+    }
+    case ListLit(items) =>
+      val vs = items.map(constG)
+      if (vs.nonEmpty && vs.forall(_.isDefined))
+        Some((GArray(vs.map(_.get._1).toVector), true))
+      else None
+    case MapLit(entries) =>
+      val vs = entries.map { case (k, x) => constG(x).map(p => k -> p._1) }
+      if (vs.forall(_.isDefined))
+        Some((GMap(scala.collection.immutable.TreeMap(vs.flatten: _*)), true))
+      else None
+    case Un("NEG", x) => constG(x).map { case (v, ex) => (GValue.neg(v), ex) }
+    case _ => None
+  }
+
   private def binOp(op: String, l: Column, r: Column, ctx: Ctx,
       rRaw: Option[Expr] = None, lRaw: Option[Expr] = None): Column = {
+    // SQL-surface gtype comparisons fold at compile time (the reference's
+    // gtype btree operators are a total cross-type order, unlike Cypher's
+    // 3VL column comparisons): fires only when a side is EXPLICITLY gtype,
+    // with PG's unknown-string-literal coercion toward the typed side
+    if (Set("=", "<>", "<", "<=", ">", ">=", "@>", "<@", "?", "?|", "?&")
+        .contains(op)) {
+      (lRaw.flatMap(constG), rRaw.flatMap(constG)) match {
+        case (Some((lv0, lEx)), Some((rv0, rEx))) if lEx || rEx =>
+          def coerce(v: GValue, otherExplicit: Boolean): GValue = v match {
+            case GString(s) if otherExplicit =>
+              scala.util.Try(GValue.parseRender(s)).getOrElse(v)
+            case _ => v
+          }
+          val lv = coerce(lv0, rEx && !lEx)
+          val rv = coerce(rv0, lEx && !rEx)
+          if (lv == GNull || rv == GNull) return lit(null).cast("boolean")
+          def keys(v: GValue): Seq[String] = v match {
+            case GArray(items) => items.collect { case GString(s) => s }
+            case GString(s)    => Seq(s)
+            case _             => Seq.empty
+          }
+          lazy val c = GValue.cmp(lv, rv)
+          return lit(op match {
+            case "="  => c == 0; case "<>" => c != 0
+            case "<"  => c < 0;  case "<=" => c <= 0
+            case ">"  => c > 0;  case ">=" => c >= 0
+            case "@>" => GValue.contains(lv, rv)
+            case "<@" => GValue.contains(rv, lv)
+            case "?"  => keys(rv).headOption.exists(GValue.existsKey(lv, _))
+            case "?|" => keys(rv).exists(GValue.existsKey(lv, _))
+            case "?&" => keys(rv).forall(GValue.existsKey(lv, _))
+          })
+        case _ => ()
+      }
+    }
     // inet operator family first (inet.c / gtype_network.c): subnet
     // containment, overlap, bitwise ops, address arithmetic — these reuse
     // symbols the geometric/tsearch families also claim, so type-dispatch
@@ -2285,6 +2353,122 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "norm" => graft.functions.VectorFns.norm(a(0))
       // extended-type casts (reference gtype_typecasting.c to*() family)
       case "tovector"   => graft.functions.VectorFns.tovector(a(0))
+      // ------------------------------------------------ gtype SQL surface
+      // `::gtype` = gtype_in (gtype.c gtype_in / gtype_typecasting.c): a
+      // string literal parses as a gtype value literal (with ::numeric/
+      // ::int scalar annotations); any other input already IS a gtype —
+      // the engine's value surface — so the cast is identity.
+      case "togtype" => args.head match {
+        // desugar the parsed value back to literal AST so container
+        // compilation reuses the ListLit/MapLit machinery (incl. the
+        // heterogeneous dynamic encoding)
+        case Lit(GString(s)) => sub(gvalueToAst(GValue.parseRender(s)))
+        case _ => a(0)
+      }
+      case "gtype_in" => compileFn("togtype", args, ctx, inAgg)
+      // arithmetic C entry points desugar to the operators they back
+      // (gtype_ops.c catalog pairs)
+      case "gtype_add" | "gtype_sub" | "gtype_mul" | "gtype_div" |
+           "gtype_mod" | "gtype_pow" =>
+        val op = name match {
+          case "gtype_add" => "+"; case "gtype_sub" => "-"
+          case "gtype_mul" => "*"; case "gtype_div" => "/"
+          case "gtype_mod" => "%"; case "gtype_pow" => "^"
+        }
+        val gargs = args.map(e => FnCall("togtype", List(e), distinct = false))
+        sub(Bin(op, gargs(0), gargs(1)))
+      case "gtype_neg" =>
+        sub(Un("NEG", FnCall("togtype", args, distinct = false)))
+      case "gtype_contains" =>
+        sub(Bin("@>", FnCall("togtype", List(args(0)), distinct = false),
+          FnCall("togtype", List(args(1)), distinct = false)))
+      case "gtype_exists" =>
+        sub(Bin("?", FnCall("togtype", List(args(0)), distinct = false),
+          FnCall("togtype", List(args(1)), distinct = false)))
+      case "gtype_exists_any" =>
+        sub(Bin("?|", FnCall("togtype", List(args(0)), distinct = false),
+          FnCall("togtype", List(args(1)), distinct = false)))
+      case "gtype_exists_all" =>
+        sub(Bin("?&", FnCall("togtype", List(args(0)), distinct = false),
+          FnCall("togtype", List(args(1)), distinct = false)))
+      case "gtype_string_match_starts_with" | "gtype_string_match_ends_with" |
+           "gtype_string_match_contains" =>
+        val sop = name match {
+          case "gtype_string_match_starts_with" => "STARTS"
+          case "gtype_string_match_ends_with"   => "ENDS"
+          case _                                => "CONTAINS"
+        }
+        sub(StringOp(sop, FnCall("togtype", List(args(0)), distinct = false),
+          FnCall("togtype", List(args(1)), distinct = false)))
+      case "gtype_to_bool" =>
+        compileFn("toboolean", List(FnCall("togtype", args, distinct = false)), ctx, inAgg)
+      case "bool_to_gtype" | "graphid_to_gtype" | "gtype_to_graphid" => a(0)
+      case "gtype_to_text" =>
+        compileFn("tostring", List(FnCall("togtype", args, distinct = false)), ctx, inAgg)
+      case "gtype_to_int8" | "gtype_to_int4" | "gtype_to_int2" =>
+        compileFn("tointeger", List(FnCall("togtype", args, distinct = false)), ctx, inAgg)
+      case "gtype_to_float8" | "gtype_to_float4" =>
+        compileFn("tofloat", List(FnCall("togtype", args, distinct = false)), ctx, inAgg)
+      case "gtype_to_numeric" =>
+        compileFn("tonumeric", List(FnCall("togtype", args, distinct = false)), ctx, inAgg)
+      case "gtype_to_text_array" | "gtype_to_int8_array" | "gtype_to_int4_array" |
+           "gtype_to_int2_array" | "gtype_to_numeric_array" |
+           "gtype_to_float8_array" | "gtype_to_float4_array" =>
+        // literal-array element casts (gtype_typecasting.c *_array fns)
+        val elemFn = name match {
+          case "gtype_to_text_array" => "tostring"
+          case "gtype_to_numeric_array" => "tonumeric"
+          case n if n.contains("float") => "tofloat"
+          case _ => "tointeger"
+        }
+        constG(args(0)).map(_._1) match {
+          case Some(GArray(items)) =>
+            array(items.map(v => compileFn(elemFn, List(Lit(v)), ctx, inAgg)): _*)
+          case Some(other) => throw new IllegalArgumentException(
+            s"cannot cast gtype ${other.render} to array")
+          case None => throw new UnsupportedOperationException(
+            s"$name needs a gtype literal, got ${args(0)}")
+        }
+      case "gtype_hash_cmp" =>
+        // stable 32-bit hash of the canonical render — deterministic across
+        // the cluster; the reference's internal hash constants are not an
+        // observable API, only hash-equality is (gtype_util.c hash ops)
+        args.head match {
+          case Lit(GString(s)) =>
+            lit(scala.util.hashing.MurmurHash3.stringHash(GValue.parseRender(s).render))
+          case e => constG(e).map(_._1) match {
+            case Some(GNull) => lit(null)
+            case Some(v) => lit(scala.util.hashing.MurmurHash3.stringHash(v.render))
+            case None => hash(sub(args.head))
+          }
+        }
+      case "gtype_btree_cmp" =>
+        def asG(e: Expr): Option[GValue] = e match {
+          case Lit(GString(s)) => Some(GValue.parseRender(s))
+          case other => constG(other).map(_._1)
+        }
+        (asG(args(0)), asG(args(1))) match {
+          case (Some(x), Some(y)) =>
+            lit(Integer.signum(GValue.cmp(x, y)).toLong)
+          case _ => throw new UnsupportedOperationException(
+            "gtype_btree_cmp needs gtype literals")
+        }
+      case "_pg_array_cast" =>
+        // '{e1, e2}'::type[] — split the PG array literal driver-side and
+        // run each element through the type's cast kernel, so temporal
+        // element parsing stays in the shared Column paths
+        val base = litString(args(1))
+        args.head match {
+          case Lit(GString(s)) =>
+            val items = pgArrayElems(s)
+            if (base == "gtype")
+              sub(gvalueToAst(GArray(items.map(GValue.parseRender).toVector)))
+            else
+              array(items.map(e =>
+                compileFn(Parser.castFnFor(base), List(Lit(GString(e))), ctx, inAgg)): _*)
+          case other => throw new UnsupportedOperationException(
+            s"::$base[] needs a string literal, got $other")
+        }
       case "toinet" | "tocidr" => dataTypeOpt(a(0), ctx) match {
         // already an inet struct (e.g. `toinet(x)::inet` re-cast) → identity
         case Some(t) if isInetStruct(t) => a(0)
@@ -2371,7 +2555,10 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "tointerval" => graft.functions.TemporalFns.toInterval(a(0))
       case "totime" => dataTypeOpt(a(0), ctx) match {
         case Some(TimestampType) | Some(TimestampNTZType) => // time part of a timestamp
-          unix_micros(a(0)) - unix_micros(date_trunc("day", a(0)))
+          // NTZ wall-clock reinterprets as UTC instant (session zone is
+          // UTC) — unix_micros/date_trunc only accept TimestampType
+          val t = a(0).cast("timestamp")
+          unix_micros(t) - unix_micros(date_trunc("day", t))
         case Some(t) if isIntervalStruct(t) => // interval's time-of-day part
           pmod(a(0).getField("us"), lit(86400000000L))
         case Some(t) if isTimetzStruct(t) => a(0).getField("us")
@@ -2483,6 +2670,10 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         graft.functions.RangeGeoFns.toMultirange(a(0), numeric = false)
       case "tonummultirange" =>
         graft.functions.RangeGeoFns.toMultirange(a(0), numeric = true)
+      case "totsmultirange" | "totstzmultirange" =>
+        graft.functions.RangeGeoFns.toMultirangeTemporal(a(0), isDate = false)
+      case "todatemultirange" =>
+        graft.functions.RangeGeoFns.toMultirangeTemporal(a(0), isDate = true)
       case "range_merge" | "multirange_isempty" if args.length == 1 =>
         if (name == "multirange_isempty") size(a(0)) === 0
         else { // bounding range of a multirange (PG range_merge)
@@ -2808,6 +2999,19 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           case "timezone" => lit(0.0) // session zone is UTC
           case other => throw new UnsupportedOperationException(
             s"date_part('$other', time)")
+        }
+      case Some(t) if isTimetzStruct(t) => // wall clock + written offset
+        val us = src.getField("us"); val off = src.getField("off")
+        field match {
+          case "hour"   => (us / 3600000000L).cast("long").cast("double")
+          case "minute" => ((us % 3600000000L) / 60000000L).cast("long").cast("double")
+          case "second" => (us % 60000000L).cast("double") / 1e6
+          case "epoch"  => (us.cast("double") - off.cast("double") * 1e6) / 1e6
+          case "timezone" => off.cast("double")
+          case "timezone_hour" => (off / 3600).cast("long").cast("double")
+          case "timezone_minute" => ((off % 3600) / 60).cast("long").cast("double")
+          case other => throw new UnsupportedOperationException(
+            s"date_part('$other', timetz)")
         }
       case _ => field match {
         case "isoyear" => date_part(lit("YEAROFWEEK"), src).cast("double")
@@ -3216,6 +3420,36 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   private def litString(e: Expr): String = e match {
     case Lit(GString(s)) => s
     case other => throw new UnsupportedOperationException(s"needs string literal, got $other")
+  }
+
+  /** A parsed GValue back to literal AST — containers become ListLit/
+    * MapLit so their compilation shares the dynamic-encoding paths.
+    */
+  private def gvalueToAst(v: GValue): Expr = v match {
+    case GArray(items)  => ListLit(items.map(gvalueToAst).toList)
+    case GMap(entries)  => MapLit(entries.toList.map { case (k, x) => k -> gvalueToAst(x) })
+    case other          => Lit(other)
+  }
+
+  /** Top-level elements of a PG array literal '{a, b, "c,d"}' (arrays.c
+    * array_in quoting rules: double quotes protect separators).
+    */
+  private def pgArrayElems(s0: String): List[String] = {
+    val s = s0.trim
+    require(s.startsWith("{") && s.endsWith("}"), s"bad array literal: $s0")
+    val body = s.substring(1, s.length - 1)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false; var depth = 0
+    body.foreach {
+      case '"' => inQ = !inQ
+      case c @ ('{' | '[') if !inQ => depth += 1; cur += c
+      case c @ ('}' | ']') if !inQ => depth -= 1; cur += c
+      case ',' if !inQ && depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty || out.nonEmpty) out += cur.result().trim
+    out.toList
   }
 
   private def litColumn(v: GValue): Column = v match {

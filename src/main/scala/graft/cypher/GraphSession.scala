@@ -109,6 +109,19 @@ final class GraphSession(val spark: SparkSession) {
     }
     if (HybridTvfRx.findFirstIn(query).isDefined)
       return runHybridSql(query)
+    gtypeSelectRewrite(query) match {
+      case Some(cy) =>
+        // table-free scalar SELECT over the gtype surface: evaluate through
+        // the Cypher expression compiler (constant projection — the same
+        // work Catalyst constant folding would do; no data is scanned)
+        val saved = current
+        if (current.isEmpty) {
+          if (!graphs.contains("__scratch")) graphs("__scratch") = new MutableGraph(spark)
+          current = Some("__scratch")
+        }
+        try return run(cy) finally current = saved
+      case None => ()
+    }
     if (sqlSurface.accepts(query.trim.stripSuffix(";")))
       return sqlSurface.run(query)
     query match {
@@ -188,8 +201,12 @@ final class GraphSession(val spark: SparkSession) {
     q = q.replaceAll("(?i)::gtype", "")
     // precision arguments on niladic datetime fns; CURRENT_TIME family
     q = q.replaceAll("(?i)\\bCURRENT_TIMESTAMP\\s*\\(\\s*\\d+\\s*\\)", "now()")
-    q = q.replaceAll("(?i)\\bLOCALTIMESTAMP\\s*(\\(\\s*\\d+\\s*\\))?", "localtimestamp")
-    q = q.replaceAll("(?i)\\b(CURRENT_TIME|LOCALTIME)\\s*(\\(\\s*\\d+\\s*\\))?\\b(?!STAMP)",
+    q = q.replaceAll("(?i)\\bLOCALTIMESTAMP\\b\\s*(\\(\\s*\\d+\\s*\\))?", "localtimestamp()")
+    // CURRENT_TIME compares against the Cypher timetz struct(us, off);
+    // LOCALTIME against the plain micros-of-day long
+    q = q.replaceAll("(?i)\\bCURRENT_TIME(?!STAMP)\\s*(\\(\\s*\\d+\\s*\\))?",
+      "named_struct('us', cast(unix_micros(now()) - unix_micros(date_trunc('DAY', now())) as bigint), 'off', cast(0 as int))")
+    q = q.replaceAll("(?i)\\bLOCALTIME(?!STAMP)\\s*(\\(\\s*\\d+\\s*\\))?",
       "(unix_micros(now()) - unix_micros(date_trunc('DAY', now())))")
     q = q.replaceAll("(?i)\\b(transaction_timestamp|statement_timestamp|clock_timestamp)\\s*\\(\\s*\\)", "now()")
     q = q.replaceAll("(?i)\\btimeofday\\s*\\(\\s*\\)", "cast(now() as string)")
@@ -207,6 +224,35 @@ final class GraphSession(val spark: SparkSession) {
       .replaceAllIn(q, m => java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)} CROSS JOIN (SELECT ${m.group(2)}(${m.group(3)}) AS ${m.group(2)}) "))
     q
+  }
+
+  /** A table-free `SELECT <exprs>` exercising the gtype surface (casts,
+    * gtype_* C entry points, to*() constructors — old/regress gtype.sql,
+    * range.sql, geometric.sql raw-SQL statements) rewrites to a Cypher
+    * `RETURN`, whose expression compiler carries the whole value surface.
+    * Plain SQL (`SELECT 1+1`) stays on the Spark SQL path. Also covers the
+    * PG scalar-function-in-FROM form `SELECT * FROM fn(args)`.
+    */
+  private def gtypeSelectRewrite(q0: String): Option[String] = {
+    val q = q0.trim.stripSuffix(";")
+    if (!"(?is)^\\s*SELECT\\b.*".r.pattern.matcher(q).matches()) return None
+    val noStrings = q.replaceAll("''", "").replaceAll("'[^']*'", "''")
+    val hasFrom = "(?i)\\bFROM\\b".r.findFirstIn(noStrings).isDefined
+    val gtypeish = noStrings.contains("::") ||
+      ("(?i)\\b(gtype_[a-z0-9_]+|bool_to_gtype|to[a-z0-9_]*(range|multirange)|" +
+        "tocidr|toinet|topoint|topath|topolygon|tolseg|toline|tocircle|tobox|" +
+        "tomacaddr8?|tobytea|tovector|totsvector|totsquery)\\s*\\(").r
+        .findFirstIn(noStrings).isDefined
+    if (!hasFrom && gtypeish)
+      Some("RETURN " + q.replaceFirst("(?is)^\\s*SELECT\\s+", ""))
+    else if (hasFrom) {
+      val m = "(?is)^SELECT\\s+\\*\\s+FROM\\s+([A-Za-z_]\\w*)\\s*\\((.*)\\)\\s*$".r
+        .findFirstMatchIn(q)
+      // the argument parens disambiguate from table references — relations
+      // in FROM never carry a call-argument list
+      m.filter(_.group(1).toLowerCase != "cypher")
+        .map(mm => s"RETURN ${mm.group(1)}(${mm.group(2)})")
+    } else None
   }
 
   private def runClauses(clauses0: List[Clause], params: Map[String, GValue]): DataFrame = {

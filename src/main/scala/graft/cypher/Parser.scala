@@ -802,7 +802,13 @@ object Parser {
           // gtype_typecasting.c cast matrix) — routes to the to*() kernels
           pos += 1
           val ty = ident().toLowerCase
-          e = FnCall(Parser.castFnFor(ty), List(e), distinct = false)
+          // PG array-type casts ('{1,2}'::int4[] — expr.sql:470-490):
+          // consume the [] suffix and route through the array-cast kernel
+          if (atSym("[") && toks(pos + 1) == TSym("]")) {
+            pos += 2
+            e = FnCall("_pg_array_cast", List(e, Lit(GString(ty))), distinct = false)
+          } else
+            e = FnCall(Parser.castFnFor(ty), List(e), distinct = false)
         } else if (atSym("->") || atSym("->>")) {
           // gtype/vertex/edge property-or-element access operators
           // (postgraph-vertex.sql.in:160-188, gtype.sql.in) — `->` keyed or

@@ -101,8 +101,8 @@ final class SqlSurface(spark: SparkSession) {
         val res = op match {
           case "="  => GValue.cmp(a, b) == 0
           case "<>" => GValue.cmp(a, b) != 0
-          case "@>" => gContains(a, b)
-          case "<@" => gContains(b, a)
+          case "@>" => GValue.contains(a, b)
+          case "<@" => GValue.contains(b, a)
         }
         spark.range(1).select(lit(res).as("?column?"))
       case _ if q.matches("(?i)^SELECT(\\s+ALL)?$") =>
@@ -126,18 +126,6 @@ final class SqlSurface(spark: SparkSession) {
     case "float" | "float4" | "float8" | "double" | "real" | "numeric" => DoubleType
     case "bool" | "boolean" => BooleanType
     case _ => StringType // text, varchar, char, unknown
-  }
-
-  /** gtype containment (`@>`): maps need every entry (recursively),
-    * arrays need every element, scalars compare equal.
-    */
-  private def gContains(sup: GValue, sub: GValue): Boolean = (sup, sub) match {
-    case (GMap(a), GMap(b)) =>
-      b.forall { case (k, v) => a.get(k).exists(gContains(_, v)) }
-    case (GArray(a), GArray(b)) => b.forall(e => a.exists(gContains(_, e)))
-    case (GArray(a), s) => a.exists(gContains(_, s))
-    case (GNull, GNull) => true
-    case (x, y) => GValue.cmp(x, y) == 0
   }
 
   /** PG-ism → Spark SQL translation (regex-level; each rule is narrow

@@ -150,6 +150,13 @@ object RangeGeoFns {
       t => toRange(t, numeric)))
   }
 
+  /** Temporal multirange input — same part split, temporal bound parse. */
+  def toMultirangeTemporal(s: Column, isDate: Boolean): Column = {
+    val tok = "[\\[(][^\\[()\\]]*[\\])]"
+    normalizeMulti(transform(regexp_extract_all(s, lit(tok), lit(0)),
+      t => toRangeTemporal(t, isDate)))
+  }
+
   /** '[2024-01-01,2024-06-30)' (quotes optional) → ts/tstz/date range. */
   def toRangeTemporal(s: Column, isDate: Boolean): Column = {
     val t = trim(s)

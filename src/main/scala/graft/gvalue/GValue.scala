@@ -339,6 +339,29 @@ object GValue {
     * are always quoted by render; unquoted value tokens resolve as
     * keyword/number, then date/instant, then bare string.
     */
+  /** gtype containment (`@>`, gtype_gin.c semantics): maps need every entry
+    * (recursively), arrays need every element, scalars compare equal; an
+    * array also contains a bare scalar.
+    */
+  def contains(sup: GValue, sub: GValue): Boolean = (sup, sub) match {
+    case (GMap(a), GMap(b)) =>
+      b.forall { case (k, v) => a.get(k).exists(contains(_, v)) }
+    case (GArray(a), GArray(b)) => b.forall(e => a.exists(contains(_, e)))
+    case (GArray(a), s)         => a.exists(contains(_, s))
+    case (GNull, GNull)         => true
+    case (x, y)                 => cmp(x, y) == 0
+  }
+
+  /** `?` key/element existence; `?|`/`?&` any/all of a string list
+    * (gtype GIN operator family).
+    */
+  def existsKey(v: GValue, key: String): Boolean = v match {
+    case GMap(entries)  => entries.contains(key)
+    case GArray(items)  => items.exists { case GString(s) => s == key; case _ => false }
+    case GString(s)     => s == key
+    case _              => false
+  }
+
   def parseRender(s: String): GValue = {
     if (s.isEmpty) return GString("") // render of "" is bare and empty
     var pos = 0
@@ -392,6 +415,22 @@ object GValue {
           GMap(entries)
         case '"' => GString(quoted())
         case _ => bare() match {
+          // gtype_in typecast annotations ('1.6::numeric', '1::int' —
+          // gtype parser's scalar ::type suffix, gtype.sql:90-120)
+          case t if t.contains("::") =>
+            val i = t.indexOf("::")
+            val base = t.substring(0, i).trim
+            val num = scala.util.Try(BigDecimal(base)).getOrElse(
+              throw new IllegalArgumentException(s"bad gtype literal: $t"))
+            t.substring(i + 2).trim.toLowerCase match {
+              case "numeric" | "decimal" => GNumeric(num)
+              case "int" | "integer" | "int2" | "int4" | "int8" | "bigint" |
+                   "smallint" => GInt(num.toLong)
+              case "float" | "float4" | "float8" | "double" | "real" =>
+                GFloat(num.toDouble)
+              case other =>
+                throw new IllegalArgumentException(s"bad gtype cast ::$other")
+            }
           case "null"      => GNull
           case "true"      => GBool(true)
           case "false"     => GBool(false)
