@@ -1500,6 +1500,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             pathMembers(Var(n), ctx, edges = true).as("edges"))
         case _ => col(n)
       }
+    case e @ (Index(_, _) | Prop(_, _)) if constG(e).exists(_._2) =>
+      // constant navigation into literal containers folds to the element
+      // (mixed-type members would otherwise force the dynamic encoding,
+      // whose tagged struct has no field access — expr.sql:300-360)
+      compileExpr(gvalueToAst(constG(e).get._1), ctx)
     case Prop(Var(n), k) if ctx.vars.get(n).exists(_.isEntity) =>
       // a property no row of any matched label carries resolves to NULL
       // (Cypher/reference semantics: absent property ≡ null), not an
@@ -1539,10 +1544,16 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case e @ MapLit(entries) =>
       // mixed-VALUE-type literal objects ride the dynamic encoding (a
       // plain map() cannot hold them); homogeneous maps stay native
-      val mixed = {
+      val mixed = litGValue(e).isDefined && {
         val classes = entries.flatMap(kv => litGValue(kv._2))
           .filter(_ != GNull).map(_.getClass).distinct
-        classes.size > 1 && litGValue(e).isDefined
+        // same GValue class can still compile to different Spark types
+        // (nested maps of unlike shapes — expr.sql's {s:{s:'s'}, t:{...}})
+        classes.size > 1 || {
+          val ts = entries.flatMap(kv => dataTypeOpt(compileExpr(kv._2, ctx), ctx))
+            .filterNot(_ == NullType).distinct
+          ts.size > 1
+        }
       }
       if (mixed) graft.gvalue.GValueCol.gLit(litGValue(e).get)
       else map(entries.flatMap { case (k, v) => Seq(lit(k), compileExpr(v, ctx)) }: _*)
@@ -1634,16 +1645,39 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case "NOT_ILIKE" => !call_function("ilike", lc, rc)
       }
     case CaseExpr(operand, whens, otherwise) =>
-      val branches = operand match {
-        case Some(op) =>
-          val opc = compileExpr(op, ctx)
-          whens.map { case (c, v) => (opc === compileExpr(c, ctx), compileExpr(v, ctx)) }
-        case None =>
-          whens.map { case (c, v) => (compileExpr(c, ctx), compileExpr(v, ctx)) }
+      // a NULL-literal condition needs the boolean type Spark's CASE
+      // demands; operand comparisons go through the dynamic-aware equality
+      // so CASE over heterogeneous property columns works (expr.sql CASE
+      // over n.j)
+      def asCond(c: Column, raw: Expr): Column = raw match {
+        case Lit(GNull) => c.cast("boolean")
+        case _ => c
       }
+      val branches0 = operand match {
+        case Some(op) =>
+          whens.map { case (c, v) =>
+            (asCond(compileExpr(Bin("=", op, c), ctx), Lit(GBool(true))),
+              compileExpr(v, ctx), v) }
+        case None =>
+          whens.map { case (c, v) =>
+            (asCond(compileExpr(c, ctx), c), compileExpr(v, ctx), v) }
+      }
+      val otherC = otherwise.map(o => (compileExpr(o, ctx), o))
+      // mixed-type result branches ride the dynamic encoding (the
+      // reference's CASE yields gtype, so 'b'/1/[0,1,2]/{i:1} coexist)
+      val valTypes = (branches0.map(_._2) ++ otherC.map(_._1).toSeq)
+        .flatMap(dataTypeOpt(_, ctx)).filterNot(_ == NullType).distinct
+      def enc(c: Column, raw: Expr): Column = dataTypeOpt(c, ctx) match {
+        case Some(dt) if valTypes.size > 1 =>
+          graft.gvalue.GValueCol.dynCoerce(c, dt)
+            .orElse(litGValue(raw).map(graft.gvalue.GValueCol.gLit))
+            .getOrElse(c)
+        case _ => c
+      }
+      val branches = branches0.map { case (c, v, raw) => (c, enc(v, raw)) }
       val start = when(branches.head._1, branches.head._2)
       val chained = branches.tail.foldLeft(start)((acc, b) => acc.when(b._1, b._2))
-      otherwise.map(o => chained.otherwise(compileExpr(o, ctx))).getOrElse(chained)
+      otherC.map { case (o, raw) => chained.otherwise(enc(o, raw)) }.getOrElse(chained)
     // indexed path access pre-bound as a single-entity column (see
     // materializeVleElem) — matches before the generic Index compile
     case Index(FnCall("nodes", List(Var(p)), _), LitInt(i))
@@ -1843,6 +1877,41 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         Some((GMap(scala.collection.immutable.TreeMap(vs.flatten: _*)), true))
       else None
     case Un("NEG", x) => constG(x).map { case (v, ex) => (GValue.neg(v), ex) }
+    // scalar cast annotations inside literal containers ({e: 2::numeric})
+    case FnCall("tonumeric" | "tointeger" | "toint" | "tofloat", List(x), _) =>
+      constG(x).flatMap { case (v, ex) =>
+        val num: Option[BigDecimal] = v match {
+          case GInt(i)     => Some(BigDecimal(i))
+          case GFloat(f)   => Some(BigDecimal(f))
+          case GNumeric(n) => Some(n)
+          case GString(s)  => scala.util.Try(BigDecimal(s)).toOption
+          case GNull       => None
+          case _           => None
+        }
+        (v, num) match {
+          case (GNull, _) => Some((GNull, ex))
+          case (_, Some(n)) => e match {
+            case FnCall("tonumeric", _, _) => Some((GNumeric(n), ex))
+            case FnCall("tofloat", _, _)   => Some((GFloat(n.toDouble), ex))
+            case _                         => Some((GInt(n.toLong), ex))
+          }
+          case _ => None
+        }
+      }
+    // constant container navigation ([..][1].key chains — expr.sql:300-360)
+    case Index(inner, idx) =>
+      (constG(inner), constG(idx)) match {
+        case (Some((GArray(items), ex)), Some((GInt(i), _))) =>
+          val n = if (i < 0) items.length + i else i
+          Some((if (n >= 0 && n < items.length) items(n.toInt) else GNull, ex))
+        case (Some((GMap(entries), ex)), Some((GString(k), _))) =>
+          Some((entries.getOrElse(k, GNull), ex))
+        case _ => None
+      }
+    case Prop(inner, k) => constG(inner) match {
+      case Some((GMap(entries), ex)) => Some((entries.getOrElse(k, GNull), ex))
+      case _ => None
+    }
     case _ => None
   }
 
@@ -1930,7 +1999,8 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
 
   private def binOpRest(op: String, l: Column, r: Column, ctx: Ctx,
       rRaw: Option[Expr] = None, lRaw: Option[Expr] = None): Column = (op match {
-    case "=" | "<>" | "<" | "<=" | ">" | ">=" => gAwareCmp(op, l, r, ctx)
+    case "=" | "<>" | "<" | "<=" | ">" | ">=" =>
+      gAwareCmp(op, l, r, ctx, lRaw, rRaw)
     case "@>" | "<@" | "&&" => Some(containOp(op, l, r, ctx))
     case "#" | "##" | "?#" | "?-|" | "?||" |
          "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>" =>
@@ -2195,7 +2265,15 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "abs"   => abs(a(0))
       case "ceil"  => ceil(a(0))
       case "floor" => floor(a(0))
-      case "round" => if (args.length == 2) round(a(0), constInt(args(1)).toInt) else round(a(0))
+      case "round" if args.length == 2 => args(1) match {
+        case Lit(GInt(n))   => round(a(0), n.toInt)
+        case Lit(GFloat(f)) => round(a(0), f.toInt) // PG numeric scale truncates
+        case Lit(GNull)     => lit(null)
+        case _ => // dynamic scale: scale-shift round (Spark round wants a literal)
+          val s = a(1).cast("int")
+          round(a(0) * pow(lit(10.0), s)) / pow(lit(10.0), s)
+      }
+      case "round" => round(a(0))
       case "sign"  => signum(a(0))
       case "sqrt"  => sqrt(a(0))
       case "cbrt"  => cbrt(a(0))
@@ -2206,8 +2284,9 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "asin"  => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
       case "atan2" => atan2(a(0), a(1))
       case "factorial" => factorial(a(0).cast("int"))
-      case "gcd" => graft.functions.MathKernels.gcd(a(0), a(1))
-      case "lcm" => graft.functions.MathKernels.lcm(a(0), a(1))
+      // PG casts string/numeric gcd args to the integral family first
+      case "gcd" => graft.functions.MathKernels.gcd(a(0).cast("long"), a(1).cast("long"))
+      case "lcm" => graft.functions.MathKernels.lcm(a(0).cast("long"), a(1).cast("long"))
       case "pi"    => lit(math.Pi)
       case "e"     => exp(lit(1.0))
       case "degrees" => degrees(a(0))
@@ -2217,12 +2296,28 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "trim"  => trim(a(0))
       case "ltrim" => ltrim(a(0))
       case "rtrim" => rtrim(a(0))
-      case "left"  => substring(a(0), 1, constInt(args(1)).toInt)
-      case "right" => // PG right(): n > len yields the whole string
-        a(0).substr(greatest(length(a(0)) - constInt(args(1)).toInt + 1, lit(1)),
-          lit(constInt(args(1)).toInt))
-      case "replace" => regexp_replace(a(0), regexp_quote(args(1)), litString(args(2)))
-      case "split" => split(a(0), regexp_quote(args(1)))
+      case "left" => // PG left(): negative n drops that many from the END
+        val n = a(1).cast("int")
+        when(n >= 0, a(0).substr(lit(1), n))
+          .otherwise(a(0).substr(lit(1), greatest(length(a(0)) + n, lit(0))))
+      case "right" => // PG right(): n > len whole string; negative drops from FRONT
+        val n = a(1).cast("int")
+        when(n >= 0, a(0).substr(greatest(length(a(0)) - n + 1, lit(1)), length(a(0))))
+          .otherwise(a(0).substr(-n + 1, length(a(0))))
+      case "replace" => (args(1), args(2)) match {
+        // literal search/replacement keeps the codegen'd regex path
+        case (Lit(GString(_)), Lit(GString(_))) =>
+          regexp_replace(a(0), regexp_quote(args(1)), litString(args(2)))
+        case _ =>
+          call_function("replace", a(0).cast("string"), a(1).cast("string"),
+            a(2).cast("string"))
+      }
+      case "split" => args(1) match {
+        case Lit(GString(_)) => split(a(0), regexp_quote(args(1)))
+        case _ => // dynamic delimiter: regex-escape it columnwise
+          split(a(0).cast("string"),
+            regexp_replace(a(1).cast("string"), "([^a-zA-Z0-9])", "\\\\$1"))
+      }
       case "substring" =>
         // cypher substring(s, start[, len]) is 0-based
         if (args.length == 3) a(0).substr(a(1).cast("int") + 1, a(2).cast("int"))
@@ -2238,7 +2333,17 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "tointeger" => a(0).cast("long")
       case "tofloat"   => a(0).cast("double")
       case "toboolean" => a(0).cast("boolean")
-      case "tonumeric" => a(0).cast("decimal(38,18)")
+      case "tonumeric" => args.head match {
+        // PG numeric accepts ±Infinity/NaN spellings (numeric.c, PG14+);
+        // DecimalType cannot hold them, so they ride the double family
+        case Lit(GString(s))
+            if s.trim.toLowerCase.matches("[+-]?(inf|infinity|nan)") =>
+          val t = s.trim.toLowerCase
+          lit(if (t == "nan") Double.NaN
+            else if (t.startsWith("-")) Double.NegativeInfinity
+            else Double.PositiveInfinity)
+        case _ => a(0).cast("decimal(38,18)")
+      }
       // temporal fns (reference gtype_temporal.c, callable from Cypher)
       case "extract" | "date_part" => pgDatePart(litString(args(0)), a(1), ctx)
       case "date_trunc" => dataTypeOpt(a(1), ctx) match {
@@ -2729,8 +2834,39 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "age_properties" => compileFn("properties", args, ctx)
       case "throw_error" => raise_error(a(0).cast("string"))
       case "md5"    => md5(a(0).cast("string"))
+      case "sha224" => sha2(a(0).cast("string"), 224)
       case "sha256" => sha2(a(0).cast("string"), 256)
+      case "sha384" => sha2(a(0).cast("string"), 384)
       case "sha512" => sha2(a(0).cast("string"), 512)
+      case "tobytea" => args.head match {
+        // PG bytea input (varlena.c byteain): \x-prefixed hex, or the
+        // escape format with \OOO octal bytes; rendered back in PG hex
+        // form. Literal-only — bytea columns have no regress surface.
+        case Lit(GString(s0)) =>
+          val s = s0.stripPrefix("\"").stripSuffix("\"")
+          val bytes: Array[Byte] =
+            if (s.startsWith("\\x") || s.startsWith("x"))
+              s.stripPrefix("\\").stripPrefix("x")
+                .grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+            else {
+              val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+              var i = 0
+              while (i < s.length) {
+                if (s.charAt(i) == '\\' && i + 3 < s.length &&
+                    s.substring(i + 1, i + 4).forall(c => c >= '0' && c <= '7')) {
+                  out += Integer.parseInt(s.substring(i + 1, i + 4), 8).toByte
+                  i += 4
+                } else if (s.charAt(i) == '\\' && i + 1 < s.length &&
+                    s.charAt(i + 1) == '\\') {
+                  out += '\\'.toByte; i += 2
+                } else { out += s.charAt(i).toByte; i += 1 }
+              }
+              out.toArray
+            }
+          lit("\\x" + bytes.map("%02x".format(_)).mkString)
+        case other => throw new UnsupportedOperationException(
+          s"tobytea needs a string literal, got $other")
+      }
       // traversal accessors (reference: traversal.c nodes/relationships):
       // the path value is (id, label) element structs — uniform across
       // labels so the array type unifies; full property structs land with
@@ -3320,7 +3456,8 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   /** Equality that handles dynamic (GValueCol) operands: encode the typed
     * side, compare order keys (cross-type 1 = 1.0 like gtype_btree_cmp).
     */
-  private def gAwareCmp(op: String, l: Column, r: Column, ctx: Ctx): Option[Column] = {
+  private def gAwareCmp(op: String, l: Column, r: Column, ctx: Ctx,
+      lRaw: Option[Expr] = None, rRaw: Option[Expr] = None): Option[Column] = {
     import graft.gvalue.GValueCol
     val lt = dataTypeOpt(l, ctx)
     val rt = dataTypeOpt(r, ctx)
@@ -3372,7 +3509,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
     def enc(c: Column, dt: Option[DataType]): Option[Column] = dt match {
       case Some(t) if GValueCol.isGValue(t) => Some(c)
-      case Some(t) => scala.util.Try(GValueCol.encode(c, t)).toOption
+      // dynCoerce also carries typed arrays into the dynamic form, so a
+      // dynamic property column compares against a list literal
+      // (expr.sql CASE n.j WHEN [0,1,2])
+      case Some(t) => GValueCol.dynCoerce(c, t)
+        .orElse(scala.util.Try(GValueCol.encode(c, t)).toOption)
       case None => None
     }
     // gtype family of a native Spark type: cross-FAMILY comparisons order
@@ -3392,9 +3533,17 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         family(a) != 0 && family(b) != 0 && family(a) != family(b)
       case _ => false
     }
+    // a constant container literal against a dynamic column rides the
+    // dynamic object/array literal encoding (CASE n.j WHEN {i:1})
+    def encWithRaw(c: Column, dt: Option[DataType], raw: Option[Expr]): Option[Column] =
+      enc(c, dt).orElse(dt match {
+        case Some(_: MapType) =>
+          raw.flatMap(litGValue).map(GValueCol.gLit)
+        case _ => None
+      })
     val anyG = lt.exists(GValueCol.isGValue) || rt.exists(GValueCol.isGValue)
     if (!anyG && !crossFamily) None
-    else (enc(l, lt), enc(r, rt)) match {
+    else (encWithRaw(l, lt, lRaw), encWithRaw(r, rt, rRaw)) match {
       case (Some(a), Some(b)) => op match {
         case "="  => Some(GValueCol.eqv(a, b))
         case "<>" => Some(!GValueCol.eqv(a, b))

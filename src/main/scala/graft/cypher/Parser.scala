@@ -149,10 +149,17 @@ object Parser {
             else done = true
           } else if (q.charAt(i) == '\\' && i + 1 < n) {
             i += 1
-            sb += (q.charAt(i) match {
-              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-              case other => other
-            })
+            // recognized escapes decode; anything else keeps its backslash
+            // (PG strings don't process \x/\OOO — bytea_in sees them raw)
+            q.charAt(i) match {
+              case 'n'  => sb += '\n'
+              case 't'  => sb += '\t'
+              case 'r'  => sb += '\r'
+              case '\\' => sb += '\\'
+              case '\'' => sb += '\''
+              case '"'  => sb += '"'
+              case other => sb += '\\'; sb += other
+            }
             i += 1
           } else { sb += q.charAt(i); i += 1 }
         }
