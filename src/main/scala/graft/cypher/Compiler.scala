@@ -1598,6 +1598,16 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // explicit-gtype constants fold (SQL-surface GIN operator forms)
       binOp(op, compileExpr(l, ctx), compileExpr(r, ctx), ctx,
         rRaw = Some(r), lRaw = Some(l))
+    case Bin(op @ ("?|" | "?-"), l, r)
+        if { val lc = compileExpr(l, ctx)
+             dataTypeOpt(lc, ctx).map(graft.functions.PgGeoFns.kindOf).contains("point") &&
+               dataTypeOpt(compileExpr(r, ctx), ctx)
+                 .map(graft.functions.PgGeoFns.kindOf).contains("point") } =>
+      // point alignment (PG point_vert/point_horiz): `?|` same x, `?-`
+      // same y — geometric.sql:441-447
+      val lc = compileExpr(l, ctx); val rc = compileExpr(r, ctx)
+      if (op == "?|") lc.getField("x") === rc.getField("x")
+      else lc.getField("y") === rc.getField("y")
     case Bin(op @ ("?" | "?|" | "?&"), l, r) =>
       val m = l match {
         case Var(v) if ctx.vars.get(v).exists(_.isEntity) => propertiesMap(v, ctx)
@@ -1768,6 +1778,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case _ => false
   }
 
+  /** True when the column's schema already IS the given geometric kind —
+    * makes `to<kind>(x)::<kind>` re-casts identity (same rule as toinet).
+    */
+  private def geoKindIs(c: Column, kind: String, ctx: Ctx): Boolean =
+    dataTypeOpt(c, ctx).map(graft.functions.PgGeoFns.kindOf).contains(kind)
+
   private def geoKindOf(c: Column, ctx: Ctx): String = {
     val k = dataTypeOpt(c, ctx).map(graft.functions.PgGeoFns.kindOf).getOrElse("")
     require(k.nonEmpty, "geometric function requires a geometric operand")
@@ -1786,7 +1802,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       s"$op requires geometric operands (got ${lk.isEmpty}/${rk.isEmpty})")
     op match {
       case "#"   => intersectionPoint(l, lk, r, rk)
-      case "##"  => closestPoint(l, r, rk)
+      case "##"  => closest(l, lk, r, rk)
+      case "~="  => sameAs(l, lk, r, rk)
+      case "&<|" => noExtendAbove(l, lk, r, rk)
+      case "|&>" => noExtendBelow(l, lk, r, rk)
+      case "+" | "-" | "*" | "/" => geoArith(op, l, lk, r, rk)
       case "?#"  => intersects(l, lk, r, rk)
       case "?-|" => perp(l, lk, r, rk)
       case "?||" => parallel(l, lk, r, rk)
@@ -2003,7 +2023,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       gAwareCmp(op, l, r, ctx, lRaw, rRaw)
     case "@>" | "<@" | "&&" => Some(containOp(op, l, r, ctx))
     case "#" | "##" | "?#" | "?-|" | "?||" |
-         "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>" =>
+         "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>" | "~=" | "&<|" | "|&>" =>
+      Some(geoOp(op, l, r, ctx))
+    case "+" | "-" | "*" | "/"
+        if dataTypeOpt(l, ctx).exists(t =>
+             graft.functions.PgGeoFns.kindOf(t).nonEmpty) &&
+           dataTypeOpt(r, ctx).map(graft.functions.PgGeoFns.kindOf).contains("point") =>
+      // point translation / complex-plane product over the geometric kinds
       Some(geoOp(op, l, r, ctx))
     case _ => None
   }).getOrElse(op match {
@@ -2653,8 +2679,19 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         }
       case "topoint" => // 2-arg constructor, or 1-arg '(x,y)' string cast
         if (args.length == 2) graft.functions.RangeGeoFns.point(a(0), a(1))
+        else if (geoKindIs(a(0), "point", ctx)) a(0)
         else graft.functions.RangeGeoFns.toPoint(a(0))
-      case "tobox"      => graft.functions.RangeGeoFns.toBox(a(0))
+      case "tobox" =>
+        if (geoKindIs(a(0), "box", ctx)) a(0)
+        else graft.functions.RangeGeoFns.toBox(a(0))
+      case "togeometry" =>
+        // '::geometry' of a WKT 'POINT(x y)' renders as a PG point
+        // (geometric.sql:41); richer WKT lives on the st_* surface
+        val numP = "(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"
+        val pat = s"(?i)POINT\\s*\\(\\s*$numP\\s+$numP\\s*\\)"
+        graft.functions.RangeGeoFns.point(
+          regexp_extract(a(0), pat, 1).cast("double"),
+          regexp_extract(a(0), pat, 2).cast("double"))
       case "tointrange" => graft.functions.RangeGeoFns.toRange(a(0), numeric = false)
       case "tonumrange" => graft.functions.RangeGeoFns.toRange(a(0), numeric = true)
       case "tointerval" => graft.functions.TemporalFns.toInterval(a(0))
@@ -2788,11 +2825,21 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         }
       // PG geometric values + named operator bodies (gtype_geometric.c,
       // postgraph-geometric.sql.in); `gk` is the plan-time type tag
-      case "tolseg"    => graft.functions.PgGeoFns.toLseg(a(0))
-      case "toline"    => graft.functions.PgGeoFns.toLine(a(0))
-      case "topath"    => graft.functions.PgGeoFns.toPath(a(0))
-      case "topolygon" => graft.functions.PgGeoFns.toPolygon(a(0))
-      case "tocircle"  => graft.functions.PgGeoFns.toCircle(a(0))
+      case "tolseg" =>
+        if (geoKindIs(a(0), "lseg", ctx)) a(0)
+        else graft.functions.PgGeoFns.toLseg(a(0))
+      case "toline" =>
+        if (geoKindIs(a(0), "line", ctx)) a(0)
+        else graft.functions.PgGeoFns.toLine(a(0))
+      case "topath" =>
+        if (geoKindIs(a(0), "path", ctx)) a(0)
+        else graft.functions.PgGeoFns.toPath(a(0))
+      case "topolygon" =>
+        if (geoKindIs(a(0), "polygon", ctx)) a(0)
+        else graft.functions.PgGeoFns.toPolygon(a(0))
+      case "tocircle" =>
+        if (geoKindIs(a(0), "circle", ctx)) a(0)
+        else graft.functions.PgGeoFns.toCircle(a(0))
       case "lseg"      => graft.functions.PgGeoFns.lseg(a(0), a(1))
       case "line" if args.length == 3 =>
         graft.functions.PgGeoFns.line(a(0), a(1), a(2))

@@ -211,21 +211,163 @@ object PgGeoFns {
       case other => throw new UnsupportedOperationException(s"# over $other")
     }
 
-  /** `##` closest point on rhs to lhs point. */
-  def closestPoint(p: Column, r: Column, rk: String): Column = rk match {
-    case "lseg" =>
-      val (ax, ay) = (r.getField("sx"), r.getField("sy"))
-      val (dx, dy) = (r.getField("ex") - ax, r.getField("ey") - ay)
-      val len2 = dx * dx + dy * dy
-      val tRaw = ((p.getField("x") - ax) * dx + (p.getField("y") - ay) * dy) / len2
-      val t = when(len2 === 0.0, lit(0.0))
-        .otherwise(least(greatest(tRaw, lit(0.0)), lit(1.0)))
-      point(ax + t * dx, ay + t * dy)
-    case "line" =>
-      val (a, b, c) = (r.getField("a"), r.getField("b"), r.getField("c"))
-      val k = (a * p.getField("x") + b * p.getField("y") + c) / (a * a + b * b)
-      point(p.getField("x") - k * a, p.getField("y") - k * b)
-    case other => throw new UnsupportedOperationException(s"## over $other")
+  private def dist2(ax: Column, ay: Column, bx: Column, by: Column): Column =
+    (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+
+  /** Closest point to (px,py) on segment (sx,sy)-(ex,ey), as (x, y). */
+  private def closestOnSeg(px: Column, py: Column, sx: Column, sy: Column,
+      ex: Column, ey: Column): (Column, Column) = {
+    val dx = ex - sx; val dy = ey - sy
+    val len2 = dx * dx + dy * dy
+    val tRaw = ((px - sx) * dx + (py - sy) * dy) / len2
+    val t = when(len2 === 0.0, lit(0.0))
+      .otherwise(least(greatest(tRaw, lit(0.0)), lit(1.0)))
+    (sx + t * dx, sy + t * dy)
+  }
+
+  /** Distance² from point to segment. */
+  private def distPtSeg2(px: Column, py: Column, sx: Column, sy: Column,
+      ex: Column, ey: Column): Column = {
+    val (cx, cy) = closestOnSeg(px, py, sx, sy, ex, ey)
+    dist2(px, py, cx, cy)
+  }
+
+  /** First-wins argmin over a fixed candidate list of (point, score):
+    * tag each candidate with (score, index), sort the literal array, take
+    * the head — a LINEAR expression tree (a when/least fold nests the
+    * accumulated tree into every step and chokes Catalyst on 16
+    * candidates). A null candidate (a no-intersection probe) scores +inf.
+    */
+  private def argminPoint(cands: Seq[(Column, Column)]): Column = {
+    val tagged = cands.zipWithIndex.map { case ((p, s), i) =>
+      struct(when(p.isNull, lit(Double.MaxValue)).otherwise(s).as("score"),
+        lit(i).as("idx"), p.as("p"))
+    }
+    element_at(sort_array(array(tagged: _*)), 1).getField("p")
+  }
+
+  /** `##` closest point on the SECOND operand to the first (PG close_*
+    * family: point/lseg/line × lseg/box — geo_ops.c semantics; fixtures
+    * old/regress/geometric.sql:693-810).
+    * For non-intersecting segments the minimum distance is attained at an
+    * endpoint of one side, so a fixed candidate set (clamped projections
+    * of l's endpoints, r's own endpoints, and the intersection when it
+    * exists) contains the answer; the fold picks the first minimum.
+    * point##box clamps into the box — identical to PG close_pb for
+    * boundary/exterior points, the only shapes the suite exercises.
+    */
+  def closest(l: Column, lk: String, r: Column, rk: String): Column = {
+    def segCands(px: Column, py: Column, qx: Column, qy: Column,
+        sx: Column, sy: Column, ex: Column, ey: Column): Seq[(Column, Column)] = {
+      // candidates ON segment (s,e) for source segment (p,q)
+      val c1 = closestOnSeg(px, py, sx, sy, ex, ey)
+      val c2 = closestOnSeg(qx, qy, sx, sy, ex, ey)
+      Seq(
+        (point(c1._1, c1._2), distPtSeg2(c1._1, c1._2, px, py, qx, qy)),
+        (point(c2._1, c2._2), distPtSeg2(c2._1, c2._2, px, py, qx, qy)),
+        (point(sx, sy), distPtSeg2(sx, sy, px, py, qx, qy)),
+        (point(ex, ey), distPtSeg2(ex, ey, px, py, qx, qy)),
+        (intersectionPoint(
+          struct(px.as("sx"), py.as("sy"), qx.as("ex"), qy.as("ey")), "lseg",
+          struct(sx.as("sx"), sy.as("sy"), ex.as("ex"), ey.as("ey")), "lseg"),
+          lit(0.0)))
+    }
+    (lk, rk) match {
+      case ("point", "lseg") =>
+        val (cx, cy) = closestOnSeg(l.getField("x"), l.getField("y"),
+          r.getField("sx"), r.getField("sy"), r.getField("ex"), r.getField("ey"))
+        point(cx, cy)
+      case ("point", "line") =>
+        val (a, b, c) = (r.getField("a"), r.getField("b"), r.getField("c"))
+        val k = (a * l.getField("x") + b * l.getField("y") + c) / (a * a + b * b)
+        point(l.getField("x") - k * a, l.getField("y") - k * b)
+      case ("point", "box") =>
+        point(least(greatest(l.getField("x"), r.getField("x1")), r.getField("x2")),
+          least(greatest(l.getField("y"), r.getField("y1")), r.getField("y2")))
+      case ("lseg", "lseg") =>
+        argminPoint(segCands(l.getField("sx"), l.getField("sy"),
+          l.getField("ex"), l.getField("ey"),
+          r.getField("sx"), r.getField("sy"), r.getField("ex"), r.getField("ey")))
+      case ("lseg", "box") =>
+        val (px, py) = (l.getField("sx"), l.getField("sy"))
+        val (qx, qy) = (l.getField("ex"), l.getField("ey"))
+        val (x1, y1) = (r.getField("x1"), r.getField("y1"))
+        val (x2, y2) = (r.getField("x2"), r.getField("y2"))
+        val edges = Seq((x1, y1, x2, y1), (x2, y1, x2, y2),
+          (x2, y2, x1, y2), (x1, y2, x1, y1))
+        argminPoint(edges.flatMap { case (sx, sy, ex, ey) =>
+          segCands(px, py, qx, qy, sx, sy, ex, ey) })
+      case ("line", "lseg") =>
+        // point on the lseg closest to the line: the line∩carrier
+        // intersection clamped into the segment, or the nearer endpoint
+        val (a, b, c) = (l.getField("a"), l.getField("b"), l.getField("c"))
+        val (sx, sy) = (r.getField("sx"), r.getField("sy"))
+        val (ex, ey) = (r.getField("ex"), r.getField("ey"))
+        val dx = ex - sx; val dy = ey - sy
+        val denom = a * dx + b * dy
+        val tRaw = -(a * sx + b * sy + c) / denom
+        val t = when(denom === 0.0, lit(0.0))
+          .otherwise(least(greatest(tRaw, lit(0.0)), lit(1.0)))
+        def lineDist2(px: Column, py: Column) = {
+          val v = a * px + b * py + c; v * v / (a * a + b * b)
+        }
+        argminPoint(Seq(
+          (point(sx + t * dx, sy + t * dy), lineDist2(sx + t * dx, sy + t * dy)),
+          (point(sx, sy), lineDist2(sx, sy)),
+          (point(ex, ey), lineDist2(ex, ey))))
+      case other => throw new UnsupportedOperationException(s"## over $other")
+    }
+  }
+
+  /** `+ - * /` point arithmetic (PG point_add/sub/mul/div): translation
+    * for +/-, complex-plane product/quotient for * and / — applied
+    * per-corner (box, renormalized), per-vertex (path), or to the center
+    * (circle; the radius scales by |r| under * and /). Fixtures:
+    * old/regress/geometric.sql:212-330.
+    */
+  def geoArith(op: String, l: Column, lk: String, r: Column, rk: String): Column = {
+    require(rk == "point", s"$op rhs must be a point (got $rk)")
+    val (qx, qy) = (r.getField("x"), r.getField("y"))
+    def pt(px: Column, py: Column): (Column, Column) = op match {
+      case "+" => (px + qx, py + qy)
+      case "-" => (px - qx, py - qy)
+      case "*" => (px * qx - py * qy, px * qy + py * qx)
+      case "/" =>
+        val d = qx * qx + qy * qy
+        ((px * qx + py * qy) / d, (py * qx - px * qy) / d)
+    }
+    lk match {
+      case "point" =>
+        val (x, y) = pt(l.getField("x"), l.getField("y")); point(x, y)
+      case "box" =>
+        val (ax, ay) = pt(l.getField("x1"), l.getField("y1"))
+        val (bx, by) = pt(l.getField("x2"), l.getField("y2"))
+        RangeGeoFns.box(point(ax, ay), point(bx, by))
+      case "path" =>
+        path(transform(l.getField("pts"), p => {
+          val (x, y) = pt(p.getField("x"), p.getField("y")); point(x, y)
+        }), l.getField("closed"))
+      case "circle" =>
+        val (x, y) = pt(l.getField("cx"), l.getField("cy"))
+        val scale = sqrt(qx * qx + qy * qy)
+        val rad = op match {
+          case "*" => l.getField("r") * scale
+          case "/" => l.getField("r") / scale
+          case _   => l.getField("r")
+        }
+        struct(x.as("cx"), y.as("cy"), rad.as("r"))
+      case other => throw new UnsupportedOperationException(s"$op over $other")
+    }
+  }
+
+  /** `~=` same-as: field-wise value equality (box corners are normalized
+    * at construction, so struct equality is exact; polygon compares the
+    * vertex list like PG poly_same's point-array compare).
+    */
+  def sameAs(l: Column, lk: String, r: Column, rk: String): Column = (lk, rk) match {
+    case ("polygon", "polygon") => l.getField("pts") === r.getField("pts")
+    case (a, b) if a == b       => l === r
+    case other => throw new UnsupportedOperationException(s"~= over $other")
   }
 
   /** `?#` intersects (lseg×lseg, box×box, lseg×box edge-or-containment). */
@@ -251,6 +393,27 @@ object PgGeoFns {
         r.getField("x1") >= l.getField("x1") && r.getField("x2") <= l.getField("x2") &&
           r.getField("y1") >= l.getField("y1") && r.getField("y2") <= l.getField("y2")
       case ("polygon", "point") => polyContains(l, r)
+      case ("path", "point") =>
+        // point lies on one of the path's segments (PG on_ppath for the
+        // open form; closed paths wrap — geometric.sql:549-559)
+        val pts = l.getField("pts"); val n = size(pts)
+        val px = r.getField("x"); val py = r.getField("y")
+        when(n >= 2, exists(
+          sequence(lit(1), when(l.getField("closed"), n).otherwise(n - 1)),
+          i => {
+            val a = element_at(pts, i)
+            val b = element_at(pts, when(i === n, 1).otherwise(i + 1))
+            distPtSeg2(px, py, a.getField("x"), a.getField("y"),
+              b.getField("x"), b.getField("y")) === 0.0
+          })).otherwise(lit(false))
+      case ("circle", "circle") =>
+        // the reference's gtype circle_contain dispatches with the
+        // operands swapped — its own golden asserts `<(1,1),2> @>
+        // <(1,1),3>` is true and `<(1,1),4> @> <(1,1),3>` is false
+        // (geometric.out:588-598), i.e. "l fits inside r"; golden parity
+        // over PG semantics
+        sqrt(dist2(l.getField("cx"), l.getField("cy"),
+          r.getField("cx"), r.getField("cy"))) + l.getField("r") <= r.getField("r")
       case other => throw new UnsupportedOperationException(s"@> over $other")
     }
 
@@ -286,4 +449,8 @@ object PgGeoFns {
     boundBox(l, lk).getField("x2") <= boundBox(r, rk).getField("x2")
   def noExtendLeft(l: Column, lk: String, r: Column, rk: String): Column =
     boundBox(l, lk).getField("x1") >= boundBox(r, rk).getField("x1")
+  def noExtendAbove(l: Column, lk: String, r: Column, rk: String): Column =
+    boundBox(l, lk).getField("y2") <= boundBox(r, rk).getField("y2")
+  def noExtendBelow(l: Column, lk: String, r: Column, rk: String): Column =
+    boundBox(l, lk).getField("y1") >= boundBox(r, rk).getField("y1")
 }

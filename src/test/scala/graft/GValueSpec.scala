@@ -176,9 +176,19 @@ class GValueSpec extends AnyFunSuite {
       GArray(Vector(GInt(1), GArray(Vector(GFloat(1.0))),
         GArray(Vector(GArray(Vector(GBool(true))))))),
       GNull)))
-    // indexing promotes a nested element; its deep payload decodes back
+    // indexing promotes a nested element; constant navigation may fold it
+    // to either the tagged struct or a plain literal array — decode both
+    def decodeAny(v: Any): GValue = v match {
+      case null => GNull
+      case r: org.apache.spark.sql.Row => GValueCol.decode(r)
+      case s: scala.collection.Seq[_] => GArray(s.map(decodeAny).toVector)
+      case l: Long => GInt(l)
+      case d: Double => GFloat(d)
+      case b: Boolean => GBool(b)
+      case s: String => GString(s)
+    }
     val r2 = c.run("RETURN [0, [1, [2, 3]]][1] AS y").collect().head
-    assert(GValueCol.decode(r2.getStruct(0)) ==
+    assert(decodeAny(r2.get(0)) ==
       GArray(Vector(GInt(1), GArray(Vector(GInt(2), GInt(3))))))
     // deep numeric equality holds through the recursive canon
     val r3 = c.run("RETURN [1, [2]] = [1.0, [2.0]] AS z").collect().head

@@ -121,7 +121,10 @@ class GoldenSweepSpec extends AnyFunSuite {
   }
   test("golden values: temporal.out") {
     val (bad, threw, softErr, _) = sweep("temporal.out")
-    assert(bad + threw == 0); assert(softErr <= 91)
+    // 94: +3 over the r6 triage — family (d): PG datetime-style inputs
+    // (`12/17/1997`, typed TIMESTAMP '…' literals) now parse where the
+    // reference's cypher grammar errors; we succeed, reference ERRORs
+    assert(bad + threw == 0); assert(softErr <= 94)
   }
   test("golden values: tsearch.out") {
     val (bad, threw, softErr, _) = sweep("tsearch.out")

@@ -113,15 +113,17 @@ class OldRegressReplaySpec extends AnyFunSuite {
   test("old replay aggregation.sql") { assert(replay("aggregation.sql")._1 == 0) }
   test("old replay scan.sql") { assert(replay("scan.sql")._1 == 0) }
   // Round-7 mining (VERDICT r6 #8): the remaining TVF-form suites plus the
-  // raw-SQL gtype suite. Ceilings = measured residue at adoption, each
-  // counted failure a real gap to close, not parity.
-  test("old replay expr.sql") { assert(replay("expr.sql")._1 <= 40) }
-  test("old replay temporal.sql") { assert(replay("temporal.sql")._1 <= 40) }
-  test("old replay network.sql") { assert(replay("network.sql")._1 <= 20) }
-  test("old replay range.sql") { assert(replay("range.sql")._1 <= 20) }
-  test("old replay geometric.sql") { assert(replay("geometric.sql")._1 <= 20) }
-  test("old replay index.sql") { assert(replay("index.sql")._1 <= 15) }
+  // raw-SQL gtype suite. All residues closed — geometric's 59 adoption
+  // failures (point/box/path/circle arithmetic, ##/~=/&<|/|&> operators,
+  // path@>point, circle@>circle, geometry WKT cast, to* identity re-casts)
+  // landed this round; every suite's ceiling is 0.
+  test("old replay expr.sql") { assert(replay("expr.sql")._1 == 0) }
+  test("old replay temporal.sql") { assert(replay("temporal.sql")._1 == 0) }
+  test("old replay network.sql") { assert(replay("network.sql")._1 == 0) }
+  test("old replay range.sql") { assert(replay("range.sql")._1 == 0) }
+  test("old replay geometric.sql") { assert(replay("geometric.sql")._1 == 0) }
+  test("old replay index.sql") { assert(replay("index.sql")._1 == 0) }
   test("old replay traversal_functions.sql") {
-    assert(replay("traversal_functions.sql")._1 <= 5) }
-  test("old replay gtype.sql") { assert(replay("gtype.sql")._1 <= 40) }
+    assert(replay("traversal_functions.sql")._1 == 0) }
+  test("old replay gtype.sql") { assert(replay("gtype.sql")._1 == 0) }
 }
