@@ -2058,7 +2058,10 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             if rangeKindOf(lt).nonEmpty && rangeKindOf(rt).nonEmpty =>
           val la = if (rangeKindOf(lt) == "range") array(l) else l
           val ra = if (rangeKindOf(rt) == "range") array(r) else r
-          graft.functions.RangeGeoFns.multiUnion(la, ra)
+          val u = graft.functions.RangeGeoFns.multiUnion(la, ra)
+          if (lRaw.exists(isConstAst) && rRaw.exists(isConstAst))
+            foldConstCol(u, s"range+|${lRaw.get}|${rRaw.get}")
+          else u
         // temporal arithmetic (gtype_add temporal branches; temporal.sql:513-523)
         case (Some(t), Some(ivt)) if isTemporalType(t) && isIntervalStruct(ivt) =>
           graft.functions.TemporalFns.shiftTemporal(l, r, 1, ntz = t == TimestampNTZType)
@@ -2231,6 +2234,17 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       inAgg: Boolean = false): Column = {
     // in aggregate context, argument subtrees may contain aggregate calls
     // (size(collect(x)), head(collect(x)) …) — compile them as aggregates
+    // constant range/multirange construction folds to a literal tree (the
+    // parse-chain + normalization expressions are huge; see foldConstCol)
+    if (Compiler.rangeCtorFns(name.toLowerCase) && args.forall(isConstAst))
+      return foldConstCol(
+        compileFnBody(name, args, ctx, inAgg),
+        name.toLowerCase + "|" + args.mkString(";"))
+    compileFnBody(name, args, ctx, inAgg)
+  }
+
+  private def compileFnBody(name: String, args: List[Expr], ctx: Ctx,
+      inAgg: Boolean): Column = {
     def sub(e: Expr): Column =
       if (inAgg) compileAggExpr(e, ctx) else compileExpr(e, ctx)
     def a(i: Int): Column = sub(args(i))
@@ -3492,9 +3506,95 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
   }
 
+  /** Range/multirange constructors over literal arguments fold to literal
+    * trees at compile time. The Column-side constructors (PG-flexible
+    * datetime parse chains, sort+merge multirange normalization) build
+    * expression trees of thousands of nodes; left inline they dominate
+    * analysis/optimization wall time (g26: 10 s of driver stall for 301
+    * rows). A constant constructor is evaluated ONCE on a 1-row frame and
+    * re-emitted as nested struct/array literals — the same plan Catalyst's
+    * ConstantFolding would eventually produce, minus the repeated
+    * traversals of the giant unfolded tree.
+    */
+  private def constFoldCache = Compiler.constFoldCache
+
+  private val constFoldableFns: Set[String] = Set(
+    "intrange", "numrange", "tsrange", "tstzrange", "daterange",
+    "intmultirange", "int4multirange", "int8multirange", "nummultirange",
+    "tsmultirange", "tstzmultirange", "datemultirange",
+    "tointrange", "tonumrange", "totsrange", "totstzrange", "todaterange",
+    "tointmultirange", "tonummultirange", "totsmultirange",
+    "totstzmultirange", "todatemultirange",
+    "todate", "totimestamp", "totimestamptz", "tointerval")
+
+  /** Constant-evaluable AST: literals closed under the pure fn whitelist. */
+  private def isConstAst(e: Expr): Boolean = e match {
+    case Lit(_) => true
+    case FnCall(n, as, false) if constFoldableFns(n.toLowerCase) => as.forall(isConstAst)
+    case _ => false
+  }
+
+  /** Value → literal Column of the given type (structs/arrays rebuilt). */
+  private def litOf(v: Any, dt: DataType): Column = (v, dt) match {
+    case (null, _) => lit(null).cast(dt)
+    case (r: org.apache.spark.sql.Row, st: StructType) =>
+      struct(st.fields.zipWithIndex.map { case (f, i) =>
+        litOf(r.get(i), f.dataType).as(f.name) }: _*)
+    case (s: scala.collection.Seq[_], at: ArrayType) =>
+      if (s.isEmpty) lit(Array.empty[Int]).cast(dt)
+      else array(s.toSeq.map(e => litOf(e, at.elementType)).toIndexedSeq: _*)
+    case _ => lit(v)
+  }
+
+  /** Fold `col` (known constant) to its literal form, memoized on `key`.
+    * The one-row eval runs with codegen off: janino-compiling the
+    * unfolded multi-thousand-node constructor costs seconds, interpreted
+    * eval of one row is instant.
+    */
+  private def foldConstCol(col: Column, key: String): Column =
+    constFoldCache.getOrElseUpdate(key, {
+      val ws = spark.conf.getOption("spark.sql.codegen.wholeStage")
+      val fm = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try {
+        val probe = spark.range(1).select(col.as("v"))
+        val dt = probe.schema.head.dataType
+        litOf(probe.head().get(0), dt)
+      } finally {
+        ws.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+          spark.conf.set("spark.sql.codegen.wholeStage", _))
+        fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+          spark.conf.set("spark.sql.codegen.factoryMode", _))
+      }
+    })
+
+  /** Empty same-schema probe frames, one per ctx frame (identity-keyed).
+    * `ctx.df.select(c).schema` re-runs the whole analyzer over the
+    * accumulated plan on EVERY type probe — O(plan) per compileExpr
+    * callsite, which turned heavy-expression queries into multi-second
+    * driver stalls (g26: 10 s of build time). Typing only needs the
+    * frame's output attributes, so resolve against an empty LocalRelation
+    * with the same schema instead; name-based resolution behaves
+    * identically, and the rare plan-bound column (resolved exprId) falls
+    * back to the real frame.
+    */
+  private val typeProbes =
+    new java.util.IdentityHashMap[org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame]()
+
   /** Static Spark type of a compiled column (resolved against the ctx frame). */
   private def dataTypeOf(c: Column, ctx: Ctx): DataType =
-    if (ctx.df == null) NullType else ctx.df.select(c).schema.head.dataType
+    if (ctx.df == null) NullType
+    else {
+      val probe = Option(typeProbes.get(ctx.df)).getOrElse {
+        val p = ctx.df.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), ctx.df.schema)
+        typeProbes.put(ctx.df, p); p
+      }
+      try probe.select(c).schema.head.dataType
+      catch { case scala.util.control.NonFatal(_) =>
+        ctx.df.select(c).schema.head.dataType }
+    }
 
   /** Like dataTypeOf but never throws (lambda-bound columns don't resolve). */
   private def dataTypeOpt(c: Column, ctx: Ctx): Option[DataType] =
@@ -3686,6 +3786,27 @@ object Compiler {
     * by |E|, this bounds the *plan* size (each hop is one join).
     */
   val VleMaxHops = 10
+
+  /** Range/multirange constructors whose Column bodies are large enough
+    * (datetime parse chains, multirange normalization) to warrant
+    * compile-time constant folding when every argument is constant.
+    */
+  val rangeCtorFns: Set[String] = Set(
+    "intrange", "numrange", "tsrange", "tstzrange", "daterange",
+    "intmultirange", "int4multirange", "int8multirange", "nummultirange",
+    "tsmultirange", "tstzmultirange", "datemultirange",
+    "tointrange", "tonumrange", "totsrange", "totstzrange", "todaterange",
+    "tointmultirange", "tonummultirange", "totsmultirange",
+    "totstzmultirange", "todatemultirange")
+
+  /** Folded constant-constructor columns, shared across Compiler
+    * instances (values are deterministic functions of the key; literal
+    * Columns are plan-independent, so cross-session reuse is safe).
+    */
+  private[cypher] val constFoldCache:
+      scala.collection.concurrent.Map[String, org.apache.spark.sql.Column] =
+    scala.jdk.CollectionConverters.ConcurrentMapHasAsScala(
+      new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Column]()).asScala
 
   /** Aggregate function names (reference catalog: SURVEY.md §2.2,
     * sql/postgraph-aggregation.sql.in).
