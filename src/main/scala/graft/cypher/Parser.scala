@@ -189,6 +189,10 @@ object Parser {
         // longest match first: the PG operator family nests (~, ~*, ~~,
         // ~~*, !~, !~*, !~~, !~~*) — reference gtype_string.c:163-227
         if (four == "!~~*") { out += TSym(four); i += 4 }
+        else if (i + 2 < n && q.substring(i, i + 3) == "|=|") {
+          // PostGIS trajectory distance-at-closest-approach operator
+          out += TSym("|=|"); i += 3
+        }
         else if (Set("<->", "<#>", "<=>", "!~~", "~~*", "!~*", "->>",
             "@-@", "?-|", "?||", "<<|", "|>>", "!@=", "&<|", "|&>",
             "<<=", ">>=").contains(three)) {
@@ -694,7 +698,9 @@ object Parser {
           // gtype_range.c operator sets; && is range/box overlap)
           case TSym(op @ ("#" | "##" | "?#" | "?-|" | "?||" | "@>" | "<@" |
               "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>" | "&&" |
-              "<<=" | ">>=" | "~=" | "&<|" | "|&>")) =>
+              "<<=" | ">>=" | "~=" | "&<|" | "|&>" | "@" | "|=|")) =>
+            // `@` = bbox contained-by, `|=|` = trajectory CPA distance
+            // (PostGIS operator set over gtype geometry)
             pos += 1; l = Bin(op, l, parseAdditive())
           // tsvector/tsquery concat-or (gtype_tsquery_or catalog `||`) and
           // bitwise/tsquery AND (gtype_bitwise_and catalog `&`)

@@ -46,6 +46,10 @@ final class SqlSurface(spark: SparkSession) {
       !"(?is).*\\b(FROM|JOIN)\\s+(ONLY\\s+)?(ag_|pg_)\\w+.*".r.pattern.matcher(q).matches()
 
   def run(q0: String): DataFrame = {
+    // the reference's whole fn catalog is SQL-visible; mirror before any
+    // raw-SQL statement (idempotent createOrReplace), not only after the
+    // first Cypher registry fallback
+    graft.functions.Registry.register(spark)
     val q = q0.trim.stripSuffix(";").trim
     q match {
       case CreateTable(name, colSrc, tail) =>
@@ -133,6 +137,10 @@ final class SqlSurface(spark: SparkSession) {
     */
   private def translate(q0: String): String = {
     var q = q0.trim
+    // '123'::graphid — the 64-bit packed entity id type is a plain BIGINT
+    // here (graphid.h packing); comparisons then resolve natively
+    q = "'(-?[0-9]+)'\\s*::\\s*graphid\\b".r.replaceAllIn(q,
+      m => s"CAST(${m.group(1)} AS BIGINT)")
     q = q.replaceAll("(?i)\\bISNULL\\b", "IS NULL")
     q = q.replaceAll("(?i)\\bNOTNULL\\b", "IS NOT NULL")
     q = q.replaceAll("(?i)\\bIS\\s+NOT\\s+UNKNOWN\\b", "IS NOT NULL")

@@ -88,7 +88,16 @@ object Registry {
 
     // PostGIS subset (gtype_postgis.c)
     regVar("st_makeline")(a => PostgisFns.stMakeLine(a: _*))
-    reg("st_makepoint", 2)(a => PostgisFns.stMakePoint(a(0), a(1)))
+    regVar("st_makepoint") { a =>
+      // 2=XY, 3=XYZ, 4=XYZM (PostGIS ST_MakePoint overloads)
+      import org.apache.spark.sql.functions.{struct, lit}
+      a.length match {
+        case 2 => PostgisFns.stMakePoint(a(0), a(1))
+        case 3 => PostgisFns.stMakePoint(a(0), a(1), a(2))
+        case _ => struct(a(0).cast("double").as("x"), a(1).cast("double").as("y"),
+          a(2).cast("double").as("z"), a(3).cast("double").as("m"))
+      }
+    }
     reg("st_makepointm", 3)(a => PostgisFns.stMakePointM(a(0), a(1), a(2)))
     reg("st_x", 1)(a => PostgisFns.stX(a(0)))
     reg("st_y", 1)(a => PostgisFns.stY(a(0)))
@@ -126,7 +135,12 @@ object Registry {
     reg("st_symdifference_area", 2)(a => GeomKernels.stSymDifferenceArea(a(0), a(1)))
     reg("st_symdifference", 2)(a => GeomKernels.stSymDifference(a(0), a(1)))
     reg("st_astext_line", 1)(a => PostgisFns.stAsTextLine(a(0)))
-    reg("st_asewkt", 2)(a => PostgisFns.stAsEwkt(a(0), a(1)))
+    regVar("st_asewkt") { a =>
+      // 1-arg: EWKT/box render strings pass through (hybrid-SQL over a
+      // cypher() TVF column); 2-arg: SRID-prefixed point form
+      if (a.length == 1) a(0).cast("string")
+      else PostgisFns.stAsEwkt(a(0), a(1))
+    }
     // catalog tail (round-6; sql/postgraph-postgis.sql.in:433-672)
     reg("st_ispolygoncw", 1)(a => GeomKernels.stIsPolygonCW(a(0)))
     reg("st_ispolygonccw", 1)(a => GeomKernels.stIsPolygonCCW(a(0)))

@@ -81,7 +81,7 @@ class OldRegressReplaySpec extends AnyFunSuite {
           }
         case sql if "(?is)^(SELECT|CREATE\\s+TABLE|INSERT\\s+INTO|UPDATE\\s+|DELETE\\s+FROM|TABLE\\s+)\\b.*".r
             .pattern.matcher(sql).matches() &&
-            !"(?i).*\\b(create_graph|drop_graph|create_vlabel|create_elabel|ag_|pg_)".r
+            !"(?i).*\\b(create_graph|drop_graph|ag_|pg_)".r
               .findFirstIn(sql).isDefined =>
           // raw-SQL statements (gtype.sql's gtype_table exercises) route
           // through the session's SQL surface with the same error parity
@@ -126,4 +126,11 @@ class OldRegressReplaySpec extends AnyFunSuite {
   test("old replay traversal_functions.sql") {
     assert(replay("traversal_functions.sql")._1 == 0) }
   test("old replay gtype.sql") { assert(replay("gtype.sql")._1 == 0) }
+  // Round-7 second wave, all clean: the PostGIS literal surface (driver-
+  // side WKT evaluator GeomWkt + bbox operator family + EWKT property
+  // storage), label-sequence catalog commands (create/drop_label,
+  // alter_graph, nextval/setval with 65535 CYCLE), ::graphid SQL casts.
+  test("old replay postgis.sql") { assert(replay("postgis.sql")._1 == 0) }
+  test("old replay catalog.sql") { assert(replay("catalog.sql")._1 == 0) }
+  test("old replay graphid.sql") { assert(replay("graphid.sql")._1 == 0) }
 }
