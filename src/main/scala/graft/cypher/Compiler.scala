@@ -1874,6 +1874,18 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     }
   }
 
+  /** Catalog label name for a packed entity id: the high 16 bits are the
+    * label id (graphid.h); ids 1/2 are the unlabeled vertex/edge catalog
+    * labels, rendered "" (vertex.out:48-56).
+    */
+  private def labelNameOf(id: Long): String = {
+    val lid = (id >> 48).toInt
+    if (lid <= 2) ""
+    else graph.labelIds.collectFirst {
+      case (name, i) if i == lid && name != "_default" => name
+    }.getOrElse("")
+  }
+
   /** Constant gtype value of an expression subtree. The Boolean marks an
     * EXPLICIT gtype provenance (`::gtype` / gtype_in / container literal) —
     * PG's unknown-literal coercion only fires against an explicitly typed
@@ -1898,6 +1910,111 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         Some((GMap(scala.collection.immutable.TreeMap(vs.flatten: _*)), true))
       else None
     case Un("NEG", x) => constG(x).map { case (v, ex) => (GValue.neg(v), ex) }
+    // internal entity constructors (vertex.sql/edge.sql value surface:
+    // build_vertex/build_edge over _graphid + gtype_build_* literals) —
+    // constant gtype maps rendering in the reference's `{"id": …,
+    // "label": …, "properties": {…}}` form
+    case FnCall("gtype_build_map", args, _) =>
+      val pairs = args.grouped(2).toList
+      if (pairs.exists(_.length != 2)) None
+      else {
+        val kvs = pairs.map {
+          case List(k, v) => for { kp <- constG(k); vp <- constG(v) } yield {
+            val key = kp._1 match {
+              case GString(s) => s
+              case GInt(i) => i.toString
+              case other => other.render
+            }
+            key -> vp._1
+          }
+          case _ => None
+        }
+        if (kvs.forall(_.isDefined)) Some((GMap.of(kvs.flatten: _*), true)) else None
+      }
+    case FnCall("gtype_build_list", args, _) =>
+      val vs = args.map(constG)
+      if (vs.forall(_.isDefined)) Some((GArray(vs.map(_.get._1).toVector), true))
+      else None
+    case FnCall("_graphid", List(l, e), _) =>
+      (constG(l), constG(e)) match {
+        case (Some((GInt(li), _)), Some((GInt(ei), _))) =>
+          Some((GInt((li << 48) | ei), true))
+        case _ => None
+      }
+    case FnCall("tographid", List(x), _) => constG(x).flatMap {
+      case (GString(s), _) => scala.util.Try(GInt(s.toLong)).toOption.map((_, true))
+      case (g: GInt, _) => Some((g, true))
+      case _ => None
+    }
+    case FnCall("build_vertex", List(idE, _, propsE), _) =>
+      (constG(idE), constG(propsE)) match {
+        case (Some((GInt(id), _)), Some((props, _))) => props match {
+          case m: GMap => Some((GMap.of("id" -> GInt(id),
+            "label" -> GString(labelNameOf(id)), "properties" -> m), true))
+          case _ => Some((GNull, true)) // NULL / non-map properties → NULL
+        }
+        case _ => None
+      }
+    case FnCall("build_traversal", args, _) =>
+      val vs = args.map(constG)
+      if (!vs.forall(_.isDefined)) None
+      else {
+        val items = vs.map(_.get._1).flatMap {
+          case GArray(xs) => xs // nested traversal splices in
+          case v => Vector(v)
+        }
+        if (items.contains(GNull)) Some((GNull, true))
+        else {
+          items.zipWithIndex.foreach { case (v, i) =>
+            val kind = v match {
+              case m: GMap if m.entries.contains("start_id") => "edge"
+              case m: GMap if m.entries.contains("id") => "vertex"
+              case _ => "other"
+            }
+            if (i % 2 == 0) require(kind == "vertex",
+              s"arguement $i build_traversal() must be a vertex")
+            else require(kind == "edge",
+              s"arguement $i build_traversal() must be an edge")
+          }
+          Some((GArray(items.toVector), true))
+        }
+      }
+    case FnCall("build_variable_edge", args, _) =>
+      val vs = args.map(constG)
+      if (!vs.forall(_.isDefined)) None
+      else {
+        val items = vs.map(_.get._1).toVector
+        if (items.contains(GNull)) Some((GNull, true))
+        else {
+          def isEdge(v: GValue) = v match {
+            case m: GMap => m.entries.contains("start_id"); case _ => false
+          }
+          def isVertex(v: GValue) = v match {
+            case m: GMap => m.entries.contains("id") && !m.entries.contains("start_id")
+            case _ => false
+          }
+          require(items.nonEmpty && isEdge(items.last),
+            "VariableEdges must end with an edge")
+          items.zipWithIndex.foreach { case (v, i) =>
+            if (i % 2 == 0) require(isEdge(v),
+              s"arguement $i build_variable_edge() must be an edge")
+            else require(isVertex(v),
+              s"arguement $i build_traversal() must be a vertex")
+          }
+          Some((GArray(items), true))
+        }
+      }
+    case FnCall("build_edge", List(idE, sE, eE, _, propsE), _) =>
+      (constG(idE), constG(sE), constG(eE), constG(propsE)) match {
+        case (Some((GInt(id), _)), Some((GInt(s), _)), Some((GInt(en), _)),
+            Some((props, _))) => props match {
+          case m: GMap => Some((GMap.of("id" -> GInt(id),
+            "start_id" -> GInt(s), "end_id" -> GInt(en),
+            "label" -> GString(labelNameOf(id)), "properties" -> m), true))
+          case _ => Some((GNull, true))
+        }
+        case _ => None
+      }
     // scalar cast annotations inside literal containers ({e: 2::numeric})
     case FnCall("tonumeric" | "tointeger" | "toint" | "tofloat", List(x), _) =>
       constG(x).flatMap { case (v, ex) =>
@@ -2022,6 +2139,22 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       rRaw: Option[Expr] = None, lRaw: Option[Expr] = None): Column = (op match {
     case "=" | "<>" | "<" | "<=" | ">" | ">=" =>
       gAwareCmp(op, l, r, ctx, lRaw, rRaw)
+    case "@>" | "<@" if {
+        def vle(e: Option[Expr]) = e.exists {
+          case Var(v) => isVleVar(v, ctx); case _ => false }
+        def edgeVar(e: Option[Expr]) = e.exists {
+          case Var(v) => ctx.vars.get(v).exists(_.isEntity); case _ => false }
+        (vle(lRaw) && edgeVar(rRaw)) || (vle(rRaw) && edgeVar(lRaw)) } =>
+      // edge-membership in a variable edge: BOTH `e @> ve` and `ve <@ e`
+      // are "ve's edge list contains e" in the reference
+      // (variable_edge_functions.out:106-118 — t exactly on e ∈ ve)
+      val (veName, eName) = (lRaw.get, rRaw.get) match {
+        case (Var(a), Var(b)) if isVleVar(a, ctx) => (a, b)
+        case (Var(a), Var(b)) => (b, a)
+        case other => throw new IllegalStateException(s"vle containment: $other")
+      }
+      Some(exists(col(s"${veName}__edges"),
+        ed => ed.getField("id") === col(s"${eName}__id")))
     case op if (Compiler.geomBoxOps(op) || op == "|=|") && {
         def isG(e: Option[Expr]) =
           e.exists(x => geomConst(x).exists(_.isInstanceOf[GeomWkt.G]))
@@ -2259,6 +2392,16 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       inAgg: Boolean = false): Column = {
     // in aggregate context, argument subtrees may contain aggregate calls
     // (size(collect(x)), head(collect(x)) …) — compile them as aggregates
+    // internal entity constructors over constant args (vertex.sql/
+    // edge.sql): the constG value enters as its gtype container literal
+    if (Compiler.entityCtorFns(name.toLowerCase)) {
+      constG(FnCall(name, args, distinct = false)) match {
+        case Some((v, _)) =>
+          return if (inAgg) compileAggExpr(gvalueToAst(v), ctx)
+                 else compileExpr(gvalueToAst(v), ctx)
+        case None => ()
+      }
+    }
     // constant PostGIS expressions evaluate driver-side (GeomWkt domain);
     // non-constant or non-geometry inputs fall through to the kernels
     if (Compiler.geomConstFns(name.toLowerCase)) {
@@ -2282,6 +2425,25 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       if (inAgg) compileAggExpr(e, ctx) else compileExpr(e, ctx)
     def a(i: Int): Column = sub(args(i))
     name match {
+      case "id" | "label" | "type" | "startnode" | "start_id" | "startid" |
+           "endnode" | "end_id" | "endid" | "properties"
+          if args.nonEmpty && constG(args.head).exists(p =>
+            p._1.isInstanceOf[GMap] &&
+              p._1.asInstanceOf[GMap].entries.contains("id")) =>
+        // accessor over a CONSTANT entity value (build_vertex/build_edge,
+        // vertex.sql/edge.sql) — field lookup on the constant map; a
+        // missing field (start_id of a vertex) is the reference's error
+        val m = constG(args.head).get._1.asInstanceOf[GMap].entries
+        val key = name match {
+          case "id" => "id"
+          case "label" | "type" => "label"
+          case "startnode" | "start_id" | "startid" => "start_id"
+          case "endnode" | "end_id" | "endid" => "end_id"
+          case _ => "properties"
+        }
+        val v = m.getOrElse(key, throw new IllegalArgumentException(
+          s"$name() over an entity without $key"))
+        sub(gvalueToAst(v))
       case "id"    => entityField(args.head, "id", ctx)
       case "label" | "type" => entityField(args.head, "label", ctx)
       case "startnode" | "start_id" => entityField(args.head, "start_id", ctx)
@@ -4118,6 +4280,13 @@ object Compiler {
     "st_isvalidtrajectory", "st_closestpointofapproach", "st_distancecpa",
     "st_cpawithin", "st_xmin", "st_ymin", "st_zmin", "st_xmax", "st_ymax",
     "st_zmax", "x", "y", "z", "m")
+
+  /** Internal entity/gtype constructors with constG evaluation
+    * (vertex.sql/edge.sql value surface).
+    */
+  val entityCtorFns: Set[String] = Set(
+    "build_vertex", "build_edge", "build_traversal", "build_variable_edge",
+    "gtype_build_map", "gtype_build_list")
 
   /** PostGIS 2-D bounding-box operator names (geometry operator catalog). */
   val geomBoxOps: Set[String] = Set("@", "~", "&&", "~=", "@>", "<@",

@@ -48,16 +48,34 @@ final class GraphSession(val spark: SparkSession) {
   private val graphs = mutable.LinkedHashMap.empty[String, MutableGraph]
   private var current: Option[String] = None
 
+  // ag_graph catalog view (name, namespace, graphid oid) — queryable from
+  // the raw-SQL surface like the reference's catalog table (catalog.sql)
+  private val graphOids = mutable.LinkedHashMap.empty[String, Int]
+  private var nextGraphOid = 16937
+  private def refreshAgGraph(): Unit = {
+    graphs.keys.foreach(g =>
+      if (!graphOids.contains(g)) { graphOids(g) = nextGraphOid; nextGraphOid += 1 })
+    graphOids.keys.filterNot(graphs.contains).toList.foreach(graphOids.remove)
+    import spark.implicits._
+    graphOids.toSeq.map { case (n, o) => (n, n, o) }
+      .toDF("name", "namespace", "graphid")
+      .createOrReplaceTempView("ag_graph")
+  }
+
   def createGraph(name: String): Unit = {
     require(!graphs.contains(name), s"graph $name already exists")
     graphs(name) = new MutableGraph(spark)
     current = Some(name)
+    refreshAgGraph()
   }
   def useGraph(name: String): Unit = {
     require(graphs.contains(name), s"unknown graph $name")
     current = Some(name)
   }
-  def dropGraph(name: String): Unit = { graphs.remove(name); if (current.contains(name)) current = None }
+  def dropGraph(name: String): Unit = {
+    graphs.remove(name); if (current.contains(name)) current = None
+    refreshAgGraph()
+  }
   def graph: MutableGraph = graphs(current.getOrElse(
     throw new IllegalStateException("no graph selected — createGraph/useGraph first")))
 
@@ -123,6 +141,62 @@ final class GraphSession(val spark: SparkSession) {
       case None => ()
     }
     query.trim.stripSuffix(";") match {
+      // entity-constructor probes over the one-row-per-graph catalog
+      // (vertex.sql/edge.sql `SELECT build_vertex(…) FROM ag_graph`):
+      // scalar-rewrite with `graphid` (the unused graph oid) inlined, so
+      // the expression evaluates through the Cypher constant compiler;
+      // plain catalog projections fall through to the ag_graph temp view
+      case FromAgGraphRx(body) if
+          "(?i)(build_vertex|build_edge|build_traversal|gtype_build|_graphid|\\bid\\s*\\(|\\blabel\\s*\\(|\\bproperties\\s*\\(|\\bstart_?id\\s*\\(|\\bend_?id\\s*\\()".r
+            .findFirstIn(body).isDefined =>
+        // inline the oid column (NOT the ::graphid cast type name), and
+        // PG ARRAY[…] literals become Cypher list literals
+        val b = body.replaceAll("(?i)(?<!::)\\bgraphid\\b", "0")
+          .replaceAll("(?i)\\bARRAY\\s*\\[", "[")
+        return run(s"SELECT $b", params)
+      // the vle() set-returning function joined laterally against an
+      // endpoints relation (postgraph.sql.in:520-530; cypher_vle.sql:56-
+      // 108): computed as ONE VLE pass over the graph hash-joined to the
+      // endpoint ids — no per-row re-traversal, the scale-correct shape
+      case VleSrfRx(proj, tbl, g, sCol, eCol, lo, hi, dir, labelArg, propArg) =>
+        useGraph(g)
+        def num(s: String): Option[Int] =
+          if (s == null || s.isEmpty || s.equalsIgnoreCase("null") || s == "-1") None
+          else Some(s.toInt)
+        val loH = num(lo).filter(_ >= 0).getOrElse(1)
+        val hiH = num(hi).map(h => s"..$h").getOrElse("..")
+        // 7th/8th args: edge-label filter ('"edge"') and edge-property
+        // filter ('{"name": …}') — rendered back into the pattern
+        def inner(a: String): Option[String] = Option(a)
+          .map(_.stripSuffix("::gtype").trim)
+          .filterNot(_.equalsIgnoreCase("NULL"))
+          .map(_.stripPrefix("'").stripSuffix("'"))
+        val labelPart = inner(labelArg)
+          .map(s => ":" + s.stripPrefix("\"").stripSuffix("\"")).getOrElse("")
+        val propPart = inner(propArg).map { s =>
+          GValue.parseRender(s) match {
+            case GMap(entries) =>
+              " {" + entries.map { case (k, v) => s"$k: ${v.render}" }.mkString(", ") + "}"
+            case _ => ""
+          }
+        }.getOrElse("")
+        val range = s"*$loH$hiH"
+        val spec = s"x$labelPart$range$propPart"
+        val pat = dir.toInt match {
+          case 1  => s"MATCH (a)-[$spec]->(b)"
+          case -1 => s"MATCH (a)<-[$spec]-(b)"
+          case _  => s"MATCH (a)-[$spec]-(b)"
+        }
+        val paths = run(s"$pat RETURN id(a) AS __vle_s, id(b) AS __vle_e, x")
+          .withColumnRenamed("x__edges", "edges")
+        val pts = sqlSurface.table(tbl).getOrElse(
+          throw new IllegalArgumentException(s"unknown relation $tbl"))
+        val joined = pts.join(paths,
+          pts(sCol).getField("id") === paths("__vle_s") &&
+            pts(eCol).getField("id") === paths("__vle_e"))
+        return if (proj.toLowerCase.startsWith("count"))
+          joined.agg(count(lit(1)).as("count"))
+        else joined.select(col("edges"))
       // label/graph catalog commands (graph_commands.c; catalog.sql)
       case DropLabelRx(g, l, _) =>
         useGraph(g); graph.dropLabel(l); return spark.emptyDataFrame
@@ -134,6 +208,7 @@ final class GraphSession(val spark: SparkSession) {
           throw new IllegalArgumentException(s"""graph "$from" does not exist"""))
         graphs(to) = mg
         if (current.contains(from)) current = Some(to)
+        refreshAgGraph()
         return spark.emptyDataFrame
       case NextvalRx(g) =>
         useGraph(g)
@@ -165,6 +240,36 @@ final class GraphSession(val spark: SparkSession) {
     }
   }
 
+  /** Group a frame's flat `p__field` entity columns into one struct per
+    * AS-clause column when the declared types are composite; None when
+    * the grouping doesn't line up positionally.
+    */
+  private def packEntityColumns(df0: DataFrame,
+      defs: Seq[(String, String)]): Option[DataFrame] = {
+    val comp = Set("vertex", "edge", "traversal", "variable_edge", "variableedge")
+    val prefixes = scala.collection.mutable.LinkedHashSet.empty[String]
+    df0.columns.foreach { c =>
+      val i = c.indexOf("__"); prefixes += (if (i > 0) c.substring(0, i) else c)
+    }
+    if (prefixes.size != defs.length) return None
+    val sel = prefixes.toSeq.zip(defs).map { case (p, (name, tpe)) =>
+      val group = df0.columns.filter(_.startsWith(p + "__"))
+      if (group.nonEmpty && comp(tpe.toLowerCase))
+        struct(group.map(c =>
+          df0(c).as(c.substring(p.length + 2))): _*).as(name)
+      else if (group.isEmpty) df0(p).as(name)
+      else return None
+    }
+    Some(df0.select(sel: _*))
+  }
+
+  private val FromAgGraphRx =
+    "(?is)^SELECT\\s+(.*?)\\s+FROM\\s+ag_graph\\s*$".r
+  private val VleSrfRx =
+    ("(?is)^SELECT\\s+(edges|count\\(edges\\))\\s+FROM\\s+(\\w+)\\s*,\\s*vle\\(\\s*" +
+      "'\"([^\"]+)\"'\\s*::gtype\\s*,\\s*(\\w+)\\s*,\\s*(\\w+)\\s*,\\s*" +
+      "'([^']*)'\\s*::gtype\\s*,\\s*'([^']*)'\\s*::gtype\\s*,\\s*'(-?[0-9]+)'\\s*::gtype" +
+      "\\s*(?:,\\s*(NULL(?:::gtype)?|'[^']*'(?:::gtype)?)\\s*,\\s*(NULL(?:::gtype)?|'[^']*'(?:::gtype)?)\\s*)?\\)$").r
   private val CreateLabelRx =
     "(?is)^SELECT\\s+create_([ve])label\\(\\s*'([^']+)'\\s*,\\s*'([^']+)'\\s*\\)$".r
   private val DropLabelRx =
@@ -201,8 +306,9 @@ final class GraphSession(val spark: SparkSession) {
       q = HybridTvfRx.replaceAllIn(q, m => {
         val g = m.group(1); val inner = m.group(2).trim
         val alias = Option(m.group(4))
-        val cols = m.group(5).split(",").map(_.trim).filter(_.nonEmpty)
-          .map(_.split("\\s+")(0))
+        val colDefs = m.group(5).split(",").map(_.trim).filter(_.nonEmpty)
+          .map { d => val t = d.split("\\s+"); (t(0), t.lift(1).getOrElse("")) }
+        val cols = colDefs.map(_._1)
         if (!graphs.contains(g)) createGraph(g) else useGraph(g)
         // optional third TVF argument: a jsonish parameter map literal
         val tvfParams: Map[String, GValue] = Option(m.group(3)) match {
@@ -215,9 +321,13 @@ final class GraphSession(val spark: SparkSession) {
         }
         val df0 = run(inner, params = tvfParams)
         // positional rename to the AS-clause column names (PG record TVF
-        // semantics); a count mismatch surfaces downstream as the analysis
-        // error PG also raises
-        val df = if (cols.length == df0.columns.length) df0.toDF(cols.toSeq: _*) else df0
+        // semantics). When the AS clause declares composite entity types
+        // (vertex/edge/traversal), the compiler's FLAT entity column
+        // groups (b__id, b__label, b__<prop>…) pack into one struct per
+        // declared column, so `INSERT INTO t(x vertex)` and downstream
+        // `.id` access behave like the reference's composite columns.
+        val df = if (cols.length == df0.columns.length) df0.toDF(cols.toSeq: _*)
+          else packEntityColumns(df0, colDefs.toSeq).getOrElse(df0)
         hybridViewSeq += 1
         val view = s"__ctvf$hybridViewSeq"
         df.createOrReplaceTempView(view)
@@ -276,7 +386,8 @@ final class GraphSession(val spark: SparkSession) {
     val gtypeish = noStrings.contains("::") ||
       ("(?i)\\b(gtype_[a-z0-9_]+|bool_to_gtype|to[a-z0-9_]*(range|multirange)|" +
         "tocidr|toinet|topoint|topath|topolygon|tolseg|toline|tocircle|tobox|" +
-        "tomacaddr8?|tobytea|tovector|totsvector|totsquery)\\s*\\(").r
+        "tomacaddr8?|tobytea|tovector|totsvector|totsquery|" +
+        "build_vertex|build_edge|build_traversal|_graphid)\\s*\\(").r
         .findFirstIn(noStrings).isDefined
     if (!hasFrom && gtypeish)
       Some("RETURN " + q.replaceFirst("(?is)^\\s*SELECT\\s+", ""))

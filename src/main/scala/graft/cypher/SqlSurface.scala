@@ -23,6 +23,9 @@ final class SqlSurface(spark: SparkSession) {
 
   private val tables = mutable.LinkedHashMap.empty[String, DataFrame]
 
+  /** Session table lookup (the vle() SRF joins against these). */
+  def table(name: String): Option[DataFrame] = tables.get(name)
+
   private val CreateTable =
     "(?is)^CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(\\w+)\\s*\\(([^)]*)\\)(.*)$".r
   private val DropTable = "(?is)^DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(\\w+).*$".r
@@ -43,7 +46,7 @@ final class SqlSurface(spark: SparkSession) {
     ("(?is)^\\s*(SELECT|TABLE\\s+\\w+\\s*$|INSERT\\s+INTO|UPDATE\\s+\\w+\\s+SET|CREATE\\s+(TEMPORARY\\s+)?TABLE|DROP\\s+TABLE|DELETE\\s+FROM)\\b.*".r
       .pattern.matcher(q).matches() ||
       "(?is)^\\s*TABLE\\s+\\w+\\s*$".r.pattern.matcher(q).matches()) &&
-      !"(?is).*\\b(FROM|JOIN)\\s+(ONLY\\s+)?(ag_|pg_)\\w+.*".r.pattern.matcher(q).matches()
+      !"(?is).*\\b(FROM|JOIN)\\s+(ONLY\\s+)?(ag_(?!graph\\b)|pg_)\\w*.*".r.pattern.matcher(q).matches()
 
   def run(q0: String): DataFrame = {
     // the reference's whole fn catalog is SQL-visible; mirror before any
@@ -74,9 +77,18 @@ final class SqlSurface(spark: SparkSession) {
         val body = if (body0.trim.toUpperCase.startsWith("VALUES"))
           s"SELECT * FROM ${body0.trim}" else translate(body0)
         val src = spark.sql(body).toDF(target.columns: _*)
-        val aligned = src.select(target.schema.fields.map(f =>
-          col(f.name).cast(f.dataType)).toSeq: _*)
-        register(name, target.unionByName(aligned).localCheckpoint())
+        // composite-typed sources (vertex/edge struct columns from a
+        // cypher() TVF) re-type an EMPTY target: the CREATE TABLE only
+        // knew the name `vertex`, the insert supplies the real schema
+        val composite = src.schema.fields.exists(f =>
+          f.dataType.isInstanceOf[StructType] || f.dataType.isInstanceOf[ArrayType])
+        if (composite && target.isEmpty)
+          register(name, src.localCheckpoint())
+        else {
+          val aligned = src.select(target.schema.fields.map(f =>
+            col(f.name).cast(f.dataType)).toSeq: _*)
+          register(name, target.unionByName(aligned).localCheckpoint())
+        }
         spark.emptyDataFrame
       case Update(name, c, e, where) =>
         val target = tables.getOrElse(name,
@@ -137,6 +149,8 @@ final class SqlSurface(spark: SparkSession) {
     */
   private def translate(q0: String): String = {
     var q = q0.trim
+    // schema-qualified catalog view name → session temp view
+    q = q.replaceAll("(?i)\\bpostgraph\\.ag_graph\\b", "ag_graph")
     // '123'::graphid — the 64-bit packed entity id type is a plain BIGINT
     // here (graphid.h packing); comparisons then resolve natively
     q = "'(-?[0-9]+)'\\s*::\\s*graphid\\b".r.replaceAllIn(q,

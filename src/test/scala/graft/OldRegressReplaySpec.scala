@@ -8,11 +8,11 @@ import scala.util.{Failure, Try}
   * last untouched source of real-user query shapes (round-5 VERDICT #6).
   *
   * Every statement is a `SELECT * FROM cypher('g', $$ … $$) AS …` TVF
-  * form; the inner Cypher replays against a GraphSession with the TVF's
-  * graph selected, with reference-ERROR parity from the .out files
-  * (variable_edge.sql is raw build_variable_edge() internal-constructor
-  * SQL, not Cypher — out of scope; the operator family is covered by the
-  * newer cypher_vle replay).
+  * form, a raw-SQL statement over the session SQL surface, or an
+  * internal-constructor probe (`SELECT build_vertex(…) FROM ag_graph`,
+  * routed through the constant gtype compiler); reference-ERROR parity
+  * comes from the .out files. ALL 23 suites of old/regress are replayed,
+  * each with ceiling 0.
   */
 class OldRegressReplaySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -62,6 +62,9 @@ class OldRegressReplaySpec extends AnyFunSuite {
             case _ => ()
           }
         case DropGraph(g) => if (created.remove(g)) session.dropGraph(g)
+        case q if "(?i)^DROP\\s+EXTENSION\\b".r.findFirstIn(q).isDefined =>
+          // dropping the extension destroys every graph (drop.sql)
+          created.toList.foreach(session.dropGraph); created.clear()
         case TvfForm(g, inner) =>
           ran += 1
           Try {
@@ -81,7 +84,7 @@ class OldRegressReplaySpec extends AnyFunSuite {
           }
         case sql if "(?is)^(SELECT|CREATE\\s+TABLE|INSERT\\s+INTO|UPDATE\\s+|DELETE\\s+FROM|TABLE\\s+)\\b.*".r
             .pattern.matcher(sql).matches() &&
-            !"(?i).*\\b(create_graph|drop_graph|ag_|pg_)".r
+            !"(?i).*\\b(create_graph|drop_graph|ag_(?!graph\\b)|pg_)".r
               .findFirstIn(sql).isDefined =>
           // raw-SQL statements (gtype.sql's gtype_table exercises) route
           // through the session's SQL surface with the same error parity
@@ -133,4 +136,18 @@ class OldRegressReplaySpec extends AnyFunSuite {
   test("old replay postgis.sql") { assert(replay("postgis.sql")._1 == 0) }
   test("old replay catalog.sql") { assert(replay("catalog.sql")._1 == 0) }
   test("old replay graphid.sql") { assert(replay("graphid.sql")._1 == 0) }
+  // Round-7 third wave: the internal entity-constructor value surface
+  // (build_vertex/build_edge over _graphid + gtype_build_* → constant
+  // gtype maps through constG).
+  test("old replay vertex.sql") { assert(replay("vertex.sql")._1 == 0) }
+  test("old replay edge.sql") { assert(replay("edge.sql")._1 == 0) }
+  test("old replay traversal.sql") { assert(replay("traversal.sql")._1 == 0) }
+  test("old replay variable_edge.sql") {
+    assert(replay("variable_edge.sql")._1 == 0) }
+  test("old replay variable_edge_functions.sql") {
+    assert(replay("variable_edge_functions.sql")._1 == 0) }
+  test("old replay drop.sql") { assert(replay("drop.sql")._1 == 0) }
+  test("old replay cypher_merge.sql") {
+    assert(replay("cypher_merge.sql")._1 == 0) }
+  test("old replay cypher_vle.sql") { assert(replay("cypher_vle.sql")._1 == 0) }
 }
