@@ -318,7 +318,24 @@ object GraphQueries {
         "count(*) FILTER (WHERE c.c_acctbal > 5000) AS n_rich, " +
         "count(*) AS n " +
         "GROUP BY c.c_mktsegment HAVING count(*) > 10 " +
-        "ORDER BY seg")
+        "ORDER BY seg"),
+
+    // PostGIS WKT geometry surface (gtype_postgis.c): dynamic EWKT
+    // strings against constant geometry — the ::geometry string parse,
+    // the bbox operator family columnar over WKT coordinate extraction
+    // (geomStrBBox), box-as-polygon casts, and the driver-side constant
+    // evaluator (st_x/st_y over literals). Every predicate is mirrored
+    // arithmetically in the oracle.
+    "g30_wkt_geometry" -> cy(
+      "MATCH (c:Customer) WHERE c.c_custkey <= 200 " +
+        "WITH c.c_custkey AS ck, " +
+        "('POINT(' + tostring(c.c_custkey % 20) + ' ' + tostring(c.c_custkey % 11) + ')') AS wkt " +
+        "RETURN ck, " +
+        "(wkt::geometry <@ '(0,0), (10,8)'::box)::int AS in_box, " +
+        "(wkt @ 'POLYGON((0 0,12 0,12 9,0 9,0 0))'::geometry)::int AS in_poly_bb, " +
+        "(wkt && 'BOX3D(5 5 0, 25 15 0)'::box3d::geometry)::int AS ovl, " +
+        "(st_x('POINT(3 4)'::geometry) + st_y('POINT(3 4)'::geometry)) AS const7 " +
+        "ORDER BY ck")
   )
 
   val oracles: Map[String, String] = Map(
@@ -493,6 +510,13 @@ object GraphQueries {
         |  CAST(count(*) FILTER (WHERE c_acctbal > 5000) AS BIGINT) AS n_rich,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM customer GROUP BY c_mktsegment HAVING count(*) > 10
-        |ORDER BY seg""".stripMargin
+        |ORDER BY seg""".stripMargin,
+    "g30_wkt_geometry" ->
+      """SELECT c_custkey AS ck,
+        |  CAST(CASE WHEN (c_custkey % 20) <= 10 AND (c_custkey % 11) <= 8 THEN 1 ELSE 0 END AS BIGINT) AS in_box,
+        |  CAST(CASE WHEN (c_custkey % 20) <= 12 AND (c_custkey % 11) <= 9 THEN 1 ELSE 0 END AS BIGINT) AS in_poly_bb,
+        |  CAST(CASE WHEN (c_custkey % 20) >= 5 AND (c_custkey % 11) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS ovl,
+        |  CAST(7 AS DOUBLE) AS const7
+        |FROM customer WHERE c_custkey <= 200 ORDER BY ck""".stripMargin
   )
 }
