@@ -2406,7 +2406,17 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     // non-constant or non-geometry inputs fall through to the kernels
     if (Compiler.geomConstFns(name.toLowerCase)) {
       geomConst(FnCall(name, args, distinct = false)) match {
-        case Some(v) => return geomLit(v)
+        case Some(v) =>
+          return v match {
+            // ONLY the ::geometry cast maps a plain 2-D point to the PG
+            // point shape (geometric.sql's `'POINT(1 1)'::geometry`
+            // feeds the pg operator family); st_* constructors keep the
+            // 4-field point the PostGIS kernels read
+            case GeomWkt.GPoint(Some(p), GeomWkt.Dim(false, false), 0)
+                if name.equalsIgnoreCase("togeometry") =>
+              graft.functions.RangeGeoFns.point(lit(p.x), lit(p.y))
+            case other => geomLit(other)
+          }
         case None => ()
       }
     }

@@ -485,10 +485,6 @@ object GeomWkt {
     def p4(p: Pt): Column = struct(lit(p.x).as("x"), lit(p.y).as("y"),
       lit(p.z).as("z"), lit(p.m).as("m"))
     g match {
-      // a plain 2-D point takes the PG point shape (geometric.sql's
-      // `'POINT(1 1)'::geometry` flows into the pg operator family)
-      case GPoint(Some(p), Dim(false, false), 0) =>
-        struct(lit(p.x).as("x"), lit(p.y).as("y"))
       case GPoint(Some(p), _, _) => p4(p)
       case GLine(pts, _, _) if pts.nonEmpty => array(pts.map(p4): _*)
       case GMPoint(pts, _, _) if pts.nonEmpty => array(pts.map(p4): _*)
