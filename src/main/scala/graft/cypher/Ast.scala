@@ -31,10 +31,15 @@ object Ast {
       group: Option[GroupSpec] = None,
       windows: Map[String, WindowDef] = Map.empty) extends Clause
 
-  /** Explicit `GROUP BY [ROLLUP|CUBE] keys [HAVING pred]` — the reference's
-    * unified grammar extends RETURN/WITH with PG grouping (old regress
-    * aggregation.sql:540-710). kind: "" plain, "rollup", "cube". */
-  final case class GroupSpec(kind: String, keys: List[Expr], having: Option[Expr])
+  /** Explicit `GROUP BY [ROLLUP|CUBE|GROUPING SETS|item, …] [HAVING pred]`
+    * — the reference's unified grammar extends RETURN/WITH with PG grouping
+    * (old regress aggregation.sql:540-710; cypher_gram.y:4414-4491
+    * group_by_item). kind: "" plain, "rollup", "cube", or "sets" with
+    * `sets` holding the fully-desugared grouping sets (each a subset of
+    * `keys`; mixed items are cross-product-concatenated per PG semantics).
+    */
+  final case class GroupSpec(kind: String, keys: List[Expr], having: Option[Expr],
+      sets: List[List[Expr]] = Nil)
 
   /** `OVER (PARTITION BY … ORDER BY … [ROWS|RANGE BETWEEN …])` — frame is
     * (isRows, lo, hi) with Spark-signed bounds: None = UNBOUNDED (preceding

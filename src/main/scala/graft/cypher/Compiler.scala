@@ -84,11 +84,57 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           rd = rd.select(rcols.toSeq: _*)
         }
       }
+      // distinct/intersect/except over DYNAMIC columns must use gtype
+      // VALUE equality (1 = 1.0 collapses — cypher_setop.sql
+      // `RETURN 1.0::int UNION RETURN 1::float` keeps one row), not struct
+      // equality; dedupe on the order keys, keeping the min representative
+      // (tag order: int < float, the render the reference keeps).
+      def valueDistinct(df: DataFrame): DataFrame = {
+        import graft.gvalue.GValueCol
+        val dyn = df.schema.fields.filter(f => GValueCol.isGValue(f.dataType))
+        def unorderable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+          case _: org.apache.spark.sql.types.MapType => true
+          case s: StructType => s.fields.exists(f => unorderable(f.dataType))
+          case a: ArrayType => unorderable(a.elementType)
+          case _ => false
+        }
+        if (dyn.isEmpty || df.schema.fields.exists(f => unorderable(f.dataType)))
+          df.distinct()
+        else {
+          val keys = df.schema.fields.map { f =>
+            if (GValueCol.isGValue(f.dataType)) GValueCol.orderKey(col(f.name))
+            else col(f.name)
+          }
+          val rowStruct = struct(df.columns.map(col).toIndexedSeq: _*)
+          df.groupBy(keys.toIndexedSeq: _*).agg(min(rowStruct).as("__row"))
+            .select(df.columns.map(c => col(s"__row.$c")).toIndexedSeq: _*)
+        }
+      }
+      def valueKeyed(df: DataFrame): (DataFrame, Seq[String]) = {
+        import graft.gvalue.GValueCol
+        val keyed = df.schema.fields.filter(f => GValueCol.isGValue(f.dataType))
+          .foldLeft(df)((d, f) =>
+            d.withColumn(s"__vk_${f.name}", GValueCol.orderKey(col(f.name))))
+        (keyed, df.schema.fields.map(f =>
+          if (GValueCol.isGValue(f.dataType)) s"__vk_${f.name}" else f.name).toSeq)
+      }
       op match {
         case "UNION" if all => ld.unionByName(rd)
-        case "UNION"        => ld.unionByName(rd).distinct()
-        case "INTERSECT"    => ld.intersect(rd)
-        case "EXCEPT"       => ld.except(rd)
+        case "UNION"        => valueDistinct(ld.unionByName(rd))
+        case "INTERSECT" if !ld.schema.fields.exists(f =>
+          graft.gvalue.GValueCol.isGValue(f.dataType)) => ld.intersect(rd)
+        case "INTERSECT" =>
+          val (lk, keys) = valueKeyed(ld)
+          val (rk, _) = valueKeyed(rd)
+          valueDistinct(lk.join(rk.select(keys.map(col): _*), keys, "left_semi")
+            .select(ld.columns.map(col).toIndexedSeq: _*))
+        case "EXCEPT" if !ld.schema.fields.exists(f =>
+          graft.gvalue.GValueCol.isGValue(f.dataType)) => ld.except(rd)
+        case "EXCEPT" =>
+          val (lk, keys) = valueKeyed(ld)
+          val (rk, _) = valueKeyed(rd)
+          valueDistinct(lk.join(rk.select(keys.map(col): _*), keys, "left_anti")
+            .select(ld.columns.map(col).toIndexedSeq: _*))
       }
   }
 
@@ -836,6 +882,19 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     val df0 = if (ctx.df == null) spark.range(1).toDF("__seed") else ctx.df
     // openCypher: UNWIND of a non-list value yields that single value;
     // UNWIND null/missing yields no rows (explode of a null array)
+    // dynamic (gtype) value: a gtype ARRAY explodes into promoted
+    // elements, scalars yield themselves, null yields no rows — the alias
+    // stays a dynamic value so a second UNWIND nests (cypher_unwind.sql
+    // `UNWIND nested AS x UNWIND x AS y`)
+    dataTypeOpt(c, ctx.copy(df = df0)) match {
+      case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
+        val df = df0
+          .withColumn("__uwe", explode(graft.gvalue.GValueCol.unwindElems(c)))
+          .withColumn(u.alias, graft.gvalue.GValueCol.promoteScalar(col("__uwe")))
+          .drop("__uwe", "__seed")
+        return Ctx(df, ctx.vars + (u.alias -> VarInfo.scalar), ctx.projected)
+      case _ => ()
+    }
     val arr = dataTypeOpt(c, ctx.copy(df = df0)) match {
       case Some(_: ArrayType) => c
       case Some(org.apache.spark.sql.types.NullType) =>
@@ -858,8 +917,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           df = df.withColumn(s"${u.alias}__$f", col("__uw").getField(f))
         }
         df = df.drop("__uw", "__seed")
-        val kind =
-          if (st.fieldNames.contains("start_id")) VarInfo.edge else VarInfo.vertex
+        // derived: a VALUE round-tripped entity — readable/joinable/
+        // CREATE-able, but the reference refuses SET/REMOVE on it
+        // ("SET clause can only update vertex and edges",
+        // cypher_unwind.out:89)
+        val kind = VarInfo(
+          if (st.fieldNames.contains("start_id")) VarKind.Edge else VarKind.Vertex,
+          derived = true)
         return Ctx(df, ctx.vars + (u.alias -> kind), ctx.projected)
       case _ => ()
     }
@@ -949,6 +1013,16 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       val gd = g.kind match {
         case "rollup" => ctx.df.rollup(keyCols: _*)
         case "cube"   => ctx.df.cube(keyCols: _*)
+        case "sets" =>
+          // GROUPING SETS — materialize the key exprs as named columns
+          // first so each set references plain attributes (Spark matches
+          // set elements against grouping columns by expression equality,
+          // which aliased key exprs would defeat), then one Expand via
+          // Dataset.groupingSets.
+          val keyed = ctx.df.select(col("*") +: keyCols: _*)
+          keyed.groupingSets(
+            g.sets.map(_.map(k => col(s"__gk${keys.indexOf(k)}"))),
+            keys.indices.map(i => col(s"__gk$i")): _*)
         case _        => ctx.df.groupBy(keyCols: _*)
       }
       var adf =
@@ -3792,23 +3866,33 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     * unfolded multi-thousand-node constructor costs seconds, interpreted
     * eval of one row is instant.
     */
-  private def foldConstCol(col: Column, key: String): Column =
-    constFoldCache.getOrElseUpdate(key, {
-      val ws = spark.conf.getOption("spark.sql.codegen.wholeStage")
-      val fm = spark.conf.getOption("spark.sql.codegen.factoryMode")
-      spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-      try {
-        val probe = spark.range(1).select(col.as("v"))
-        val dt = probe.schema.head.dataType
-        litOf(probe.head().get(0), dt)
-      } finally {
-        ws.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
-          spark.conf.set("spark.sql.codegen.wholeStage", _))
-        fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
-          spark.conf.set("spark.sql.codegen.factoryMode", _))
+  private def foldConstCol(col: Column, key: String): Column = {
+    // the fold of a timezone-sensitive constructor (totimestamptz/todate
+    // string parsing) depends on the session timeZone, so it is part of
+    // the cache key — two sessions with different zones must not share a
+    // folded instant (ADVICE r7)
+    val tzKey = spark.conf.get("spark.sql.session.timeZone") + "|" + key
+    constFoldCache.getOrElseUpdate(tzKey, Compiler.constFoldLock.synchronized {
+      // re-check under the lock: another thread may have folded the same
+      // key between the lock-free lookup and acquiring the lock
+      constFoldCache.get(tzKey).getOrElse {
+        val ws = spark.conf.getOption("spark.sql.codegen.wholeStage")
+        val fm = spark.conf.getOption("spark.sql.codegen.factoryMode")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        try {
+          val probe = spark.range(1).select(col.as("v"))
+          val dt = probe.schema.head.dataType
+          litOf(probe.head().get(0), dt)
+        } finally {
+          ws.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+            spark.conf.set("spark.sql.codegen.wholeStage", _))
+          fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+            spark.conf.set("spark.sql.codegen.factoryMode", _))
+        }
       }
     })
+  }
 
   // ------------------------------------------- PostGIS literal evaluator
 
@@ -4009,6 +4093,19 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   private def geomStrBBox(c0: Column, ctx: Ctx): Column = {
     val c = dataTypeOpt(c0, ctx) match {
       case Some(t) if graft.gvalue.GValueCol.isGValue(t) => c0.getField("s")
+      // a dynamic `::geometry` compiles to a point struct (x,y[,z,m]) —
+      // its bbox is the degenerate (x,y,x,y); casting a struct to string
+      // would render Spark's '{1.0, 2.0}' text and silently null out the
+      // coordinate parse (ADVICE r7)
+      case Some(st: StructType) if st.fieldNames.contains("x") &&
+          st.fieldNames.contains("y") =>
+        return struct(c0.getField("x").cast("double").as("x1"),
+          c0.getField("y").cast("double").as("y1"),
+          c0.getField("x").cast("double").as("x2"),
+          c0.getField("y").cast("double").as("y2"))
+      case Some(t @ (_: StructType | _: ArrayType)) =>
+        throw new UnsupportedOperationException(
+          s"bbox operator over non-geometry composite type ${t.simpleString}")
       case _ => c0.cast("string")
     }
     val groups = split(regexp_replace(
@@ -4323,6 +4420,11 @@ object Compiler {
     scala.jdk.CollectionConverters.ConcurrentMapHasAsScala(
       new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Column]()).asScala
 
+  /** Serializes foldConstCol's codegen-conf flip/probe/restore — concurrent
+    * compiles would otherwise restore each other's conf values (ADVICE r7).
+    */
+  private[cypher] val constFoldLock = new Object
+
   /** Aggregate function names (reference catalog: SURVEY.md §2.2,
     * sql/postgraph-aggregation.sql.in).
     */
@@ -4358,7 +4460,11 @@ object Compiler {
     }
     case FnCall("tonumeric", List(x), _) => litGValue(x).collect {
       case GInt(i)     => GNumeric(BigDecimal(i))
-      case GFloat(f)   => GNumeric(BigDecimal(f))
+      // float8→numeric drops trailing zeros (PG float8_numeric goes
+      // through the shortest text form: 1.0::numeric prints `1::numeric`,
+      // cypher_set.out:380)
+      case GFloat(f)   => GNumeric(BigDecimal(
+        java.math.BigDecimal.valueOf(f).stripTrailingZeros))
       case n: GNumeric => n
     }
     case FnCall("tofloat", List(x), _) => litGValue(x).collect {
@@ -4406,7 +4512,7 @@ object Compiler {
     val Vertex, Edge, Scalar, Path, VlePath = Value
   }
   final case class VarInfo(kind: VarKind.Value, pathNodes: Seq[String] = Nil,
-      pathEdges: Seq[String] = Nil) {
+      pathEdges: Seq[String] = Nil, derived: Boolean = false) {
     def isEntity: Boolean = kind == VarKind.Vertex || kind == VarKind.Edge
   }
   object VarInfo {

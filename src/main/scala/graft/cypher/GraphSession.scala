@@ -465,7 +465,13 @@ final class GraphSession(val spark: SparkSession) {
     case Merge(pattern)   => executeMerge(ctx, pattern, compiler)
     case SetClause(items) => executeSet(ctx, items, compiler)
     case Remove(items)    => executeRemove(ctx, items)
-    case Delete(exprs, detach) => executeDelete(ctx, exprs, detach); ctx
+    case Delete(exprs, detach) =>
+      // freeze the binding BEFORE mutating the label tables: ctx.df is a
+      // lazy plan over them, and a RETURN after DELETE must show the
+      // deleted entities (delete.out `DETACH DELETE n RETURN n`), not a
+      // re-evaluation against the post-delete graph
+      val frozen = if (ctx.df == null) ctx else ctx.copy(df = ctx.df.localCheckpoint())
+      executeDelete(frozen, exprs, detach); frozen
     case other => throw new UnsupportedOperationException(s"write clause: $other")
   }
 
@@ -482,6 +488,17 @@ final class GraphSession(val spark: SparkSession) {
   private def executeCreate(ctx0: Ctx, pattern: PathPattern,
       compiler: Compiler): Ctx = {
     val elems = pattern.elements
+    // validate the WHOLE pattern before any entity is created — the
+    // reference rejects these at parse/transform time, so a later error
+    // must not leave a partial write behind (cypher_create.out:90-103)
+    elems.foreach {
+      case r: RelPattern =>
+        if (r.dir == 0) throw new IllegalArgumentException(
+          "only directed relationships are allowed in CREATE")
+        if (r.types.isEmpty) throw new IllegalArgumentException(
+          "relationships must be specify a label in CREATE.")
+      case _ =>
+    }
     registerLabelsTextually(elems, ctx0.vars.keySet)
     if (ctx0.df != null) createPerRow(ctx0, elems, compiler, pattern.variable)
     else {
@@ -825,7 +842,11 @@ final class GraphSession(val spark: SparkSession) {
     * (reference: update_entity_tuple, cypher_set.c:100-176; ours is a join
     * instead of a per-tuple heap update).
     */
-  private def executeSet(ctx: Ctx, items: List[SetItem], compiler: Compiler): Ctx = {
+  private def executeSet(ctx0: Ctx, items: List[SetItem], compiler: Compiler): Ctx = {
+    // freeze the binding before mutating: ctx.df is lazy over the label
+    // tables, and a MATCH whose predicate reads the very property being
+    // SET must not re-evaluate against the post-update graph
+    val ctx = if (ctx0.df == null) ctx0 else ctx0.copy(df = ctx0.df.localCheckpoint())
     // constant CONTAINER values store in the same typed-or-dynamic form
     // the CREATE path uses (homogeneous scalar list → typed array; mixed/
     // nested/map → dynamic struct), so reads and filters stay consistent
@@ -836,30 +857,74 @@ final class GraphSession(val spark: SparkSession) {
       }
     items.foreach { case SetItem(v, k, valueExpr) =>
       require(ctx.df != null && ctx.vars.get(v).exists(_.isEntity), s"SET target $v not matched")
+      if (ctx.vars(v).derived) throw new IllegalArgumentException(
+        "SET clause can only update vertex and edges")
       val updates = ctx.df
         .select(col(s"${v}__id").as("__set_id"), valCol(valueExpr).as("__set_val"))
         .dropDuplicates("__set_id")
       graph.updateProperty(Compiler.PropNames.esc(k), updates)
     }
     // reflect the writes in the CURRENT binding too, so RETURN right after
-    // SET sees the new values (reference: paths/values updated in place,
-    // cypher_set.sql:33-49) — one projection, all values evaluated against
-    // the pre-update row (simultaneous semantics for multi-item SET)
+    // SET sees the new values on the DIRECT entity variable (reference
+    // cypher_set.out:81-87) — but a PATH variable's interior values were
+    // materialized when the path bound, so p keeps the PRE-update
+    // properties (cypher_set.out:165-169: RETURN n, p after SET n.y=99
+    // shows y:99 on n and y:50 inside p). Snapshot the interior entity
+    // columns of affected paths BEFORE the in-place update and rebind the
+    // path to the snapshots.
+    val snapped = snapshotPaths(ctx, items.map(_.variable).toSet)
     val updatedCols = items.map { case SetItem(v, k, valueExpr) =>
       s"${v}__${Compiler.PropNames.esc(k)}" -> valCol(valueExpr)
     }.toMap
-    ctx.copy(df = ctx.df.withColumns(updatedCols))
+    snapped.copy(df = snapped.df.withColumns(updatedCols))
   }
 
-  private def executeRemove(ctx: Ctx, items: List[(String, String)]): Ctx = {
+  /** Copy the flat columns of each SET/REMOVE-target entity var that a
+    * path variable references into frozen `v$sN__*` columns and rebind the
+    * path's interior lists to them — the path value then renders the
+    * bind-time snapshot, not the post-update entity.
+    */
+  private def snapshotPaths(ctx: Ctx, updated: Set[String]): Ctx = {
+    import Compiler.VarKind
+    val needed = ctx.vars.collect {
+      case (_, info) if info.kind == VarKind.Path =>
+        (info.pathNodes ++ info.pathEdges).filter(updated)
+    }.flatten.toSet
+    if (needed.isEmpty) return ctx
+    var df = ctx.df
+    val alias = needed.map { v =>
+      snapCounter += 1
+      val s = s"$v$$s$snapCounter"
+      val copies = df.columns.filter(_.startsWith(s"${v}__"))
+        .map(c => s"${s}__${c.stripPrefix(s"${v}__")}" -> col(c)).toMap
+      df = df.withColumns(copies)
+      v -> s
+    }.toMap
+    val vars = ctx.vars.map {
+      case (p, info) if info.kind == VarKind.Path &&
+          (info.pathNodes ++ info.pathEdges).exists(updated) =>
+        p -> info.copy(pathNodes = info.pathNodes.map(m => alias.getOrElse(m, m)),
+          pathEdges = info.pathEdges.map(m => alias.getOrElse(m, m)))
+      case kv => kv
+    } ++ alias.map { case (v, s) => s -> ctx.vars(v) }
+    ctx.copy(df = df, vars = vars)
+  }
+
+  private var snapCounter = 0
+
+  private def executeRemove(ctx0: Ctx, items: List[(String, String)]): Ctx = {
+    val ctx = if (ctx0.df == null) ctx0 else ctx0.copy(df = ctx0.df.localCheckpoint())
     items.foreach { case (v, k) =>
       require(ctx.df != null && ctx.vars.get(v).exists(_.isEntity), s"REMOVE target $v not matched")
+      if (ctx.vars(v).derived) throw new IllegalArgumentException(
+        "REMOVE clause can only update vertex and edges")
       val updates = ctx.df.select(col(s"${v}__id").as("__set_id"),
         lit(null).as("__set_val"))
         .dropDuplicates("__set_id")
       graph.updateProperty(Compiler.PropNames.esc(k), updates)
     }
-    ctx.copy(df = ctx.df.withColumns(
+    val snapped = snapshotPaths(ctx, items.map(_._1).toSet)
+    snapped.copy(df = snapped.df.withColumns(
       items.map { case (v, k) => s"${v}__${Compiler.PropNames.esc(k)}" -> lit(null) }.toMap))
   }
 
@@ -1007,7 +1072,8 @@ final class MutableGraph(spark: SparkSession) {
       case GBool(x)    => Row(TBool.toByte, x, 0L, 0.0, "")
       case GInt(x)     => Row(TInt.toByte, false, x, 0.0, "")
       case GFloat(x)   => Row(TFloat.toByte, false, 0L, x, "")
-      case GNumeric(x) => Row(TFloat.toByte, false, 0L, x.toDouble, "")
+      case GNumeric(x) => Row(TNumeric.toByte, false, 0L, x.toDouble,
+        x.bigDecimal.toPlainString)
       case GString(x)  => Row(TString.toByte, false, 0L, 0.0, x)
       case GTimestamp(us) => Row(TTimestamp.toByte, false, us, 0.0, "")
       case GDate(d)    => Row(TDate.toByte, false, d.toLong, 0.0, "")
@@ -1058,7 +1124,13 @@ final class MutableGraph(spark: SparkSession) {
       }.toSeq
       def fix(df: DataFrame): DataFrame = conflicts.foldLeft(df) { (d, n) =>
         GValueCol.dynCoerce(col(n), d.schema(n).dataType) match {
-          case Some(c) => d.withColumn(n, c)
+          // keep SQL NULL (= property absent) rather than letting the
+          // codec's gtype-null wrap it: an absent property must stay
+          // absent in the entity render, while an explicitly stored null
+          // keeps its TNull payload (cypher_create.out:239 `{}` vs
+          // `{"var_name": null}`)
+          case Some(c) => d.withColumn(n,
+            when(col(n).isNull, lit(null).cast(GValueCol.structType)).otherwise(c))
           case None => d // no dynamic form — surface the union error below
         }
       }

@@ -336,15 +336,7 @@ object Parser {
       while (cont) {
         if (isWord(cur, "GROUP") && isWord(toks(pos + 1), "BY")) {
           pos += 2
-          val kind =
-            if (isWord(cur, "ROLLUP")) { pos += 1; "rollup" }
-            else if (isWord(cur, "CUBE")) { pos += 1; "cube" }
-            else ""
-          val keys =
-            if (kind.nonEmpty) { expectSym("("); val ks = parseExprList(); expectSym(")"); ks }
-            else parseExprList()
-          val having = if (isWord(cur, "HAVING")) { pos += 1; Some(parseExpr()) } else None
-          group = Some(GroupSpec(kind, keys, having))
+          group = Some(parseGroupByBody())
         } else if (isWord(cur, "WINDOW")) {
           pos += 1
           var more = true
@@ -356,6 +348,102 @@ object Parser {
         } else cont = false
       }
       (group, windows)
+    }
+
+    /** `GROUP BY group_by_item [, …] [HAVING pred]` with the full
+      * group_by_item grammar (cypher_gram.y:4414-4491): plain exprs,
+      * ROLLUP(…), CUBE(…), GROUPING SETS(…), and the empty set `()`.
+      * Single pure ROLLUP/CUBE keep their dedicated kinds (the common,
+      * oracled shapes); anything involving sets or mixed items desugars to
+      * kind "sets" with PG's cross-product-concatenation semantics.
+      */
+    private def parseGroupByBody(): GroupSpec = {
+      // fast paths: GROUP BY ROLLUP(…) / CUBE(…) as the ONLY item
+      def soleCall(kw: String): Boolean =
+        isWord(cur, kw) && toks(pos + 1) == TSym("(")
+      if (soleCall("ROLLUP") || soleCall("CUBE")) {
+        val kind = if (isWord(cur, "ROLLUP")) "rollup" else "cube"
+        val save = pos
+        pos += 1; expectSym("("); val ks = parseExprList(); expectSym(")")
+        if (!atSym(",")) {
+          val having = if (eat("HAVING")) Some(parseExpr()) else None
+          return GroupSpec(kind, ks, having)
+        }
+        pos = save // mixed items: fall through to the general form
+      }
+      val items = scala.collection.mutable.ListBuffer.empty[List[List[Expr]]]
+      items += parseGroupByItem()
+      while (eatSym(",")) items += parseGroupByItem()
+      val having = if (eat("HAVING")) Some(parseExpr()) else None
+      // cross-product concatenation across comma-separated items
+      val sets = items.foldLeft(List(List.empty[Expr])) { (acc, item) =>
+        for (a <- acc; b <- item) yield a ++ b
+      }
+      val keys = sets.flatten.distinct
+      if (sets.length == 1) GroupSpec("", keys, having) // all plain exprs
+      else GroupSpec("sets", keys, having, sets.map(_.distinct))
+    }
+
+    /** One group_by_item, expanded to the grouping sets it denotes. */
+    private def parseGroupByItem(): List[List[Expr]] = {
+      if (isWord(cur, "ROLLUP") && toks(pos + 1) == TSym("(")) {
+        pos += 1; expectSym("("); val es = parseExprList(); expectSym(")")
+        (es.length to 0 by -1).map(n => es.take(n)).toList
+      } else if (isWord(cur, "CUBE") && toks(pos + 1) == TSym("(")) {
+        pos += 1; expectSym("("); val es = parseExprList(); expectSym(")")
+        require(es.length <= 12, "CUBE is limited to 12 elements")
+        // PG enumeration order: bitmask over elements, high bit = first
+        (0 until (1 << es.length)).reverse.map { mask =>
+          es.zipWithIndex.collect {
+            case (e, i) if (mask & (1 << (es.length - 1 - i))) != 0 => e
+          }
+        }.toList
+      } else if (isWord(cur, "GROUPING") && isWord(toks(pos + 1), "SETS")) {
+        pos += 2; expectSym("(")
+        val out = scala.collection.mutable.ListBuffer.empty[List[Expr]]
+        out ++= parseGroupingSetElem()
+        while (eatSym(",")) out ++= parseGroupingSetElem()
+        expectSym(")")
+        out.toList
+      } else if (atSym("(") && toks(pos + 1) == TSym(")")) {
+        pos += 2; List(Nil) // empty grouping set
+      } else List(List(parseExpr()))
+    }
+
+    /** Element inside GROUPING SETS ( … ): a nested rollup/cube/sets item,
+      * a parenthesized column list (one composite set), `()`, or an expr.
+      */
+    private def parseGroupingSetElem(): List[List[Expr]] = {
+      if (isWord(cur, "ROLLUP") || isWord(cur, "CUBE") ||
+          isWord(cur, "GROUPING")) parseGroupByItem()
+      else if (atSym("(")) {
+        val save = pos
+        pos += 1
+        if (eatSym(")")) List(Nil)
+        else scala.util.Try {
+          val es = parseExprList(); expectSym(")"); es
+        } match {
+          // `(a, b)` — a composite set — but `(a + b) * c` is an expr:
+          // re-parse as expr when the list parse doesn't consume the parens
+          case scala.util.Success(es)
+              if !atSym(".") && !atSym("[") && es.length > 1 => List(es)
+          case scala.util.Success(es) if es.length == 1 &&
+              !atSym(".") && !atSym("[") && !isExprContinuation => List(es)
+          case _ => pos = save; List(List(parseExpr()))
+        }
+      } else List(List(parseExpr()))
+    }
+
+    /** After a closed paren: does the next token continue an expression
+      * (binary operator etc.), meaning the parens were sub-expression
+      * grouping rather than a set list?
+      */
+    private def isExprContinuation: Boolean = cur match {
+      case TSym("+") | TSym("-") | TSym("*") | TSym("/") | TSym("%") |
+           TSym("^") | TSym("=") | TSym("<") | TSym(">") | TSym("<=") |
+           TSym(">=") | TSym("<>") | TSym("||") => true
+      case t if isWord(t, "AND") || isWord(t, "OR") || isWord(t, "IN") => true
+      case _ => false
     }
 
     /** `( [PARTITION BY exprs] [ORDER BY items] [ROWS|RANGE frame] )`.

@@ -160,6 +160,11 @@ final class SqlSurface(spark: SparkSession) {
     q = q.replaceAll("(?i)\\bIS\\s+NOT\\s+UNKNOWN\\b", "IS NOT NULL")
     q = q.replaceAll("(?i)\\bIS\\s+UNKNOWN\\b", "IS NULL")
     q = q.replaceAll("(?i)\\bFROM\\s+ONLY\\b", "FROM")
+    // TABLESAMPLE BERNOULLI(p)/SYSTEM(p) (cypher_gram.y:2046-2080) →
+    // Spark's native `TABLESAMPLE (p PERCENT)`; REPEATABLE(seed) is
+    // already Spark syntax and passes through
+    q = "(?i)\\bTABLESAMPLE\\s+(?:BERNOULLI|SYSTEM)\\s*\\(\\s*([0-9.]+)\\s*\\)".r
+      .replaceAllIn(q, m => s"TABLESAMPLE (${m.group(1)} PERCENT)")
     q = q.replaceAll("(?i)\\bFROM\\s+LATERAL\\s*\\(", "FROM (")
     q = q.replaceAll("(?i)\\bBETWEEN\\s+ASYMMETRIC\\b", "BETWEEN")
     q = "(?i)BETWEEN\\s+SYMMETRIC\\s+(\\S+)\\s+AND\\s+(\\S+)".r

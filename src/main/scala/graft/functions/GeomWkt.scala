@@ -110,9 +110,15 @@ object GeomWkt {
     }
     def ptList(str: String, d0: Dim): (Vector[Pt], Dim) = {
       var d = d0
+      var locked = d0.z || d0.m // explicit Z/M suffix fixes the dim up front
       val pts = splitTop(str).map { t =>
-        val (p, pd) = coords(stripParens(t), d)
-        if (!d.z && !d.m) d = pd
+        val (p, pd) = coords(stripParens(t), d0)
+        // dim is inferred from the FIRST coordinate and locked: PostGIS
+        // raises 'can not mix dimensionality' on e.g. LINESTRING(0 0, 1 1 1)
+        // rather than defaulting the missing/extra ordinates (ADVICE r7)
+        if (!locked) { d = pd; locked = true }
+        else require(pd == d,
+          "parse error - can not mix dimensionality in a geometry")
         p
       }
       (pts, d)

@@ -135,12 +135,25 @@ object Registry {
     reg("st_symdifference_area", 2)(a => GeomKernels.stSymDifferenceArea(a(0), a(1)))
     reg("st_symdifference", 2)(a => GeomKernels.stSymDifference(a(0), a(1)))
     reg("st_astext_line", 1)(a => PostgisFns.stAsTextLine(a(0)))
-    regVar("st_asewkt") { a =>
-      // 1-arg: EWKT/box render strings pass through (hybrid-SQL over a
-      // cypher() TVF column); 2-arg: SRID-prefixed point form
-      if (a.length == 1) a(0).cast("string")
-      else PostgisFns.stAsEwkt(a(0), a(1))
-    }
+    // 1-arg: EWKT/box render strings pass through (hybrid-SQL over a
+    // cypher() TVF column) but a point4 STRUCT renders POINT(x y) — the
+    // struct's '{1.0, 2.0, …}' string cast is not a WKT render (ADVICE r7);
+    // 2-arg: SRID-prefixed point form. Registered raw so the input
+    // Expression's dataType drives the branch (mirrors Compiler:3072).
+    fr.createOrReplaceTempFunction("st_asewkt", (exprs: Seq[Expression]) => {
+      import org.apache.spark.sql.functions.{concat, lit}
+      val a = exprs.map(Bridge.column)
+      val out =
+        if (exprs.length != 1) PostgisFns.stAsEwkt(a(0), a(1))
+        else scala.util.Try(exprs.head.dataType).toOption match {
+          case Some(s: org.apache.spark.sql.types.StructType)
+              if s.fieldNames.sameElements(Array("x", "y", "z", "m")) =>
+            concat(lit("POINT("), a(0).getField("x").cast("string"), lit(" "),
+              a(0).getField("y").cast("string"), lit(")"))
+          case _ => a(0).cast("string")
+        }
+      session.expression(out)
+    }, "internal")
     // catalog tail (round-6; sql/postgraph-postgis.sql.in:433-672)
     reg("st_ispolygoncw", 1)(a => GeomKernels.stIsPolygonCW(a(0)))
     reg("st_ispolygonccw", 1)(a => GeomKernels.stIsPolygonCCW(a(0)))

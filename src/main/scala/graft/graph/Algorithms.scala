@@ -14,6 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object Algorithms {
 
+  /** Size-adaptive execution: below this optimizer-estimated size (bytes,
+    * from `optimizedPlan.stats` — pure estimation, no job) the iterative
+    * loop runs inside ONE executor task over local arrays instead of N
+    * shuffle rounds. 256 MiB of (src,dst) pairs ≈ 8–16 M edges — trivially
+    * held by one task — while 100 TB inputs estimate in the TBs and take
+    * the distributed loop (one shuffle keyed on dst per iteration). Same
+    * recurrence, same results either way; override with
+    * `spark.graft.graph.localBytes` (−1 disables the local path).
+    */
+  private def localBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.graph.localBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+
+  private def isSmall(dfs: DataFrame*): Boolean = {
+    val limit = localBytes(dfs.head.sparkSession)
+    limit >= 0 &&
+      dfs.map(_.queryExecution.optimizedPlan.stats.sizeInBytes).sum <= limit
+  }
+
   def toGraphX(pg: PropertyGraph): Graph[Int, Int] = {
     val vertexRdd: RDD[(VertexId, Int)] = pg.vertexLabels.toSeq.sortBy(_._1).map {
       case (label, df) =>
@@ -50,6 +69,8 @@ object Algorithms {
     */
   def pageRank(pg: PropertyGraph, iters: Int, resetProb: Double = 0.15): DataFrame = {
     val e = pg.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+    val v = pg.allVertices.select(col("id"))
+    if (isSmall(e, v)) return pageRankLocal(pg, e, v, iters, resetProb)
     // out-degree-weighted edges, built once: (src, dst, w = 1/outdeg(src))
     val w = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
@@ -79,6 +100,68 @@ object Algorithms {
       .select(col("id"), rank(col("in_sum")).as("rank"))
   }
 
+  /** Small-graph PageRank: the identical recurrence run over local arrays in
+    * a single executor task (edges + vertices tag-unioned into one
+    * partition). ~30 shuffle rounds collapse to one narrow job.
+    */
+  private def pageRankLocal(pg: PropertyGraph, e: DataFrame, v: DataFrame,
+      iters: Int, resetProb: Double): DataFrame = {
+    val spark = pg.spark
+    import spark.implicits._
+    val tagged = e.select(lit(true).as("_1"), col("src").as("_2"), col("dst").as("_3"))
+      .unionByName(v.select(lit(false).as("_1"), col("id").as("_2"), lit(0L).as("_3")))
+      .as[(Boolean, Long, Long)]
+      .coalesce(1)
+    tagged.mapPartitions { it =>
+      val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val vset = new java.util.HashSet[Long]()
+      // index every id that appears (vertex or endpoint) so contributions
+      // from/to ids outside the vertex set behave exactly as the
+      // distributed loop's edge-only contribs relation; output filters to
+      // the vertex set at the end (mirrors the final allVertices join)
+      val idx = new java.util.HashMap[Long, Integer]()
+      def slot(id: Long): Int = {
+        var i = idx.get(id)
+        if (i == null) { i = idx.size(); idx.put(id, i) }
+        i.intValue()
+      }
+      it.foreach { case (isEdge, a, b) =>
+        if (isEdge) { edges += ((a, b)); slot(a); slot(b) }
+        else { vset.add(a); slot(a) }
+      }
+      val n = idx.size()
+      val srcIdx = new Array[Int](edges.length)
+      val dstIdx = new Array[Int](edges.length)
+      val outdeg = new Array[Int](n)
+      var j = 0
+      edges.foreach { case (s, d) =>
+        srcIdx(j) = slot(s); dstIdx(j) = slot(d); outdeg(srcIdx(j)) += 1; j += 1
+      }
+      // precomputed 1/deg mirrors the distributed loop's (and the DuckDB
+      // oracle's) `w = 1.0/deg` edge weight bit-for-bit
+      val winv = outdeg.map(d => if (d == 0) 0.0 else 1.0 / d)
+      var r = Array.fill(n)(1.0)
+      var k = 1
+      while (k <= iters) {
+        val in = new Array[Double](n)
+        var i = 0
+        while (i < edges.length) {
+          in(dstIdx(i)) += r(srcIdx(i)) * winv(srcIdx(i)); i += 1
+        }
+        val nxt = new Array[Double](n)
+        i = 0
+        while (i < n) { nxt(i) = resetProb + (1 - resetProb) * in(i); i += 1 }
+        r = nxt
+        k += 1
+      }
+      val ids = new Array[Long](n)
+      idx.forEach((id, i) => ids(i) = id)
+      (0 until n).iterator
+        .filter(i => vset.contains(ids(i)))
+        .map(i => (ids(i), r(i)))
+    }.toDF("id", "rank")
+  }
+
   /** Unweighted single-source shortest paths, level-synchronous BFS:
     * (id, d) for every vertex reachable from `src` within `maxHops`. One
     * join + one distinct + one anti join per level, frontier checkpointed —
@@ -89,9 +172,9 @@ object Algorithms {
   def sssp(pg: PropertyGraph, src: Long, maxHops: Int = 20): DataFrame = {
     val spark = pg.spark
     import spark.implicits._
-    val edges = pg.allEdges
-      .select(col("start_id").as("src"), col("end_id").as("dst"))
-      .localCheckpoint()
+    val e0 = pg.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+    if (isSmall(e0)) return ssspLocal(pg, e0, src, maxHops)
+    val edges = e0.localCheckpoint()
     var dist = Seq((src, 0)).toDF("id", "d").localCheckpoint()
     var frontier = dist
     var level = 0
@@ -115,6 +198,41 @@ object Algorithms {
       }
     }
     dist
+  }
+
+  /** Small-graph BFS: adjacency built in one task, level-synchronous scan
+    * over local arrays — replaces ~5 jobs per level with one narrow job.
+    */
+  private def ssspLocal(pg: PropertyGraph, e: DataFrame, src: Long,
+      maxHops: Int): DataFrame = {
+    val spark = pg.spark
+    import spark.implicits._
+    e.toDF("_1", "_2").as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      it.foreach { case (s, d) =>
+        val b = adj.get(s)
+        if (b == null) { val nb = scala.collection.mutable.ArrayBuffer(d); adj.put(s, nb) }
+        else b += d
+      }
+      val dist = new java.util.HashMap[Long, Int]()
+      dist.put(src, 0)
+      var frontier = scala.collection.mutable.ArrayBuffer(src)
+      var level = 0
+      while (level < maxHops && frontier.nonEmpty) {
+        level += 1
+        val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+        frontier.foreach { u =>
+          val outs = adj.get(u)
+          if (outs != null) outs.foreach { v =>
+            if (!dist.containsKey(v)) { dist.put(v, level); next += v }
+          }
+        }
+        frontier = next
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      dist.forEach((id, d) => out += ((id, d)))
+      out.iterator
+    }.toDF("id", "d")
   }
 
   /** In/out degrees joined back to the label: (id, label_id, in_deg, out_deg). */

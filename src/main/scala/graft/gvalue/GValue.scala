@@ -24,7 +24,7 @@ sealed trait GValue {
       else if (v.isNegInfinity) "-Infinity"
       else if (v == math.floor(v) && math.abs(v) < 1e15) s"${v.toLong}.0"
       else v.toString
-    case GNumeric(v)    => v.bigDecimal.toPlainString
+    case GNumeric(v)    => v.bigDecimal.toPlainString + "::numeric"
     case GString(s)     => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     case GArray(items)  => items.map(_.render).mkString("[", ", ", "]")
     case GMap(entries)  => entries.map { case (k, v) => s"\"$k\": ${v.render}" }.mkString("{", ", ", "}")

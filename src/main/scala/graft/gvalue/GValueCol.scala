@@ -35,6 +35,9 @@ import org.apache.spark.sql.types._
 object GValueCol {
 
   val TString = 2; val TBool = 3; val TInt = 4; val TFloat = 5
+  // numeric keeps its exact decimal text in `s` (renders `N::numeric`,
+  // gtype_out numeric annotation) and its double in `f` for compares
+  val TNumeric = 6
   val TTimestamp = 7; val TDate = 8; val TArray = 9; val TObject = 10
   val TNull = 11
 
@@ -81,8 +84,13 @@ object GValueCol {
     val v = dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         mk(TInt, lit(false), c, lit(0.0), lit(""))
-      case FloatType | DoubleType | _: DecimalType =>
+      case FloatType | DoubleType =>
         mk(TFloat, lit(false), lit(0L), c, lit(""))
+      case _: DecimalType => // numeric: exact text in s (trailing zeros of
+        // the storage scale stripped), double in f for compares
+        mk(TNumeric, lit(false), lit(0L), c.cast("double"),
+          regexp_replace(regexp_replace(c.cast("string"),
+            "(\\.\\d*?)0+$", "$1"), "\\.$", ""))
       case StringType => mk(TString, lit(false), lit(0L), lit(0.0), c)
       case BooleanType => mk(TBool, c, lit(0L), lit(0.0), lit(""))
       case TimestampType | TimestampNTZType =>
@@ -154,6 +162,7 @@ object GValueCol {
     case TBool      => GBool(r.getBoolean(1))
     case TInt       => GInt(r.getLong(2))
     case TFloat     => GFloat(r.getDouble(3))
+    case TNumeric   => GNumeric(BigDecimal(r.getString(4)))
     case TString    => GString(r.getString(4))
     case TTimestamp => GTimestamp(r.getLong(2))
     case TDate      => GInt(r.getLong(2)) // epoch days (no dedicated GDate)
@@ -203,7 +212,8 @@ object GValueCol {
     case GBool(b)    => mkScalar(TBool, lit(b), lit(0L), lit(0.0), lit(""))
     case GInt(i)     => mkScalar(TInt, lit(false), lit(i), lit(0.0), lit(""))
     case GFloat(f)   => mkScalar(TFloat, lit(false), lit(0L), lit(f), lit(""))
-    case GNumeric(n) => mkScalar(TFloat, lit(false), lit(0L), lit(n.toDouble), lit(""))
+    case GNumeric(n) => mkScalar(TNumeric, lit(false), lit(0L), lit(n.toDouble),
+      lit(n.bigDecimal.toPlainString))
     case GString(s)  => mkScalar(TString, lit(false), lit(0L), lit(0.0), lit(s))
     case GTimestamp(us) => mkScalar(TTimestamp, lit(false), lit(us), lit(0.0), lit(""))
     case GDate(d)    => mkScalar(TDate, lit(false), lit(d.toLong), lit(0.0), lit(""))
@@ -221,7 +231,8 @@ object GValueCol {
     case GBool(b)    => mk(TBool, lit(b), lit(0L), lit(0.0), lit(""))
     case GInt(i)     => mk(TInt, lit(false), lit(i), lit(0.0), lit(""))
     case GFloat(f)   => mk(TFloat, lit(false), lit(0L), lit(f), lit(""))
-    case GNumeric(n) => mk(TFloat, lit(false), lit(0L), lit(n.toDouble), lit(""))
+    case GNumeric(n) => mk(TNumeric, lit(false), lit(0L), lit(n.toDouble),
+      lit(n.bigDecimal.toPlainString))
     case GString(s)  => mk(TString, lit(false), lit(0L), lit(0.0), lit(s))
     case GTimestamp(us) => mk(TTimestamp, lit(false), lit(us), lit(0.0), lit(""))
     case GDate(d)    => mk(TDate, lit(false), lit(d.toLong), lit(0.0), lit(""))
@@ -243,13 +254,13 @@ object GValueCol {
     val fam =
       when(tag === TObject, 0).when(tag === TArray, 1)
         .when(tag === TString, 2).when(tag === TBool, 3)
-        .when(tag === TInt || tag === TFloat, 4)
+        .when(tag === TInt || tag === TFloat || tag === TNumeric, 4)
         .when(tag === TTimestamp || tag === TDate, 5)
         .otherwise(11)
     val num =
       when(tag === TBool, e.getField("b").cast("double"))
         .when(tag === TInt, e.getField("i").cast("double"))
-        .when(tag === TFloat, e.getField("f"))
+        .when(tag === TFloat || tag === TNumeric, e.getField("f"))
         .when(tag === TTimestamp, e.getField("i").cast("double"))
         .when(tag === TDate, e.getField("i").cast("double") * 86400000000.0)
         .otherwise(lit(0.0))
@@ -274,13 +285,13 @@ object GValueCol {
         .when(tag === TArray, 1)
         .when(tag === TString, 2)
         .when(tag === TBool, 3)
-        .when(tag === TInt || tag === TFloat, 4)
+        .when(tag === TInt || tag === TFloat || tag === TNumeric, 4)
         .when(tag === TTimestamp || tag === TDate, 5)
         .otherwise(11)
     val num =
       when(tag === TBool, g.getField("b").cast("double"))
         .when(tag === TInt, g.getField("i").cast("double"))
-        .when(tag === TFloat, g.getField("f"))
+        .when(tag === TFloat || tag === TNumeric, g.getField("f"))
         .when(tag === TTimestamp, g.getField("i").cast("double"))
         .when(tag === TDate, g.getField("i").cast("double") * 86400000000.0)
         .otherwise(lit(0.0))
@@ -298,6 +309,52 @@ object GValueCol {
   /** Is this dynamic value the gtype null? */
   def isNullVal(g: Column): Column = g.getField("tag") === TNull
 
+  /** UNWIND support over a dynamic value: element array of a gtype ARRAY
+    * (top-level arrays carry their elements in `a`; a PROMOTED nested
+    * array re-parses its render payload — scalar elements only, the depth
+    * the codec's canon⊕render payload preserves), a single-element array
+    * for scalars (openCypher: UNWIND of a non-list yields the value), and
+    * NULL (no rows) for the gtype null.
+    */
+  def unwindElems(g: Column): Column = {
+    val tag = g.getField("tag")
+    def sc(t: Column, b: Column, i: Column, f: Column, s: Column): Column =
+      struct(t.cast("tinyint").as("tag"), b.as("b"), i.cast("long").as("i"),
+        f.cast("double").as("f"), s.as("s"))
+    // one rendered scalar token → scalar payload
+    def parseTok(t0: Column): Column = {
+      val t = trim(t0)
+      val unq = regexp_replace(regexp_replace(
+        regexp_replace(t, "^\"|\"$", ""), "\\\\\"", "\""), "\\\\\\\\", "\\\\")
+      when(t === "null", sc(lit(TNull), lit(false), lit(0L), lit(0.0), lit("")))
+        .when(t === "true" || t === "false",
+          sc(lit(TBool), t === "true", lit(0L), lit(0.0), lit("")))
+        .when(t.rlike("^-?[0-9]+$"),
+          sc(lit(TInt), lit(false), t.cast("long"), lit(0.0), lit("")))
+        .when(t.endsWith("::numeric"), {
+          val num = regexp_replace(t, "::numeric$", "")
+          sc(lit(TNumeric), lit(false), lit(0L), num.cast("double"), num)
+        })
+        .when(t.rlike("^-?[0-9.eE+-]+$"),
+          sc(lit(TFloat), lit(false), lit(0L), t.cast("double"), lit("")))
+        .when(t.startsWith("\""),
+          sc(lit(TString), lit(false), lit(0L), lit(0.0), unq))
+        // deeper containers would need a depth-aware split; surface loudly
+        // as a string rather than silently corrupting
+        .otherwise(sc(lit(TString), lit(false), lit(0L), lit(0.0), t))
+    }
+    val render = renderPart(g.getField("s"))
+    val inner = trim(regexp_replace(render, "^\\[|\\]$", ""))
+    val promotedElems = when(length(inner) === 0,
+      array().cast(ArrayType(scalarType, containsNull = false)))
+      .otherwise(transform(split(inner, ",\\s+"), t => parseTok(t)))
+    when(tag === TArray && g.getField("a").isNotNull, g.getField("a"))
+      .when(tag === TArray, promotedElems)
+      .when(tag === TNull, lit(null).cast(ArrayType(scalarType, containsNull = false)))
+      .otherwise(array(sc(tag, g.getField("b"), g.getField("i"),
+        g.getField("f"), g.getField("s"))))
+  }
+
   /** Numeric view of a dynamic value: int/float payloads as double,
     * anything else (incl. the gtype null and SQL null) → SQL NULL. The
     * input decode for numeric aggregates over heterogeneous property
@@ -306,7 +363,8 @@ object GValueCol {
     */
   def numeric(g: Column): Column =
     when(g.getField("tag") === TInt, g.getField("i").cast("double"))
-      .when(g.getField("tag") === TFloat, g.getField("f"))
+      .when(g.getField("tag") === TFloat || g.getField("tag") === TNumeric,
+        g.getField("f"))
 
   /** 3-valued equality on dynamic values (cross-type: 1 = 1.0). */
   def eqv(a: Column, b: Column): Column =
@@ -320,6 +378,7 @@ object GValueCol {
       .when(tag === TBool, b.cast("string"))
       .when(tag === TInt, i.cast("string"))
       .when(tag === TFloat, f.cast("string"))
+      .when(tag === TNumeric, s)
       .when(tag === TTimestamp, timestamp_micros(i).cast("string"))
       .when(tag === TDate, date_from_unix_date(i.cast("int")).cast("string"))
 

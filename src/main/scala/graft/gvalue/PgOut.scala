@@ -200,7 +200,9 @@ object PgOut {
     case GBool(b)    => if (b) "true" else "false"
     case GInt(x)     => x.toString
     case GFloat(x)   => gFloat(x)
-    case GNumeric(x) => x.bigDecimal.stripTrailingZeros.toPlainString
+    // gtype numeric renders with its cast annotation and the value's own
+    // scale (order_by.out:95 `[1.0::numeric, 2::numeric, …]`)
+    case GNumeric(x) => x.bigDecimal.toPlainString + "::numeric"
     case GString(s)  => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     case GArray(xs)  => xs.map(gout).mkString("[", ", ", "]")
     case GMap(es)    => es.map { case (k, x) => s""""$k": ${gout(x)}""" }.mkString("{", ", ", "}")

@@ -238,14 +238,14 @@ object FunctionQueries {
         |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum'), 4) AS l1,
         |  round(list_inner_product(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 4) AS ip,
         |  round(1.0 - list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 4) AS cos_dist,
-        |  CAST(len(e1.embedding) AS INTEGER) AS d
+        |  CAST(len(e1.embedding) AS DOUBLE) AS d
         |FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
         |WHERE e1.vec_id < 20 ORDER BY ida""".stripMargin,
     "f2_sql_registered" ->
       """SELECT e1.vec_id AS ida,
         |  round(list_distance(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 4) AS l2,
         |  round(sqrt(list_inner_product(CAST(e1.embedding AS DOUBLE[]), CAST(e1.embedding AS DOUBLE[]))), 4) AS norm_a,
-        |  CAST(len(e1.embedding) AS INTEGER) AS d
+        |  CAST(len(e1.embedding) AS DOUBLE) AS d
         |FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
         |WHERE e1.vec_id < 10 ORDER BY ida""".stripMargin,
     "f3_tsearch_match" ->

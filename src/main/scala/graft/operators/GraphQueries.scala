@@ -335,7 +335,17 @@ object GraphQueries {
         "(wkt @ 'POLYGON((0 0,12 0,12 9,0 9,0 0))'::geometry)::int AS in_poly_bb, " +
         "(wkt && 'BOX3D(5 5 0, 25 15 0)'::box3d::geometry)::int AS ovl, " +
         "(st_x('POINT(3 4)'::geometry) + st_y('POINT(3 4)'::geometry)) AS const7 " +
-        "ORDER BY ck")
+        "ORDER BY ck"),
+
+    // GROUP BY GROUPING SETS — the general grouping_sets_clause
+    // (cypher_gram.y:4414-4491) beyond ROLLUP/CUBE: per-(segment, nation
+    // bucket) detail, per-segment subtotal, grand total in one Expand
+    "g31_grouping_sets" -> cy(
+      "MATCH (c:Customer) " +
+        "RETURN c.c_mktsegment AS seg, c.c_nationkey % 5 AS nk, " +
+        "count(*) AS n, sum(c.c_custkey) AS sk " +
+        "GROUP BY GROUPING SETS ((c.c_mktsegment, c.c_nationkey % 5), (c.c_mktsegment), ()) " +
+        "ORDER BY seg, nk, n")
   )
 
   val oracles: Map[String, String] = Map(
@@ -517,6 +527,12 @@ object GraphQueries {
         |  CAST(CASE WHEN (c_custkey % 20) <= 12 AND (c_custkey % 11) <= 9 THEN 1 ELSE 0 END AS BIGINT) AS in_poly_bb,
         |  CAST(CASE WHEN (c_custkey % 20) >= 5 AND (c_custkey % 11) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS ovl,
         |  CAST(7 AS DOUBLE) AS const7
-        |FROM customer WHERE c_custkey <= 200 ORDER BY ck""".stripMargin
+        |FROM customer WHERE c_custkey <= 200 ORDER BY ck""".stripMargin,
+    "g31_grouping_sets" ->
+      """SELECT c_mktsegment AS seg, CAST(c_nationkey % 5 AS BIGINT) AS nk,
+        |  count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS sk
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey % 5), (c_mktsegment), ())
+        |ORDER BY seg, nk, n""".stripMargin
   )
 }

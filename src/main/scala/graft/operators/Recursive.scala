@@ -49,4 +49,78 @@ object Recursive {
       s"recursive fixpoint did not converge within $maxIter iterations")
     acc
   }
+
+  import org.apache.spark.sql.functions._
+
+  /** `SEARCH {BREADTH|DEPTH} FIRST BY keyCols SET seqCol`
+    * (cypher_gram.y:1394-1417): PG's ordering-column sugar over a recursive
+    * CTE, re-expressed as a fixpoint combinator. BREADTH FIRST emits
+    * `seqCol = struct(depth, keyCols…)`; DEPTH FIRST emits
+    * `seqCol = array<struct(keyCols…)>` (the root-to-row path) — ordering
+    * by seqCol then reproduces PG's breadth-/depth-first presentation
+    * order. UNION ALL accumulation (PG requires it for SEARCH); `step`
+    * receives the frontier INCLUDING seqCol and must carry it through to
+    * each child row (a join naturally does), the combinator re-derives the
+    * child's own seq from it.
+    */
+  def fixpointSearch(seed: DataFrame, step: DataFrame => DataFrame,
+      keyCols: Seq[String], breadthFirst: Boolean, seqCol: String = "seq",
+      maxIter: Int = 100): DataFrame = {
+    def keyStruct = struct(keyCols.map(col): _*)
+    val seed2 = (if (breadthFirst)
+      seed.withColumn(seqCol, struct(lit(0L).as("depth"), keyStruct.as("key")))
+    else seed.withColumn(seqCol, array(keyStruct))).localCheckpoint()
+    var acc = seed2
+    var frontier = seed2
+    var iter = 0
+    while (iter < maxIter && !frontier.isEmpty) {
+      val children = step(frontier)
+      val reseq =
+        if (breadthFirst) children.withColumn(seqCol,
+          struct((col(seqCol).getField("depth") + 1).as("depth"), keyStruct.as("key")))
+        else children.withColumn(seqCol, concat(col(seqCol), array(keyStruct)))
+      frontier = reseq.select(acc.columns.map(col).toSeq: _*).localCheckpoint()
+      if (!frontier.isEmpty) acc = acc.unionByName(frontier)
+      iter += 1
+      if (iter % 3 == 0) acc = acc.localCheckpoint()
+    }
+    require(iter < maxIter || frontier.isEmpty,
+      s"recursive fixpoint did not converge within $maxIter iterations")
+    acc
+  }
+
+  /** `CYCLE keyCols SET markCol [TO v DEFAULT dv] USING pathCol`
+    * (cypher_gram.y:1419-1443): cycle detection sugar — each row carries
+    * the root-to-row path of its key struct in `pathCol`; a child whose
+    * key already appears in its parent's path gets `markCol = true` and is
+    * NOT expanded further (PG semantics), which also guarantees
+    * termination on cyclic graphs. UNION ALL accumulation.
+    */
+  def fixpointCycle(seed: DataFrame, step: DataFrame => DataFrame,
+      keyCols: Seq[String], markCol: String = "is_cycle",
+      pathCol: String = "path", maxIter: Int = 100): DataFrame = {
+    def keyStruct = struct(keyCols.map(col): _*)
+    val seed2 = seed
+      .withColumn(markCol, lit(false))
+      .withColumn(pathCol, array(keyStruct))
+      .localCheckpoint()
+    var acc = seed2
+    var frontier = seed2
+    var iter = 0
+    while (iter < maxIter && !frontier.isEmpty) {
+      val children = step(frontier)
+        .withColumn(markCol, array_contains(col(pathCol), keyStruct))
+        .withColumn(pathCol, concat(col(pathCol), array(keyStruct)))
+      val stepped = children.select(acc.columns.map(col).toSeq: _*).localCheckpoint()
+      val live = !stepped.isEmpty
+      if (live) acc = acc.unionByName(stepped)
+      // marked rows surface in the result but never recurse
+      frontier = stepped.filter(!col(markCol)).localCheckpoint()
+      iter += 1
+      if (iter % 3 == 0) acc = acc.localCheckpoint()
+    }
+    require(iter < maxIter || frontier.isEmpty,
+      s"recursive cycle fixpoint did not converge within $maxIter iterations")
+    acc
+  }
 }

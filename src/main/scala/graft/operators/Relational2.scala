@@ -121,6 +121,72 @@ object Relational2 {
         sum(when(col("node") < 100, 1L).otherwise(0L)).as("n_region_links"))
     }),
 
+    // TABLESAMPLE clause (cypher_gram.y:2046-2080) routed through the SQL
+    // surface's BERNOULLI→PERCENT rewrite to Spark's native sampler; 100%
+    // keeps the result deterministic (sampling mechanics in SqlSurfaceSpec)
+    "q32_tablesample" -> ((s, dir) => {
+      T(s, dir, "customer").createOrReplaceTempView("customer")
+      new graft.cypher.SqlSurface(s).run(
+        "SELECT c_mktsegment AS seg, count(*) AS n " +
+          "FROM customer TABLESAMPLE BERNOULLI(100) REPEATABLE(42) " +
+          "GROUP BY c_mktsegment ORDER BY seg")
+    }),
+
+    // SEARCH BREADTH FIRST (cypher_gram.y:1394-1417): region→nation→
+    // customer hierarchy; the seq column drives the presentation order
+    "q33_search_bfs" -> ((s, dir) => {
+      val edges = T(s, dir, "nation")
+        .select(col("n_regionkey").cast("long").as("src"),
+          (col("n_nationkey") + 100).cast("long").as("dst"))
+        .unionByName(T(s, dir, "customer")
+          .select((col("c_nationkey") + 100).cast("long").as("src"),
+            (col("c_custkey") + 1000).as("dst")))
+      val seed = T(s, dir, "region").select(col("r_regionkey").cast("long").as("node"))
+      Recursive.fixpointSearch(seed,
+        f => f.join(edges, f("node") === edges("src"))
+          .select(edges("dst").as("node"), f("seq")),
+        keyCols = Seq("node"), breadthFirst = true)
+        .select(col("node"), col("seq").getField("depth").as("d"))
+        .orderBy(col("d"), col("node")).limit(40)
+    }),
+
+    // SEARCH DEPTH FIRST: same hierarchy, path-array ordering column,
+    // rendered as a string for the oracle compare
+    "q34_search_dfs" -> ((s, dir) => {
+      val edges = T(s, dir, "nation")
+        .select(col("n_regionkey").cast("long").as("src"),
+          (col("n_nationkey") + 100).cast("long").as("dst"))
+        .unionByName(T(s, dir, "customer")
+          .select((col("c_nationkey") + 100).cast("long").as("src"),
+            (col("c_custkey") + 1000).as("dst")))
+      val seed = T(s, dir, "region").select(col("r_regionkey").cast("long").as("node"))
+      Recursive.fixpointSearch(seed,
+        f => f.join(edges, f("node") === edges("src"))
+          .select(edges("dst").as("node"), f("seq")),
+        keyCols = Seq("node"), breadthFirst = false)
+        .filter(col("node") >= 1001 && col("node") <= 1020)
+        .select(col("node"),
+          concat_ws("->", transform(col("seq"),
+            p => p.getField("node").cast("string"))).as("path"))
+        .orderBy(col("node"))
+    }),
+
+    // CYCLE … SET … USING (cypher_gram.y:1419-1443): 25-node ring walked
+    // from node 0; the marked row closes the cycle and stops expansion
+    "q35_cycle_mark" -> ((s, dir) => {
+      val ring = T(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("src"),
+          ((col("n_nationkey") + 1) % 25).cast("long").as("dst"))
+      val seed = s.range(1).select(lit(0L).as("node"))
+      Recursive.fixpointCycle(seed,
+        f => f.join(ring, f("node") === ring("src"))
+          .select(ring("dst").as("node"), f("path")),
+        keyCols = Seq("node"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("is_cycle"), 1L).otherwise(0L)).as("n_cycles"),
+          max(size(col("path"))).cast("long").as("max_path"))
+    }),
+
     // grouping sets (cypher_gram.y:4414-4491) — cube over two dims
     "q28_cube" -> ((s, dir) => {
       T(s, dir, "orders")
@@ -189,6 +255,47 @@ object Relational2 {
         |  FROM events)
         |WHERE gap_us IS NOT NULL AND user_id <= 50
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q32_tablesample" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY seg""".stripMargin,
+    "q33_search_bfs" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(n_nationkey + 100 AS BIGINT) AS dst FROM nation
+        |  UNION ALL
+        |  SELECT CAST(c_nationkey + 100 AS BIGINT), c_custkey + 1000 FROM customer
+        |), nodes(node, d) AS (
+        |  SELECT CAST(r_regionkey AS BIGINT), CAST(0 AS BIGINT) FROM region
+        |  UNION ALL
+        |  SELECT e.dst, n.d + 1 FROM nodes n JOIN edges e ON e.src = n.node
+        |)
+        |SELECT node, d FROM nodes ORDER BY d, node LIMIT 40""".stripMargin,
+    "q34_search_dfs" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(n_nationkey + 100 AS BIGINT) AS dst FROM nation
+        |  UNION ALL
+        |  SELECT CAST(c_nationkey + 100 AS BIGINT), c_custkey + 1000 FROM customer
+        |), walk(node, path) AS (
+        |  SELECT CAST(r_regionkey AS BIGINT), [CAST(r_regionkey AS BIGINT)] FROM region
+        |  UNION ALL
+        |  SELECT e.dst, list_append(w.path, e.dst) FROM walk w JOIN edges e ON e.src = w.node
+        |)
+        |SELECT node, array_to_string(path, '->') AS path
+        |FROM walk WHERE node BETWEEN 1001 AND 1020 ORDER BY node""".stripMargin,
+    "q35_cycle_mark" ->
+      """WITH RECURSIVE ring AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+        |         CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation
+        |), walk(node, is_cycle, path) AS (
+        |  SELECT CAST(0 AS BIGINT), false, [CAST(0 AS BIGINT)]
+        |  UNION ALL
+        |  SELECT e.dst, list_contains(w.path, e.dst), list_append(w.path, e.dst)
+        |  FROM walk w JOIN ring e ON e.src = w.node
+        |  WHERE NOT w.is_cycle
+        |)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN is_cycle THEN 1 ELSE 0 END) AS BIGINT) AS n_cycles,
+        |  CAST(max(len(path)) AS BIGINT) AS max_path
+        |FROM walk""".stripMargin,
     "q31_recursive" ->
       """WITH RECURSIVE edges AS (
         |  SELECT c_custkey + 1000 AS src, c_nationkey + 100 AS dst FROM customer

@@ -182,8 +182,33 @@ object Similarity {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    "s4_ivf_ann" -> ((s, dir) => ivfQuery(s, dir))
+    "s4_ivf_ann" -> ((s, dir) => ivfQuery(s, dir)),
+
+    // HARD recall gates for the two ANN paths (VERDICT r7 #4): the exact
+    // reranker is the in-query ground truth, and the emitted envelope row
+    // (n_truth, recall_ok) is pinned by a constant oracle — an ANN
+    // regression that drops recall below the floor now hash-FAILS the
+    // driver gate instead of hiding behind `no_oracle`.
+    "s6_lsh_recall_gate" -> ((s, dir) => recallGate(s, dir, "s3_ann_lsh", 0.5)),
+    "s7_ivf_recall_gate" -> ((s, dir) => recallGate(s, dir, "s4_ivf_ann", 0.6))
   )
+
+  /** Recall of an ANN query's (qid, cid) set against brute-force truth,
+    * folded to an oracle-pinnable envelope: n_truth is exact
+    * (NQuery × TopK) and recall_ok asserts the floor.
+    */
+  private def recallGate(s: SparkSession, dir: String, annName: String,
+      floor: Double): DataFrame = {
+    val truth = bruteTopK(s, dir).select(col("qid"), col("cid"))
+    val ann = queries(annName)(s, dir)
+      .select(col("qid"), col("cid")).distinct()
+      .withColumn("__hit", lit(1))
+    truth.join(ann, Seq("qid", "cid"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      .select(col("n_truth"),
+        (col("n_hit") >= col("n_truth") * floor).as("recall_ok"))
+  }
 
   /** IVF-ANN (reference IVFFlat analog): k-means clusters + nprobe scan.
     * Rows-only (k-means float iterations aren't SQL-mirrorable); recall vs
@@ -210,6 +235,12 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // constant envelopes: n_truth = NQuery × TopK exactly; recall_ok is
+    // the asserted floor (0.5 LSH / 0.6 IVF, the PipelineSpec values)
+    "s6_lsh_recall_gate" ->
+      s"SELECT CAST(${NQuery * TopK} AS BIGINT) AS n_truth, true AS recall_ok",
+    "s7_ivf_recall_gate" ->
+      s"SELECT CAST(${NQuery * TopK} AS BIGINT) AS n_truth, true AS recall_ok",
     "s1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQuery),
          |scored AS (

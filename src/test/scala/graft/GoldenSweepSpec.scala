@@ -43,15 +43,16 @@ class GoldenSweepSpec extends AnyFunSuite {
 
   /** Run one file's standalone RETURNs against their goldens.
     * Returns (valueMismatches, throwWhereGoldenHasRows, refOnlyErrors,
-    * total compared).
+    * allowlistedRefErrors).
     */
-  private def sweep(file: String): (Int, Int, Int, Int) = {
+  private def sweep(file: String,
+      allowRefErr: String => Boolean = _ => false): (Int, Int, Int, Int) = {
     val goldens = parseOut(file).filter { g =>
       val u = g.stmt.toUpperCase
       u.startsWith("RETURN ") || u.startsWith("CYPHER WITH ")
     }
     val compiler = mk()
-    var bad = 0; var threw = 0; var total = 0; var softErr = 0
+    var bad = 0; var threw = 0; var total = 0; var softErr = 0; var allowed = 0
     goldens.foreach { g =>
       val q = if (g.stmt.toUpperCase.startsWith("CYPHER ")) g.stmt.drop(7) else g.stmt
       (Try {
@@ -63,6 +64,9 @@ class GoldenSweepSpec extends AnyFunSuite {
         }
       }, g.expect) match {
         case (Failure(_), ExpectError) => () // parity
+        case (Success(_), ExpectError) if allowRefErr(g.stmt) =>
+          allowed += 1 // documented accept-where-reference-errors family
+          println(s"REFERR-ALLOWED $file | ${g.stmt.take(140)}")
         case (Success(_), ExpectError) =>
           softErr += 1 // we succeed where the reference errors; triaged below
           println(s"REFERR $file | ${g.stmt.take(140)}")
@@ -81,8 +85,8 @@ class GoldenSweepSpec extends AnyFunSuite {
       }
     }
     println(s"GOLDEN $file: $bad value mismatches, $threw throws, " +
-      s"$softErr ref-only-errors, $total compared")
-    (bad, threw, softErr, total)
+      s"$softErr ref-only-errors ($allowed allowlisted), $total compared")
+    (bad, threw, softErr, allowed)
   }
 
   // Round-6 state: EVERY compared statement matches its golden rows
@@ -120,11 +124,24 @@ class GoldenSweepSpec extends AnyFunSuite {
     assert(bad + threw == 0); assert(softErr <= 40)
   }
   test("golden values: temporal.out") {
-    val (bad, threw, softErr, _) = sweep("temporal.out")
-    // 94: +3 over the r6 triage — family (d): PG datetime-style inputs
-    // (`12/17/1997`, typed TIMESTAMP '…' literals) now parse where the
-    // reference's cypher grammar errors; we succeed, reference ERRORs
-    assert(bad + threw == 0); assert(softErr <= 94)
+    // family (d), allowlisted EXPLICITLY (ADVICE r7 — don't ratchet the
+    // blanket ceiling): PG datetime-style inputs (typed
+    // TIMESTAMP/DATE '…' literals, `12/17/1997` slash dates) that this
+    // implementation parses where the reference's cypher grammar errors —
+    // accept-where-reference-errors, never a silent wrong value. The
+    // blanket ceiling stays at the r6 triage value of 91 so any NEW
+    // divergence outside the family fails the sweep.
+    val refErrFamilyD: String => Boolean = s => {
+      val u = s.toUpperCase
+      s.contains("12/17/1997") || u.contains("TIMESTAMP '") ||
+        u.contains("TIME ZONE '") || u.contains("DATE '") || u.contains("TIME '")
+    }
+    val (bad, threw, softErr, allowed) = sweep("temporal.out", refErrFamilyD)
+    assert(bad + threw == 0)
+    // non-family divergences hold the r6 ceiling; the family itself is
+    // bounded via the sum (family members that predate r7 may count as
+    // `allowed` rather than `softErr`, so the split is not asserted alone)
+    assert(softErr <= 91); assert(softErr + allowed <= 94)
   }
   test("golden values: tsearch.out") {
     val (bad, threw, softErr, _) = sweep("tsearch.out")

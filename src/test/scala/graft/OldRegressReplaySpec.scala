@@ -22,7 +22,7 @@ class OldRegressReplaySpec extends AnyFunSuite {
   private val CreateGraph = "(?i)^SELECT\\s+create_graph\\('([^']+)'\\)$".r
   private val DropGraph = "(?i)^SELECT\\s+drop_graph\\('([^']+)'.*\\)$".r
 
-  private def replay(file: String): (Int, Int) = {
+  private def replay(file: String): (Int, Int, Int) = {
     // scan.sql carries Latin-1 bytes in string literals — decode permissively
     val src = scala.io.Source.fromFile(
       s"/root/reference/old/regress/$file")(scala.io.Codec.ISO8859).mkString
@@ -35,53 +35,60 @@ class OldRegressReplaySpec extends AnyFunSuite {
     // structured parity: ERROR or no-captured-output in the reference's
     // own expected .out means OUR throw is parity (same rule as
     // RegressReplaySpec — several old-suite error tests echo the
-    // statement without recording the ERROR line)
+    // statement without recording the ERROR line). Statements are keyed
+    // whitespace-normalized on BOTH sides so multi-line goldens match.
+    // A throw on a statement with NO matched .out entry is weak parity:
+    // it no longer silently forgives (VERDICT r7 #5) — each one prints
+    // and counts toward a per-suite triaged ceiling.
+    def norm(s: String) = s.trim.replaceAll("\\s+", " ")
     val outcomes: Map[String, Seq[GoldenOut.Expect]] =
       Try(GoldenOut.parseOut(
         s"/root/reference/old/regress/${file.stripSuffix(".sql")}.out"))
-        .getOrElse(Seq.empty).groupBy(_.stmt).view.mapValues(_.map(_.expect)).toMap
-    def refErrors(stmt: String): Boolean = outcomes.get(stmt) match {
-      case Some(es) => es.exists {
-        case GoldenOut.ExpectError | GoldenOut.ExpectNone => true
-        case _ => false
-      }
-      case None => true
-    }
+        .getOrElse(Seq.empty).groupBy(g => norm(g.stmt))
+        .view.mapValues(_.map(_.expect)).toMap
+    // matched-golden error parity: Some(true); unmatched: None
+    def refErrors(stmt: String): Option[Boolean] = outcomes.get(norm(stmt)).map(_.exists {
+      case GoldenOut.ExpectError | GoldenOut.ExpectNone => true
+      case _ => false
+    })
     val session = new graft.cypher.GraphSession(spark)
     val created = scala.collection.mutable.Set.empty[String]
-    var fails = 0; var parity = 0; var ran = 0
+    var fails = 0; var parity = 0; var ran = 0; var forgiven = 0
+    // shared outcome rule for every Try below
+    def settle(q: String, shown: String, r: Try[Any]): Unit = r match {
+      case Failure(_) if refErrors(q).contains(true) => parity += 1
+      case Failure(e) if refErrors(q).isEmpty =>
+        forgiven += 1
+        val msg = Option(e.getMessage).getOrElse("null")
+          .linesIterator.take(1).mkString
+        println(s"OLDREPLAY-FORGIVEN(no-golden) $file | ${shown.take(110)} | " +
+          s"${e.getClass.getSimpleName}: ${msg.take(110)}")
+      case Failure(e) =>
+        fails += 1
+        val msg = Option(e.getMessage).getOrElse("null")
+          .linesIterator.take(1).mkString
+        println(s"OLDREPLAYFAIL $file | ${shown.take(110)} | " +
+          s"${e.getClass.getSimpleName}: ${msg.take(110)}")
+      case _ => ()
+    }
     stmts.foreach { q0 =>
       q0 match {
         case CreateGraph(g) =>
           // re-creating an existing graph is a reference ERROR the suites
           // exercise deliberately (scan.sql:24-26) — our throw is parity
-          Try { session.createGraph(g); created += g } match {
-            case Failure(_) if refErrors(q0) => parity += 1
-            case Failure(e) => fails += 1
-              println(s"OLDREPLAYFAIL $file | ${q0.take(110)} | ${e.getMessage.take(110)}")
-            case _ => ()
-          }
+          settle(q0, q0, Try { session.createGraph(g); created += g })
         case DropGraph(g) => if (created.remove(g)) session.dropGraph(g)
         case q if "(?i)^DROP\\s+EXTENSION\\b".r.findFirstIn(q).isDefined =>
           // dropping the extension destroys every graph (drop.sql)
           created.toList.foreach(session.dropGraph); created.clear()
         case TvfForm(g, inner) =>
           ran += 1
-          Try {
+          settle(q0, inner.trim, Try {
             if (!created.contains(g)) { session.createGraph(g); created += g }
             session.useGraph(g)
             val df = session.run(inner.trim)
             if (df != null) df.collect()
-          } match {
-            case Failure(_) if refErrors(q0) => parity += 1
-            case Failure(e) =>
-              fails += 1
-              val msg = Option(e.getMessage).getOrElse("null")
-                .linesIterator.take(1).mkString
-              println(s"OLDREPLAYFAIL $file | ${inner.trim.take(110)} | " +
-                s"${e.getClass.getSimpleName}: ${msg.take(110)}")
-            case _ => ()
-          }
+          })
         case sql if "(?is)^(SELECT|CREATE\\s+TABLE|INSERT\\s+INTO|UPDATE\\s+|DELETE\\s+FROM|TABLE\\s+)\\b.*".r
             .pattern.matcher(sql).matches() &&
             !"(?i).*\\b(create_graph|drop_graph|ag_(?!graph\\b)|pg_)".r
@@ -89,21 +96,24 @@ class OldRegressReplaySpec extends AnyFunSuite {
           // raw-SQL statements (gtype.sql's gtype_table exercises) route
           // through the session's SQL surface with the same error parity
           ran += 1
-          Try { val df = session.run(sql); if (df != null) df.collect() } match {
-            case Failure(_) if refErrors(q0) => parity += 1
-            case Failure(e) =>
-              fails += 1
-              val msg = Option(e.getMessage).getOrElse("null")
-                .linesIterator.take(1).mkString
-              println(s"OLDREPLAYFAIL $file | ${sql.take(110)} | " +
-                s"${e.getClass.getSimpleName}: ${msg.take(110)}")
-            case _ => ()
-          }
+          settle(q0, sql, Try { val df = session.run(sql); if (df != null) df.collect() })
         case _ => () // LOAD/SET search_path/create_vlabel/raw-SQL scaffolding
       }
     }
-    println(s"OLDREPLAY $file: $fails/$ran failed ($parity error-parity)")
-    (fails, ran)
+    println(s"OLDREPLAY $file: $fails/$ran failed ($parity error-parity, " +
+      s"$forgiven forgiven-unmatched)")
+    (fails, ran, forgiven)
+  }
+
+  /** fails must be 0; forgiven-unmatched bounded by a per-suite triaged
+    * ceiling (default 0 — most suites have a matched golden for every
+    * throwing statement once keys are whitespace-normalized).
+    */
+  private def check(file: String, maxForgiven: Int = 0): Unit = {
+    val (fails, _, forgiven) = replay(file)
+    assert(fails == 0)
+    assert(forgiven <= maxForgiven,
+      s"$file: $forgiven forgiven-unmatched throws > ceiling $maxForgiven")
   }
 
   // Ceilings re-triaged round 7: all four suites replay clean — window/
@@ -111,43 +121,43 @@ class OldRegressReplaySpec extends AnyFunSuite {
   // literals (scan), dynamic-column numeric aggregates closed the gaps.
   // Parity throws (the reference's own expected output shows ERROR) never
   // count.
-  test("old replay cypher_call.sql") { assert(replay("cypher_call.sql")._1 == 0) }
-  test("old replay regex.sql") { assert(replay("regex.sql")._1 == 0) }
-  test("old replay aggregation.sql") { assert(replay("aggregation.sql")._1 == 0) }
-  test("old replay scan.sql") { assert(replay("scan.sql")._1 == 0) }
+  test("old replay cypher_call.sql") { check("cypher_call.sql")}
+  test("old replay regex.sql") { check("regex.sql")}
+  test("old replay aggregation.sql") { check("aggregation.sql")}
+  test("old replay scan.sql") { check("scan.sql")}
   // Round-7 mining (VERDICT r6 #8): the remaining TVF-form suites plus the
   // raw-SQL gtype suite. All residues closed — geometric's 59 adoption
   // failures (point/box/path/circle arithmetic, ##/~=/&<|/|&> operators,
   // path@>point, circle@>circle, geometry WKT cast, to* identity re-casts)
   // landed this round; every suite's ceiling is 0.
-  test("old replay expr.sql") { assert(replay("expr.sql")._1 == 0) }
-  test("old replay temporal.sql") { assert(replay("temporal.sql")._1 == 0) }
-  test("old replay network.sql") { assert(replay("network.sql")._1 == 0) }
-  test("old replay range.sql") { assert(replay("range.sql")._1 == 0) }
-  test("old replay geometric.sql") { assert(replay("geometric.sql")._1 == 0) }
-  test("old replay index.sql") { assert(replay("index.sql")._1 == 0) }
+  test("old replay expr.sql") { check("expr.sql")}
+  test("old replay temporal.sql") { check("temporal.sql")}
+  test("old replay network.sql") { check("network.sql")}
+  test("old replay range.sql") { check("range.sql")}
+  test("old replay geometric.sql") { check("geometric.sql")}
+  test("old replay index.sql") { check("index.sql")}
   test("old replay traversal_functions.sql") {
-    assert(replay("traversal_functions.sql")._1 == 0) }
-  test("old replay gtype.sql") { assert(replay("gtype.sql")._1 == 0) }
+    check("traversal_functions.sql")}
+  test("old replay gtype.sql") { check("gtype.sql")}
   // Round-7 second wave, all clean: the PostGIS literal surface (driver-
   // side WKT evaluator GeomWkt + bbox operator family + EWKT property
   // storage), label-sequence catalog commands (create/drop_label,
   // alter_graph, nextval/setval with 65535 CYCLE), ::graphid SQL casts.
-  test("old replay postgis.sql") { assert(replay("postgis.sql")._1 == 0) }
-  test("old replay catalog.sql") { assert(replay("catalog.sql")._1 == 0) }
-  test("old replay graphid.sql") { assert(replay("graphid.sql")._1 == 0) }
+  test("old replay postgis.sql") { check("postgis.sql")}
+  test("old replay catalog.sql") { check("catalog.sql")}
+  test("old replay graphid.sql") { check("graphid.sql")}
   // Round-7 third wave: the internal entity-constructor value surface
   // (build_vertex/build_edge over _graphid + gtype_build_* → constant
   // gtype maps through constG).
-  test("old replay vertex.sql") { assert(replay("vertex.sql")._1 == 0) }
-  test("old replay edge.sql") { assert(replay("edge.sql")._1 == 0) }
-  test("old replay traversal.sql") { assert(replay("traversal.sql")._1 == 0) }
+  test("old replay vertex.sql") { check("vertex.sql")}
+  test("old replay edge.sql") { check("edge.sql")}
+  test("old replay traversal.sql") { check("traversal.sql")}
   test("old replay variable_edge.sql") {
-    assert(replay("variable_edge.sql")._1 == 0) }
+    check("variable_edge.sql")}
   test("old replay variable_edge_functions.sql") {
-    assert(replay("variable_edge_functions.sql")._1 == 0) }
-  test("old replay drop.sql") { assert(replay("drop.sql")._1 == 0) }
+    check("variable_edge_functions.sql")}
+  test("old replay drop.sql") { check("drop.sql")}
   test("old replay cypher_merge.sql") {
-    assert(replay("cypher_merge.sql")._1 == 0) }
-  test("old replay cypher_vle.sql") { assert(replay("cypher_vle.sql")._1 == 0) }
+    check("cypher_merge.sql")}
+  test("old replay cypher_vle.sql") { check("cypher_vle.sql")}
 }

@@ -170,4 +170,29 @@ class ValueReplaySpec extends AnyFunSuite {
     assert(bad + threw <= 2)
     assert(skipped == 0)
   }
+
+  // Round-8 extension (VERDICT r7 #5): value-level parity for the
+  // WRITE-path suites — previously only error parity (RegressReplaySpec).
+  // Every echoed result table of the create/set/remove/delete/merge/
+  // with/unwind/setop/order_by fixtures now value-compares against its
+  // golden. Ceilings measured + triaged round 8 (see comments per file).
+  private val writeSuiteCeilings: Seq[(String, (Int, Int, Int))] = Seq(
+    // (file, (maxBad+Threw, maxSkipped, minCompared))
+    "cypher_create.out" -> ((0, 0, 10)),
+    "cypher_set.out" -> ((0, 0, 10)),
+    "cypher_remove.out" -> ((0, 0, 5)),
+    "cypher_delete.out" -> ((0, 0, 5)),
+    "cypher_merge.out" -> ((0, 0, 5)),
+    "cypher_with.out" -> ((0, 0, 5)),
+    "cypher_unwind.out" -> ((0, 0, 5)),
+    "cypher_setop.out" -> ((0, 0, 10)),
+    "order_by.out" -> ((0, 0, 5))
+  )
+  for ((file, (maxBad, maxSkip, minCompared)) <- writeSuiteCeilings)
+    test(s"value replay $file (write-path)") {
+      val (bad, threw, skipped, compared) = replay(file)
+      assert(compared >= minCompared, s"value coverage collapsed: $compared compared")
+      assert(bad + threw <= maxBad, s"$bad mismatches + $threw throws > $maxBad")
+      assert(skipped <= maxSkip)
+    }
 }
