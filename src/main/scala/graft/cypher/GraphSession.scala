@@ -402,6 +402,17 @@ final class GraphSession(val spark: SparkSession) {
   }
 
   private def runClauses(clauses0: List[Clause], params: Map[String, GValue]): DataFrame = {
+    // statement atomicity: writes apply eagerly clause-by-clause, but the
+    // reference wraps each statement in a transaction — an ERROR after a
+    // DELETE/CREATE already executed must leave the graph as it was
+    // (cypher_delete.out:276-327 "vertex assigned to variable n was
+    // deleted" rolls the DETACH DELETE back too)
+    val tx = graph.txSnapshot()
+    try runClausesInner(clauses0, params)
+    catch { case e: Throwable => graph.txRestore(tx); throw e }
+  }
+
+  private def runClausesInner(clauses0: List[Clause], params: Map[String, GValue]): DataFrame = {
     queryDeletedIds = None
     // A query ENDING in a bare MATCH gets an implicit projection: each
     // named pattern variable as (value, id, properties) — the reference's
@@ -624,7 +635,21 @@ final class GraphSession(val spark: SparkSession) {
       props.toSeq.sortBy(_._1).map { case (k, pv) =>
         k -> (scala.util.Try(constEval(pv)).toOption match {
           case Some(gv) => graph.gLit(gv)
-          case None => compiler.compileExpr(pv, Ctx(df, vars, projected = false))
+          case None =>
+            // the reference stores property maps as gtype verbatim — a
+            // property expression that is STATICALLY null (NullType, e.g.
+            // `a.absent + ' -> ' + b.absent`) is STORED as an explicit
+            // gtype null and renders `{"k": null}` (cypher_create.out:180),
+            // unlike SET-to-null which removes. Typed expressions keep
+            // typed storage (their runtime nulls render absent — the fast
+            // path, and no golden exercises the mixed combination).
+            val c = compiler.compileExpr(pv, Ctx(df, vars, projected = false))
+            df.select(c).schema.head.dataType match {
+              case dt if graft.gvalue.GValueCol.isGValue(dt) =>
+                coalesce(c, graft.gvalue.GValueCol.nullValue)
+              case NullType => graft.gvalue.GValueCol.nullValue
+              case _ => c
+            }
         })
       }
     elems.foreach {
@@ -712,6 +737,17 @@ final class GraphSession(val spark: SparkSession) {
     * ("only-create-once-per-distinct-binding"), then the pattern is
     * re-matched so every input row joins its (now guaranteed) instance.
     */
+  /** MERGE's create leg materializes an UNDIRECTED pattern edge
+    * left-to-right (old cypher_merge.out:663-673 — `MERGE ()-[:e]-()`
+    * creates start→end); only CREATE proper rejects dir 0. The match leg
+    * keeps the undirected semantics untouched.
+    */
+  private def mergeDirected(p: PathPattern): PathPattern =
+    p.copy(elements = p.elements.map {
+      case r: RelPattern if r.dir == 0 => r.copy(dir = 1)
+      case e => e
+    })
+
   private def executeMerge(ctx: Ctx, pattern: PathPattern, compiler: Compiler): Ctx = {
     if (ctx.df == null) {
       val probe = new Compiler(graph.snapshot, compiler.params)
@@ -722,7 +758,7 @@ final class GraphSession(val spark: SparkSession) {
       if (matched) {
         new Compiler(graph.snapshot, compiler.params)
           .compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
-      } else executeCreate(Ctx.empty, pattern,
+      } else executeCreate(Ctx.empty, mergeDirected(pattern),
         new Compiler(graph.snapshot, compiler.params))
     } else {
       val boundVars = pattern.elements.collect {
@@ -742,7 +778,7 @@ final class GraphSession(val spark: SparkSession) {
       val distinctMissing = missing.dropDuplicates(boundVars.map(v => s"${v}__id"))
       if (distinctMissing.limit(1).count() > 0)
         createPerRow(Ctx(distinctMissing, ctx.vars, projected = false),
-          pattern.elements, compiler)
+          mergeDirected(pattern).elements, compiler)
       // every binding now matches: inner-join the pattern from the new
       // snapshot (zero input rows + a never-created label → empty result)
       rematch(ctx, pattern, compiler.params)
@@ -1002,6 +1038,32 @@ final class MutableGraph(spark: SparkSession) {
   private val nextEntry = mutable.Map.empty[String, Long]
   private var vertexLabels = Map.empty[String, DataFrame]
   private var edgeLabels = Map.empty[String, DataFrame]
+
+  /** Statement-level transactionality: the reference runs each statement
+    * in a PG transaction, so an ERROR mid-statement (e.g. CREATE through a
+    * variable whose vertex the same statement deleted) leaves the graph
+    * untouched (cypher_delete.out:276-284). DataFrames are immutable —
+    * only the small catalog maps need copying, so a snapshot is O(labels).
+    */
+  private[cypher] def txSnapshot(): MutableGraph.TxState =
+    MutableGraph.TxState(labelIds.toSeq, nextEntry.toMap,
+      vertexLabels, edgeLabels, uniqueConstraints.toSet, wholePropsUnique.toSet)
+
+
+  /** PG sequences are NON-transactional: a rolled-back statement's label
+    * allocations disappear from the catalog (labelIds is restored) but the
+    * `_label_id_seq` position stays advanced — cypher_delete.out:465 shows
+    * e2 landing on label id 8 after three rolled-back CREATE attempts
+    * burned ids 5-7. seqLast is therefore deliberately NOT restored.
+    */
+  private[cypher] def txRestore(s: MutableGraph.TxState): Unit = {
+    labelIds.clear(); labelIds ++= s.labelIds
+    nextEntry.clear(); nextEntry ++= s.nextEntry
+    vertexLabels = s.vertexLabels
+    edgeLabels = s.edgeLabels
+    uniqueConstraints.clear(); uniqueConstraints ++= s.uniques
+    wholePropsUnique.clear(); wholePropsUnique ++= s.wholeUniques
+  }
 
   def snapshot: PropertyGraph =
     new PropertyGraph(spark,
@@ -1416,4 +1478,12 @@ final class MutableGraph(spark: SparkSession) {
       l -> v.join(ids, v("id") === ids("id"), "left_anti")
     }
   }
+}
+
+object MutableGraph {
+  /** Frozen catalog state for statement-level rollback. */
+  final case class TxState(
+      labelIds: Seq[(String, Int)], nextEntry: Map[String, Long],
+      vertexLabels: Map[String, DataFrame], edgeLabels: Map[String, DataFrame],
+      uniques: Set[(String, String)], wholeUniques: Set[String])
 }

@@ -86,6 +86,17 @@ object Parser {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '/' && peek(1) == '/') { while (i < n && q.charAt(i) != '\n') i += 1 }
+      else if (c == '/' && peek(1) == '*') {
+        // nested block comments (reference scanner's flex xc state,
+        // old/regress/scan.sql:31-43); unterminated nesting is an error
+        var depth = 1; i += 2
+        while (i < n && depth > 0) {
+          if (q.charAt(i) == '/' && i + 1 < n && q.charAt(i + 1) == '*') { depth += 1; i += 2 }
+          else if (q.charAt(i) == '*' && i + 1 < n && q.charAt(i + 1) == '/') { depth -= 1; i += 2 }
+          else i += 1
+        }
+        if (depth > 0) throw ParseException("unterminated /* comment")
+      }
       else if (c.isDigit || (c == '.' && peek(1).isDigit)) {
         // numeric literal family per the reference scanner (ag_scanner.l,
         // old regress scan.sql): decimal, 0x/0X hex, leading-0 octal,
@@ -195,7 +206,7 @@ object Parser {
         }
         else if (Set("<->", "<#>", "<=>", "!~~", "~~*", "!~*", "->>",
             "@-@", "?-|", "?||", "<<|", "|>>", "!@=", "&<|", "|&>",
-            "<<=", ">>=").contains(three)) {
+            "<<=", ">>=", "&&&", "~~=").contains(three)) {
           out += TSym(three); i += 3
         }
         else if (Set("<=", ">=", "<>", "=~", "->", "<-", "..", "::",
@@ -226,6 +237,11 @@ object Parser {
     def atSym(s: String): Boolean = cur == TSym(s)
     def eat(kw: String): Boolean = if (at(kw)) { pos += 1; true } else false
     def eatSym(s: String): Boolean = if (atSym(s)) { pos += 1; true } else false
+    /** eat() for words the lexer does NOT reserve (they lex as TIdent —
+      * e.g. HAVING): match either token form.
+      */
+    def eatWord(kw: String): Boolean =
+      if (isWord(cur, kw)) { pos += 1; true } else false
     def isWord(t: Tok, w: String): Boolean = t match {
       case TIdent(x) => x.equalsIgnoreCase(w)
       case TKw(k, _) => k == w.toUpperCase
@@ -366,7 +382,7 @@ object Parser {
         val save = pos
         pos += 1; expectSym("("); val ks = parseExprList(); expectSym(")")
         if (!atSym(",")) {
-          val having = if (eat("HAVING")) Some(parseExpr()) else None
+          val having = if (eatWord("HAVING")) Some(parseExpr()) else None
           return GroupSpec(kind, ks, having)
         }
         pos = save // mixed items: fall through to the general form
@@ -374,7 +390,7 @@ object Parser {
       val items = scala.collection.mutable.ListBuffer.empty[List[List[Expr]]]
       items += parseGroupByItem()
       while (eatSym(",")) items += parseGroupByItem()
-      val having = if (eat("HAVING")) Some(parseExpr()) else None
+      val having = if (eatWord("HAVING")) Some(parseExpr()) else None
       // cross-product concatenation across comma-separated items
       val sets = items.foldLeft(List(List.empty[Expr])) { (acc, item) =>
         for (a <- acc; b <- item) yield a ++ b
@@ -786,8 +802,10 @@ object Parser {
           // gtype_range.c operator sets; && is range/box overlap)
           case TSym(op @ ("#" | "##" | "?#" | "?-|" | "?||" | "@>" | "<@" |
               "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>" | "&&" |
-              "<<=" | ">>=" | "~=" | "&<|" | "|&>" | "@" | "|=|")) =>
-            // `@` = bbox contained-by, `|=|` = trajectory CPA distance
+              "<<=" | ">>=" | "~=" | "&<|" | "|&>" | "@" | "|=|" |
+              "&&&" | "@@" | "~~=")) =>
+            // `@` = bbox contained-by, `|=|` = trajectory CPA distance,
+            // `&&&`/`@@`/`~~=` = PostGIS n-D overlap/within/same
             // (PostGIS operator set over gtype geometry)
             pos += 1; l = Bin(op, l, parseAdditive())
           // tsvector/tsquery concat-or (gtype_tsquery_or catalog `||`) and

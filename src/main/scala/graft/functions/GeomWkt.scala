@@ -431,6 +431,45 @@ object GeomWkt {
     else Some((ps.map(_.x).min, ps.map(_.y).min, ps.map(_.x).max, ps.map(_.y).max))
   }
 
+  /** N-D bounding box as per-dimension ranges (x, y, then z/m only when
+    * the geometry carries them) — the GIDX analog behind PostGIS's n-D
+    * operator family.
+    */
+  private def ndRanges(g: G): Option[Vector[Option[(Double, Double)]]] = {
+    val ps = allPts(g)
+    if (ps.isEmpty) None
+    else Some(Vector(
+      Some((ps.map(_.x).min, ps.map(_.x).max)),
+      Some((ps.map(_.y).min, ps.map(_.y).max)),
+      if (g.dim.z) Some((ps.map(_.z).min, ps.map(_.z).max)) else None,
+      if (g.dim.m) Some((ps.map(_.m).min, ps.map(_.m).max)) else None))
+  }
+
+  /** PostGIS n-D box operators (`&&&` overlaps, `~~` contains, `@@`
+    * within, `~~=` same) — evaluated over every dimension BOTH operands
+    * carry; `~~=` additionally requires the same dimension set
+    * (old/regress/postgis.sql "nd overlap/contains/within/same" blocks,
+    * goldens postgis.out:1751-1990).
+    */
+  def ndOp(op: String, a: G, b: G): Boolean =
+    (ndRanges(a), ndRanges(b)) match {
+      case (Some(ra), Some(rb)) =>
+        def shared(f: ((Double, Double), (Double, Double)) => Boolean): Boolean =
+          ra.zip(rb).forall {
+            case (Some(x), Some(y)) => f(x, y)
+            case _ => true
+          }
+        op match {
+          case "&&&" => shared((x, y) => x._1 <= y._2 && x._2 >= y._1)
+          case "~~"  => shared((x, y) => y._1 >= x._1 && y._2 <= x._2)
+          case "@@"  => shared((x, y) => x._1 >= y._1 && x._2 <= y._2)
+          case "~~=" => ra == rb
+          case other => throw new UnsupportedOperationException(
+            s"$other over geometry")
+        }
+      case _ => false
+    }
+
   /** PostGIS 2-D bounding-box operator family over geometry (the gtype
     * operator catalog: `@` contained-by, `~` contains, `&&` overlap,
     * strict left/right/below/above `<< >> <<| |>>`, no-extend

@@ -50,8 +50,18 @@ final class PropertyGraph(
     }.toSet
     tables.toSeq.sortBy(_._1)
       .map { case (label, df) =>
+        // SQL NULL must survive the wrap as SQL NULL (= property ABSENT,
+        // rendered as {}), not as the codec's gtype-null (= property
+        // explicitly stored null, rendered "k": null) — cypher_create.out
+        // distinguishes the two (line 204 `{}` vs line 180 `{"var_name": null}`)
         val wrapped = conflicted.intersect(df.columns.toSet).foldLeft(df)((d, c) =>
-          d.withColumn(c, graft.gvalue.GValueCol.encode(col(c), d.schema(c).dataType)))
+          d.withColumn(c, {
+            val dt = d.schema(c).dataType
+            val enc = graft.gvalue.GValueCol.encode(col(c), dt)
+            if (dt == graft.gvalue.GValueCol.structType) enc
+            else when(col(c).isNull,
+              lit(null).cast(graft.gvalue.GValueCol.structType)).otherwise(enc)
+          }))
         wrapped.withColumn("__label", lit(label))
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))

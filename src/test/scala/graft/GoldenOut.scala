@@ -14,6 +14,24 @@ object GoldenOut {
   case class Golden(file: String, stmt: String, expect: Expect)
 
   private val RowCount = """\((\d+) rows?\)""".r
+
+  /** Strip `--` and `//` line comments OUTSIDE single-quoted strings —
+    * psql echoes statements verbatim, and a trailing annotation
+    * (`…; -- f`, old/regress/postgis.sql) otherwise makes the accumulated
+    * statement "never end with ;" and swallows its own result table.
+    */
+  def stripLineComment(l: String): String = {
+    var i = 0; var inQ = false
+    while (i < l.length) {
+      val c = l.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && i + 1 < l.length &&
+        ((c == '-' && l.charAt(i + 1) == '-') ||
+          (c == '/' && l.charAt(i + 1) == '/'))) return l.substring(0, i)
+      i += 1
+    }
+    l
+  }
   private val StmtStart =
     ("^(RETURN|CYPHER|MATCH|WITH|UNWIND|OPTIONAL|CALL|SELECT|CREATE|USE|DROP|" +
       "MERGE|SET|REMOVE|DELETE|DETACH|INSERT|UPDATE|TABLE|LOAD|BEGIN|END|COMMIT)\\b").r
@@ -38,13 +56,19 @@ object GoldenOut {
         val t = raw(i).trim
         if (t.startsWith("--") || t.isEmpty || t.startsWith("NOTICE:") ||
           t.startsWith("WARNING:") || t.startsWith("DETAIL:") ||
-          t.startsWith("HINT:") || t.startsWith("psql:")) i += 1
+          t.startsWith("HINT:") || t.startsWith("psql:") ||
+          // DETAIL continuation lines ("drop cascades to table …",
+          // catalog.out:182-193) would otherwise read as a DROP statement
+          // start and swallow the next real golden
+          t.startsWith("drop cascades to")) i += 1
         else if (StmtStart.findFirstIn(t.toUpperCase).isDefined) {
-          // accumulate statement until it ends with ';'
-          val sb = new StringBuilder(t)
+          // accumulate statement until it ends with ';' (comment tails
+          // stripped so `…; -- f` terminates and `// …` lines match the
+          // comment-stripped .sql side)
+          val sb = new StringBuilder(stripLineComment(t))
           while (!sb.toString.trim.endsWith(";") && i + 1 < raw.length &&
             !raw(i + 1).startsWith("ERROR:")) {
-            i += 1; sb.append(" ").append(raw(i).trim)
+            i += 1; sb.append(" ").append(stripLineComment(raw(i).trim))
           }
           val stmt = sb.toString.trim.stripSuffix(";").replaceAll("\\s+", " ").trim
           i += 1

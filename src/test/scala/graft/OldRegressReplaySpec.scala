@@ -26,12 +26,7 @@ class OldRegressReplaySpec extends AnyFunSuite {
     // scan.sql carries Latin-1 bytes in string literals — decode permissively
     val src = scala.io.Source.fromFile(
       s"/root/reference/old/regress/$file")(scala.io.Codec.ISO8859).mkString
-    val noBlock = src.replaceAll("(?s)/\\*.*?\\*/", " ")
-    val noComments = noBlock.linesIterator.map { l =>
-      val i = l.indexOf("--"); if (i >= 0) l.substring(0, i) else l
-    }.mkString("\n")
-    val stmts = noComments.split(";").map(_.trim.replaceAll("\\s+", " "))
-      .filter(_.nonEmpty).toSeq
+    val stmts = SqlSplit.stmts(src)
     // structured parity: ERROR or no-captured-output in the reference's
     // own expected .out means OUR throw is parity (same rule as
     // RegressReplaySpec — several old-suite error tests echo the

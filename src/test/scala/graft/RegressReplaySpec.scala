@@ -25,18 +25,13 @@ class RegressReplaySpec extends AnyFunSuite {
   private val TvfForm =
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+cypher\\('([^']+)'\\s*,\\s*\\$\\$(.*)\\$\\$\\s*\\)\\s+AS\\s*\\([^)]*\\)$".r
 
-  private def replay(file: String): (Int, Int) = {
+  private def replay(file: String): (Int, Int, Int) = {
     val src = scala.io.Source.fromFile(s"/root/reference/regress/sql/$file").mkString
-    // strip block + line comments, join continuations, split statements
-    val noBlock = src.replaceAll("(?s)/\\*.*?\\*/", " ")
-    val noComments = noBlock.linesIterator.map { l =>
-      val i = l.indexOf("--"); if (i >= 0) l.substring(0, i) else l
-    }.mkString("\n")
     // psql/extension scaffolding stays out; CREATE TABLE / INSERT /
     // UPDATE / DELETE FROM / TABLE / SELECT are the reference's unified
     // SQL surface (new_cypher.sql) and replay through SqlSurface
     val SqlIsm = "(?i)^(CREATE (EXTENSION|FUNCTION)|DROP (FUNCTION|EXTENSION)|SELECT (create_graph|drop_graph)\\b)".r
-    val stmts = noComments.split(";").map(_.trim.replaceAll("\\s+", " "))
+    val stmts = SqlSplit.stmts(src)
       .filter(s => StmtStart.findFirstIn(s.toUpperCase).isDefined)
       .filterNot(_.toUpperCase.startsWith("SET SEARCH_PATH")) // psql-ism
       .filterNot(s => SqlIsm.findFirstIn(s).isDefined)
@@ -50,21 +45,21 @@ class RegressReplaySpec extends AnyFunSuite {
     // error tests echo the statement but the .out records neither rows
     // nor the ERROR line: merge tests 21/28/29, the malformed
     // `FROM cypher('cypher_merge',;` statements, the vle `$$)` tail). A
-    // statement absent from the .out entirely is likewise undefined.
+    // statement absent from the .out does NOT silently forgive
+    // (VERDICT r7 #5): such throws print and count toward a per-suite
+    // triaged ceiling. Keys are whitespace-normalized on both sides.
     // Throws only count as FAILS when the reference recorded real rows.
+    def norm(x: String) = x.trim.replaceAll("\\s+", " ")
     val outcomes: Map[String, Seq[GoldenOut.Expect]] =
       GoldenOut.parseOut(
         s"/root/reference/regress/expected/${file.stripSuffix(".sql")}.out")
-        .groupBy(_.stmt).view.mapValues(_.map(_.expect)).toMap
-    def refErrors(stmt: String): Boolean = outcomes.get(stmt) match {
-      case Some(es) => es.exists {
-        case GoldenOut.ExpectError | GoldenOut.ExpectNone => true
-        case _ => false
-      }
-      case None => true
-    }
+        .groupBy(g => norm(g.stmt)).view.mapValues(_.map(_.expect)).toMap
+    def refErrors(stmt: String): Option[Boolean] = outcomes.get(norm(stmt)).map(_.exists {
+      case GoldenOut.ExpectError | GoldenOut.ExpectNone => true
+      case _ => false
+    })
     val session = new graft.cypher.GraphSession(spark)
-    var fails = 0; var parity = 0
+    var fails = 0; var parity = 0; var forgiven = 0
     stmts.foreach { q0 =>
       val q1 = q0 match {
         case TvfForm(_, inner) => inner.trim
@@ -75,7 +70,12 @@ class RegressReplaySpec extends AnyFunSuite {
         val df = session.run(q)
         if (df != null) df.collect()
       } match {
-        case Failure(_) if refErrors(q0) => parity += 1
+        case Failure(_) if refErrors(q0).contains(true) => parity += 1
+        case Failure(e) if refErrors(q0).isEmpty =>
+          forgiven += 1
+          val msg = Option(e.getMessage).getOrElse("null").linesIterator.take(1).mkString
+          println(s"REPLAY-FORGIVEN(no-golden) $file | ${q.take(110)} | " +
+            s"${e.getClass.getSimpleName}: ${msg.take(110)}")
         case Failure(e) =>
           fails += 1
           val msg = Option(e.getMessage).getOrElse("null").linesIterator.take(1).mkString
@@ -83,8 +83,17 @@ class RegressReplaySpec extends AnyFunSuite {
         case _ => ()
       }
     }
-    println(s"REPLAY $file: $fails/${stmts.length} failed ($parity error-parity)")
-    (fails, stmts.length)
+    println(s"REPLAY $file: $fails/${stmts.length} failed " +
+      s"($parity error-parity, $forgiven forgiven-unmatched)")
+    (fails, stmts.length, forgiven)
+  }
+
+  /** fails must be 0; forgiven-unmatched bounded per suite (default 0). */
+  private def check(file: String, maxForgiven: Int = 0): Unit = {
+    val (fails, _, forgiven) = replay(file)
+    assert(fails == 0)
+    assert(forgiven <= maxForgiven,
+      s"$file: $forgiven forgiven-unmatched throws > ceiling $maxForgiven")
   }
 
   // Round-6 state: with reference-error/undefined-outcome parity detected
@@ -96,16 +105,21 @@ class RegressReplaySpec extends AnyFunSuite {
   // (rewritten through the session), new_cypher's SQL statement surface
   // (SELECT/INSERT/UPDATE/CREATE TABLE/TABLE via SqlSurface), and the
   // DELETE-then-CREATE "vertex was deleted" guard.
-  test("replay cypher_match.sql") { assert(replay("cypher_match.sql")._1 <= 0) }
-  test("replay cypher_create.sql") { assert(replay("cypher_create.sql")._1 <= 0) }
-  test("replay cypher_with.sql") { assert(replay("cypher_with.sql")._1 <= 0) }
-  test("replay cypher_unwind.sql") { assert(replay("cypher_unwind.sql")._1 <= 0) }
-  test("replay cypher_setop.sql") { assert(replay("cypher_setop.sql")._1 <= 0) }
-  test("replay cypher_merge.sql") { assert(replay("cypher_merge.sql")._1 <= 0) }
-  test("replay cypher_set.sql") { assert(replay("cypher_set.sql")._1 <= 0) }
-  test("replay cypher_remove.sql") { assert(replay("cypher_remove.sql")._1 <= 0) }
-  test("replay cypher_delete.sql") { assert(replay("cypher_delete.sql")._1 <= 0) }
-  test("replay cypher_vle.sql") { assert(replay("cypher_vle.sql")._1 <= 0) }
-  test("replay order_by.sql") { assert(replay("order_by.sql")._1 <= 0) }
-  test("replay new_cypher.sql") { assert(replay("new_cypher.sql")._1 <= 0) }
+  test("replay cypher_match.sql") { check("cypher_match.sql")}
+  test("replay cypher_create.sql") { check("cypher_create.sql")}
+  test("replay cypher_with.sql") { check("cypher_with.sql")}
+  test("replay cypher_unwind.sql") { check("cypher_unwind.sql")}
+  test("replay cypher_setop.sql") { check("cypher_setop.sql")}
+  test("replay cypher_merge.sql") { check("cypher_merge.sql")}
+  test("replay cypher_set.sql") { check("cypher_set.sql")}
+  test("replay cypher_remove.sql") { check("cypher_remove.sql")}
+  test("replay cypher_delete.sql") { check("cypher_delete.sql")}
+  // 3 forgiven: the fixture's deliberately UNBALANCED `$$` statements
+  // (a TVF opened but never closed) throw the splitter — and psql itself —
+  // out of dollar-quote phase, merging fragments of adjacent statements;
+  // the engine parse-errors on the merged junk exactly as the reference
+  // errors, but the .out echo of the mess can't be keyed to a golden.
+  test("replay cypher_vle.sql") { check("cypher_vle.sql", maxForgiven = 3)}
+  test("replay order_by.sql") { check("order_by.sql")}
+  test("replay new_cypher.sql") { check("new_cypher.sql")}
 }
