@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import scala.util.{Failure, Try}
+import scala.util.{Failure, Success, Try}
 
 /** Replay of the AGE-era suites under /root/reference/old/regress/ —
   * SURVEY §5 flags them as an extra semantics oracle and they are the
@@ -22,7 +22,8 @@ class OldRegressReplaySpec extends AnyFunSuite {
   private val CreateGraph = "(?i)^SELECT\\s+create_graph\\('([^']+)'\\)$".r
   private val DropGraph = "(?i)^SELECT\\s+drop_graph\\('([^']+)'.*\\)$".r
 
-  private def replay(file: String): (Int, Int, Int) = {
+  /** (fails, ran, forgiven, valueBad, valueCompared) */
+  private def replay(file: String): (Int, Int, Int, Int, Int) = {
     // scan.sql carries Latin-1 bytes in string literals — decode permissively
     val src = scala.io.Source.fromFile(
       s"/root/reference/old/regress/$file")(scala.io.Codec.ISO8859).mkString
@@ -36,11 +37,20 @@ class OldRegressReplaySpec extends AnyFunSuite {
     // it no longer silently forgives (VERDICT r7 #5) — each one prints
     // and counts toward a per-suite triaged ceiling.
     def norm(s: String) = s.trim.replaceAll("\\s+", " ")
-    val outcomes: Map[String, Seq[GoldenOut.Expect]] =
+    val goldenSeq: Seq[GoldenOut.Golden] =
       Try(GoldenOut.parseOut(
         s"/root/reference/old/regress/${file.stripSuffix(".sql")}.out"))
-        .getOrElse(Seq.empty).groupBy(g => norm(g.stmt))
+        .getOrElse(Seq.empty)
+    val outcomes: Map[String, Seq[GoldenOut.Expect]] =
+      goldenSeq.groupBy(g => norm(g.stmt))
         .view.mapValues(_.map(_.expect)).toMap
+    // per-occurrence FIFO of goldens: repeated identical statements see
+    // different graph states, so value comparison must consume expects
+    // in file order per key
+    val queues: Map[String, scala.collection.mutable.Queue[GoldenOut.Expect]] =
+      goldenSeq.groupBy(g => norm(g.stmt))
+        .view.mapValues(gs => scala.collection.mutable.Queue(gs.map(_.expect): _*))
+        .toMap
     // matched-golden error parity: Some(true); unmatched: None
     def refErrors(stmt: String): Option[Boolean] = outcomes.get(norm(stmt)).map(_.exists {
       case GoldenOut.ExpectError | GoldenOut.ExpectNone => true
@@ -49,9 +59,43 @@ class OldRegressReplaySpec extends AnyFunSuite {
     val session = new graft.cypher.GraphSession(spark)
     val created = scala.collection.mutable.Set.empty[String]
     var fails = 0; var parity = 0; var ran = 0; var forgiven = 0
+    var valueBad = 0; var valueCompared = 0
+    // value-level parity (round 8): the statement succeeded and its
+    // dequeued golden carries a result table — render our rows in the
+    // reference's cell format and diff (ordered, else as a multiset)
+    def valueCheck(q: String, r: Option[(Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)]): Unit = {
+      val expect = queues.get(norm(q)).filter(_.nonEmpty).map(_.dequeue())
+      (r, expect) match {
+        case (Some((rows, schema)), Some(GoldenOut.ExpectRows(exp))) =>
+          ValueRender.renderRows(rows, schema) match {
+            case Some(got) =>
+              valueCompared += 1
+              if (!(GoldenOut.rowsEqual(exp, got) ||
+                GoldenOut.rowsEqualUnordered(exp, got))) {
+                valueBad += 1
+                println(s"OLDVALUE FAIL $file | ${q.take(100)}")
+                val es = exp.map(_.mkString("|")).mkString(" ; ")
+                val gs = got.map(_.mkString("|")).mkString(" ; ")
+                val d = es.zip(gs).indexWhere(t => t._1 != t._2) match {
+                  case -1 => math.min(es.length, gs.length); case i => i
+                }
+                val from = math.max(0, d - 80)
+                println(s"  exp[$from..]=${es.slice(from, d + 240)}")
+                println(s"  got[$from..]=${gs.slice(from, d + 240)}")
+              }
+            case None => () // unrenderable shape (path/VLE internals)
+          }
+        case _ => ()
+      }
+    }
     // shared outcome rule for every Try below
-    def settle(q: String, shown: String, r: Try[Any]): Unit = r match {
-      case Failure(_) if refErrors(q).contains(true) => parity += 1
+    def settle(q: String, shown: String,
+        r: Try[Option[(Seq[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)]]): Unit = r match {
+      case Failure(_) if refErrors(q).contains(true) =>
+        parity += 1
+        queues.get(norm(q)).filter(_.nonEmpty).foreach(_.dequeue())
       case Failure(e) if refErrors(q).isEmpty =>
         forgiven += 1
         val msg = Option(e.getMessage).getOrElse("null")
@@ -60,18 +104,19 @@ class OldRegressReplaySpec extends AnyFunSuite {
           s"${e.getClass.getSimpleName}: ${msg.take(110)}")
       case Failure(e) =>
         fails += 1
+        queues.get(norm(q)).filter(_.nonEmpty).foreach(_.dequeue())
         val msg = Option(e.getMessage).getOrElse("null")
           .linesIterator.take(1).mkString
         println(s"OLDREPLAYFAIL $file | ${shown.take(110)} | " +
           s"${e.getClass.getSimpleName}: ${msg.take(110)}")
-      case _ => ()
+      case Success(res) => valueCheck(q, res)
     }
     stmts.foreach { q0 =>
       q0 match {
         case CreateGraph(g) =>
           // re-creating an existing graph is a reference ERROR the suites
           // exercise deliberately (scan.sql:24-26) — our throw is parity
-          settle(q0, q0, Try { session.createGraph(g); created += g })
+          settle(q0, q0, Try { session.createGraph(g); created += g; None })
         case DropGraph(g) => if (created.remove(g)) session.dropGraph(g)
         case q if "(?i)^DROP\\s+EXTENSION\\b".r.findFirstIn(q).isDefined =>
           // dropping the extension destroys every graph (drop.sql)
@@ -82,7 +127,7 @@ class OldRegressReplaySpec extends AnyFunSuite {
             if (!created.contains(g)) { session.createGraph(g); created += g }
             session.useGraph(g)
             val df = session.run(inner.trim)
-            if (df != null) df.collect()
+            if (df != null) Some((df.collect().toSeq, df.schema)) else None
           })
         case sql if "(?is)^(SELECT|CREATE\\s+TABLE|INSERT\\s+INTO|UPDATE\\s+|DELETE\\s+FROM|TABLE\\s+)\\b.*".r
             .pattern.matcher(sql).matches() &&
@@ -91,24 +136,33 @@ class OldRegressReplaySpec extends AnyFunSuite {
           // raw-SQL statements (gtype.sql's gtype_table exercises) route
           // through the session's SQL surface with the same error parity
           ran += 1
-          settle(q0, sql, Try { val df = session.run(sql); if (df != null) df.collect() })
+          settle(q0, sql, Try {
+            val df = session.run(sql)
+            if (df != null) Some((df.collect().toSeq, df.schema)) else None
+          })
         case _ => () // LOAD/SET search_path/create_vlabel/raw-SQL scaffolding
       }
     }
     println(s"OLDREPLAY $file: $fails/$ran failed ($parity error-parity, " +
-      s"$forgiven forgiven-unmatched)")
-    (fails, ran, forgiven)
+      s"$forgiven forgiven-unmatched); values: $valueBad/$valueCompared mismatched")
+    (fails, ran, forgiven, valueBad, valueCompared)
   }
 
   /** fails must be 0; forgiven-unmatched bounded by a per-suite triaged
     * ceiling (default 0 — most suites have a matched golden for every
-    * throwing statement once keys are whitespace-normalized).
+    * throwing statement once keys are whitespace-normalized). Value
+    * mismatches bounded by maxValueBad with a coverage floor minCompared.
     */
-  private def check(file: String, maxForgiven: Int = 0): Unit = {
-    val (fails, _, forgiven) = replay(file)
+  private def check(file: String, maxForgiven: Int = 0,
+      maxValueBad: Int = Int.MaxValue, minCompared: Int = 0): Unit = {
+    val (fails, _, forgiven, valueBad, valueCompared) = replay(file)
     assert(fails == 0)
     assert(forgiven <= maxForgiven,
       s"$file: $forgiven forgiven-unmatched throws > ceiling $maxForgiven")
+    assert(valueBad <= maxValueBad,
+      s"$file: $valueBad value mismatches > ceiling $maxValueBad")
+    assert(valueCompared >= minCompared,
+      s"$file: value coverage collapsed — $valueCompared compared < $minCompared")
   }
 
   // Ceilings re-triaged round 7: all four suites replay clean — window/

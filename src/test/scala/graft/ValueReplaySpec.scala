@@ -28,70 +28,8 @@ class ValueReplaySpec extends AnyFunSuite {
   private val Scaffolding =
     "(?i)^(LOAD |SET SEARCH_PATH|CREATE EXTENSION|CREATE FUNCTION|DROP FUNCTION|DROP EXTENSION|SELECT (create_graph|drop_graph)|SELECT \\* FROM ag_|BEGIN$|END$|COMMIT$)".r
 
-  private def renderRows(rows: Seq[Row], schema: StructType): Option[Seq[Seq[String]]] = {
-    // group flat entity columns (`v__id`, `v__label`, `v__name`, …) into
-    // logical entity cells, in first-appearance order
-    val fields = schema.fields
-    sealed trait Cell
-    case class Scalar(i: Int) extends Cell
-    case class Entity(prefix: String, cols: Seq[Int]) extends Cell
-    val cells = scala.collection.mutable.ListBuffer.empty[Cell]
-    val seen = scala.collection.mutable.Set.empty[String]
-    fields.zipWithIndex.foreach { case (f, i) =>
-      val cut = f.name.indexOf("__")
-      if (cut < 0) cells += Scalar(i)
-      else {
-        val p = f.name.substring(0, cut)
-        if (!seen(p)) {
-          seen += p
-          val group = fields.indices.filter(j => fields(j).name.startsWith(p + "__"))
-          // renderable entity := has id and label columns; anything else
-          // (VLE/path internals like `__ids`, `__nodes`) is unsupported
-          if (group.exists(j => fields(j).name == s"${p}__id") &&
-            group.exists(j => fields(j).name == s"${p}__label"))
-            cells += Entity(p, group)
-          else return None
-        }
-      }
-    }
-    def entityText(row: Row, p: String, cols: Seq[Int]): String = {
-      val idIdx = cols.find(j => fields(j).name == s"${p}__id").get
-      if (row.isNullAt(idIdx)) return ""
-      val id = row.getLong(idIdx)
-      val label0 = row.getString(cols.find(j => fields(j).name == s"${p}__label").get)
-      val label = if (label0 == "_default") "" else label0 // _ag_label_vertex renders ""
-      def opt(n: String): Option[Int] =
-        cols.find(j => fields(j).name == s"${p}__$n").filterNot(row.isNullAt)
-      val props = cols.filter { j =>
-        val n = fields(j).name.substring(p.length + 2)
-        // gsrc/gdst are the undirected bind's orientation internals
-        !Set("id", "label", "start_id", "end_id", "gsrc", "gdst").contains(n)
-      }.sortBy { j => // jsonb object key order: length, then bytewise
-        val k = graft.cypher.Compiler.PropNames.unesc(
-          fields(j).name.substring(p.length + 2))
-        (k.length, k)
-      }.flatMap { j =>
-        if (row.isNullAt(j)) None
-        else {
-          val key = graft.cypher.Compiler.PropNames.unesc(
-            fields(j).name.substring(p.length + 2))
-          Some(s""""$key": ${graft.gvalue.PgOut.gcell(row.get(j), fields(j).dataType)}""")
-        }
-      }
-      val ends = (opt("start_id"), opt("end_id")) match {
-        case (Some(s), Some(e)) =>
-          s""""start_id": ${row.getLong(s)}, "end_id": ${row.getLong(e)}, """
-        case _ => ""
-      }
-      s"""{"id": $id, $ends"label": "$label", "properties": {${props.mkString(", ")}}}"""
-    }
-    Some(rows.map { row =>
-      cells.toSeq.map {
-        case Scalar(i) => graft.gvalue.PgOut.cell(row.get(i), fields(i))
-        case Entity(p, cols) => entityText(row, p, cols)
-      }
-    })
-  }
+  private def renderRows(rows: Seq[Row], schema: StructType): Option[Seq[Seq[String]]] =
+    ValueRender.renderRows(rows, schema)
 
   /** (mismatches, throwsWhereGoldenHasRows, skippedUnrenderable, compared) */
   private def replay(file: String): (Int, Int, Int, Int) = {
