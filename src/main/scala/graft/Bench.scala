@@ -35,10 +35,20 @@ object Bench {
       finally spark.catalog.clearCache() // drop per-query persist()s
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // fixed-point ms precision keeps the JSON line compact enough that a
+    // tail-truncating log capture still holds the whole map, and writes
+    // the identical document to BENCH_LAST.json so the per-query timings
+    // stay machine-readable even if stdout capture clips (ADVICE r9)
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val doc = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // read-only cwd: stdout line still carries it
+    println(doc)
     spark.stop()
   }
 }

@@ -110,8 +110,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           }
           val ord = if (hasOrd) col("__setop_ord") else lit(0)
           val rowStruct = struct(df.columns.map(col).toIndexedSeq: _*)
+          // tiebreak: branch order first (leftmost representative wins —
+          // cypher_setop.out:124-143), then the row struct itself so equal
+          // ord ties resolve deterministically (all fields are orderable
+          // here: the unorderable check above routed maps to distinct())
           df0.groupBy(keys.toIndexedSeq: _*)
-            .agg(min_by(rowStruct, ord).as("__row"))
+            .agg(min_by(rowStruct, struct(ord, rowStruct)).as("__row"))
             .select(df.columns.map(c => col(s"__row.$c")).toIndexedSeq: _*)
         }
       }
@@ -123,6 +127,19 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         (keyed, df.schema.fields.map(f =>
           if (GValueCol.isGValue(f.dataType)) s"__vk_${f.name}" else f.name).toSeq)
       }
+      // NULL-safe keyed semi/anti join: PG set-op semantics (and Spark's
+      // native intersect/except) treat NULLs as equal, so the value-keyed
+      // path must join with <=> — plain `usingColumns` equality would drop
+      // every NULL-bearing row from INTERSECT and keep it in EXCEPT.
+      def valueSetJoin(l: DataFrame, r: DataFrame, how: String): DataFrame = {
+        val (lk, keys) = valueKeyed(l)
+        val (rk, _) = valueKeyed(r)
+        val rsel = rk.select(keys.zipWithIndex.map {
+          case (k, i) => col(k).as(s"__rk_$i") }: _*)
+        val cond = keys.zipWithIndex.map {
+          case (k, i) => lk(k) <=> rsel(s"__rk_$i") }.reduce(_ && _)
+        lk.join(rsel, cond, how).select(l.columns.map(col).toIndexedSeq: _*)
+      }
       op match {
         case "UNION" if all => ld.unionByName(rd)
         case "UNION"        => valueDistinct(
@@ -131,17 +148,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case "INTERSECT" if !ld.schema.fields.exists(f =>
           graft.gvalue.GValueCol.isGValue(f.dataType)) => ld.intersect(rd)
         case "INTERSECT" =>
-          val (lk, keys) = valueKeyed(ld)
-          val (rk, _) = valueKeyed(rd)
-          valueDistinct(lk.join(rk.select(keys.map(col): _*), keys, "left_semi")
-            .select(ld.columns.map(col).toIndexedSeq: _*))
+          valueDistinct(valueSetJoin(ld, rd, "left_semi"))
         case "EXCEPT" if !ld.schema.fields.exists(f =>
           graft.gvalue.GValueCol.isGValue(f.dataType)) => ld.except(rd)
         case "EXCEPT" =>
-          val (lk, keys) = valueKeyed(ld)
-          val (rk, _) = valueKeyed(rd)
-          valueDistinct(lk.join(rk.select(keys.map(col): _*), keys, "left_anti")
-            .select(ld.columns.map(col).toIndexedSeq: _*))
+          valueDistinct(valueSetJoin(ld, rd, "left_anti"))
       }
   }
 
@@ -702,6 +713,23 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     case _ => true // sublinks / exists: be conservative, defer past the join
   }
 
+  /** Deterministic dimension broadcast: pattern-join scan sides whose
+    * OPTIMIZER estimate (parquet file sizes after pruning) is under the
+    * session's autoBroadcastJoinThreshold get an explicit broadcast hint
+    * at COMPILE time. Without the hint the choice is made per-run from
+    * runtime stats (AQE), and round-9's bench showed g9_undirected's
+    * union-both-orientations join flipping plans across identical-code
+    * runs (2.6× swing). Label tables above the threshold — or in-memory
+    * write-path tables, whose LogicalRDD estimate is defaultSizeInBytes —
+    * keep the shuffle join, which is the right 100 TB shape.
+    */
+  private def hintSmall(df: DataFrame): DataFrame = {
+    val t = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (t > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(t)) broadcast(df)
+    else df
+  }
+
   private def bindNode(ctx: Ctx, alias: String, n: NodePattern,
       joinOn: Option[Column]): Ctx = {
     if (ctx.vars.contains(alias)) {
@@ -722,7 +750,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       var df =
         if (ctx.df == null) scan
         else joinOn match {
-          case Some(cond) => ctx.df.join(scan, cond)
+          case Some(cond) => ctx.df.join(hintSmall(scan), cond)
           case None       => ctx.df.crossJoin(scan)
         }
       val out = Ctx(df, ctx.vars + (alias -> VarInfo.vertex), ctx.projected)
@@ -761,7 +789,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
               .withColumn(s"${relAlias}__gdst", col(s"${relAlias}__start_id")))
     }
     require(!ctx.vars.contains(relAlias), s"edge variable $relAlias reused")
-    var df = ctx.df.join(scan, col(s"${prev}__id") === col(s"${relAlias}__gsrc"))
+    var df = ctx.df.join(hintSmall(scan), col(s"${prev}__id") === col(s"${relAlias}__gsrc"))
     ctx = Ctx(df, ctx.vars + (relAlias -> VarInfo.edge), ctx.projected)
     corrRel.foreach { case (k, v) =>
       ctx = ctx.copy(df = ctx.df.filter(
@@ -1369,20 +1397,36 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       "percentilecont", "percentiledisc")
     val a1 = if (numericAgg(name) && a0.nonEmpty) num(a0.head) :: a0.tail else a0
     val a = if (a1.isEmpty) a1 else masked(a1.head) :: a1.tail
+    // agg null-skipping over DYNAMIC values must skip SQL null AND the
+    // gtype null — both order as the LARGEST family (11), so a bare
+    // max_by key would pick an absent property over every real value
+    // (aggregation.out max(u.gpa)). A null KEY makes min_by/max_by skip
+    // the row.
+    def gKey(v: Column): Column =
+      when(v.isNotNull && !graft.gvalue.GValueCol.isNullVal(v),
+        graft.gvalue.GValueCol.orderKey(v))
     name match {
       case "count"   => if (dist) countDistinct(a.head) else count(a.head)
-      case "sum"     => sum(a.head)
+      case "sum"     => dataTypeOpt(a.head, ctx) match {
+        // the reference's float sum transfn accumulates NUMERIC
+        // (aggregation.out `sum(u.gpa)` → 24.45::numeric); each addend
+        // converts at its shortest double text, so the decimal sum is
+        // exact where a double sum drifts
+        case Some(DoubleType | FloatType) =>
+          sum(a.head.cast(DecimalType(38, 18)))
+        case _ => sum(a.head)
+      }
       case "avg"     => avg(a.head)
       case "min"     => // dynamic values order by the gtype key, not struct-lex
         dataTypeOpt(a.head, ctx) match {
           case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
-            min_by(a.head, graft.gvalue.GValueCol.orderKey(a.head))
+            min_by(a.head, gKey(a.head))
           case _ => min(a.head)
         }
       case "max"     =>
         dataTypeOpt(a.head, ctx) match {
           case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
-            max_by(a.head, graft.gvalue.GValueCol.orderKey(a.head))
+            max_by(a.head, gKey(a.head))
           case _ => max(a.head)
         }
       case "collect" =>
@@ -1705,9 +1749,41 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case "?|" => exists(rc, k => map_contains_key(m, k))
         case "?&" => forall(rc, k => map_contains_key(m, k))
       }
+    // constant arithmetic with a NUMERIC operand folds through the GValue
+    // ops so the numeric tag and PG result scale survive (gtype_ops.c
+    // numeric branches; gtype.out renders `0.0::numeric` for
+    // gtype_add('1','-1.0::numeric') — plain Spark decimal math loses
+    // the operand scales). The result re-enters as a TAGGED literal.
+    case Bin(op @ ("+" | "-" | "*" | "/" | "%" | "^"), l, r)
+        if {
+          val lv = constG(l).map(_._1); val rv = constG(r).map(_._1)
+          lv.isDefined && rv.isDefined &&
+            (lv.exists(_.isInstanceOf[GNumeric]) || rv.exists(_.isInstanceOf[GNumeric]))
+        } =>
+      val lv = constG(l).get._1; val rv = constG(r).get._1
+      val res = op match {
+        case "+" => GValue.add(lv, rv)
+        case "-" => GValue.sub(lv, rv)
+        case "*" => GValue.mul(lv, rv)
+        case "/" => GValue.div(lv, rv)
+        case "%" => GValue.mod(lv, rv)
+        case "^" => GValue.pow(lv, rv)
+      }
+      // GNumeric folds land as a DECIMAL literal carrying the PG result
+      // scale (litColumn keeps the BigDecimal's own precision/scale), so
+      // downstream numeric fns (ceil/round/casts) still see a plain
+      // decimal while the render keeps `0.0::numeric` exact
+      compileExpr(gvalueToAst(res), ctx)
     case Bin(op, l, r) => binOp(op, compileExpr(l, ctx), compileExpr(r, ctx), ctx,
       rRaw = Some(r), lRaw = Some(l))
     case Un("NOT", x) => !compileExpr(x, ctx)
+    case Un("NEG", x) if constG(x).map(_._1).exists(_.isInstanceOf[GNumeric]) =>
+      // numeric negation keeps the tag and scale (gtype_neg('0::numeric')
+      // → `0::numeric`, not a plain double 0)
+      constG(x).get._1 match {
+        case GNumeric(n) => compileExpr(gvalueToAst(GNumeric(-n)), ctx)
+        case other => -compileExpr(gvalueToAst(other), ctx)
+      }
     case Un("NEG", x) =>
       val c = compileExpr(x, ctx)
       dataTypeOpt(c, ctx) match {
@@ -2118,7 +2194,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       constG(x).flatMap { case (v, ex) =>
         val num: Option[BigDecimal] = v match {
           case GInt(i)     => Some(BigDecimal(i))
-          case GFloat(f)   => Some(BigDecimal(f))
+          // float→numeric goes through float8out's SHORTEST text (PG
+          // float8_numeric): ((1+2.71)*3)::numeric is 11.13, not the
+          // binary expansion 11.129999999999999
+          case GFloat(f)   =>
+            if (f.isNaN || f.isInfinite) None
+            else Some(BigDecimal(graft.gvalue.PgOut.pgFloat(f)))
           case GNumeric(n) => Some(n)
           case GString(s)  => scala.util.Try(BigDecimal(s)).toOption
           case GNull       => None
@@ -2129,10 +2210,31 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           case (_, Some(n)) => e match {
             case FnCall("tonumeric", _, _) => Some((GNumeric(n), ex))
             case FnCall("tofloat", _, _)   => Some((GFloat(n.toDouble), ex))
-            case _                         => Some((GInt(n.toLong), ex))
+            case _ =>
+              // int casts ROUND (expr.out `2.71::int` → 3): float input
+              // rounds half-even (PG dtoi8/rint), numeric/text half-up
+              val mode = v match {
+                case _: GFloat => java.math.RoundingMode.HALF_EVEN
+                case _ => java.math.RoundingMode.HALF_UP
+              }
+              Some((GInt(n.bigDecimal.setScale(0, mode).longValueExact()), ex))
           }
           case _ => None
         }
+      }
+    // constant NUMERIC arithmetic folds value-side so a downstream cast
+    // sees the float8out-shortest result (((1+2.71)*3)::numeric → 11.13,
+    // not the binary expansion — expr.sql). Numbers only; ex flags OR.
+    case Bin(op @ ("+" | "-" | "*" | "/" | "%" | "^"), l, r) =>
+      (constG(l), constG(r)) match {
+        case (Some((a, ex1)), Some((b, ex2)))
+            if GValue.sortPriority(a) == 4 && GValue.sortPriority(b) == 4 =>
+          scala.util.Try(op match {
+            case "+" => GValue.add(a, b); case "-" => GValue.sub(a, b)
+            case "*" => GValue.mul(a, b); case "/" => GValue.div(a, b)
+            case "%" => GValue.mod(a, b); case "^" => GValue.pow(a, b)
+          }).toOption.map(v => (v, ex1 || ex2))
+        case _ => None
       }
     // constant container navigation ([..][1].key chains — expr.sql:300-360)
     case Index(inner, idx) =>
@@ -2141,15 +2243,30 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           val n = if (i < 0) items.length + i else i
           Some((if (n >= 0 && n < items.length) items(n.toInt) else GNull, ex))
         case (Some((GMap(entries), ex)), Some((GString(k), _))) =>
-          Some((entries.getOrElse(k, GNull), ex))
+          Some((constMapLookup(entries, k), ex))
         case _ => None
       }
     case Prop(inner, k) => constG(inner) match {
-      case Some((GMap(entries), ex)) => Some((entries.getOrElse(k, GNull), ex))
+      case Some((GMap(entries), ex)) => Some((constMapLookup(entries, k), ex))
       case _ => None
     }
     case _ => None
   }
+
+  /** `->`/`.key` navigation into a constant map: an ENTITY value
+    * (build_vertex/build_edge — id+label+properties shape) resolves
+    * through its PROPERTIES object, never the shell fields (vertex.out:
+    * `build_vertex(…, gtype_build_map())->'id'` is NULL, not the graphid;
+    * the shell reads are the id()/label()/… accessors instead).
+    */
+  private def constMapLookup(entries: Map[String, GValue], k: String): GValue =
+    if (entries.contains("id") && entries.contains("label") &&
+        entries.contains("properties"))
+      entries("properties") match {
+        case GMap(props) => props.getOrElse(k, GNull)
+        case _ => GNull
+      }
+    else entries.getOrElse(k, GNull)
 
   private def binOp(op: String, l: Column, r: Column, ctx: Ctx,
       rRaw: Option[Expr] = None, lRaw: Option[Expr] = None): Column = {
@@ -2168,22 +2285,56 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           }
           val lv = coerce(lv0, rEx && !lEx)
           val rv = coerce(rv0, lEx && !rEx)
-          if (lv == GNull || rv == GNull) return lit(null).cast("boolean")
+          // the SQL btree operator surface is a TOTAL order — gtype null
+          // sorts largest (sortPriority 11), so `'1' < 'null'` is t, not
+          // SQL-null (gtype.out). Containment/key-exists keep null-in →
+          // null-out.
+          if ((lv == GNull || rv == GNull) &&
+            !Set("=", "<>", "<", "<=", ">", ">=").contains(op))
+            return lit(null).cast("boolean")
           def keys(v: GValue): Seq[String] = v match {
             case GArray(items) => items.collect { case GString(s) => s }
             case GString(s)    => Seq(s)
             case _             => Seq.empty
           }
-          lazy val c = GValue.cmp(lv, rv)
+          def isEntity(v: GValue): Boolean = v match {
+            case GMap(es) => es.contains("id") && es.contains("label") &&
+              es.contains("properties")
+            case _ => false
+          }
+          // entity operands: `@>`/`?` read the PROPERTIES object, not the
+          // shell (vertex.out `build_vertex(…, map('id',2)) @> map('id',2)`
+          // is t; `? 'id'` over empty props is f); an EMPTY containee
+          // against entity props is f (vertex_contains, unlike jsonb's
+          // vacuous-truth {} ⊆ x)
+          def props(v: GValue): GValue = v match {
+            case GMap(es) if isEntity(v) => es("properties")
+            case other => other
+          }
+          def entContains(container: GValue, contained: GValue): Boolean = {
+            val unwrapped = isEntity(container)
+            val c2 = props(container); val d2 = props(contained)
+            if (unwrapped && d2 == GMap.of()) false
+            else GValue.contains(c2, d2)
+          }
+          // traversal_cmp quirk parity: the reference compares only the
+          // FIRST child of two traversal values (traversal.out Equals:
+          // differing edges/last vertices still compare t)
+          lazy val c = (lv, rv) match {
+            case (GArray(xs), GArray(ys))
+                if xs.headOption.exists(isEntity) && ys.headOption.exists(isEntity) =>
+              GValue.cmp(xs.head, ys.head)
+            case _ => GValue.cmp(lv, rv)
+          }
           return lit(op match {
             case "="  => c == 0; case "<>" => c != 0
             case "<"  => c < 0;  case "<=" => c <= 0
             case ">"  => c > 0;  case ">=" => c >= 0
-            case "@>" => GValue.contains(lv, rv)
-            case "<@" => GValue.contains(rv, lv)
-            case "?"  => keys(rv).headOption.exists(GValue.existsKey(lv, _))
-            case "?|" => keys(rv).exists(GValue.existsKey(lv, _))
-            case "?&" => keys(rv).forall(GValue.existsKey(lv, _))
+            case "@>" => entContains(lv, rv)
+            case "<@" => entContains(rv, lv)
+            case "?"  => keys(rv).headOption.exists(GValue.existsKey(props(lv), _))
+            case "?|" => keys(rv).exists(GValue.existsKey(props(lv), _))
+            case "?&" => keys(rv).forall(GValue.existsKey(props(lv), _))
           })
         case _ => ()
       }
@@ -2304,10 +2455,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         // cypher_create.sql:72)
         case (Some(NullType), _) | (_, Some(NullType)) => lit(null)
         case (Some(StringType), Some(StringType)) => concat(l, r)
+        // number→text in concat uses float8out's shortest form: an
+        // integral double prints bare (`'str' + 1.0` → "str1", expr.out)
         case (Some(StringType), Some(t)) if isNumericLike(t) =>
-          concat(l, r.cast("string"))
+          concat(l, numConcatText(r, t))
         case (Some(t), Some(StringType)) if isNumericLike(t) =>
-          concat(l.cast("string"), r)
+          concat(numConcatText(l, t), r)
         case (Some(StringType), _) | (_, Some(StringType)) =>
           throw new UnsupportedOperationException(
             "+ concatenates string with string or number only (gtype_add)")
@@ -2437,6 +2590,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       (dataTypeOpt(l, ctx), dataTypeOpt(r, ctx)) match {
         case (Some(a), Some(b)) if isIntegralType(a) && isIntegralType(b) =>
           call_function("div", l, r)
+        // numeric division re-scales to PG div_var's 16-fraction display
+        // (aggregation.out sum/count → 3.4928571428571429::numeric; Spark's
+        // own decimal-division scale rules differ)
+        case (Some(a), Some(b))
+            if a.isInstanceOf[DecimalType] || b.isInstanceOf[DecimalType] =>
+          (l / r).cast(DecimalType(38, 16))
         case _ => l / r
       }
     case "%"  => l % r
@@ -2666,18 +2825,36 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             regexp_replace(a(1).cast("string"), "([^a-zA-Z0-9])", "\\\\$1"))
       }
       case "substring" =>
-        // cypher substring(s, start[, len]) is 0-based
-        if (args.length == 3) a(0).substr(a(1).cast("int") + 1, a(2).cast("int"))
-        else a(0).substr(a(1).cast("int") + 1, length(a(0)))
+        // the reference's substring is PG text_substr: 1-BASED, a start
+        // below 1 consumes length before the string begins (expr.out
+        // substring("0123456789", 0, 1) → "", (1,3) → "012")
+        if (args.length == 3) {
+          val start = a(1).cast("int"); val len = a(2).cast("int")
+          val begin = greatest(start, lit(1))
+          a(0).substr(begin, greatest(start + len - begin, lit(0)))
+        }
+        else a(0).substr(greatest(a(1).cast("int"), lit(1)), length(a(0)))
       case "initcap" => initcap(a(0))
       case "tostring" =>
         val c = a(0)
         dataTypeOpt(c, ctx) match {
           case Some(t) if graft.gvalue.GValueCol.isGValue(t) =>
             graft.gvalue.GValueCol.render(c)
+          case Some(_: DecimalType) =>
+            // numeric_out strips fixed-storage padding (toString(3.14::
+            // numeric) is "3.14", not the (38,18) expansion)
+            val s = c.cast("string")
+            when(s.contains("."),
+              regexp_replace(regexp_replace(s, "0+$", ""), "\\.$", ""))
+              .otherwise(s)
           case _ => c.cast("string")
         }
-      case "tointeger" => a(0).cast("long")
+      case "tointeger" => dataTypeOpt(a(0), ctx) match {
+        // int casts round, not truncate (PG dtoi8/numeric_int8)
+        case Some(DoubleType | FloatType | _: DecimalType) =>
+          round(a(0)).cast("long")
+        case _ => a(0).cast("long")
+      }
       case "tofloat"   => a(0).cast("double")
       case "toboolean" => a(0).cast("boolean")
       case "tonumeric" => args.head match {
@@ -2692,7 +2869,23 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case _ => a(0).cast("decimal(38,18)")
       }
       // temporal fns (reference gtype_temporal.c, callable from Cypher)
-      case "extract" | "date_part" => pgDatePart(litString(args(0)), a(1), ctx)
+      case "extract" | "date_part" =>
+        // EXTRACT returns PG NUMERIC with a field-specific display scale
+        // (epoch/seconds 6, ms 3, else 0 — temporal.out `17::numeric`,
+        // `16.000000::numeric`); date_part returns float8 (`17.0`)
+        val base = pgDatePart(litString(args(0)), a(1), ctx)
+        // float8 throughout: Spark's own date_part returns ints/decimals
+        // per field, PG's is uniformly float8 (temporal.out `17.0`)
+        if (name == "date_part") base.cast("double")
+        else {
+          val scale = litString(args(0)).toLowerCase match {
+            case "epoch" | "second" | "seconds" => 6
+            case "milliseconds" => 3
+            case "julian" => 8
+            case _ => 0
+          }
+          base.cast(DecimalType(38, scale))
+        }
       case "date_trunc" => dataTypeOpt(a(1), ctx) match {
         case Some(t) if isIntervalStruct(t) =>
           // truncate an interval: zero every field below the target
@@ -2866,16 +3059,40 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "gtype_to_text_array" | "gtype_to_int8_array" | "gtype_to_int4_array" |
            "gtype_to_int2_array" | "gtype_to_numeric_array" |
            "gtype_to_float8_array" | "gtype_to_float4_array" =>
-        // literal-array element casts (gtype_typecasting.c *_array fns)
-        val elemFn = name match {
-          case "gtype_to_text_array" => "tostring"
-          case "gtype_to_numeric_array" => "tonumeric"
-          case n if n.contains("float") => "tofloat"
-          case _ => "tointeger"
-        }
+        // literal-array casts to SQL arrays (gtype_typecasting.c *_array):
+        // the result is a POSTGRES array — `{1,2,3}` array_out text, with
+        // numeric→int ROUNDING half-up (gtype.out {2,2,4} for
+        // [1.6,2.3,3.66]) — not a gtype list
         constG(args(0)).map(_._1) match {
           case Some(GArray(items)) =>
-            array(items.map(v => compileFn(elemFn, List(Lit(v)), ctx, inAgg)): _*)
+            def bd(v: GValue): java.math.BigDecimal = v match {
+              case GInt(i)     => java.math.BigDecimal.valueOf(i)
+              case GFloat(f)   => new java.math.BigDecimal(f.toString)
+              case GNumeric(n) => n.bigDecimal
+              case GString(s)  => new java.math.BigDecimal(s.trim)
+              case other => throw new IllegalArgumentException(
+                s"cannot cast ${other.render} to a numeric array element")
+            }
+            def quoteIfNeeded(s: String): String =
+              if (s.isEmpty || s.exists(c => ",{}\"\\ ".contains(c)))
+                "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+              else s
+            val elems = items.map { v =>
+              name match {
+                case "gtype_to_text_array" => v match {
+                  case GString(s) => quoteIfNeeded(s)
+                  case GFloat(f)  => graft.gvalue.PgOut.pgFloat(f)
+                  case other      => other.render
+                }
+                case n if n.contains("int") =>
+                  bd(v).setScale(0, java.math.RoundingMode.HALF_UP)
+                    .toBigInteger.toString
+                case n if n.contains("float") =>
+                  graft.gvalue.PgOut.pgFloat(bd(v).doubleValue())
+                case _ => bd(v).stripTrailingZeros.toPlainString // numeric
+              }
+            }
+            lit(elems.mkString("{", ",", "}"))
           case Some(other) => throw new IllegalArgumentException(
             s"cannot cast gtype ${other.render} to array")
           case None => throw new UnsupportedOperationException(
@@ -2889,7 +3106,9 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           case Lit(GString(s)) =>
             lit(scala.util.hashing.MurmurHash3.stringHash(GValue.parseRender(s).render))
           case e => constG(e).map(_._1) match {
-            case Some(GNull) => lit(null)
+            // SQL NULL hashes to 0 (PG hash_any of the null datum —
+            // gtype.out `gtype_hash_cmp(NULL)` → 0)
+            case Some(GNull) => lit(0)
             case Some(v) => lit(scala.util.hashing.MurmurHash3.stringHash(v.render))
             case None => hash(sub(args.head))
           }
@@ -2976,10 +3195,25 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         // macaddrtomacaddr8); an 8-byte long would round-trip wrongly but
         // the cast is only reachable from macaddr/text inputs
         case Some(t) if isIntegralType(t) =>
-          shiftleft(shiftright(a(0), 24), 40)
-            .bitwiseOR(lit(0xFFFEL << 24)).bitwiseOR(a(0).bitwiseAND(lit(0xFFFFFFL)))
+          // an ALREADY-spliced macaddr8 (FF:FE at bits 24-39) round-trips
+          // unchanged — `tomacaddr8(x)::macaddr8` must not splice twice
+          when(shiftright(a(0), 24).bitwiseAND(lit(0xFFFFL)) === 0xFFFEL, a(0))
+            .otherwise(shiftleft(shiftright(a(0), 24), 40)
+              .bitwiseOR(lit(0xFFFEL << 24)).bitwiseOR(a(0).bitwiseAND(lit(0xFFFFFFL))))
         case _ => graft.functions.NetworkFns.toMacaddr8(a(0))
       }
+      case "abbrev" if args.headOption.exists {
+          case FnCall("tocidr", _, _) => true; case _ => false } =>
+        // abbrev(cidr) ≠ abbrev(inet): inet_cidr_ntop truncated-octet
+        // form with the masklen always shown (network.out `10.1/16`) —
+        // the struct can't carry the cidr-ness, so dispatch syntactically
+        graft.functions.NetworkFns.abbrevCidr(a(0))
+      case "set_masklen" if args.headOption.exists {
+          case FnCall("tocidr", _, _) => true; case _ => false } =>
+        // set_masklen(cidr, n) TRUNCATES to the new network (inet.c
+        // cidr_set_masklen zeroes host bits — network.out 192.168.1.0/24)
+        graft.functions.NetworkFns.network(
+          graft.functions.NetworkFns.setMasklen(a(0), a(1)))
       case "trunc" if args.length == 1 =>
         // PG overloads trunc(): macaddr/macaddr8 zero their NIC bytes
         // (mac.c/mac8.c), numerics truncate toward zero — macaddr longs are
@@ -3046,6 +3280,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           graft.functions.TemporalFns.timetz(
             pmod(a(0).getField("us"), lit(86400000000L)), lit(0))
         case Some(t) if isTimetzStruct(t) => a(0)
+        // a plain TIME (long micros-of-day, e.g. `'…'::time`) keeps its
+        // wall clock at the session zone (PG time_timetz; temporal.out
+        // toTimeTz('07:37:16.00+00'::time) → 07:37:16+00, not 00:00:00)
+        case Some(LongType) if args.headOption.exists(e => isTimeExpr(e, ctx)) =>
+          graft.functions.TemporalFns.timetz(a(0), lit(0))
         case _ => graft.functions.TemporalFns.toTimeTz(a(0))
       }
       case "_bitnot" => dataTypeOpt(a(0), ctx) match {
@@ -3108,7 +3347,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             "tsquery_phrase requires literal tsquery arguments")
         }
       case "intrange" | "numrange" =>
-        graft.functions.RangeGeoFns.range(a(0), a(1),
+        // numrange bounds are CONTINUOUS (PG numeric — no discrete
+        // canonicalization): store double so the range's element type
+        // distinguishes it from intrange for cmp/render
+        def nb(i: Int): Column =
+          if (name == "numrange") a(i).cast("double") else a(i)
+        graft.functions.RangeGeoFns.range(nb(0), nb(1),
           if (args.length == 3) litString(args(2)) else "[)")
       // temporal ranges + the five multirange types (gtype_range.c,
       // GT_HEADER_RANGE_*_MULTI)
@@ -3121,7 +3365,8 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           case _ => a(i)
         }
         graft.functions.RangeGeoFns.tsRange(tsArg(0), tsArg(1),
-          if (args.length == 3) litString(args(2)) else "[)")
+          if (args.length == 3) litString(args(2)) else "[)",
+          tz = name == "tstzrange")
       case "daterange" =>
         def dArg(i: Int): Column = dataTypeOpt(a(i), ctx) match {
           case Some(StringType) =>
@@ -3135,7 +3380,8 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
            "datemultirange" =>
         graft.functions.RangeGeoFns.multirange(args.indices.map(a))
       case "totsrange" | "totstzrange" =>
-        graft.functions.RangeGeoFns.toRangeTemporal(a(0), isDate = false)
+        graft.functions.RangeGeoFns.toRangeTemporal(a(0), isDate = false,
+          tz = name == "totstzrange")
       case "todaterange" =>
         graft.functions.RangeGeoFns.toRangeTemporal(a(0), isDate = true)
       case "tointmultirange" =>
@@ -3143,7 +3389,8 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "tonummultirange" =>
         graft.functions.RangeGeoFns.toMultirange(a(0), numeric = true)
       case "totsmultirange" | "totstzmultirange" =>
-        graft.functions.RangeGeoFns.toMultirangeTemporal(a(0), isDate = false)
+        graft.functions.RangeGeoFns.toMultirangeTemporal(a(0), isDate = false,
+          tz = name == "totstzmultirange")
       case "todatemultirange" =>
         graft.functions.RangeGeoFns.toMultirangeTemporal(a(0), isDate = true)
       case "range_merge" | "multirange_isempty" if args.length == 1 =>
@@ -3560,8 +3807,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case "decade"  => floor(year(src).cast("double") / 10)
         case "century" => ceil(year(src).cast("double") / 100)
         case "millennium" => ceil(year(src).cast("double") / 1000)
-        case "julian"  => // julian date incl. day fraction (PG timestamp.c)
-          unix_micros(src.cast("timestamp")).cast("double") / 86400000000.0 + 2440587.5
+        case "dow"     => // PG numbers Sunday 0..Saturday 6
+          (dayofweek(src.cast("date")) - 1).cast("double")
+        case "julian"  => // PG julian = date2j(date) + time-from-MIDNIGHT
+          // fraction (timestamp.c) — 1970-01-01 is JDN 2440588, NOT the
+          // noon-shifted 2440587.5 astronomical origin
+          unix_micros(src.cast("timestamp")).cast("double") / 86400000000.0 + 2440588.0
         case "milliseconds" =>
           (unix_micros(src.cast("timestamp")) % 60000000L).cast("double") / 1e3
         case "microseconds" =>
@@ -3596,6 +3847,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   /** The interval struct(months, days, us) triple from TemporalFns. */
   private def isIntervalStruct(dt: DataType): Boolean = dt match {
     case st: StructType => st.fieldNames.sameElements(Array("months", "days", "us"))
+    case _ => false
+  }
+
+  /** The (lo, hi, lo_inc, hi_inc) range struct from RangeGeoFns. */
+  private def isRangeStruct(dt: DataType): Boolean = dt match {
+    case st: StructType =>
+      st.fieldNames.sameElements(Array("lo", "hi", "lo_inc", "hi_inc"))
     case _ => false
   }
 
@@ -3675,8 +3933,35 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     */
   private def typeMarker(e: Expr, ctx: Ctx): Option[String] = e match {
     case _ if isTimeExpr(e, ctx) => Some("time")
+    // `x::gtype` is the identity on the value — the inner kind's render
+    // marker rides through (`'07:37:16'::time::gtype`, temporal.sql)
+    case FnCall("togtype", List(inner), _) => typeMarker(inner, ctx)
     case FnCall("totsvector" | "ts_delete" | "strip" | "setweight", _, _) =>
       Some("tsvector")
+    // render-parity markers (round 10, old-regress value replay): the
+    // Spark type alone underdetermines these PG output forms
+    case FnCall("tocidr", _, _) => Some("cidr")
+    // network() returns CIDR (mask always printed — network.out
+    // `network(192.168.1.5)` → 192.168.1.5/32); set_masklen over a cidr
+    // stays cidr
+    case FnCall("network", _, _) => Some("cidr")
+    case FnCall("set_masklen", inner :: _, _) if (inner match {
+      case FnCall("tocidr", _, _) => true; case _ => false }) => Some("cidr")
+    // a CONSTANT geometry expression (::geometry cast, ST_MakePoint …)
+    // projects as hex EWKB (postgis.out bare geometry form); its Z/M/SRID
+    // flags live only in the driver-side ADT, so the exact render rides
+    // the marker. A geometric-typed AS clause (`AS (c point)`) strips
+    // this back to point_out (GraphSession). Scalar-returning st_* fns
+    // are float8 — PG prints them without the gtype float's `.0`.
+    case FnCall(n, _, _)
+        if Compiler.geomConstFns(n.toLowerCase) &&
+          geomConst(e).exists(_.isInstanceOf[GeomWkt.G]) =>
+      Some("ewkb:" + GeomWkt.renderEwkbHex(
+        geomConst(e).get.asInstanceOf[GeomWkt.G]))
+    case FnCall("tomacaddr" | "trunc_macaddr", _, _) => Some("macaddr")
+    case FnCall("tomacaddr8" | "macaddr8_set7bit", _, _) => Some("macaddr8")
+    case FnCall("tobytea", _, _) => Some("bytea")
+    case FnCall("sha224" | "sha256" | "sha384" | "sha512", _, _) => Some("byteahex")
     case Bin("||", l, r) =>
       (typeMarker(l, ctx) orElse typeMarker(r, ctx)).filter(_ == "tsvector")
     case Var(v) => ctx.df match {
@@ -3686,6 +3971,16 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         .map(_.metadata.getString(graft.gvalue.PgOut.TypeKey))
     }
     case _ => None
+  }
+
+  /** Number text for string concatenation (float8out shortest): an
+    * integral double in the plain window prints without `.0`.
+    */
+  private def numConcatText(c: Column, t: DataType): Column = t match {
+    case DoubleType | FloatType =>
+      when(c === floor(c) && abs(c) < 1e15, c.cast("long").cast("string"))
+        .otherwise(c.cast("string"))
+    case _ => c.cast("string")
   }
 
   /** PG time_pl_interval/time_mi_interval: shift by the span's us part,
@@ -3988,6 +4283,9 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             else None
           case _ => None
         }
+        // bbox cache add/drop is a storage hint — identity on the value
+        // (postgis.out prints the same EWKT back)
+        case "postgis_addbbox" | "postgis_dropbbox" => g(0)
         case "st_asewkt" if args.length == 1 => g(0).map(GeomWkt.renderEwkt)
         case "st_astext" if args.length == 1 =>
           g(0).map(gg => GeomWkt.renderEwkt(GeomWkt.withSrid(gg, 0)))
@@ -4256,6 +4554,21 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           (c.getField("months").cast("long") * 30L + c.getField("days").cast("long")) *
             86400000000L + c.getField("us")
         return cmpOn(key(l), key(r))
+      // range × range: the reference's range_cmp orders by RAW bounds
+      // with bracket flags (no canonicalization — range.out has
+      // `intrange(0,1,'()') > intrange(0,1,'[]')` TRUE): lower bound
+      // first (null = −∞; for equal values an EXCLUSIVE lower is
+      // larger), then upper (null = +∞; an INCLUSIVE upper is larger).
+      // Plain fieldwise struct order gets the flag directions wrong.
+      case (Some(a), Some(b)) if isRangeStruct(a) && isRangeStruct(b) =>
+        def key(c: Column): Column = struct(
+          when(c.getField("lo").isNull, lit(0)).otherwise(lit(1)).as("lof"),
+          c.getField("lo").as("lo"),
+          when(c.getField("lo_inc"), lit(0)).otherwise(lit(1)).as("loi"),
+          when(c.getField("hi").isNull, lit(1)).otherwise(lit(0)).as("hif"),
+          c.getField("hi").as("hi"),
+          when(c.getField("hi_inc"), lit(1)).otherwise(lit(0)).as("hii"))
+        return cmpOn(key(l), key(r))
       case _ => ()
     }
     // two dynamic ARRAYS (mixed literal lists compile to array-of-struct):
@@ -4414,6 +4727,7 @@ object Compiler {
     */
   val geomConstFns: Set[String] = Set(
     "togeometry", "tobox2d", "tobox3d", "tospheroid",
+    "postgis_addbbox", "postgis_dropbbox",
     "st_asewkt", "st_astext", "st_x", "st_y", "st_z", "st_m", "st_scale",
     "st_makepoint", "st_makepointm", "st_ispolygoncw", "st_ispolygonccw",
     "st_simplify", "st_intersection", "st_distancespheroid",

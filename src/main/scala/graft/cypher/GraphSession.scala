@@ -68,6 +68,24 @@ final class GraphSession(val spark: SparkSession) {
     current = Some(name)
     refreshAgGraph()
   }
+  /** Create a DURABLE graph: every successful mutating statement commits a
+    * parquet version under `storeRoot` (GraphStore layout). The initial
+    * empty catalog publishes immediately so the graph is reopenable even
+    * before its first write.
+    */
+  def createGraph(name: String, storeRoot: String): Unit = {
+    createGraph(name)
+    graphs(name).storeRoot = Some(storeRoot)
+    graphs(name).publish()
+  }
+  /** Reopen a durable graph (latest committed version) from its store —
+    * the session-survival path the in-memory catalog lacks.
+    */
+  def openGraph(name: String, storeRoot: String): Unit = {
+    graphs(name) = MutableGraph.load(spark, storeRoot)
+    current = Some(name)
+    refreshAgGraph()
+  }
   def useGraph(name: String): Unit = {
     require(graphs.contains(name), s"unknown graph $name")
     current = Some(name)
@@ -122,6 +140,7 @@ final class GraphSession(val spark: SparkSession) {
             if (prop != null && "true".equalsIgnoreCase(Option(uniq).getOrElse("")))
               graph.addUniqueConstraint(label, prop)
         }
+        if (graph.storeRoot.isDefined) graph.publish() // constraint DDL commits too
         return spark.emptyDataFrame
       case _ => ()
     }
@@ -137,7 +156,32 @@ final class GraphSession(val spark: SparkSession) {
           if (!graphs.contains("__scratch")) graphs("__scratch") = new MutableGraph(spark)
           current = Some("__scratch")
         }
-        try return run(cy) finally current = saved
+        try {
+          val df = run(cy)
+          // the raw-SQL surface prints bare doubles via float8out
+          // (`SELECT ST_X(…)` → `0`), unlike a cypher gtype float
+          // (`RETURN ST_X(…)` → `0.0`) — unless the statement casts
+          // ::gtype, which re-enters gtype_out
+          val wantFloat8 = "(?i)::\\s*gtype".r.findFirstIn(query).isEmpty &&
+            "(?i)\\bst_[a-z0-9_]+\\s*\\(".r.findFirstIn(query).isDefined
+          // an outermost ::numeric cast LEAVES the gtype domain — the
+          // result is SQL numeric, printed plain (`'1'::gtype::numeric`
+          // → 1, not 1::numeric — gtype.out)
+          val wantSqlNum =
+            "(?i)::\\s*numeric\\s*$".r.findFirstIn(query.trim.stripSuffix(";")).isDefined
+          def mark(f: org.apache.spark.sql.types.StructField, mk: String) =
+            df(f.name).as(f.name, new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(graft.gvalue.PgOut.TypeKey, mk).build())
+          return if (df == null || (!wantFloat8 && !wantSqlNum)) df
+          else df.select(df.schema.fields.map { f =>
+            if (wantFloat8 && f.dataType == org.apache.spark.sql.types.DoubleType &&
+              !f.metadata.contains(graft.gvalue.PgOut.TypeKey)) mark(f, "float8")
+            else if (wantSqlNum &&
+              f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+              mark(f, "sqlnumeric")
+            else df(f.name)
+          }.toIndexedSeq: _*)
+        } finally current = saved
       case None => ()
     }
     query.trim.stripSuffix(";") match {
@@ -221,6 +265,10 @@ final class GraphSession(val spark: SparkSession) {
         return Seq(n.toLong).toDF("setval")
       case _ => ()
     }
+    // textual WITH RECURSIVE … [SEARCH|CYCLE] (cypher_gram.y:1335-1443) —
+    // routed onto the Recursive fixpoint combinators
+    if (RecursiveSql.accepts(query))
+      return RecursiveSql.run(spark, query)
     if (sqlSurface.accepts(query.trim.stripSuffix(";")))
       return sqlSurface.run(query)
     query match {
@@ -326,8 +374,55 @@ final class GraphSession(val spark: SparkSession) {
         // groups (b__id, b__label, b__<prop>…) pack into one struct per
         // declared column, so `INSERT INTO t(x vertex)` and downstream
         // `.id` access behave like the reference's composite columns.
-        val df = if (cols.length == df0.columns.length) df0.toDF(cols.toSeq: _*)
+        val df1 = if (cols.length == df0.columns.length) df0.toDF(cols.toSeq: _*)
           else packEntityColumns(df0, colDefs.toSeq).getOrElse(df0)
+        // a scalar DECLARED type whose Spark form underdetermines the PG
+        // output (cidr keeps its mask, macaddr prints hex-colon, time is
+        // a bare long) stamps the same render marker the compiler uses
+        val declMarker = Map("cidr" -> "cidr", "macaddr" -> "macaddr",
+          "macaddr8" -> "macaddr8", "time" -> "time", "bytea" -> "bytea")
+        // a geometric declared type (AS (c point)) REVERTS any compiler
+        // marker (a constant ::geometry pre-rendered as EWKB must print
+        // point_out when the record declares the PG point type)
+        val declClear = Set("point", "box", "lseg", "path", "polygon",
+          "circle", "line")
+        // PG record-TVF semantics COERCE each output to its declared type
+        // (`RETURN 1.0 … AS (i bigint)` yields 1) — scalar targets cast
+        val declCast: Map[String, String] = Map(
+          "bigint" -> "long", "int" -> "long", "integer" -> "long",
+          "int2" -> "long", "int4" -> "long", "int8" -> "long",
+          "smallint" -> "long", "float" -> "double", "float4" -> "double",
+          "float8" -> "double", "double" -> "double", "real" -> "double",
+          "text" -> "string", "varchar" -> "string", "bool" -> "boolean",
+          "boolean" -> "boolean")
+        val marked = colDefs.filter { case (n, t) =>
+          (declMarker.contains(t.toLowerCase) || declClear(t.toLowerCase) ||
+            declCast.contains(t.toLowerCase)) && df1.columns.contains(n) }
+        val df = if (marked.isEmpty) df1 else df1.select(df1.columns.map { c =>
+          marked.find(_._1 == c) match {
+            case Some((_, t0)) =>
+              val t = t0.toLowerCase
+              val base = (declCast.get(t), df1.schema(c).dataType) match {
+                case (Some(target), dt)
+                    if !dt.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+                      !dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+                      !graft.gvalue.GValueCol.isGValue(dt) =>
+                  df1(c).cast(target)
+                // declared inet/cidr over a bare string parses it
+                case _ if (t == "inet" || t == "cidr") &&
+                    df1.schema(c).dataType == org.apache.spark.sql.types.StringType =>
+                  graft.functions.NetworkFns.toInet(df1(c))
+                case _ => df1(c)
+              }
+              if (declClear(t)) base.as(c, org.apache.spark.sql.types.Metadata.empty)
+              else declMarker.get(t) match {
+                case Some(mk) => base.as(c, new org.apache.spark.sql.types.MetadataBuilder()
+                  .putString(graft.gvalue.PgOut.TypeKey, mk).build())
+                case None => base.as(c)
+              }
+            case None => df1(c)
+          }
+        }.toIndexedSeq: _*)
         hybridViewSeq += 1
         val view = s"__ctvf$hybridViewSeq"
         df.createOrReplaceTempView(view)
@@ -386,7 +481,7 @@ final class GraphSession(val spark: SparkSession) {
     val gtypeish = noStrings.contains("::") ||
       ("(?i)\\b(gtype_[a-z0-9_]+|bool_to_gtype|to[a-z0-9_]*(range|multirange)|" +
         "tocidr|toinet|topoint|topath|topolygon|tolseg|toline|tocircle|tobox|" +
-        "tomacaddr8?|tobytea|tovector|totsvector|totsquery|" +
+        "tomacaddr8?|tobytea|tovector|totsvector|totsquery|st_[a-z0-9_]+|" +
         "build_vertex|build_edge|build_traversal|_graphid)\\s*\\(").r
         .findFirstIn(noStrings).isDefined
     if (!hasFrom && gtypeish)
@@ -408,7 +503,13 @@ final class GraphSession(val spark: SparkSession) {
     // (cypher_delete.out:276-327 "vertex assigned to variable n was
     // deleted" rolls the DETACH DELETE back too)
     val tx = graph.txSnapshot()
-    try runClausesInner(clauses0, params)
+    try {
+      val r = runClausesInner(clauses0, params)
+      // durable graphs: publish the post-statement state (write clauses
+      // applied eagerly above, so this IS the transaction commit point)
+      graph.commitIfChanged(tx)
+      r
+    }
     catch { case e: Throwable => graph.txRestore(tx); throw e }
   }
 
@@ -1058,7 +1159,10 @@ final class MutableGraph(spark: SparkSession) {
     */
   private[cypher] def txRestore(s: MutableGraph.TxState): Unit = {
     labelIds.clear(); labelIds ++= s.labelIds
-    nextEntry.clear(); nextEntry ++= s.nextEntry
+    // nextEntry (the per-label ENTRY id sequence) is deliberately NOT
+    // restored: PG serial sequences are non-transactional, so a failed
+    // statement burns the entry ids it allocated (index.out:
+    // post-unique-violation inserts land on id 13, not 12)
     vertexLabels = s.vertexLabels
     edgeLabels = s.edgeLabels
     uniqueConstraints.clear(); uniqueConstraints ++= s.uniques
@@ -1478,9 +1582,105 @@ final class MutableGraph(spark: SparkSession) {
       l -> v.join(ids, v("id") === ids("id"), "left_anti")
     }
   }
+
+  // ------------------------------------------------------ durable store
+  // (GraphStore layout doc) — when attached, every successful mutating
+  // statement publishes the next parquet version; reads stay on the
+  // in-memory fast path (the localCheckpointed tables), never re-reading.
+
+  private[cypher] var storeRoot: Option[String] = None
+
+  /** Publish the CURRENT catalog + label tables as the next version. */
+  private[cypher] def publish(): Unit = storeRoot.foreach { root =>
+    import java.nio.charset.StandardCharsets.UTF_8
+    import java.nio.file.{Files, Paths}
+    import GraphStore.enc
+    val cur = GraphStore.latestVersion(root).getOrElse(0L)
+    val next = cur + 1
+    val dir = s"$root/v$next"
+    Files.createDirectories(Paths.get(dir))
+    val sb = new StringBuilder
+    sb ++= s"seq $seqLast\n"
+    labelIds.foreach { case (n, i) => sb ++= s"label ${enc(n)} $i\n" }
+    nextEntry.foreach { case (n, v) => sb ++= s"next ${enc(n)} $v\n" }
+    uniqueConstraints.foreach { case (l, p) => sb ++= s"unique ${enc(l)} ${enc(p)}\n" }
+    wholePropsUnique.foreach(l => sb ++= s"wholeunique ${enc(l)}\n")
+    def writeTables(kind: String, m: Map[String, DataFrame]): Unit =
+      m.foreach { case (l, df) =>
+        sb ++= s"${kind}label ${enc(l)}\n"
+        // parquet cannot store NullType — persist as an all-null string
+        // column and record it for lossless restore on load
+        val clean = df.schema.fields.foldLeft(df) {
+          case (acc, f) if f.dataType == NullType =>
+            sb ++= s"nulltype $kind ${enc(l)} ${enc(f.name)}\n"
+            acc.withColumn(f.name, col(f.name).cast(StringType))
+          case (acc, _) => acc
+        }
+        clean.write.mode("overwrite").parquet(s"$dir/$kind/${enc(l)}")
+      }
+    writeTables("v", vertexLabels)
+    writeTables("e", edgeLabels)
+    Files.write(Paths.get(dir, "catalog.txt"), sb.toString.getBytes(UTF_8))
+    GraphStore.swapLatest(root, next)
+    GraphStore.gc(root, keep = Set(cur, next))
+  }
+
+  /** Commit to the store iff this statement changed catalog or tables
+    * relative to its pre-statement snapshot (reference: every write runs
+    * in a PG transaction whose commit persists the heap — here the
+    * version publish IS the commit). Label tables are immutable maps, so
+    * reference inequality is an exact dirty check.
+    */
+  private[cypher] def commitIfChanged(prev: MutableGraph.TxState): Unit =
+    if (storeRoot.isDefined &&
+      ((vertexLabels ne prev.vertexLabels) || (edgeLabels ne prev.edgeLabels) ||
+        labelIds.toSeq != prev.labelIds || nextEntry.toMap != prev.nextEntry ||
+        uniqueConstraints.toSet != prev.uniques ||
+        wholePropsUnique.toSet != prev.wholeUniques)) publish()
 }
 
 object MutableGraph {
+
+  /** Reopen a durable graph from its store root (latest version). Tables
+    * localCheckpoint eagerly so subsequent version GC can never invalidate
+    * a lazily-held file reference.
+    */
+  private[cypher] def load(spark: SparkSession, root: String): MutableGraph = {
+    import GraphStore.dec
+    val v = GraphStore.latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no durable graph at $root (_LATEST missing)"))
+    val dir = s"$root/v$v"
+    val lines = scala.io.Source.fromFile(s"$dir/catalog.txt").getLines().toList
+    val g = new MutableGraph(spark)
+    val nullCols = lines.collect { case s if s.startsWith("nulltype ") =>
+      val Array(_, kind, l, c) = s.split(" "); (kind, dec(l), dec(c)) }.toSet
+    def readTables(kind: String): Map[String, DataFrame] =
+      lines.collect { case s if s.startsWith(s"${kind}label ") =>
+        val l = dec(s.split(" ")(1))
+        val raw = spark.read.parquet(s"$dir/$kind/${GraphStore.enc(l)}")
+        val restored = raw.schema.fields.foldLeft(raw) {
+          case (acc, f) if nullCols((kind, l, f.name)) =>
+            acc.withColumn(f.name, lit(null))
+          case (acc, _) => acc
+        }
+        l -> restored.localCheckpoint()
+      }.toMap
+    lines.foreach { s =>
+      val parts = s.split(" ")
+      parts(0) match {
+        case "seq" => g.setvalLabelId(parts(1).toInt)
+        case "label" => g.labelIds(dec(parts(1))) = parts(2).toInt
+        case "next" => g.nextEntry(dec(parts(1))) = parts(2).toLong
+        case "unique" => g.uniqueConstraints += ((dec(parts(1)), dec(parts(2))))
+        case "wholeunique" => g.wholePropsUnique += dec(parts(1))
+        case _ => ()
+      }
+    }
+    g.vertexLabels = readTables("v")
+    g.edgeLabels = readTables("e")
+    g.storeRoot = Some(root)
+    g
+  }
   /** Frozen catalog state for statement-level rollback. */
   final case class TxState(
       labelIds: Seq[(String, Int)], nextEntry: Map[String, Long],

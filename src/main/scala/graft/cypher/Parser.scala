@@ -64,7 +64,9 @@ object Parser {
     case "time"                     => "totime"
     case "timetz"                   => "totimetz"
     case "interval"                 => "tointerval"
-    case "inet" | "cidr"            => "toinet"
+    case "inet"                     => "toinet"
+    case "cidr"                     => "tocidr" // cidr_out keeps the mask
+
     case "macaddr"                  => "tomacaddr"
     case "macaddr8"                 => "tomacaddr8"
     case "vector"                   => "tovector"
@@ -1103,7 +1105,9 @@ object Parser {
             pos += 1
             val src = parseExpr()
             expectSym(")")
-            FnCall("date_part", List(Lit(GString(fld.toLowerCase)), src), distinct = false)
+            // keep the EXTRACT name: it returns NUMERIC where date_part
+            // returns float8 (temporal.out `17::numeric` vs `17.0`)
+            FnCall("extract", List(Lit(GString(fld.toLowerCase)), src), distinct = false)
           } else {
             val distinct = eat("DISTINCT")
             val args = ListBuffer.empty[Expr]

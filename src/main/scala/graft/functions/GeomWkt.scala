@@ -179,12 +179,9 @@ object GeomWkt {
 
   private def num(v: Double): String =
     if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
-    else {
-      val s = "%.15g".formatLocal(java.util.Locale.ROOT, v)
-      if (s.contains('.') && !s.contains('e') && !s.contains('E'))
-        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-      else s
-    }
+    // float8out form beyond the plain-integer window (`1e+15`, not
+    // `1.00000000000000e+15` — postgis.out SRID point render)
+    else graft.gvalue.PgOut.pgFloat(v)
 
   private def coordStr(p: Pt, d: Dim): String = {
     val b = new StringBuilder(num(p.x)).append(' ').append(num(p.y))

@@ -78,8 +78,13 @@ object NetworkFns {
     }
   }
 
-  /** RFC 5952 text: lowercase hex, longest (leftmost) zero run ≥ 2 → `::`. */
+  /** RFC 5952 text: lowercase hex, longest (leftmost) zero run ≥ 2 → `::`;
+    * the IPv4-mapped block prints its tail dotted (PG inet_net_ntop
+    * `::ffff:255.240.0.1`).
+    */
   private[functions] def v6Text(hi: Long, lo: Long): String = {
+    if (hi == 0L && (lo >>> 32) == 0xFFFFL)
+      return "::ffff:" + v4Text(lo)
     val g = Array.tabulate(8) { i =>
       ((if (i < 4) hi >>> ((3 - i) * 16) else lo >>> ((7 - i) * 16)) & 0xFFFF).toInt
     }
@@ -123,6 +128,26 @@ object NetworkFns {
       UTF8String.fromString(if (m == w) base else s"$base/$m")
     }
     override protected def withNewChildInternal(c: Expression): InetAbbrevText = copy(child = c)
+  }
+
+  /** abbrev(cidr): PG inet_cidr_ntop — IPv4 prints only ceil(masklen/8)
+    * octets (`10.1/16`), all four at /32; the masklen ALWAYS prints.
+    */
+  case class CidrAbbrevText(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(a: Any): Any = {
+      val r = a.asInstanceOf[InternalRow]
+      val fam = r.getInt(0); val m = r.getInt(3)
+      val text =
+        if (fam == 4) {
+          val v = r.getLong(2) & 0xFFFFFFFFL
+          val octets = Seq((v >>> 24) & 255, (v >>> 16) & 255, (v >>> 8) & 255, v & 255)
+          val k = math.max(1, (m + 7) / 8)
+          octets.take(k).mkString(".") + s"/$m"
+        } else addrText(fam, r.getLong(1), r.getLong(2)) + s"/$m"
+      UTF8String.fromString(text)
+    }
+    override protected def withNewChildInternal(c: Expression): CidrAbbrevText = copy(child = c)
   }
 
   case class InetParseExpr(child: Expression) extends UnaryExpression with CodegenFallback {
@@ -194,6 +219,7 @@ object NetworkFns {
 
   /** text/abbrev rendering: address plus /len when not a full-width mask. */
   def abbrev(i: Column): Column = c1(InetAbbrevText)(i)
+  def abbrevCidr(i: Column): Column = c1(CidrAbbrevText)(i)
 
   /** network(inet) → cidr of the containing network (host bits cleared). */
   def network(i: Column): Column =
@@ -211,9 +237,14 @@ object NetworkFns {
     render(family(i), bitwise_not(maskHi(effLen(i))),
       bitwise_not(maskLo(effLen(i))))
 
+  /** broadcast(inet): host bits set, the input masklen KEPT — PG returns
+    * inet, printing `192.168.1.255/24` (network.out), not bare text.
+    */
   def broadcastAddr(i: Column): Column =
-    render(family(i), netHi(i).bitwiseOR(bitwise_not(maskHi(effLen(i)))),
-      netLo(i).bitwiseOR(bitwise_not(maskLo(effLen(i)))))
+    struct(family(i).as("family"),
+      netHi(i).bitwiseOR(bitwise_not(maskHi(effLen(i)))).as("hi"),
+      netLo(i).bitwiseOR(bitwise_not(maskLo(effLen(i)))).as("lo"),
+      masklen(i).as("masklen"))
 
   def setMasklen(i: Column, len: Column): Column =
     struct(family(i).as("family"), i.getField("hi").as("hi"),

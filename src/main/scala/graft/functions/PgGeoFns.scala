@@ -76,9 +76,14 @@ object PgGeoFns {
     transform(regexp_extract_all(s, lit(s"$num\\s*,\\s*$num"), lit(0)),
       p => point(split(p, ",")(0), split(p, ",")(1)))
 
-  /** '((x,y),…)' closed / '[(x,y),…]' open → path. */
-  def toPath(s: Column): Column =
-    path(extractPts(s), !trim(s).startsWith("["))
+  /** '((x,y),…)' closed / '[(x,y),…]' open → path. A gtype string
+    * literal may still carry its double-quote wrapper — strip before the
+    * open-bracket probe (path.out `[(1,1),(2,2)]` stays OPEN).
+    */
+  def toPath(s: Column): Column = {
+    val t = trim(regexp_replace(trim(s), "^\"", ""))
+    path(extractPts(s), !t.startsWith("["))
+  }
 
   /** '((x,y),…)' → polygon. */
   def toPolygon(s: Column): Column = polygon(extractPts(s))

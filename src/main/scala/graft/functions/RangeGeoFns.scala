@@ -68,8 +68,14 @@ object RangeGeoFns {
   // -------------------------------------- temporal ranges (gtype_range.c)
 
   /** tsrange/tstzrange — timestamps (session tz; tstz folds to UTC here). */
-  def tsRange(lo: Column, hi: Column, bounds: String = "[)"): Column =
-    range(lo.cast("timestamp"), hi.cast("timestamp"), bounds)
+  def tsRange(lo: Column, hi: Column, bounds: String = "[)",
+      tz: Boolean = true): Column = {
+    // tz-aware bounds (tstzrange) keep TimestampType and render with the
+    // zone abbreviation; tsrange stores NTZ (the element type IS the
+    // ts-vs-tstz distinction, as lo's type is for int-vs-num ranges)
+    val t = if (tz) "timestamp" else "timestamp_ntz"
+    range(lo.cast(t), hi.cast(t), bounds)
+  }
 
   /** daterange with PG's discrete canonicalization to `[lo, hi)`. */
   def dateRange(lo: Column, hi: Column, bounds: String = "[)"): Column = {
@@ -151,15 +157,20 @@ object RangeGeoFns {
   }
 
   /** Temporal multirange input — same part split, temporal bound parse. */
-  def toMultirangeTemporal(s: Column, isDate: Boolean): Column = {
+  def toMultirangeTemporal(s: Column, isDate: Boolean,
+      tz: Boolean = true): Column = {
     val tok = "[\\[(][^\\[()\\]]*[\\])]"
     normalizeMulti(transform(regexp_extract_all(s, lit(tok), lit(0)),
-      t => toRangeTemporal(t, isDate)))
+      t => toRangeTemporal(t, isDate, tz)))
   }
 
   /** '[2024-01-01,2024-06-30)' (quotes optional) → ts/tstz/date range. */
-  def toRangeTemporal(s: Column, isDate: Boolean): Column = {
-    val t = trim(s)
+  def toRangeTemporal(s: Column, isDate: Boolean,
+      tz: Boolean = true): Column = {
+    // a gtype STRING literal arrives with its double-quote wrapper still
+    // on (`"['1/1/2000 12:00:00', …]"`) — strip it first or the bracket
+    // probes below all miss and the bounds parse to null
+    val t = trim(regexp_replace(trim(s), "^\"|\"$", ""))
     val body = regexp_replace(regexp_replace(t, "^[\\[(]", ""), "[\\])]$", "")
     def cv(x: Column): Column = {
       // bounds may be quoted with either quote style inside the range text
@@ -168,6 +179,7 @@ object RangeGeoFns {
       val c = when(v === "", lit(null)).otherwise(v)
       if (isDate) TemporalFns.pgTimestampParse(c, tz = false).cast("date")
       else TemporalFns.pgTimestampParse(c, tz = false)
+        .cast(if (tz) "timestamp" else "timestamp_ntz")
     }
     val parts = split(body, ",")
     val lo = cv(element_at(parts, 1))

@@ -191,7 +191,12 @@ object GValue {
 
   private def asNumeric(v: GValue): Option[BigDecimal] = v match {
     case GInt(i)     => Some(BigDecimal(i))
-    case GFloat(f)   => if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f))
+    // float→numeric conversion drops trailing zero scale (PG
+    // float8_numeric via shortest representation: 2.0 → numeric 2, so
+    // `'2.0' * '-3::numeric'` is -6, not -6.0 — gtype.out)
+    case GFloat(f)   =>
+      if (f.isNaN || f.isInfinite) None
+      else Some(BigDecimal(new java.math.BigDecimal(f.toString).stripTrailingZeros))
     case GNumeric(n) => Some(n)
     case _           => None
   }
@@ -286,10 +291,15 @@ object GValue {
     case (GFloat(x), GInt(y))    => GFloat(x / y)
     case (GNumeric(x), GFloat(f)) if f.isNaN || f.isInfinite => GFloat(x.toDouble / f)
     case (GFloat(f), GNumeric(y)) if f.isNaN || f.isInfinite => GFloat(f / y.toDouble)
-    case (GNumeric(x), _) if isNumber(b) => GNumeric(x / asNumeric(b).get)
-    case (_, GNumeric(y)) if isNumber(a) => GNumeric(asNumeric(a).get / y)
+    // numeric division: PG div_var's display scale — 16 fraction digits
+    // (gtype.out `4 / -3.0::numeric` → -1.3333333333333333)
+    case (GNumeric(x), _) if isNumber(b) => GNumeric(numDiv(x, asNumeric(b).get))
+    case (_, GNumeric(y)) if isNumber(a) => GNumeric(numDiv(asNumeric(a).get, y))
     case _ => throw new IllegalArgumentException("invalid operand types for /")
   }
+
+  private def numDiv(x: BigDecimal, y: BigDecimal): BigDecimal =
+    BigDecimal(x.bigDecimal.divide(y.bigDecimal, 16, java.math.RoundingMode.HALF_UP))
 
   def mod(a: GValue, b: GValue): GValue = (a, b) match {
     case (GNull, _) | (_, GNull) => GNull
@@ -297,11 +307,20 @@ object GValue {
     case (GFloat(x), GFloat(y))  => GFloat(x % y)
     case (GInt(x), GFloat(y))    => GFloat(x % y)
     case (GFloat(x), GInt(y))    => GFloat(x % y)
+    // numeric_mod: remainder keeps the numeric tag (sign of the dividend)
+    case (GNumeric(x), _) if isNumber(b) => GNumeric(x % asNumeric(b).get)
+    case (_, GNumeric(y)) if isNumber(a) => GNumeric(asNumeric(a).get % y)
     case _ => throw new IllegalArgumentException("invalid operand types for %")
   }
 
   def pow(a: GValue, b: GValue): GValue = (a, b) match {
     case (GNull, _) | (_, GNull) => GNull
+    // numeric_power: numeric result at PG's 16-fraction display scale
+    // (gtype.out `2::numeric ^ 3` → 8.0000000000000000)
+    case (x, y) if (x.isInstanceOf[GNumeric] || y.isInstanceOf[GNumeric]) &&
+        isNumber(x) && isNumber(y) =>
+      GNumeric(BigDecimal(new java.math.BigDecimal(math.pow(toDouble(x), toDouble(y)))
+        .setScale(16, java.math.RoundingMode.HALF_UP)))
     case (x, y) if isNumber(x) && isNumber(y) =>
       GFloat(math.pow(toDouble(x), toDouble(y)))
     case _ => throw new IllegalArgumentException("invalid operand types for ^")
@@ -326,6 +345,10 @@ object GValue {
   /** String form without quotes (for concatenation). */
   private def rawText(v: GValue): String = v match {
     case GString(s) => s
+    // string ‖ number concatenation uses float8out's shortest text —
+    // `'str' + 1.0` is "str1", not "str1.0" (gtype_string_concat)
+    case GFloat(f) if !f.isNaN && !f.isInfinite && f == math.rint(f) &&
+        math.abs(f) < 1e15 => f.toLong.toString
     case other      => other.render
   }
 

@@ -345,9 +345,14 @@ object GValueCol {
     }
     val render = renderPart(g.getField("s"))
     val inner = trim(regexp_replace(render, "^\\[|\\]$", ""))
+    // split on element commas only OUTSIDE quoted strings: the lookahead
+    // requires the remainder to parse as (non-quote | complete "…" with
+    // \-escapes)* — a comma inside "a, b" leaves an unbalanced quote tail
+    // and is not a split point
+    val elemSplit = ",\\s+(?=(?:[^\"]|\"(?:[^\"\\\\]|\\\\.)*\")*$)"
     val promotedElems = when(length(inner) === 0,
       array().cast(ArrayType(scalarType, containsNull = false)))
-      .otherwise(transform(split(inner, ",\\s+"), t => parseTok(t)))
+      .otherwise(transform(split(inner, elemSplit), t => parseTok(t)))
     when(tag === TArray && g.getField("a").isNotNull, g.getField("a"))
       .when(tag === TArray, promotedElems)
       .when(tag === TNull, lit(null).cast(ArrayType(scalarType, containsNull = false)))

@@ -205,6 +205,16 @@ object PgOut {
     case GNumeric(x) => x.bigDecimal.toPlainString + "::numeric"
     case GString(s)  => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     case GArray(xs)  => xs.map(gout).mkString("[", ", ", "]")
+    // a constant ENTITY value (build_vertex/build_edge maps) prints in
+    // vertex_out/edge_out field order — id [, start_id, end_id], label,
+    // properties (edge.out:8, traversal.out) — not jsonb key order
+    case GMap(es) if es.contains("id") && es.contains("label") &&
+        es.contains("properties") =>
+      val order = Seq("id", "start_id", "end_id", "label", "properties")
+      val head = order.flatMap(k => es.get(k).map(x => s""""$k": ${gout(x)}"""))
+      val rest = es.collect { case (k, x) if !order.contains(k) =>
+        s""""$k": ${gout(x)}""" }
+      (head ++ rest).mkString("{", ", ", "}")
     case GMap(es)    => es.map { case (k, x) => s""""$k": ${gout(x)}""" }.mkString("{", ", ", "}")
     case GVector(xs) => xs.map(gFloat).mkString("[", ", ", "]")
     case GTimestamp(us) => pgTimestamp(us)
@@ -225,6 +235,174 @@ object PgOut {
 
   private def isTimetzSchema(st: StructType): Boolean =
     st.fieldNames.sameElements(Array("us", "off"))
+
+  // ---- range / inet / geometric struct shapes (round-10 render parity:
+  // the old-regress value replay showed these falling through to Row
+  // .toString — range.out/network.out/geometric.out formats below) -------
+
+  private def isRangeSchema(st: StructType): Boolean =
+    st.fieldNames.sameElements(Array("lo", "hi", "lo_inc", "hi_inc"))
+
+  private def isInetSchema(st: StructType): Boolean =
+    st.fieldNames.sameElements(Array("family", "hi", "lo", "masklen"))
+
+  /** PG-builtin geometric kind from the struct field names (mirrors
+    * PgGeoFns.kindOf; "" when not geometric).
+    */
+  private def geoKind(st: StructType): String = st.fieldNames.toSeq match {
+    case Seq("x", "y")               => "point"
+    case Seq("x1", "y1", "x2", "y2") => "box"
+    case Seq("sx", "sy", "ex", "ey") => "lseg"
+    case Seq("a", "b", "c")          => "line"
+    case Seq("cx", "cy", "r")        => "circle"
+    case Seq("pts", "closed")        => "path"
+    case Seq("pts")                  => "polygon"
+    case _ => ""
+  }
+
+  /** range_out: discrete element types (int8, date) canonicalize to
+    * `[lo,hi)` first (their range_canonical), collapsing to `empty`;
+    * continuous types print their stored bounds with bracket flags.
+    * An absent (SQL-null) bound is infinite and prints as nothing.
+    */
+  def pgRange(r: Row): String = {
+    val et = r.schema.fields(0).dataType
+    val discrete = et match {
+      case LongType | IntegerType | DateType => true
+      case _ => false
+    }
+    var lo: Option[Any] = if (r.isNullAt(0)) None else Some(r.get(0))
+    var hi: Option[Any] = if (r.isNullAt(1)) None else Some(r.get(1))
+    var loInc = r.getBoolean(2); var hiInc = r.getBoolean(3)
+    def step(v: Any): Any = v match {
+      case l: java.lang.Long => java.lang.Long.valueOf(l + 1L)
+      case i: java.lang.Integer => java.lang.Integer.valueOf(i + 1)
+      case d: java.sql.Date => java.sql.Date.valueOf(d.toLocalDate.plusDays(1))
+      case d: java.time.LocalDate => d.plusDays(1)
+      case o => o
+    }
+    if (discrete) {
+      if (!loInc && lo.isDefined) { lo = lo.map(step); loInc = true }
+      if (hiInc && hi.isDefined) { hi = hi.map(step); hiInc = false }
+    }
+    def num(v: Any): Double = v match {
+      case n: java.lang.Number => n.doubleValue()
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toDouble
+      case d: java.time.LocalDate => d.toEpochDay.toDouble
+      case t: java.sql.Timestamp => t.getTime.toDouble
+      case t: java.time.Instant => t.toEpochMilli.toDouble
+      case t: java.time.LocalDateTime => t.toEpochSecond(java.time.ZoneOffset.UTC).toDouble
+      case _ => Double.NaN
+    }
+    val empty = (lo, hi) match {
+      case (Some(a), Some(b)) =>
+        val (x, y) = (num(a), num(b))
+        x > y || (x == y && !(loInc && hiInc))
+      case _ => false
+    }
+    if (empty) return "empty"
+    def btext(v: Any): String = v match {
+      case l: java.lang.Long => l.toString
+      case i: java.lang.Integer => i.toString
+      case d: java.lang.Double => pgFloat(d)
+      case dec: java.math.BigDecimal => dec.stripTrailingZeros.toPlainString
+      case dec: scala.math.BigDecimal => dec.bigDecimal.stripTrailingZeros.toPlainString
+      case d: java.sql.Date => pgDate(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => pgDate(d.toEpochDay)
+      // tstzrange bounds (tz-aware TimestampType) carry the session-zone
+      // abbreviation like timestamptz_out; tsrange bounds (NTZ) don't
+      case t: java.sql.Timestamp =>
+        "\"" + pgTimestamp(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L) + " GMT\""
+      case t: java.time.Instant =>
+        "\"" + pgTimestamp(t.getEpochSecond * 1000000L + t.getNano / 1000L) + " GMT\""
+      case t: java.time.LocalDateTime =>
+        "\"" + pgTimestamp(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          t.getNano / 1000L) + "\""
+      case o => o.toString
+    }
+    (if (loInc) "[" else "(") + lo.map(btext).getOrElse("") + "," +
+      hi.map(btext).getOrElse("") + (if (hiInc) "]" else ")")
+  }
+
+  /** inet_out / cidr_out: dotted IPv4 or RFC-5952-compressed IPv6 (with
+    * the IPv4-mapped `::ffff:a.b.c.d` special form); inet suppresses a
+    * full-length mask, cidr always prints it.
+    */
+  def pgInet(family: Int, hi: Long, lo: Long, masklen: Int, cidr: Boolean): String = {
+    val base =
+      if (family == 4) {
+        val v = lo & 0xffffffffL
+        s"${(v >> 24) & 255}.${(v >> 16) & 255}.${(v >> 8) & 255}.${v & 255}"
+      } else {
+        val groups = (0 until 8).map { i =>
+          val src = if (i < 4) hi else lo
+          ((src >>> ((3 - (i % 4)) * 16)) & 0xffffL).toInt
+        }
+        if (hi == 0L && (lo >>> 32) == 0xffffL) {
+          val v = lo & 0xffffffffL
+          s"::ffff:${(v >> 24) & 255}.${(v >> 16) & 255}.${(v >> 8) & 255}.${v & 255}"
+        } else {
+          // longest zero-group run (≥2, leftmost) compresses to ::
+          var best = -1; var bestLen = 0; var i = 0
+          while (i < 8) {
+            if (groups(i) == 0) {
+              var j = i; while (j < 8 && groups(j) == 0) j += 1
+              if (j - i > bestLen) { best = i; bestLen = j - i }
+              i = j
+            } else i += 1
+          }
+          if (bestLen >= 2) {
+            val pre = groups.take(best).map(g => f"$g%x").mkString(":")
+            val post = groups.drop(best + bestLen).map(g => f"$g%x").mkString(":")
+            pre + "::" + post
+          } else groups.map(g => f"$g%x").mkString(":")
+        }
+      }
+    val full = if (family == 4) 32 else 128
+    if (cidr || masklen != full) s"$base/$masklen" else base
+  }
+
+  /** PG geometric output (point_out family): `(x,y)`, `[(sx,sy),(ex,ey)]`,
+    * `(x1,y1),(x2,y2)`, `{a,b,c}`, `<(cx,cy),r>`, closed path/polygon
+    * `((…),(…))`, open path `[(…),(…)]`. Coordinates via float8out.
+    */
+  def pgGeo(r: Row, kind: String): String = {
+    def f(i: Int): String = pgFloat(r.getDouble(i))
+    def ptText(p: Row): String = s"(${pgFloat(p.getDouble(0))},${pgFloat(p.getDouble(1))})"
+    kind match {
+      case "point"  => s"(${f(0)},${f(1)})"
+      // box_out prints the HIGH corner first; the stored struct is
+      // normalized (x1,y1)=low, (x2,y2)=high
+      case "box"    => s"(${f(2)},${f(3)}),(${f(0)},${f(1)})"
+      case "lseg"   => s"[(${f(0)},${f(1)}),(${f(2)},${f(3)})]"
+      case "line"   => s"{${f(0)},${f(1)},${f(2)}}"
+      case "circle" => s"<(${f(0)},${f(1)}),${f(2)}>"
+      case "path" =>
+        val pts = (if (r.isNullAt(0)) Nil else r.getSeq[Row](0)).map(ptText)
+        if (r.getBoolean(1)) pts.mkString("(", ",", ")") else pts.mkString("[", ",", "]")
+      case "polygon" =>
+        (if (r.isNullAt(0)) Nil else r.getSeq[Row](0)).map(ptText).mkString("(", ",", ")")
+      case _ => r.toString
+    }
+  }
+
+  /** bytea_output=escape (the reference regress environment): printable
+    * ASCII bytes verbatim, backslash doubled, the rest `\OOO` octal.
+    * Input is our storage form — a `\x`-prefixed lowercase hex string.
+    */
+  def byteaEscape(hex0: String): String = {
+    val hex = hex0.stripPrefix("\\x")
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 1 < hex.length + 1 && i + 2 <= hex.length) {
+      val b = Integer.parseInt(hex.substring(i, i + 2), 16)
+      if (b == '\\') sb ++= "\\\\"
+      else if (b >= 0x20 && b <= 0x7e) sb += b.toChar
+      else sb ++= f"\\${b}%03o"
+      i += 2
+    }
+    sb.toString
+  }
 
   private def isEntitySchema(st: StructType): Boolean = {
     val n = st.fieldNames
@@ -308,6 +486,56 @@ object PgOut {
           seq.map(e => tsvectorEntry(e.toString)).mkString(" ")
         case _ => cell(value, field.dataType)
       }
+      // EXTRACT/date_part return PG numeric — integral values drop the
+      // fraction, all carry the ::numeric cast annotation (temporal.out)
+      case "numeric" => value match {
+        case n: java.lang.Number =>
+          java.math.BigDecimal.valueOf(n.doubleValue())
+            .stripTrailingZeros.toPlainString + "::numeric"
+        case _ => cell(value, field.dataType)
+      }
+      case "cidr" => value match {
+        case r: Row if r.schema != null && isInetSchema(r.schema) =>
+          pgInet(r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), cidr = true)
+        case _ => cell(value, field.dataType)
+      }
+      // macaddr/macaddr8 store as LONG bit math (NetworkFns) — print the
+      // colon-hex bytes (macaddr_out)
+      case "macaddr" => value match {
+        case n: java.lang.Number =>
+          val v = n.longValue()
+          (0 until 6).map(i => f"${(v >>> ((5 - i) * 8)) & 0xff}%02x").mkString(":")
+        case _ => cell(value, field.dataType)
+      }
+      case "macaddr8" => value match {
+        case n: java.lang.Number =>
+          val v = n.longValue()
+          (0 until 8).map(i => f"${(v >>> ((7 - i) * 8)) & 0xff}%02x").mkString(":")
+        case _ => cell(value, field.dataType)
+      }
+      case "bytea" => value match {
+        case s: String => byteaEscape(s)
+        case _ => cell(value, field.dataType)
+      }
+      case "byteahex" => value match {
+        case s: String => if (s.startsWith("\\x")) s else "\\x" + s
+        case _ => cell(value, field.dataType)
+      }
+      // constant geometry: the compiler pre-rendered the exact EWKB hex
+      case m if m.startsWith("ewkb:") => m.substring(5)
+      // an outermost ::numeric at the SQL surface: numeric_out plain —
+      // no gtype cast annotation
+      case "sqlnumeric" => value match {
+        case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+        case d: scala.math.BigDecimal => d.bigDecimal.stripTrailingZeros.toPlainString
+        case _ => cell(value, field.dataType)
+      }
+      // SQL float8 (st_x family): float8out — no gtype `.0` suffix
+      case "float8" => value match {
+        case d: java.lang.Double => pgFloat(d)
+        case f: java.lang.Float => pgFloat(f.toDouble)
+        case _ => cell(value, field.dataType)
+      }
       case _ => cell(value, field.dataType)
     }
   }
@@ -340,6 +568,21 @@ object PgOut {
       traversalOut(
         if (r.isNullAt(0)) Nil else r.getSeq[Row](0),
         if (r.isNullAt(1)) Nil else r.getSeq[Row](1))
+    // range / inet / PG geometric structs → their PG output routines
+    case r: Row if r.schema != null && isRangeSchema(r.schema) => pgRange(r)
+    case r: Row if r.schema != null && isInetSchema(r.schema) =>
+      pgInet(r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), cidr = false)
+    case r: Row if r.schema != null && geoKind(r.schema).nonEmpty =>
+      pgGeo(r, geoKind(r.schema))
+    // multirange = normalized array<range>: `{[a,b),…}`
+    case seq: scala.collection.Seq[_] if (dt match {
+        case ArrayType(et: StructType, _) => isRangeSchema(et)
+        case _ => seq.headOption.exists {
+          case rr: Row => rr.schema != null && isRangeSchema(rr.schema)
+          case _ => false
+        }
+      }) =>
+      seq.collect { case rr: Row => pgRange(rr) }.mkString("{", ",", "}")
     // full entity struct → vertex_out/edge_out
     case r: Row if r.schema != null && isEntitySchema(r.schema) => entityOut(r)
     case b: Boolean => if (b) "t" else "f"
@@ -348,8 +591,16 @@ object PgOut {
     // (gtype.c:398-403 is_decimal_needed)
     case d: Double => gFloat(d)
     case f: Float => gFloat(f.toDouble)
-    case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
-    case d: scala.math.BigDecimal => d.bigDecimal.stripTrailingZeros.toPlainString
+    // a decimal-typed cell at the gtype surface IS a gtype numeric —
+    // PG annotates it (aggregation.out `24.45::numeric`). A value whose
+    // scale carries the Spark FIXED storage scale (DecimalType(38,18)
+    // aggregates/casts — scale ≥ 18) strips its padding zeros; smaller
+    // scales are value-authored (literals, PG div/pow display scale) and
+    // print exactly
+    case d: java.math.BigDecimal =>
+      (if (d.scale >= 18) d.stripTrailingZeros.toPlainString
+       else d.toPlainString) + "::numeric"
+    case d: scala.math.BigDecimal => cell(d.bigDecimal, dt)
     case i: java.lang.Number => i.toString
     // TimestampType under the UTC session is an INSTANT (timestamptz):
     // timestamptz_out appends the zone abbreviation (GMT at UTC)
@@ -402,6 +653,10 @@ object PgOut {
     case f: Float => gFloat(f.toDouble)
     case r: Row if r.schema != null && isGValueSchema(r.schema) =>
       gout(GValueCol.decode(r))
+    // string-rendered kinds quote inside gtype containers (timetz array
+    // elements print `["07:37:16+04", …]` — expr.out)
+    case r: Row if r.schema != null && isTimetzSchema(r.schema) =>
+      "\"" + pgTimeTz(r.getLong(0), r.getInt(1)) + "\""
     case other => cell(other, dt)
   }
 }

@@ -127,7 +127,9 @@ object FunctionQueries {
           NetworkFns.abbrev(NetworkFns.network(cidr)).as("net"),
           NetworkFns.host(ip).as("host"),
           NetworkFns.netmask(cidr).as("mask"),
-          NetworkFns.broadcastAddr(cidr).as("bcast"),
+          // broadcast() returns inet keeping the masklen (network.out
+          // `192.168.1.255/24`) — abbrev renders it for the text oracle
+          NetworkFns.abbrev(NetworkFns.broadcastAddr(cidr)).as("bcast"),
           NetworkFns.masklen(cidr).as("mlen"),
           NetworkFns.containedInOrEq(ip, cidr).as("in_net"),
           NetworkFns.abbrev(NetworkFns.inetMerge(ip,
@@ -282,7 +284,7 @@ object FunctionQueries {
         |  '10.' || c_nationkey || '.' || (c_custkey % 100) || '.0/24' AS net,
         |  '10.' || c_nationkey || '.' || (c_custkey % 100) || '.' || (c_custkey % 254 + 1) AS host,
         |  '255.255.255.0' AS mask,
-        |  '10.' || c_nationkey || '.' || (c_custkey % 100) || '.255' AS bcast,
+        |  '10.' || c_nationkey || '.' || (c_custkey % 100) || '.255/24' AS bcast,
         |  CAST(24 AS INT) AS mlen,
         |  true AS in_net,
         |  '10.0.0.0/8' AS merged

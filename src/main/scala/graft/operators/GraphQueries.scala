@@ -345,7 +345,23 @@ object GraphQueries {
         "RETURN c.c_mktsegment AS seg, c.c_nationkey % 5 AS nk, " +
         "count(*) AS n, sum(c.c_custkey) AS sk " +
         "GROUP BY GROUPING SETS ((c.c_mktsegment, c.c_nationkey % 5), (c.c_mktsegment), ()) " +
-        "ORDER BY seg, nk, n")
+        "ORDER BY seg, nk, n"),
+
+    // value-keyed INTERSECT with a NULL-bearing typed column: the 1-vs-1.0
+    // branch mismatch forces the gtype set-op path; PG semantics treat the
+    // NULL sz rows as equal across branches (cypher_setop.sql NULLs-equal
+    // dedup — the ADVICE r8 regression shape). The gtype k is decoded back
+    // to int post-query so the DuckDB oracle schema matches.
+    "g32_setop_null_intersect" -> ((s, dir) => {
+      val df = new Compiler(tpchGraph(s, dir)).run(
+        "MATCH (p:Part) RETURN CASE WHEN p.p_size < 25 THEN p.p_size END AS sz, 1 AS k " +
+          "INTERSECT " +
+          "MATCH (p:Part) WHERE p.p_retailprice > 950 " +
+          "RETURN CASE WHEN p.p_size < 25 THEN p.p_size END AS sz, 1.0 AS k")
+      df.select(col("sz").cast("int").as("sz"),
+          col("k").getField("i").cast("int").as("k"))
+        .orderBy(col("sz").asc_nulls_first)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -474,7 +490,7 @@ object GraphQueries {
     "g24_cast_matrix" ->
       """SELECT c_custkey AS ck,
         |  CAST(CAST(c_custkey AS VARCHAR) || '7' AS BIGINT) AS i7,
-        |  CAST(trunc(c_acctbal) AS BIGINT) AS bal_t,
+        |  CAST(round(c_acctbal) AS BIGINT) AS bal_t,
         |  CAST(c_custkey AS DOUBLE) AS ckf,
         |  CAST(c_custkey % 2 = 0 AS BIGINT) AS even,
         |  CAST('1995-03-0' || CAST(c_custkey % 9 + 1 AS VARCHAR) AS DATE) AS d,
@@ -533,6 +549,13 @@ object GraphQueries {
         |  count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS sk
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey % 5), (c_mktsegment), ())
-        |ORDER BY seg, nk, n""".stripMargin
+        |ORDER BY seg, nk, n""".stripMargin,
+    "g32_setop_null_intersect" ->
+      """SELECT CAST(sz AS INT) AS sz, CAST(k AS INT) AS k FROM (
+        |  SELECT CASE WHEN p_size < 25 THEN p_size END AS sz, 1 AS k FROM part
+        |  INTERSECT
+        |  SELECT CASE WHEN p_size < 25 THEN p_size END AS sz, 1.0 AS k FROM part
+        |  WHERE p_retailprice > 950
+        |) ORDER BY sz NULLS FIRST""".stripMargin
   )
 }

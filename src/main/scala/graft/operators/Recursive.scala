@@ -52,6 +52,32 @@ object Recursive {
 
   import org.apache.spark.sql.functions._
 
+  /** `WITH RECURSIVE … UNION ALL` accumulation WITHOUT dedup: every
+    * generation lands in the result as-is and recursion ends only when a
+    * step produces no rows (PG semantics — a cyclic step diverges there
+    * too, bounded here by maxIter). Same per-generation materialization
+    * discipline as [[fixpoint]].
+    */
+  def fixpointAll(seed: DataFrame, step: DataFrame => DataFrame,
+      maxIter: Int = 100): DataFrame = {
+    val cols = seed.columns.toSeq
+    var acc = seed.localCheckpoint()
+    var frontier = acc
+    var iter = 0
+    var live = frontier.count() > 0
+    while (iter < maxIter && live) {
+      frontier = step(frontier)
+        .select(cols.map(org.apache.spark.sql.functions.col): _*).localCheckpoint()
+      live = frontier.count() > 0
+      if (live) acc = acc.unionByName(frontier)
+      iter += 1
+      if (iter % 3 == 0) acc = acc.localCheckpoint()
+    }
+    require(iter < maxIter || !live,
+      s"recursive fixpoint (UNION ALL) did not converge within $maxIter iterations")
+    acc
+  }
+
   /** `SEARCH {BREADTH|DEPTH} FIRST BY keyCols SET seqCol`
     * (cypher_gram.y:1394-1417): PG's ordering-column sugar over a recursive
     * CTE, re-expressed as a fixpoint combinator. BREADTH FIRST emits
@@ -117,8 +143,14 @@ object Recursive {
       // ONE materialization per generation: the filtered next frontier
       // reads the checkpoint's cached blocks (no second checkpoint job)
       val stepped = children.select(acc.columns.map(col).toSeq: _*).localCheckpoint()
-      live = stepped.count() > 0
-      if (live) acc = acc.unionByName(stepped)
+      // one job, two counts: total rows (for accumulation) and UNMARKED
+      // rows (for liveness) — a generation of all-cycle rows still lands
+      // in acc but must end the loop, else a converged run that hits
+      // maxIter with marked leftovers trips the require below spuriously
+      val cnts = stepped.agg(
+        count(lit(1)).as("n"), count(when(!col(markCol), 1)).as("fresh")).head()
+      if (cnts.getLong(0) > 0) acc = acc.unionByName(stepped)
+      live = cnts.getLong(1) > 0
       // marked rows surface in the result but never recurse
       frontier = stepped.filter(!col(markCol))
       iter += 1

@@ -123,7 +123,9 @@ object Relational2 {
 
     // TABLESAMPLE clause (cypher_gram.y:2046-2080) routed through the SQL
     // surface's BERNOULLI→PERCENT rewrite to Spark's native sampler; 100%
-    // keeps the result deterministic (sampling mechanics in SqlSurfaceSpec)
+    // keeps THIS oracle-compared result deterministic — true p<100 sampling
+    // (REPEATABLE seed stability + binomial count envelope) is asserted in
+    // RelationalSpec "TABLESAMPLE BERNOULLI p<100"
     "q32_tablesample" -> ((s, dir) => {
       T(s, dir, "customer").createOrReplaceTempView("customer")
       new graft.cypher.SqlSurface(s).run(

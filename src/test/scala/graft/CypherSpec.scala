@@ -160,6 +160,26 @@ class CypherSpec extends AnyFunSuite {
     assert(ua == 7)
   }
 
+  test("value-keyed INTERSECT/EXCEPT treat NULLs as equal (PG set-op semantics)") {
+    // gtype forced by the 1-vs-1.0 branch type mismatch → value-keyed join
+    // path; the NULL sits in the TYPED city column, which plain equality
+    // keys would drop from INTERSECT and wrongly keep in EXCEPT (ADVICE r8)
+    val t = Seq((1L, Option("SEA")), (2L, Option.empty[String]), (3L, Option("NYC")))
+      .toDF("tid", "city")
+    val g2 = new GraphBuilder(spark).vertexLabel("T", t, "tid").build()
+    def run2(q: String) = new Compiler(g2).run(q)
+    val inter = run2(
+      "MATCH (n:T) RETURN n.city AS c, 1 AS k INTERSECT " +
+        "MATCH (n:T) RETURN n.city AS c, 1.0 AS k")
+      .collect().map(r => Option(r.getString(0)))
+    assert(inter.toSet == Set(Some("SEA"), Some("NYC"), None)) // NULL row kept
+    val exc = run2(
+      "MATCH (n:T) RETURN n.city AS c, 1 AS k EXCEPT " +
+        "MATCH (n:T) RETURN n.city AS c, 1.0 AS k")
+      .count()
+    assert(exc == 0) // NULL-bearing row matches its twin and is removed
+  }
+
   test("case expression and string ops") {
     val rows = run(
       "MATCH (p:Person) RETURN p.name AS name, CASE WHEN p.age < 30 THEN 'young' ELSE 'old' END AS band " +
@@ -519,7 +539,9 @@ class CypherSpec extends AnyFunSuite {
     assert(tstr(0).startsWith("1997-12-17 07:37:16"))
     assert(r.get(1).toString == "1997-12-17") // java8API: LocalDate
     assert(tstr(2).startsWith("1997-12-17 07:37:16"))
-    assert(r.getInt(3) == 1997) // standard fields keep Spark's int type
+    // EXTRACT returns NUMERIC (PG: numeric, not float8 like date_part —
+    // temporal.out `extract(year …)` prints 1997, not 1997.0)
+    assert(r.getDecimal(3).intValueExact == 1997)
     assert(r.getDouble(4) == 3.0) // 2026-08-12 is a Wednesday
     assert(r.getDouble(5) == 86400.0)
     assert(r.getLong(6) == 1L && r.getLong(7) == 0L)
@@ -693,6 +715,12 @@ class CypherSpec extends AnyFunSuite {
     val ys = run("UNWIND [[1, 2], [3, 4]] AS x UNWIND x AS y RETURN y ORDER BY y")
       .collect().map(_.getLong(0))
     assert(ys.toSeq == Seq(1L, 2L, 3L, 4L))
+    // promoted-array re-parse must not split INSIDE quoted strings: a
+    // string element containing ", " stays one element (ADVICE r8 —
+    // GValueCol.unwindElems elemSplit)
+    val ss = run("UNWIND [['a, b', 'c', 'd\"e, f']] AS x UNWIND x AS y RETURN y")
+      .collect().map(_.getString(0))
+    assert(ss.toSeq == Seq("a, b", "c", "d\"e, f"))
   }
 
   test("extended-type casts: tovector / toinet / totsvector / ranges") {

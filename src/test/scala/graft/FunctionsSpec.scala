@@ -127,7 +127,8 @@ class FunctionsSpec extends AnyFunSuite {
       // RFC 5952: compress the LONGEST zero run (the second one here)
       NetworkFns.host(NetworkFns.toInet(lit("2001:0:0:1:0:0:0:1"))),
       NetworkFns.netmask(NetworkFns.toInet(lit("fe80::/10"))),
-      NetworkFns.broadcastAddr(net),
+      // broadcast() returns inet (masklen kept) — render through abbrev
+      NetworkFns.abbrev(NetworkFns.broadcastAddr(net)),
       NetworkFns.containedIn(ip, net),
       NetworkFns.containedIn(ip, NetworkFns.toInet(lit("2001:db9::/32"))),
       NetworkFns.inetSameFamily(ip, NetworkFns.toInet(lit("10.0.0.1"))),
@@ -141,7 +142,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(4) == "::1")
     assert(r.getString(5) == "2001:0:0:1::1")
     assert(r.getString(6) == "ffc0::")
-    assert(r.getString(7) == "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff")
+    assert(r.getString(7) == "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff/32")
     assert(r.getBoolean(8))       // host << its /32
     assert(!r.getBoolean(9))      // not in the sibling /32
     assert(!r.getBoolean(10))     // cross-family
@@ -154,7 +155,7 @@ class FunctionsSpec extends AnyFunSuite {
     val ip = NetworkFns.toInet(lit("192.168.5.77"))
     val r = one(
       NetworkFns.host(ip), NetworkFns.abbrev(cidr), NetworkFns.netmask(cidr),
-      NetworkFns.broadcastAddr(cidr), NetworkFns.hostmask(cidr),
+      NetworkFns.abbrev(NetworkFns.broadcastAddr(cidr)), NetworkFns.hostmask(cidr),
       NetworkFns.masklen(ip), NetworkFns.containedIn(ip, cidr),
       NetworkFns.containedInOrEq(cidr, cidr), NetworkFns.containedIn(cidr, cidr),
       NetworkFns.abbrev(NetworkFns.inetMerge(
@@ -164,7 +165,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(0) == "192.168.5.77")
     assert(r.getString(1) == "192.168.5.0/24")
     assert(r.getString(2) == "255.255.255.0")
-    assert(r.getString(3) == "192.168.5.255")
+    assert(r.getString(3) == "192.168.5.255/24") // broadcast keeps masklen (inet)
     assert(r.getString(4) == "0.0.0.255")
     assert(r.getInt(5) == 32)
     assert(r.getBoolean(6))        // host << network

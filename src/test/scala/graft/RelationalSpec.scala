@@ -65,6 +65,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(r2.count() == 2)
   }
 
+  test("fixpointCycle: all-marked final generation converges (no spurious maxIter error)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // pure 3-cycle 1→2→3→1: generation 3 is the marked revisit of node 1 —
+    // the frontier empties THAT iteration, so maxIter=3 must succeed.
+    // Pre-fix, liveness came from the pre-filter stepped count and the
+    // require tripped spuriously at exactly this boundary (ADVICE r8).
+    val cyc3 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val seed = Seq(Tuple1(1L)).toDF("node")
+    val out = graft.operators.Recursive.fixpointCycle(seed, f =>
+      f.join(cyc3, f("node") === cyc3("src"))
+        .select(cyc3("dst").as("node"), f("is_cycle"), f("path")),
+      keyCols = Seq("node"), maxIter = 3)
+    val rows = out.select(col("node"), col("is_cycle")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(identity)
+    assert(rows.toSeq == Seq((1L, false), (1L, true), (2L, false), (3L, false)))
+  }
+
+  test("TABLESAMPLE BERNOULLI p<100: REPEATABLE determinism + binomial envelope") {
+    val spark = TestSpark.spark
+    spark.range(10000).toDF("i").createOrReplaceTempView("ts_base")
+    val surf = new graft.cypher.SqlSurface(spark)
+    def sample(seed: Int) = surf.run(
+      s"SELECT i FROM ts_base TABLESAMPLE BERNOULLI(30) REPEATABLE($seed)")
+      .collect().map(_.getLong(0)).toSeq
+    val a = sample(42)
+    assert(a == sample(42)) // same seed ⇒ identical row set across runs
+    // Binomial(10000, 0.3): mean 3000, σ≈45.8 — ±6σ envelope
+    assert(a.length > 2725 && a.length < 3275,
+      s"sample size ${a.length} outside binomial envelope")
+    assert(sample(7) != a) // a different seed actually re-draws
+  }
+
   test("SQL registry: network/temporal/postgis names callable from spark.sql") {
     val spark = TestSpark.spark
     graft.functions.Registry.register(spark)

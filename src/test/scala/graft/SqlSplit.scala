@@ -65,7 +65,20 @@ object SqlSplit {
         i += 1
       } else if (c == '\'') { inQ = true; sb.append(c); i += 1 }
       else if (c == '"') { inDQ = true; sb.append(c); i += 1 }
-      else if (c == '$' && peek == '$') { inDollar = true; sb.append("$$"); i += 2 }
+      else if (c == '$' && peek == '$') {
+        // a `$$` OPENS a dollar-quote body only in TVF argument position
+        // (`cypher('g', $$ …`). The new-regress cypher_vle fixture carries
+        // STRAY closers left over from a TVF-form edit (cypher_vle.sql:99,
+        // :101-:108 — bare-cypher statements ending `… RETURN p $$) AS
+        // (result traversal);`): psql merges those into junk statements,
+        // but its .out still ECHOES each source statement line-by-line, so
+        // keeping stray `$$` inert splits at `;` and keys every fragment
+        // to its golden echo (each an ERROR/no-output entry — parity)
+        val opensBody =
+          "(?is).*cypher\\s*\\(\\s*'[^']*'\\s*,\\s*$".r.pattern.matcher(sb.toString).matches()
+        if (opensBody) inDollar = true
+        sb.append("$$"); i += 2
+      }
       else if ((c == '-' && peek == '-') || (c == '/' && peek == '/')) {
         while (i < n && src.charAt(i) != '\n') i += 1
       } else if (c == '/' && peek == '*') {
@@ -77,6 +90,28 @@ object SqlSplit {
       } else { sb.append(c); i += 1 }
     }
     out += sb.toString
-    out.result().map(_.trim.replaceAll("\\s+", " ")).filter(_.nonEmpty)
+    out.result().map(collapseWs).filter(_.nonEmpty)
+  }
+
+  /** Whitespace normalization OUTSIDE quotes only — a multi-space string
+    * literal (`lTrim("  string   ")`, old expr.sql) must reach the parser
+    * byte-exact or the replay's value diff shows phantom trims.
+    */
+  private def collapseWs(s: String): String = {
+    val sb = new StringBuilder
+    var q = ' '; var lastWs = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != ' ') {
+        sb.append(c); if (c == q) q = ' '
+        lastWs = false
+      } else if (c == '\'' || c == '"') {
+        q = c; sb.append(c); lastWs = false
+      } else if (c.isWhitespace) {
+        if (!lastWs) sb.append(' '); lastWs = true
+      } else { sb.append(c); lastWs = false }
+      i += 1
+    }
+    sb.toString.trim
   }
 }

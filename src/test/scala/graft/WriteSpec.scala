@@ -352,6 +352,40 @@ class WriteSpec extends AnyFunSuite {
     assert(n == 2L)
   }
 
+  test("durable graph: CREATE/SET/DELETE survive session close + reopen") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store").toString
+    // session 1: durable graph, a write per statement kind
+    val s1 = new GraphSession(spark)
+    s1.createGraph("dur", root)
+    s1.run("CREATE (:P {name: 'A', score: 1})")
+    s1.run("CREATE (:P {name: 'B', score: 2})")
+    s1.run("CREATE (:P {name: 'C', score: 3})")
+    s1.run("MATCH (a:P {name: 'A'}), (b:P {name: 'B'}) CREATE (a)-[:KNOWS {w: 7}]->(b)")
+    s1.run("MATCH (p:P {name: 'B'}) SET p.score = 20")
+    s1.run("MATCH (p:P {name: 'C'}) DETACH DELETE p")
+    // a FAILED statement must not publish: plain DELETE with incident edges
+    intercept[Throwable] { s1.run("MATCH (p:P {name: 'A'}) DELETE p") }
+    // session 2 (fresh catalog — s1's in-memory state is unreachable)
+    val s2 = new GraphSession(spark)
+    s2.openGraph("dur", root)
+    val rows = s2.run("MATCH (p:P) RETURN p.name AS n, p.score AS s ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("A", 1L), ("B", 20L))) // C deleted, B's SET kept, A survived the rolled-back DELETE
+    val e = s2.run("MATCH (:P {name: 'A'})-[k:KNOWS]->(b:P) RETURN k.w AS w, b.name AS n")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(e.toSeq == Seq((7L, "B")))
+    // id allocation continues where the reopened catalog left off — no reuse
+    s2.run("CREATE (:P {name: 'D'})")
+    val ids = s2.run("MATCH (p:P) RETURN id(p) AS i").collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length && ids.length == 3)
+    // writes in the REOPENED session commit too (a third session sees D)
+    val s3 = new GraphSession(spark)
+    s3.openGraph("dur", root)
+    assert(s3.run("MATCH (p:P {name: 'D'}) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 1L)
+    graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("per-row CREATE binds the edge variable (create.sql:86-92)") {
     val gs = freshSession("g19")
     gs.run("CREATE (:N {i: 1})")
