@@ -288,10 +288,14 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
 
   // ------------------------------------------------------------------- MATCH
 
-  /** Pairwise edge-uniqueness quals for one MATCH clause (reference:
-    * prevent_duplicate_edges / _ag_enforce_edge_uniqueness,
-    * cypher_clause.c:2958-3010): single edges compare ids `<>`, VLE edge
-    * sets must not overlap, single-vs-VLE must not contain.
+  /** Pairwise edge-uniqueness quals for ONE PATH PATTERN (reference:
+    * transform_match_path builds the qual per path,
+    * cypher_clause.c:3294-3321; prevent_duplicate_edges /
+    * _ag_enforce_edge_uniqueness): single edges compare ids `<>`, VLE
+    * edge sets must not overlap, single-vs-VLE must not contain. Comma
+    * patterns in one MATCH are NEVER cross-checked — `MATCH p=…ve1…,
+    * …ve2… RETURN ve1 && ve2` yields TRUE overlaps
+    * (old cypher_vle.out:169).
     */
   private def edgeUniqueness(df: DataFrame, singles: Seq[String],
       vles: Seq[String]): DataFrame = {
@@ -310,10 +314,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // Compile the pattern fresh, then LEFT JOIN on the shared entity vars
       // (reference: transform_cypher_match builds JOIN_LEFT,
       // cypher_clause.c:2283-2490).
-      val collect = new EdgeCollector
-      var inner = m.patterns.foldLeft(Ctx.empty)((c, p) => compilePattern(c, p, collect))
-      inner = inner.copy(df = edgeUniqueness(inner.df, collect.singles.toSeq,
-        collect.vles.toSeq))
+      var inner = m.patterns.foldLeft(Ctx.empty) { (c, p) =>
+        val collect = new EdgeCollector // uniqueness scope = one path
+        val c2 = compilePattern(c, p, collect)
+        c2.copy(df = edgeUniqueness(c2.df, collect.singles.toSeq,
+          collect.vles.toSeq))
+      }
       m.where.foreach { w =>
         inner = compileWhere(ensureVleValues(inner, Seq(w)), w)
       }
@@ -336,10 +342,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // drop duplicated non-id columns of shared vars from the inner side kept once
       Ctx(joined, ctx.vars ++ (inner.vars -- ctx.vars.keySet), ctx.projected)
     } else {
-      val collect = new EdgeCollector
-      var out = m.patterns.foldLeft(ctx)((c, p) => compilePattern(c, p, collect))
-      out = out.copy(df = edgeUniqueness(out.df, collect.singles.toSeq,
-        collect.vles.toSeq))
+      var out = m.patterns.foldLeft(ctx) { (c, p) =>
+        val collect = new EdgeCollector // uniqueness scope = one path
+        val c2 = compilePattern(c, p, collect)
+        c2.copy(df = edgeUniqueness(c2.df, collect.singles.toSeq,
+          collect.vles.toSeq))
+      }
       m.where.foreach { w =>
         out = compileWhere(out, w)
       }
@@ -824,22 +832,37 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     // not a semantic cap — the loop exits as soon as a frontier empties
     val hi = hiOpt.getOrElse(Int.MaxValue - 1)
     require(lo >= 0 && hi >= lo, s"bad VLE bounds *$lo..$hi")
+    // the reference's VLE NEVER produces a zero-length path: `*0..` counts
+    // exactly as `*1..` (old cypher_vle.out:248-260 both 400) and `*0..0`
+    // returns nothing (cypher_vle.out:707-717) — the DFS seeds with one
+    // edge before checking bounds (dfs.c:666-775)
+    val lo1 = math.max(1, lo)
     val e = freshAlias()
     val scan0 = edgeScan(e, rel.types, rel.props, ctx)
+    // `ostart` = the edge's ORIGINAL start_id regardless of traversal
+    // orientation — the reference's materialized traversal prints interior
+    // vertex i (i ≥ 2) as edge i's start endpoint rather than its arrival
+    // vertex (old cypher_vle.out:310-324: `…, "main edge" 281→282}, {"id":
+    // …281,…}, {bypass 282→…}` — the vertex between contradicts both
+    // edges), so the display sequence needs it
     val directed = rel.dir match {
       case 1 => scan0.select(col(s"${e}__id").as("eid"),
-        col(s"${e}__start_id").as("src"), col(s"${e}__end_id").as("dst"))
+        col(s"${e}__start_id").as("src"), col(s"${e}__end_id").as("dst"),
+        col(s"${e}__start_id").as("ostart"))
       case -1 => scan0.select(col(s"${e}__id").as("eid"),
-        col(s"${e}__end_id").as("src"), col(s"${e}__start_id").as("dst"))
+        col(s"${e}__end_id").as("src"), col(s"${e}__start_id").as("dst"),
+        col(s"${e}__start_id").as("ostart"))
       case 0 => scan0.select(col(s"${e}__id").as("eid"),
-        col(s"${e}__start_id").as("src"), col(s"${e}__end_id").as("dst"))
+        col(s"${e}__start_id").as("src"), col(s"${e}__end_id").as("dst"),
+        col(s"${e}__start_id").as("ostart"))
         .unionByName(scan0
           // a self-loop's reversed copy is identical to its forward copy —
           // keeping both would double-count every path through it (the
           // reference's DFS visits a loop edge once; dfs.c get_next_vertex)
           .filter(col(s"${e}__start_id") =!= col(s"${e}__end_id"))
           .select(col(s"${e}__id").as("eid"),
-            col(s"${e}__end_id").as("src"), col(s"${e}__start_id").as("dst")))
+            col(s"${e}__end_id").as("src"), col(s"${e}__start_id").as("dst"),
+            col(s"${e}__start_id").as("ostart")))
     }
     // eager: every hop's join rescans the edge union, and those map stages
     // can launch concurrently — lazy persist() let each recompute the union
@@ -860,19 +883,32 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       .select(col(rid), col(s"${prev}__id").as("__vle_end"),
         array().cast(ArrayType(LongType)).as("__vle_edges"),
         array(col(s"${prev}__id")).as("__vle_nodes"))
-    var results: DataFrame = if (lo == 0) frontier else null
-    def hop(f: DataFrame): DataFrame = f
+    var results: DataFrame = null
+    // hop 1 records its true arrival; later hops record the DISPLAY vertex
+    // (the edge's original start — see `ostart` above); the true position
+    // always travels in __vle_end
+    def hop(f: DataFrame, first: Boolean): DataFrame = f
       .join(edges, col("__vle_end") === col("src") &&
         !array_contains(col("__vle_edges"), col("eid")))
       .select(col(rid), col("dst").as("__vle_end"),
         array_append(col("__vle_edges"), col("eid")).as("__vle_edges"),
-        array_append(col("__vle_nodes"), col("dst")).as("__vle_nodes"))
+        array_append(col("__vle_nodes"),
+          if (first) col("dst") else col("ostart")).as("__vle_nodes"))
+    // a generation entering the result set seals its LAST node back to the
+    // true arrival — the reference materializes path ENDPOINTS correctly,
+    // only interiors carry the display defect
+    def seal(f: DataFrame): DataFrame = f.withColumn("__vle_nodes",
+      concat(slice(col("__vle_nodes"), lit(1), size(col("__vle_nodes")) - 1),
+        array(col("__vle_end"))))
     if (hi <= VleMaxHops) {
       // small bound: unroll lazily — one plan, no per-hop actions
       var k = 1
       while (k <= hi) {
-        frontier = hop(frontier)
-        if (k >= lo) results = if (results == null) frontier else results.unionByName(frontier)
+        frontier = hop(frontier, k == 1)
+        if (k >= lo1) {
+          val gen = seal(frontier)
+          results = if (results == null) gen else results.unionByName(gen)
+        }
         k += 1
       }
     } else {
@@ -888,10 +924,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       var k = 1
       var live = frontier.count() > 0
       while (live && k <= hi) {
-        frontier = hop(frontier).localCheckpoint()
+        frontier = hop(frontier, k == 1).localCheckpoint()
         live = frontier.count() > 0
-        if (live && k >= lo)
-          results = if (results == null) frontier else results.unionByName(frontier)
+        if (live && k >= lo1) {
+          val gen = seal(frontier)
+          results = if (results == null) gen else results.unionByName(gen)
+        }
         k += 1
       }
     }
@@ -1430,7 +1468,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           case _ => max(a.head)
         }
       case "collect" =>
-        val full = if (dist) collect_set(a.head) else collect_list(a.head)
+        val full0 = if (dist) collect_set(a.head) else collect_list(a.head)
+        // zero accumulated rows → SQL NULL, not []: the reference's
+        // internal-state aggregate never runs its transfn so PG skips the
+        // strict final and returns NULL (gtype_collect_aggfinalfn,
+        // gtype.c:2669; old aggregation.out:373-381 blank cell)
+        val full = when(size(full0) === 0, lit(null)).otherwise(full0)
         // 2-arg form caps the result (vertex/edge/gtype_collect_transfn_w_limit,
         // postgraph-aggregation.sql.in:294-334)
         if (a.length >= 2) slice(full, lit(1), a(1).cast("int")) else full
@@ -1697,12 +1740,17 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case "="  => col(s"${a}__ids") === col(s"${b}__ids")
         case "<>" => col(s"${a}__ids") =!= col(s"${b}__ids")
       }
-    case Bin("@>", Var(a), Var(e))
-        if isVleVar(a, ctx) && ctx.vars.get(e).exists(_.kind == VarKind.Edge) =>
-      array_contains(col(s"${a}__ids"), col(s"${e}__id"))
-    case Bin("<@", Var(e), Var(a))
-        if isVleVar(a, ctx) && ctx.vars.get(e).exists(_.kind == VarKind.Edge) =>
-      array_contains(col(s"${a}__ids"), col(s"${e}__id"))
+    // edge-in-VariableEdge containment NEVER sees the VE's LAST edge: the
+    // reference's component walk stops at children[0]-1
+    // (edge_contained_in_variable_edge / variable_edge_contains_edge,
+    // variable_edge.c:227-265; old variable_edge_functions.out prints `f`
+    // for the path's own final edge), all four operator spellings
+    case Bin("@>" | "<@", Var(x), Var(y))
+        if (isVleVar(x, ctx) && ctx.vars.get(y).exists(_.kind == VarKind.Edge)) ||
+          (isVleVar(y, ctx) && ctx.vars.get(x).exists(_.kind == VarKind.Edge)) =>
+      val (a, e) = if (isVleVar(x, ctx)) (x, y) else (y, x)
+      val ids = col(s"${a}__ids")
+      array_contains(slice(ids, lit(1), size(ids) - 1), col(s"${e}__id"))
     // distance operators (postgraph-gtype.sql.in:140-167): arrays are
     // vectors (l2 / negative inner product / cosine distance); `<->` on
     // geometric values is point distance
@@ -2303,27 +2351,52 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             case _ => false
           }
           // entity operands: `@>`/`?` read the PROPERTIES object, not the
-          // shell (vertex.out `build_vertex(…, map('id',2)) @> map('id',2)`
-          // is t; `? 'id'` over empty props is f); an EMPTY containee
-          // against entity props is f (vertex_contains, unlike jsonb's
-          // vacuous-truth {} ⊆ x)
+          // shell, with jsonb's vacuous truth — {} ⊆ anything (vertex.out
+          // `build_vertex(…, map()) @> gtype_build_map()` is t;
+          // vertex_contains → gtype_deep_contains over the props iterator,
+          // vertex.c:264-290)
           def props(v: GValue): GValue = v match {
             case GMap(es) if isEntity(v) => es("properties")
             case other => other
           }
-          def entContains(container: GValue, contained: GValue): Boolean = {
-            val unwrapped = isEntity(container)
-            val c2 = props(container); val d2 = props(contained)
-            if (unwrapped && d2 == GMap.of()) false
-            else GValue.contains(c2, d2)
+          def entContains(container: GValue, contained: GValue): Boolean =
+            GValue.contains(props(container), props(contained))
+          // `x <@ vertex` binds vertex_contained_by(gtype, vertex), which
+          // tests CONSTRAINT-CONTAINS-PROPERTIES — i.e. contains(lhs,
+          // props(rhs)), the reverse of jsonb <@ (vertex.c:279-290:
+          // gtype_deep_contains(&constraint_it, &property_it); vertex.out
+          // `map() <@ build_vertex(…, map('id',2))` → f)
+          def entContainedBy(l: GValue, r: GValue): Boolean =
+            if (isEntity(r)) GValue.contains(l, props(r))
+            else GValue.contains(props(r), props(l))
+          // entity-sequence compares (traversal.c / variable_edge.c):
+          // - a TRAVERSAL (vertex-headed child array) compares by CHILD
+          //   COUNT ONLY: the reference's TRAVERSAL_GET_FIRST_ENTITY macro
+          //   hardcodes `lhs` (traversal.h:44-45), so its per-id loop
+          //   compares lhs with itself and only the trailing length check
+          //   decides — traversal.out records exactly that (differing ids,
+          //   equal length → t)
+          // - a VARIABLE EDGE (edge-headed child array) compares
+          //   element-wise by entity ID, then by count
+          //   (compare_variable_edge_orderability, variable_edge.c:109-143)
+          def entityId(v: GValue): Long = v match {
+            case GMap(es) => es.get("id") match {
+              case Some(GInt(i)) => i; case _ => 0L
+            }
+            case _ => 0L
           }
-          // traversal_cmp quirk parity: the reference compares only the
-          // FIRST child of two traversal values (traversal.out Equals:
-          // differing edges/last vertices still compare t)
+          def isEdge(v: GValue): Boolean = v match {
+            case GMap(es) => isEntity(v) && es.contains("start_id")
+            case _ => false
+          }
           lazy val c = (lv, rv) match {
             case (GArray(xs), GArray(ys))
                 if xs.headOption.exists(isEntity) && ys.headOption.exists(isEntity) =>
-              GValue.cmp(xs.head, ys.head)
+              if (xs.headOption.exists(isEdge) || ys.headOption.exists(isEdge)) {
+                xs.zip(ys).iterator
+                  .map { case (x, y) => entityId(x).compare(entityId(y)) }
+                  .find(_ != 0).getOrElse(xs.length.compare(ys.length))
+              } else xs.length.compare(ys.length)
             case _ => GValue.cmp(lv, rv)
           }
           return lit(op match {
@@ -2331,7 +2404,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             case "<"  => c < 0;  case "<=" => c <= 0
             case ">"  => c > 0;  case ">=" => c >= 0
             case "@>" => entContains(lv, rv)
-            case "<@" => entContains(rv, lv)
+            case "<@" => entContainedBy(lv, rv)
             case "?"  => keys(rv).headOption.exists(GValue.existsKey(props(lv), _))
             case "?|" => keys(rv).exists(GValue.existsKey(props(lv), _))
             case "?&" => keys(rv).forall(GValue.existsKey(props(lv), _))
@@ -2420,7 +2493,9 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         }
       (asG(lRaw), asG(rRaw)) match {
         case (Some(a), Some(b)) if op == "|=|" =>
-          Some(lit(GeomWkt.cpaOf(GeomWkt.trajectory(a), GeomWkt.trajectory(b))._2))
+          // temporally disjoint → SQL NULL (blank), not NaN (postgis.out)
+          val d = GeomWkt.cpaOf(GeomWkt.trajectory(a), GeomWkt.trajectory(b))._2
+          Some(if (d.isNaN) lit(null).cast("double") else lit(d))
         case (Some(a), Some(b)) if Compiler.geomNdOps(op) =>
           Some(lit(GeomWkt.ndOp(op, a, b)))
         case (Some(a), Some(b)) => Some(lit(GeomWkt.bboxOp(op, a, b)))
@@ -2735,13 +2810,16 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         case Var(v) if ctx.vars.get(v).exists(_.kind == VarKind.VlePath) =>
           size(col(s"${v}__ids"))
         case Var(v) if ctx.vars.get(v).exists(_.kind == VarKind.Path) =>
-          // length(p) = edge count (reference: traversal length semantics);
-          // VLE segments contribute their per-row hop counts
+          // length(p) = EDGE count but size(p) = CHILD count (2·edges+1 —
+          // traversal_size returns children[0], traversal_length returns
+          // (children[0]-1)/2, traversal.c:169-185); VLE segments
+          // contribute their per-row hop counts
           val info = ctx.vars(v)
           val (vles, fixed) = info.pathEdges.partition(m =>
             ctx.vars.get(m).exists(_.kind == VarKind.VlePath))
-          vles.foldLeft(lit(fixed.length.toLong): Column)(
+          val edges = vles.foldLeft(lit(fixed.length.toLong): Column)(
             (acc, m) => acc + size(col(s"${m}__ids")).cast("long"))
+          if (name == "size") edges * 2 + 1 else edges
         case arg =>
           val c = sub(arg)
           dataTypeOf(c, ctx) match {
@@ -2769,17 +2847,35 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         }
       case "coalesce" => coalesce(args.map(x => compileExpr(x, ctx)): _*)
       case "abs"   => abs(a(0))
-      case "ceil"  => ceil(a(0))
-      case "floor" => floor(a(0))
+      // gtype ceil/floor return FLOAT unless the input is numeric
+      // (gtype_numbers.c:238-282: numeric_ceil else dceil → AGTV_FLOAT;
+      // expr.out `ceil(0)` prints 0.0)
+      case "ceil" | "ceiling" => dataTypeOpt(a(0), ctx) match {
+        case Some(_: DecimalType) => ceil(a(0))
+        case _ => ceil(a(0)).cast("double")
+      }
+      case "floor" => dataTypeOpt(a(0), ctx) match {
+        case Some(_: DecimalType) => floor(a(0))
+        case _ => floor(a(0)).cast("double")
+      }
+      // 2-arg round is numeric_round: returns NUMERIC at the requested
+      // display scale (expr.out `round(7, 2)` → 7.00::numeric; a float
+      // scale truncates to int)
       case "round" if args.length == 2 => args(1) match {
-        case Lit(GInt(n))   => round(a(0), n.toInt)
-        case Lit(GFloat(f)) => round(a(0), f.toInt) // PG numeric scale truncates
+        case Lit(GInt(n))   => round(a(0), n.toInt).cast(DecimalType(38, math.max(n.toInt, 0)))
+        case Lit(GFloat(f)) => round(a(0), f.toInt).cast(DecimalType(38, math.max(f.toInt, 0)))
         case Lit(GNull)     => lit(null)
         case _ => // dynamic scale: scale-shift round (Spark round wants a literal)
           val s = a(1).cast("int")
           round(a(0) * pow(lit(10.0), s)) / pow(lit(10.0), s)
       }
-      case "round" => round(a(0))
+      // 1-arg round on the float lane is PG dround = rint: HALF-EVEN, and
+      // the result is FLOAT (expr.out round(4.5) → 4.0, round(0) → 0.0);
+      // numeric input keeps numeric (numeric_round scale 0)
+      case "round" => dataTypeOpt(a(0), ctx) match {
+        case Some(_: DecimalType) => round(a(0))
+        case _ => bround(a(0)).cast("double")
+      }
       case "sign"  => signum(a(0))
       case "sqrt"  => sqrt(a(0))
       case "cbrt"  => cbrt(a(0))
@@ -2788,11 +2884,27 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "log10" => log10(a(0))
       case "sin"   => sin(a(0)); case "cos" => cos(a(0)); case "tan" => tan(a(0))
       case "asin"  => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
-      case "atan2" => atan2(a(0), a(1))
-      case "factorial" => factorial(a(0).cast("int"))
-      // PG casts string/numeric gcd args to the integral family first
-      case "gcd" => graft.functions.MathKernels.gcd(a(0).cast("long"), a(1).cast("long"))
-      case "lcm" => graft.functions.MathKernels.lcm(a(0).cast("long"), a(1).cast("long"))
+      // the reference's atan2(a, b) computes atan2(y=b, x=a) — argument
+      // order SWAPPED vs the C convention (gtype_numbers.c:101-112
+      // DirectFunctionCall2(datan2, y, x) with y = arg 1)
+      case "atan2" => atan2(a(1), a(0))
+      // factorial is PG numeric (expr.out `3628800::numeric`); gcd/lcm
+      // promote to numeric when EITHER arg is float/numeric/string
+      // (gtype_gcd, gtype_numbers.c:142-163 — numeric_gcd branch),
+      // staying int only for int pairs
+      case "factorial" => factorial(a(0).cast("int")).cast(DecimalType(38, 0))
+      case "gcd" | "lcm" =>
+        val k = if (name == "gcd") graft.functions.MathKernels.gcd _
+          else graft.functions.MathKernels.lcm _
+        // numeric lane only for float/numeric operands — STRINGS cast to
+        // the int lane (expr.out `gcd('10', 5)` → 5, not 5::numeric)
+        val numericLane = Seq(a(0), a(1)).exists(c => dataTypeOpt(c, ctx)
+          .exists {
+            case DoubleType | FloatType | _: DecimalType => true
+            case t => graft.gvalue.GValueCol.isGValue(t)
+          })
+        val r = k(a(0).cast("long"), a(1).cast("long"))
+        if (numericLane) r.cast(DecimalType(38, 0)) else r
       case "pi"    => lit(math.Pi)
       case "e"     => exp(lit(1.0))
       case "degrees" => degrees(a(0))
@@ -2819,21 +2931,33 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             a(2).cast("string"))
       }
       case "split" => args(1) match {
+        // empty delimiter: PG text_to_array splits to chars with no
+        // trailing empty (expr.out split("a,b", "") → ["a", ",", "b"]) —
+        // the (?!$) lookahead matches every inter-char gap except the end
+        case Lit(GString("")) => split(a(0), "(?!$)")
         case Lit(GString(_)) => split(a(0), regexp_quote(args(1)))
         case _ => // dynamic delimiter: regex-escape it columnwise
-          split(a(0).cast("string"),
-            regexp_replace(a(1).cast("string"), "([^a-zA-Z0-9])", "\\\\$1"))
+          val sep = a(1).cast("string")
+          when(length(sep) === 0, split(a(0).cast("string"), "(?!$)"))
+            .otherwise(split(a(0).cast("string"),
+              regexp_replace(sep, "([^a-zA-Z0-9])", "\\\\$1")))
       }
       case "substring" =>
         // the reference's substring is PG text_substr: 1-BASED, a start
         // below 1 consumes length before the string begins (expr.out
-        // substring("0123456789", 0, 1) → "", (1,3) → "012")
+        // substring("0123456789", 0, 1) → "", (1,3) → "012"); a NULL
+        // start/len is strict-NULL (greatest() would silently skip it)
         if (args.length == 3) {
           val start = a(1).cast("int"); val len = a(2).cast("int")
           val begin = greatest(start, lit(1))
-          a(0).substr(begin, greatest(start + len - begin, lit(0)))
+          when(start.isNull || len.isNull, lit(null).cast("string"))
+            .otherwise(a(0).substr(begin, greatest(start + len - begin, lit(0))))
         }
-        else a(0).substr(greatest(a(1).cast("int"), lit(1)), length(a(0)))
+        else {
+          val start = a(1).cast("int")
+          when(start.isNull, lit(null).cast("string"))
+            .otherwise(a(0).substr(greatest(start, lit(1)), length(a(0))))
+        }
       case "initcap" => initcap(a(0))
       case "tostring" =>
         val c = a(0)
@@ -2859,14 +2983,28 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "toboolean" => a(0).cast("boolean")
       case "tonumeric" => args.head match {
         // PG numeric accepts ±Infinity/NaN spellings (numeric.c, PG14+);
-        // DecimalType cannot hold them, so they ride the double family
+        // DecimalType cannot hold them, so ±Inf rides a reserved sentinel
+        // decimal the render maps back to Infinity::numeric (old expr.out
+        // `('inf'::numeric)::numeric` → Infinity::numeric); NaN rides the
+        // double family
         case Lit(GString(s))
             if s.trim.toLowerCase.matches("[+-]?(inf|infinity|nan)") =>
           val t = s.trim.toLowerCase
-          lit(if (t == "nan") Double.NaN
-            else if (t.startsWith("-")) Double.NegativeInfinity
-            else Double.PositiveInfinity)
-        case _ => a(0).cast("decimal(38,18)")
+          if (t == "nan") lit(Double.NaN)
+          else if (t.startsWith("-"))
+            lit(graft.gvalue.PgOut.NumericNegInf)
+          else lit(graft.gvalue.PgOut.NumericInf)
+        case _ => dataTypeOpt(a(0), ctx) match {
+          // float8_numeric goes through float8out's 15-significant-digit
+          // text, not the raw binary value (expr.out `((1+2.71)*3)::
+          // numeric` → 11.13, not 11.129999999999999); ±Inf/NaN can't
+          // live in DecimalType → NULL
+          case Some(DoubleType | FloatType) =>
+            when(isnan(a(0)) || a(0) === Double.PositiveInfinity ||
+              a(0) === Double.NegativeInfinity, lit(null).cast("decimal(38,18)"))
+              .otherwise(format_string("%.15g", a(0)).cast("decimal(38,18)"))
+          case _ => a(0).cast("decimal(38,18)")
+        }
       }
       // temporal fns (reference gtype_temporal.c, callable from Cypher)
       case "extract" | "date_part" =>
@@ -2877,15 +3015,26 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         // float8 throughout: Spark's own date_part returns ints/decimals
         // per field, PG's is uniformly float8 (temporal.out `17.0`)
         if (name == "date_part") base.cast("double")
+        // EXTRACT(JULIAN) is exact PG numeric division, not a float8
+        // round-trip (temporal.out:2305 carries the repeating 296… at
+        // 20 fraction digits)
+        else if (litString(args(0)).equalsIgnoreCase("julian"))
+          graft.functions.TemporalFns.julianNumeric(a(1))
         else {
           val scale = litString(args(0)).toLowerCase match {
             case "epoch" | "second" | "seconds" => 6
             case "milliseconds" => 3
-            case "julian" => 8
             case _ => 0
           }
           base.cast(DecimalType(38, scale))
         }
+      // 3-arg form truncates in the GIVEN zone (timestamptz_trunc_zone —
+      // temporal.out date_trunc('day', tstz, 'Australia/Sydney') →
+      // Dec 16 13:00 GMT): shift to zone wall-clock, trunc, shift back
+      case "date_trunc" if args.length == 3 =>
+        val zone = litString(args(2))
+        to_utc_timestamp(
+          date_trunc(litString(args(0)), from_utc_timestamp(a(1), zone)), zone)
       case "date_trunc" => dataTypeOpt(a(1), ctx) match {
         case Some(t) if isIntervalStruct(t) =>
           // truncate an interval: zero every field below the target
@@ -2906,18 +3055,34 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             case other => throw new UnsupportedOperationException(
               s"date_trunc('$other', interval)")
           }
-        case _ => date_trunc(litString(args(0)), a(1))
-      }
-      case "date_bin" => args(0) match {
-        // stride as an integer literal (seconds) or any interval expression
-        case Lit(graft.gvalue.GInt(v)) =>
-          graft.functions.TemporalFns.dateBin(v, a(1), a(2))
         case _ =>
-          val iv = a(0)
-          graft.functions.TemporalFns.dateBinUs(
-            iv.getField("us") + iv.getField("days").cast("long") * 86400000000L,
-            a(1), a(2))
+          val t = date_trunc(litString(args(0)), a(1))
+          // Spark's date_trunc yields an instant — a plain-TIMESTAMP (NTZ)
+          // or date input must stay NTZ (temporal.out: no GMT abbrev)
+          dataTypeOpt(a(1), ctx) match {
+            case Some(TimestampNTZType | DateType) => t.cast("timestamp_ntz")
+            case _ => t
+          }
       }
+      case "date_bin" =>
+        val bin = args(0) match {
+          // stride as an integer literal (seconds) or any interval expression
+          case Lit(graft.gvalue.GInt(v)) =>
+            graft.functions.TemporalFns.dateBin(v, a(1), a(2))
+          case _ =>
+            val iv = a(0)
+            graft.functions.TemporalFns.dateBinUs(
+              iv.getField("us") + iv.getField("days").cast("long") * 86400000000L,
+              a(1), a(2))
+        }
+        // PRESERVE the source's timestamp kind: a plain TIMESTAMP (NTZ)
+        // or date input yields plain timestamp (renders without the zone
+        // abbrev); a timestamptz or string input coerces to the instant
+        // kind (temporal.out `date_bin(…, '…+08', …)` renders GMT)
+        dataTypeOpt(a(1), ctx) match {
+          case Some(TimestampNTZType | DateType) => bin.cast("timestamp_ntz")
+          case _ => bin
+        }
       // PG make_date(-44, …) means 44 BC — astronomical year -43 (no
       // year 0); make_timestamp returns a PLAIN (NTZ) timestamp
       case "make_date" => make_date(
@@ -2944,14 +3109,19 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "make_time" => // time-of-day micros (the engine's time encoding)
         a(0).cast("long") * 3600000000L + a(1).cast("long") * 60000000L +
           (a(2).cast("double") * 1e6).cast("long")
-      case "age" => graft.functions.TemporalFns.ageParts(a(0), a(1))
+      // age(ts, ts) returns a PG INTERVAL (timestamp_age symbolic diff —
+      // temporal.out `@ 9 years 5 mons 26 days 5 hours 8 mins 3.89 secs
+      // ago`), not the bare parts triple
+      case "age" => graft.functions.TemporalFns.ageInterval(a(0), a(1))
       case "justify_hours" => graft.functions.TemporalFns.justifyHours(a(0))
       case "justify_days" => graft.functions.TemporalFns.justifyDays(a(0))
       case "justify_interval" => graft.functions.TemporalFns.justifyInterval(a(0))
       case "isfinite" => // PG ±infinity timestamps map to the parse sentinels
         when(a(0).isNull, lit(null))
           .otherwise(!a(0).cast("string").isin("9999-12-31 23:59:59.999999",
-            "0001-01-01 00:00:00"))
+            "0001-01-01 00:00:00",
+            // date sentinels ('infinity'::date — temporal.out isfinite f)
+            "9999-12-31", "0001-01-01"))
       case "overlaps" =>
         // (s1,e1) OVERLAPS (s2,e2) or the 4-arg fn form. An interval
         // endpoint means start+interval; reversed bounds are swapped
@@ -3008,6 +3178,17 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         // compilation reuses the ListLit/MapLit machinery (incl. the
         // heterogeneous dynamic encoding)
         case Lit(GString(s)) => sub(gvalueToAst(GValue.parseRender(s)))
+        // reference defect replicated: path→gtype reinterprets the PATH
+        // varlena from byte 0 as a POINT — x = (vl_len_, npts) read as a
+        // double (old geometric.out:105 `'[(1,1), (2,2)]'::path::gtype` →
+        // `(4.243991677e-314,0)`, the denormal whose bit pattern is
+        // (16+16·npts)<<2 | npts<<32), y = the (closed, pad) pair = 0
+        case FnCall("topath", List(Lit(GString(s))), _) =>
+          val npts = "\\(".r.findAllIn(s).length.toLong
+          val vlLen = (16L + 16L * npts) << 2
+          struct(
+            lit(java.lang.Double.longBitsToDouble(vlLen | (npts << 32))).as("x"),
+            lit(0.0).as("y"))
         case _ => a(0)
       }
       case "gtype_in" => compileFn("togtype", args, ctx, inAgg)
@@ -3099,17 +3280,16 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             s"$name needs a gtype literal, got ${args(0)}")
         }
       case "gtype_hash_cmp" =>
-        // stable 32-bit hash of the canonical render — deterministic across
-        // the cluster; the reference's internal hash constants are not an
-        // observable API, only hash-equality is (gtype_util.c hash ops)
+        // bit-exact reimplementation of the reference's token-walk hash
+        // (gtype.c:1965-2000 + PG's lookup3 family — GtypeHash) so hash
+        // values match the goldens; SQL NULL (a null DATUM, not gtype
+        // null) hashes to 0 (gtype.out `gtype_hash_cmp(NULL)` → 0)
         args.head match {
+          case Lit(GNull) => lit(0)
           case Lit(GString(s)) =>
-            lit(scala.util.hashing.MurmurHash3.stringHash(GValue.parseRender(s).render))
+            lit(graft.gvalue.GtypeHash.hashCmp(GValue.parseRender(s)))
           case e => constG(e).map(_._1) match {
-            // SQL NULL hashes to 0 (PG hash_any of the null datum —
-            // gtype.out `gtype_hash_cmp(NULL)` → 0)
-            case Some(GNull) => lit(0)
-            case Some(v) => lit(scala.util.hashing.MurmurHash3.stringHash(v.render))
+            case Some(v) => lit(graft.gvalue.GtypeHash.hashCmp(v))
             case None => hash(sub(args.head))
           }
         }
@@ -3118,11 +3298,19 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           case Lit(GString(s)) => Some(GValue.parseRender(s))
           case other => constG(other).map(_._1)
         }
-        (asG(args(0)), asG(args(1))) match {
-          case (Some(x), Some(y)) =>
-            lit(Integer.signum(GValue.cmp(x, y)).toLong)
-          case _ => throw new UnsupportedOperationException(
-            "gtype_btree_cmp needs gtype literals")
+        // a SQL NULL datum (bare NULL literal, not gtype null) sorts
+        // LAST: (NULL, NULL) → 0, (NULL, x) → 1, (x, NULL) → -1
+        // (gtype_btree_cmp ARGISNULL ladder, gtype.c:2005-2015)
+        (args(0), args(1)) match {
+          case (Lit(GNull), Lit(GNull)) => lit(0L)
+          case (Lit(GNull), _)          => lit(1L)
+          case (_, Lit(GNull))          => lit(-1L)
+          case _ => (asG(args(0)), asG(args(1))) match {
+            case (Some(x), Some(y)) =>
+              lit(Integer.signum(GValue.cmp(x, y)).toLong)
+            case _ => throw new UnsupportedOperationException(
+              "gtype_btree_cmp needs gtype literals")
+          }
         }
       case "_pg_array_cast" =>
         // '{e1, e2}'::type[] — split the PG array literal driver-side and
@@ -3134,6 +3322,35 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             val items = pgArrayElems(s)
             if (base == "gtype")
               sub(gvalueToAst(GArray(items.map(GValue.parseRender).toVector)))
+            else if (base == "numeric")
+              // numeric literals keep their AUTHORED scale — DIRECTLY via
+              // the gvalue codec, whose numeric lane stores exact text per
+              // element (both a typed decimal array and the AST round-trip
+              // would unify every element to one common scale; expr.out
+              // `'{1.0, 2}'::numeric[]` → [1.0::numeric, 2::numeric])
+              graft.gvalue.GValueCol.gLit(GArray(items.map(e =>
+                GNumeric(BigDecimal(e.trim))).toVector))
+            else if (base == "time" || base == "timetz")
+              // time elements render as their PG text inside the gtype
+              // array (expr.out `'{"07:37:16.00+00"}'::time[]` →
+              // ["07:37:16"]; timetz KEEPS its written offset →
+              // ["07:37:16+04"] — a bare micros long can't render itself)
+              array(items.map { e =>
+                val t = e.trim.stripPrefix("\"").stripSuffix("\"")
+                val offPat = "([+-])(\\d{1,2})(?::(\\d{2}))?$".r
+                val off = offPat.findFirstMatchIn(t).map { m =>
+                  val sgn = if (m.group(1) == "-") -1 else 1
+                  sgn * (m.group(2).toInt * 3600 +
+                    Option(m.group(3)).map(_.toInt * 60).getOrElse(0))
+                }
+                val noTz = t.replaceAll("[+-]\\d{1,2}(:\\d{2})?$", "")
+                val lt = java.time.LocalTime.parse(
+                  if (noTz.count(_ == ':') == 1) noTz + ":00" else noTz)
+                val us = lt.toNanoOfDay / 1000L
+                if (base == "timetz")
+                  lit(graft.gvalue.PgOut.pgTimeTz(us, off.getOrElse(0)))
+                else lit(graft.gvalue.PgOut.pgTime(us))
+              }: _*)
             else
               array(items.map(e =>
                 compileFn(Parser.castFnFor(base), List(Lit(GString(e))), ctx, inAgg)): _*)
@@ -3242,6 +3459,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "tographid" =>
         // graphid is the packed 64-bit entity id (graphid.h) — a BIGINT
         a(0).cast("long")
+      // a CONSTANT PG-builtin geometric value cast to geometry converts
+      // to the PostGIS domain and prints hex EWKB (postgis.out:3597-3615)
+      case "togeometry" if Compiler.pgGeoCastConst(
+        FnCall(name, args, distinct = false)).isDefined =>
+        geomLit(Compiler.pgGeoCastConst(FnCall(name, args, distinct = false)).get)
       case "togeometry" => dataTypeOpt(a(0), ctx) match {
         // a PG geometric value (point/path/polygon/…) recasts to
         // geometry as itself — the struct IS our geometry carrier
@@ -3553,7 +3775,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
               case _ => c
             }}
           else cs
-        call_function(other, cs2: _*)
+        // the reference's regr_r2 AGGREGATE registers gtype_regr_avgy as
+        // its finalfunc (postgraph-aggregation.sql.in:533-541 copy-paste),
+        // so regr_r2(y, x) actually returns avg(y) — old aggregation.out
+        // regr_r2(u.gpa, u.age) = 3.49285714285714 = mean gpa
+        val fn = if (other == "regr_r2") "regr_avgy" else other
+        call_function(fn, cs2: _*)
     }
   }
 
@@ -3958,8 +4185,18 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           geomConst(e).exists(_.isInstanceOf[GeomWkt.G]) =>
       Some("ewkb:" + GeomWkt.renderEwkbHex(
         geomConst(e).get.asInstanceOf[GeomWkt.G]))
+    case _ if Compiler.pgGeoCastConst(e).isDefined =>
+      Some("ewkb:" + GeomWkt.renderEwkbHex(Compiler.pgGeoCastConst(e).get))
+    // spheroid/box values ride as their own out-format TEXT — never the
+    // quoted gtype string render (postgis.out `SPHEROID("WGS 84",…)`)
+    case FnCall("tospheroid" | "tobox2d" | "tobox3d", _, _) => Some("rawstr")
     case FnCall("tomacaddr" | "trunc_macaddr", _, _) => Some("macaddr")
     case FnCall("tomacaddr8" | "macaddr8_set7bit", _, _) => Some("macaddr8")
+    // trunc(macaddr) keeps its type (mac.c macaddr_trunc — network.out
+    // `trunc('12:34:56:78:90:ab'::macaddr)` → 12:34:56:00:00:00)
+    case FnCall("trunc", List(inner), _)
+        if typeMarker(inner, ctx).exists(m => m == "macaddr" || m == "macaddr8") =>
+      typeMarker(inner, ctx)
     case FnCall("tobytea", _, _) => Some("bytea")
     case FnCall("sha224" | "sha256" | "sha384" | "sha512", _, _) => Some("byteahex")
     case Bin("||", l, r) =>
@@ -4251,13 +4488,14 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       }
       n match {
         case "togeometry" => geomConst(args.head) match {
-          // box3d/box2d::geometry is its corner polygon (PostGIS
-          // BOX3D_to_LWGEOM semantics, 2-D footprint)
+          // box3d::geometry is the 6-face POLYHEDRALSURFACE, box2d the
+          // corner polygon (PostGIS BOX3D_to_LWGEOM/BOX2D_to_LWGEOM —
+          // postgis.out:3603-3619); carried as EWKT text the downstream
+          // ST_AsEWKT passes through
+          case Some(b: GeomBox) if b.is3d =>
+            Some(GeomWkt.box3dPolyhedralEwkt(b.x1, b.y1, b.z1, b.x2, b.y2, b.z2))
           case Some(b: GeomBox) =>
-            import graft.functions.GeomKernels.Pt
-            val ring = Vector(Pt(b.x1, b.y1, 0, 0), Pt(b.x2, b.y1, 0, 0),
-              Pt(b.x2, b.y2, 0, 0), Pt(b.x1, b.y2, 0, 0), Pt(b.x1, b.y1, 0, 0))
-            Some(GeomWkt.GPoly(Vector(ring), GeomWkt.Dim(z = false, m = false), 0))
+            Some(GeomWkt.boxPolygonEwkt(b.x1, b.y1, b.x2, b.y2))
           case _ => g(0)
         }
         case "tospheroid" => geomConst(args.head) match {
@@ -4373,23 +4611,36 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           for { a <- g(0); b <- g(1); s <- sph }
             yield GeomWkt.distanceSpheroid(a, b, s._1, s._2)
         case "st_isvalidtrajectory" => g(0).map(GeomWkt.isValidTrajectory)
+        // temporally disjoint trajectories → SQL NULL (PostGIS returns
+        // NULL, postgis.out blank cells), not NaN
         case "st_closestpointofapproach" =>
-          for { a <- g(0); b <- g(1) }
-            yield GeomWkt.cpaOf(
-              GeomWkt.trajectory(a), GeomWkt.trajectory(b))._1
+          for { a <- g(0); b <- g(1) } yield {
+            val t = GeomWkt.cpaOf(GeomWkt.trajectory(a), GeomWkt.trajectory(b))._1
+            if (t.isNaN) GeomNullD else t
+          }
         case "st_distancecpa" =>
-          for { a <- g(0); b <- g(1) }
-            yield GeomWkt.cpaOf(
-              GeomWkt.trajectory(a), GeomWkt.trajectory(b))._2
+          for { a <- g(0); b <- g(1) } yield {
+            val d = GeomWkt.cpaOf(GeomWkt.trajectory(a), GeomWkt.trajectory(b))._2
+            if (d.isNaN) GeomNullD else d
+          }
         case "st_cpawithin" =>
-          // non-M input is NOT an error on the cypher surface: the
-          // reference emits "NOTICE: Line does not have M dimension" and
-          // returns false (postgis.out:3447-3454) — only the raw-SQL
-          // surface errors
+          // the CYPHER surface's ST_CPAWithin is wired to
+          // ST_IsValidTrajectory of the FIRST argument (gtype_postgis.c:
+          // 813-829 DirectFunctionCall3(ST_IsValidTrajectory, …) — a
+          // reference miswiring its own goldens record: even temporally
+          // disjoint lines return true, postgis.out:3440-3445; non-M
+          // input emits the NOTICE and returns false, not an error)
+          for { a <- g(0) } yield GeomWkt.isValidTrajectory(a)
+        case "st_cpawithin_sql" =>
+          // the raw-SQL surface keeps the documented semantics: CPA
+          // distance within d over the shared M-range; disjoint → false
           for { a <- g(0); b <- g(1); dd <- d(2) } yield
             if (!GeomWkt.isValidTrajectory(a) || !GeomWkt.isValidTrajectory(b)) false
-            else GeomWkt.cpaOf(
-              GeomWkt.trajectory(a), GeomWkt.trajectory(b))._2 <= dd
+            else {
+              val dist = GeomWkt.cpaOf(
+                GeomWkt.trajectory(a), GeomWkt.trajectory(b))._2
+              !dist.isNaN && dist <= dd
+            }
         case "st_xmin" | "st_ymin" | "st_zmin" | "st_xmax" | "st_ymax" | "st_zmax" =>
           geomConst(args.head) match {
             case Some(b: GeomBox) => Some(n match {
@@ -4722,6 +4973,32 @@ object Compiler {
     */
   val VleMaxHops = 10
 
+  /** `topoint/topath/topolygon('…literal…')::geometry` — the PG-builtin
+    * geometric → PostGIS conversion over a constant (point→POINT,
+    * path→LINESTRING, polygon→POLYGON with its ring closed; prints hex
+    * EWKB — postgis.out:3597-3615).
+    */
+  def pgGeoCastConst(e: Expr): Option[graft.functions.GeomWkt.G] = e match {
+    case FnCall("togeometry",
+        List(FnCall(kind @ ("topoint" | "topath" | "topolygon"),
+          List(Lit(graft.gvalue.GString(s0))), _)), _) =>
+      import graft.functions.{GeomKernels, GeomWkt}
+      val pts = "\\(\\s*(-?[0-9.eE+]+)\\s*,\\s*(-?[0-9.eE+]+)\\s*\\)".r
+        .findAllMatchIn(s0.stripPrefix("\"").stripSuffix("\""))
+        .map(m => GeomKernels.Pt(m.group(1).toDouble, m.group(2).toDouble, 0, 0))
+        .toVector
+      val noDim = GeomWkt.Dim(z = false, m = false)
+      Some(kind match {
+        case "topoint" => GeomWkt.GPoint(pts.headOption, noDim, 0)
+        case "topath"  => GeomWkt.GLine(pts, noDim, 0)
+        case _ =>
+          GeomWkt.GPoly(Vector(
+            if (pts.nonEmpty && pts.head != pts.last) pts :+ pts.head else pts),
+            noDim, 0)
+      })
+    case _ => None
+  }
+
   /** PostGIS surface evaluated driver-side over constant WKT literals
     * (GeomWkt). Non-constant args fall back to the columnar kernels.
     */
@@ -4732,7 +5009,7 @@ object Compiler {
     "st_makepoint", "st_makepointm", "st_ispolygoncw", "st_ispolygonccw",
     "st_simplify", "st_intersection", "st_distancespheroid",
     "st_isvalidtrajectory", "st_closestpointofapproach", "st_distancecpa",
-    "st_cpawithin", "st_xmin", "st_ymin", "st_zmin", "st_xmax", "st_ymax",
+    "st_cpawithin", "st_cpawithin_sql", "st_xmin", "st_ymin", "st_zmin", "st_xmax", "st_ymax",
     "st_zmax", "x", "y", "z", "m")
 
   /** Internal entity/gtype constructors with constG evaluation
@@ -4805,6 +5082,20 @@ object Compiler {
     * inline cast forms the regress fixtures use (`1.0::numeric`). Shared
     * by the compiler's literal lowering and the write path's constEval.
     */
+  /** Every variable name mentioned anywhere inside an expression tree
+    * (generic product walk — sub-structures like Option/List/Map carry
+    * through).
+    */
+  private[cypher] def varRefs(e: Expr): Set[String] = {
+    def walk(a: Any): Iterator[String] = a match {
+      case Var(n) => Iterator(n)
+      case p: Product => p.productIterator.flatMap(walk)
+      case xs: Iterable[_] => xs.iterator.flatMap(walk)
+      case _ => Iterator.empty
+    }
+    walk(e).toSet
+  }
+
   private[cypher] def litGValue(e: Expr): Option[GValue] = e match {
     case Lit(g) => Some(g)
     case Un("NEG", x) => litGValue(x).collect {

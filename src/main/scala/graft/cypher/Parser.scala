@@ -151,6 +151,8 @@ object Parser {
         }
       }
       else if (c == '\'' || c == '"') {
+        def isHex(ch: Char): Boolean =
+          (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')
         val quote = c
         val sb = new StringBuilder
         i += 1
@@ -162,18 +164,32 @@ object Parser {
             else done = true
           } else if (q.charAt(i) == '\\' && i + 1 < n) {
             i += 1
-            // recognized escapes decode; anything else keeps its backslash
-            // (PG strings don't process \x/\OOO — bytea_in sees them raw)
+            // recognized escapes decode (the cypher scanner's JSON-style
+            // set incl. \b \f \/ and \uXXXX / \UXXXXXXXX code points —
+            // ag_scanner.l, exercised by old scan.sql); anything else
+            // keeps its backslash (PG strings don't process \x/\OOO —
+            // bytea_in sees them raw)
             q.charAt(i) match {
-              case 'n'  => sb += '\n'
-              case 't'  => sb += '\t'
-              case 'r'  => sb += '\r'
-              case '\\' => sb += '\\'
-              case '\'' => sb += '\''
-              case '"'  => sb += '"'
-              case other => sb += '\\'; sb += other
+              case 'n'  => sb += '\n'; i += 1
+              case 't'  => sb += '\t'; i += 1
+              case 'r'  => sb += '\r'; i += 1
+              case 'b'  => sb += '\b'; i += 1
+              case 'f'  => sb += '\f'; i += 1
+              case '/'  => sb += '/'; i += 1
+              case '\\' => sb += '\\'; i += 1
+              case '\'' => sb += '\''; i += 1
+              case '"'  => sb += '"'; i += 1
+              case 'u' if i + 4 < n &&
+                  q.substring(i + 1, i + 5).forall(isHex) =>
+                sb += Integer.parseInt(q.substring(i + 1, i + 5), 16).toChar
+                i += 5
+              case 'U' if i + 8 < n &&
+                  q.substring(i + 1, i + 9).forall(isHex) =>
+                sb ++= new String(Character.toChars(
+                  Integer.parseInt(q.substring(i + 1, i + 9), 16)))
+                i += 9
+              case other => sb += '\\'; sb += other; i += 1
             }
-            i += 1
           } else { sb += q.charAt(i); i += 1 }
         }
         if (!done) throw ParseException("unterminated string literal")

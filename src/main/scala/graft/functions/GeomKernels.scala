@@ -577,10 +577,16 @@ object GeomKernels {
     (bestT, bestD)
   }
 
+  // non-overlapping M-ranges → SQL NULL, not NaN (PostGIS lwgeom_tcpa
+  // returns -1 → NULL; postgis.out renders a blank cell)
   case class StCpaTime(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(a: Any, b: Any): Any = cpa(readLine(a), readLine(b))._1
+    override def nullable: Boolean = true // NULL on disjoint m-ranges
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val t = cpa(readLine(a), readLine(b))._1
+      if (t.isNaN) null else t
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): StCpaTime =
       copy(left = l, right = r)
   }
@@ -588,7 +594,11 @@ object GeomKernels {
   case class StDistanceCpa(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(a: Any, b: Any): Any = cpa(readLine(a), readLine(b))._2
+    override def nullable: Boolean = true // NULL on disjoint m-ranges
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val d = cpa(readLine(a), readLine(b))._2
+      if (d.isNaN) null else d
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): StDistanceCpa =
       copy(left = l, right = r)
   }

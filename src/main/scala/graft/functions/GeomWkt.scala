@@ -381,6 +381,9 @@ object GeomWkt {
     (a, common) match {
       case (_, Vector(only)) if a.isInstanceOf[GPoint] || b.isInstanceOf[GPoint] =>
         GPoint(Some(only), a.dim, 0)
+      // GEOS collapses an EMPTY intersection to the lowest-dimension empty
+      // (postgis.out `POINT EMPTY`, not MULTIPOINT EMPTY)
+      case (_, Vector()) => GPoint(None, a.dim, 0)
       case _ => GMPoint(common, a.dim, 0)
     }
   }
@@ -402,23 +405,96 @@ object GeomWkt {
       case GColl(items, _, _) => items.flatMap(segs)
       case _ => Vector.empty
     }
-    def ptSegCandidates(p: Pt, s: (Pt, Pt)): Seq[Pt] = {
+    // geodesic point-to-segment: a spheroid EDGE is the great-circle arc
+    // between its endpoints (lwgeom spheroid edges), NOT the lon/lat-lerp
+    // line — slerp the arc and minimize the spheroid distance from p by
+    // golden-section over the arc parameter (the planar lerp misses the
+    // minimum by >10 km at these latitudes; postgis.out 1121395 m)
+    def ptSegMin(p: Pt, s: (Pt, Pt)): Double = {
       val (u, v) = s
-      val dx = v.x - u.x; val dy = v.y - u.y
-      val len2 = dx * dx + dy * dy
-      val t = if (len2 == 0) 0.0
-        else math.max(0.0, math.min(1.0, ((p.x - u.x) * dx + (p.y - u.y) * dy) / len2))
-      Seq(Pt(u.x + t * dx, u.y + t * dy, 0, 0))
+      def unit(q: Pt): (Double, Double, Double) = {
+        val lat = math.toRadians(q.y); val lon = math.toRadians(q.x)
+        (math.cos(lat) * math.cos(lon), math.cos(lat) * math.sin(lon), math.sin(lat))
+      }
+      val (ux, uy, uz) = unit(u); val (vx, vy, vz) = unit(v)
+      val omega = math.acos(math.max(-1.0, math.min(1.0,
+        ux * vx + uy * vy + uz * vz)))
+      def at(t: Double): Pt =
+        if (omega < 1e-12) u
+        else {
+          val a = math.sin((1 - t) * omega) / math.sin(omega)
+          val b = math.sin(t * omega) / math.sin(omega)
+          val x = a * ux + b * vx; val y = a * uy + b * vy; val z = a * uz + b * vz
+          Pt(math.toDegrees(math.atan2(y, x)),
+            math.toDegrees(math.atan2(z, math.sqrt(x * x + y * y))), 0, 0)
+        }
+      def g(t: Double): Double = GeomKernels.spheroidDistance(p, at(t), sphA, f)
+      val phi = (math.sqrt(5) - 1) / 2
+      var lo = 0.0; var hi = 1.0
+      var x1 = hi - phi * (hi - lo); var x2 = lo + phi * (hi - lo)
+      var f1 = g(x1); var f2 = g(x2)
+      var i = 0
+      while (i < 100) {
+        if (f1 <= f2) { hi = x2; x2 = x1; f2 = f1
+          x1 = hi - phi * (hi - lo); f1 = g(x1) }
+        else { lo = x1; x1 = x2; f1 = f2
+          x2 = lo + phi * (hi - lo); f2 = g(x2) }
+        i += 1
+      }
+      math.min(math.min(g(0.0), g(1.0)), math.min(f1, f2))
     }
     val (pa, pb) = (allPts(a), allPts(b))
     require(pa.nonEmpty && pb.nonEmpty, "ST_DistanceSpheroid over empty geometry")
     val vertexMin = (for (p <- pa; q <- pb)
       yield GeomKernels.spheroidDistance(p, q, sphA, f)).min
-    val edgeMinA = (for (p <- pa; s <- segs(b); c <- ptSegCandidates(p, s))
-      yield GeomKernels.spheroidDistance(p, c, sphA, f)) ++
-      (for (q <- pb; s <- segs(a); c <- ptSegCandidates(q, s))
-        yield GeomKernels.spheroidDistance(q, c, sphA, f))
-    (vertexMin +: edgeMinA).min
+    val edgeMin = (for (p <- pa; s <- segs(b)) yield ptSegMin(p, s)) ++
+      (for (q <- pb; s <- segs(a)) yield ptSegMin(q, s))
+    (vertexMin +: edgeMin).min
+  }
+
+  /** box2d → its corner POLYGON EWKT (PostGIS BOX2D_to_LWGEOM:
+    * counter-clockwise from the low corner — postgis.out
+    * `POLYGON((1 2,1 6,5 6,5 2,1 2))`).
+    */
+  def boxPolygonEwkt(x1: Double, y1: Double, x2: Double, y2: Double): String = {
+    def n(d: Double) = graft.gvalue.PgOut.pgFloatShortest(d)
+    s"POLYGON((${n(x1)} ${n(y1)},${n(x1)} ${n(y2)},${n(x2)} ${n(y2)}," +
+      s"${n(x2)} ${n(y1)},${n(x1)} ${n(y1)}))"
+  }
+
+  /** box3d → the 6-face POLYHEDRALSURFACE EWKT (PostGIS BOX3D_to_LWGEOM
+    * face order: bottom, top, x-min, x-max, y-min, y-max —
+    * postgis.out:3612).
+    */
+  def box3dPolyhedralEwkt(x1: Double, y1: Double, z1: Double,
+      x2: Double, y2: Double, z2: Double): String = {
+    def n(d: Double) = graft.gvalue.PgOut.pgFloatShortest(d)
+    def ring(ps: Seq[(Double, Double, Double)]): String =
+      ps.map { case (x, y, z) => s"${n(x)} ${n(y)} ${n(z)}" }
+        .mkString("((", ",", "))")
+    val faces = Seq(
+      Seq((x1, y1, z1), (x1, y2, z1), (x2, y2, z1), (x2, y1, z1), (x1, y1, z1)),
+      Seq((x1, y1, z2), (x2, y1, z2), (x2, y2, z2), (x1, y2, z2), (x1, y1, z2)),
+      Seq((x1, y1, z1), (x1, y1, z2), (x1, y2, z2), (x1, y2, z1), (x1, y1, z1)),
+      Seq((x2, y1, z1), (x2, y2, z1), (x2, y2, z2), (x2, y1, z2), (x2, y1, z1)),
+      Seq((x1, y1, z1), (x2, y1, z1), (x2, y1, z2), (x1, y1, z2), (x1, y1, z1)),
+      Seq((x1, y2, z1), (x1, y2, z2), (x2, y2, z2), (x2, y2, z1), (x1, y2, z1)))
+    "POLYHEDRALSURFACE(" + faces.map(ring).mkString(",") + ")"
+  }
+
+  /** A BOX/BOX3D render string → its polygon/polyhedral EWKT; anything
+    * else passes through (the registered st_asewkt's box branch).
+    */
+  def boxTextToEwkt(s0: String): String = {
+    val s = s0.trim
+    val nums = "-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?".r
+      .findAllIn(s).map(_.toDouble).toVector
+    if (s.toUpperCase.startsWith("BOX3D") && nums.length >= 7)
+      // nums(0) is the literal 3 in the BOX3D token
+      box3dPolyhedralEwkt(nums(1), nums(2), nums(3), nums(4), nums(5), nums(6))
+    else if (s.toUpperCase.startsWith("BOX") && nums.length >= 4)
+      boxPolygonEwkt(nums(0), nums(1), nums(2), nums(3))
+    else s0
   }
 
   /** 2-D bounding box (xmin, ymin, xmax, ymax); None for empty. */

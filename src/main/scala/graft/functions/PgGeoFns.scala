@@ -422,7 +422,11 @@ object PgGeoFns {
       case other => throw new UnsupportedOperationException(s"@> over $other")
     }
 
-  /** Even-odd ray cast: crossings of the +x ray from p against ring edges. */
+  /** Even-odd ray cast: crossings of the +x ray from p against ring edges,
+    * with PG's ON-BOUNDARY inclusion (poly_contain_pt → point on any edge
+    * segment counts as contained — geometric.out: the point (2,2) inside
+    * the DEGENERATE diagonal polygon (1,1)(2,2)(3,3)(4,4) is t).
+    */
   private def polyContains(poly: Column, p: Column): Column = {
     val pts = poly.getField("pts")
     val n = size(pts)
@@ -436,7 +440,17 @@ object PgGeoFns {
       val xCross = ax + (py - ay) / (by - ay) * (bx - ax)
       acc + when(straddles && px < xCross, 1L).otherwise(0L)
     })
-    crossings % 2 === 1
+    val onEdge = exists(sequence(lit(1), n), i => {
+      val a = element_at(pts, i)
+      val b = element_at(pts, when(i === n, 1).otherwise(i + 1))
+      val (ax, ay) = (a.getField("x"), a.getField("y"))
+      val (bx, by) = (b.getField("x"), b.getField("y"))
+      val cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+      val inBox = px >= least(ax, bx) && px <= greatest(ax, bx) &&
+        py >= least(ay, by) && py <= greatest(ay, by)
+      cross === 0.0 && inBox
+    })
+    crossings % 2 === 1 || onEdge
   }
 
   /** Strict left/right/below/above and overlap-bounds, via bounding boxes

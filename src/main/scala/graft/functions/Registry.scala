@@ -150,7 +150,11 @@ object Registry {
               if s.fieldNames.sameElements(Array("x", "y", "z", "m")) =>
             concat(lit("POINT("), a(0).getField("x").cast("string"), lit(" "),
               a(0).getField("y").cast("string"), lit(")"))
-          case _ => a(0).cast("string")
+          case _ =>
+            // a BOX/BOX3D render string converts to its corner POLYGON /
+            // 6-face POLYHEDRALSURFACE EWKT (PostGIS BOX*_to_LWGEOM —
+            // postgis.out:3603-3619); other strings pass through
+            Bridge.column(BoxEwktExpr(Bridge.expression(a(0).cast("string"))))
         }
       session.expression(out)
     }, "internal")
@@ -166,5 +170,18 @@ object Registry {
     reg("dropbbox", 1)(a => a(0))
     reg("postgis_addbbox", 1)(a => a(0))
     reg("postgis_dropbbox", 1)(a => a(0))
+  }
+
+  /** BOX/BOX3D text → polygon/polyhedral EWKT (GeomWkt.boxTextToEwkt). */
+  case class BoxEwktExpr(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override protected def nullSafeEval(a: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        GeomWkt.boxTextToEwkt(a.toString))
+    override protected def withNewChildInternal(c: Expression): BoxEwktExpr =
+      copy(child = c)
   }
 }

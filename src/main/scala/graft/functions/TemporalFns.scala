@@ -46,6 +46,100 @@ object TemporalFns {
     struct(months.cast("int").as("months"), days.cast("int").as("days"),
       us.cast("long").as("us"))
 
+  /** PG `age(ts1, ts2)` — the SYMBOLIC field-wise difference with borrow
+    * propagation (timestamp.c timestamp_age: subtract each broken-down
+    * field, negate when ts1 < ts2 so borrows run on positive fields, the
+    * day borrow reads days-in-month from the EARLIER operand's calendar
+    * month, then restore the sign). Returns the interval struct
+    * (months, days, us). Exact per-field PG parity can't be composed
+    * from Spark's months_between, hence the evaluated expression.
+    */
+  def ageInterval(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(AgeIntervalExpr(
+      Bridge.expression(unix_micros(a.cast("timestamp"))),
+      Bridge.expression(unix_micros(b.cast("timestamp")))))
+  }
+
+  /** EXTRACT(JULIAN …) as exact PG numeric: date2j + time-of-day /
+    * USECS_PER_DAY through numeric division at PG's select_div_scale
+    * (numeric.c — int64 operands, dscale 0; the quotient < 1 bumps
+    * rscale by DEC_DIGITS). Fixed storage scale 20 matches the regress
+    * value (old temporal.out:2305 `2450800.31754629629629629630`).
+    */
+  def julianNumeric(ts: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(JulianNumericExpr(
+      Bridge.expression(unix_micros(ts.cast("timestamp")))))
+  }
+
+  case class JulianNumericExpr(
+      child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types._
+    override def dataType: DataType = DecimalType(38, 20)
+    override protected def nullSafeEval(v: Any): Any = {
+      val us = v.asInstanceOf[Long]
+      val days = Math.floorDiv(us, 86400000000L) + 2440588L
+      val tod = Math.floorMod(us, 86400000000L)
+      val frac = new java.math.BigDecimal(tod).divide(
+        new java.math.BigDecimal(86400000000L), 20,
+        java.math.RoundingMode.HALF_UP)
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(days).add(frac), 38, 20)
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): JulianNumericExpr =
+      copy(child = c)
+  }
+
+  case class AgeIntervalExpr(left: org.apache.spark.sql.catalyst.expressions.Expression,
+      right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types._
+    override def dataType: DataType = StructType(Seq(
+      StructField("months", IntegerType, nullable = false),
+      StructField("days", IntegerType, nullable = false),
+      StructField("us", LongType, nullable = false)))
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val us1 = l.asInstanceOf[Long]; val us2 = r.asInstanceOf[Long]
+      def ldt(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      val d1 = ldt(us1); val d2 = ldt(us2)
+      val neg = us1 < us2
+      val s = if (neg) -1 else 1
+      var fsec = s * (d1.getNano / 1000 - d2.getNano / 1000)
+      var sec = s * (d1.getSecond - d2.getSecond)
+      var min = s * (d1.getMinute - d2.getMinute)
+      var hour = s * (d1.getHour - d2.getHour)
+      var mday = s * (d1.getDayOfMonth - d2.getDayOfMonth)
+      var mon = s * (d1.getMonthValue - d2.getMonthValue)
+      var year = s * (d1.getYear - d2.getYear)
+      while (fsec < 0) { fsec += 1000000; sec -= 1 }
+      while (sec < 0) { sec += 60; min -= 1 }
+      while (min < 0) { min += 60; hour -= 1 }
+      while (hour < 0) { hour += 24; mday -= 1 }
+      val ref = if (neg) d1 else d2 // the earlier operand's calendar month
+      while (mday < 0) {
+        mday += java.time.YearMonth.of(ref.getYear, ref.getMonthValue).lengthOfMonth()
+        mon -= 1
+      }
+      while (mon < 0) { mon += 12; year -= 1 }
+      val months = s * (year * 12 + mon)
+      val days = s * mday
+      val us = s.toLong * (hour * 3600000000L + min * 60000000L +
+        sec * 1000000L + fsec)
+      org.apache.spark.sql.catalyst.InternalRow(months, days, us)
+    }
+    override protected def withNewChildrenInternal(
+        l: org.apache.spark.sql.catalyst.expressions.Expression,
+        r: org.apache.spark.sql.catalyst.expressions.Expression): AgeIntervalExpr =
+      copy(left = l, right = r)
+  }
+
   /** timestamp/date ± interval (gtype_add/gtype_sub temporal branches):
     * months calendar-shifted first, then days, then the time part — PG's
     * interval application order. A date input yields a timestamp, like PG.
@@ -227,13 +321,19 @@ object TemporalFns {
       parse(noDowSrc, Some(lit("MMM d yyyy"))))
   }
 
-  /** The sign-normalization step of justify_interval alone. */
+  /** The sign-normalization step of justify_interval alone (PG
+    * interval_justify_interval, timestamp.c): the month borrow also fires
+    * when days == 0 and the TIME part opposes the months' sign
+    * (temporal.out `'1 month -1 hours'` → `29 days 23 hours`).
+    */
   def justifyNorm(h: Column): Column = {
     val m = h.getField("months"); val d = h.getField("days"); val u = h.getField("us")
     val dayUs = lit(86400000000L)
     // borrow down: positive total with negative lower fields
-    val d1 = when(m > 0 && d < 0, d + 30).otherwise(when(m < 0 && d > 0, d - 30).otherwise(d))
-    val m1 = when(m > 0 && d < 0, m - 1).otherwise(when(m < 0 && d > 0, m + 1).otherwise(m))
+    val borrowDown = m > 0 && (d < 0 || (d === 0 && u < 0))
+    val borrowUp = m < 0 && (d > 0 || (d === 0 && u > 0))
+    val d1 = when(borrowDown, d + 30).otherwise(when(borrowUp, d - 30).otherwise(d))
+    val m1 = when(borrowDown, m - 1).otherwise(when(borrowUp, m + 1).otherwise(m))
     val u1 = when(d1 > 0 && u < 0, u + dayUs).otherwise(when(d1 < 0 && u > 0, u - dayUs).otherwise(u))
     val d2 = when(d1 > 0 && u < 0, d1 - 1).otherwise(when(d1 < 0 && u > 0, d1 + 1).otherwise(d1))
     interval(m1, d2, u1)

@@ -24,6 +24,21 @@ import org.apache.spark.sql.types._
   */
 object PgOut {
 
+  /** PG numeric ±Infinity (numeric.c NUMERIC_PINF/NINF) has no DecimalType
+    * representation — it rides these reserved all-nines sentinels of the
+    * default storage type DecimalType(38,18), mapped back to
+    * Infinity::numeric at render (old expr.out:769-778).
+    */
+  val NumericInf = new java.math.BigDecimal("99999999999999999999.999999999999999999")
+  val NumericNegInf: java.math.BigDecimal = NumericInf.negate()
+
+  /** Session-wide `bytea_output` GUC (the reference regress environment
+    * defaults to escape; fixtures toggle it with SET — old
+    * expr.sql:27/31/60). Render-layer state only: never read inside an
+    * executor task.
+    */
+  @volatile var byteaHex: Boolean = false
+
   // ---- floats -----------------------------------------------------------
 
   /** PG float8out as the reference's regress environment prints it
@@ -203,7 +218,7 @@ object PgOut {
     // gtype numeric renders with its cast annotation and the value's own
     // scale (order_by.out:95 `[1.0::numeric, 2::numeric, …]`)
     case GNumeric(x) => x.bigDecimal.toPlainString + "::numeric"
-    case GString(s)  => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case GString(s)  => escapeGString(s)
     case GArray(xs)  => xs.map(gout).mkString("[", ", ", "]")
     // a constant ENTITY value (build_vertex/build_edge maps) prints in
     // vertex_out/edge_out field order — id [, start_id, end_id], label,
@@ -366,9 +381,33 @@ object PgOut {
     * `(x1,y1),(x2,y2)`, `{a,b,c}`, `<(cx,cy),r>`, closed path/polygon
     * `((…),(…))`, open path `[(…),(…)]`. Coordinates via float8out.
     */
+  /** PG float8out_internal SHORTEST round-trip form (Ryu, PG ≥ 12) — the
+    * GEOMETRIC out functions print through it (geometric.out circle ops
+    * carry 17 significant digits: `<(2,0),1.0606601717798212>`), unlike
+    * the regress environment's %.15g gtype float surface. Fixed notation
+    * in the decimal-exponent window [-4, 15), else `me±EE`.
+    */
+  def pgFloatShortest(d: Double): String = {
+    if (d.isNaN) return "NaN"
+    if (d == Double.PositiveInfinity) return "Infinity"
+    if (d == Double.NegativeInfinity) return "-Infinity"
+    val s = java.lang.Double.toString(d) // Java shortest round-trip
+    val bd = new java.math.BigDecimal(s)
+    val exp = bd.precision - bd.scale - 1 // decimal exponent of the value
+    if (d != 0.0 && (exp < -4 || exp >= 15)) {
+      val m0 = bd.movePointLeft(exp).stripTrailingZeros.toPlainString
+      val sign = if (exp < 0) "-" else "+"
+      f"${m0}e$sign${math.abs(exp)}%02d"
+    } else {
+      val p = bd.stripTrailingZeros.toPlainString
+      if (p == "-0") "0" else p
+    }
+  }
+
   def pgGeo(r: Row, kind: String): String = {
-    def f(i: Int): String = pgFloat(r.getDouble(i))
-    def ptText(p: Row): String = s"(${pgFloat(p.getDouble(0))},${pgFloat(p.getDouble(1))})"
+    def f(i: Int): String = pgFloatShortest(r.getDouble(i))
+    def ptText(p: Row): String =
+      s"(${pgFloatShortest(p.getDouble(0))},${pgFloatShortest(p.getDouble(1))})"
     kind match {
       case "point"  => s"(${f(0)},${f(1)})"
       // box_out prints the HIGH corner first; the stored struct is
@@ -449,6 +488,59 @@ object PgOut {
       s""""label": "$label", "properties": {$ps}}"""
   }
 
+  /** gtype string render: JSON-style escapes, control chars below 0x20
+    * as `\u00XX` (escape_gtype, gtype.c:531-569).
+    */
+  def escapeGString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '\b' => sb ++= "\\b"
+      case '\f' => sb ++= "\\f"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case '"'  => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    (sb += '"').toString
+  }
+
+  /** vertex_out/edge_out over the AGGREGATED entity struct shape (Var
+    * compile packs id[, start_id, end_id], label plus each property as
+    * its own FIELD — no `properties` map): shell fields by name, every
+    * remaining non-null field becomes a property.
+    */
+  def entityOutFlat(r: Row): String = {
+    val st = r.schema
+    val shell = Set("id", "start_id", "end_id", "label")
+    val ps = st.fieldNames.filterNot(shell).toSeq
+      .sortBy(k => (k.length, k))
+      .flatMap { k =>
+        val i = st.fieldIndex(k)
+        if (r.isNullAt(i)) None
+        else {
+          val v = r.get(i) match {
+            case rr: Row if rr.schema != null && isGValueSchema(rr.schema) =>
+              val g = GValueCol.decode(rr)
+              if (g == GNull) null else gout(g)
+            case other => elemInContainer(other, st.fields(i).dataType)
+          }
+          if (v == null) None else Some(s""""$k": $v""")
+        }
+      }.mkString(", ")
+    val ends =
+      if (st.fieldNames.contains("start_id"))
+        s""""start_id": ${r.getLong(st.fieldIndex("start_id"))}, """ +
+          s""""end_id": ${r.getLong(st.fieldIndex("end_id"))}, """
+      else ""
+    val rawLabel = r.getString(st.fieldIndex("label"))
+    val label = if (rawLabel == "_default") "" else rawLabel
+    s"""{"id": ${r.getLong(st.fieldIndex("id"))}, $ends""" +
+      s""""label": "$label", "properties": {$ps}}"""
+  }
+
   /** traversal_out / variable_edge_out: the interleaved entity sequence.
     * A path carries its endpoints (|nodes| = |edges|+1 → starts with a
     * vertex); a VariableEdge carries only interior vertices
@@ -499,6 +591,44 @@ object PgOut {
           pgInet(r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), cidr = true)
         case _ => cell(value, field.dataType)
       }
+      // a gtype-DECLARED plain-boolean result renders gtype_out style
+      // (true/false), not the SQL bool surface's t/f (temporal.out
+      // isfinite → false)
+      case "gtypebool" => value match {
+        case b: Boolean => if (b) "true" else "false"
+        case _ => cell(value, field.dataType)
+      }
+      // a gtype-DECLARED plain string renders gtype_out style — quoted
+      // with JSON escapes (postgis.out ST_AsEWKT → "POINT EMPTY")
+      case "gtypestr" => value match {
+        case s: String => escapeGString(s)
+        case _ => cell(value, field.dataType)
+      }
+      // a value whose text IS its out format (spheroid/box renders)
+      case "rawstr" => value match {
+        case s: String => s
+        case _ => cell(value, field.dataType)
+      }
+      // box3d_out: no space after the corner comma (postgis.out
+      // `BOX3D(1 2 3,4 5 6)`)
+      case "box3dout" => value match {
+        case s: String => s.replaceAll(",\\s+", ",")
+        case _ => cell(value, field.dataType)
+      }
+      // a DECLARED vertex[]/edge[] record column (`AS (e edge[])`): PG
+      // array_out of entity json — each element quoted, `\` and `"`
+      // escaped (traversal_functions.out `{"{\"id\": …}", …}`); the
+      // gtype-declared render of the same value stays the json list
+      case "entityarray" => value match {
+        case seq: scala.collection.Seq[_] =>
+          seq.collect { case rr: Row if rr.schema != null =>
+            val json =
+              if (isEntitySchema(rr.schema)) entityOut(rr)
+              else entityOutFlat(rr) // agg'd entity struct: props as fields
+            "\"" + json.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          }.mkString("{", ",", "}")
+        case _ => cell(value, field.dataType)
+      }
       // macaddr/macaddr8 store as LONG bit math (NetworkFns) — print the
       // colon-hex bytes (macaddr_out)
       case "macaddr" => value match {
@@ -514,7 +644,10 @@ object PgOut {
         case _ => cell(value, field.dataType)
       }
       case "bytea" => value match {
-        case s: String => byteaEscape(s)
+        // bytea_output GUC (SET bytea_output = hex|escape, old expr.sql)
+        case s: String =>
+          if (byteaHex) { if (s.startsWith("\\x")) s else "\\x" + s }
+          else byteaEscape(s)
         case _ => cell(value, field.dataType)
       }
       case "byteahex" => value match {
@@ -585,6 +718,12 @@ object PgOut {
       seq.collect { case rr: Row => pgRange(rr) }.mkString("{", ",", "}")
     // full entity struct → vertex_out/edge_out
     case r: Row if r.schema != null && isEntitySchema(r.schema) => entityOut(r)
+    // packed entity struct without a properties map (hybrid-SQL vertex
+    // columns stored into a PG table then re-selected — old
+    // cypher_vle.out:84 `SELECT * FROM start_and_end_points`): shell
+    // fields by name, remaining fields as properties
+    case r: Row if r.schema != null && r.schema.fieldNames.contains("id") &&
+        r.schema.fieldNames.contains("label") => entityOutFlat(r)
     case b: Boolean => if (b) "t" else "f"
     case s: String => s
     // top-level floats are gtype floats: float8out + `.0` when integral
@@ -597,8 +736,15 @@ object PgOut {
     // aggregates/casts — scale ≥ 18) strips its padding zeros; smaller
     // scales are value-authored (literals, PG div/pow display scale) and
     // print exactly
+    case d: java.math.BigDecimal if d.compareTo(NumericInf) == 0 =>
+      "Infinity::numeric"
+    case d: java.math.BigDecimal if d.compareTo(NumericNegInf) == 0 =>
+      "-Infinity::numeric"
     case d: java.math.BigDecimal =>
-      (if (d.scale >= 18) d.stripTrailingZeros.toPlainString
+      // scale 18 is Spark's DEFAULT storage scale (casts/aggregates) and
+      // strips its padding zeros; any other scale is value-authored
+      // (literals, PG div/pow/EXTRACT display scale) and prints exactly
+      (if (d.scale == 18) d.stripTrailingZeros.toPlainString
        else d.toPlainString) + "::numeric"
     case d: scala.math.BigDecimal => cell(d.bigDecimal, dt)
     case i: java.lang.Number => i.toString

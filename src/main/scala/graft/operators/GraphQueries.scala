@@ -472,7 +472,7 @@ object GraphQueries {
         |  CAST(CASE WHEN c_custkey % 7 <= 4 AND c_custkey % 5 <= 3 THEN 1 ELSE 0 END AS BIGINT) AS b_has_p,
         |  CAST(CASE WHEN (c_custkey%7 - 2)*(c_custkey%7 - 2) + (c_custkey%5 - 2)*(c_custkey%5 - 2)
         |       <= (c_custkey%3 + 1)*(c_custkey%3 + 1) THEN 1 ELSE 0 END AS BIGINT) AS c_has_p,
-        |  CAST(CASE WHEN c_custkey % 7 < 6 THEN 1 ELSE 0 END AS BIGINT) AS poly_has_p,
+        |  CAST(1 AS BIGINT) AS poly_has_p,  -- p=(ck%7, ck%5) is always inside or ON ((0,0),(6,0),(6,6),(0,6)); PG poly_contain counts boundary points as contained (geo_ops.c point_inside)
         |  CAST(CASE WHEN c_custkey % 7 <= 4 AND c_custkey % 5 <= 3 THEN 1 ELSE 0 END AS BIGINT) AS p_in_b,
         |  CAST(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS vert,
         |  CAST(1 AS BIGINT) AS horiz,
@@ -480,7 +480,8 @@ object GraphQueries {
         |  CAST(1 AS BIGINT) AS par,
         |  CAST(c_custkey % 7 AS DOUBLE) / 2 AS interx,
         |  (CAST(c_custkey % 7 AS DOUBLE) + (c_custkey % 5)) / 2 AS cpx,
-        |  round(sqrt(CAST((c_custkey%7)*(c_custkey%7) + 16 AS DOUBLE)) + 1e-9, 4) AS slen,
+        |  CAST(round(sqrt(CAST((c_custkey%7)*(c_custkey%7) + 16 AS DOUBLE)) + 1e-9, 4)
+        |       AS DECIMAL(38,4)) AS slen,
         |  CAST(c_custkey % 7 AS DOUBLE) / 2 AS midx,
         |  CAST(CASE WHEN c_custkey % 3 < 2 THEN 1 ELSE 0 END AS BIGINT) AS lft,
         |  CAST(1 AS BIGINT) AS abv,

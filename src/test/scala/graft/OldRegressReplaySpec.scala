@@ -18,7 +18,13 @@ class OldRegressReplaySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private val TvfForm =
-    "(?is)^SELECT\\s+\\*\\s+FROM\\s+cypher\\('([^']+)'\\s*,\\s*\\$\\$(.*)\\$\\$\\s*\\)\\s+AS\\s*[A-Za-z_]*\\s*\\([^)]*\\)$".r
+    "(?is)^SELECT\\s+\\*\\s+FROM\\s+cypher\\('([^']+)'\\s*,\\s*\\$\\$(.*)\\$\\$\\s*\\)\\s+AS\\s*[A-Za-z_]*\\s*\\(([^)]*)\\)$".r
+
+  /** Parse the AS-clause column definitions (name + type per entry). */
+  private def parseColDefs(colDefs: String): Seq[(String, String)] =
+    colDefs.split(",").map(_.trim).filter(_.nonEmpty).map { d =>
+      val t = d.split("\\s+"); (t(0), t.lift(1).getOrElse(""))
+    }.toSeq
   private val CreateGraph = "(?i)^SELECT\\s+create_graph\\('([^']+)'\\)$".r
   private val DropGraph = "(?i)^SELECT\\s+drop_graph\\('([^']+)'.*\\)$".r
 
@@ -57,6 +63,9 @@ class OldRegressReplaySpec extends AnyFunSuite {
       case _ => false
     })
     val session = new graft.cypher.GraphSession(spark)
+    // fresh psql session per fixture: GUCs back to the regress defaults
+    // (expr.sql exits with bytea_output=hex; the next suite expects escape)
+    graft.gvalue.PgOut.byteaHex = false
     val created = scala.collection.mutable.Set.empty[String]
     var fails = 0; var parity = 0; var ran = 0; var forgiven = 0
     var valueBad = 0; var valueCompared = 0
@@ -69,8 +78,32 @@ class OldRegressReplaySpec extends AnyFunSuite {
       (r, expect) match {
         case (Some((rows, schema)), Some(GoldenOut.ExpectRows(exp))) =>
           ValueRender.renderRows(rows, schema) match {
-            case Some(got) =>
+            case Some(got0) =>
               valueCompared += 1
+              // goldens are READ as ISO-8859 (scan.sql carries raw Latin-1
+              // bytes), which garbles the UTF-8 multibyte chars real
+              // results contain — compare in "golden space" by transcoding
+              // our render the same way when the direct compare misses.
+              // Chars ≤ 0xFF are ALREADY the Latin-1-decoded source bytes
+              // (round-tripped through the lexer) and stay as-is; only
+              // true multibyte code points re-encode through UTF-8.
+              def goldenSpace(s: String): String = {
+                val out = new java.io.ByteArrayOutputStream()
+                var i = 0
+                while (i < s.length) {
+                  val cp = s.codePointAt(i)
+                  if (cp <= 0xFF) out.write(cp)
+                  else out.write(new String(Character.toChars(cp))
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  i += Character.charCount(cp)
+                }
+                new String(out.toByteArray,
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+              }
+              val got =
+                if (GoldenOut.rowsEqual(exp, got0) ||
+                  GoldenOut.rowsEqualUnordered(exp, got0)) got0
+                else got0.map(_.map(goldenSpace))
               if (!(GoldenOut.rowsEqual(exp, got) ||
                 GoldenOut.rowsEqualUnordered(exp, got))) {
                 valueBad += 1
@@ -121,12 +154,25 @@ class OldRegressReplaySpec extends AnyFunSuite {
         case q if "(?i)^DROP\\s+EXTENSION\\b".r.findFirstIn(q).isDefined =>
           // dropping the extension destroys every graph (drop.sql)
           created.toList.foreach(session.dropGraph); created.clear()
-        case TvfForm(g, inner) =>
+        case q if "(?i)^SET\\s+bytea_output\\b".r.findFirstIn(q).isDefined =>
+          session.run(q) // render-layer GUC the fixture toggles
+        case q if "(?i)^SELECT\\s+create_graph_if_not_exists\\b".r
+            .findFirstIn(q).isDefined =>
+          // idempotent create (catalog.sql:172-173) — second call no-ops
+          "'([^']+)'".r.findFirstMatchIn(q).foreach { m =>
+            val g = m.group(1)
+            if (!created.contains(g)) { session.createGraph(g); created += g }
+          }
+        case TvfForm(g, inner, colDefs) =>
           ran += 1
           settle(q0, inner.trim, Try {
             if (!created.contains(g)) { session.createGraph(g); created += g }
             session.useGraph(g)
-            val df = session.run(inner.trim)
+            val df0 = session.run(inner.trim)
+            // declared AS-clause types apply exactly as on the hybrid
+            // SQL surface (record coercion + render markers)
+            val df = if (df0 != null)
+              session.applyRecordDecls(df0, parseColDefs(colDefs)) else null
             if (df != null) Some((df.collect().toSeq, df.schema)) else None
           })
         case sql if "(?is)^(SELECT|CREATE\\s+TABLE|INSERT\\s+INTO|UPDATE\\s+|DELETE\\s+FROM|TABLE\\s+)\\b.*".r
@@ -165,48 +211,44 @@ class OldRegressReplaySpec extends AnyFunSuite {
       s"$file: value coverage collapsed — $valueCompared compared < $minCompared")
   }
 
-  // Ceilings re-triaged round 7: all four suites replay clean — window/
-  // GROUP BY/FILTER/WITHIN GROUP (aggregation), hex/octal/trailing-dot
-  // literals (scan), dynamic-column numeric aggregates closed the gaps.
-  // Parity throws (the reference's own expected output shows ERROR) never
-  // count.
-  test("old replay cypher_call.sql") { check("cypher_call.sql")}
-  test("old replay regex.sql") { check("regex.sql")}
-  test("old replay aggregation.sql") { check("aggregation.sql")}
-  test("old replay scan.sql") { check("scan.sql")}
-  // Round-7 mining (VERDICT r6 #8): the remaining TVF-form suites plus the
-  // raw-SQL gtype suite. All residues closed — geometric's 59 adoption
-  // failures (point/box/path/circle arithmetic, ##/~=/&<|/|&> operators,
-  // path@>point, circle@>circle, geometry WKT cast, to* identity re-casts)
-  // landed this round; every suite's ceiling is 0.
-  test("old replay expr.sql") { check("expr.sql")}
-  test("old replay temporal.sql") { check("temporal.sql")}
-  test("old replay network.sql") { check("network.sql")}
-  test("old replay range.sql") { check("range.sql")}
-  test("old replay geometric.sql") { check("geometric.sql")}
-  test("old replay index.sql") { check("index.sql")}
+  // Round-10 value-ceiling lockdown (VERDICT r9 #1): every suite now
+  // byte-matches its psql golden on EVERY renderable value — maxValueBad
+  // is 0 across all 23 suites, with minCompared floors at the measured
+  // coverage so a silent render-lane collapse (rows skipped as
+  // unrenderable) fails loudly. The round-10 closers: declared AS-clause
+  // record coercion (applyRecordDecls), golden-space Latin-1 transcode
+  // (scan), PG shortest-float geometric renders, MERGE statement-shape
+  // quirks (decoupled-through-WITH, SET-on-created lost, record-type
+  // create error), per-path edge uniqueness, VLE display-vertex defect +
+  // zero-length exclusion, regr_r2→regr_avgy catalog bug, numeric ±Inf
+  // sentinel, exact EXTRACT(JULIAN), ag_graph catalog shape, path::gtype
+  // header-bytes point. Parity throws (the reference's own expected
+  // output shows ERROR) never count.
+  test("old replay cypher_call.sql") { check("cypher_call.sql", maxValueBad = 0, minCompared = 8)}
+  test("old replay regex.sql") { check("regex.sql", maxValueBad = 0, minCompared = 29)}
+  test("old replay aggregation.sql") { check("aggregation.sql", maxValueBad = 0, minCompared = 99)}
+  test("old replay scan.sql") { check("scan.sql", maxValueBad = 0, minCompared = 19)}
+  test("old replay expr.sql") { check("expr.sql", maxValueBad = 0, minCompared = 376)}
+  test("old replay temporal.sql") { check("temporal.sql", maxValueBad = 0, minCompared = 471)}
+  test("old replay network.sql") { check("network.sql", maxValueBad = 0, minCompared = 151)}
+  test("old replay range.sql") { check("range.sql", maxValueBad = 0, minCompared = 173)}
+  test("old replay geometric.sql") { check("geometric.sql", maxValueBad = 0, minCompared = 193)}
+  test("old replay index.sql") { check("index.sql", maxValueBad = 0, minCompared = 38)}
   test("old replay traversal_functions.sql") {
-    check("traversal_functions.sql")}
-  test("old replay gtype.sql") { check("gtype.sql")}
-  // Round-7 second wave, all clean: the PostGIS literal surface (driver-
-  // side WKT evaluator GeomWkt + bbox operator family + EWKT property
-  // storage), label-sequence catalog commands (create/drop_label,
-  // alter_graph, nextval/setval with 65535 CYCLE), ::graphid SQL casts.
-  test("old replay postgis.sql") { check("postgis.sql")}
-  test("old replay catalog.sql") { check("catalog.sql")}
-  test("old replay graphid.sql") { check("graphid.sql")}
-  // Round-7 third wave: the internal entity-constructor value surface
-  // (build_vertex/build_edge over _graphid + gtype_build_* → constant
-  // gtype maps through constG).
-  test("old replay vertex.sql") { check("vertex.sql")}
-  test("old replay edge.sql") { check("edge.sql")}
-  test("old replay traversal.sql") { check("traversal.sql")}
+    check("traversal_functions.sql", maxValueBad = 0, minCompared = 9)}
+  test("old replay gtype.sql") { check("gtype.sql", maxValueBad = 0, minCompared = 249)}
+  test("old replay postgis.sql") { check("postgis.sql", maxValueBad = 0, minCompared = 484)}
+  test("old replay catalog.sql") { check("catalog.sql", maxValueBad = 0, minCompared = 22)}
+  test("old replay graphid.sql") { check("graphid.sql", maxValueBad = 0, minCompared = 6)}
+  test("old replay vertex.sql") { check("vertex.sql", maxValueBad = 0, minCompared = 37)}
+  test("old replay edge.sql") { check("edge.sql", maxValueBad = 0, minCompared = 37)}
+  test("old replay traversal.sql") { check("traversal.sql", maxValueBad = 0, minCompared = 41)}
   test("old replay variable_edge.sql") {
-    check("variable_edge.sql")}
+    check("variable_edge.sql", maxValueBad = 0, minCompared = 36)}
   test("old replay variable_edge_functions.sql") {
-    check("variable_edge_functions.sql")}
-  test("old replay drop.sql") { check("drop.sql")}
+    check("variable_edge_functions.sql", maxValueBad = 0, minCompared = 10)}
+  test("old replay drop.sql") { check("drop.sql", maxValueBad = 0)}
   test("old replay cypher_merge.sql") {
-    check("cypher_merge.sql")}
-  test("old replay cypher_vle.sql") { check("cypher_vle.sql")}
+    check("cypher_merge.sql", maxValueBad = 0, minCompared = 113)}
+  test("old replay cypher_vle.sql") { check("cypher_vle.sql", maxValueBad = 0, minCompared = 67)}
 }
