@@ -1036,6 +1036,28 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     ctx = ensureVleValues(ctx,
       items.map(_.expr) ++ orderBy.map(_.expr) ++ where.toList)
 
+    // IVFFlat index probe: `… ORDER BY v.prop <-> <const vector> LIMIT k`
+    // over an indexed vertex property restricts the scan to the probed
+    // lists' candidates BEFORE the top-k sort — approximate, exactly like
+    // the reference planner choosing the ivfflat access method for this
+    // shape (ivfutils.c; recall governed by ivfflat.probes). Rows of other
+    // labels (id prefix ≠ the indexed label) pass through untouched.
+    (orderBy, limit) match {
+      case (List(SortItem(IvfDistShape(v, p, metric, vec), false, _)), Some(_))
+          if ctx.df != null &&
+            ctx.vars.get(v).exists(_.kind == VarKind.Vertex) =>
+        graph.ivfProbe(Compiler.PropNames.esc(p), metric, vec).foreach {
+          case (lid, cand) =>
+            val c = broadcast(cand.select(col("id").as("__ivf_id")))
+            ctx = ctx.copy(df = ctx.df
+              .join(c, col(s"${v}__id") === col("__ivf_id"), "left_outer")
+              .filter(shiftrightunsigned(col(s"${v}__id"), 48) =!= lid ||
+                col("__ivf_id").isNotNull)
+              .drop("__ivf_id"))
+        }
+      case _ => ()
+    }
+
     // sublinks in RETURN/WITH items or sort keys → derived boolean columns
     // (pre-projection scope; the projection's select drops the helpers)
     val (boundCtx, boundExprs, _) =
@@ -3962,6 +3984,40 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
 
   private def isVleVar(n: String, ctx: Ctx): Boolean =
     ctx.vars.get(n).exists(_.kind == VarKind.VlePath)
+
+  /** `v.prop <-> <const numeric vector>` (either side) — the ANN sort-key
+    * shape the IVFFlat probe rewrite recognizes. `<->` = l2, `<#>` = ip.
+    */
+  private object IvfDistShape {
+    private def num(g: GValue): Option[Double] = g match {
+      case GInt(i) => Some(i.toDouble)
+      case GFloat(f) => Some(f)
+      case GNumeric(n) => Some(n.toDouble)
+      case _ => None
+    }
+    private def vecOf(x: Expr): Option[Seq[Double]] = {
+      val items: Option[Seq[GValue]] = x match {
+        case ListLit(es) =>
+          val gs = es.map(Compiler.litGValue)
+          if (gs.forall(_.isDefined)) Some(gs.map(_.get)) else None
+        case other => Compiler.litGValue(other).collect { case GArray(xs) => xs }
+      }
+      items.filter(_.nonEmpty).flatMap { xs =>
+        val ds = xs.map(num)
+        if (ds.forall(_.isDefined)) Some(ds.map(_.get)) else None
+      }
+    }
+    def unapply(e: Expr): Option[(String, String, String, Seq[Double])] = {
+      val metric = Map("<->" -> "l2", "<#>" -> "ip")
+      e match {
+        case Bin(op @ ("<->" | "<#>"), Prop(Var(v), p), r) =>
+          vecOf(r).map(vs => (v, p, metric(op), vs))
+        case Bin(op @ ("<->" | "<#>"), l, Prop(Var(v), p)) =>
+          vecOf(l).map(vs => (v, p, metric(op), vs))
+        case _ => None
+      }
+    }
+  }
 
   /** Orderable surrogate for a path value: the interleaved
     * (v0, e0, v1, e1, …) graphid sequence — exactly what the reference's

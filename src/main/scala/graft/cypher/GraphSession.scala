@@ -144,12 +144,29 @@ final class GraphSession(val spark: SparkSession) {
   private val ByteaOutputRx =
     "(?i)^\\s*SET\\s+bytea_output\\s*=\\s*'?(hex|escape)'?\\s*;?\\s*$".r
 
+  private val IvfIndexRx =
+    ("(?is)^\\s*SELECT\\s+create_ivfflat_(l2|ip)_ops_index\\s*\\(\\s*" +
+      "'([^']+)'\\s*,\\s*'([^']+)'\\s*,\\s*'([^']+)'\\s*,\\s*" +
+      "(\\d+)\\s*,\\s*(\\d+)\\s*\\)\\s*;?\\s*$").r
+  private val IvfProbesRx =
+    "(?i)^\\s*SET\\s+ivfflat\\.probes\\s*=\\s*(\\d+)\\s*;?\\s*$".r
+
   def run(query: String, params: Map[String, GValue] = Map.empty): DataFrame = {
     query match {
       // PG GUC the regress fixtures toggle (old expr.sql:27/31/60):
       // flips the session-wide bytea render between hex and escape
       case ByteaOutputRx(mode) =>
         graft.gvalue.PgOut.byteaHex = mode.equalsIgnoreCase("hex")
+        return spark.emptyDataFrame
+      // IVFFlat-analog index DDL (create_ivfflat_{l2,ip}_ops_index —
+      // reference sql/postgraph.sql.in:151-158) and its probe-count GUC
+      case IvfIndexRx(metric, g, label, prop, dims, lists) =>
+        useGraph(g)
+        graph.createIvfIndex(label, prop, dims.toInt, lists.toInt,
+          metric.toLowerCase)
+        return voidRow(s"create_ivfflat_${metric.toLowerCase}_ops_index")
+      case IvfProbesRx(p) =>
+        graph.ivfProbes = p.toInt
         return spark.emptyDataFrame
       case CatalogFnRx(fn, g, label, prop, uniq) =>
         useGraph(g)
@@ -1396,7 +1413,80 @@ final class MutableGraph(spark: SparkSession) {
           new java.util.ArrayList[Row](),
           StructType(Seq(StructField("id", LongType)))))
       else vertexLabels,
-      edgeLabels, labelIds.toMap)
+      edgeLabels, labelIds.toMap, ivfProbeFn)
+
+  // ---------------------------------------------- IVFFlat analog indexes
+  // (reference: create_ivfflat_{l2,ip}_ops_index, postgraph.sql.in:151-158
+  // + the ivfflat access method, src/backend/access/ivfutils.c). Centroids
+  // are fixed at build time like IVFFlat's lists (kmeans over a bounded
+  // driver sample); row→list assignments derive lazily from the CURRENT
+  // label table, identity-cached, so the index never goes stale across
+  // writes and needs no per-write hook. Probe-side cost at any corpus
+  // size: |label| · probes/lists scan instead of a full scan.
+  private final case class IvfIdx(label: String, prop: String,
+      metric: String, dims: Int, lists: Int, centroids: Array[Array[Double]])
+  private val ivfIndexes =
+    mutable.LinkedHashMap.empty[(String, String), IvfIdx]
+  private var ivfAssignCache = Map.empty[(String, String), (DataFrame, DataFrame)]
+  /** Clusters probed per ANN query (reference GUC ivfflat.probes; default 1). */
+  @volatile var ivfProbes: Int = 1
+
+  private def ivfEmb(tbl: DataFrame, prop: String, dims: Int): DataFrame =
+    tbl.select(col("id"),
+      col(prop).cast(ArrayType(DoubleType)).as(prop))
+      .filter(col(prop).isNotNull && size(col(prop)) === dims)
+
+  def createIvfIndex(label: String, prop0: String, dims: Int, lists: Int,
+      metric: String): Unit = {
+    val prop = Compiler.PropNames.esc(prop0)
+    val tbl = vertexLabels.getOrElse(label,
+      throw new IllegalArgumentException(s"unknown vertex label $label"))
+    require(tbl.columns.contains(prop),
+      s"label $label has no property $prop0")
+    require(dims >= 1 && dims <= 2000, "ivfflat supports 1..2000 dimensions") // ivfflat.h:33
+    require(lists >= 1 && lists <= 32768, "lists must be in 1..32768") // ivfflat.h:53
+    val emb = ivfEmb(tbl, prop, dims)
+    val cents = graft.functions.Ivf.kmeansSampled(emb, "id", prop,
+      k = lists, iters = 5)
+    ivfIndexes((label, prop)) = IvfIdx(label, prop, metric, dims, lists, cents)
+    ivfAssignCache -= ((label, prop))
+  }
+
+  private def ivfAssignments(ix: IvfIdx): DataFrame = {
+    val tbl = vertexLabels(ix.label)
+    ivfAssignCache.get((ix.label, ix.prop)) match {
+      case Some((src, a)) if src eq tbl => a
+      case _ =>
+        val a = graft.functions.Ivf.assignments(
+          ivfEmb(tbl, ix.prop, ix.dims), "id", ix.prop, ix.centroids)
+          .localCheckpoint()
+        ivfAssignCache += ((ix.label, ix.prop) -> (tbl, a))
+        a
+    }
+  }
+
+  /** Probe: the single index covering (prop, metric, dims) → candidate-id
+    * relation of the `ivfProbes` nearest lists. Ambiguous coverage (two
+    * labels indexing the same property name) disables the rewrite rather
+    * than guessing.
+    */
+  private def ivfProbeFn(propEsc: String, metric: String,
+      vec: Seq[Double]): Option[(Int, DataFrame)] = {
+    val hits = ivfIndexes.values.filter(ix =>
+      ix.prop == propEsc && ix.metric == metric && ix.dims == vec.length).toSeq
+    if (hits.size != 1) return None
+    val ix = hits.head
+    val probed = ix.centroids.zipWithIndex.map { case (c, i) =>
+      val score = metric match {
+        case "ip" => -c.zip(vec).map(t => t._1 * t._2).sum // max inner product
+        case _ => c.zip(vec).map(t => (t._1 - t._2) * (t._1 - t._2)).sum
+      }
+      (score, i)
+    }.sortBy(_._1).take(math.max(1, ivfProbes)).map(_._2).toSeq
+    val cand = ivfAssignments(ix)
+      .filter(col("cluster").isin(probed: _*)).select(col("id"))
+    Some((labelIds(ix.label), cand))
+  }
 
   private def labelId(l: String): Int =
     // the unlabeled-vertex label IS the catalog's _ag_label_vertex, id 1

@@ -127,8 +127,28 @@ final class SqlSurface(spark: SparkSession) {
       case _ if q.matches("(?i)^SELECT\\s+(ALL\\s+)?\\*$") =>
         throw new IllegalArgumentException(
           "SELECT * with no tables specified is not valid")
-      case _ => spark.sql(translate(q))
+      case _ => pgMarkers(spark.sql(translate(q)))
     }
+  }
+
+  /** Stamp raw-SQL-surface render markers (PG array_out / record_out) on
+    * plain array/record output columns that carry no marker yet — see
+    * PgOut.sqlSurfaceMarker (new_cypher.out ARRAY/ROW constructors).
+    */
+  private def pgMarkers(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.gvalue.PgOut
+    val needs = df.schema.fields.exists(f =>
+      !f.metadata.contains(PgOut.TypeKey) &&
+        PgOut.sqlSurfaceMarker(f.dataType).isDefined)
+    if (!needs) df
+    else df.select(df.schema.fields.map { f =>
+      PgOut.sqlSurfaceMarker(f.dataType) match {
+        case Some(m) if !f.metadata.contains(PgOut.TypeKey) =>
+          col(f.name).as(f.name, new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PgOut.TypeKey, m).build())
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
   }
 
   private def register(name: String, df: DataFrame): Unit = {

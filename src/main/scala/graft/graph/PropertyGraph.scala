@@ -23,7 +23,15 @@ final class PropertyGraph(
     val spark: SparkSession,
     val vertexLabels: Map[String, DataFrame],
     val edgeLabels: Map[String, DataFrame],
-    val labelIds: Map[String, Int]) {
+    val labelIds: Map[String, Int],
+    /** IVFFlat-analog index probe (reference
+      * create_ivfflat_{l2,ip}_ops_index, sql/postgraph.sql.in:151-158):
+      * (escaped property name, metric, query vector) → (indexed label id,
+      * candidate-id relation) when an index covers the shape. Wired by
+      * MutableGraph.snapshot; the default graph has no indexes.
+      */
+    val ivfProbe: (String, String, Seq[Double]) => Option[(Int, DataFrame)] =
+      (_, _, _) => None) {
 
   def labelIdOf(label: String): Int = labelIds(label)
 

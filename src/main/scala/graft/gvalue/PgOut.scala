@@ -488,6 +488,30 @@ object PgOut {
       s""""label": "$label", "properties": {$ps}}"""
   }
 
+  /** Raw-SQL-surface render markers: a PLAIN array column prints PG
+    * array_out (`{1,2,3}` — new_cypher.out `SELECT ARRAY [1, 2, 3, 4]`)
+    * and a plain all-primitive record prints record_out (`(1,2,3,4)` —
+    * `SELECT ROW (1, 2, 3, 4)`). Confined to shapes no other render
+    * owns: integral/string/bool arrays (vectors are float arrays and
+    * keep their bracket form) and structs that match none of the typed
+    * struct detectors and carry no entity shell fields.
+    */
+  def sqlSurfaceMarker(dt: DataType): Option[String] = dt match {
+    case ArrayType(IntegerType | LongType | ShortType | StringType |
+        BooleanType, _) => Some("pgarray")
+    case st: StructType
+        if !isGValueSchema(st) && !isIntervalSchema(st) &&
+          !isTimetzSchema(st) && !isTraversalSchema(st) &&
+          !isRangeSchema(st) && !isInetSchema(st) &&
+          geoKind(st).isEmpty &&
+          !st.fieldNames.contains("id") && !st.fieldNames.contains("label") &&
+          st.fields.nonEmpty && st.fields.forall(f => f.dataType match {
+            case _: NumericType | StringType | BooleanType => true
+            case _ => false
+          }) => Some("pgrecord")
+    case _ => None
+  }
+
   /** gtype string render: JSON-style escapes, control chars below 0x20
     * as `\u00XX` (escape_gtype, gtype.c:531-569).
     */
@@ -627,6 +651,31 @@ object PgOut {
               else entityOutFlat(rr) // agg'd entity struct: props as fields
             "\"" + json.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
           }.mkString("{", ",", "}")
+        case _ => cell(value, field.dataType)
+      }
+      // PG array_out over a plain SQL-surface array (see sqlSurfaceMarker)
+      case "pgarray" => value match {
+        case seq: scala.collection.Seq[_] => seq.map {
+          case null => "NULL"
+          case s: String =>
+            if (s.isEmpty || s.exists(c => c == ',' || c == '"' || c == '{' ||
+              c == '}' || c == '\\' || c <= ' ')) "\"" +
+              s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+            else s
+          case b: Boolean => if (b) "t" else "f"
+          case x => x.toString
+        }.mkString("{", ",", "}")
+        case _ => cell(value, field.dataType)
+      }
+      // PG record_out over a plain tuple (`SELECT (1, 2, 3, 4)`)
+      case "pgrecord" => value match {
+        case r: Row => (0 until r.length).map { i =>
+          if (r.isNullAt(i)) "" else r.get(i) match {
+            case d: java.lang.Double => pgFloat(d)
+            case b: java.lang.Boolean => if (b) "t" else "f"
+            case x => x.toString
+          }
+        }.mkString("(", ",", ")")
         case _ => cell(value, field.dataType)
       }
       // macaddr/macaddr8 store as LONG bit math (NetworkFns) — print the
