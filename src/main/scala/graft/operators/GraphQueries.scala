@@ -361,7 +361,21 @@ object GraphQueries {
       df.select(col("sz").cast("int").as("sz"),
           col("k").getField("i").cast("int").as("k"))
         .orderBy(col("sz").asc_nulls_first)
-    })
+    }),
+
+    // round-10 VLE semantics, oracled: `*0..` never yields a zero-length
+    // path (the reference DFS seeds one edge — old cypher_vle.out:248-260),
+    // so *0..1 from Nation counts exactly the IN_REGION edges
+    "g33_vle_zero_lower" -> cy(
+      "MATCH (n:Nation)-[e*0..1]->(r:Region) RETURN count(*) AS n"),
+
+    // edge-uniqueness scope is per PATH PATTERN — comma patterns are never
+    // cross-checked (transform_match_path, cypher_clause.c:3294;
+    // `ve1 && ve2` TRUE overlaps), so the cross product keeps the 25
+    // equal-edge pairs a cross-pattern qual would have removed
+    "g34_comma_vle_scope" -> cy(
+      "MATCH (n1:Nation)-[e1*1..1]->(r1:Region), " +
+        "(n2:Nation)-[e2*1..1]->(r2:Region) RETURN count(*) AS n")
   )
 
   val oracles: Map[String, String] = Map(
@@ -557,6 +571,10 @@ object GraphQueries {
         |  INTERSECT
         |  SELECT CASE WHEN p_size < 25 THEN p_size END AS sz, 1.0 AS k FROM part
         |  WHERE p_retailprice > 950
-        |) ORDER BY sz NULLS FIRST""".stripMargin
+        |) ORDER BY sz NULLS FIRST""".stripMargin,
+    "g33_vle_zero_lower" ->
+      "SELECT count(*) AS n FROM nation",
+    "g34_comma_vle_scope" ->
+      "SELECT count(*) AS n FROM nation a CROSS JOIN nation b"
   )
 }
