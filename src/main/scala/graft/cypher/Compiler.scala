@@ -1078,6 +1078,42 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     val hasAgg = group.isEmpty &&
       named.exists { case (_, e) => containsAggregate(e) }
 
+    // the reference validates agg-containing items up front: every
+    // maximal NON-aggregate subexpression must syntactically BE one of
+    // the listed key items — a variable reached outside both raises its
+    // transform error (old aggregation.out:640-700 `"x" must be either
+    // part of an explicitly listed key or used inside an aggregate
+    // function`)
+    if (hasAgg && partitionCol.isEmpty) {
+      val keyExprs: Set[Expr] =
+        named.collect { case (_, e) if !containsAggregate(e) => e }.toSet
+      def isAggNode(e: Expr): Boolean = e match {
+        case FnCall(name, _, _) => AggFns(name) || TwoColStatAggs(name)
+        case CountStar() | AggFilter(_, _) | WithinGroup(_, _, _) => true
+        case _ => false
+      }
+      def walk(e: Expr): Unit = e match {
+        case _ if keyExprs.contains(e) => ()
+        case _ if isAggNode(e) => ()
+        case WindowCall(_, _) => ()
+        case Var(n) if ctx.vars.contains(n) =>
+          throw new IllegalArgumentException(s""""$n" must be either part """ +
+            "of an explicitly listed key or used inside an aggregate function")
+        case p: Product => p.productIterator.foreach {
+          case sub: Expr => walk(sub)
+          case xs: Iterable[_] => xs.foreach {
+            case sub: Expr => walk(sub)
+            case (_, sub: Expr) => walk(sub)
+            case _ => ()
+          }
+          case Some(sub: Expr) => walk(sub)
+          case _ => ()
+        }
+        case _ => ()
+      }
+      named.foreach { case (_, e) => if (containsAggregate(e)) walk(e) }
+    }
+
     var outVars = ListMap.empty[String, VarInfo]
     var df = ctx.df
 
@@ -1659,7 +1695,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   def compileExpr(e: Expr, ctx: Ctx): Column = e match {
     case Lit(v)   => litColumn(v)
     case Param(n) => litColumn(params.getOrElse(n,
-      throw new IllegalArgumentException(s"missing parameter $$$n")))
+      throw new IllegalArgumentException(
+        // no params map at all = the reference's missing-argument error
+        // (old expr.out `RETURN $var` without a third cypher() arg)
+        if (params.isEmpty)
+          "parameters argument is missing from cypher() function call"
+        else s"missing parameter $$$n")))
     case WindowCall(fn, over) =>
       val wd = over match {
         case Right(d) => d
@@ -1693,7 +1734,15 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           // traversal_ops-style sequence comparison)
           struct(pathMembers(Var(n), ctx, edges = false).as("nodes"),
             pathMembers(Var(n), ctx, edges = true).as("edges"))
-        case _ => col(n)
+        case _ =>
+          // an identifier bound by NOTHING raises the reference's
+          // transform error (old scan.out:439-469 `could not find rte
+          // for <name>`) instead of Spark's unresolved-column analysis
+          // error; names that DO resolve to a frame column (projection
+          // aliases, helper columns) pass through
+          if (ctx.df == null ||
+            ctx.df.columns.exists(_.equalsIgnoreCase(n))) col(n)
+          else throw new IllegalArgumentException(s"could not find rte for $n")
       }
     case e @ (Index(_, _) | Prop(_, _)) if constG(e).exists(_._2) =>
       // constant navigation into literal containers folds to the element
@@ -2684,15 +2733,23 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // through-double round-trip corrupts the low bits (packed graphids
       // with label id ≥ 32 live there); ANSI mode raises on /0 like the
       // reference's ereport(DIVISION_BY_ZERO).
+      // every lane raises PG's DIVISION_BY_ZERO text — float division
+      // included (the reference's float8div ereports, no IEEE Infinity
+      // escape; old gtype.out gtype_div family)
+      val divByZero = raise_error(lit("division by zero"))
       (dataTypeOpt(l, ctx), dataTypeOpt(r, ctx)) match {
         case (Some(a), Some(b)) if isIntegralType(a) && isIntegralType(b) =>
-          call_function("div", l, r)
+          when(r === 0, divByZero.cast(LongType))
+            .otherwise(call_function("div", l, r))
         // numeric division re-scales to PG div_var's 16-fraction display
         // (aggregation.out sum/count → 3.4928571428571429::numeric; Spark's
         // own decimal-division scale rules differ)
         case (Some(a), Some(b))
             if a.isInstanceOf[DecimalType] || b.isInstanceOf[DecimalType] =>
-          (l / r).cast(DecimalType(38, 16))
+          when(r === 0, divByZero.cast(DecimalType(38, 16)))
+            .otherwise((l / r).cast(DecimalType(38, 16)))
+        case (Some(DoubleType | FloatType), _) | (_, Some(DoubleType | FloatType)) =>
+          when(r === 0, divByZero.cast(DoubleType)).otherwise(l / r)
         case _ => l / r
       }
     case "%"  => l % r
@@ -2793,6 +2850,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       if (inAgg) compileAggExpr(e, ctx) else compileExpr(e, ctx)
     def a(i: Int): Column = sub(args(i))
     name match {
+      // a bare NULL literal can't choose among the vertex/edge/variadic
+      // overloads — PG's ambiguous-function error (old vertex.out
+      // `SELECT id(NULL)` → function id(unknown) is not unique)
+      case "id" | "label" if args.length == 1 && (args.head match {
+          case Lit(GNull) => true; case _ => false }) =>
+        throw new IllegalArgumentException(
+          s"function $name(unknown) is not unique")
       case "id" | "label" | "type" | "startnode" | "start_id" | "startid" |
            "endnode" | "end_id" | "endid" | "properties"
           if args.nonEmpty && constG(args.head).exists(p =>
@@ -2944,6 +3008,15 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         val n = a(1).cast("int")
         when(n >= 0, a(0).substr(greatest(length(a(0)) - n + 1, lit(1)), length(a(0))))
           .otherwise(a(0).substr(-n + 1, length(a(0))))
+      // wrong arity resolves to NO catalog entry in the reference
+      // (old expr.out `substring("123456789")` → function
+      // postgraph.substring(gtype) does not exist)
+      case "split" | "substring" if args.length < 2 =>
+        throw new IllegalArgumentException(
+          s"function postgraph.$name(gtype) does not exist")
+      case "replace" if args.length < 3 =>
+        throw new IllegalArgumentException(s"function postgraph.replace(" +
+          Seq.fill(args.length)("gtype").mkString(", ") + ") does not exist")
       case "replace" => (args(1), args(2)) match {
         // literal search/replacement keeps the codegen'd regex path
         case (Lit(GString(_)), Lit(GString(_))) =>
@@ -2996,13 +3069,49 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           case _ => c.cast("string")
         }
       case "tointeger" => dataTypeOpt(a(0), ctx) match {
-        // int casts round, not truncate (PG dtoi8/numeric_int8)
-        case Some(DoubleType | FloatType | _: DecimalType) =>
+        // int casts round, not truncate (PG dtoi8/numeric_int8); NaN/±Inf
+        // and magnitudes past int8 raise PG's range error (old expr.out
+        // `'NaN'::float::int` → bigint out of range)
+        case Some(DoubleType | FloatType) =>
+          when(isnan(a(0)) || abs(a(0)) > lit(9.223372036854776e18),
+            raise_error(lit("bigint out of range")).cast("long"))
+            .otherwise(round(a(0)).cast("long"))
+        case Some(_: DecimalType) =>
           round(a(0)).cast("long")
+        // int8in rejects non-integer text with PG's message (old expr.out
+        // `'0.0'::int` → invalid input syntax for type bigint: "0.0")
+        case Some(StringType) =>
+          when(trim(a(0)).rlike("^[+-]?[0-9]+$"), a(0).cast("long"))
+            .otherwise(raise_error(format_string(
+              "invalid input syntax for type bigint: \"%s\"", a(0))).cast("long"))
         case _ => a(0).cast("long")
       }
-      case "tofloat"   => a(0).cast("double")
-      case "toboolean" => a(0).cast("boolean")
+      case "tofloat"   => dataTypeOpt(a(0), ctx) match {
+        // float8in validates its text with PG's message (old expr.out
+        // `'2:71'::float` → invalid input syntax for type double
+        // precision: "2:71"); ±Infinity/NaN spellings pass
+        case Some(StringType) =>
+          val ok = trim(a(0)).rlike(
+            "^(?i)([+-]?(inf(inity)?|nan)|[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?)$")
+          when(ok, a(0).cast("double"))
+            .otherwise(raise_error(format_string(
+              "invalid input syntax for type double precision: \"%s\"", a(0)))
+              .cast("double"))
+        case _ => a(0).cast("double")
+      }
+      case "toboolean" => dataTypeOpt(a(0), ctx) match {
+        // gtype_to_bool accepts only true/false text and rejects
+        // containers with the reference's messages (old gtype.out
+        // gtype_to_bool block)
+        case Some(StringType) =>
+          when(lower(trim(a(0))).isin("true", "false"), a(0).cast("boolean"))
+            .otherwise(raise_error(
+              lit("cannot cast gtype string to type boolean")).cast("boolean"))
+        case Some(_: ArrayType | _: MapType | _: StructType) =>
+          throw new IllegalArgumentException(
+            "cannot cast non-scalar gtype to bool")
+        case _ => a(0).cast("boolean")
+      }
       case "tonumeric" => args.head match {
         // PG numeric accepts ±Infinity/NaN spellings (numeric.c, PG14+);
         // DecimalType cannot hold them, so ±Inf rides a reserved sentinel
@@ -3025,6 +3134,15 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             when(isnan(a(0)) || a(0) === Double.PositiveInfinity ||
               a(0) === Double.NegativeInfinity, lit(null).cast("decimal(38,18)"))
               .otherwise(format_string("%.15g", a(0)).cast("decimal(38,18)"))
+          // numeric_in validates its text with PG's message (old expr.out
+          // `'2:71'::numeric` → invalid input syntax for type numeric)
+          case Some(StringType) =>
+            val ok = trim(a(0)).rlike(
+              "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
+            when(ok, a(0).cast("decimal(38,18)"))
+              .otherwise(raise_error(format_string(
+                "invalid input syntax for type numeric: \"%s\"", a(0)))
+                .cast("decimal(38,18)"))
           case _ => a(0).cast("decimal(38,18)")
         }
       }
@@ -3106,9 +3224,22 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           case _ => bin
         }
       // PG make_date(-44, …) means 44 BC — astronomical year -43 (no
-      // year 0); make_timestamp returns a PLAIN (NTZ) timestamp
-      case "make_date" => make_date(
-        when(a(0) < 0, a(0) + lit(1)).otherwise(a(0)), a(1), a(2))
+      // year 0); make_timestamp returns a PLAIN (NTZ) timestamp.
+      // Field ranges validate EAGERLY with PG's exact message (date.c
+      // errmsg "date field value out of range: %d-%02d-%02d" — old
+      // temporal.out make_date(2013, 2, 30) etc.)
+      case "make_date" =>
+        val (y, m, d) = (a(0).cast("int"), a(1).cast("int"), a(2).cast("int"))
+        val leap = (y % 4 === 0 && y % 100 =!= 0) || y % 400 === 0
+        val daysIn = when(m.isin(1, 3, 5, 7, 8, 10, 12), 31)
+          .when(m.isin(4, 6, 9, 11), 30)
+          .when(m === 2, when(leap, 29).otherwise(28))
+          .otherwise(0)
+        val bad = m < 1 || m > 12 || d < 1 || d > daysIn
+        val err = raise_error(format_string(
+          "date field value out of range: %d-%02d-%02d", y, m, d))
+        when(bad, err.cast(DateType)).otherwise(make_date(
+          when(y < 0, y + lit(1)).otherwise(y), m, d))
       case "make_timestamp" => call_function("make_timestamp",
         a(0), a(1), a(2), a(3), a(4), a(5)).cast("timestamp_ntz")
       case "make_timestamptz" =>

@@ -67,7 +67,7 @@ final class GraphSession(val spark: SparkSession) {
   }
 
   def createGraph(name: String): Unit = {
-    require(!graphs.contains(name), s"graph $name already exists")
+    require(!graphs.contains(name), s"""graph "$name" already exists""")
     graphs(name) = new MutableGraph(spark)
     current = Some(name)
     refreshAgGraph()
@@ -91,7 +91,7 @@ final class GraphSession(val spark: SparkSession) {
     refreshAgGraph()
   }
   def useGraph(name: String): Unit = {
-    require(graphs.contains(name), s"unknown graph $name")
+    require(graphs.contains(name), s"""graph "$name" does not exist""")
     current = Some(name)
   }
   def dropGraph(name: String): Unit = {
@@ -151,6 +151,14 @@ final class GraphSession(val spark: SparkSession) {
   private val IvfProbesRx =
     "(?i)^\\s*SET\\s+ivfflat\\.probes\\s*=\\s*(\\d+)\\s*;?\\s*$".r
 
+  /** Catalog functions called with NULL args raise the reference's exact
+    * argument-check messages (old catalog.out:100-214, :387-392) instead
+    * of falling through to an unresolved-routine error.
+    */
+  private val CatalogNullFnRx =
+    ("(?is)^\\s*SELECT\\s+(create_graph|drop_graph|create_vlabel|" +
+      "create_elabel|drop_label|alter_graph)\\s*\\((.*)\\)\\s*;?\\s*$").r
+
   def run(query: String, params: Map[String, GValue] = Map.empty): DataFrame = {
     query match {
       // PG GUC the regress fixtures toggle (old expr.sql:27/31/60):
@@ -168,6 +176,21 @@ final class GraphSession(val spark: SparkSession) {
       case IvfProbesRx(p) =>
         graph.ivfProbes = p.toInt
         return spark.emptyDataFrame
+      case CatalogNullFnRx(fn0, argsStr)
+          if argsStr.split(",").exists(_.trim.equalsIgnoreCase("NULL")) =>
+        val args = argsStr.split(",").map(_.trim)
+        def isNull(k: Int) = k < args.length && args(k).equalsIgnoreCase("NULL")
+        val msg = fn0.toLowerCase match {
+          case "create_graph" | "drop_graph" => "graph name must not be NULL"
+          case "alter_graph" =>
+            if (isNull(0)) "graph_name must not be NULL"
+            else if (isNull(1)) "operation must not be NULL"
+            else "new_value must not be NULL"
+          case _ => // create_vlabel/create_elabel/drop_label: graph first
+            if (isNull(0)) "graph name must not be NULL"
+            else "label name must not be NULL"
+        }
+        throw new IllegalArgumentException(msg)
       case CatalogFnRx(fn, g, label, prop, uniq) =>
         useGraph(g)
         fn.toLowerCase match {
@@ -240,6 +263,9 @@ final class GraphSession(val spark: SparkSession) {
       // endpoints relation (postgraph.sql.in:520-530; cypher_vle.sql:56-
       // 108): computed as ONE VLE pass over the graph hash-joined to the
       // endpoint ids — no per-row re-traversal, the scale-correct shape
+      case _ if VleSrf6Rx.findFirstIn(query).isDefined =>
+        throw new IllegalArgumentException(
+          "function vle(gtype, vertex, vertex, gtype, gtype, gtype) does not exist")
       case VleSrfRx(proj, tbl, g, sCol, eCol, lo, hi, dir, labelArg, propArg) =>
         useGraph(g)
         def num(s: String): Option[Int] =
@@ -286,7 +312,7 @@ final class GraphSession(val spark: SparkSession) {
         useGraph(g); graph.createLabel(l)
         return voidRow(s"create_${kind}label")
       case AlterGraphRx(from, op, to) =>
-        require(op.equalsIgnoreCase("RENAME"), s"alter_graph: unknown op $op")
+        require(op.equalsIgnoreCase("RENAME"), s"""invalid operation "$op"""")
         val mg = graphs.remove(from).getOrElse(
           throw new IllegalArgumentException(s"""graph "$from" does not exist"""))
         graphs(to) = mg
@@ -419,7 +445,51 @@ final class GraphSession(val spark: SparkSession) {
       declFor.get(c).filter(handled) match {
         case Some(t) =>
           val orig = df1(c)
+          // PG record coercion to an integral decl: int{2,4,8}in input
+          // validation + per-width range checks with PG's exact messages
+          // (old expr.out type_coercion block)
+          def pgIntCast(src: org.apache.spark.sql.Column,
+              srcT: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+            val (pgName, lo, hi) = t match {
+              case "smallint" | "int2" => ("smallint", -32768L, 32767L)
+              case "int" | "integer" | "int4" =>
+                ("integer", Int.MinValue.toLong, Int.MaxValue.toLong)
+              case _ => ("bigint", Long.MinValue, Long.MaxValue)
+            }
+            val asLong = srcT match {
+              case org.apache.spark.sql.types.StringType =>
+                when(trim(src).rlike("^[+-]?[0-9]+$"), src.cast("long"))
+                  .otherwise(raise_error(format_string(
+                    s"""invalid input syntax for type $pgName: "%s"""", src))
+                    .cast("long"))
+              case org.apache.spark.sql.types.DoubleType |
+                   org.apache.spark.sql.types.FloatType =>
+                // in-range fractional values TRUNCATE on this path (the
+                // TVF record coercion — expr.out `RETURN rand() …
+                // AS (result int)` never reaches 1)
+                when(isnan(src) || abs(src) > lit(9.223372036854776e18),
+                  raise_error(lit(s"$pgName out of range")).cast("long"))
+                  .otherwise(src.cast("long"))
+              case _ => src.cast("long")
+            }
+            if (pgName == "bigint") asLong
+            else when(asLong < lo || asLong > hi,
+              raise_error(lit(s"$pgName out of range")).cast("long"))
+              .otherwise(asLong)
+          }
           val base = (declCast.get(t), df1.schema(c).dataType) match {
+            // a container value declared as a numeric scalar is the
+            // reference's non-scalar cast error (old expr.out
+            // `RETURN {key: 1} … AS (i bigint)`)
+            case (Some(target), _: org.apache.spark.sql.types.MapType)
+                if target == "long" || target == "double" =>
+              throw new IllegalArgumentException("cannot cast non-scalar " +
+                s"gtype to ${if (target == "long") "int8" else "float8"}")
+            case (Some("long"), dt)
+                if !dt.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+                  !dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+                  !graft.gvalue.GValueCol.isGValue(dt) =>
+              pgIntCast(orig, dt)
             case (Some(target), dt)
                 if !dt.isInstanceOf[org.apache.spark.sql.types.StructType] &&
                   !dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
@@ -498,7 +568,15 @@ final class GraphSession(val spark: SparkSession) {
     ("(?is)^SELECT\\s+(edges|count\\(edges\\))\\s+FROM\\s+(\\w+)\\s*,\\s*vle\\(\\s*" +
       "'\"([^\"]+)\"'\\s*::gtype\\s*,\\s*(\\w+)\\s*,\\s*(\\w+)\\s*,\\s*" +
       "'([^']*)'\\s*::gtype\\s*,\\s*'([^']*)'\\s*::gtype\\s*,\\s*'(-?[0-9]+)'\\s*::gtype" +
-      "\\s*(?:,\\s*(NULL(?:::gtype)?|'[^']*'(?:::gtype)?)\\s*,\\s*(NULL(?:::gtype)?|'[^']*'(?:::gtype)?)\\s*)?\\)$").r
+      "\\s*,\\s*(NULL(?:::gtype)?|'[^']*'(?:::gtype)?)\\s*,\\s*(NULL(?:::gtype)?|'[^']*'(?:::gtype)?)\\s*\\)$").r
+  /** A 6-arg vle() call — the reference catalog only declares the 8-arg
+    * form, so this is its undefined-function error
+    * (old cypher_vle.out:72).
+    */
+  private val VleSrf6Rx =
+    ("(?is)^SELECT\\s+(?:edges|count\\(edges\\))\\s+FROM\\s+\\w+\\s*,\\s*vle\\(\\s*" +
+      "'\"[^\"]+\"'\\s*::gtype\\s*,\\s*\\w+\\s*,\\s*\\w+\\s*,\\s*" +
+      "'[^']*'\\s*::gtype\\s*,\\s*'[^']*'\\s*::gtype\\s*,\\s*'-?[0-9]+'\\s*::gtype\\s*\\)$").r
   private val CreateLabelRx =
     "(?is)^SELECT\\s+create_([ve])label\\(\\s*'([^']+)'\\s*,\\s*'([^']+)'\\s*\\)$".r
   private val DropLabelRx =
@@ -617,7 +695,7 @@ final class GraphSession(val spark: SparkSession) {
       ("(?i)\\b(gtype_[a-z0-9_]+|bool_to_gtype|to[a-z0-9_]*(range|multirange)|" +
         "tocidr|toinet|topoint|topath|topolygon|tolseg|toline|tocircle|tobox|" +
         "tomacaddr8?|tobytea|tovector|totsvector|totsquery|st_[a-z0-9_]+|" +
-        "build_vertex|build_edge|build_traversal|_graphid)\\s*\\(").r
+        "build_vertex|build_edge|build_traversal|_graphid|id|label)\\s*\\(").r
         .findFirstIn(noStrings).isDefined
     // the raw-SQL ST_CPAWithin has the DOCUMENTED semantics, unlike the
     // cypher surface's (miswired to ST_IsValidTrajectory in the reference
@@ -650,7 +728,17 @@ final class GraphSession(val spark: SparkSession) {
       graph.commitIfChanged(tx)
       r
     }
-    catch { case e: Throwable => graph.txRestore(tx); throw e }
+    catch { case e: Throwable =>
+      graph.txRestore(tx)
+      // once a MERGE create path skipped prev-clause property
+      // materialization, the reference statement dies with the
+      // record-coercion error regardless of what later clauses hit
+      // (old cypher_merge.out test 22)
+      if (mergeRecordHazard)
+        throw new IllegalStateException(
+          "attribute 1 of type record has wrong type")
+      throw e
+    }
   }
 
   /** Set when a MERGE create path had to skip materializing prev-clause
@@ -1086,6 +1174,15 @@ final class GraphSession(val spark: SparkSession) {
       } else executeCreate(Ctx.empty, mergeDirected(pattern),
         new Compiler(graph.snapshot, compiler.params))
     } else {
+      // re-mentioning a bound EDGE variable in a MERGE pattern is the
+      // reference's transform error (old cypher_merge.out
+      // `MATCH ()-[e]-() MERGE ()-[e]->()` → variable e already exists)
+      pattern.elements.foreach {
+        case r: RelPattern if r.variable.exists(ctx.vars.contains) =>
+          throw new IllegalArgumentException(
+            s"variable ${r.variable.get} already exists")
+        case _ => ()
+      }
       val boundVars = pattern.elements.collect {
         case n: NodePattern if n.variable.exists(ctx.vars.contains) => n.variable.get
       }.distinct
@@ -1683,8 +1780,11 @@ final class MutableGraph(spark: SparkSession) {
       if (df.columns.contains(prop)) {
         val dup = df.filter(col(prop).isNotNull).groupBy(col(prop))
           .count().filter(col("count") > 1).limit(1).count()
+        // PG's failed CREATE UNIQUE INDEX message; expression indexes
+        // name as <table>_expr_idx… (old index.out:
+        // could not create unique index "City_expr_idx1")
         require(dup == 0,
-          s"cannot add unique constraint: duplicate $label.$prop values exist")
+          s"""could not create unique index "${label}_expr_idx1"""")
       }
     }
     uniqueConstraints += ((label, Compiler.PropNames.esc(prop)))
@@ -1713,8 +1813,8 @@ final class MutableGraph(spark: SparkSession) {
         }.foldLeft(lit(true))(_ && _)
         val extraKeys = props.keySet.diff(propCols.toSet).nonEmpty
         if (!extraKeys && df.filter(pred).limit(1).count() > 0)
-          throw new IllegalStateException(
-            s"unique properties constraint violation on $label")
+          throw new IllegalStateException("duplicate key value violates " +
+            s"""unique constraint "${label}_properties_key"""")
       }
 
   private def checkUnique(label: String, props: Map[String, GValue]): Unit =

@@ -91,13 +91,15 @@ object Parser {
       else if (c == '/' && peek(1) == '*') {
         // nested block comments (reference scanner's flex xc state,
         // old/regress/scan.sql:31-43); unterminated nesting is an error
+        val cstart = i
         var depth = 1; i += 2
         while (i < n && depth > 0) {
           if (q.charAt(i) == '/' && i + 1 < n && q.charAt(i + 1) == '*') { depth += 1; i += 2 }
           else if (q.charAt(i) == '*' && i + 1 < n && q.charAt(i + 1) == '/') { depth -= 1; i += 2 }
           else i += 1
         }
-        if (depth > 0) throw ParseException("unterminated /* comment")
+        if (depth > 0) throw ParseException(
+          s"""unterminated /* comment at or near "${q.substring(cstart)}"""")
       }
       else if (c.isDigit || (c == '.' && peek(1).isDigit)) {
         // numeric literal family per the reference scanner (ag_scanner.l,
@@ -116,7 +118,13 @@ object Parser {
           out += TInet(s)
           i += s.length
         }
-        else if (c == '0' && (peek(1) == 'x' || peek(1) == 'X') && isHexDigit(peek(2))) {
+        else if (c == '0' && (peek(1) == 'x' || peek(1) == 'X')) {
+          // a bare `0x` with no hex digit is the scanner's hexfail
+          // (ag_scanner.l; old scan.out `invalid hexadecimal integer
+          // literal at or near "0x"`)
+          if (!isHexDigit(peek(2)))
+            throw ParseException(
+              s"""invalid hexadecimal integer literal at or near "0${peek(1)}"""")
           i += 2
           val hs = i
           while (i < n && isHexDigit(q.charAt(i))) i += 1
@@ -138,6 +146,15 @@ object Parser {
             isFloat = true; i += 1
             if (i < n && (q.charAt(i) == '+' || q.charAt(i) == '-')) i += 1
             while (i < n && q.charAt(i).isDigit) i += 1
+          } else if (i < n && (q.charAt(i) == 'e' || q.charAt(i) == 'E')) {
+            // number directly followed by a bare exponent marker is the
+            // scanner's realfail (flex longest-match consumes the e and an
+            // optional sign before failing — old scan.out `invalid
+            // scientific notation literal at or near "3141592e-"`)
+            var j = i + 1
+            if (j < n && (q.charAt(j) == '+' || q.charAt(j) == '-')) j += 1
+            throw ParseException("invalid scientific notation literal " +
+              s"""at or near "${q.substring(start, j)}"""")
           }
           val s = q.substring(start, i)
           if (isFloat) out += TFloat(s.toDouble)
@@ -154,9 +171,39 @@ object Parser {
         def isHex(ch: Char): Boolean =
           (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')
         val quote = c
+        val qstart = i
         val sb = new StringBuilder
         i += 1
         var done = false
+        // PG scanner-style Unicode escape handling (ag_scanner.l; old
+        // scan.out:310-410 carries the exact message vocabulary):
+        //  - \uXXXX/\UXXXXXXXX with missing hex digits → "invalid Unicode
+        //    escape sequence"
+        //  - lone/bad surrogate halves → "invalid Unicode surrogate pair"
+        //  - code point 0 → "unsupported Unicode escape value"
+        //  - > 10FFFF → "invalid Unicode escape value"
+        def hexRun(from: Int, max: Int): String = {
+          var j = from; val e = math.min(n, from + max)
+          while (j < e && isHex(q.charAt(j))) j += 1
+          q.substring(from, j)
+        }
+        def escText(at: Int): String = // raw text of the escape at q(at)=='\\'
+          if (at + 1 < n && (q.charAt(at + 1) == 'u' || q.charAt(at + 1) == 'U'))
+            q.substring(at, at + 2) +
+              hexRun(at + 2, if (q.charAt(at + 1) == 'u') 4 else 8)
+          else if (at + 1 < n) q.substring(at, at + 2)
+          else "\\"
+        def uEscape(): Int = { // at q(i)=='u'|'U'; returns the code point
+          val big = q.charAt(i) == 'U'
+          val want = if (big) 8 else 4
+          val digits = hexRun(i + 1, want)
+          if (digits.length < want)
+            throw ParseException("invalid Unicode escape sequence at or " +
+              s"""near "\\${q.charAt(i)}$digits"""")
+          val cp = Integer.parseUnsignedInt(digits, 16)
+          i += 1 + want
+          cp
+        }
         while (!done && i < n) {
           if (q.charAt(i) == quote) {
             // SQL-style doubled quote is an escaped quote ('' → ', "" → ")
@@ -179,37 +226,78 @@ object Parser {
               case '\\' => sb += '\\'; i += 1
               case '\'' => sb += '\''; i += 1
               case '"'  => sb += '"'; i += 1
-              case 'u' if i + 4 < n &&
-                  q.substring(i + 1, i + 5).forall(isHex) =>
-                sb += Integer.parseInt(q.substring(i + 1, i + 5), 16).toChar
-                i += 5
-              case 'U' if i + 8 < n &&
-                  q.substring(i + 1, i + 9).forall(isHex) =>
-                sb ++= new String(Character.toChars(
-                  Integer.parseInt(q.substring(i + 1, i + 9), 16)))
-                i += 9
+              case 'u' | 'U' =>
+                val cp = uEscape()
+                if (cp == 0)
+                  throw ParseException("unsupported Unicode escape value " +
+                    s"""at or near "${escText(i - 6)}"""")
+                else if (cp > 0x10FFFF)
+                  throw ParseException("invalid Unicode escape value " +
+                    s"""at or near "${escText(i - 10)}"""")
+                else if (cp >= 0xD800 && cp <= 0xDBFF) {
+                  // high surrogate: a \u low surrogate MUST follow
+                  val nextEsc = i < n && q.charAt(i) == '\\' &&
+                    i + 1 < n && (q.charAt(i + 1) == 'u' || q.charAt(i + 1) == 'U')
+                  val lo = if (nextEsc) {
+                    val at = i
+                    i += 1
+                    val lcp = uEscape()
+                    if (lcp < 0xDC00 || lcp > 0xDFFF)
+                      throw ParseException("invalid Unicode surrogate pair " +
+                        s"""at or near "${escText(at)}"""")
+                    lcp
+                  } else if (i >= n)
+                    // the string never closes — the scanner's unterminated
+                    // error wins over pair validation (scan.out:428)
+                    throw ParseException("unterminated quoted string " +
+                      s"""at or near "${q.substring(qstart)}"""")
+                  else throw ParseException("invalid Unicode surrogate " +
+                    s"""pair at or near "${q.substring(i, i + 1)}"""")
+                  sb ++= new String(Character.toChars(
+                    0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)))
+                } else if (cp >= 0xDC00 && cp <= 0xDFFF)
+                  throw ParseException("invalid Unicode surrogate pair " +
+                    s"""at or near "${escText(i - 6)}"""")
+                else sb ++= new String(Character.toChars(cp))
               case other => sb += '\\'; sb += other; i += 1
             }
           } else { sb += q.charAt(i); i += 1 }
         }
-        if (!done) throw ParseException("unterminated string literal")
+        if (!done) throw ParseException(
+          s"""unterminated quoted string at or near "${q.substring(qstart)}"""")
         i += 1
         out += TStr(sb.toString)
       }
       else if (c.isLetter || c == '_') {
+        // `$` is a legal NON-FIRST identifier char (PG scan.l; old
+        // scan.out:439 parses `_$09A_z` as one identifier) — leading `$`
+        // stays the parameter marker
         val start = i
-        while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i += 1
+        while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_' ||
+          q.charAt(i) == '$')) i += 1
         val s = q.substring(start, i)
         val up = s.toUpperCase
         out += (if (keywords(up)) TKw(up, s) else TIdent(s))
       }
       else if (c == '`') {
-        val start = i + 1
+        // PG-style quoted identifier: `` inside doubles to a literal
+        // backquote (old scan.out:469 ```` is the identifier "`");
+        // zero-length and unterminated raise the scanner's messages
+        val qstart = i
+        val sb = new StringBuilder
         i += 1
-        while (i < n && q.charAt(i) != '`') i += 1
-        if (i >= n) throw ParseException("unterminated backquoted identifier")
-        out += TIdent(q.substring(start, i))
-        i += 1
+        var closed = false
+        while (!closed && i < n) {
+          if (q.charAt(i) == '`') {
+            if (i + 1 < n && q.charAt(i + 1) == '`') { sb += '`'; i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb += q.charAt(i); i += 1 }
+        }
+        if (!closed) throw ParseException(
+          s"""unterminated quoted identifier at or near "${q.substring(qstart)}"""")
+        if (sb.isEmpty) throw ParseException(
+          """zero-length quoted identifier at or near "``"""")
+        out += TIdent(sb.toString)
       }
       else {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
@@ -275,11 +363,29 @@ object Parser {
       case other     => throw ParseException(s"expected identifier, found $other")
     }
 
+    /** PG parser error shape: `syntax error at or near "<source text>"`,
+      * or `syntax error at end of input` when the parse ran out of tokens
+      * (old scan.out:150-210 vocabulary).
+      */
+    private def tokText(t: Tok): String = t match {
+      case TIdent(s) => s
+      case TKw(_, orig) => orig
+      case TSym(s) => s
+      case TInt(v) => v.toString
+      case TFloat(v) => v.toString
+      case TStr(s) => s
+      case TInet(s) => s
+      case other => other.toString
+    }
+    def syntaxError(t: Tok): Nothing =
+      if (t == TEnd) throw ParseException("syntax error at end of input")
+      else throw ParseException(s"""syntax error at or near "${tokText(t)}"""")
+
     // ---- query / set ops
 
     def parseQuery(): Query = {
       val q = parseSetOps()
-      if (cur != TEnd && !atSym(";")) throw ParseException(s"unexpected trailing token $cur")
+      if (cur != TEnd && !atSym(";")) syntaxError(cur)
       q
     }
 
@@ -332,7 +438,7 @@ object Parser {
           case _ => done = true
         }
       }
-      if (out.isEmpty) throw ParseException(s"expected a clause, found $cur")
+      if (out.isEmpty) syntaxError(cur)
       out.toList
     }
 
@@ -630,6 +736,10 @@ object Parser {
           val where = if (eat("WHERE")) Some(parseExpr()) else None
           CallProc(name.toString, args.toList, List(v), srf = true, where = where)
         } else {
+          // a CALL without YIELD/AS dies as the reference grammar does —
+          // plain syntax error at the offending token (old
+          // cypher_call.out `syntax error at end of input`)
+          if (!at("YIELD")) syntaxError(cur)
           expectKw("YIELD")
           val yields = ListBuffer(ident())
           while (eatSym(",")) yields += ident()
@@ -1019,7 +1129,14 @@ object Parser {
           ExistsPattern(pat)
         }
       case TSym("$") =>
-        pos += 1; Param(ident())
+        // a parameter marker must be followed by a NAME — `$0`, a bare
+        // `$`, or `$$` raise the scanner's unexpected-character error
+        // (old scan.out:457-463)
+        pos += 1
+        cur match {
+          case TIdent(_) | TKw(_, _) => Param(ident())
+          case _ => throw ParseException("""unexpected character at or near "$"""")
+        }
       case TSym("(") =>
         pos += 1
         val e = parseExpr()
@@ -1141,7 +1258,7 @@ object Parser {
           pos += 1
           FnCall(name.toLowerCase, Nil, distinct = false)
         } else { pos += 1; Var(name) }
-      case other => throw ParseException(s"unexpected token $other")
+      case other => syntaxError(other)
     }
 
     private def parseCase(): Expr = {

@@ -286,9 +286,17 @@ object GValue {
     case (GInt(x), GInt(y)) =>
       if (y == 0) throw new ArithmeticException("division by zero")
       else GInt(x / y)
-    case (GFloat(x), GFloat(y))  => GFloat(x / y)
-    case (GInt(x), GFloat(y))    => GFloat(x / y)
-    case (GFloat(x), GInt(y))    => GFloat(x / y)
+    // PG float8div/numeric_div ereport DIVISION_BY_ZERO — no IEEE
+    // Infinity escape (old gtype.out `SELECT gtype_div('1.0', '0.0')`)
+    case (GFloat(x), GFloat(y))  =>
+      if (y == 0.0) throw new ArithmeticException("division by zero")
+      GFloat(x / y)
+    case (GInt(x), GFloat(y))    =>
+      if (y == 0.0) throw new ArithmeticException("division by zero")
+      GFloat(x / y)
+    case (GFloat(x), GInt(y))    =>
+      if (y == 0) throw new ArithmeticException("division by zero")
+      GFloat(x / y)
     case (GNumeric(x), GFloat(f)) if f.isNaN || f.isInfinite => GFloat(x.toDouble / f)
     case (GFloat(f), GNumeric(y)) if f.isNaN || f.isInfinite => GFloat(f / y.toDouble)
     // numeric division: PG div_var's display scale — 16 fraction digits
@@ -298,8 +306,10 @@ object GValue {
     case _ => throw new IllegalArgumentException("invalid operand types for /")
   }
 
-  private def numDiv(x: BigDecimal, y: BigDecimal): BigDecimal =
+  private def numDiv(x: BigDecimal, y: BigDecimal): BigDecimal = {
+    if (y.signum == 0) throw new ArithmeticException("division by zero")
     BigDecimal(x.bigDecimal.divide(y.bigDecimal, 16, java.math.RoundingMode.HALF_UP))
+  }
 
   def mod(a: GValue, b: GValue): GValue = (a, b) match {
     case (GNull, _) | (_, GNull) => GNull
@@ -319,6 +329,11 @@ object GValue {
     // (gtype.out `2::numeric ^ 3` → 8.0000000000000000)
     case (x, y) if (x.isInstanceOf[GNumeric] || y.isInstanceOf[GNumeric]) &&
         isNumber(x) && isNumber(y) =>
+      // numeric_power rejects 0^negative before computing (PG numeric.c
+      // power_var; old gtype.out `gtype_pow('0', '-1::numeric')`)
+      if (toDouble(x) == 0.0 && toDouble(y) < 0)
+        throw new ArithmeticException(
+          "zero raised to a negative power is undefined")
       GNumeric(BigDecimal(new java.math.BigDecimal(math.pow(toDouble(x), toDouble(y)))
         .setScale(16, java.math.RoundingMode.HALF_UP)))
     case (x, y) if isNumber(x) && isNumber(y) =>

@@ -8,7 +8,10 @@ import scala.util.Try
   */
 object GoldenOut {
   sealed trait Expect
-  case object ExpectError extends Expect
+  /** Golden shows `ERROR: …` — `msg` is the text after the marker (first
+    * line only; DETAIL/HINT/LINE continuations dropped).
+    */
+  case class ExpectError(msg: String = "") extends Expect
   case object ExpectNone extends Expect // echoed, result shape unrecognized
   case class ExpectRows(rows: Seq[Seq[String]]) extends Expect
   case class Golden(file: String, stmt: String, expect: Expect)
@@ -74,11 +77,12 @@ object GoldenOut {
           i += 1
           while (i < raw.length && raw(i).trim.startsWith("NOTICE:")) i += 1
           if (i < raw.length && raw(i).startsWith("ERROR:")) {
+            val msg = raw(i).stripPrefix("ERROR:").trim
             i += 1
             while (i < raw.length && (raw(i).startsWith("LINE ") ||
               raw(i).trim == "^" || raw(i).trim.endsWith("^") ||
               raw(i).startsWith("DETAIL:") || raw(i).startsWith("HINT:"))) i += 1
-            out += Golden(path, stmt, ExpectError)
+            out += Golden(path, stmt, ExpectError(msg))
           } else if (i + 1 < raw.length && raw(i + 1).trim.matches("-+\\+?[-+]*")) {
             val multi = raw(i).contains("|") || raw(i + 1).contains("+")
             i += 2 // header + dashes

@@ -63,11 +63,11 @@ class GoldenSweepSpec extends AnyFunSuite {
             graft.gvalue.PgOut.cell(row.get(c), schema.fields(c)))
         }
       }, g.expect) match {
-        case (Failure(_), ExpectError) => () // parity
-        case (Success(_), ExpectError) if allowRefErr(g.stmt) =>
+        case (Failure(_), ExpectError(_)) => () // parity
+        case (Success(_), ExpectError(_)) if allowRefErr(g.stmt) =>
           allowed += 1 // documented accept-where-reference-errors family
           println(s"REFERR-ALLOWED $file | ${g.stmt.take(140)}")
-        case (Success(_), ExpectError) =>
+        case (Success(_), ExpectError(_)) =>
           softErr += 1 // we succeed where the reference errors; triaged below
           println(s"REFERR $file | ${g.stmt.take(140)}")
         case (Failure(e), ExpectRows(_)) =>

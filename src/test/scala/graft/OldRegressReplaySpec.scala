@@ -13,6 +13,15 @@ import scala.util.{Failure, Success, Try}
   * routed through the constant gtype compiler); reference-ERROR parity
   * comes from the .out files. ALL 23 suites of old/regress are replayed,
   * each with ceiling 0.
+  *
+  * Round 10 adds error-MESSAGE parity: for every statement whose golden
+  * records `ERROR: <msg>`, our exception's first line must byte-match
+  * (maxErrBad, 0 for 21 suites). The 2 triaged residues: cypher_merge's
+  * one psql-merged stray-`$$` fragment (the golden errors at "SELECT"
+  * inside a statement psql spliced from two sources) and cypher_call's
+  * `CALL pg_catalog.generate_series(…)` (the reference grammar rejects
+  * the qualified name at ".", while this engine supports `CALL ns.fn()
+  * YIELD` as a feature — erroring at "." would break it).
   */
 class OldRegressReplaySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -25,11 +34,14 @@ class OldRegressReplaySpec extends AnyFunSuite {
     colDefs.split(",").map(_.trim).filter(_.nonEmpty).map { d =>
       val t = d.split("\\s+"); (t(0), t.lift(1).getOrElse(""))
     }.toSeq
+  private val TvfFormTag =
+    ("(?is)^SELECT\\s+\\*\\s+FROM\\s+cypher\\('([^']+)'\\s*,\\s*" +
+      "\\$([A-Za-z_]+)\\$(.*)\\$\\2\\$\\s*\\)\\s+AS\\s*[A-Za-z_]*\\s*\\(([^)]*)\\)$").r
   private val CreateGraph = "(?i)^SELECT\\s+create_graph\\('([^']+)'\\)$".r
   private val DropGraph = "(?i)^SELECT\\s+drop_graph\\('([^']+)'.*\\)$".r
 
-  /** (fails, ran, forgiven, valueBad, valueCompared) */
-  private def replay(file: String): (Int, Int, Int, Int, Int) = {
+  /** (fails, ran, forgiven, valueBad, valueCompared, errBad, errCompared) */
+  private def replay(file: String): (Int, Int, Int, Int, Int, Int, Int) = {
     // scan.sql carries Latin-1 bytes in string literals — decode permissively
     val src = scala.io.Source.fromFile(
       s"/root/reference/old/regress/$file")(scala.io.Codec.ISO8859).mkString
@@ -59,7 +71,7 @@ class OldRegressReplaySpec extends AnyFunSuite {
         .toMap
     // matched-golden error parity: Some(true); unmatched: None
     def refErrors(stmt: String): Option[Boolean] = outcomes.get(norm(stmt)).map(_.exists {
-      case GoldenOut.ExpectError | GoldenOut.ExpectNone => true
+      case GoldenOut.ExpectError(_) | GoldenOut.ExpectNone => true
       case _ => false
     })
     val session = new graft.cypher.GraphSession(spark)
@@ -69,6 +81,7 @@ class OldRegressReplaySpec extends AnyFunSuite {
     val created = scala.collection.mutable.Set.empty[String]
     var fails = 0; var parity = 0; var ran = 0; var forgiven = 0
     var valueBad = 0; var valueCompared = 0
+    var errBad = 0; var errCompared = 0
     // value-level parity (round 8): the statement succeeded and its
     // dequeued golden carries a result table — render our rows in the
     // reference's cell format and diff (ordered, else as a multiset)
@@ -126,9 +139,28 @@ class OldRegressReplaySpec extends AnyFunSuite {
     def settle(q: String, shown: String,
         r: Try[Option[(Seq[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType)]]): Unit = r match {
-      case Failure(_) if refErrors(q).contains(true) =>
+      case Failure(e) if refErrors(q).contains(true) =>
         parity += 1
-        queues.get(norm(q)).filter(_.nonEmpty).foreach(_.dequeue())
+        // error-MESSAGE parity (round 10, measurement lane): the golden's
+        // `ERROR: <msg>` first line vs our exception's first line (the
+        // `requirement failed: ` require() prefix stripped)
+        queues.get(norm(q)).filter(_.nonEmpty).map(_.dequeue()) match {
+          case Some(GoldenOut.ExpectError(em)) if em.nonEmpty =>
+            errCompared += 1
+            val ours = Option(e.getMessage).getOrElse("")
+              .linesIterator.take(1).mkString.trim
+              .stripPrefix("requirement failed: ")
+              // Spark's raise_error framing around OUR message text
+              .stripPrefix("[USER_RAISED_EXCEPTION] ")
+              .stripSuffix("SQLSTATE: P0001").trim
+            if (ours != em) {
+              errBad += 1
+              println(s"OLDERRMSG $file | ${q.replaceAll("\\s+", " ").take(90)}")
+              println(s"  exp=${em.take(160)}")
+              println(s"  got=${ours.take(160)}")
+            }
+          case _ => ()
+        }
       case Failure(e) if refErrors(q).isEmpty =>
         forgiven += 1
         val msg = Option(e.getMessage).getOrElse("null")
@@ -168,9 +200,23 @@ class OldRegressReplaySpec extends AnyFunSuite {
           settle(q0, inner.trim, Try {
             if (!created.contains(g)) { session.createGraph(g); created += g }
             session.useGraph(g)
-            val df0 = session.run(inner.trim)
+            // trailing whitespace stays: PG's unterminated-lexeme error
+            // text runs to END OF INPUT including it (scan.out:418-434)
+            val df0 = session.run(inner.stripLeading())
             // declared AS-clause types apply exactly as on the hybrid
             // SQL surface (record coercion + render markers)
+            val df = if (df0 != null)
+              session.applyRecordDecls(df0, parseColDefs(colDefs)) else null
+            if (df != null) Some((df.collect().toSeq, df.schema)) else None
+          })
+        // tagged dollar quoting (`$cypher$ … $cypher$`, scan.sql:447) —
+        // same TVF routing, the tag only changes the delimiters
+        case TvfFormTag(g, _, inner, colDefs) =>
+          ran += 1
+          settle(q0, inner.trim, Try {
+            if (!created.contains(g)) { session.createGraph(g); created += g }
+            session.useGraph(g)
+            val df0 = session.run(inner.stripLeading())
             val df = if (df0 != null)
               session.applyRecordDecls(df0, parseColDefs(colDefs)) else null
             if (df != null) Some((df.collect().toSeq, df.schema)) else None
@@ -190,8 +236,9 @@ class OldRegressReplaySpec extends AnyFunSuite {
       }
     }
     println(s"OLDREPLAY $file: $fails/$ran failed ($parity error-parity, " +
-      s"$forgiven forgiven-unmatched); values: $valueBad/$valueCompared mismatched")
-    (fails, ran, forgiven, valueBad, valueCompared)
+      s"$forgiven forgiven-unmatched); values: $valueBad/$valueCompared mismatched; " +
+      s"errmsgs: $errBad/$errCompared mismatched")
+    (fails, ran, forgiven, valueBad, valueCompared, errBad, errCompared)
   }
 
   /** fails must be 0; forgiven-unmatched bounded by a per-suite triaged
@@ -200,8 +247,9 @@ class OldRegressReplaySpec extends AnyFunSuite {
     * mismatches bounded by maxValueBad with a coverage floor minCompared.
     */
   private def check(file: String, maxForgiven: Int = 0,
-      maxValueBad: Int = Int.MaxValue, minCompared: Int = 0): Unit = {
-    val (fails, _, forgiven, valueBad, valueCompared) = replay(file)
+      maxValueBad: Int = Int.MaxValue, minCompared: Int = 0,
+      maxErrBad: Int = Int.MaxValue): Unit = {
+    val (fails, _, forgiven, valueBad, valueCompared, errBad, _) = replay(file)
     assert(fails == 0)
     assert(forgiven <= maxForgiven,
       s"$file: $forgiven forgiven-unmatched throws > ceiling $maxForgiven")
@@ -209,6 +257,8 @@ class OldRegressReplaySpec extends AnyFunSuite {
       s"$file: $valueBad value mismatches > ceiling $maxValueBad")
     assert(valueCompared >= minCompared,
       s"$file: value coverage collapsed — $valueCompared compared < $minCompared")
+    assert(errBad <= maxErrBad,
+      s"$file: $errBad error-message mismatches > ceiling $maxErrBad")
   }
 
   // Round-10 value-ceiling lockdown (VERDICT r9 #1): every suite now
@@ -224,31 +274,31 @@ class OldRegressReplaySpec extends AnyFunSuite {
   // sentinel, exact EXTRACT(JULIAN), ag_graph catalog shape, path::gtype
   // header-bytes point. Parity throws (the reference's own expected
   // output shows ERROR) never count.
-  test("old replay cypher_call.sql") { check("cypher_call.sql", maxValueBad = 0, minCompared = 8)}
-  test("old replay regex.sql") { check("regex.sql", maxValueBad = 0, minCompared = 29)}
-  test("old replay aggregation.sql") { check("aggregation.sql", maxValueBad = 0, minCompared = 99)}
-  test("old replay scan.sql") { check("scan.sql", maxValueBad = 0, minCompared = 19)}
-  test("old replay expr.sql") { check("expr.sql", maxValueBad = 0, minCompared = 376)}
-  test("old replay temporal.sql") { check("temporal.sql", maxValueBad = 0, minCompared = 471)}
-  test("old replay network.sql") { check("network.sql", maxValueBad = 0, minCompared = 151)}
-  test("old replay range.sql") { check("range.sql", maxValueBad = 0, minCompared = 173)}
-  test("old replay geometric.sql") { check("geometric.sql", maxValueBad = 0, minCompared = 193)}
-  test("old replay index.sql") { check("index.sql", maxValueBad = 0, minCompared = 38)}
+  test("old replay cypher_call.sql") { check("cypher_call.sql", maxValueBad = 0, minCompared = 8, maxErrBad = 1)}
+  test("old replay regex.sql") { check("regex.sql", maxValueBad = 0, minCompared = 29, maxErrBad = 0)}
+  test("old replay aggregation.sql") { check("aggregation.sql", maxValueBad = 0, minCompared = 99, maxErrBad = 0)}
+  test("old replay scan.sql") { check("scan.sql", maxValueBad = 0, minCompared = 19, maxErrBad = 0)}
+  test("old replay expr.sql") { check("expr.sql", maxValueBad = 0, minCompared = 376, maxErrBad = 0)}
+  test("old replay temporal.sql") { check("temporal.sql", maxValueBad = 0, minCompared = 471, maxErrBad = 0)}
+  test("old replay network.sql") { check("network.sql", maxValueBad = 0, minCompared = 151, maxErrBad = 0)}
+  test("old replay range.sql") { check("range.sql", maxValueBad = 0, minCompared = 173, maxErrBad = 0)}
+  test("old replay geometric.sql") { check("geometric.sql", maxValueBad = 0, minCompared = 193, maxErrBad = 0)}
+  test("old replay index.sql") { check("index.sql", maxValueBad = 0, minCompared = 38, maxErrBad = 0)}
   test("old replay traversal_functions.sql") {
-    check("traversal_functions.sql", maxValueBad = 0, minCompared = 9)}
-  test("old replay gtype.sql") { check("gtype.sql", maxValueBad = 0, minCompared = 249)}
-  test("old replay postgis.sql") { check("postgis.sql", maxValueBad = 0, minCompared = 484)}
-  test("old replay catalog.sql") { check("catalog.sql", maxValueBad = 0, minCompared = 22)}
-  test("old replay graphid.sql") { check("graphid.sql", maxValueBad = 0, minCompared = 6)}
-  test("old replay vertex.sql") { check("vertex.sql", maxValueBad = 0, minCompared = 37)}
-  test("old replay edge.sql") { check("edge.sql", maxValueBad = 0, minCompared = 37)}
-  test("old replay traversal.sql") { check("traversal.sql", maxValueBad = 0, minCompared = 41)}
+    check("traversal_functions.sql", maxValueBad = 0, minCompared = 9, maxErrBad = 0)}
+  test("old replay gtype.sql") { check("gtype.sql", maxValueBad = 0, minCompared = 249, maxErrBad = 0)}
+  test("old replay postgis.sql") { check("postgis.sql", maxValueBad = 0, minCompared = 484, maxErrBad = 0)}
+  test("old replay catalog.sql") { check("catalog.sql", maxValueBad = 0, minCompared = 22, maxErrBad = 0)}
+  test("old replay graphid.sql") { check("graphid.sql", maxValueBad = 0, minCompared = 6, maxErrBad = 0)}
+  test("old replay vertex.sql") { check("vertex.sql", maxValueBad = 0, minCompared = 37, maxErrBad = 0)}
+  test("old replay edge.sql") { check("edge.sql", maxValueBad = 0, minCompared = 37, maxErrBad = 0)}
+  test("old replay traversal.sql") { check("traversal.sql", maxValueBad = 0, minCompared = 41, maxErrBad = 0)}
   test("old replay variable_edge.sql") {
-    check("variable_edge.sql", maxValueBad = 0, minCompared = 36)}
+    check("variable_edge.sql", maxValueBad = 0, minCompared = 36, maxErrBad = 0)}
   test("old replay variable_edge_functions.sql") {
-    check("variable_edge_functions.sql", maxValueBad = 0, minCompared = 10)}
-  test("old replay drop.sql") { check("drop.sql", maxValueBad = 0)}
+    check("variable_edge_functions.sql", maxValueBad = 0, minCompared = 10, maxErrBad = 0)}
+  test("old replay drop.sql") { check("drop.sql", maxValueBad = 0, maxErrBad = 0)}
   test("old replay cypher_merge.sql") {
-    check("cypher_merge.sql", maxValueBad = 0, minCompared = 113)}
-  test("old replay cypher_vle.sql") { check("cypher_vle.sql", maxValueBad = 0, minCompared = 67)}
+    check("cypher_merge.sql", maxValueBad = 0, minCompared = 113, maxErrBad = 1)}
+  test("old replay cypher_vle.sql") { check("cypher_vle.sql", maxValueBad = 0, minCompared = 67, maxErrBad = 0)}
 }

@@ -55,7 +55,7 @@ class RegressReplaySpec extends AnyFunSuite {
         s"/root/reference/regress/expected/${file.stripSuffix(".sql")}.out")
         .groupBy(g => norm(g.stmt)).view.mapValues(_.map(_.expect)).toMap
     def refErrors(stmt: String): Option[Boolean] = outcomes.get(norm(stmt)).map(_.exists {
-      case GoldenOut.ExpectError | GoldenOut.ExpectNone => true
+      case GoldenOut.ExpectError(_) | GoldenOut.ExpectNone => true
       case _ => false
     })
     val session = new graft.cypher.GraphSession(spark)

@@ -99,18 +99,25 @@ object SqlSplit {
     */
   private def collapseWs(s: String): String = {
     val sb = new StringBuilder
-    var q = ' '; var lastWs = false; var i = 0
+    var q = ' '; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (q != ' ') {
         sb.append(c); if (c == q) q = ' '
-        lastWs = false
+        i += 1
       } else if (c == '\'' || c == '"') {
-        q = c; sb.append(c); lastWs = false
+        q = c; sb.append(c); i += 1
       } else if (c.isWhitespace) {
-        if (!lastWs) sb.append(' '); lastWs = true
-      } else { sb.append(c); lastWs = false }
-      i += 1
+        // a run collapses to ONE char — '\n' when the run contained a
+        // line break (PG scanner error spans stop at end-of-line, so the
+        // replay must keep the fixture's line structure), else ' '
+        var nl = false
+        while (i < s.length && s.charAt(i).isWhitespace) {
+          if (s.charAt(i) == '\n') nl = true
+          i += 1
+        }
+        sb.append(if (nl) '\n' else ' ')
+      } else { sb.append(c); i += 1 }
     }
     sb.toString.trim
   }

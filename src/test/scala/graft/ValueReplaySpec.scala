@@ -57,8 +57,8 @@ class ValueReplaySpec extends AnyFunSuite {
           if (df == null || isDdl) None // DDL — golden echoes a dummy 1-row table
           else Some((df.collect().toSeq, df.schema))
         }, g.expect) match {
-          case (Failure(_), ExpectError) => () // parity
-          case (Success(_), ExpectError) => () // ref-only error (probe scope)
+          case (Failure(_), ExpectError(_)) => () // parity
+          case (Success(_), ExpectError(_)) => () // ref-only error (probe scope)
           case (Success(None), _) => ()
           case (Failure(e), ExpectRows(_)) =>
             threw += 1
@@ -94,15 +94,14 @@ class ValueReplaySpec extends AnyFunSuite {
     (bad, threw, skipped, compared)
   }
 
-  // Ceilings measured + triaged round 7. Residue, each inspected:
+  // Residue, each inspected:
   // - cypher_match 1 mismatch: `RETURN DISTINCT p` over the duplicate
   //   graph — the reference's OWN run lost the second dup_edge path (its
   //   preceding DISTINCT u errored with a missing label_id operator,
   //   cypher_match.out:571); we return both distinct paths, correctly.
-  // - cypher_vle 2 mismatches: *3..3 path enumeration — the golden rows
-  //   embed interior vertices inconsistent with their adjacent edge
-  //   endpoints (traversal.c interior-index quirk); our paths are
-  //   id-consistent.
+  // - cypher_vle: 0 as of round 10 — the *3..3 interior-vertex display
+  //   quirk is replicated in bindVle (edge i ≥ 2 shows its start
+  //   endpoint), so the goldens now match byte-for-byte.
   test("value replay cypher_match.sql") {
     val (bad, threw, skipped, compared) = replay("cypher_match.out")
     assert(compared > 40, s"value coverage collapsed: $compared compared")
@@ -112,7 +111,7 @@ class ValueReplaySpec extends AnyFunSuite {
   test("value replay cypher_vle.sql") {
     val (bad, threw, skipped, compared) = replay("cypher_vle.out")
     assert(compared > 20, s"value coverage collapsed: $compared compared")
-    assert(bad + threw <= 2)
+    assert(bad + threw == 0)
     assert(skipped == 0)
   }
 
