@@ -2549,8 +2549,20 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       Some(exists(col(s"${veName}__edges"),
         ed => ed.getField("id") === col(s"${eName}__id")))
     case op if (Compiler.geomBoxOps(op) || Compiler.geomNdOps(op) || op == "|=|") && {
-        def isG(e: Option[Expr]) =
-          e.exists(x => geomConst(x).exists(_.isInstanceOf[GeomWkt.G]))
+        // a constant side counts as geometry when it folds to a GeomWkt.G,
+        // or (r10 regression: togeometry(box3d) folds to the polyhedral-
+        // surface EWKT *string*, not a G — g30's `&&` silently fell through
+        // to the native-PG geo path and errored) when a geometry-producing
+        // FnCall folds to WKT text that parses. Bare string literals stay
+        // excluded so tsquery/box-string operands keep their own dispatch.
+        def isG(e: Option[Expr]) = e.exists {
+          case x: FnCall => geomConst(x).exists {
+            case _: GeomWkt.G => true
+            case s: String => scala.util.Try(GeomWkt.parse(s)).isSuccess
+            case _ => false
+          }
+          case x => geomConst(x).exists(_.isInstanceOf[GeomWkt.G])
+        }
         isG(lRaw) || isG(rRaw) } =>
       // PostGIS geometry operators: both-constant forms evaluate driver-
       // side; a constant against a dynamic column (an EWKT property)

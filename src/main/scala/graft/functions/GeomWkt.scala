@@ -25,6 +25,10 @@ object GeomWkt {
   final case class GMPoint(pts: Vector[Pt], dim: Dim, srid: Int) extends G
   final case class GMLine(lines: Vector[Vector[Pt]], dim: Dim, srid: Int) extends G
   final case class GMPoly(polys: Vector[Vector[Vector[Pt]]], dim: Dim, srid: Int) extends G
+  /** POLYHEDRALSURFACE: multipolygon-shaped face list (PostGIS lwpsurface;
+    * the `box3d::geometry` fold — BOX3D_to_LWGEOM — produces this form).
+    */
+  final case class GPSurf(polys: Vector[Vector[Vector[Pt]]], dim: Dim, srid: Int) extends G
   final case class GColl(items: Vector[G], dim: Dim, srid: Int) extends G
 
   // ------------------------------------------------------------- parsing
@@ -51,7 +55,8 @@ object GeomWkt {
     var suffix = Option(m.group(2)).map(_.toUpperCase).getOrElse("")
     // POINTM / LINESTRINGM spelled attached
     for (t <- Seq("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
-        "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION")) {
+        "MULTILINESTRING", "MULTIPOLYGON", "POLYHEDRALSURFACE",
+        "GEOMETRYCOLLECTION")) {
       if (name == t + "M") { name = t; suffix = "M" }
       else if (name == t + "Z") { name = t; suffix = "Z" }
       else if (name == t + "ZM") { name = t; suffix = "ZM" }
@@ -66,6 +71,7 @@ object GeomWkt {
         case "MULTIPOINT" => GMPoint(Vector.empty, dim0, srid)
         case "MULTILINESTRING" => GMLine(Vector.empty, dim0, srid)
         case "MULTIPOLYGON" => GMPoly(Vector.empty, dim0, srid)
+        case "POLYHEDRALSURFACE" => GPSurf(Vector.empty, dim0, srid)
         case "GEOMETRYCOLLECTION" => GColl(Vector.empty, dim0, srid)
         case other => throw new IllegalArgumentException(
           s"parse error - invalid geometry type: $other")
@@ -154,6 +160,15 @@ object GeomWkt {
           }
         }
         GMPoly(polys, d, srid)
+      case "POLYHEDRALSURFACE" =>
+        var d = dim0
+        val polys = splitTop(inner).map { poly =>
+          splitTop(stripParens(poly)).map { r =>
+            val (pts, rd) = ptList(stripParens(r), d)
+            if (!d.z && !d.m) d = rd; pts
+          }
+        }
+        GPSurf(polys, d, srid)
       case "GEOMETRYCOLLECTION" =>
         val items = splitTop(inner).map(t => parseBody(t.trim, 0))
         val d = items.headOption.map(_.dim).getOrElse(dim0)
@@ -172,6 +187,7 @@ object GeomWkt {
     case x: GMPoint => x.copy(srid = s)
     case x: GMLine => x.copy(srid = s)
     case x: GMPoly => x.copy(srid = s)
+    case x: GPSurf => x.copy(srid = s)
     case x: GColl => x.copy(srid = s)
   }
 
@@ -219,6 +235,11 @@ object GeomWkt {
         else s"${tag("MULTIPOLYGON", d)}(${polys.map(poly =>
           "(" + poly.map(r => "(" + r.map(coordStr(_, d)).mkString(",") + ")")
             .mkString(",") + ")").mkString(",")})"
+      case GPSurf(polys, d, _) =>
+        if (polys.isEmpty) tag("POLYHEDRALSURFACE", d) + " EMPTY"
+        else s"${tag("POLYHEDRALSURFACE", d)}(${polys.map(poly =>
+          "(" + poly.map(r => "(" + r.map(coordStr(_, d)).mkString(",") + ")")
+            .mkString(",") + ")").mkString(",")})"
       case GColl(items, d, _) =>
         if (items.isEmpty) tag("GEOMETRYCOLLECTION", d) + " EMPTY"
         else s"${tag("GEOMETRYCOLLECTION", d)}(${items.map(renderEwkt).mkString(",")})"
@@ -246,7 +267,7 @@ object GeomWkt {
       val base = g match {
         case _: GPoint => 1; case _: GLine => 2; case _: GPoly => 3
         case _: GMPoint => 4; case _: GMLine => 5; case _: GMPoly => 6
-        case _: GColl => 7
+        case _: GColl => 7; case _: GPSurf => 15
       }
       byte(1)
       var t = base.toLong
@@ -271,6 +292,9 @@ object GeomWkt {
         case GMPoly(polys, d, srid) =>
           u32(polys.length.toLong)
           polys.foreach(p => emit(GPoly(p, d, srid), withSrid = false))
+        case GPSurf(polys, d, srid) =>
+          u32(polys.length.toLong)
+          polys.foreach(p => emit(GPoly(p, d, srid), withSrid = false))
         case GColl(items, _, _) =>
           u32(items.length.toLong)
           items.foreach(emit(_, withSrid = false))
@@ -289,6 +313,7 @@ object GeomWkt {
     case GPoly(rings, _, _) => rings.flatten
     case GMLine(lines, _, _) => lines.flatten
     case GMPoly(polys, _, _) => polys.flatten.flatten
+    case GPSurf(polys, _, _) => polys.flatten.flatten
     case GColl(items, _, _) => items.flatMap(allPts)
   }
 
@@ -311,6 +336,7 @@ object GeomWkt {
     case GPoly(rings, d, s) => GPoly(rings.map(_.map(f)), d, s)
     case GMLine(lines, d, s) => GMLine(lines.map(_.map(f)), d, s)
     case GMPoly(polys, d, s) => GMPoly(polys.map(_.map(_.map(f))), d, s)
+    case GPSurf(polys, d, s) => GPSurf(polys.map(_.map(_.map(f))), d, s)
     case GColl(items, d, s) => GColl(items.map(mapPts(_, f)), d, s)
   }
 
@@ -336,6 +362,7 @@ object GeomWkt {
   private def ringsOf(g: G): Vector[Vector[Pt]] = g match {
     case GPoly(rings, _, _) => rings
     case GMPoly(polys, _, _) => polys.flatten
+    case GPSurf(polys, _, _) => polys.flatten
     case GColl(items, _, _) => items.flatMap(ringsOf)
     case _ => Vector.empty
   }

@@ -246,7 +246,7 @@ object GraphQueries {
         "(ln ?|| toline('{3,-3,7}'))::int AS par, " +
         "(s # s3).x AS interx, " +
         "(p ## ln).x AS cpx, " +
-        "round((@-@ s) + 1e-9, 4) AS slen, " +
+        "round((@-@ s) + 1e-9, 4)::float AS slen, " +
         "(@@ s).x AS midx, " +
         "(circ << tobox('(5,0),(9,9)'))::int AS lft, " +
         "(b |>> tobox('(0,-5),(9,-4)'))::int AS abv, " +
@@ -495,7 +495,7 @@ object GraphQueries {
         |  CAST(c_custkey % 7 AS DOUBLE) / 2 AS interx,
         |  (CAST(c_custkey % 7 AS DOUBLE) + (c_custkey % 5)) / 2 AS cpx,
         |  CAST(round(sqrt(CAST((c_custkey%7)*(c_custkey%7) + 16 AS DOUBLE)) + 1e-9, 4)
-        |       AS DECIMAL(38,4)) AS slen,
+        |       AS DOUBLE) AS slen,  -- DOUBLE on BOTH sides (r10 driver hash flagged the DECIMAL(38,4) form; strict_check marks decimal outputs unsafe)
         |  CAST(c_custkey % 7 AS DOUBLE) / 2 AS midx,
         |  CAST(CASE WHEN c_custkey % 3 < 2 THEN 1 ELSE 0 END AS BIGINT) AS lft,
         |  CAST(1 AS BIGINT) AS abv,
