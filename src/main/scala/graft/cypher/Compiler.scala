@@ -1893,6 +1893,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // downstream numeric fns (ceil/round/casts) still see a plain
       // decimal while the render keeps `0.0::numeric` exact
       compileExpr(gvalueToAst(res), ctx)
+    // `!!=` consumes only the __edges arrays — compiling the bare VLE Vars
+    // would demand the full (nodes+edges) materialization; hand binOp
+    // placeholder columns and let the raw-expr dispatch do the work
+    case Bin("!!=", l @ Var(a), r @ Var(b))
+        if isVleVar(a, ctx) && isVleVar(b, ctx) =>
+      binOp("!!=", col(s"${a}__ids"), col(s"${b}__ids"), ctx,
+        rRaw = Some(r), lRaw = Some(l))
     case Bin(op, l, r) => binOp(op, compileExpr(l, ctx), compileExpr(r, ctx), ctx,
       rRaw = Some(r), lRaw = Some(l))
     case Un("NOT", x) => !compileExpr(x, ctx)
@@ -2548,6 +2555,25 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       }
       Some(exists(col(s"${veName}__edges"),
         ed => ed.getField("id") === col(s"${eName}__id")))
+    case "!!=" if {
+        def vle(e: Option[Expr]) = e.exists {
+          case Var(v) => isVleVar(v, ctx); case _ => false }
+        vle(lRaw) && vle(rRaw) } =>
+      // match_vles / the `!!=` operator (reference variable_edge.c:269-289,
+      // catalog postgraph.sql.in:529-537): NOT disjointness — the C takes
+      // the FIRST edge of the lhs and the LAST edge of the rhs and returns
+      // true when they share any endpoint vertex id (start/end × start/end),
+      // i.e. "could these two VLE paths join end-to-start". Exercised by no
+      // reference regress statement; semantics taken from the C source.
+      val (aName, bName) = (lRaw.get, rRaw.get) match {
+        case (Var(a), Var(b)) => (a, b)
+        case other => throw new IllegalStateException(s"!!= operands: $other")
+      }
+      val fe = element_at(col(s"${aName}__edges"), 1)
+      val le = element_at(col(s"${bName}__edges"), -1)
+      val (fs, fd) = (fe.getField("start_id"), fe.getField("end_id"))
+      val (ls, ld) = (le.getField("start_id"), le.getField("end_id"))
+      Some(fs === ls || fd === ls || fs === ld || fd === ld)
     case op if (Compiler.geomBoxOps(op) || Compiler.geomNdOps(op) || op == "|=|") && {
         // a constant side counts as geometry when it folds to a GeomWkt.G,
         // or (r10 regression: togeometry(box3d) folds to the polyhedral-
@@ -4095,6 +4121,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         if (ctx.vars.get(p).exists(_.kind == VarKind.VlePath)) Set((p, "edges"))
         else vleOf(p).map((_, "edges")).toSet
       case FnCall(_, args, _) => args.flatMap(vleValueNeeds(_, ctx)).toSet
+      // `a !!= b` (match_vles) touches only edge endpoints — skip the node
+      // materialization the bare-Var case would force
+      case Bin("!!=", Var(a), Var(b))
+          if ctx.vars.get(a).exists(_.kind == VarKind.VlePath) &&
+             ctx.vars.get(b).exists(_.kind == VarKind.VlePath) =>
+        Set((a, "edges"), (b, "edges"))
       case Bin(_, l, r) => vleValueNeeds(l, ctx) ++ vleValueNeeds(r, ctx)
       case Un(_, x) => vleValueNeeds(x, ctx)
       case IsNull(x, _) => vleValueNeeds(x, ctx)

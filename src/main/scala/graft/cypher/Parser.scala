@@ -312,7 +312,7 @@ object Parser {
         }
         else if (Set("<->", "<#>", "<=>", "!~~", "~~*", "!~*", "->>",
             "@-@", "?-|", "?||", "<<|", "|>>", "!@=", "&<|", "|&>",
-            "<<=", ">>=", "&&&", "~~=").contains(three)) {
+            "<<=", ">>=", "&&&", "~~=", "!!=").contains(three)) {
           out += TSym(three); i += 3
         }
         else if (Set("<=", ">=", "<>", "=~", "->", "<-", "..", "::",
@@ -931,7 +931,7 @@ object Parser {
           case TSym(op @ ("#" | "##" | "?#" | "?-|" | "?||" | "@>" | "<@" |
               "<<" | ">>" | "&<" | "&>" | "<<|" | "|>>" | "&&" |
               "<<=" | ">>=" | "~=" | "&<|" | "|&>" | "@" | "|=|" |
-              "&&&" | "@@" | "~~=")) =>
+              "&&&" | "@@" | "~~=" | "!!=")) =>
             // `@` = bbox contained-by, `|=|` = trajectory CPA distance,
             // `&&&`/`@@`/`~~=` = PostGIS n-D overlap/within/same
             // (PostGIS operator set over gtype geometry)

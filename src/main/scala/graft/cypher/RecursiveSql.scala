@@ -14,14 +14,20 @@ import org.apache.spark.sql.functions._
   * plan; this file only adds the text entry point.
   *
   * Scope (grammar-tail parity — the reference's regress never exercises
-  * RECURSIVE): one CTE per WITH, the recursive term must reference the
-  * CTE by its own unaliased name, and seed/step/tail are Spark SQL run
-  * against the session catalog's temp views.
+  * RECURSIVE): a cte_list (cypher_gram.y:1335-1443) of one or more CTEs,
+  * each recursive (self-referencing) or plain, later CTEs may reference
+  * earlier ones; the recursive term must reference the CTE by its own
+  * unaliased name, and seed/step/tail are Spark SQL run against the
+  * session catalog's temp views. CTE names are statement-scoped like
+  * PG's: any temp view a CTE name shadows is restored afterwards.
   */
 object RecursiveSql {
 
   private val Head =
     "(?is)^\\s*WITH\\s+RECURSIVE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\(([^)]*)\\))?\\s*AS\\s*(?:(?:NOT\\s+)?MATERIALIZED\\s+)?\\(".r
+  /** A subsequent cte_list item: `, name [(cols)] AS (`. */
+  private val NextCte =
+    "(?is)^\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\(([^)]*)\\))?\\s*AS\\s*(?:(?:NOT\\s+)?MATERIALIZED\\s+)?\\(".r
   private val SearchRx =
     "(?is)^\\s*SEARCH\\s+(BREADTH|DEPTH)\\s+FIRST\\s+BY\\s+(.+?)\\s+SET\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*".r
   private val CycleRx =
@@ -100,41 +106,139 @@ object RecursiveSql {
     throw new IllegalArgumentException("recursive term has no top-level FROM")
   }
 
+  /** One parsed cte_list item. */
+  private final case class Cte(name: String, aliasCols: Option[Seq[String]],
+      body: String, search: Option[scala.util.matching.Regex.Match],
+      cycle: Option[scala.util.matching.Regex.Match])
+
+  /** Quote-aware "does `sql` reference `name` as a word" — the PG rule for
+    * whether a cte_list item is actually recursive.
+    */
+  private def referencesSelf(sql: String, name: String): Boolean = {
+    val noStr = sql.replaceAll("'[^']*'", "''")
+    ("(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) +
+      "(?![A-Za-z0-9_])").r.findFirstIn(noStr).isDefined
+  }
+
   def run(spark: SparkSession, q0: String): DataFrame = {
     val q = q0.trim.stripSuffix(";")
     val m = Head.findFirstMatchIn(q).getOrElse(
       throw new IllegalArgumentException("not a WITH RECURSIVE statement"))
-    val cte = m.group(1)
-    val aliasCols = Option(m.group(2)).map(_.split(",").map(_.trim).toSeq)
-    val openAt = m.end - 1
-    val closeAt = closeParen(q, openAt)
-    val body = q.substring(openAt + 1, closeAt)
-    var rest = q.substring(closeAt + 1)
-    val search = SearchRx.findFirstMatchIn(rest).map { sm =>
-      rest = rest.substring(sm.end); sm
-    }
-    val cycle = CycleRx.findFirstMatchIn(rest).map { cm =>
-      rest = rest.substring(cm.end); cm
+
+    // ---- parse the cte_list (one or more items, each with an optional
+    // trailing SEARCH/CYCLE clause — cypher_gram.y:1335-1443)
+    val ctes = Vector.newBuilder[Cte]
+    var name = m.group(1)
+    var aliasCols = Option(m.group(2)).map(_.split(",").map(_.trim).toSeq)
+    var openAt = m.end - 1
+    var rest = ""
+    var done = false
+    while (!done) {
+      val closeAt = closeParen(q, openAt)
+      val body = q.substring(openAt + 1, closeAt)
+      rest = q.substring(closeAt + 1)
+      val search = SearchRx.findFirstMatchIn(rest).map { sm =>
+        rest = rest.substring(sm.end); sm
+      }
+      val cycle = CycleRx.findFirstMatchIn(rest).map { cm =>
+        rest = rest.substring(cm.end); cm
+      }
+      ctes += Cte(name, aliasCols, body, search, cycle)
+      NextCte.findFirstMatchIn(rest) match {
+        case Some(nm) =>
+          name = nm.group(1)
+          aliasCols = Option(nm.group(2)).map(_.split(",").map(_.trim).toSeq)
+          // re-anchor openAt in q: rest is a suffix of q
+          openAt = q.length - rest.length + nm.end - 1
+        case None => done = true
+      }
     }
     val tail = rest.trim
-    require(tail.nonEmpty, "WITH RECURSIVE needs a statement after the CTE")
+    require(tail.nonEmpty, "WITH RECURSIVE needs a statement after the CTE list")
+    val cteList = ctes.result()
+
+    // ---- statement-scoped names (ADVICE r10): remember what each CTE name
+    // shadowed so the session catalog is restored afterwards — PG CTE names
+    // never outlive the statement
+    val shadowed = scala.collection.mutable.LinkedHashMap.empty[String, Option[DataFrame]]
+    // snapshot BEFORE any evaluation: the fixpoint's step() registers the
+    // frontier under the CTE name mid-iteration, so capturing lazily at
+    // register() time would save the frontier, not the user's prior view
+    for (c <- cteList)
+      shadowed(c.name) = scala.util.Try(spark.table(c.name)).toOption
+    def register(n: String, df: DataFrame): Unit = {
+      if (!shadowed.contains(n))
+        shadowed(n) = scala.util.Try(spark.table(n)).toOption
+      // checkpoint the completed CTE (PG materializes CTEs once per
+      // statement too), and strip constraint lineage: LogicalRDD keeps
+      // origin constraints, and a user projection aliasing ONE source
+      // column twice (`SELECT w.n AS a, w.n AS b`) leaves a stale attr id
+      // in them that Union.rewriteConstraints can't map downstream
+      // (key-not-found during a later fixpoint's checkpoint).
+      val c = df.localCheckpoint()
+      spark.createDataFrame(c.rdd, c.schema).createOrReplaceTempView(n)
+    }
+    // Constraint propagation off for the statement: Spark 4.1's LogicalRDD
+    // keeps "origin constraints" across localCheckpoint, and a seed that
+    // aliases ONE source column twice (SELECT w.n AS a, w.n AS b) leaves a
+    // stale attribute id in them — Union.rewriteConstraints then dies with
+    // key-not-found on iteration ≥ 1 (reproduced in vanilla Spark code, no
+    // graft involvement). The fixpoint re-checkpoints every generation, so
+    // InferFiltersFromConstraints has nothing to win here anyway.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrior = spark.conf.getOption(cpKey)
+    spark.conf.set(cpKey, "false")
+    try {
+      for (c <- cteList)
+        register(c.name, evalCte(spark, c))
+      // materialize the tail BEFORE the finally restores/drops the views
+      val out = spark.sql(tail)
+      out.localCheckpoint()
+    } finally {
+      cpPrior match {
+        case Some(v) => spark.conf.set(cpKey, v)
+        case None => spark.conf.unset(cpKey)
+      }
+      for ((n, prior) <- shadowed) prior match {
+        case Some(df) => df.createOrReplaceTempView(n)
+        case None => spark.catalog.dropTempView(n)
+      }
+    }
+  }
+
+  private def evalCte(spark: SparkSession, c: Cte): DataFrame = {
+    val Cte(cte, aliasCols, body, search, cycle) = c
     require(search.isEmpty || cycle.isEmpty,
       "SEARCH and CYCLE on the same CTE are not supported here")
+
+    // a cte_list item that never references its own name is a plain CTE
+    // (PG: RECURSIVE marks the list, not every member)
+    if (!referencesSelf(body, cte) && search.isEmpty && cycle.isEmpty) {
+      val df = spark.sql(body)
+      return aliasCols.map(ns => df.toDF(ns: _*)).getOrElse(df)
+    }
 
     val (seedSql, stepSql, unionAll) = splitUnion(body)
     require((search.isEmpty && cycle.isEmpty) || unionAll,
       "SEARCH/CYCLE require UNION ALL")
     val seed0 = spark.sql(seedSql)
-    val seed = aliasCols match {
+    val seed1 = aliasCols match {
       case Some(names) =>
         require(names.length == seed0.columns.length,
           s"CTE $cte declares ${names.length} columns, seed returns ${seed0.columns.length}")
         seed0.toDF(names: _*)
       case None => seed0
     }
+    // constraint-lineage strip (same stale-attr-id hazard as register():
+    // duplicate aliases of one source column in the user's seed poison the
+    // fixpoint's own checkpoint constraints on iteration ≥ 1)
+    val seedCkpt = seed1.localCheckpoint()
+    val seed = spark.createDataFrame(seedCkpt.rdd, seedCkpt.schema)
     // the step re-runs against the frontier registered under the CTE name;
     // carried combinator columns (seq/mark/path) are appended to its
-    // select list qualified by the CTE name, hence the unaliased-name rule
+    // select list qualified by the CTE name, hence the unaliased-name rule.
+    // The frontier view is transient — run() restores/drops the name after
+    // the statement, so mid-fixpoint registrations never leak either.
     def step(extras: Seq[String])(frontier: DataFrame): DataFrame = {
       frontier.createOrReplaceTempView(cte)
       val out = spark.sql(appendToSelect(stepSql, extras.map(c => s"$cte.$c AS $c")))
@@ -144,7 +248,7 @@ object RecursiveSql {
       }
     }
 
-    val result = (search, cycle) match {
+    (search, cycle) match {
       case (Some(sm), _) =>
         val keyCols = sm.group(2).split(",").map(_.trim).toSeq
         val seqCol = sm.group(3)
@@ -165,7 +269,5 @@ object RecursiveSql {
       case _ if unionAll => Recursive.fixpointAll(seed, step(Nil))
       case _ => Recursive.fixpoint(seed, step(Nil))
     }
-    result.createOrReplaceTempView(cte)
-    spark.sql(tail)
   }
 }

@@ -304,6 +304,23 @@ class CypherSpec extends AnyFunSuite {
       Seq(Seq(2L, 1L), Seq(2L, 3L))) // Bob->Ann (reverse of 1->2), Bob->Cal
   }
 
+  test("!!= match_vles: first-edge-of-lhs touches last-edge-of-rhs") {
+    // reference variable_edge.c:269-289 (`match_vles`, operator !!= —
+    // postgraph.sql.in:529-537): TRUE iff the lhs VLE's FIRST edge shares
+    // an endpoint vertex id with the rhs VLE's LAST edge — a path-
+    // adjacency probe, NOT edge-set disjointness. e1 = Ann's single hop
+    // (edge 1→2); e2 two-hop last edges: Ann→(2,3) touch 2, Bob→(3,4) no,
+    // Cal→(4,1) touch 1, Dee→(1,2) touch both. Comma patterns are never
+    // cross-checked for edge uniqueness (cypher_clause.c:3294), so Dee's
+    // reuse of edge 10 survives.
+    val rows = run(
+      "MATCH (a:Person {name: 'Ann'})-[e1:KNOWS*1..1]->(x), " +
+        "(c:Person)-[e2:KNOWS*2..2]->(y) WHERE e1 !!= e2 " +
+        "RETURN c.name AS c ORDER BY c")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Ann", "Cal", "Dee"))
+  }
+
   test("regex + LIKE operator family (gtype_string.c:163-227, expr.sql)") {
     // ~ unanchored search, ~* case-insensitive, !~ / !~* negations
     val re = run("MATCH (p:Person) WHERE p.name ~ '^[AB]' RETURN p.name AS n ORDER BY n")

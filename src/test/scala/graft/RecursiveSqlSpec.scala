@@ -90,4 +90,60 @@ class RecursiveSqlSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(marks.toSeq == Seq(("C", 1L), ("N", 4L)))
   }
+
+  test("cte_list: two recursive CTEs, later referencing earlier (r11)") {
+    // walk = BFS over the DAG from 1; hop2 = re-walk over walk's node set
+    // joined back to the edges — exercises recursive→recursive chaining
+    val rows = session.run(
+      """WITH RECURSIVE walk(n) AS (
+        |  SELECT CAST(1 AS BIGINT) AS n
+        |  UNION
+        |  SELECT e.dst FROM walk JOIN dag_edges e ON walk.n = e.src
+        |), pairs(a, b) AS (
+        |  SELECT w.n AS a, w.n AS b FROM walk w
+        |  UNION
+        |  SELECT pairs.a, e.dst AS b FROM pairs JOIN dag_edges e ON pairs.b = e.src
+        |) SELECT a, count(DISTINCT b) AS reach FROM pairs GROUP BY a ORDER BY a""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reachability closure incl. self: 1→{1,2,3,4}, 2→{2,4}, 3→{3,4}, 4→{4}
+    assert(rows.toSeq == Seq((1L, 4L), (2L, 2L), (3L, 2L), (4L, 1L)))
+  }
+
+  test("cte_list: plain CTE member + recursive member in one WITH RECURSIVE") {
+    val ns = session.run(
+      """WITH RECURSIVE roots(n) AS (
+        |  SELECT CAST(1 AS BIGINT) AS n
+        |), r(n) AS (
+        |  SELECT n FROM roots
+        |  UNION
+        |  SELECT e.dst FROM r JOIN dag_edges e ON r.n = e.src
+        |) SELECT n FROM r ORDER BY n""".stripMargin)
+      .collect().map(_.getLong(0))
+    assert(ns.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("CTE names are statement-scoped: shadowed temp views are restored") {
+    import spark.implicits._
+    Seq((99L, 1L)).toDF("v", "tag").createOrReplaceTempView("r")
+    val out = session.run(
+      """WITH RECURSIVE r(n) AS (
+        |  SELECT CAST(1 AS BIGINT) AS n
+        |  UNION
+        |  SELECT e.dst FROM r JOIN dag_edges e ON r.n = e.src
+        |) SELECT max(n) AS mx FROM r""".stripMargin)
+      .collect().head.getLong(0)
+    assert(out == 4L)
+    // the pre-existing `r` view survives the statement (ADVICE r10)
+    val restored = spark.sql("SELECT v FROM r").collect().head.getLong(0)
+    assert(restored == 99L)
+    spark.catalog.dropTempView("r")
+    // and a CTE name with no prior view leaves no residue behind
+    session.run(
+      """WITH RECURSIVE ephemeral(n) AS (
+        |  SELECT CAST(1 AS BIGINT) AS n
+        |  UNION
+        |  SELECT e.dst FROM ephemeral JOIN dag_edges e ON ephemeral.n = e.src
+        |) SELECT count(*) AS c FROM ephemeral""".stripMargin).collect()
+    assert(!spark.catalog.tableExists("ephemeral"))
+  }
 }
