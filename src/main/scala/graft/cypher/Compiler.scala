@@ -3111,10 +3111,15 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         // and magnitudes past int8 raise PG's range error (old expr.out
         // `'NaN'::float::int` → bigint out of range)
         case Some(DoubleType | FloatType) =>
+          // bround = HALF_EVEN: PG's float8→int8 (dtoi8) goes through
+          // rint(), banker's rounding — toInteger(2.5) is 2, not 3; the
+          // constant-fold path (constG GFloat) already rounds half-even
+          // (ADVICE r10)
           when(isnan(a(0)) || abs(a(0)) > lit(9.223372036854776e18),
             raise_error(lit("bigint out of range")).cast("long"))
-            .otherwise(round(a(0)).cast("long"))
+            .otherwise(bround(a(0)).cast("long"))
         case Some(_: DecimalType) =>
+          // numeric_int8 stays HALF_UP (PG numeric rounds half-away-from-0)
           round(a(0)).cast("long")
         // int8in rejects non-integer text with PG's message (old expr.out
         // `'0.0'::int` → invalid input syntax for type bigint: "0.0")
@@ -3175,9 +3180,20 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           // numeric_in validates its text with PG's message (old expr.out
           // `'2:71'::numeric` → invalid input syntax for type numeric)
           case Some(StringType) =>
+            // numeric_in also accepts the Inf/Infinity/NaN spellings (PG14+)
+            // — a column-valued 'NaN' must not raise where the literal path
+            // succeeds (ADVICE r10). ±Inf rides the same sentinel decimals
+            // as the literal branch; NaN can't live in DecimalType → NULL
+            // (the float-lane convention above)
+            val t0 = lower(trim(a(0)))
             val ok = trim(a(0)).rlike(
               "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
-            when(ok, a(0).cast("decimal(38,18)"))
+            when(t0.isin("nan", "+nan", "-nan"), lit(null).cast("decimal(38,18)"))
+              .when(t0.isin("inf", "infinity", "+inf", "+infinity"),
+                lit(graft.gvalue.PgOut.NumericInf))
+              .when(t0.isin("-inf", "-infinity"),
+                lit(graft.gvalue.PgOut.NumericNegInf))
+              .when(ok, a(0).cast("decimal(38,18)"))
               .otherwise(raise_error(format_string(
                 "invalid input syntax for type numeric: \"%s\"", a(0)))
                 .cast("decimal(38,18)"))
@@ -4399,6 +4415,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     // render-parity markers (round 10, old-regress value replay): the
     // Spark type alone underdetermines these PG output forms
     case FnCall("tocidr", _, _) => Some("cidr")
+    // a numeric LITERAL authored with exactly 18 fraction digits collides
+    // with PgOut's DecimalType(38,18) storage-scale heuristic (scale 18 →
+    // strip padding zeros); mark it value-authored so its trailing zeros
+    // print scale-preserving like PG numeric_out (ADVICE r10)
+    case Lit(GNumeric(d)) if d.scale == 18 => Some("numexact")
+    case FnCall("tonumeric", List(Lit(GNumeric(d))), _) if d.scale == 18 =>
+      Some("numexact")
     // network() returns CIDR (mask always printed — network.out
     // `network(192.168.1.5)` → 192.168.1.5/32); set_masklen over a cidr
     // stays cidr

@@ -503,7 +503,10 @@ final class GraphSession(val spark: SparkSession) {
                   (target == "long" || target == "double") =>
               val num = graft.gvalue.GValueCol.numeric(orig)
               if (target == "long")
-                org.apache.spark.sql.functions.round(num).cast("long")
+                // the gvalue numeric lane is a float8 decode → PG dtoi8
+                // rounds half-even (rint), like tointeger's column path
+                // (ADVICE r10)
+                org.apache.spark.sql.functions.bround(num).cast("long")
               else num
             // declared inet/cidr over a bare string parses it
             case _ if (t == "inet" || t == "cidr") &&

@@ -231,7 +231,10 @@ object Parser {
                 if (cp == 0)
                   throw ParseException("unsupported Unicode escape value " +
                     s"""at or near "${escText(i - 6)}"""")
-                else if (cp > 0x10FFFF)
+                else if (cp > 0x10FFFF || cp < 0)
+                  // cp < 0: \U values ≥ 0x80000000 wrap negative through
+                  // parseUnsignedInt — still PG's invalid-escape error, not
+                  // a bare toChars exception (ADVICE r10)
                   throw ParseException("invalid Unicode escape value " +
                     s"""at or near "${escText(i - 10)}"""")
                 else if (cp >= 0xD800 && cp <= 0xDBFF) {

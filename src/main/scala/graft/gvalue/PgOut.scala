@@ -628,6 +628,14 @@ object PgOut {
         case s: String => escapeGString(s)
         case _ => cell(value, field.dataType)
       }
+      // a value-AUTHORED numeric whose true scale is exactly 18 — exempt
+      // from the storage-scale zero-strip heuristic below (ADVICE r10:
+      // numeric_out preserves the authored scale)
+      case "numexact" => value match {
+        case d: java.math.BigDecimal => d.toPlainString + "::numeric"
+        case d: scala.math.BigDecimal => d.bigDecimal.toPlainString + "::numeric"
+        case _ => cell(value, field.dataType)
+      }
       // a value whose text IS its out format (spheroid/box renders)
       case "rawstr" => value match {
         case s: String => s

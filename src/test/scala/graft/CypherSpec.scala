@@ -321,6 +321,37 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("Ann", "Cal", "Dee"))
   }
 
+  test("toInteger on a float COLUMN rounds half-even like dtoi8 (ADVICE r10)") {
+    // PG float8→int8 goes through rint() (banker's rounding): 24.5 → 24,
+    // 35.5 → 36 — matching the constant-fold lane's HALF_EVEN
+    val rows = run(
+      "MATCH (p:Person) WHERE p.name IN ['Bob', 'Dee'] " +
+        "RETURN p.name AS n, toInteger(p.age + 0.5) AS i ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("Bob", 24L), ("Dee", 36L))) // 24.5→24, 35.5→36
+  }
+
+  test("toNumeric accepts Infinity/NaN spellings from a COLUMN (ADVICE r10)") {
+    // numeric_in accepts the spellings (PG14+): a column-valued 'Infinity'
+    // must not raise where the literal path succeeds; ±Inf ride the render
+    // sentinels, NaN follows the float-lane NULL convention
+    val rows = run(
+      "MATCH (p:Person) WHERE p.name = 'Ann' " +
+        "WITH CASE WHEN p.age > 0 THEN 'Infinity' ELSE '1' END AS s, " +
+        "CASE WHEN p.age > 0 THEN '-inf' ELSE '1' END AS t, " +
+        "CASE WHEN p.age > 0 THEN 'NaN' ELSE '1' END AS u " +
+        "RETURN toNumeric(s) AS a, toNumeric(t) AS b, toNumeric(u) AS c")
+      .collect().head
+    assert(rows.getDecimal(0).compareTo(graft.gvalue.PgOut.NumericInf) == 0)
+    assert(rows.getDecimal(1).compareTo(graft.gvalue.PgOut.NumericNegInf) == 0)
+    assert(rows.isNullAt(2))
+  }
+
+  test("\\U escape past the code-point space raises PG's invalid-value error") {
+    val e = intercept[Exception](run("RETURN '\\UFFFFFFFF' AS s"))
+    assert(e.getMessage.contains("invalid Unicode escape value"))
+  }
+
   test("regex + LIKE operator family (gtype_string.c:163-227, expr.sql)") {
     // ~ unanchored search, ~* case-insensitive, !~ / !~* negations
     val re = run("MATCH (p:Person) WHERE p.name ~ '^[AB]' RETURN p.name AS n ORDER BY n")

@@ -194,4 +194,17 @@ class GValueSpec extends AnyFunSuite {
     val r3 = c.run("RETURN [1, [2]] = [1.0, [2.0]] AS z").collect().head
     assert(r3.getBoolean(0))
   }
+
+  test("numeric render: authored scale-18 keeps zeros via numexact marker (ADVICE r10)") {
+    import org.apache.spark.sql.types._
+    import graft.gvalue.PgOut
+    val d = new java.math.BigDecimal("1.200000000000000000") // scale 18, authored
+    // storage-scale heuristic (no marker): scale 18 strips padding zeros
+    val plain = StructField("x", DecimalType(38, 18))
+    assert(PgOut.cell(d, plain) == "1.2::numeric")
+    // value-authored marker: numeric_out preserves the authored scale
+    val marked = StructField("x", DecimalType(38, 18),
+      metadata = new MetadataBuilder().putString(PgOut.TypeKey, "numexact").build())
+    assert(PgOut.cell(d, marked) == "1.200000000000000000::numeric")
+  }
 }
