@@ -73,6 +73,10 @@ object Similarity {
   private def cachedResult(s: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame =
     resultCache.getOrElseUpdate((s, dir, kind), build.localCheckpoint())
+
+  /** Benchmark hook: drop the session cache so a measurement sees the
+    * cold build-plus-probe cost (ScaleBench). */
+  def clearSessionCache(): Unit = resultCache.clear()
   /** s5 sampling keep-rate out of 1000 buckets (~50% at test scale; at
     * 100 TB the rate is the knob that bounds the within-label pair count).
     */

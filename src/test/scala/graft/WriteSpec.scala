@@ -386,6 +386,77 @@ class WriteSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(root))
   }
 
+  test("GraphStore: a reader never observes a partial version (VERDICT r10 #4)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store_cc").toString
+    val s1 = new GraphSession(spark)
+    s1.createGraph("durcc", root)
+    // each statement creates a MATCHED (P, Q) pair in one commit — a reader
+    // seeing #P != #Q would mean a torn version escaped the pointer swap
+    s1.run("CREATE (:P {i: 0}), (:Q {i: 0})")
+    @volatile var done = false
+    val torn = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gcRaces = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writer = new Thread(() => {
+      try for (k <- 1 to 6) s1.run(s"CREATE (:P {i: $k}), (:Q {i: $k})")
+      finally done = true
+    })
+    writer.start()
+    var reads = 0
+    while (!done || reads == 0) {
+      try {
+        val r = new GraphSession(spark)
+        r.openGraph("durcc", root)
+        val p = r.run("MATCH (p:P) RETURN count(*) AS n").collect().head.getLong(0)
+        val q = r.run("MATCH (q:Q) RETURN count(*) AS n").collect().head.getLong(0)
+        if (p != q) torn.incrementAndGet()
+        reads += 1
+      } catch {
+        // two-version retention: a version read CAN be gc'd mid-load when
+        // the writer publishes twice during it — a documented storage
+        // bound (GraphStore doc), not a torn publish; retry
+        case _: Throwable => gcRaces.incrementAndGet()
+      }
+    }
+    writer.join()
+    assert(torn.get == 0, s"observed ${torn.get} torn versions over $reads reads")
+    assert(reads > 0)
+    // final state is the complete series
+    val r = new GraphSession(spark)
+    r.openGraph("durcc", root)
+    assert(r.run("MATCH (p:P) RETURN count(*) AS n").collect().head.getLong(0) == 7L)
+    assert(r.run("MATCH (q:Q) RETURN count(*) AS n").collect().head.getLong(0) == 7L)
+    graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(root))
+  }
+
+  test("GraphStore: crash between version write and pointer swap recovers (VERDICT r10 #4)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_crash").toString
+    val s1 = new GraphSession(spark)
+    s1.createGraph("durcr", root)
+    s1.run("CREATE (:P {name: 'A'})")
+    s1.run("CREATE (:P {name: 'B'})")
+    val published = graft.cypher.GraphStore.latestVersion(root).get
+    // simulate a crash AFTER the next version dir was written but BEFORE
+    // the _LATEST swap: an orphaned v(published+1) with garbage content
+    val orphan = Paths.get(root, s"v${published + 1}")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("catalog.txt"),
+      "vlabel garbage\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // (a) reopen ignores the orphan — _LATEST still points at `published`
+    val s2 = new GraphSession(spark)
+    s2.openGraph("durcr", root)
+    val names = s2.run("MATCH (p:P) RETURN p.name AS n ORDER BY n")
+      .collect().map(_.getString(0))
+    assert(names.toSeq == Seq("A", "B"))
+    // (b) the next commit reclaims the orphaned slot with a clean publish
+    s2.run("CREATE (:P {name: 'C'})")
+    assert(graft.cypher.GraphStore.latestVersion(root).get == published + 1)
+    val s3 = new GraphSession(spark)
+    s3.openGraph("durcr", root)
+    assert(s3.run("MATCH (p:P) RETURN count(*) AS n").collect().head.getLong(0) == 3L)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
   test("per-row CREATE binds the edge variable (create.sql:86-92)") {
     val gs = freshSession("g19")
     gs.run("CREATE (:N {i: 1})")
