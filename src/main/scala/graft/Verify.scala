@@ -21,9 +21,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       // DuckDB TIMESTAMP is naive; Spark TimestampType is tz-aware (arrow
       // timestamp[us, tz=UTC]). Session tz is UTC, so casting to NTZ keeps the
       // wall-clock value and makes the dumped arrow schema identical.
@@ -36,6 +37,7 @@ object Verify {
       try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist() intermediates (LSH signatures, VLE edge sets);
@@ -58,6 +60,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // loud completeness line: a query that THROWS never reaches the dump
+    // and would otherwise vanish from the driver's per-query report (the
+    // r10 g30 silent drop — 113 of 114 with nothing flagging the gap)
+    System.err.println(
+      s"[verify] dumped ${selected.size - failed.size}/${selected.size} queries" +
+        (if (failed.nonEmpty) s"; FAILED: ${failed.sorted.mkString(", ")}" else ""))
+    // rc stays 0: the driver's per-query compare is the gate; a non-zero
+    // exit on one bad query could zero an otherwise-green round
     spark.stop()
   }
 }

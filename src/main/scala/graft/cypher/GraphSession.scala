@@ -2006,13 +2006,25 @@ final class MutableGraph(spark: SparkSession) {
   // in-memory fast path (the localCheckpointed tables), never re-reading.
 
   private[cypher] var storeRoot: Option[String] = None
+  /** The store version this session's in-memory state derives from —
+    * set at load/create and advanced by each publish; the optimistic
+    * commit's validation base.
+    */
+  private[cypher] var storeVersion: Long = 0L
 
-  /** Publish the CURRENT catalog + label tables as the next version. */
+  /** Publish the CURRENT catalog + label tables as the next version.
+    * Runs under the store's commit lock with base-version validation
+    * (GraphStore doc): a concurrent writer having published since this
+    * session's snapshot raises PG's serialization failure — the
+    * statement's tx-restore then rolls the in-memory writes back too.
+    */
   private[cypher] def publish(): Unit = storeRoot.foreach { root =>
     import java.nio.charset.StandardCharsets.UTF_8
     import java.nio.file.{Files, Paths}
     import GraphStore.enc
+    GraphStore.withCommitLock(root) {
     val cur = GraphStore.latestVersion(root).getOrElse(0L)
+    if (cur != storeVersion) throw new GraphStore.SerializationFailure
     val next = cur + 1
     val dir = s"$root/v$next"
     Files.createDirectories(Paths.get(dir))
@@ -2039,7 +2051,9 @@ final class MutableGraph(spark: SparkSession) {
     writeTables("e", edgeLabels)
     Files.write(Paths.get(dir, "catalog.txt"), sb.toString.getBytes(UTF_8))
     GraphStore.swapLatest(root, next)
+    storeVersion = next
     GraphStore.gc(root, keep = Set(cur, next))
+    }
   }
 
   /** Commit to the store iff this statement changed catalog or tables
@@ -2096,6 +2110,7 @@ object MutableGraph {
     g.vertexLabels = readTables("v")
     g.edgeLabels = readTables("e")
     g.storeRoot = Some(root)
+    g.storeVersion = v
     g
   }
   /** Frozen catalog state for statement-level rollback. */

@@ -22,16 +22,57 @@ import scala.jdk.CollectionConverters._
   * so a thrown statement leaves `_LATEST` untouched. Only the newest two
   * versions are retained (rewrite-on-SET storage bound).
   *
+  * Multi-writer (round 11): commits run under an exclusive lock file with
+  * optimistic base-version validation — a session whose snapshot is stale
+  * (another writer published since it loaded) fails its statement with
+  * PG's serialization error (SQLSTATE 40001 message) instead of silently
+  * losing the other writer's update. This is Delta/Iceberg-style
+  * optimistic concurrency without conflict resolution: writers serialize,
+  * losers retry from a fresh open.
+  *
   * Scale note: per-statement full rewrite is the right shape for the
   * OLTP-ish literal-CREATE tail this path serves (GraphSession doc —
   * bulk ingestion is GraphBuilder over already-durable sources). At
   * 100 TB label tables you would swap this layer for a transactional
-  * table format (Delta/Iceberg) with the same publish-after-commit
-  * contract; the pointer-swap protocol here is the minimal single-writer
-  * equivalent, and nothing above it (compiler, session, tx snapshot)
-  * would change.
+  * table format (Delta/Iceberg) with the same publish-after-commit +
+  * commit-lock contract; nothing above it (compiler, session, tx
+  * snapshot) would change.
   */
 object GraphStore {
+
+  /** PG's serialization_failure message (SQLSTATE 40001) — thrown when a
+    * commit's base version is no longer the latest.
+    */
+  final class SerializationFailure extends RuntimeException(
+    "could not serialize access due to concurrent update")
+
+  /** Run `body` holding the store's commit lock (`_LOCK`, create-exclusive).
+    * Stale locks (crashed writer) are taken over after `staleMs`; lock
+    * acquisition gives up after `waitMs` — commits are sub-second, so a
+    * longer wait means a wedged peer, and failing beats deadlocking.
+    */
+  def withCommitLock[A](root: String, waitMs: Long = 10000L,
+      staleMs: Long = 30000L)(body: => A): A = {
+    val lock = Paths.get(root, "_LOCK")
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            if (age > staleMs) Files.deleteIfExists(lock) // crashed holder
+          } catch { case _: java.io.IOException => () } // raced with release
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"could not acquire commit lock at $lock within ${waitMs}ms")
+          Thread.sleep(10)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
 
   /** Filesystem/catalog-safe label and column encoding. */
   def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")

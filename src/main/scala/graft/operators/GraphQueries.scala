@@ -505,7 +505,7 @@ object GraphQueries {
     "g24_cast_matrix" ->
       """SELECT c_custkey AS ck,
         |  CAST(CAST(c_custkey AS VARCHAR) || '7' AS BIGINT) AS i7,
-        |  CAST(round(c_acctbal) AS BIGINT) AS bal_t,
+        |  CAST(round_even(c_acctbal, 0) AS BIGINT) AS bal_t,  -- PG dtoi8 = rint = half-even (r11 bround fix)
         |  CAST(c_custkey AS DOUBLE) AS ckf,
         |  CAST(c_custkey % 2 = 0 AS BIGINT) AS even,
         |  CAST('1995-03-0' || CAST(c_custkey % 9 + 1 AS VARCHAR) AS DATE) AS d,
