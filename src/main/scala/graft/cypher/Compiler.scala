@@ -3008,6 +3008,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case "log10" => log10(a(0))
       case "sin"   => sin(a(0)); case "cos" => cos(a(0)); case "tan" => tan(a(0))
       case "asin"  => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
+      // hyperbolic + cotangent family (gtype_numbers.c / PG float8 fns —
+      // postgraph-number-functions.sql.in:45-95; r11 catalog-audit gap)
+      case "sinh"  => sinh(a(0)); case "cosh" => cosh(a(0)); case "tanh" => tanh(a(0))
+      case "asinh" => asinh(a(0)); case "acosh" => acosh(a(0)); case "atanh" => atanh(a(0))
+      case "cot"   => cot(a(0))
       // the reference's atan2(a, b) computes atan2(y=b, x=a) — argument
       // order SWAPPED vs the C convention (gtype_numbers.c:101-112
       // DirectFunctionCall2(datan2, y, x) with y = arg 1)

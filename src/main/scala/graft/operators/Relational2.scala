@@ -38,7 +38,17 @@ object Relational2 {
           round(log(col("p_retailprice")), 4).as("ln_v"),
           round(log10(col("p_retailprice")), 4).as("log10_v"),
           round(pow(col("p_size"), 2), 1).as("pow_v"),
-          (col("p_size") % 7).cast("long").as("mod_v"))
+          (col("p_size") % 7).cast("long").as("mod_v"),
+          // hyperbolic family (r11 catalog audit): args kept small and a
+          // 1e-9 nudge on both sides so the round-6 boundary can't split
+          // libm-vs-identity representations (the g25 slen trick)
+          round(sinh(col("p_size") / 10.0) + 1e-9, 6).as("sinh_v"),
+          round(cosh(col("p_size") / 10.0) + 1e-9, 6).as("cosh_v"),
+          round(tanh(col("p_size") / 10.0) + 1e-9, 6).as("tanh_v"),
+          round(asinh(col("p_size") / 10.0) + 1e-9, 6).as("asinh_v"),
+          round(acosh(col("p_size") / 10.0 + 1) + 1e-9, 6).as("acosh_v"),
+          round(atanh((col("p_size") % 9) / 10.0) + 1e-9, 6).as("atanh_v"),
+          round(cot(col("p_size") / 10.0 + 0.1) + 1e-9, 6).as("cot_v"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -219,7 +229,17 @@ object Relational2 {
         |  round(ln(p_retailprice), 4) AS ln_v,
         |  round(log10(p_retailprice), 4) AS log10_v,
         |  round(pow(p_size, 2), 1) AS pow_v,
-        |  CAST(p_size % 7 AS BIGINT) AS mod_v
+        |  CAST(p_size % 7 AS BIGINT) AS mod_v,
+        |  -- DuckDB lacks hyperbolics: exp/ln identities, same 1e-9 nudge
+        |  round((exp(p_size / 10.0) - exp(-(p_size / 10.0))) / 2 + 1e-9, 6) AS sinh_v,
+        |  round((exp(p_size / 10.0) + exp(-(p_size / 10.0))) / 2 + 1e-9, 6) AS cosh_v,
+        |  round((exp(p_size / 10.0) - exp(-(p_size / 10.0)))
+        |      / (exp(p_size / 10.0) + exp(-(p_size / 10.0))) + 1e-9, 6) AS tanh_v,
+        |  round(ln(p_size / 10.0 + sqrt(p_size * p_size / 100.0 + 1)) + 1e-9, 6) AS asinh_v,
+        |  round(ln(p_size / 10.0 + 1
+        |      + sqrt((p_size / 10.0 + 1) * (p_size / 10.0 + 1) - 1)) + 1e-9, 6) AS acosh_v,
+        |  round(0.5 * ln((1 + (p_size % 9) / 10.0) / (1 - (p_size % 9) / 10.0)) + 1e-9, 6) AS atanh_v,
+        |  round(cot(p_size / 10.0 + 0.1) + 1e-9, 6) AS cot_v
         |FROM part WHERE p_partkey <= 20 ORDER BY p_partkey""".stripMargin,
     "q26_string_fns" ->
       """SELECT CAST(n_nationkey AS INT) AS nk,

@@ -321,6 +321,24 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("Ann", "Cal", "Dee"))
   }
 
+  test("hyperbolic + cot family over a column (number-functions.sql.in:45-95, r11)") {
+    val r = run(
+      "MATCH (p:Person {name: 'Ann'}) WITH p.age / 10.0 AS x " + // 3.0
+        "RETURN round(sinh(x), 6) AS sh, round(cosh(x), 6) AS ch, " +
+        "round(tanh(x), 6) AS th, round(asinh(x), 6) AS ash, " +
+        "round(acosh(x), 6) AS ach, round(atanh(x / 10), 6) AS ath, " +
+        "round(cot(x), 6) AS ct")
+      .collect().head
+    def d(i: Int) = r.getDecimal(i).doubleValue()
+    assert(math.abs(d(0) - math.sinh(3.0)) < 1e-6)
+    assert(math.abs(d(1) - math.cosh(3.0)) < 1e-6)
+    assert(math.abs(d(2) - math.tanh(3.0)) < 1e-6)
+    assert(math.abs(d(3) - math.log(3.0 + math.sqrt(10.0))) < 1e-6)
+    assert(math.abs(d(4) - math.log(3.0 + math.sqrt(8.0))) < 1e-6)
+    assert(math.abs(d(5) - 0.5 * math.log(1.3 / 0.7)) < 1e-6)
+    assert(math.abs(d(6) - math.cos(3.0) / math.sin(3.0)) < 1e-6)
+  }
+
   test("toInteger on a float COLUMN rounds half-even like dtoi8 (ADVICE r10)") {
     // PG float8→int8 goes through rint() (banker's rounding): 24.5 → 24,
     // 35.5 → 36 — matching the constant-fold lane's HALF_EVEN
