@@ -81,6 +81,42 @@ object TextAnalysis {
           round(avg(col("lex_cnt")), 4).as("avg_lex"),
           sum(col("hit")).as("n_match"))
         .orderBy(col("source"))
+    }),
+
+    // BM25 top-k retrieval (Robertson/Sparck-Jones, the Okapi formula —
+    // public IR literature; k1=1.2, b=0.75). 100 TB shape: the query's
+    // terms are CONSTANT, so per-doc tf is a fixed set of codegen'd
+    // array-filter columns (no explode, no per-token shuffle); corpus
+    // stats (N, avgdl) and per-term document frequencies are one
+    // aggregation each, broadcast back as a single row. Linear scan +
+    // two tiny aggs at any corpus size.
+    "t7_bm25_topk" -> ((s, dir) => {
+      // constants written as the SAME decimal literals as the oracle SQL
+      // (computing k1+1 in Scala can land one ulp off DuckDB's `2.2`)
+      val (k1, k1p1, oneMinusB, b) = (1.2, 2.2, 0.25, 0.75)
+      val terms = Seq("hash", "merge", "window")
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => length(t) > 0)
+      val tf = T(s, dir, "documents")
+        .select(col("doc_id") +: size(toks).as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(toks, x => x === t)).as(s"tf$i") }: _*)
+      val stats = tf.agg(
+        count(lit(1)).cast("double").as("n"),
+        (avg(col("dl")).as("avgdl") +:
+          terms.indices.map(i =>
+            sum((col(s"tf$i") > 0).cast("long")).cast("double").as(s"df$i"))): _*)
+      val scored = tf.crossJoin(broadcast(stats))
+      val score = terms.indices.map { i =>
+        val idf = log(lit(1.0) +
+          (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+        idf * (col(s"tf$i") * k1p1) /
+          (col(s"tf$i") + lit(k1) * (lit(oneMinusB) + lit(b) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      scored.select(col("doc_id"), round(score + 1e-9, 6).as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
     })
   )
 
@@ -131,6 +167,37 @@ object TextAnalysis {
         |  round(avg(len(lx)), 4) AS avg_lex,
         |  CAST(sum(CASE WHEN list_contains(lx, 'the') AND list_contains(lx, 'of')
         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_match
-        |FROM lex GROUP BY source ORDER BY source""".stripMargin
+        |FROM lex GROUP BY source ORDER BY source""".stripMargin,
+    // identical tokenization, tf, stats, and Okapi formula; the 1e-9 nudge
+    // keeps cross-engine libm 1-ulp noise off the round-6 boundary
+    "t7_bm25_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, len(toks) AS dl,
+        |    len(list_filter(toks, x -> x = 'hash'))   AS tf0,
+        |    len(list_filter(toks, x -> x = 'merge'))  AS tf1,
+        |    len(list_filter(toks, x -> x = 'window')) AS tf2
+        |  FROM tk),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM tf)
+        |SELECT doc_id, round(
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + 1e-9, 6) AS score
+        |FROM tf, st
+        |WHERE round(
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + 1e-9, 6) > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   )
 }
