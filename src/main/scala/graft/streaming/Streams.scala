@@ -97,6 +97,51 @@ object Streams {
       .select(col("doc_id"), col("corpus_doc"))
   }
 
+  /** Streaming quality-score + BM25-at-ingest: each arriving document is
+    * scored per-row (quality composite — same kernel as t2) and BM25-scored
+    * against PRE-BUILT corpus statistics (N, avgdl, per-term df — computed
+    * once over the static corpus, exactly like t7's single-row aggregate)
+    * carried in as a one-row broadcast. The ingestion-pipeline shape at
+    * 100 TB: per-batch cost ∝ batch size, the corpus appears only through
+    * its fixed-size statistics, no state store needed.
+    */
+  def scoreIngest(docs: DataFrame, corpusStats: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    val tf = docs.select(
+      col("doc_id") +: col("ts") +:
+        graft.functions.TextFns.qualityScore(col("text")).as("quality") +:
+        size(toks).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === t)).as(s"tf$i") }: _*)
+    val scored = tf.crossJoin(broadcast(corpusStats))
+    val bm25 = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+      idf * (col(s"tf$i") * 2.2) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored.select(col("doc_id"), col("ts"), round(col("quality"), 4).as("quality"),
+      round(bm25 + 1e-9, 6).as("bm25"))
+  }
+
+  /** The t7-shaped corpus statistics a scoreIngest stream joins against —
+    * one row: N, avgdl, df per term (built once per corpus version).
+    */
+  def bm25CorpusStats(corpus: DataFrame, terms: Seq[String]): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    val tf = corpus.select(size(toks).as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        size(filter(toks, x => x === t)).as(s"tf$i") }: _*)
+    tf.agg(
+      count(lit(1)).cast("double").as("n"),
+      (avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf$i") > 0).cast("long")).cast("double").as(s"df$i"))): _*)
+  }
+
   /** Doc row for streaming sequence packing. */
   final case class PackDoc(lang: String, doc_id: Long, n_tokens: Long)
   /** A closed packed chunk (training-sequence bin). */

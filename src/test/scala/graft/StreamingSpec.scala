@@ -129,6 +129,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(!hits.exists(_._1 == 100002L), s"fresh doc spuriously flagged: $hits")
   }
 
+  test("streaming quality + BM25 scoring at ingest matches the batch scorer (r11)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_scoreingest").toString
+    val terms = Seq("hash", "merge", "window")
+    val corpus = Tables.T(spark, sf, "documents")
+    val stats = Streams.bm25CorpusStats(corpus, terms).localCheckpoint()
+    // incoming docs drawn FROM the corpus so the batch t7 scorer is the
+    // ground truth for the streaming result
+    val in = corpus.filter(col("doc_id") < 5)
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    in.coalesce(1).write.parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val q = Streams.scoreIngest(stream, stats, terms).writeStream
+      .outputMode("append").format("memory").queryName("score_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT doc_id, quality, bm25 FROM score_out")
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(streamed.size == 5)
+    // batch ground truth: same formulas over the same stats row
+    val batch = Streams.scoreIngest(in, stats, terms)
+      .collect().map(r => (r.getLong(0), (r.getDouble(2), r.getDouble(3)))).toMap
+    // same kernels in micro-batch vs batch execution → identical values
+    for ((id, (bq, bb)) <- batch) {
+      assert(streamed(id)._1 == bq, s"quality mismatch for $id")
+      assert(streamed(id)._2 == bb, s"bm25 mismatch for $id")
+    }
+    // scores against the corpus stats are sane: some doc hits a query term
+    assert(batch.values.exists(_._2 > 0))
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions at the gap") {
     import spark.implicits._
     val gap = 60L * 1000000L // 1 minute
