@@ -174,6 +174,8 @@ object Algorithms {
     import spark.implicits._
     val e0 = pg.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
     if (isSmall(e0)) return ssspLocal(pg, e0, src, maxHops)
+    // deep traversals: hand the whole iteration to Pregel (doc above)
+    if (maxHops > pregelHops(spark)) return ssspPregel(pg, src, maxHops)
     val edges = e0.localCheckpoint()
     var dist = Seq((src, 0)).toDF("id", "d").localCheckpoint()
     var frontier = dist
@@ -199,6 +201,36 @@ object Algorithms {
     }
     dist
   }
+
+  /** DEEP-recursion path (r11): GraphX Pregel BFS. The DataFrame loop
+    * re-analyzes a growing plan and pays driver-paced job latency per
+    * level — the right trade at ≤ ~15 hops, but a 100-plus-hop traversal
+    * (supply chains, long causal paths) wants the Pregel form: vertex
+    * state is one Int, each superstep is a single aggregateMessages-style
+    * shuffle on the SAME pre-partitioned graph, no Catalyst involvement.
+    * Same recurrence, same (id, d) result as `sssp`, proven equivalent in
+    * AnalyticsSpec. Selected by `sssp` when maxHops exceeds
+    * `spark.graft.graph.pregelHops` (default 16) on the distributed path;
+    * call directly to force it.
+    */
+  def ssspPregel(pg: PropertyGraph, src: Long, maxHops: Int): DataFrame = {
+    val spark = pg.spark
+    import spark.implicits._
+    val g = toGraphX(pg)
+    val init = g.mapVertices((id, _) => if (id == src) 0 else Int.MaxValue)
+    val res = init.pregel(Int.MaxValue, maxHops,
+        org.apache.spark.graphx.EdgeDirection.Out)(
+      (_, d, msg) => math.min(d, msg),
+      t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 != Int.MaxValue)
+      .map { case (id, d) => (id.toLong, d) }.toDF("id", "d")
+  }
+
+  private def pregelHops(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.graph.pregelHops").map(_.toInt)
+      .getOrElse(16)
 
   /** Small-graph BFS: adjacency built in one task, level-synchronous scan
     * over local arrays — replaces ~5 jobs per level with one narrow job.

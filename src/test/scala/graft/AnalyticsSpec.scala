@@ -32,6 +32,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.length >= 2 && rows.forall(_._2 > 0))
   }
 
+  test("Pregel SSSP equals the DataFrame BFS loop (deep-recursion path, r11)") {
+    val pg = graft.operators.GraphQueries.tpchGraph(spark, sf)
+    val src = (1L << 48) | 1L
+    // force the distributed DataFrame loop (disable the local fast path)
+    spark.conf.set("spark.graft.graph.localBytes", "-1")
+    try {
+      val loop = Algorithms.sssp(pg, src, maxHops = 8).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      val pregel = Algorithms.ssspPregel(pg, src, maxHops = 8).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(pregel == loop, s"pregel=${pregel.size} loop=${loop.size}")
+      // and the deep-hop gate routes through Pregel (same result at 100 hops)
+      val deep = Algorithms.sssp(pg, src, maxHops = 100).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(deep == loop) // graph diameter < 8: extra hops change nothing
+    } finally spark.conf.unset("spark.graft.graph.localBytes")
+  }
+
   test("top pagerank vertices are all nations or regions") {
     val top = GraphAnalytics.queries("x3_pagerank_top")(spark, sf).collect()
     assert(top.nonEmpty)
