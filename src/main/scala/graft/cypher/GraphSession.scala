@@ -2017,8 +2017,18 @@ final class MutableGraph(spark: SparkSession) {
     * (GraphStore doc): a concurrent writer having published since this
     * session's snapshot raises PG's serialization failure — the
     * statement's tx-restore then rolls the in-memory writes back too.
+    *
+    * INCREMENTAL (r11): a label whose DataFrame reference is unchanged
+    * since the statement's snapshot carries a POINTER to the version dir
+    * that last wrote it (`vlabel <name> <ver>` catalog lines) instead of
+    * being rewritten — per-commit write volume is proportional to the
+    * labels the statement touched, not the graph (the Delta/Iceberg
+    * manifest-reuse shape). gc retains every version dir the two newest
+    * catalogs reference.
     */
-  private[cypher] def publish(): Unit = storeRoot.foreach { root =>
+  private[cypher] def publish(
+      prevV: Map[String, DataFrame] = Map.empty,
+      prevE: Map[String, DataFrame] = Map.empty): Unit = storeRoot.foreach { root =>
     import java.nio.charset.StandardCharsets.UTF_8
     import java.nio.file.{Files, Paths}
     import GraphStore.enc
@@ -2028,31 +2038,56 @@ final class MutableGraph(spark: SparkSession) {
     val next = cur + 1
     val dir = s"$root/v$next"
     Files.createDirectories(Paths.get(dir))
+    val prevLines: List[String] =
+      if (cur <= 0) Nil
+      else scala.util.Try(scala.io.Source.fromFile(
+        s"$root/v$cur/catalog.txt").getLines().toList).getOrElse(Nil)
+    // previous catalog: where each label lives + its nulltype markers
+    val prevLoc: Map[(String, String), Long] = prevLines.collect {
+      case s if s.startsWith("vlabel ") || s.startsWith("elabel ") =>
+        val p = s.split(" ")
+        ((s.take(1), p(1)), if (p.length > 2) p(2).toLong else cur)
+    }.toMap
+    val prevNull: Map[(String, String), List[String]] =
+      prevLines.filter(_.startsWith("nulltype "))
+        .groupBy { s => val p = s.split(" "); (p(1), p(2)) }
     val sb = new StringBuilder
     sb ++= s"seq $seqLast\n"
     labelIds.foreach { case (n, i) => sb ++= s"label ${enc(n)} $i\n" }
     nextEntry.foreach { case (n, v) => sb ++= s"next ${enc(n)} $v\n" }
     uniqueConstraints.foreach { case (l, p) => sb ++= s"unique ${enc(l)} ${enc(p)}\n" }
     wholePropsUnique.foreach(l => sb ++= s"wholeunique ${enc(l)}\n")
-    def writeTables(kind: String, m: Map[String, DataFrame]): Unit =
+    val referenced = scala.collection.mutable.Set[Long](next)
+    def writeTables(kind: String, m: Map[String, DataFrame],
+        prev: Map[String, DataFrame]): Unit =
       m.foreach { case (l, df) =>
-        sb ++= s"${kind}label ${enc(l)}\n"
-        // parquet cannot store NullType — persist as an all-null string
-        // column and record it for lossless restore on load
-        val clean = df.schema.fields.foldLeft(df) {
-          case (acc, f) if f.dataType == NullType =>
-            sb ++= s"nulltype $kind ${enc(l)} ${enc(f.name)}\n"
-            acc.withColumn(f.name, col(f.name).cast(StringType))
-          case (acc, _) => acc
+        val carried =
+          if (prev.get(l).exists(_ eq df)) prevLoc.get((kind, enc(l))) else None
+        carried match {
+          case Some(ver) => // untouched since the snapshot: point, don't copy
+            referenced += ver
+            sb ++= s"${kind}label ${enc(l)} $ver\n"
+            prevNull.getOrElse((kind, enc(l)), Nil).foreach(x => sb ++= x + "\n")
+          case None =>
+            sb ++= s"${kind}label ${enc(l)} $next\n"
+            // parquet cannot store NullType — persist as an all-null string
+            // column and record it for lossless restore on load
+            val clean = df.schema.fields.foldLeft(df) {
+              case (acc, f) if f.dataType == NullType =>
+                sb ++= s"nulltype $kind ${enc(l)} ${enc(f.name)}\n"
+                acc.withColumn(f.name, col(f.name).cast(StringType))
+              case (acc, _) => acc
+            }
+            clean.write.mode("overwrite").parquet(s"$dir/$kind/${enc(l)}")
         }
-        clean.write.mode("overwrite").parquet(s"$dir/$kind/${enc(l)}")
       }
-    writeTables("v", vertexLabels)
-    writeTables("e", edgeLabels)
+    writeTables("v", vertexLabels, prevV)
+    writeTables("e", edgeLabels, prevE)
     Files.write(Paths.get(dir, "catalog.txt"), sb.toString.getBytes(UTF_8))
     GraphStore.swapLatest(root, next)
     storeVersion = next
-    GraphStore.gc(root, keep = Set(cur, next))
+    // retain: the two newest catalogs plus every dir either one references
+    GraphStore.gc(root, keep = referenced.toSet ++ prevLoc.values.toSet ++ Set(cur, next))
     }
   }
 
@@ -2067,7 +2102,8 @@ final class MutableGraph(spark: SparkSession) {
       ((vertexLabels ne prev.vertexLabels) || (edgeLabels ne prev.edgeLabels) ||
         labelIds.toSeq != prev.labelIds || nextEntry.toMap != prev.nextEntry ||
         uniqueConstraints.toSet != prev.uniques ||
-        wholePropsUnique.toSet != prev.wholeUniques)) publish()
+        wholePropsUnique.toSet != prev.wholeUniques))
+      publish(prev.vertexLabels, prev.edgeLabels)
 }
 
 object MutableGraph {
@@ -2087,8 +2123,13 @@ object MutableGraph {
       val Array(_, kind, l, c) = s.split(" "); (kind, dec(l), dec(c)) }.toSet
     def readTables(kind: String): Map[String, DataFrame] =
       lines.collect { case s if s.startsWith(s"${kind}label ") =>
-        val l = dec(s.split(" ")(1))
-        val raw = spark.read.parquet(s"$dir/$kind/${GraphStore.enc(l)}")
+        val parts = s.split(" ")
+        val l = dec(parts(1))
+        // incremental catalogs (r11) point unchanged labels at the version
+        // dir that last wrote them; legacy lines without the version column
+        // resolve to the catalog's own dir
+        val ver = if (parts.length > 2) parts(2).toLong else v
+        val raw = spark.read.parquet(s"$root/v$ver/$kind/${GraphStore.enc(l)}")
         val restored = raw.schema.fields.foldLeft(raw) {
           case (acc, f) if nullCols((kind, l, f.name)) =>
             acc.withColumn(f.name, lit(null))

@@ -12,15 +12,21 @@ import scala.jdk.CollectionConverters._
   *
   *   root/
   *     _LATEST          ← "3"   (pointer file, atomic rename swap)
+  *     _LOCK            ← commit lock (create-exclusive, crash-staleable)
   *     v3/
-  *       catalog.txt    ← label ids, sequence position, constraints
-  *       v/<label>/     ← vertex label tables (parquet)
-  *       e/<label>/     ← edge label tables (parquet)
+  *       catalog.txt    ← label ids, sequence position, constraints,
+  *                        per-label `vlabel <name> <ver>` location lines
+  *       v/<label>/     ← vertex label tables CHANGED by v3 (parquet)
+  *       e/<label>/     ← edge label tables changed by v3
+  *   Unchanged labels are pointers into the version dir that last wrote
+  *   them (r11 incremental publish) — per-commit write volume tracks the
+  *   statement's touched labels, not the graph.
   *
   * Statement rollback needs no store cooperation: versions publish only
   * AFTER a statement succeeds (GraphSession.runClauses commits post-tx),
-  * so a thrown statement leaves `_LATEST` untouched. Only the newest two
-  * versions are retained (rewrite-on-SET storage bound).
+  * so a thrown statement leaves `_LATEST` untouched. The newest two versions
+  * plus every version dir either of their catalogs references are
+  * retained (incremental-publish storage bound).
   *
   * Multi-writer (round 11): commits run under an exclusive lock file with
   * optimistic base-version validation — a session whose snapshot is stale

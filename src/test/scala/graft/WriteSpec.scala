@@ -456,6 +456,32 @@ class WriteSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
+  test("GraphStore: incremental publish rewrites only the touched labels (r11)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_inc").toString
+    val s1 = new GraphSession(spark)
+    s1.createGraph("durinc", root)
+    s1.run("CREATE (:Q {name: 'q1'})")
+    val vQ = graft.cypher.GraphStore.latestVersion(root).get // Q last written here
+    s1.run("CREATE (:P {name: 'p1'})")
+    s1.run("CREATE (:P {name: 'p2'})")
+    val v = graft.cypher.GraphStore.latestVersion(root).get
+    assert(v == vQ + 2)
+    val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
+    // the latest catalog POINTS at Q's old dir instead of rewriting it
+    assert(cat.exists(_ == s"vlabel Q $vQ"), cat.mkString("; "))
+    assert(cat.exists(_ == s"vlabel P $v"), cat.mkString("; "))
+    assert(!Files.exists(Paths.get(s"$root/v$v/v/Q")))
+    // the referenced old dir survives gc even though it is 2 versions back
+    assert(Files.exists(Paths.get(s"$root/v$vQ/v/Q")))
+    // a fresh open resolves the pointers
+    val s2 = new GraphSession(spark)
+    s2.openGraph("durinc", root)
+    assert(s2.run("MATCH (p:P) RETURN count(*) AS n").collect().head.getLong(0) == 2L)
+    assert(s2.run("MATCH (q:Q) RETURN q.name AS n").collect().head.getString(0) == "q1")
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
   test("GraphStore: N writers with retry-on-conflict lose no updates (r11 OCC hammer)") {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft_store_hammer").toString
