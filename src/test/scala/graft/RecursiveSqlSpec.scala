@@ -122,6 +122,21 @@ class RecursiveSqlSpec extends AnyFunSuite {
     assert(ns.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("cte_list: SEARCH clause attaches to its own list member (r11)") {
+    // plain first member + recursive second member carrying BREADTH FIRST
+    val rows = session.run(
+      """WITH RECURSIVE roots(n) AS (
+        |  SELECT CAST(1 AS BIGINT) AS n
+        |), r(n) AS (
+        |  SELECT n FROM roots
+        |  UNION ALL
+        |  SELECT e.dst FROM r JOIN dag_edges e ON r.n = e.src
+        |) SEARCH BREADTH FIRST BY n SET seq
+        |SELECT n, seq.depth AS d FROM r ORDER BY seq, n""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L), (4L, 2L)))
+  }
+
   test("CTE names are statement-scoped: shadowed temp views are restored") {
     import spark.implicits._
     Seq((99L, 1L)).toDF("v", "tag").createOrReplaceTempView("r")
