@@ -210,8 +210,90 @@ object Similarity {
     // regression that drops recall below the floor now hash-FAILS the
     // driver gate instead of hiding behind `no_oracle`.
     "s6_lsh_recall_gate" -> ((s, dir) => recallGate(s, dir, "s3_ann_lsh", 0.5)),
-    "s7_ivf_recall_gate" -> ((s, dir) => recallGate(s, dir, "s4_ivf_ann", 0.6))
+    "s7_ivf_recall_gate" -> ((s, dir) => recallGate(s, dir, "s4_ivf_ann", 0.6)),
+
+    // Product quantization + asymmetric distance (PQ/ADC — Jégou et al.
+    // 2011, the memory-bounded ANN form): m=4 subspace codebooks trained
+    // by the same bounded sampled k-means as IVF, vectors encoded to m
+    // 4-bit-ish codes in ONE shuffle chain (flatten → broadcast-codebook
+    // join → two keyed aggregations — never all-pairs), queries scored
+    // via per-(sub, code) distance lookup tables broadcast as m×16 rows
+    // per query. At 100 TB the encoded corpus is m bytes/vector and the
+    // probe cost is one broadcast join over the code relation.
+    "s8_pq_adc_ann" -> ((s, dir) => cachedResult(s, dir, "s8")(pqSearch(s, dir))),
+    "s9_pq_recall_gate" -> ((s, dir) => recallGate(s, dir, "s8_pq_adc_ann", 0.5))
   )
+
+  private val PqM = 8    // subspaces
+  private val PqK = 32   // codewords per subspace → 8×5 = 40 bits/vector
+  private val PqShortlist = 64 // ADC candidates per query before exact rerank
+
+  private def pqSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // L2-normalize first: the recall truth (s1) is COSINE top-k, and ADC
+    // approximates L2 — on unit vectors the two orders coincide
+    val emb0 = T(s, dir, "embeddings")
+    val nrm = l2norm(col("embedding"))
+    val emb = emb0.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") / nrm).as("embedding"))
+    // the NQuery query vectors come to the driver (bounded, like the IVF
+    // centroid build); everything corpus-sized stays distributed
+    val qRows = emb.filter(col("vec_id") < NQuery)
+      .select(col("vec_id"), col("embedding")).collect()
+    val dim = qRows.head.getSeq[Double](1).length
+    val sub = dim / PqM
+    val books: Seq[Array[Array[Double]]] = (0 until PqM).map { si =>
+      graft.functions.Ivf.kmeansSampled(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), si * sub + 1, sub).as("embedding")),
+        "vec_id", "embedding", PqK, iters = 4)
+    }
+    val cb = books.zipWithIndex.flatMap { case (cents, si) =>
+      cents.zipWithIndex.toSeq.flatMap { case (cent, ci) =>
+        cent.zipWithIndex.toSeq.map { case (cv, j) => (si, ci, j, cv) } }
+    }.toDF("sub", "cluster", "spos", "c")
+    val flat = graft.functions.Ivf.flatten(emb, "vec_id", "embedding")
+      .withColumn("sub", (col("pos") / sub).cast("int"))
+      .withColumn("spos", col("pos") % sub)
+    val codes = flat.join(broadcast(cb), Seq("sub", "spos"))
+      .groupBy(col("__vid"), col("sub"), col("cluster"))
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("dist"))
+      .groupBy(col("__vid"), col("sub"))
+      // struct(dist, cluster) → deterministic argmin (the Ivf convention)
+      .agg(min_by(col("cluster"), struct(col("dist"), col("cluster"))).as("code"))
+    val qt = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1)
+      (0 until PqM).flatMap { si =>
+        books(si).zipWithIndex.map { case (cent, ci) =>
+          var d = 0.0; var j = 0
+          while (j < sub) { val x = qv(si * sub + j) - cent(j); d += x * x; j += 1 }
+          (qid, si, ci, d)
+        }
+      }
+    }.toDF("qid", "sub", "code", "partial")
+    import org.apache.spark.sql.expressions.Window
+    val adc = codes.join(broadcast(qt), Seq("sub", "code"))
+      .filter(col("qid") =!= col("__vid"))
+      .groupBy(col("qid"), col("__vid"))
+      .agg(sum(col("partial")).as("adc"))
+    // shortlist by approximate distance, then EXACT rerank of the
+    // shortlist only (the standard PQ serving pipeline): rerank cost is
+    // NQuery × PqShortlist exact distances, independent of corpus size
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("__vid"))
+    val shortlist = adc.withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= PqShortlist)
+      .select(col("qid"), col("__vid").as("cid"))
+    val scored = shortlist
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv")), "cid")
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
 
   /** Recall of an ANN query's (qid, cid) set against brute-force truth,
     * folded to an oracle-pinnable envelope: n_truth is exact
@@ -261,6 +343,8 @@ object Similarity {
     "s6_lsh_recall_gate" ->
       s"SELECT CAST(${NQuery * TopK} AS BIGINT) AS n_truth, true AS recall_ok",
     "s7_ivf_recall_gate" ->
+      s"SELECT CAST(${NQuery * TopK} AS BIGINT) AS n_truth, true AS recall_ok",
+    "s9_pq_recall_gate" ->
       s"SELECT CAST(${NQuery * TopK} AS BIGINT) AS n_truth, true AS recall_ok",
     "s1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQuery),
