@@ -115,6 +115,15 @@ object Ivf {
       .limit(cap)
       .select(transform(col(vecCol), _.cast("double")))
       .collect().map(_.getSeq[Double](0).toArray)
+    lloyd(sample, k, iters)
+  }
+
+  /** Deterministic driver-side Lloyd over an already-collected sample —
+    * shared by kmeansSampled and the PQ codebook build (which samples ONCE
+    * and trains one codebook per subspace slice).
+    */
+  private[graft] def lloyd(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
     val sstride = math.max(sample.length / k, 1)
     var cent: Array[Array[Double]] =

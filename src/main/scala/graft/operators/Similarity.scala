@@ -234,19 +234,28 @@ object Similarity {
     // approximates L2 — on unit vectors the two orders coincide
     val emb0 = T(s, dir, "embeddings")
     val nrm = l2norm(col("embedding"))
+    // normalization is per-row math over every scan — checkpoint once (tiny:
+    // the whole table is the vector corpus this operator exists to index)
     val emb = emb0.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double") / nrm).as("embedding"))
+      .localCheckpoint()
     // the NQuery query vectors come to the driver (bounded, like the IVF
     // centroid build); everything corpus-sized stays distributed
     val qRows = emb.filter(col("vec_id") < NQuery)
       .select(col("vec_id"), col("embedding")).collect()
     val dim = qRows.head.getSeq[Double](1).length
     val sub = dim / PqM
+    // ONE stride sample (the kmeansSampled discipline), sliced driver-side
+    // into PqM sub-samples — 8 codebooks for the price of one collect
+    val n = emb.count()
+    val stride = math.max(n / 4096, 1)
+    val sample: Array[Array[Double]] = emb
+      .filter(col("vec_id") % stride === 0).orderBy(col("vec_id")).limit(4096)
+      .select(col("embedding")).collect().map(_.getSeq[Double](0).toArray)
     val books: Seq[Array[Array[Double]]] = (0 until PqM).map { si =>
-      graft.functions.Ivf.kmeansSampled(
-        emb.select(col("vec_id"),
-          slice(col("embedding"), si * sub + 1, sub).as("embedding")),
-        "vec_id", "embedding", PqK, iters = 4)
+      graft.functions.Ivf.lloyd(
+        sample.map(v => java.util.Arrays.copyOfRange(v, si * sub, (si + 1) * sub)),
+        PqK, iters = 4)
     }
     val cb = books.zipWithIndex.flatMap { case (cents, si) =>
       cents.zipWithIndex.toSeq.flatMap { case (cent, ci) =>
