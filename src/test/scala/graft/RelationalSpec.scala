@@ -29,7 +29,10 @@ class RelationalSpec extends AnyFunSuite {
       // by the s6/s7 recall-envelope queries whose constant oracles the
       // driver hash-checks (VERDICT r7 #4)
       "s3_ann_lsh",
-      "s4_ivf_ann")
+      "s4_ivf_ann",
+      // r11: PQ/ADC rows stay rows-only too (subspace k-means codebooks);
+      // hard-gated by s9's constant-oracle recall envelope
+      "s8_pq_adc_ann")
     // (x3_pagerank_top graduated to a recursive-CTE oracle in round 3)
     assert(missing == rowsOnly, s"queries missing oracle SQL: $missing")
   }
