@@ -452,7 +452,7 @@ class WriteSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(names.toSeq == Seq("base", "fromA", "fromB"))
     // the commit lock never leaks: next writer acquires immediately
-    assert(!Files.exists(Paths.get(root, "_LOCK")))
+    assert(graft.cypher.GraphStore.withCommitLock(root, waitMs = 200L) { true })
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
@@ -527,7 +527,71 @@ class WriteSpec extends AnyFunSuite {
     val expect = (for (w <- 0 until writers; k <- 0 until perWriter)
       yield s"w${w}k$k").toSet
     assert(names == expect)
-    assert(!Files.exists(Paths.get(root, "_LOCK")))
+    assert(graft.cypher.GraphStore.withCommitLock(root, waitMs = 200L) { true })
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
+  test("GraphStore: crashed-writer lock + N contending takeovers — one body at a time (r12)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_lockrace").toString
+    // simulate a crashed writer's leftover: a _LOCK file with an ancient
+    // mtime and NO live OS lock (the kernel released it with the process)
+    val lock = Paths.get(root, "_LOCK")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600000L))
+    val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { _ =>
+      new Thread(() => {
+        try {
+          for (_ <- 0 until 5) {
+            graft.cypher.GraphStore.withCommitLock(root, waitMs = 20000L) {
+              if (inBody.incrementAndGet() != 1) overlaps.incrementAndGet()
+              Thread.sleep(2) // widen any window
+              inBody.decrementAndGet()
+              ran.incrementAndGet()
+            }
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"contender died: ${failures.peek()}")
+    assert(overlaps.get == 0, s"${overlaps.get} overlapping lock bodies")
+    assert(ran.get == 40)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
+  test("GraphStore: long-running commit body is never taken over (r12)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_longbody").toString
+    val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val holderDone = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      graft.cypher.GraphStore.withCommitLock(root, waitMs = 20000L,
+          staleMs = 50L) { // r11 heuristic would have declared this stale
+        inBody.incrementAndGet()
+        Thread.sleep(400) // body far exceeds staleMs
+        inBody.decrementAndGet()
+      }
+      holderDone.countDown()
+    })
+    holder.start()
+    Thread.sleep(50) // let the holder in
+    val waiter = new Thread(() => {
+      graft.cypher.GraphStore.withCommitLock(root, waitMs = 20000L,
+          staleMs = 50L) {
+        if (inBody.get != 0) overlaps.incrementAndGet()
+      }
+    })
+    waiter.start()
+    holder.join(); waiter.join()
+    assert(overlaps.get == 0, "waiter entered while the live holder was mid-body")
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
