@@ -161,14 +161,22 @@ object RecursiveSql {
     // shadowed so the session catalog is restored afterwards — PG CTE names
     // never outlive the statement
     val shadowed = scala.collection.mutable.LinkedHashMap.empty[String, Option[DataFrame]]
+    // only a LOCAL temp view is re-registered afterwards (ADVICE r11): a
+    // CTE name matching a permanent table or global temp view must not
+    // gain a shadowing temp view it never had — those resolve again the
+    // moment the statement's temp view is dropped
+    def priorTempView(n: String): Option[DataFrame] =
+      scala.util.Try(spark.catalog.getTable(n)).toOption
+        .filter(t => t.isTemporary && t.database == null)
+        .map(_ => spark.table(n))
     // snapshot BEFORE any evaluation: the fixpoint's step() registers the
     // frontier under the CTE name mid-iteration, so capturing lazily at
     // register() time would save the frontier, not the user's prior view
     for (c <- cteList)
-      shadowed(c.name) = scala.util.Try(spark.table(c.name)).toOption
+      shadowed(c.name) = priorTempView(c.name)
     def register(n: String, df: DataFrame): Unit = {
       if (!shadowed.contains(n))
-        shadowed(n) = scala.util.Try(spark.table(n)).toOption
+        shadowed(n) = priorTempView(n)
       // checkpoint the completed CTE (PG materializes CTEs once per
       // statement too), and strip constraint lineage: LogicalRDD keeps
       // origin constraints, and a user projection aliasing ONE source

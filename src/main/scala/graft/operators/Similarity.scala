@@ -70,9 +70,20 @@ object Similarity {
     */
   private val resultCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  /** Bound on cached entries (r12, ADVICE r11): a long-lived JVM opening
+    * many sessions/dirs must not pin checkpoint blocks forever. Dropped
+    * entries become unreachable and Spark's ContextCleaner unpersists
+    * their RDD blocks asynchronously (referenceTracking, on by default).
+    */
+  private val ResultCacheCap = 64
   private def cachedResult(s: SparkSession, dir: String, kind: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    resultCache.keys.foreach { k => // stopped sessions: evict eagerly
+      if (k._1.sparkContext.isStopped) resultCache.remove(k)
+    }
+    if (resultCache.size >= ResultCacheCap) resultCache.clear()
     resultCache.getOrElseUpdate((s, dir, kind), build.localCheckpoint())
+  }
 
   /** Benchmark hook: drop the session cache so a measurement sees the
     * cold build-plus-probe cost (ScaleBench). */
@@ -213,13 +224,14 @@ object Similarity {
     "s7_ivf_recall_gate" -> ((s, dir) => recallGate(s, dir, "s4_ivf_ann", 0.6)),
 
     // Product quantization + asymmetric distance (PQ/ADC — Jégou et al.
-    // 2011, the memory-bounded ANN form): m=4 subspace codebooks trained
-    // by the same bounded sampled k-means as IVF, vectors encoded to m
-    // 4-bit-ish codes in ONE shuffle chain (flatten → broadcast-codebook
-    // join → two keyed aggregations — never all-pairs), queries scored
-    // via per-(sub, code) distance lookup tables broadcast as m×16 rows
-    // per query. At 100 TB the encoded corpus is m bytes/vector and the
-    // probe cost is one broadcast join over the code relation.
+    // 2011, the memory-bounded ANN form): PqM=8 subspace codebooks trained
+    // by the same bounded sampled k-means as IVF, vectors encoded to 8
+    // 5-bit codes (PqK=32 → 40 bits/vector) in ONE shuffle chain (flatten
+    // → broadcast-codebook join → two keyed aggregations — never
+    // all-pairs), queries scored via per-(sub, code) distance lookup
+    // tables broadcast as PqM×PqK rows per query. At 100 TB the encoded
+    // corpus is 5 bytes/vector and the probe cost is one broadcast join
+    // over the code relation.
     "s8_pq_adc_ann" -> ((s, dir) => cachedResult(s, dir, "s8")(pqSearch(s, dir))),
     "s9_pq_recall_gate" -> ((s, dir) => recallGate(s, dir, "s8_pq_adc_ann", 0.5))
   )
@@ -244,6 +256,10 @@ object Similarity {
     val qRows = emb.filter(col("vec_id") < NQuery)
       .select(col("vec_id"), col("embedding")).collect()
     val dim = qRows.head.getSeq[Double](1).length
+    // tail components would silently drop out of the ADC sum via the inner
+    // codebook join if dim didn't split evenly (ADVICE r11) — refuse loudly
+    require(dim % PqM == 0 && dim >= PqM,
+      s"PQ requires embedding dim divisible by PqM=$PqM and >= $PqM, got $dim")
     val sub = dim / PqM
     // ONE stride sample (the kmeansSampled discipline), sliced driver-side
     // into PqM sub-samples — 8 codebooks for the price of one collect

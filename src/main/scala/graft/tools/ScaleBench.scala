@@ -28,8 +28,11 @@ object ScaleBench {
       graft.operators.Similarity.clearSessionCache()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir).count()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // cache teardown happens OUTSIDE the measured interval (ADVICE r11):
+      // including it inflated both sides and biased alpha toward 0
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      elapsed
     }
     println(f"${"query"}%-28s ${"t_small"}%8s ${"t_big"}%8s ${"alpha"}%6s")
     for (n <- names) {

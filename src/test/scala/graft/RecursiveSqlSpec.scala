@@ -161,4 +161,27 @@ class RecursiveSqlSpec extends AnyFunSuite {
         |) SELECT count(*) AS c FROM ephemeral""".stripMargin).collect()
     assert(!spark.catalog.tableExists("ephemeral"))
   }
+
+  test("CTE name matching a permanent table leaves no shadowing temp view (r12)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS rec_perm_tbl")
+    Seq((7L, 1L)).toDF("v", "tag").write.mode("overwrite")
+      .saveAsTable("rec_perm_tbl")
+    try {
+      val out = session.run(
+        """WITH RECURSIVE rec_perm_tbl(n) AS (
+          |  SELECT CAST(1 AS BIGINT) AS n
+          |  UNION
+          |  SELECT e.dst FROM rec_perm_tbl JOIN dag_edges e ON rec_perm_tbl.n = e.src
+          |) SELECT max(n) AS mx FROM rec_perm_tbl""".stripMargin)
+        .collect().head.getLong(0)
+      assert(out == 4L)
+      // the name resolves to the TABLE again, not a leftover temp view of it
+      assert(!spark.catalog.getTable("rec_perm_tbl").isTemporary)
+      assert(spark.sql("SELECT v FROM rec_perm_tbl").collect().head.getLong(0) == 7L)
+      // a later DROP of the table must not leave a stale-shadowing view
+      spark.sql("DROP TABLE rec_perm_tbl")
+      assert(!spark.catalog.tableExists("rec_perm_tbl"))
+    } finally spark.sql("DROP TABLE IF EXISTS rec_perm_tbl")
+  }
 }
