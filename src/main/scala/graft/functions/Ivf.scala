@@ -104,8 +104,13 @@ object Ivf {
     * ([[kmeansFlat]]) spent 4 shuffle stages + a collect PER ITERATION on
     * cluster-scheduling overhead.
     */
+  /** Index builds this JVM has run — lets PersistSpec assert that a
+    * reopened store USES its stored centroids instead of re-clustering. */
+  val kmeansBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
   def kmeansSampled(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, cap: Int = 4096, nHint: Option[Long] = None): Array[Array[Double]] = {
+    kmeansBuilds.incrementAndGet()
     val n = nHint.getOrElse(emb.count()) // callers pass the session-cached count
     require(n >= k, s"need at least $k vectors")
     val stride = math.max(n / cap, 1)

@@ -74,6 +74,50 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(top == Seq(999L)) // the post-build row is probed, not stale
   }
 
+  test("index persists into the GraphStore catalog and survives reopen (r12)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_ivf_persist").toString
+    val s = new graft.cypher.GraphSession(spark)
+    s.createGraph("ivfp", root)
+    (0 until 40).foreach { i =>
+      val (bx, by) = if (i % 2 == 0) (0.0, 0.0) else (100.0, 100.0)
+      val x = bx + (i / 2) * 0.5
+      val y = by + (i % 5) * 0.5
+      s.run(s"CREATE (:Doc {k: $i, embedding: [$x, $y]})")
+    }
+    s.run("SELECT create_ivfflat_l2_ops_index('ivfp', 'Doc', 'embedding', 2, 2)")
+    val vBuild = graft.cypher.GraphStore.latestVersion(root).get
+    // the DDL itself published: catalog carries the ivf line + centroid file
+    val cat = scala.io.Source.fromFile(s"$root/v$vBuild/catalog.txt").getLines().toList
+    assert(cat.exists(_.startsWith(s"ivf Doc embedding l2 2 2 $vBuild")), cat.mkString("; "))
+    assert(Files.exists(Paths.get(s"$root/v$vBuild/ivf/Doc__embedding.txt")))
+    // a later write carries the index as a POINTER (no rewrite, file retained)
+    s.run("CREATE (:Doc {k: 999, embedding: [0.1, 0.1]})")
+    val vAfter = graft.cypher.GraphStore.latestVersion(root).get
+    assert(vAfter > vBuild)
+    val cat2 = scala.io.Source.fromFile(s"$root/v$vAfter/catalog.txt").getLines().toList
+    assert(cat2.exists(_ == s"ivf Doc embedding l2 2 2 $vBuild"), cat2.mkString("; "))
+    assert(!Files.exists(Paths.get(s"$root/v$vAfter/ivf")))
+    assert(Files.exists(Paths.get(s"$root/v$vBuild/ivf/Doc__embedding.txt")))
+    // reopen in a FRESH session: the stored index loads — NO k-means rerun
+    val builds0 = graft.functions.Ivf.kmeansBuilds.get()
+    val r = new graft.cypher.GraphSession(spark)
+    r.openGraph("ivfp", root)
+    val near = r.run(
+      "MATCH (d:Doc) RETURN d.k AS k ORDER BY d.embedding <-> [0.0, 0.0] LIMIT 41")
+      .collect().map(_.getLong(0)).toSet
+    assert(graft.functions.Ivf.kmeansBuilds.get() == builds0,
+      "reopen re-ran the k-means build instead of loading stored centroids")
+    // probed semantics survive: probes=1 keeps only the near cloud
+    assert(near.size < 41 && near.forall(k => k % 2 == 0 || k == 999L), near.toString)
+    r.run("SET ivfflat.probes = 2")
+    val all = r.run(
+      "MATCH (d:Doc) RETURN d.k AS k ORDER BY d.embedding <-> [0.0, 0.0] LIMIT 41")
+      .collect().map(_.getLong(0)).toSet
+    assert(all.size == 41)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
   test("non-matching shapes never rewrite (other props, DESC, no limit)") {
     val s = mkSession()
     s.run("SELECT create_ivfflat_l2_ops_index('ivfg', 'Doc', 'embedding', 2, 2)")
