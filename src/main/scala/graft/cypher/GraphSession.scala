@@ -1483,9 +1483,28 @@ final class MutableGraph(spark: SparkSession) {
     * untouched (cypher_delete.out:276-284). DataFrames are immutable —
     * only the small catalog maps need copying, so a snapshot is O(labels).
     */
-  private[cypher] def txSnapshot(): MutableGraph.TxState =
+  // ---- statement-scoped change tracking for file-level CoW (r12,
+  // VERDICT r11 #6). Every mutation path either records the entity ids it
+  // touched (id-local changes: CREATE/SET/REMOVE/DELETE) or marks its
+  // label full-rewrite (changes that re-encode untouched rows: aligned()
+  // type-conflict unions, type-changing SET, DETACH's edge cascade).
+  // Publish may then rewrite only the parquet FILES containing touched
+  // ids and carry the rest by manifest pointer. A mutation path that did
+  // neither would silently lose rows under CoW — which is why the
+  // recording happens inside the primitives themselves, not at call sites.
+  private val txTouched = mutable.ListBuffer.empty[DataFrame]
+  private val txFullRewrite = mutable.Set.empty[String] // "v:Label"/"e:Label"
+  private def noteTouched(ids: DataFrame): Unit =
+    txTouched += ids.select(col("id"))
+  private def noteFullRewrite(kind: String, label: String): Unit =
+    txFullRewrite += s"$kind:$label"
+  private def txResetTracking(): Unit = { txTouched.clear(); txFullRewrite.clear() }
+
+  private[cypher] def txSnapshot(): MutableGraph.TxState = {
+    txResetTracking() // statement boundary
     MutableGraph.TxState(labelIds.toSeq, nextEntry.toMap,
       vertexLabels, edgeLabels, uniqueConstraints.toSet, wholePropsUnique.toSet)
+  }
 
 
   /** PG sequences are NON-transactional: a rolled-back statement's label
@@ -1698,7 +1717,19 @@ final class MutableGraph(spark: SparkSession) {
     * fixture) re-encodes through the dynamic codec on BOTH sides; the
     * dynamic struct is paid only on conflict, never up front.
     */
-  private def aligned(old: Option[DataFrame], add: DataFrame): DataFrame = old match {
+  /** Append rows to a label table (all CREATE paths): records the new ids
+    * for file-level CoW and schema-aligns the union.
+    */
+  private def appendRows(kind: String, label: String, df: DataFrame): Unit = {
+    noteTouched(df)
+    if (kind == "v")
+      vertexLabels += (label -> aligned(kind, label, vertexLabels.get(label), df))
+    else
+      edgeLabels += (label -> aligned(kind, label, edgeLabels.get(label), df))
+  }
+
+  private def aligned(kind: String, label: String, old: Option[DataFrame],
+      add: DataFrame): DataFrame = old match {
     case None => add
     case Some(o) =>
       import graft.gvalue.GValueCol
@@ -1708,6 +1739,9 @@ final class MutableGraph(spark: SparkSession) {
             f.dataType != NullType && g.dataType != NullType)
           .map(_ => f.name)
       }.toSeq
+      // a type-conflict union re-encodes the OLD rows too (dynCoerce) —
+      // not an id-local change, so file-level CoW must not carry old files
+      if (conflicts.nonEmpty) noteFullRewrite(kind, label)
       def fix(df: DataFrame): DataFrame = conflicts.foldLeft(df) { (d, n) =>
         GValueCol.dynCoerce(col(n), d.schema(n).dataType) match {
           // keep SQL NULL (= property absent) rather than letting the
@@ -1759,7 +1793,7 @@ final class MutableGraph(spark: SparkSession) {
     val df = ids.select(col("id") +:
       props.toSeq.sortBy(_._1).map { case (k, v) =>
         gLit(v).as(Compiler.PropNames.esc(k)) }: _*)
-    vertexLabels += (label -> aligned(vertexLabels.get(label), df))
+    appendRows("v", label, df)
   }
 
   /** Append fully-formed vertex rows (id + ROW-VALUED property columns) —
@@ -1782,7 +1816,7 @@ final class MutableGraph(spark: SparkSession) {
       }
     labelId(label)
     val df = rows.select(col("id") +: propNames.sorted.map(col): _*)
-    vertexLabels += (label -> aligned(vertexLabels.get(label), df))
+    appendRows("v", label, df)
   }
 
   private val uniqueConstraints = mutable.Set.empty[(String, String)]
@@ -1857,7 +1891,7 @@ final class MutableGraph(spark: SparkSession) {
       props.toSeq.sortBy(_._1).map { case (k, v) => StructField(k, sparkType(v)) }
     val row = Row.fromSeq(id +: props.toSeq.sortBy(_._1).map { case (_, v) => sparkValue(v) })
     val df = spark.createDataFrame(java.util.Arrays.asList(row), StructType(fields))
-    vertexLabels += (label -> aligned(vertexLabels.get(label), df))
+    appendRows("v", label, df)
     id
   }
 
@@ -1874,7 +1908,7 @@ final class MutableGraph(spark: SparkSession) {
     val row = Row.fromSeq(Seq(id, startId, endId) ++
       props.toSeq.sortBy(_._1).map { case (_, v) => sparkValue(v) })
     val df = spark.createDataFrame(java.util.Arrays.asList(row), StructType(fields))
-    edgeLabels += (label -> aligned(edgeLabels.get(label), df))
+    appendRows("e", label, df)
     id
   }
 
@@ -1905,7 +1939,7 @@ final class MutableGraph(spark: SparkSession) {
         .bitwiseOR(col("__ern") + base))
       .select(Seq(col("id"), col("start_id"), col("end_id")) ++ propNames.map(col): _*)
     nextEntry(label) = base + n
-    edgeLabels += (label -> aligned(edgeLabels.get(label), df))
+    appendRows("e", label, df)
   }
 
   /** One-row DF for a just-created vertex, columns prefixed `alias__`. */
@@ -1931,7 +1965,7 @@ final class MutableGraph(spark: SparkSession) {
     val propNames = rows.columns.filterNot(Set("id", "start_id", "end_id")).toSeq.sorted
     val df = rows.select(
       Seq(col("id"), col("start_id"), col("end_id")) ++ propNames.map(col): _*)
-    edgeLabels += (label -> aligned(edgeLabels.get(label), df))
+    appendRows("e", label, df)
   }
 
   /** SET/REMOVE property k for ids in `updates(__set_id, __set_val)` across
@@ -1944,7 +1978,8 @@ final class MutableGraph(spark: SparkSession) {
     // the lineage (deterministic re-scans), and the blocks are released by
     // the context cleaner when the session drops the table version
     val updates = updates0.localCheckpoint()
-    def apply(tables: Map[String, DataFrame]): Map[String, DataFrame] =
+    noteTouched(updates.select(col("__set_id").as("id")))
+    def apply(kind: String, tables: Map[String, DataFrame]): Map[String, DataFrame] =
       tables.map { case (l, df) =>
         val hasAny = updates.filter(PropertyGraph.labelOfCol(col("__set_id")) === lit(labelIds(l)))
           .limit(1).count() > 0
@@ -1959,6 +1994,9 @@ final class MutableGraph(spark: SparkSession) {
                 if (oldDt == newDt || oldDt == NullType || newDt == NullType)
                   (col(k), col("__set_val"))
                 else {
+                  // whole-column re-encode touches UNCHANGED rows too —
+                  // disqualify this label from file-level CoW
+                  noteFullRewrite(kind, l)
                   // type-changing SET (long → list/map/string …): both the
                   // kept and the new values re-encode through the dynamic
                   // codec — reference stores every property as gtype
@@ -1975,8 +2013,8 @@ final class MutableGraph(spark: SparkSession) {
           l -> updated.drop("__set_id", "__set_val")
         }
       }
-    vertexLabels = apply(vertexLabels)
-    edgeLabels = apply(edgeLabels)
+    vertexLabels = apply("v", vertexLabels)
+    edgeLabels = apply("e", edgeLabels)
   }
 
   /** DELETE vertices by id; DETACH cascades to incident edges on every edge
@@ -1986,6 +2024,7 @@ final class MutableGraph(spark: SparkSession) {
   /** DELETE edges by id across every edge label table. */
   def deleteEdges(ids0: DataFrame): Unit = {
     val ids = ids0.localCheckpoint()
+    noteTouched(ids)
     edgeLabels = edgeLabels.map { case (l, e) =>
       l -> e.join(ids, e("id") === ids("id"), "left_anti")
     }
@@ -2002,9 +2041,13 @@ final class MutableGraph(spark: SparkSession) {
           "cannot delete vertex with incident edges — use DETACH DELETE")
     } else {
       edgeLabels = edgeLabels.map { case (l, e) =>
+        // the cascade is keyed on ENDPOINTS, not edge ids — the touched
+        // edge ids aren't enumerated, so these labels must full-rewrite
+        noteFullRewrite("e", l)
         l -> e.join(ids, e("start_id") === ids("id") || e("end_id") === ids("id"), "left_anti")
       }
     }
+    noteTouched(ids)
     vertexLabels = vertexLabels.map { case (l, v) =>
       l -> v.join(ids, v("id") === ids("id"), "left_anti")
     }
@@ -2061,6 +2104,30 @@ final class MutableGraph(spark: SparkSession) {
     val prevNull: Map[(String, String), List[String]] =
       prevLines.filter(_.startsWith("nulltype "))
         .groupBy { s => val p = s.split(" "); (p(1), p(2)) }
+    // r12 file-level manifests: `file <kind> <encLabel> <encRelPath>`, one
+    // line per parquet file; a label is EITHER dir-pointer (vlabel/elabel)
+    // or file-manifest form, never both
+    val prevFileLines: Map[(String, String), List[String]] =
+      prevLines.filter(_.startsWith("file "))
+        .groupBy { s => val p = s.split(" "); (p(1), p(2)) }
+    def versionOfRel(rel: String): Long = rel.takeWhile(_ != '/').drop(1).toLong
+    def relsOfLines(lines: List[String]): List[String] =
+      lines.map(s => GraphStore.dec(s.split(" ")(3)))
+    def listParquet(d: String): List[String] = {
+      val dp = Paths.get(d)
+      if (!Files.isDirectory(dp)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(dp).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).map(_.toString)
+          .toList.sorted
+      }
+    }
+    // union of the statement's touched-id frames (lazy: only built when a
+    // changed label is actually CoW-eligible)
+    lazy val txTouchedAll: Option[DataFrame] =
+      if (txTouched.isEmpty) None
+      else Some(txTouched.reduce(_ unionByName _).localCheckpoint())
     val sb = new StringBuilder
     sb ++= s"seq $seqLast\n"
     labelIds.foreach { case (n, i) => sb ++= s"label ${enc(n)} $i\n" }
@@ -2068,16 +2135,89 @@ final class MutableGraph(spark: SparkSession) {
     uniqueConstraints.foreach { case (l, p) => sb ++= s"unique ${enc(l)} ${enc(p)}\n" }
     wholePropsUnique.foreach(l => sb ++= s"wholeunique ${enc(l)}\n")
     val referenced = scala.collection.mutable.Set[Long](next)
+    // Attempt a file-level copy-on-write publish for a CHANGED label
+    // (VERDICT r11 #6): rewrite only the parquet files containing this
+    // statement's touched ids, carry the rest by manifest line. Returns
+    // false when ineligible — the caller falls back to the full rewrite.
+    def tryCow(kind: String, l: String, df: DataFrame): Boolean = {
+      val encl = enc(l)
+      if (txFullRewrite.contains(s"$kind:$l")) return false
+      if (txTouchedAll.isEmpty) return false
+      if (df.schema.fields.exists(_.dataType == NullType)) return false
+      if (prevNull.contains((kind, encl))) return false // legacy nulltype files
+      // the label's previous on-disk form: file manifest, or a dir pointer
+      val prevRels: List[String] =
+        prevFileLines.get((kind, encl)).map(relsOfLines).getOrElse {
+          prevLoc.get((kind, encl)).map { ver =>
+            listParquet(s"$root/v$ver/$kind/$encl")
+              .map(p => s"v$ver/$kind/$encl/${Paths.get(p).getFileName}")
+          }.getOrElse(Nil)
+        }
+      if (prevRels.isEmpty) return false // brand-new label: full write IS minimal
+      // compaction bound: once the manifest chain reaches 64 files the
+      // next change rewrites the label whole — keeps open-time footer
+      // reads and gc's live-version set bounded (Delta's OPTIMIZE analog,
+      // triggered by write rather than by a maintenance job)
+      if (prevRels.size >= 64) return false
+      val touched = txTouchedAll.get
+        .filter(PropertyGraph.labelOfCol(col("id")) === lit(labelIds(l)))
+        .select(col("id")).distinct()
+      // reference-changed but nothing of THIS label touched (e.g. a DELETE
+      // that matched other labels): carry the manifest verbatim
+      if (touched.limit(1).count() == 0) {
+        prevRels.foreach { r =>
+          referenced += versionOfRel(r)
+          sb ++= s"file $kind $encl ${enc(r)}\n"
+        }
+        return true
+      }
+      // map prev rows to their files; match by part-file basename (unique
+      // per Spark write job) to dodge URI-escaping of encoded label dirs
+      val prevAbs = prevRels.map(r => s"$root/$r")
+      val withFile = spark.read.option("mergeSchema", "true").parquet(prevAbs: _*)
+        .select(col("id"), element_at(split(col("_metadata.file_path"), "/"), -1)
+          .as("__fname"))
+      val touchedNames = withFile.join(touched, Seq("id"), "left_semi")
+        .select(col("__fname")).distinct().collect().map(_.getString(0)).toSet
+      def base(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
+      val (touchedRel, carriedRel) = prevRels.partition(r => touchedNames(base(r)))
+      // rewriting most of the label through the CoW path would write the
+      // same bytes with extra joins — let the plain full write do it
+      if (touchedRel.size * 2 > prevRels.size && prevRels.size > 1) return false
+      val idsToRewrite =
+        if (touchedRel.isEmpty) touched // pure insert
+        else withFile.filter(col("__fname").isin(touchedRel.map(base): _*))
+          .select(col("id")).union(touched).distinct()
+      val rows = df.join(idsToRewrite, Seq("id"), "left_semi")
+      if (carriedRel.isEmpty && rows.limit(1).count() == 0)
+        return false // label emptied: full write keeps a schema-bearing dir
+      val outDir = s"$dir/$kind/$encl"
+      rows.coalesce(math.max(1, touchedRel.size)).write.parquet(outDir)
+      val newRels = listParquet(outDir)
+        .map(p => s"v$next/$kind/$encl/${Paths.get(p).getFileName}")
+      (carriedRel ++ newRels).foreach { r =>
+        referenced += versionOfRel(r)
+        sb ++= s"file $kind $encl ${enc(r)}\n"
+      }
+      true
+    }
     def writeTables(kind: String, m: Map[String, DataFrame],
         prev: Map[String, DataFrame]): Unit =
       m.foreach { case (l, df) =>
-        val carried =
-          if (prev.get(l).exists(_ eq df)) prevLoc.get((kind, enc(l))) else None
+        val unchanged = prev.get(l).exists(_ eq df)
+        val carried = if (unchanged) prevLoc.get((kind, enc(l))) else None
         carried match {
           case Some(ver) => // untouched since the snapshot: point, don't copy
             referenced += ver
             sb ++= s"${kind}label ${enc(l)} $ver\n"
             prevNull.getOrElse((kind, enc(l)), Nil).foreach(x => sb ++= x + "\n")
+          case None if unchanged && prevFileLines.contains((kind, enc(l))) =>
+            // untouched file-manifest label: carry its file lines verbatim
+            prevFileLines((kind, enc(l))).foreach { line =>
+              referenced += versionOfRel(GraphStore.dec(line.split(" ")(3)))
+              sb ++= line + "\n"
+            }
+          case None if tryCow(kind, l, df) => () // manifest emitted by tryCow
           case None =>
             sb ++= s"${kind}label ${enc(l)} $next\n"
             // parquet cannot store NullType — persist as an all-null string
@@ -2121,9 +2261,12 @@ final class MutableGraph(spark: SparkSession) {
     GraphStore.swapLatest(root, next)
     storeVersion = next
     ivfPersistedAt ++= ivfPersistedNow // only after a successful swap
+    txResetTracking() // touched-id frames are consumed by this publish
+    val prevFileVers = prevFileLines.values.flatten
+      .map(line => versionOfRel(GraphStore.dec(line.split(" ")(3)))).toSet
     // retain: the two newest catalogs plus every dir either one references
     GraphStore.gc(root, keep = referenced.toSet ++ prevLoc.values.toSet ++
-      prevIvfVers ++ Set(cur, next))
+      prevIvfVers ++ prevFileVers ++ Set(cur, next))
     }
   }
 
@@ -2157,8 +2300,8 @@ object MutableGraph {
     val g = new MutableGraph(spark)
     val nullCols = lines.collect { case s if s.startsWith("nulltype ") =>
       val Array(_, kind, l, c) = s.split(" "); (kind, dec(l), dec(c)) }.toSet
-    def readTables(kind: String): Map[String, DataFrame] =
-      lines.collect { case s if s.startsWith(s"${kind}label ") =>
+    def readTables(kind: String): Map[String, DataFrame] = {
+      val dirLabels = lines.collect { case s if s.startsWith(s"${kind}label ") =>
         val parts = s.split(" ")
         val l = dec(parts(1))
         // incremental catalogs (r11) point unchanged labels at the version
@@ -2173,6 +2316,20 @@ object MutableGraph {
         }
         l -> restored.localCheckpoint()
       }.toMap
+      // r12 file-manifest labels: `file <kind> <encLabel> <encRelPath>` —
+      // the label is the union of the listed files across version dirs.
+      // mergeSchema: a CoW SET that added a property wrote the new column
+      // only into rewritten files; carried files read it as null, which IS
+      // the absent-property semantics (nulltype columns never take this
+      // path — guarded at publish)
+      val fileLabels = lines.filter(_.startsWith(s"file $kind "))
+        .map(_.split(" ")).groupBy(p => p(2)).map { case (encl, ps) =>
+          val paths = ps.map(p => s"$root/${dec(p(3))}")
+          dec(encl) -> spark.read.option("mergeSchema", "true")
+            .parquet(paths: _*).localCheckpoint()
+        }
+      dirLabels ++ fileLabels
+    }
     lines.foreach { s =>
       val parts = s.split(" ")
       parts(0) match {

@@ -16,11 +16,20 @@ import scala.jdk.CollectionConverters._
   *     v3/
   *       catalog.txt    ← label ids, sequence position, constraints,
   *                        per-label `vlabel <name> <ver>` location lines
-  *       v/<label>/     ← vertex label tables CHANGED by v3 (parquet)
+  *                        OR per-FILE `file <kind> <label> <relpath>`
+  *                        manifest lines (r12 copy-on-write)
+  *       v/<label>/     ← vertex label tables/files CHANGED by v3 (parquet)
   *       e/<label>/     ← edge label tables changed by v3
   *   Unchanged labels are pointers into the version dir that last wrote
   *   them (r11 incremental publish) — per-commit write volume tracks the
-  *   statement's touched labels, not the graph.
+  *   statement's touched labels, not the graph. Within a CHANGED label,
+  *   id-local statements (CREATE/SET/REMOVE/DELETE) rewrite only the
+  *   parquet FILES containing the touched entity ids and carry the rest
+  *   by manifest line (r12 file-level CoW — the Delta/Iceberg
+  *   add/remove-file shape): a 1-row SET on a multi-file label writes one
+  *   replacement file plus the catalog. Changes that re-encode untouched
+  *   rows (type-changing SET, type-conflict unions, DETACH's
+  *   endpoint-keyed edge cascade) fall back to the full label rewrite.
   *
   * Statement rollback needs no store cooperation: versions publish only
   * AFTER a statement succeeds (GraphSession.runClauses commits post-tx),
@@ -36,13 +45,14 @@ import scala.jdk.CollectionConverters._
   * optimistic concurrency without conflict resolution: writers serialize,
   * losers retry from a fresh open.
   *
-  * Scale note: per-statement full rewrite is the right shape for the
-  * OLTP-ish literal-CREATE tail this path serves (GraphSession doc —
-  * bulk ingestion is GraphBuilder over already-durable sources). At
-  * 100 TB label tables you would swap this layer for a transactional
-  * table format (Delta/Iceberg) with the same publish-after-commit +
-  * commit-lock contract; nothing above it (compiler, session, tx
-  * snapshot) would change.
+  * Scale note: with r12's file-level CoW the per-commit write volume is
+  * bounded by the files the statement's touched ids live in, not the
+  * label — the add/remove-file manifest shape of Delta/Iceberg. What a
+  * production swap to those formats would still add: file statistics for
+  * data skipping, compaction of long manifest chains, and checkpointed
+  * manifests; the publish-after-commit + commit-lock contract and
+  * everything above it (compiler, session, tx snapshot) are already in
+  * their final shape.
   */
 object GraphStore {
 

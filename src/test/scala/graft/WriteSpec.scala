@@ -470,7 +470,12 @@ class WriteSpec extends AnyFunSuite {
     val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
     // the latest catalog POINTS at Q's old dir instead of rewriting it
     assert(cat.exists(_ == s"vlabel Q $vQ"), cat.mkString("; "))
-    assert(cat.exists(_ == s"vlabel P $v"), cat.mkString("; "))
+    // P took the r12 file-level CoW path: the second CREATE added one new
+    // file and carried the first CREATE's file by manifest line
+    val pFiles = cat.filter(_.startsWith("file v P "))
+    assert(pFiles.size == 2, cat.mkString("; "))
+    assert(pFiles.exists(_.contains(s"v${v - 1}%2F")), cat.mkString("; "))
+    assert(pFiles.exists(_.contains(s"v$v%2F")), cat.mkString("; "))
     assert(!Files.exists(Paths.get(s"$root/v$v/v/Q")))
     // the referenced old dir survives gc even though it is 2 versions back
     assert(Files.exists(Paths.get(s"$root/v$vQ/v/Q")))
@@ -592,6 +597,70 @@ class WriteSpec extends AnyFunSuite {
     waiter.start()
     holder.join(); waiter.join()
     assert(overlaps.get == 0, "waiter entered while the live holder was mid-body")
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
+  test("GraphStore: 1-row SET on a multi-file label rewrites <=1 file + manifest (r12)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def filesOf(root: String, v: Long): Set[String] = {
+      val d = Paths.get(s"$root/v$v/v/P")
+      if (!Files.isDirectory(d)) Set.empty
+      else Files.list(d).iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-")).toSet
+    }
+    val root = Files.createTempDirectory("graft_store_cow").toString
+    val s = new GraphSession(spark)
+    s.createGraph("durcow", root)
+    s.run("CREATE (:P {k: 1, t: 'one'}), (:P {k: 2, t: 'two'})") // full write
+    val v2 = graft.cypher.GraphStore.latestVersion(root).get
+    s.run("CREATE (:P {k: 3, t: 'three'})") // CoW append: carries v2's files
+    val v3 = graft.cypher.GraphStore.latestVersion(root).get
+    assert(filesOf(root, v3).size == 1, "append should write exactly one new file")
+    val cat3 = scala.io.Source.fromFile(s"$root/v$v3/catalog.txt").getLines().toList
+    assert(cat3.count(_.startsWith("file v P ")) == filesOf(root, v2).size + 1)
+    // label now spans files across v2 and v3 — the multi-file shape.
+    // Record v2's file bytes, then SET one row that lives in a v2 file.
+    val v2Bytes: Map[String, Array[Byte]] = filesOf(root, v2).map(f =>
+      f -> Files.readAllBytes(Paths.get(s"$root/v$v2/v/P/$f"))).toMap
+    s.run("MATCH (p:P {k: 1}) SET p.t = 'uno'")
+    val v4 = graft.cypher.GraphStore.latestVersion(root).get
+    assert(v4 == v3 + 1)
+    // the SET wrote exactly one replacement file …
+    assert(filesOf(root, v4).size == 1,
+      s"1-row SET wrote ${filesOf(root, v4).size} files")
+    val cat4 = scala.io.Source.fromFile(s"$root/v$v4/catalog.txt").getLines().toList
+    val pFiles4 = cat4.filter(_.startsWith("file v P "))
+    // … and the manifest still carries every UNTOUCHED file by pointer:
+    // total file count is unchanged (one replaced, rest carried)
+    assert(pFiles4.size == cat3.count(_.startsWith("file v P ")), cat4.mkString("; "))
+    assert(pFiles4.exists(_.contains(s"v$v3%2F")), "v3's file must be carried")
+    // untouched v2 files survive BYTE-EQUAL on disk (never rewritten)
+    val carriedV2 = pFiles4.filter(_.contains(s"v$v2%2F"))
+    assert(carriedV2.nonEmpty, "at least one v2 file must be carried untouched")
+    carriedV2.foreach { line =>
+      val f = java.net.URLDecoder.decode(line.split(" ")(3), "UTF-8")
+        .split("/").last
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(s"$root/v$v2/v/P/$f")), v2Bytes(f)),
+        s"carried file $f changed on disk")
+    }
+    // reads are exact after reopen: the updated row, the carried rows
+    val r = new GraphSession(spark)
+    r.openGraph("durcow", root)
+    val rows = r.run("MATCH (p:P) RETURN p.k AS k, p.t AS t ORDER BY k")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(rows == Seq((1L, "uno"), (2L, "two"), (3L, "three")), rows.toString)
+    // DELETE takes the same path: remove k=2 (a v2 file) — one file
+    // rewritten (possibly to zero rows), others carried
+    r.run("MATCH (p:P {k: 2}) DELETE p")
+    val v5 = graft.cypher.GraphStore.latestVersion(root).get
+    val r2 = new GraphSession(spark)
+    r2.openGraph("durcow", root)
+    val ks = r2.run("MATCH (p:P) RETURN p.k AS k ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ks == Seq(1L, 3L), ks.toString)
+    assert(v5 == v4 + 1)
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
