@@ -108,6 +108,17 @@ final class GraphSession(val spark: SparkSession) {
   def createUniqueConstraint(label: String, prop: String): Unit =
     graph.addUniqueConstraint(label, prop)
 
+  /** Commit one streaming micro-batch of vertices into the current
+    * (durable) graph as a single store version — the foreachBatch sink
+    * behind [[graft.streaming.Streams.graphStoreIngest]]. Idempotent per
+    * (appId, batchId): replays after restart are skipped, which together
+    * with Structured Streaming's deterministic batch ids gives
+    * end-to-end exactly-once into the store.
+    */
+  def ingestVertexBatch(label: String, keyCol: String, batch: DataFrame,
+      appId: String, batchId: Long): Unit =
+    graph.ingestVertexBatch(label, keyCol, batch, appId, batchId)
+
   /** `CREATE GRAPH g` / `USE GRAPH g` / `DROP GRAPH g [CASCADE]` —
     * statement-level DDL (reference cypher_gram.y:2926, 4297-4315), routed
     * to the session catalog before clause parsing.
@@ -1717,6 +1728,44 @@ final class MutableGraph(spark: SparkSession) {
     * fixture) re-encodes through the dynamic codec on BOTH sides; the
     * dynamic struct is paid only on conflict, never up front.
     */
+  /** Last committed micro-batch id per streaming writer identity (r12) —
+    * persisted in the store catalog (`stream <app> <batchId>` lines) so a
+    * replayed foreachBatch after restart is recognized and skipped: the
+    * idempotent-sink half of Structured Streaming's exactly-once contract
+    * (the same txn-appId/txn-version pattern Delta's streaming sink uses).
+    */
+  private[cypher] val streamBatches = mutable.Map.empty[String, Long]
+
+  /** Commit one streaming micro-batch of vertices as ONE store version.
+    * Ids pack from `keyCol` like GraphBuilder labels (key-addressed — do
+    * not mix with sequence-id CREATE on the same label). Replays of an
+    * already-committed (appId, batchId) are no-ops; a failed commit
+    * restores the in-memory marker so the retry is not skipped.
+    */
+  private[cypher] def ingestVertexBatch(label: String, keyCol: String,
+      batch: DataFrame, appId: String, batchId: Long): Unit = {
+    if (streamBatches.get(appId).exists(_ >= batchId)) return
+    val tx = txSnapshot()
+    val prevMark = streamBatches.get(appId)
+    try {
+      val lid = labelId(label)
+      val df = batch.select(
+        shiftleft(lit(lid.toLong), 48).bitwiseOR(col(keyCol).cast("long")).as("id") +:
+          batch.columns.filterNot(_ == "id").sorted.map(col): _*)
+      appendRows("v", label, df.localCheckpoint())
+      streamBatches(appId) = batchId // written into the catalog by publish
+      commitIfChanged(tx)
+    } catch {
+      case t: Throwable =>
+        txRestore(tx)
+        prevMark match {
+          case Some(v) => streamBatches(appId) = v
+          case None => streamBatches.remove(appId)
+        }
+        throw t
+    }
+  }
+
   /** Append rows to a label table (all CREATE paths): records the new ids
     * for file-level CoW and schema-aligns the union.
     */
@@ -2134,6 +2183,7 @@ final class MutableGraph(spark: SparkSession) {
     nextEntry.foreach { case (n, v) => sb ++= s"next ${enc(n)} $v\n" }
     uniqueConstraints.foreach { case (l, p) => sb ++= s"unique ${enc(l)} ${enc(p)}\n" }
     wholePropsUnique.foreach(l => sb ++= s"wholeunique ${enc(l)}\n")
+    streamBatches.foreach { case (a, b) => sb ++= s"stream ${enc(a)} $b\n" }
     val referenced = scala.collection.mutable.Set[Long](next)
     // Attempt a file-level copy-on-write publish for a CHANGED label
     // (VERDICT r11 #6): rewrite only the parquet files containing this
@@ -2338,6 +2388,7 @@ object MutableGraph {
         case "next" => g.nextEntry(dec(parts(1))) = parts(2).toLong
         case "unique" => g.uniqueConstraints += ((dec(parts(1)), dec(parts(2))))
         case "wholeunique" => g.wholePropsUnique += dec(parts(1))
+        case "stream" => g.streamBatches(dec(parts(1))) = parts(2).toLong
         case "ivf" => // r12: reload the persisted index — no k-means rerun
           val (label, prop) = (dec(parts(1)), dec(parts(2)))
           val ver = parts(6).toLong

@@ -98,6 +98,7 @@ object GraphStore {
       throw new IllegalStateException(
         s"could not acquire commit lock at $lock within ${waitMs}ms")
     try {
+      Files.createDirectories(Paths.get(root)) // first publish of a new store
       val ch = java.nio.channels.FileChannel.open(lock,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)

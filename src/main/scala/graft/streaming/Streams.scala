@@ -37,6 +37,34 @@ object Streams {
       .start()
   }
 
+  /** Stream vertices into a DURABLE graph (r12): each micro-batch commits
+    * as ONE GraphStore version through the same OCC publish path as
+    * interactive statements, so readers see batch boundaries atomically
+    * and the store's file-level CoW bounds a batch's write volume to the
+    * batch's own file plus the catalog. Exactly-once lands on the
+    * idempotent sink: the store catalog records (appId, batchId) and a
+    * replayed batch after restart is skipped (the Delta streaming-sink
+    * txn pattern). Ids pack from `keyCol` (key-addressed, like
+    * GraphBuilder labels — don't mix with sequence-id CREATE on the same
+    * label).
+    */
+  def graphStoreIngest(
+      docs: DataFrame, // streaming DF
+      session: graft.cypher.GraphSession,
+      label: String,
+      keyCol: String,
+      checkpointDir: String,
+      appId: Option[String] = None): StreamingQuery = {
+    val app = appId.getOrElse(checkpointDir)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        session.ingestVertexBatch(label, keyCol, batch, app, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Watermarked sliding-window aggregation over an event stream —
     * the canonical streaming shape (late data dropped past the watermark;
     * state store bounded).

@@ -39,6 +39,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.toSeq == batchKeys.toSeq)
   }
 
+  test("streaming ingest into a durable GraphStore is per-batch atomic and exactly-once (r12)") {
+    val tmp = Files.createTempDirectory("graft_gstream").toString
+    val root = s"$tmp/store"
+    val s = new graft.cypher.GraphSession(spark)
+    s.createGraph("gstream", root)
+    val v0 = graft.cypher.GraphStore.latestVersion(root).get
+    val batch = Tables.T(spark, sf, "nation")
+    val src = spark.readStream.schema(batch.schema).parquet(staged("nation"))
+    val q = Streams.graphStoreIngest(src, s, "Nation", "n_nationkey",
+      checkpointDir = s"$tmp/ck")
+    q.awaitTermination(60000)
+    // the batch committed as one store version; contents queryable
+    val v1 = graft.cypher.GraphStore.latestVersion(root).get
+    assert(v1 > v0)
+    val n = s.run("MATCH (x:Nation) RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n == batch.count())
+    // REPLAY of an already-committed batch id is a no-op (idempotent sink)
+    s.ingestVertexBatch("Nation", "n_nationkey", batch, appId = s"$tmp/ck", batchId = 0L)
+    assert(graft.cypher.GraphStore.latestVersion(root).get == v1)
+    assert(s.run("MATCH (x:Nation) RETURN count(*) AS n")
+      .collect().head.getLong(0) == n)
+    // …including after a RESTART: a fresh session reloads the batch marker
+    val r = new graft.cypher.GraphSession(spark)
+    r.openGraph("gstream", root)
+    r.ingestVertexBatch("Nation", "n_nationkey", batch, appId = s"$tmp/ck", batchId = 0L)
+    assert(graft.cypher.GraphStore.latestVersion(root).get == v1)
+    assert(r.run("MATCH (x:Nation) RETURN count(*) AS n")
+      .collect().head.getLong(0) == n)
+    // a NEW batch id appends and bumps exactly one version
+    import spark.implicits._
+    val extra = Seq((900L, "ATLANTIS", 0L)).toDF(batch.columns: _*)
+    r.ingestVertexBatch("Nation", "n_nationkey", extra, appId = s"$tmp/ck", batchId = 1L)
+    assert(graft.cypher.GraphStore.latestVersion(root).get == v1 + 1)
+    assert(r.run("MATCH (x:Nation {n_name: 'ATLANTIS'}) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 1L)
+    graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   /** Streaming view of events with the TIMESTAMP(NANOS) column normalized to
     * micros, mirroring Tables.T.
     */
