@@ -90,6 +90,19 @@ final class GraphSession(val spark: SparkSession) {
     current = Some(name)
     refreshAgGraph()
   }
+
+  /** Time-travel open (r12): read the graph AS OF a specific committed
+    * version. Retention-bounded — gc keeps the two newest catalogs plus
+    * every version they reference, so older versions may be gone (the
+    * error lists what's available). A session opened at an old version is
+    * read-only by construction: its first write fails OCC base-version
+    * validation with PG's 40001 serialization failure.
+    */
+  def openGraph(name: String, storeRoot: String, asOfVersion: Long): Unit = {
+    graphs(name) = MutableGraph.load(spark, storeRoot, Some(asOfVersion))
+    current = Some(name)
+    refreshAgGraph()
+  }
   def useGraph(name: String): Unit = {
     require(graphs.contains(name), s"""graph "$name" does not exist""")
     current = Some(name)
@@ -118,6 +131,16 @@ final class GraphSession(val spark: SparkSession) {
   def ingestVertexBatch(label: String, keyCol: String, batch: DataFrame,
       appId: String, batchId: Long): Unit =
     graph.ingestVertexBatch(label, keyCol, batch, appId, batchId)
+
+  /** Edge twin of [[ingestVertexBatch]] — endpoint ids pack from the
+    * src/dst key columns against their vertex labels (GraphBuilder's
+    * edgeLabel scheme).
+    */
+  def ingestEdgeBatch(label: String, keyCol: String,
+      srcLabel: String, srcKeyCol: String, dstLabel: String, dstKeyCol: String,
+      batch: DataFrame, appId: String, batchId: Long): Unit =
+    graph.ingestEdgeBatch(label, keyCol, srcLabel, srcKeyCol,
+      dstLabel, dstKeyCol, batch, appId, batchId)
 
   /** `CREATE GRAPH g` / `USE GRAPH g` / `DROP GRAPH g [CASCADE]` —
     * statement-level DDL (reference cypher_gram.y:2926, 4297-4315), routed
@@ -1736,23 +1759,16 @@ final class MutableGraph(spark: SparkSession) {
     */
   private[cypher] val streamBatches = mutable.Map.empty[String, Long]
 
-  /** Commit one streaming micro-batch of vertices as ONE store version.
-    * Ids pack from `keyCol` like GraphBuilder labels (key-addressed — do
-    * not mix with sequence-id CREATE on the same label). Replays of an
-    * already-committed (appId, batchId) are no-ops; a failed commit
-    * restores the in-memory marker so the retry is not skipped.
+  /** Run one micro-batch commit: skip if (appId, batchId) already
+    * committed, publish as one version, restore the marker on failure so
+    * the retry is not skipped.
     */
-  private[cypher] def ingestVertexBatch(label: String, keyCol: String,
-      batch: DataFrame, appId: String, batchId: Long): Unit = {
+  private def ingestBatch(appId: String, batchId: Long)(make: => Unit): Unit = {
     if (streamBatches.get(appId).exists(_ >= batchId)) return
     val tx = txSnapshot()
     val prevMark = streamBatches.get(appId)
     try {
-      val lid = labelId(label)
-      val df = batch.select(
-        shiftleft(lit(lid.toLong), 48).bitwiseOR(col(keyCol).cast("long")).as("id") +:
-          batch.columns.filterNot(_ == "id").sorted.map(col): _*)
-      appendRows("v", label, df.localCheckpoint())
+      make
       streamBatches(appId) = batchId // written into the catalog by publish
       commitIfChanged(tx)
     } catch {
@@ -1765,6 +1781,41 @@ final class MutableGraph(spark: SparkSession) {
         throw t
     }
   }
+
+  /** Commit one streaming micro-batch of vertices as ONE store version.
+    * Ids pack from `keyCol` like GraphBuilder labels (key-addressed — do
+    * not mix with sequence-id CREATE on the same label).
+    */
+  private[cypher] def ingestVertexBatch(label: String, keyCol: String,
+      batch: DataFrame, appId: String, batchId: Long): Unit =
+    ingestBatch(appId, batchId) {
+      val lid = labelId(label)
+      val df = batch.select(
+        shiftleft(lit(lid.toLong), 48).bitwiseOR(col(keyCol).cast("long")).as("id") +:
+          batch.columns.filterNot(_ == "id").sorted.map(col): _*)
+      appendRows("v", label, df.localCheckpoint())
+    }
+
+  /** Commit one streaming micro-batch of edges as ONE store version —
+    * endpoint ids pack from the src/dst key columns against their vertex
+    * labels, exactly GraphBuilder.edgeLabel's scheme.
+    */
+  private[cypher] def ingestEdgeBatch(label: String, keyCol: String,
+      srcLabel: String, srcKeyCol: String, dstLabel: String, dstKeyCol: String,
+      batch: DataFrame, appId: String, batchId: Long): Unit =
+    ingestBatch(appId, batchId) {
+      val lid = labelId(label)
+      val srcLid = labelId(srcLabel); val dstLid = labelId(dstLabel)
+      val props = batch.columns
+        .filterNot(Set("id", "start_id", "end_id", keyCol, srcKeyCol, dstKeyCol))
+        .sorted.map(col)
+      val df = batch.select(
+        Seq(shiftleft(lit(lid.toLong), 48).bitwiseOR(col(keyCol).cast("long")).as("id"),
+          shiftleft(lit(srcLid.toLong), 48).bitwiseOR(col(srcKeyCol).cast("long")).as("start_id"),
+          shiftleft(lit(dstLid.toLong), 48).bitwiseOR(col(dstKeyCol).cast("long")).as("end_id")
+        ) ++ props: _*)
+      appendRows("e", label, df.localCheckpoint())
+    }
 
   /** Append rows to a label table (all CREATE paths): records the new ids
     * for file-level CoW and schema-aligns the union.
@@ -2341,10 +2392,20 @@ object MutableGraph {
     * localCheckpoint eagerly so subsequent version GC can never invalidate
     * a lazily-held file reference.
     */
-  private[cypher] def load(spark: SparkSession, root: String): MutableGraph = {
+  private[cypher] def load(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): MutableGraph = {
     import GraphStore.dec
-    val v = GraphStore.latestVersion(root).getOrElse(
+    val latest = GraphStore.latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no durable graph at $root (_LATEST missing)"))
+    val v = asOf.getOrElse(latest)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/v$v/catalog.txt"))) {
+      import scala.jdk.CollectionConverters._
+      val have = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toLong).toList.sorted
+      throw new IllegalArgumentException(
+        s"version $v not available at $root (retention keeps: ${have.mkString(", ")})")
+    }
     val dir = s"$root/v$v"
     val lines = scala.io.Source.fromFile(s"$dir/catalog.txt").getLines().toList
     val g = new MutableGraph(spark)

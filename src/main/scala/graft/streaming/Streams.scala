@@ -65,6 +65,29 @@ object Streams {
       .start()
   }
 
+  /** Edge twin of [[graphStoreIngest]]: streams (src, dst, props) rows
+    * into a durable graph's edge label, one store version per micro-batch,
+    * same exactly-once (appId, batchId) contract.
+    */
+  def graphStoreIngestEdges(
+      docs: DataFrame, // streaming DF
+      session: graft.cypher.GraphSession,
+      label: String, keyCol: String,
+      srcLabel: String, srcKeyCol: String,
+      dstLabel: String, dstKeyCol: String,
+      checkpointDir: String,
+      appId: Option[String] = None): StreamingQuery = {
+    val app = appId.getOrElse(checkpointDir)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        session.ingestEdgeBatch(label, keyCol, srcLabel, srcKeyCol,
+          dstLabel, dstKeyCol, batch, app, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Watermarked sliding-window aggregation over an event stream —
     * the canonical streaming shape (late data dropped past the watermark;
     * state store bounded).

@@ -74,6 +74,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.cypher.GraphStore.latestVersion(root).get == v1 + 1)
     assert(r.run("MATCH (x:Nation {n_name: 'ATLANTIS'}) RETURN count(*) AS n")
       .collect().head.getLong(0) == 1L)
+    // EDGE stream (batch-ingested here; the streaming wrapper is the same
+    // foreachBatch shape as the vertex test above): customers → nations
+    val cust = Tables.T(spark, sf, "customer").limit(50)
+    r.ingestVertexBatch("Customer", "c_custkey", cust, appId = s"$tmp/ck2", batchId = 0L)
+    r.ingestEdgeBatch("IN_NATION", "c_custkey",
+      "Customer", "c_custkey", "Nation", "c_nationkey",
+      cust.select(col("c_custkey"), col("c_nationkey")), s"$tmp/ck3", 0L)
+    val paths = r.run(
+      "MATCH (c:Customer)-[:IN_NATION]->(x:Nation) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(paths == 50L, s"edge ingest produced $paths joined paths")
+    // edge replay is a no-op too
+    val vE = graft.cypher.GraphStore.latestVersion(root).get
+    r.ingestEdgeBatch("IN_NATION", "c_custkey",
+      "Customer", "c_custkey", "Nation", "c_nationkey",
+      cust.select(col("c_custkey"), col("c_nationkey")), s"$tmp/ck3", 0L)
+    assert(graft.cypher.GraphStore.latestVersion(root).get == vE)
+    // TIME TRAVEL (retention-bounded: only versions the two newest
+    // catalogs reference survive gc): as-of the pre-edge version sees
+    // the vertices but NO edges
+    val tt = new graft.cypher.GraphSession(spark)
+    tt.openGraph("gstream", root, asOfVersion = vE - 1)
+    assert(tt.run("MATCH (x:Nation) RETURN count(*) AS n")
+      .collect().head.getLong(0) == n + 1) // incl. ATLANTIS
+    // the edge label does not EXIST yet at this version — same error a
+    // never-created label gets (the catalog time-traveled too)
+    intercept[Exception] {
+      tt.run("MATCH (c:Customer)-[:IN_NATION]->(x:Nation) RETURN count(*) AS n").collect()
+    }
+    // …and is read-only by construction: a write fails OCC validation
+    val e = intercept[Exception] { tt.run("CREATE (:Nation {n_nationkey: 901})") }
+    assert(e.getMessage.contains("could not serialize access due to concurrent update"))
+    // a gc'd / never-written version errors with the retained list
+    val e2 = intercept[IllegalArgumentException] {
+      new graft.cypher.GraphSession(spark).openGraph("gstream", root, asOfVersion = 9999L)
+    }
+    assert(e2.getMessage.contains("not available"))
     graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
