@@ -664,6 +664,29 @@ class WriteSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
+  test("GraphStore: CoW falls back to full rewrite when most files are touched (r12)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_cowfb").toString
+    val s = new GraphSession(spark)
+    s.createGraph("durfb", root)
+    s.run("CREATE (:P {k: 1}), (:P {k: 2})") // full write (file A)
+    s.run("CREATE (:P {k: 3})")              // CoW append (file B)
+    // SET hits rows in BOTH files → 2/2 touched → full-rewrite fallback:
+    // the catalog returns to a vlabel dir pointer, no manifest lines
+    s.run("MATCH (p:P) SET p.u = 1") // touches every row → every file
+    val v2 = graft.cypher.GraphStore.latestVersion(root).get
+    val cat2 = scala.io.Source.fromFile(s"$root/v$v2/catalog.txt").getLines().toList
+    assert(cat2.exists(_ == s"vlabel P $v2"), cat2.mkString("; "))
+    assert(!cat2.exists(_.startsWith("file v P ")), cat2.mkString("; "))
+    // contents exact after the compaction-by-fallback
+    val r = new GraphSession(spark)
+    r.openGraph("durfb", root)
+    val ks = r.run("MATCH (p:P {u: 1}) RETURN p.k AS k ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ks == Seq(1L, 2L, 3L), ks.toString)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
   test("GraphStore: crash between version write and pointer swap recovers (VERDICT r10 #4)") {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft_store_crash").toString
