@@ -2211,8 +2211,6 @@ final class MutableGraph(spark: SparkSession) {
       prevLines.filter(_.startsWith("file "))
         .groupBy { s => val p = s.split(" "); (p(1), p(2)) }
     def versionOfRel(rel: String): Long = rel.takeWhile(_ != '/').drop(1).toLong
-    def relsOfLines(lines: List[String]): List[String] =
-      lines.map(s => GraphStore.dec(s.split(" ")(3)))
     def listParquet(d: String): List[String] = {
       val dp = Paths.get(d)
       if (!Files.isDirectory(dp)) Nil
@@ -2240,6 +2238,32 @@ final class MutableGraph(spark: SparkSession) {
     // (VERDICT r11 #6): rewrite only the parquet files containing this
     // statement's touched ids, carry the rest by manifest line. Returns
     // false when ineligible — the caller falls back to the full rewrite.
+    // manifest entry: rel path + optional per-file id stats
+    // (`file <kind> <encLabel> <encRelPath> [minId maxId]`) — the stats
+    // are Delta-style data skipping for the CoW path itself: a
+    // point-write's touched-FILE discovery prunes to files whose id range
+    // can hold a touched id instead of scanning the whole label
+    final case class FileEnt(rel: String, stats: Option[(Long, Long)])
+    def emitEnt(kind: String, encl: String, e: FileEnt): Unit = {
+      referenced += versionOfRel(e.rel)
+      val tail = e.stats.map { case (mn, mx) => s" $mn $mx" }.getOrElse("")
+      sb ++= s"file $kind $encl ${enc(e.rel)}$tail\n"
+    }
+    def entsOfLines(lines: List[String]): List[FileEnt] = lines.map { s =>
+      val p = s.split(" ")
+      FileEnt(GraphStore.dec(p(3)),
+        if (p.length > 5) Some((p(4).toLong, p(5).toLong)) else None)
+    }
+    // stats for files just written into outDir: one footer-bounded job
+    def statsOf(outDir: String, rels: List[String]): List[FileEnt] =
+      if (rels.isEmpty) Nil
+      else {
+        val m = spark.read.parquet(outDir)
+          .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1).as("__fname"))
+          .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        rels.map(r => FileEnt(r, m.get(r.substring(r.lastIndexOf('/') + 1))))
+      }
     def tryCow(kind: String, l: String, df: DataFrame): Boolean = {
       val encl = enc(l)
       if (txFullRewrite.contains(s"$kind:$l")) return false
@@ -2247,59 +2271,70 @@ final class MutableGraph(spark: SparkSession) {
       if (df.schema.fields.exists(_.dataType == NullType)) return false
       if (prevNull.contains((kind, encl))) return false // legacy nulltype files
       // the label's previous on-disk form: file manifest, or a dir pointer
-      val prevRels: List[String] =
-        prevFileLines.get((kind, encl)).map(relsOfLines).getOrElse {
+      val prevEnts: List[FileEnt] =
+        prevFileLines.get((kind, encl)).map(entsOfLines).getOrElse {
           prevLoc.get((kind, encl)).map { ver =>
             listParquet(s"$root/v$ver/$kind/$encl")
-              .map(p => s"v$ver/$kind/$encl/${Paths.get(p).getFileName}")
+              .map(p => FileEnt(s"v$ver/$kind/$encl/${Paths.get(p).getFileName}", None))
           }.getOrElse(Nil)
         }
-      if (prevRels.isEmpty) return false // brand-new label: full write IS minimal
+      if (prevEnts.isEmpty) return false // brand-new label: full write IS minimal
       // compaction bound: once the manifest chain reaches 64 files the
       // next change rewrites the label whole — keeps open-time footer
       // reads and gc's live-version set bounded (Delta's OPTIMIZE analog,
       // triggered by write rather than by a maintenance job)
-      if (prevRels.size >= 64) return false
+      if (prevEnts.size >= 64) return false
       val touched = txTouchedAll.get
         .filter(PropertyGraph.labelOfCol(col("id")) === lit(labelIds(l)))
         .select(col("id")).distinct()
       // reference-changed but nothing of THIS label touched (e.g. a DELETE
       // that matched other labels): carry the manifest verbatim
-      if (touched.limit(1).count() == 0) {
-        prevRels.foreach { r =>
-          referenced += versionOfRel(r)
-          sb ++= s"file $kind $encl ${enc(r)}\n"
-        }
+      val touchedIds: Array[Long] = // bounded collect: stats-based pruning
+        touched.limit(10001).collect().map(_.getLong(0)).sorted
+      if (touchedIds.isEmpty) {
+        prevEnts.foreach(emitEnt(kind, encl, _))
         return true
       }
-      // map prev rows to their files; match by part-file basename (unique
-      // per Spark write job) to dodge URI-escaping of encoded label dirs
-      val prevAbs = prevRels.map(r => s"$root/$r")
-      val withFile = spark.read.option("mergeSchema", "true").parquet(prevAbs: _*)
-        .select(col("id"), element_at(split(col("_metadata.file_path"), "/"), -1)
-          .as("__fname"))
-      val touchedNames = withFile.join(touched, Seq("id"), "left_semi")
-        .select(col("__fname")).distinct().collect().map(_.getString(0)).toSet
+      // data skipping: a file whose [minId, maxId] cannot hold a touched
+      // id is carried without being read. Files without stats (legacy dir
+      // pointers) and oversized touch sets stay candidates.
+      def mayHold(e: FileEnt): Boolean = e.stats match {
+        case Some((mn, mx)) if touchedIds.length <= 10000 =>
+          val i = java.util.Arrays.binarySearch(touchedIds, mn)
+          val from = if (i >= 0) i else -i - 1
+          from < touchedIds.length && touchedIds(from) <= mx
+        case _ => true
+      }
+      val (candEnts, skippedEnts) = prevEnts.partition(mayHold)
+      // map candidate rows to their files; match by part-file basename
+      // (unique per Spark write job) to dodge URI-escaping of label dirs
       def base(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
-      val (touchedRel, carriedRel) = prevRels.partition(r => touchedNames(base(r)))
+      val touchedNames: Set[String] =
+        if (candEnts.isEmpty) Set.empty
+        else spark.read.option("mergeSchema", "true")
+          .parquet(candEnts.map(e => s"$root/${e.rel}"): _*)
+          .select(col("id"), element_at(split(col("_metadata.file_path"), "/"), -1)
+            .as("__fname"))
+          .join(touched, Seq("id"), "left_semi")
+          .select(col("__fname")).distinct().collect().map(_.getString(0)).toSet
+      val (touchedEnts, carriedCand) = candEnts.partition(e => touchedNames(base(e.rel)))
+      val carriedEnts = skippedEnts ++ carriedCand
       // rewriting most of the label through the CoW path would write the
       // same bytes with extra joins — let the plain full write do it
-      if (touchedRel.size * 2 > prevRels.size && prevRels.size > 1) return false
+      if (touchedEnts.size * 2 > prevEnts.size && prevEnts.size > 1) return false
       val idsToRewrite =
-        if (touchedRel.isEmpty) touched // pure insert
-        else withFile.filter(col("__fname").isin(touchedRel.map(base): _*))
+        if (touchedEnts.isEmpty) touched // pure insert
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touchedEnts.map(e => s"$root/${e.rel}"): _*)
           .select(col("id")).union(touched).distinct()
       val rows = df.join(idsToRewrite, Seq("id"), "left_semi")
-      if (carriedRel.isEmpty && rows.limit(1).count() == 0)
+      if (carriedEnts.isEmpty && rows.limit(1).count() == 0)
         return false // label emptied: full write keeps a schema-bearing dir
       val outDir = s"$dir/$kind/$encl"
-      rows.coalesce(math.max(1, touchedRel.size)).write.parquet(outDir)
+      rows.coalesce(math.max(1, touchedEnts.size)).write.parquet(outDir)
       val newRels = listParquet(outDir)
         .map(p => s"v$next/$kind/$encl/${Paths.get(p).getFileName}")
-      (carriedRel ++ newRels).foreach { r =>
-        referenced += versionOfRel(r)
-        sb ++= s"file $kind $encl ${enc(r)}\n"
-      }
+      (carriedEnts ++ statsOf(outDir, newRels)).foreach(emitEnt(kind, encl, _))
       true
     }
     def writeTables(kind: String, m: Map[String, DataFrame],

@@ -619,6 +619,12 @@ class WriteSpec extends AnyFunSuite {
     assert(filesOf(root, v3).size == 1, "append should write exactly one new file")
     val cat3 = scala.io.Source.fromFile(s"$root/v$v3/catalog.txt").getLines().toList
     assert(cat3.count(_.startsWith("file v P ")) == filesOf(root, v2).size + 1)
+    // the freshly-written file carries min/max id stats (r12 data
+    // skipping); k=3 packs to (labelId<<48)|3, so min == max == that id
+    val newLine3 = cat3.filter(_.startsWith("file v P "))
+      .map(_.split(" ")).filter(_(3).contains(s"v$v3%2F"))
+    assert(newLine3.nonEmpty && newLine3.head.length == 6, cat3.mkString("; "))
+    assert(newLine3.head(4) == newLine3.head(5), "single-row file: min == max")
     // label now spans files across v2 and v3 — the multi-file shape.
     // Record v2's file bytes, then SET one row that lives in a v2 file.
     val v2Bytes: Map[String, Array[Byte]] = filesOf(root, v2).map(f =>
