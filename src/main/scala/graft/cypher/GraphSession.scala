@@ -147,7 +147,8 @@ final class GraphSession(val spark: SparkSession) {
     * to the session catalog before clause parsing.
     */
   private val GraphDdl =
-    "(?is)^\\s*(CREATE|USE|DROP)\\s+GRAPH\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*(CASCADE)?\\s*;?\\s*$".r
+    ("(?is)^\\s*(CREATE|USE|DROP|COMPACT)\\s+GRAPH\\s+" +
+      "(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*(CASCADE)?\\s*;?\\s*$").r
 
   /** The reference's unified-grammar SQL statements (new_cypher.sql):
     * SELECT/TABLE/INSERT/UPDATE/CREATE TABLE/DELETE FROM run through
@@ -379,6 +380,9 @@ final class GraphSession(val spark: SparkSession) {
           case "CREATE" => createGraph(name)
           case "USE"    => useGraph(name)
           case "DROP"   => dropGraph(name)
+          case "COMPACT" => // OPTIMIZE-style maintenance (graft extension)
+            require(graphs.contains(name), s"""graph "$name" does not exist""")
+            graphs(name).compactStore()
         }
         return spark.emptyDataFrame
       case _ => ()
@@ -2210,6 +2214,15 @@ final class MutableGraph(spark: SparkSession) {
     val prevFileLines: Map[(String, String), List[String]] =
       prevLines.filter(_.startsWith("file "))
         .groupBy { s => val p = s.split(" "); (p(1), p(2)) }
+    // r12 deletion vectors: `dv <kind> <encLabel> <encRelPath> <count>` —
+    // a tombstone id list written at version V suppresses those ids in
+    // every manifest file from a version < V (version-ordered, Delta-DV
+    // shape). The row-version a SET writes at V stays visible because its
+    // file IS at V; carrying dv lines through any partial rewrite is
+    // therefore always-correct, and a full label rewrite drops them.
+    val prevDvLines: Map[(String, String), List[String]] =
+      prevLines.filter(_.startsWith("dv "))
+        .groupBy { s => val p = s.split(" "); (p(1), p(2)) }
     def versionOfRel(rel: String): Long = rel.takeWhile(_ != '/').drop(1).toLong
     def listParquet(d: String): List[String] = {
       val dp = Paths.get(d)
@@ -2254,6 +2267,40 @@ final class MutableGraph(spark: SparkSession) {
       FileEnt(GraphStore.dec(p(3)),
         if (p.length > 5) Some((p(4).toLong, p(5).toLong)) else None)
     }
+    // deletion-vector entry: tombstone file + the version it was written
+    // at (derived from its rel path) + its id count (from the catalog
+    // line, so bound checks never read the file)
+    final case class DvEnt(rel: String, ver: Long, count: Long)
+    def dvEntsOf(kind: String, encl: String): List[DvEnt] =
+      prevDvLines.getOrElse((kind, encl), Nil).map { s =>
+        val p = s.split(" ")
+        val rel = GraphStore.dec(p(3))
+        DvEnt(rel, versionOfRel(rel), p(4).toLong)
+      }
+    def dvIdsOf(e: DvEnt): Array[Long] =
+      Files.readAllLines(Paths.get(s"$root/${e.rel}"))
+        .toArray(Array.empty[String]).map(_.toLong)
+    def emitDv(kind: String, encl: String, e: DvEnt): Unit = {
+      referenced += e.ver
+      sb ++= s"dv $kind $encl ${enc(e.rel)} ${e.count}\n"
+    }
+    // read manifest files with their applicable deletion vectors applied —
+    // the same filter load uses, needed by every publish-side read of prev
+    // files (CoW discovery + rewrite) or suppressed row-versions would be
+    // resurrected into rewritten files
+    def readEntsWithDv(ents: List[FileEnt], dvs: List[DvEnt]): DataFrame = {
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(ents.map(e => s"$root/${e.rel}"): _*)
+      if (dvs.isEmpty) raw
+      else {
+        val fileVer = regexp_extract(col("_metadata.file_path"),
+          "/v(\\d+)/", 1).cast(LongType)
+        dvs.foldLeft(raw) { (acc, d) =>
+          acc.filter(!(fileVer < lit(d.ver) &&
+            col("id").isin(dvIdsOf(d).map(Long.box): _*)))
+        }
+      }
+    }
     // stats for files just written into outDir: one footer-bounded job
     def statsOf(outDir: String, rels: List[String]): List[FileEnt] =
       if (rels.isEmpty) Nil
@@ -2264,35 +2311,99 @@ final class MutableGraph(spark: SparkSession) {
           .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
         rels.map(r => FileEnt(r, m.get(r.substring(r.lastIndexOf('/') + 1))))
       }
+    // shared guards + previous on-disk form for the two incremental paths
+    // (file manifest, or a dir pointer exploded to file entries)
+    def idLocalPrevEnts(kind: String, l: String, df: DataFrame): Option[List[FileEnt]] = {
+      val encl = enc(l)
+      if (txFullRewrite.contains(s"$kind:$l")) return None
+      if (txTouchedAll.isEmpty) return None
+      if (df.schema.fields.exists(_.dataType == NullType)) return None
+      if (prevNull.contains((kind, encl))) return None // legacy nulltype files
+      val ents = prevFileLines.get((kind, encl)).map(entsOfLines).getOrElse {
+        prevLoc.get((kind, encl)).map { ver =>
+          listParquet(s"$root/v$ver/$kind/$encl")
+            .map(p => FileEnt(s"v$ver/$kind/$encl/${Paths.get(p).getFileName}", None))
+        }.getOrElse(Nil)
+      }
+      if (ents.isEmpty) None else Some(ents) // brand-new label: full write IS minimal
+    }
+    def touchedOf(l: String): DataFrame = txTouchedAll.get
+      .filter(PropertyGraph.labelOfCol(col("id")) === lit(labelIds(l)))
+      .select(col("id")).distinct()
+    // Merge-on-read point writes (Delta deletion-vector analog): instead
+    // of rewriting the files holding the touched ids, write ONLY the new
+    // row-versions (one small file) plus a tombstone id list, and carry
+    // every previous file verbatim. Bytes per point SET/DELETE ≈ the row
+    // + 8 B/id — independent of file size, where CoW pays a whole-file
+    // rewrite (and at 100 TB a file is 128 MB-1 GB). Bounds: statements
+    // touching > 1024 ids of a label, or a label whose accumulated
+    // tombstones would exceed 4096, fall through to the CoW rewrite
+    // (which physically merges by construction — rewritten files are
+    // newer than every dv line, so carried dvs never suppress them).
+    def tryDv(kind: String, l: String, df: DataFrame): Boolean = {
+      val encl = enc(l)
+      val prevEnts = idLocalPrevEnts(kind, l, df).getOrElse(return false)
+      val prevDvs = dvEntsOf(kind, encl)
+      // compaction bound counts dv lines too — open-time cost is files+dvs
+      if (prevEnts.size + prevDvs.size >= 64) return false
+      val touched = touchedOf(l)
+      val touchedIds: Array[Long] =
+        touched.limit(1025).collect().map(_.getLong(0)).sorted
+      if (touchedIds.isEmpty || touchedIds.length > 1024) return false
+      // a tombstone is only needed for ids an OLDER file may hold: ids
+      // whose entry part is past the PREVIOUS catalog's sequence position
+      // (`next` records the LAST USED entry) are pure inserts — entry ids
+      // are never reused — and per-file [min,max] stats prune the rest;
+      // no data read either way
+      val prevLastEntry: Long = prevLines.collectFirst {
+        case s if s.startsWith(s"next ${enc(l)} ") => s.split(" ")(2).toLong
+      }.getOrElse(0L)
+      def mayHoldId(t: Long): Boolean =
+        (t & PropertyGraph.EntryIdMask) <= prevLastEntry && prevEnts.exists(_.stats match {
+          case Some((mn, mx)) => mn <= t && t <= mx
+          case None => true
+        })
+      val tombstones = touchedIds.filter(mayHoldId)
+      if (prevDvs.map(_.count).sum + tombstones.length > 4096) return false
+      val newRows = df.join(touched, Seq("id"), "left_semi")
+      val hasNew = newRows.limit(1).count() > 0
+      if (!hasNew && tombstones.isEmpty) return false
+      if (hasNew) {
+        val outDir = s"$dir/$kind/$encl"
+        newRows.coalesce(1).write.parquet(outDir)
+        val newRels = listParquet(outDir)
+          .map(p => s"v$next/$kind/$encl/${Paths.get(p).getFileName}")
+        statsOf(outDir, newRels).foreach(emitEnt(kind, encl, _))
+      }
+      prevEnts.foreach(emitEnt(kind, encl, _))
+      prevDvs.foreach(emitDv(kind, encl, _))
+      if (tombstones.nonEmpty) {
+        val dvDir = Paths.get(dir, "dv")
+        Files.createDirectories(dvDir)
+        val rel = s"v$next/dv/${kind}__$encl.txt"
+        Files.write(dvDir.resolve(s"${kind}__$encl.txt"),
+          tombstones.mkString("\n").getBytes(UTF_8))
+        emitDv(kind, encl, DvEnt(rel, next, tombstones.length.toLong))
+      }
+      true
+    }
     def tryCow(kind: String, l: String, df: DataFrame): Boolean = {
       val encl = enc(l)
-      if (txFullRewrite.contains(s"$kind:$l")) return false
-      if (txTouchedAll.isEmpty) return false
-      if (df.schema.fields.exists(_.dataType == NullType)) return false
-      if (prevNull.contains((kind, encl))) return false // legacy nulltype files
-      // the label's previous on-disk form: file manifest, or a dir pointer
-      val prevEnts: List[FileEnt] =
-        prevFileLines.get((kind, encl)).map(entsOfLines).getOrElse {
-          prevLoc.get((kind, encl)).map { ver =>
-            listParquet(s"$root/v$ver/$kind/$encl")
-              .map(p => FileEnt(s"v$ver/$kind/$encl/${Paths.get(p).getFileName}", None))
-          }.getOrElse(Nil)
-        }
-      if (prevEnts.isEmpty) return false // brand-new label: full write IS minimal
+      val prevEnts = idLocalPrevEnts(kind, l, df).getOrElse(return false)
+      val prevDvs = dvEntsOf(kind, encl)
       // compaction bound: once the manifest chain reaches 64 files the
       // next change rewrites the label whole — keeps open-time footer
       // reads and gc's live-version set bounded (Delta's OPTIMIZE analog,
       // triggered by write rather than by a maintenance job)
-      if (prevEnts.size >= 64) return false
-      val touched = txTouchedAll.get
-        .filter(PropertyGraph.labelOfCol(col("id")) === lit(labelIds(l)))
-        .select(col("id")).distinct()
+      if (prevEnts.size + prevDvs.size >= 64) return false
+      val touched = touchedOf(l)
       // reference-changed but nothing of THIS label touched (e.g. a DELETE
       // that matched other labels): carry the manifest verbatim
       val touchedIds: Array[Long] = // bounded collect: stats-based pruning
         touched.limit(10001).collect().map(_.getLong(0)).sorted
       if (touchedIds.isEmpty) {
         prevEnts.foreach(emitEnt(kind, encl, _))
+        prevDvs.foreach(emitDv(kind, encl, _))
         return true
       }
       // data skipping: a file whose [minId, maxId] cannot hold a touched
@@ -2309,10 +2420,13 @@ final class MutableGraph(spark: SparkSession) {
       // map candidate rows to their files; match by part-file basename
       // (unique per Spark write job) to dodge URI-escaping of label dirs
       def base(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
+      // dv-aware (r12 deletion vectors): a touched id whose only copy in a
+      // candidate file is dv-suppressed must NOT mark it touched — the
+      // rewrite would resurrect the id's live copy into a newer file and
+      // duplicate it against the carried file holding the real one
       val touchedNames: Set[String] =
         if (candEnts.isEmpty) Set.empty
-        else spark.read.option("mergeSchema", "true")
-          .parquet(candEnts.map(e => s"$root/${e.rel}"): _*)
+        else readEntsWithDv(candEnts, prevDvs)
           .select(col("id"), element_at(split(col("_metadata.file_path"), "/"), -1)
             .as("__fname"))
           .join(touched, Seq("id"), "left_semi")
@@ -2324,8 +2438,7 @@ final class MutableGraph(spark: SparkSession) {
       if (touchedEnts.size * 2 > prevEnts.size && prevEnts.size > 1) return false
       val idsToRewrite =
         if (touchedEnts.isEmpty) touched // pure insert
-        else spark.read.option("mergeSchema", "true")
-          .parquet(touchedEnts.map(e => s"$root/${e.rel}"): _*)
+        else readEntsWithDv(touchedEnts, prevDvs) // dv-suppressed ids stay out
           .select(col("id")).union(touched).distinct()
       val rows = df.join(idsToRewrite, Seq("id"), "left_semi")
       if (carriedEnts.isEmpty && rows.limit(1).count() == 0)
@@ -2335,6 +2448,9 @@ final class MutableGraph(spark: SparkSession) {
       val newRels = listParquet(outDir)
         .map(p => s"v$next/$kind/$encl/${Paths.get(p).getFileName}")
       (carriedEnts ++ statsOf(outDir, newRels)).foreach(emitEnt(kind, encl, _))
+      // carried dvs still suppress old copies in carried files; rewritten
+      // files are at version `next` (> every dv), so they're untouched
+      prevDvs.foreach(emitDv(kind, encl, _))
       true
     }
     def writeTables(kind: String, m: Map[String, DataFrame],
@@ -2348,11 +2464,13 @@ final class MutableGraph(spark: SparkSession) {
             sb ++= s"${kind}label ${enc(l)} $ver\n"
             prevNull.getOrElse((kind, enc(l)), Nil).foreach(x => sb ++= x + "\n")
           case None if unchanged && prevFileLines.contains((kind, enc(l))) =>
-            // untouched file-manifest label: carry its file lines verbatim
+            // untouched file-manifest label: carry file + dv lines verbatim
             prevFileLines((kind, enc(l))).foreach { line =>
               referenced += versionOfRel(GraphStore.dec(line.split(" ")(3)))
               sb ++= line + "\n"
             }
+            dvEntsOf(kind, enc(l)).foreach(emitDv(kind, enc(l), _))
+          case None if tryDv(kind, l, df) => () // dv + new-rows file emitted
           case None if tryCow(kind, l, df) => () // manifest emitted by tryCow
           case None =>
             sb ++= s"${kind}label ${enc(l)} $next\n"
@@ -2398,11 +2516,41 @@ final class MutableGraph(spark: SparkSession) {
     storeVersion = next
     ivfPersistedAt ++= ivfPersistedNow // only after a successful swap
     txResetTracking() // touched-id frames are consumed by this publish
-    val prevFileVers = prevFileLines.values.flatten
+    val prevFileVers = (prevFileLines.values.flatten ++ prevDvLines.values.flatten)
       .map(line => versionOfRel(GraphStore.dec(line.split(" ")(3)))).toSet
     // retain: the two newest catalogs plus every dir either one references
     GraphStore.gc(root, keep = referenced.toSet ++ prevLoc.values.toSet ++
       prevIvfVers ++ prevFileVers ++ Set(cur, next))
+    }
+  }
+
+  /** Explicit compaction (the Delta/Iceberg OPTIMIZE analog, r12): rewrite
+    * every label currently in file-manifest form back to a single dir
+    * pointer at a new version — dropping its deletion vectors and manifest
+    * chain — and carry dir-pointer labels untouched. The follow-up gc then
+    * shrinks the store to the two newest catalogs' references. Returns
+    * false (and publishes nothing) when no label is manifest-form: an
+    * idempotent maintenance call, safe on a schedule. Incremental writes
+    * self-compact at the 64-line bound; this is the operator-initiated
+    * path for reclaiming read debt earlier (e.g. after a dv-heavy burst).
+    */
+  private[cypher] def compactStore(): Boolean = storeRoot.exists { root =>
+    val cur = GraphStore.latestVersion(root).getOrElse(0L)
+    val lines: List[String] =
+      if (cur <= 0) Nil
+      else scala.util.Try(scala.io.Source.fromFile(
+        s"$root/v$cur/catalog.txt").getLines().toList).getOrElse(Nil)
+    val manifested: Set[(String, String)] = lines.collect {
+      case s if s.startsWith("file ") || s.startsWith("dv ") =>
+        val p = s.split(" "); (p(1), GraphStore.dec(p(2)))
+    }.toSet
+    if (manifested.isEmpty) false
+    else {
+      manifested.foreach { case (kind, l) => noteFullRewrite(kind, l) }
+      publish(
+        vertexLabels.filter { case (l, _) => !manifested(("v", l)) },
+        edgeLabels.filter { case (l, _) => !manifested(("e", l)) })
+      true
     }
   }
 
@@ -2468,11 +2616,34 @@ object MutableGraph {
       // only into rewritten files; carried files read it as null, which IS
       // the absent-property semantics (nulltype columns never take this
       // path — guarded at publish)
+      // r12 deletion vectors: `dv <kind> <encLabel> <encRel> <count>` — a
+      // tombstone list written at version V suppresses those ids in files
+      // from versions < V only (the row-version a SET wrote at V stays
+      // visible). One scan; the filter is a codegen'd InSet probe per dv.
+      val dvByLabel: Map[String, List[(Long, Array[Long])]] =
+        lines.filter(_.startsWith(s"dv $kind ")).map(_.split(" "))
+          .groupBy(p => p(2)).map { case (encl, ps) =>
+            encl -> ps.map { p =>
+              val rel = dec(p(3))
+              val ver = rel.takeWhile(_ != '/').drop(1).toLong
+              val ids = java.nio.file.Files.readAllLines(
+                java.nio.file.Paths.get(s"$root/$rel"))
+                .toArray(Array.empty[String]).map(_.toLong)
+              (ver, ids)
+            }.toList
+          }
       val fileLabels = lines.filter(_.startsWith(s"file $kind "))
         .map(_.split(" ")).groupBy(p => p(2)).map { case (encl, ps) =>
           val paths = ps.map(p => s"$root/${dec(p(3))}")
-          dec(encl) -> spark.read.option("mergeSchema", "true")
-            .parquet(paths: _*).localCheckpoint()
+          val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          val fileVer = regexp_extract(col("_metadata.file_path"),
+            "/v(\\d+)/", 1).cast(LongType)
+          val filtered = dvByLabel.getOrElse(encl, Nil).foldLeft(raw) {
+            case (acc, (ver, ids)) =>
+              acc.filter(!(fileVer < lit(ver) &&
+                col("id").isin(ids.map(Long.box): _*)))
+          }
+          dec(encl) -> filtered.localCheckpoint()
         }
       dirLabels ++ fileLabels
     }

@@ -23,13 +23,25 @@ import scala.jdk.CollectionConverters._
   *   Unchanged labels are pointers into the version dir that last wrote
   *   them (r11 incremental publish) — per-commit write volume tracks the
   *   statement's touched labels, not the graph. Within a CHANGED label,
-  *   id-local statements (CREATE/SET/REMOVE/DELETE) rewrite only the
-  *   parquet FILES containing the touched entity ids and carry the rest
-  *   by manifest line (r12 file-level CoW — the Delta/Iceberg
-  *   add/remove-file shape): a 1-row SET on a multi-file label writes one
-  *   replacement file plus the catalog. Changes that re-encode untouched
-  *   rows (type-changing SET, type-conflict unions, DETACH's
-  *   endpoint-keyed edge cascade) fall back to the full label rewrite.
+  *   id-local statements (CREATE/SET/REMOVE/DELETE) take one of two
+  *   incremental paths (r12):
+  *     1. deletion vectors (merge-on-read, the Delta DV shape): write
+  *        ONLY the new row-versions plus a tombstone id list — a
+  *        `dv <kind> <label> <relpath> <count>` line whose ids are
+  *        suppressed in files from versions OLDER than the dv's own, so
+  *        the same-version row a SET writes stays visible. A 1-row SET
+  *        costs the row + 8 B of tombstone; a pure DELETE writes no
+  *        parquet at all.
+  *     2. file-level CoW (when a dv would be unhealthy: >1024 touched
+  *        ids, tombstone budget past 4096): rewrite only the parquet
+  *        FILES containing the touched entity ids — dv-aware reads, so
+  *        suppressed copies are never resurrected — and carry the rest
+  *        by manifest line.
+  *   Changes that re-encode untouched rows (type-changing SET,
+  *   type-conflict unions, DETACH's endpoint-keyed edge cascade) fall
+  *   back to the full label rewrite, which also drops accumulated dvs
+  *   and manifest chains (compaction; forced once a label's
+  *   manifest+dv lines reach 64).
   *
   * Statement rollback needs no store cooperation: versions publish only
   * AFTER a statement succeeds (GraphSession.runClauses commits post-tx),

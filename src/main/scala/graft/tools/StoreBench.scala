@@ -42,11 +42,11 @@ object StoreBench {
         s.run(s"UNWIND range(${c * per + 1}, ${(c + 1) * per}) AS i " +
           "CREATE (:P {k: i, t: 'payload-' + toString(i)})").count()
     }
-    t("1-row CREATE (CoW)")(
+    t("1-row CREATE (append)")(
       s.run(s"CREATE (:P {k: ${n + 1}, t: 'new'})").count())
-    t("1-row SET (CoW)")(
+    t("1-row SET (deletion vector)")(
       s.run("MATCH (p:P {k: 7}) SET p.t = 'updated'").count())
-    t("1-row DELETE (CoW)")(
+    t("1-row DELETE (deletion vector)")(
       s.run("MATCH (p:P {k: 9}) DELETE p").count())
     // read-back sanity + reopen cost
     val t0 = System.nanoTime()

@@ -625,48 +625,83 @@ class WriteSpec extends AnyFunSuite {
       .map(_.split(" ")).filter(_(3).contains(s"v$v3%2F"))
     assert(newLine3.nonEmpty && newLine3.head.length == 6, cat3.mkString("; "))
     assert(newLine3.head(4) == newLine3.head(5), "single-row file: min == max")
+    // pure insert: no deletion vector was needed (sequence-position check)
+    assert(!cat3.exists(_.startsWith("dv v P ")), cat3.mkString("; "))
     // label now spans files across v2 and v3 — the multi-file shape.
-    // Record v2's file bytes, then SET one row that lives in a v2 file.
+    // Record EVERY file's bytes, then SET one row that lives in a v2 file:
+    // the r12 deletion-vector path must write only the new row-version +
+    // a tombstone list, never rewriting ANY existing file.
     val v2Bytes: Map[String, Array[Byte]] = filesOf(root, v2).map(f =>
       f -> Files.readAllBytes(Paths.get(s"$root/v$v2/v/P/$f"))).toMap
+    val v3Bytes: Map[String, Array[Byte]] = filesOf(root, v3).map(f =>
+      f -> Files.readAllBytes(Paths.get(s"$root/v$v3/v/P/$f"))).toMap
     s.run("MATCH (p:P {k: 1}) SET p.t = 'uno'")
     val v4 = graft.cypher.GraphStore.latestVersion(root).get
     assert(v4 == v3 + 1)
-    // the SET wrote exactly one replacement file …
+    // the SET wrote exactly one new row-version file …
     assert(filesOf(root, v4).size == 1,
       s"1-row SET wrote ${filesOf(root, v4).size} files")
     val cat4 = scala.io.Source.fromFile(s"$root/v$v4/catalog.txt").getLines().toList
     val pFiles4 = cat4.filter(_.startsWith("file v P "))
-    // … and the manifest still carries every UNTOUCHED file by pointer:
-    // total file count is unchanged (one replaced, rest carried)
-    assert(pFiles4.size == cat3.count(_.startsWith("file v P ")), cat4.mkString("; "))
-    assert(pFiles4.exists(_.contains(s"v$v3%2F")), "v3's file must be carried")
-    // untouched v2 files survive BYTE-EQUAL on disk (never rewritten)
-    val carriedV2 = pFiles4.filter(_.contains(s"v$v2%2F"))
-    assert(carriedV2.nonEmpty, "at least one v2 file must be carried untouched")
-    carriedV2.foreach { line =>
-      val f = java.net.URLDecoder.decode(line.split(" ")(3), "UTF-8")
-        .split("/").last
-      assert(java.util.Arrays.equals(
-        Files.readAllBytes(Paths.get(s"$root/v$v2/v/P/$f")), v2Bytes(f)),
-        s"carried file $f changed on disk")
+    // … the manifest carries every previous file (none replaced) plus the
+    // new one, and a single-id deletion vector suppresses the old copy
+    assert(pFiles4.size == cat3.count(_.startsWith("file v P ")) + 1,
+      cat4.mkString("; "))
+    val dv4 = cat4.filter(_.startsWith("dv v P "))
+    assert(dv4.size == 1 && dv4.head.split(" ")(4) == "1", cat4.mkString("; "))
+    // every pre-SET file survives BYTE-EQUAL on disk — including the one
+    // holding the OLD copy of k=1 (merge-on-read, not copy-on-write)
+    (v2Bytes.map { case (f, b) => (s"$root/v$v2/v/P/$f", b) } ++
+      v3Bytes.map { case (f, b) => (s"$root/v$v3/v/P/$f", b) }).foreach {
+      case (p, b) => assert(java.util.Arrays.equals(Files.readAllBytes(Paths.get(p)), b),
+        s"pre-SET file $p changed on disk")
     }
-    // reads are exact after reopen: the updated row, the carried rows
+    // reads are exact after reopen: updated row visible EXACTLY ONCE (the
+    // dv suppresses the old copy but not the same-version new copy)
     val r = new GraphSession(spark)
     r.openGraph("durcow", root)
     val rows = r.run("MATCH (p:P) RETURN p.k AS k, p.t AS t ORDER BY k")
       .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
     assert(rows == Seq((1L, "uno"), (2L, "two"), (3L, "three")), rows.toString)
-    // DELETE takes the same path: remove k=2 (a v2 file) — one file
-    // rewritten (possibly to zero rows), others carried
+    // DELETE k=2: tombstone ONLY — no parquet file is written at all
     r.run("MATCH (p:P {k: 2}) DELETE p")
     val v5 = graft.cypher.GraphStore.latestVersion(root).get
+    assert(filesOf(root, v5).isEmpty, "pure DELETE must write no parquet file")
+    val cat5 = scala.io.Source.fromFile(s"$root/v$v5/catalog.txt").getLines().toList
+    assert(cat5.count(_.startsWith("dv v P ")) == 2, cat5.mkString("; "))
     val r2 = new GraphSession(spark)
     r2.openGraph("durcow", root)
     val ks = r2.run("MATCH (p:P) RETURN p.k AS k ORDER BY k")
       .collect().map(_.getLong(0)).toSeq
     assert(ks == Seq(1L, 3L), ks.toString)
     assert(v5 == v4 + 1)
+    // time travel: the pre-SET version still shows the original value
+    val rv3 = new GraphSession(spark)
+    rv3.openGraph("durcow", root, asOfVersion = v3)
+    val t3 = rv3.run("MATCH (p:P {k: 1}) RETURN p.t AS t")
+      .collect().map(_.getString(0)).toSeq
+    assert(t3 == Seq("one"), t3.toString)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
+  test("GraphStore: repeated SET of one row stacks dvs, stays exactly-once (r12)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_dv2").toString
+    val s = new GraphSession(spark)
+    s.createGraph("durdv2", root)
+    s.run("CREATE (:P {k: 1, t: 'a'}), (:P {k: 2, t: 'b'})")
+    s.run("CREATE (:P {k: 3, t: 'c'})") // manifest form
+    s.run("MATCH (p:P {k: 1}) SET p.t = 'a2'")
+    s.run("MATCH (p:P {k: 1}) SET p.t = 'a3'") // suppresses the v-prev copy too
+    s.run("MATCH (p:P {k: 3}) SET p.t = 'c2'")
+    val r = new GraphSession(spark)
+    r.openGraph("durdv2", root)
+    val rows = r.run("MATCH (p:P) RETURN p.k AS k, p.t AS t ORDER BY k")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(rows == Seq((1L, "a3"), (2L, "b"), (3L, "c2")), rows.toString)
+    // each id appears exactly once even though three stale copies exist
+    val n = r.run("MATCH (p:P) RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n == 3L, s"expected 3 visible rows, got $n")
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
@@ -675,21 +710,98 @@ class WriteSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_store_cowfb").toString
     val s = new GraphSession(spark)
     s.createGraph("durfb", root)
-    s.run("CREATE (:P {k: 1}), (:P {k: 2})") // full write (file A)
-    s.run("CREATE (:P {k: 3})")              // CoW append (file B)
-    // SET hits rows in BOTH files → 2/2 touched → full-rewrite fallback:
-    // the catalog returns to a vlabel dir pointer, no manifest lines
+    // 1200 rows puts an every-row SET past the 1024-id deletion-vector
+    // bound, so it reaches the CoW path, which then sees every file
+    // touched and falls back to the full rewrite
+    s.run("UNWIND range(1, 1200) AS i CREATE (:P {k: i})") // full write (files A…)
+    s.run("CREATE (:P {k: 1201})")                         // dv append (file B)
     s.run("MATCH (p:P) SET p.u = 1") // touches every row → every file
     val v2 = graft.cypher.GraphStore.latestVersion(root).get
     val cat2 = scala.io.Source.fromFile(s"$root/v$v2/catalog.txt").getLines().toList
     assert(cat2.exists(_ == s"vlabel P $v2"), cat2.mkString("; "))
     assert(!cat2.exists(_.startsWith("file v P ")), cat2.mkString("; "))
+    assert(!cat2.exists(_.startsWith("dv v P ")),
+      "full rewrite must drop deletion vectors: " + cat2.mkString("; "))
     // contents exact after the compaction-by-fallback
     val r = new GraphSession(spark)
     r.openGraph("durfb", root)
-    val ks = r.run("MATCH (p:P {u: 1}) RETURN p.k AS k ORDER BY k")
-      .collect().map(_.getLong(0)).toSeq
-    assert(ks == Seq(1L, 2L, 3L), ks.toString)
+    val ks = r.run("MATCH (p:P {u: 1}) RETURN count(*) AS n, min(p.k) AS mn, max(p.k) AS mx")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).head
+    assert(ks == ((1201L, 1L, 1201L)), ks.toString)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
+  test("GraphStore: CoW rewrite over stacked dvs never resurrects suppressed copies (r12)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_dvcow").toString
+    val s = new GraphSession(spark)
+    s.createGraph("durdvc", root)
+    s.run("UNWIND range(1, 1200) AS i CREATE (:P {k: i, t: 0})")
+    s.run("CREATE (:P {k: 1201, t: 0})") // manifest form
+    // four 1024-id SETs fill the 4096-tombstone budget through the dv path
+    (1 to 4).foreach { n =>
+      s.run(s"MATCH (p:P) WHERE p.k <= 1024 SET p.t = $n")
+    }
+    val vAfterDv = graft.cypher.GraphStore.latestVersion(root).get
+    val catDv = scala.io.Source.fromFile(s"$root/v$vAfterDv/catalog.txt").getLines().toList
+    assert(catDv.count(_.startsWith("dv v P ")) == 4, catDv.mkString("; "))
+    // the fifth overflows the budget → CoW partial rewrite with dvs live.
+    // Its discovery and rewrite reads must apply the dvs, or the three
+    // stale copies of each id would be resurrected into the new file.
+    s.run("MATCH (p:P) WHERE p.k <= 1024 SET p.t = 5")
+    val v = graft.cypher.GraphStore.latestVersion(root).get
+    val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
+    assert(cat.exists(_.startsWith("file v P ")),
+      "expected a partial CoW rewrite, not a full rewrite: " + cat.mkString("; "))
+    val r = new GraphSession(spark)
+    r.openGraph("durdvc", root)
+    val agg = r.run(
+      "MATCH (p:P) RETURN count(*) AS n, sum(p.t) AS st, min(p.k) AS mn, max(p.k) AS mx")
+      .collect().head
+    assert(agg.getLong(0) == 1201L, s"row count ${agg.getLong(0)} — duplicates or losses")
+    assert(agg.getLong(1) == 5L * 1024L, s"t-sum ${agg.getLong(1)}")
+    assert((agg.getLong(2), agg.getLong(3)) == ((1L, 1201L)))
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
+  test("GraphStore: COMPACT GRAPH folds manifests + dvs to dir pointers, gc reclaims (r12)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def versionDirs(root: String): Set[Long] =
+      Files.list(Paths.get(root)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.matches("v\\d+"))
+        .map(_.drop(1).toLong).toSet
+    val root = Files.createTempDirectory("graft_store_opt").toString
+    val s = new GraphSession(spark)
+    s.createGraph("durcp", root)
+    s.run("UNWIND range(1, 50) AS i CREATE (:P {k: i, t: 'x'})")
+    s.run("CREATE (:P {k: 51, t: 'y'})")      // manifest form
+    s.run("MATCH (p:P {k: 7}) SET p.t = 'u'") // dv
+    s.run("MATCH (p:P {k: 9}) DELETE p")      // dv
+    val before = graft.cypher.GraphStore.latestVersion(root).get
+    val catB = scala.io.Source.fromFile(s"$root/v$before/catalog.txt").getLines().toList
+    assert(catB.exists(_.startsWith("file v P ")) && catB.exists(_.startsWith("dv v P ")))
+    s.run("COMPACT GRAPH durcp")
+    val v = graft.cypher.GraphStore.latestVersion(root).get
+    assert(v == before + 1)
+    val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
+    assert(cat.exists(_ == s"vlabel P $v"), cat.mkString("; "))
+    assert(!cat.exists(l => l.startsWith("file v P ") || l.startsWith("dv v P ")),
+      cat.mkString("; "))
+    // a second COMPACT is a no-op: nothing manifest-form remains
+    s.run("COMPACT GRAPH durcp")
+    assert(graft.cypher.GraphStore.latestVersion(root).get == v)
+    // reads exact after reopen
+    val r = new GraphSession(spark)
+    r.openGraph("durcp", root)
+    val agg = r.run("MATCH (p:P) RETURN count(*) AS n, " +
+      "sum(CASE p.t WHEN 'u' THEN 1 ELSE 0 END) AS nu")
+      .collect().head
+    assert((agg.getLong(0), agg.getLong(1)) == ((50L, 1L)), agg.toString)
+    // one more commit, then gc has reclaimed every pre-compaction dir
+    s.run("CREATE (:P {k: 100, t: 'z'})")
+    assert(versionDirs(root).forall(_ >= v),
+      s"stale version dirs survive compaction: ${versionDirs(root)}")
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
