@@ -186,6 +186,19 @@ final class GraphSession(val spark: SparkSession) {
   private val IvfProbesRx =
     "(?i)^\\s*SET\\s+ivfflat\\.probes\\s*=\\s*(\\d+)\\s*;?\\s*$".r
 
+  /** PQ/ADC index DDL (graft extension alongside the reference's IVFFlat
+    * family — same naming scheme): create_pq_{l2,ip}_ops_index(graph,
+    * label, prop, dims, m, k) builds m subspace codebooks of k centroids
+    * each; probes shortlist by asymmetric distance and the query's own
+    * ORDER BY reranks exactly. `SET pq.shortlist = n` sizes the shortlist.
+    */
+  private val PqIndexRx =
+    ("(?is)^\\s*SELECT\\s+create_pq_(l2|ip)_ops_index\\s*\\(\\s*" +
+      "'([^']+)'\\s*,\\s*'([^']+)'\\s*,\\s*'([^']+)'\\s*,\\s*" +
+      "(\\d+)\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)\\s*;?\\s*$").r
+  private val PqShortlistRx =
+    "(?i)^\\s*SET\\s+pq\\.shortlist\\s*=\\s*(\\d+)\\s*;?\\s*$".r
+
   /** Catalog functions called with NULL args raise the reference's exact
     * argument-check messages (old catalog.out:100-214, :387-392) instead
     * of falling through to an unresolved-routine error.
@@ -210,6 +223,14 @@ final class GraphSession(val spark: SparkSession) {
         return voidRow(s"create_ivfflat_${metric.toLowerCase}_ops_index")
       case IvfProbesRx(p) =>
         graph.ivfProbes = p.toInt
+        return spark.emptyDataFrame
+      case PqIndexRx(metric, g, label, prop, dims, m, k) =>
+        useGraph(g)
+        graph.createPqIndex(label, prop, dims.toInt, m.toInt, k.toInt,
+          metric.toLowerCase)
+        return voidRow(s"create_pq_${metric.toLowerCase}_ops_index")
+      case PqShortlistRx(n) =>
+        graph.pqShortlist = n.toInt
         return spark.emptyDataFrame
       case CatalogNullFnRx(fn0, argsStr)
           if argsStr.split(",").exists(_.trim.equalsIgnoreCase("NULL")) =>
@@ -1592,6 +1613,19 @@ final class MutableGraph(spark: SparkSession) {
   /** Clusters probed per ANN query (reference GUC ivfflat.probes; default 1). */
   @volatile var ivfProbes: Int = 1
 
+  // PQ/ADC index (r12): codebooks are the persisted structure (like IVF's
+  // centroids); per-row codes derive lazily from the CURRENT label table
+  // and are identity-cached, so the index never goes stale across writes.
+  private final case class PqIdx(label: String, prop: String,
+      metric: String, dims: Int, m: Int, k: Int,
+      codebooks: Array[Array[Array[Double]]])
+  private val pqIndexes =
+    mutable.LinkedHashMap.empty[(String, String), PqIdx]
+  private var pqPersistedAt = Map.empty[(String, String), Long]
+  private var pqCodesCache = Map.empty[(String, String), (DataFrame, DataFrame)]
+  /** ADC shortlist size reranked exactly by the query's ORDER BY. */
+  @volatile var pqShortlist: Int = 192
+
   private def ivfEmb(tbl: DataFrame, prop: String, dims: Int): DataFrame =
     tbl.select(col("id"),
       col(prop).cast(ArrayType(DoubleType)).as(prop))
@@ -1619,6 +1653,38 @@ final class MutableGraph(spark: SparkSession) {
     if (storeRoot.isDefined) publish(vertexLabels, edgeLabels)
   }
 
+  def createPqIndex(label: String, prop0: String, dims: Int, m: Int,
+      k: Int, metric: String): Unit = {
+    val prop = Compiler.PropNames.esc(prop0)
+    val tbl = vertexLabels.getOrElse(label,
+      throw new IllegalArgumentException(s"unknown vertex label $label"))
+    require(tbl.columns.contains(prop), s"label $label has no property $prop0")
+    require(dims >= 1 && dims <= 2000, "pq supports 1..2000 dimensions")
+    require(m >= 1 && m <= 64 && dims % m == 0,
+      s"m must divide dims ($dims % $m != 0) and be in 1..64")
+    require(k >= 2 && k <= 256, "k (centroids per subspace) must be in 2..256")
+    val emb = ivfEmb(tbl, prop, dims)
+    val cbs = graft.functions.Ivf.pqCodebooksSampled(emb, "id", prop,
+      dims, m, k)
+    pqIndexes((label, prop)) = PqIdx(label, prop, metric, dims, m, k, cbs)
+    pqCodesCache -= ((label, prop))
+    pqPersistedAt -= ((label, prop))
+    if (storeRoot.isDefined) publish(vertexLabels, edgeLabels)
+  }
+
+  private def pqCodes(ix: PqIdx): DataFrame = {
+    val tbl = vertexLabels(ix.label)
+    pqCodesCache.get((ix.label, ix.prop)) match {
+      case Some((src, c)) if src eq tbl => c
+      case _ =>
+        val c = graft.functions.Ivf.pqEncode(
+          ivfEmb(tbl, ix.prop, ix.dims), "id", ix.prop, ix.codebooks)
+          .localCheckpoint()
+        pqCodesCache += ((ix.label, ix.prop) -> (tbl, c))
+        c
+    }
+  }
+
   private def ivfAssignments(ix: IvfIdx): DataFrame = {
     val tbl = vertexLabels(ix.label)
     ivfAssignCache.get((ix.label, ix.prop)) match {
@@ -1641,7 +1707,7 @@ final class MutableGraph(spark: SparkSession) {
       vec: Seq[Double]): Option[(Int, DataFrame)] = {
     val hits = ivfIndexes.values.filter(ix =>
       ix.prop == propEsc && ix.metric == metric && ix.dims == vec.length).toSeq
-    if (hits.size != 1) return None
+    if (hits.size != 1) return pqProbeFn(propEsc, metric, vec)
     val ix = hits.head
     val probed = ix.centroids.zipWithIndex.map { case (c, i) =>
       val score = metric match {
@@ -1652,6 +1718,22 @@ final class MutableGraph(spark: SparkSession) {
     }.sortBy(_._1).take(math.max(1, ivfProbes)).map(_._2).toSeq
     val cand = ivfAssignments(ix)
       .filter(col("cluster").isin(probed: _*)).select(col("id"))
+    Some((labelIds(ix.label), cand))
+  }
+
+  /** PQ fallback probe — same contract: candidate shortlist by asymmetric
+    * distance over the stored codes; the caller's ORDER BY reranks with
+    * exact distances. Ambiguity disables the rewrite, like IVF.
+    */
+  private def pqProbeFn(propEsc: String, metric: String,
+      vec: Seq[Double]): Option[(Int, DataFrame)] = {
+    val hits = pqIndexes.values.filter(ix =>
+      ix.prop == propEsc && ix.metric == metric && ix.dims == vec.length).toSeq
+    if (hits.size != 1) return None
+    val ix = hits.head
+    val cand = graft.functions.Ivf.pqAdcCandidates(
+      pqCodes(ix), "id", ix.codebooks, vec, metric,
+      math.max(1, pqShortlist))
     Some((labelIds(ix.label), cand))
   }
 
@@ -2511,16 +2593,42 @@ final class MutableGraph(spark: SparkSession) {
           ivfPersistedNow(key) = next
       }
     }
+    // PQ indexes persist identically (r12): codebooks written once into
+    // the building version's `pq/` dir, carried by pointer afterwards —
+    // `pq <label> <prop> <metric> <dims> <m> <k> <ver>`
+    val prevPqVers: Set[Long] = prevLines.collect {
+      case s if s.startsWith("pq ") => s.split(" ")(7).toLong }.toSet
+    val pqPersistedNow = scala.collection.mutable.Map.empty[(String, String), Long]
+    pqIndexes.foreach { case (key, ix) =>
+      val head = s"pq ${enc(ix.label)} ${enc(ix.prop)} ${ix.metric} " +
+        s"${ix.dims} ${ix.m} ${ix.k}"
+      pqPersistedAt.get(key) match {
+        case Some(ver) =>
+          referenced += ver
+          sb ++= s"$head $ver\n"
+        case None =>
+          val pqDir = Paths.get(dir, "pq")
+          Files.createDirectories(pqDir)
+          // m·k lines in (sub, code) order; Double.toString round-trips
+          val txt = ix.codebooks.flatMap(_.map(
+            _.map(java.lang.Double.toString).mkString(" "))).mkString("\n")
+          Files.write(pqDir.resolve(s"${enc(ix.label)}__${enc(ix.prop)}.txt"),
+            txt.getBytes(UTF_8))
+          sb ++= s"$head $next\n"
+          pqPersistedNow(key) = next
+      }
+    }
     Files.write(Paths.get(dir, "catalog.txt"), sb.toString.getBytes(UTF_8))
     GraphStore.swapLatest(root, next)
     storeVersion = next
     ivfPersistedAt ++= ivfPersistedNow // only after a successful swap
+    pqPersistedAt ++= pqPersistedNow
     txResetTracking() // touched-id frames are consumed by this publish
     val prevFileVers = (prevFileLines.values.flatten ++ prevDvLines.values.flatten)
       .map(line => versionOfRel(GraphStore.dec(line.split(" ")(3)))).toSet
     // retain: the two newest catalogs plus every dir either one references
     GraphStore.gc(root, keep = referenced.toSet ++ prevLoc.values.toSet ++
-      prevIvfVers ++ prevFileVers ++ Set(cur, next))
+      prevIvfVers ++ prevPqVers ++ prevFileVers ++ Set(cur, next))
     }
   }
 
@@ -2666,6 +2774,19 @@ object MutableGraph {
           g.ivfIndexes((label, prop)) = g.IvfIdx(label, prop,
             parts(3), parts(4).toInt, parts(5).toInt, cents)
           g.ivfPersistedAt += ((label, prop) -> ver)
+        case "pq" => // r12: reload persisted PQ codebooks — no retrain
+          val (label, prop) = (dec(parts(1)), dec(parts(2)))
+          val (m, k, ver) = (parts(5).toInt, parts(6).toInt, parts(7).toLong)
+          val lines = java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(s"$root/v$ver/pq/${parts(1)}__${parts(2)}.txt"))
+            .toArray(Array.empty[String])
+            .map(_.split(" ").map(java.lang.Double.parseDouble))
+          require(lines.length == m * k, s"pq codebook file: ${lines.length} != $m*$k")
+          val cbs = Array.tabulate(m)(s =>
+            Array.tabulate(k)(c => lines(s * k + c)))
+          g.pqIndexes((label, prop)) = g.PqIdx(label, prop,
+            parts(3), parts(4).toInt, m, k, cbs)
+          g.pqPersistedAt += ((label, prop) -> ver)
         case _ => ()
       }
     }

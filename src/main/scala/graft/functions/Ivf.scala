@@ -155,6 +155,93 @@ object Ivf {
     cent
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ/ADC — Jégou et al. 2011) as a DDL-built,
+  // catalog-persisted index (r12): the graph-session twin of the
+  // operators/Similarity bench path. Codebooks train on ONE bounded
+  // driver sample (same discipline as kmeansSampled); encode and probe
+  // stay distributed.
+
+  /** One codebook per subspace from a single stride sample: returns
+    * codebooks(sub)(code) = centroid of length dims/m. Counts as one
+    * kmeansBuilds (one sample collect, m local Lloyd runs).
+    */
+  def pqCodebooksSampled(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, k: Int, iters: Int = 8, cap: Int = 4096,
+      nHint: Option[Long] = None): Array[Array[Array[Double]]] = {
+    require(dims % m == 0 && dims >= m, s"dims=$dims not divisible by m=$m")
+    kmeansBuilds.incrementAndGet()
+    val n = nHint.getOrElse(emb.count())
+    require(n >= k, s"need at least $k vectors")
+    val stride = math.max(n / cap, 1)
+    val sample: Array[Array[Double]] = emb
+      .filter(col(idCol) % stride === 0)
+      .orderBy(col(idCol))
+      .limit(cap)
+      .select(transform(col(vecCol), _.cast("double")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dsub = dims / m
+    Array.tabulate(m) { s =>
+      lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)),
+        k, iters)
+    }
+  }
+
+  /** (sub, code, spos, c) broadcast-side codebook relation. */
+  private def codebookDf(spark: SparkSession,
+      codebooks: Array[Array[Array[Double]]]) = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.flatMap { case (cent, code) =>
+        cent.zipWithIndex.map { case (v, p) => (s, code, p, v) }
+      }
+    }.toSeq.toDF("sub", "code", "spos", "c")
+  }
+
+  /** Distributed PQ encode: (id, sub, code) — nearest sub-centroid per
+    * subspace, via the same flatten → broadcast-join → two keyed
+    * aggregations chain as the IVF assignment (never a per-row loop).
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    val flat = flatten(emb, idCol, vecCol)
+      .withColumn("sub", (col("pos") / dsub).cast("int"))
+      .withColumn("spos", (col("pos") % dsub).cast("int"))
+    flat.join(broadcast(codebookDf(emb.sparkSession, codebooks)), Seq("sub", "spos"))
+      .groupBy(col("__vid"), col("sub"), col("code"))
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("dist"))
+      .groupBy(col("__vid"), col("sub"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+      .select(col("__vid").as(idCol), col("sub"), col("code"))
+  }
+
+  /** ADC shortlist for one query vector: per-subspace lookup table joined
+    * (broadcast, m×k rows) against the stored codes, summed, top
+    * `shortlist` ids by approximate distance. The caller reranks exactly.
+    */
+  def pqAdcCandidates(codes: DataFrame, idCol: String,
+      codebooks: Array[Array[Array[Double]]], vec: Seq[Double],
+      metric: String, shortlist: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val dsub = codebooks(0)(0).length
+    val lut = codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      val q = vec.slice(s * dsub, (s + 1) * dsub)
+      cb.zipWithIndex.map { case (cent, code) =>
+        val d = metric match {
+          case "ip" => -cent.zip(q).map(t => t._1 * t._2).sum
+          case _    => cent.zip(q).map(t => (t._1 - t._2) * (t._1 - t._2)).sum
+        }
+        (s, code, d)
+      }
+    }.toSeq.toDF("sub", "code", "qd")
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col(idCol)).agg(sum(col("qd")).as("adc"))
+      .orderBy(col("adc"), col(idCol)).limit(shortlist)
+      .select(col(idCol))
+  }
+
   /** ANN top-k by cosine: probe the `nprobe` nearest clusters per query,
     * exact-score candidates within those clusters only. Scan cost per query
     * drops from |corpus| to ~|corpus|·nprobe/k — the IVFFlat trade.

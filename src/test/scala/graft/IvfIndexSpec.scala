@@ -118,6 +118,73 @@ class IvfIndexSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
+  test("create_pq_l2_ops_index DDL: ADC shortlist + exact rerank matches brute force (r12)") {
+    val s = mkSession()
+    val void = s.run("SELECT create_pq_l2_ops_index('ivfg', 'Doc', 'embedding', 2, 2, 4)")
+    assert(void.columns.toSeq == Seq("create_pq_l2_ops_index"))
+    val q = "MATCH (d:Doc) RETURN d.k AS k ORDER BY d.embedding <-> [1.0, 1.0] LIMIT 5"
+    val indexed = s.run(q).collect().map(_.getLong(0)).toSeq
+    val s2 = new graft.cypher.GraphSession(spark)
+    s2.createGraph("pqg2")
+    (0 until 40).foreach { i =>
+      val (bx, by) = if (i % 2 == 0) (0.0, 0.0) else (100.0, 100.0)
+      val x = bx + (i / 2) * 0.5
+      val y = by + (i % 5) * 0.5
+      s2.run(s"CREATE (:Doc {k: $i, embedding: [$x, $y]})")
+    }
+    val brute = s2.run(q).collect().map(_.getLong(0)).toSeq
+    assert(indexed == brute, s"indexed=$indexed brute=$brute")
+    // the shortlist GUC really restricts the candidate set: with a
+    // 3-element shortlist a LIMIT 40 scan sees at most 3 rows
+    s.run("SET pq.shortlist = 3")
+    val few = s.run(
+      "MATCH (d:Doc) RETURN d.k AS k ORDER BY d.embedding <-> [0.0, 0.0] LIMIT 40")
+      .collect().map(_.getLong(0)).toSeq
+    assert(few.size == 3 && few.forall(_ % 2 == 0), few.toString)
+    // index follows writes (codes re-derive lazily from the current table)
+    s.run("SET pq.shortlist = 192")
+    s.run("CREATE (:Doc {k: 999, embedding: [0.1, 0.1]})")
+    val top = s.run(
+      "MATCH (d:Doc) RETURN d.k AS k ORDER BY d.embedding <-> [0.1, 0.1] LIMIT 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(999L))
+  }
+
+  test("pq index persists codebooks into the GraphStore catalog, reopen skips retrain (r12)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_pq_persist").toString
+    val s = new graft.cypher.GraphSession(spark)
+    s.createGraph("pqp", root)
+    (0 until 40).foreach { i =>
+      val (bx, by) = if (i % 2 == 0) (0.0, 0.0) else (100.0, 100.0)
+      val x = bx + (i / 2) * 0.5
+      val y = by + (i % 5) * 0.5
+      s.run(s"CREATE (:Doc {k: $i, embedding: [$x, $y]})")
+    }
+    s.run("SELECT create_pq_l2_ops_index('pqp', 'Doc', 'embedding', 2, 2, 4)")
+    val vBuild = graft.cypher.GraphStore.latestVersion(root).get
+    val cat = scala.io.Source.fromFile(s"$root/v$vBuild/catalog.txt").getLines().toList
+    assert(cat.exists(_ == s"pq Doc embedding l2 2 2 4 $vBuild"), cat.mkString("; "))
+    assert(Files.exists(Paths.get(s"$root/v$vBuild/pq/Doc__embedding.txt")))
+    // a later write carries the index as a pointer, codebook file retained
+    s.run("CREATE (:Doc {k: 999, embedding: [0.1, 0.1]})")
+    val vAfter = graft.cypher.GraphStore.latestVersion(root).get
+    val cat2 = scala.io.Source.fromFile(s"$root/v$vAfter/catalog.txt").getLines().toList
+    assert(cat2.exists(_ == s"pq Doc embedding l2 2 2 4 $vBuild"), cat2.mkString("; "))
+    assert(Files.exists(Paths.get(s"$root/v$vBuild/pq/Doc__embedding.txt")))
+    // reopen: stored codebooks load — no retrain
+    val builds0 = graft.functions.Ivf.kmeansBuilds.get()
+    val r = new graft.cypher.GraphSession(spark)
+    r.openGraph("pqp", root)
+    val top = r.run(
+      "MATCH (d:Doc) RETURN d.k AS k ORDER BY d.embedding <-> [0.1, 0.1] LIMIT 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(graft.functions.Ivf.kmeansBuilds.get() == builds0,
+      "reopen re-trained the PQ codebooks instead of loading them")
+    assert(top == Seq(999L), top.toString)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
   test("non-matching shapes never rewrite (other props, DESC, no limit)") {
     val s = mkSession()
     s.run("SELECT create_ivfflat_l2_ops_index('ivfg', 'Doc', 'embedding', 2, 2)")
