@@ -30,6 +30,12 @@ object Similarity {
       d * d
     }), lit(0.0), (acc, x) => acc + x))
 
+  /** Nothing LSH-side needs catalog persistence (contrast the IVF/PQ DDL
+    * indexes, r12): planes derive from xxhash64(plane, dim) — pure
+    * constants, identical in every session — so "the index" is free to
+    * reconstruct; only derived bucket keys cost anything, and those are
+    * recomputed from the current data like the IVF assignments.
+    */
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 → uniform in [-1, 1). */
   private def planeComponent(plane: Int, dim: Column): Column =
