@@ -536,6 +536,53 @@ class WriteSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
+  test("GraphStore: concurrent point SETs through deletion vectors lose no update (r12 hammer)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_dvham").toString
+    val s0 = new GraphSession(spark)
+    s0.createGraph("durdvh", root)
+    s0.run("UNWIND range(1, 12) AS i CREATE (:P {k: i, n: 0})")
+    s0.run("CREATE (:P {k: 13, n: 0})") // manifest form → SETs take the dv path
+    val writers = 3; val perWriter = 3
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        try {
+          for (j <- 0 until perWriter) {
+            val k = w * perWriter + j + 1 // disjoint target rows
+            var committed = false
+            while (!committed) {
+              try {
+                val s = new GraphSession(spark)
+                s.openGraph("durdvh", root)
+                s.run(s"MATCH (p:P {k: $k}) SET p.n = ${w * 100 + j}")
+                committed = true
+              } catch {
+                case e: Throwable
+                    if e.getMessage != null &&
+                      e.getMessage.contains("could not serialize") => ()
+                case _: org.apache.spark.SparkException |
+                     _: java.io.FileNotFoundException => ()
+              }
+            }
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"writer died: ${failures.peek()}")
+    val r = new GraphSession(spark)
+    r.openGraph("durdvh", root)
+    val rows = r.run("MATCH (p:P) RETURN p.k AS k, p.n AS n ORDER BY k")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(rows.size == 13, s"row count ${rows.size} — dv hammer lost or duplicated ids")
+    for (w <- 0 until writers; j <- 0 until perWriter)
+      assert(rows(w.toLong * perWriter + j + 1) == w * 100 + j,
+        s"k=${w * perWriter + j + 1}: ${rows(w.toLong * perWriter + j + 1)}")
+    (10 to 13).foreach(k => assert(rows(k.toLong) == 0L))
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
   test("GraphStore: crashed-writer lock + N contending takeovers — one body at a time (r12)") {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft_store_lockrace").toString
