@@ -2394,7 +2394,12 @@ final class MutableGraph(spark: SparkSession) {
         rels.map(r => FileEnt(r, m.get(r.substring(r.lastIndexOf('/') + 1))))
       }
     // shared guards + previous on-disk form for the two incremental paths
-    // (file manifest, or a dir pointer exploded to file entries)
+    // (file manifest, or a dir pointer exploded to file entries). Dir
+    // pointers predate per-file stats; backfill them HERE (one
+    // footer-bounded min/max job per label, once — every later catalog
+    // carries the stats), because the dv path's pure-insert/tombstone
+    // decision is stats-driven and a stats-less file would force a
+    // tombstone for every appended id.
     def idLocalPrevEnts(kind: String, l: String, df: DataFrame): Option[List[FileEnt]] = {
       val encl = enc(l)
       if (txFullRewrite.contains(s"$kind:$l")) return None
@@ -2403,8 +2408,9 @@ final class MutableGraph(spark: SparkSession) {
       if (prevNull.contains((kind, encl))) return None // legacy nulltype files
       val ents = prevFileLines.get((kind, encl)).map(entsOfLines).getOrElse {
         prevLoc.get((kind, encl)).map { ver =>
-          listParquet(s"$root/v$ver/$kind/$encl")
-            .map(p => FileEnt(s"v$ver/$kind/$encl/${Paths.get(p).getFileName}", None))
+          val d = s"$root/v$ver/$kind/$encl"
+          statsOf(d, listParquet(d)
+            .map(p => s"v$ver/$kind/$encl/${Paths.get(p).getFileName}"))
         }.getOrElse(Nil)
       }
       if (ents.isEmpty) None else Some(ents) // brand-new label: full write IS minimal
@@ -2432,19 +2438,17 @@ final class MutableGraph(spark: SparkSession) {
       val touchedIds: Array[Long] =
         touched.limit(1025).collect().map(_.getLong(0)).sorted
       if (touchedIds.isEmpty || touchedIds.length > 1024) return false
-      // a tombstone is only needed for ids an OLDER file may hold: ids
-      // whose entry part is past the PREVIOUS catalog's sequence position
-      // (`next` records the LAST USED entry) are pure inserts — entry ids
-      // are never reused — and per-file [min,max] stats prune the rest;
-      // no data read either way
-      val prevLastEntry: Long = prevLines.collectFirst {
-        case s if s.startsWith(s"next ${enc(l)} ") => s.split(" ")(2).toLong
-      }.getOrElse(0L)
-      def mayHoldId(t: Long): Boolean =
-        (t & PropertyGraph.EntryIdMask) <= prevLastEntry && prevEnts.exists(_.stats match {
-          case Some((mn, mx)) => mn <= t && t <= mx
-          case None => true
-        })
+      // a tombstone is only needed for ids an OLDER file may hold, proven
+      // by per-file [min,max] id stats alone (backfilled at dir-pointer
+      // explosion above, so manifest files always carry them). NOT by the
+      // catalog's sequence position: streaming-ingested labels pack ids
+      // from user keys without advancing the sequence, so a sequence
+      // proof would skip their tombstones and duplicate updated rows
+      // (WriteSpec "key-packed" regression).
+      def mayHoldId(t: Long): Boolean = prevEnts.exists(_.stats match {
+        case Some((mn, mx)) => mn <= t && t <= mx
+        case None => true
+      })
       val tombstones = touchedIds.filter(mayHoldId)
       if (prevDvs.map(_.count).sum + tombstones.length > 4096) return false
       val newRows = df.join(touched, Seq("id"), "left_semi")

@@ -583,6 +583,37 @@ class WriteSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
+  test("GraphStore: SET on a key-packed (ingested) row stays exactly-once through dvs (r12)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_dving").toString
+    val s = new GraphSession(spark)
+    s.createGraph("durdvi", root)
+    // ingest path packs ids from the USER KEY, not the entry sequence —
+    // the dv pure-insert proof must not rely on the catalog's sequence
+    // position (key-packed ids sit far past it)
+    import spark.implicits._
+    s.ingestVertexBatch("Doc", "doc_id",
+      (1L to 10L).map(i => (i, s"t$i")).toDF("doc_id", "text"), "app1", 0L)
+    s.ingestVertexBatch("Doc", "doc_id",
+      (11L to 12L).map(i => (i, s"t$i")).toDF("doc_id", "text"), "app1", 1L)
+    // SET one ingested row: the stored old copy MUST be tombstoned
+    s.run("MATCH (d:Doc) WHERE d.text = 't3' SET d.text = 't3-v2'")
+    val r = new GraphSession(spark)
+    r.openGraph("durdvi", root)
+    val n = r.run("MATCH (d:Doc) RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n == 12L, s"expected 12 rows, got $n — ingested row duplicated or lost")
+    val t3 = r.run("MATCH (d:Doc) WHERE d.text STARTS WITH 't3' RETURN d.text AS t")
+      .collect().map(_.getString(0)).toSeq
+    assert(t3 == Seq("t3-v2"), t3.toString)
+    // and DELETE of an ingested row really removes it
+    r.run("MATCH (d:Doc) WHERE d.text = 't7' DELETE d")
+    val r2 = new GraphSession(spark)
+    r2.openGraph("durdvi", root)
+    val n2 = r2.run("MATCH (d:Doc) RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n2 == 11L, s"expected 11 rows after delete, got $n2")
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
   test("GraphStore: crashed-writer lock + N contending takeovers — one body at a time (r12)") {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft_store_lockrace").toString
