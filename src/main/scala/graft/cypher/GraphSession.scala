@@ -132,6 +132,13 @@ final class GraphSession(val spark: SparkSession) {
       appId: String, batchId: Long): Unit =
     graph.ingestVertexBatch(label, keyCol, batch, appId, batchId)
 
+  /** Upsert variant: existing keys replace their stored row (tombstoned
+    * through the deletion-vector publish path), new keys append.
+    */
+  def ingestVertexUpsertBatch(label: String, keyCol: String, batch: DataFrame,
+      appId: String, batchId: Long): Unit =
+    graph.ingestVertexUpsertBatch(label, keyCol, batch, appId, batchId)
+
   /** Edge twin of [[ingestVertexBatch]] — endpoint ids pack from the
     * src/dst key columns against their vertex labels (GraphBuilder's
     * edgeLabel scheme).
@@ -1880,6 +1887,31 @@ final class MutableGraph(spark: SparkSession) {
         shiftleft(lit(lid.toLong), 48).bitwiseOR(col(keyCol).cast("long")).as("id") +:
           batch.columns.filterNot(_ == "id").sorted.map(col): _*)
       appendRows("v", label, df.localCheckpoint())
+    }
+
+  /** Upsert twin of [[ingestVertexBatch]] (r12 streaming CDC): a batch
+    * row whose key already exists REPLACES the stored row — the publish
+    * path tombstones the old on-disk copy through the deletion-vector
+    * machinery, so a point update costs the new row + 8 B, never a file
+    * rewrite — and new keys append. Same exactly-once (appId, batchId)
+    * contract. Duplicate keys within one batch collapse to one arbitrary
+    * row (pre-aggregate upstream for a deterministic pick).
+    */
+  private[cypher] def ingestVertexUpsertBatch(label: String, keyCol: String,
+      batch: DataFrame, appId: String, batchId: Long): Unit =
+    ingestBatch(appId, batchId) {
+      val lid = labelId(label)
+      val df = batch.select(
+        shiftleft(lit(lid.toLong), 48).bitwiseOR(col(keyCol).cast("long")).as("id") +:
+          batch.columns.filterNot(_ == "id").sorted.map(col): _*)
+        .dropDuplicates("id").localCheckpoint()
+      vertexLabels.get(label) match {
+        case None => appendRows("v", label, df)
+        case Some(o) =>
+          noteTouched(df)
+          val kept = o.join(df.select(col("id")), Seq("id"), "left_anti")
+          vertexLabels += (label -> aligned("v", label, Some(kept), df))
+      }
     }
 
   /** Commit one streaming micro-batch of edges as ONE store version —

@@ -65,6 +65,29 @@ object Streams {
       .start()
   }
 
+  /** CDC twin of [[graphStoreIngest]] (r12): a re-sent key REPLACES the
+    * stored row — the store tombstones the old copy through its
+    * deletion-vector path, so a streamed update costs the new row-version
+    * plus ~8 bytes, never a file rewrite. New keys append. Same
+    * exactly-once (appId, batchId) contract on restarts.
+    */
+  def graphStoreUpsertIngest(
+      docs: DataFrame, // streaming DF
+      session: graft.cypher.GraphSession,
+      label: String,
+      keyCol: String,
+      checkpointDir: String,
+      appId: Option[String] = None): StreamingQuery = {
+    val app = appId.getOrElse(checkpointDir)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        session.ingestVertexUpsertBatch(label, keyCol, batch, app, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Edge twin of [[graphStoreIngest]]: streams (src, dst, props) rows
     * into a durable graph's edge label, one store version per micro-batch,
     * same exactly-once (appId, batchId) contract.

@@ -125,6 +125,49 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("ts", col("ts").cast("timestamp"))
   }
 
+  test("upsert ingest replaces re-sent keys through deletion vectors, exactly-once (r12)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_gupsert").toString
+    val root = s"$tmp/store"
+    val s = new graft.cypher.GraphSession(spark)
+    s.createGraph("gupsert", root)
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // batch 0: initial corpus; batch 1: one update + one insert
+    s.ingestVertexUpsertBatch("Doc", "doc_id",
+      docs(1L -> "a", 2L -> "b", 3L -> "c"), "up1", 0L)
+    val v1 = graft.cypher.GraphStore.latestVersion(root).get
+    s.ingestVertexUpsertBatch("Doc", "doc_id",
+      docs(2L -> "b-v2", 4L -> "d"), "up1", 1L)
+    assert(graft.cypher.GraphStore.latestVersion(root).get == v1 + 1)
+    // the update committed through the dv path: old files carried, a
+    // tombstone suppresses doc 2's old copy
+    val v2 = graft.cypher.GraphStore.latestVersion(root).get
+    val cat = scala.io.Source.fromFile(s"$root/v$v2/catalog.txt").getLines().toList
+    assert(cat.exists(_.startsWith("dv v Doc ")), cat.mkString("; "))
+    // replay of batch 1 is a no-op (restart contract)
+    s.ingestVertexUpsertBatch("Doc", "doc_id",
+      docs(2L -> "b-v2", 4L -> "d"), "up1", 1L)
+    assert(graft.cypher.GraphStore.latestVersion(root).get == v2)
+    // reopen: exactly-once rows, updated text visible once
+    val r = new graft.cypher.GraphSession(spark)
+    r.openGraph("gupsert", root)
+    val rows = r.run("MATCH (d:Doc) RETURN d.text AS t ORDER BY t")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("a", "b-v2", "c", "d"), rows.toString)
+    // and the streaming wrapper drives the same primitive
+    val src = spark.readStream.schema(docs(1L -> "x").schema)
+      .parquet { val d = s"$tmp/in"; docs(3L -> "c-v2").write.parquet(d); d }
+    val q = Streams.graphStoreUpsertIngest(src, r, "Doc", "doc_id",
+      checkpointDir = s"$tmp/ck")
+    q.awaitTermination(60000)
+    val r2 = new graft.cypher.GraphSession(spark)
+    r2.openGraph("gupsert", root)
+    val rows2 = r2.run("MATCH (d:Doc) RETURN d.text AS t ORDER BY t")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows2 == Seq("a", "b-v2", "c-v2", "d"), rows2.toString)
+    graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("watermarked windowed aggregation over the events stream") {
     val fixed = eventStream
     val agg = Streams.windowedEventCounts(fixed, watermark = "1 hour", window_ = "6 hours")
