@@ -2259,9 +2259,14 @@ final class MutableGraph(spark: SparkSession) {
           "cannot delete vertex with incident edges — use DETACH DELETE")
     } else {
       edgeLabels = edgeLabels.map { case (l, e) =>
-        // the cascade is keyed on ENDPOINTS, not edge ids — the touched
-        // edge ids aren't enumerated, so these labels must full-rewrite
-        noteFullRewrite("e", l)
+        // the cascade is keyed on ENDPOINTS — enumerate the edge ids it
+        // removes (one semi-join per label, the same scan shape as the
+        // anti-join below) so the statement stays id-local: a point
+        // DETACH DELETE publishes tombstones through the dv path instead
+        // of rewriting every edge label (r12; was noteFullRewrite)
+        noteTouched(e.join(ids,
+          e("start_id") === ids("id") || e("end_id") === ids("id"), "left_semi")
+          .select(col("id")))
         l -> e.join(ids, e("start_id") === ids("id") || e("end_id") === ids("id"), "left_anti")
       }
     }

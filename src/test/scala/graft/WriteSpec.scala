@@ -614,6 +614,47 @@ class WriteSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
+  test("GraphStore: point DETACH DELETE tombstones the edge cascade — no edge-label rewrite (r12)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_dvdet").toString
+    val s = new GraphSession(spark)
+    s.createGraph("durdet", root)
+    s.run("UNWIND range(1, 10) AS i CREATE (:P {k: i})")
+    s.run("MATCH (a:P), (b:P) WHERE b.k = a.k + 1 CREATE (a)-[:E {w: a.k}]->(b)")
+    // manifest-form both labels (append one more of each)
+    s.run("CREATE (:P {k: 11})")
+    s.run("MATCH (a:P {k: 10}), (b:P {k: 11}) CREATE (a)-[:E {w: 10}]->(b)")
+    val before = graft.cypher.GraphStore.latestVersion(root).get
+    // DETACH DELETE k=5: removes 1 vertex + its 2 incident edges.
+    // Both labels publish through the dv path: NO parquet rewrite at all
+    s.run("MATCH (p:P {k: 5}) DETACH DELETE p")
+    val v = graft.cypher.GraphStore.latestVersion(root).get
+    assert(v == before + 1)
+    def partFiles(kind: String, l: String): Set[String] = {
+      val d = Paths.get(s"$root/v$v/$kind/$l")
+      import scala.jdk.CollectionConverters._
+      if (!Files.isDirectory(d)) Set.empty
+      else Files.list(d).iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-")).toSet
+    }
+    assert(partFiles("v", "P").isEmpty && partFiles("e", "E").isEmpty,
+      "pure DETACH DELETE must write no parquet files")
+    val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
+    assert(cat.exists(_.startsWith("dv v P ")), cat.mkString("; "))
+    assert(cat.exists(_.startsWith("dv e E ")), cat.mkString("; "))
+    // reads exact after reopen: vertex gone, cascade gone, rest intact
+    val r = new GraphSession(spark)
+    r.openGraph("durdet", root)
+    val nv = r.run("MATCH (p:P) RETURN count(*) AS n").collect().head.getLong(0)
+    val ne = r.run("MATCH ()-[e:E]->() RETURN count(*) AS n").collect().head.getLong(0)
+    assert(nv == 10L, s"vertices: $nv")
+    assert(ne == 8L, s"edges: $ne (10 chain edges - 2 incident to k=5)")
+    val ws = r.run("MATCH ()-[e:E]->() RETURN e.w AS w ORDER BY w")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ws == Seq(1L, 2L, 3L, 6L, 7L, 8L, 9L, 10L), ws.toString)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
   test("GraphStore: crashed-writer lock + N contending takeovers — one body at a time (r12)") {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft_store_lockrace").toString
