@@ -45,7 +45,23 @@ object Pipeline {
     * min-label converges in a couple of hops. Shared by d6 (cluster
     * report) and d10 (corpus materialization).
     */
+  /** Session cache for the cluster-label fixpoint — d6 AND d10 consume it
+    * (same amortization as Dedup.pairsCache; the fixpoint runs once).
+    */
+  private val labelsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Benchmark hook (ScaleBench cold path). */
+  def clearSessionCache(): Unit = labelsCache.clear()
+
   private def dupClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    labelsCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) labelsCache.remove(k)
+    }
+    if (labelsCache.size >= 64) labelsCache.clear()
+    labelsCache.getOrElseUpdate((s, dir), dupClusterLabelsBuild(s, dir))
+  }
+
+  private def dupClusterLabelsBuild(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.lshVerifiedPairs(s, dir)
       .select(col("da"), col("db")).localCheckpoint()
     val edges = pairs.unionByName(pairs.select(col("db").as("da"), col("da").as("db")))

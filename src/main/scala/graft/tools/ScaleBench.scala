@@ -26,6 +26,8 @@ object ScaleBench {
       // amortization is real in Verify/Bench, but a SCALING measurement
       // wants the build+probe cost, not a cache read
       graft.operators.Similarity.clearSessionCache()
+      graft.operators.Dedup.clearSessionCache()
+      graft.operators.Pipeline.clearSessionCache()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir).count()
       val elapsed = (System.nanoTime() - t0) / 1e9
