@@ -185,6 +185,36 @@ class IvfIndexSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
+  test("indexes survive COMPACT GRAPH: carried by pointer, no retrain on reopen (r12)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_ix_compact").toString
+    val s = new graft.cypher.GraphSession(spark)
+    s.createGraph("ixc", root)
+    (0 until 40).foreach { i =>
+      val (bx, by) = if (i % 2 == 0) (0.0, 0.0) else (100.0, 100.0)
+      s.run(s"CREATE (:Doc {k: $i, embedding: [${bx + (i / 2) * 0.5}, ${by + (i % 5) * 0.5}]})")
+    }
+    s.run("SELECT create_ivfflat_l2_ops_index('ixc', 'Doc', 'embedding', 2, 2)")
+    s.run("SELECT create_pq_l2_ops_index('ixc', 'Doc', 'embedding', 2, 2, 4)")
+    // dirty the store (manifest + dv), then compact
+    s.run("MATCH (d:Doc {k: 3}) SET d.k = 300")
+    s.run("COMPACT GRAPH ixc")
+    val v = graft.cypher.GraphStore.latestVersion(root).get
+    val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
+    assert(cat.exists(_.startsWith("ivf Doc embedding l2 ")), cat.mkString("; "))
+    assert(cat.exists(_.startsWith("pq Doc embedding l2 ")), cat.mkString("; "))
+    val builds0 = graft.functions.Ivf.kmeansBuilds.get()
+    val r = new graft.cypher.GraphSession(spark)
+    r.openGraph("ixc", root)
+    val top = r.run(
+      "MATCH (d:Doc) RETURN d.k AS k ORDER BY d.embedding <-> [0.0, 0.0] LIMIT 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(graft.functions.Ivf.kmeansBuilds.get() == builds0,
+      "reopen after COMPACT re-ran an index build")
+    assert(top.nonEmpty)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
   test("non-matching shapes never rewrite (other props, DESC, no limit)") {
     val s = mkSession()
     s.run("SELECT create_ivfflat_l2_ops_index('ivfg', 'Doc', 'embedding', 2, 2)")
