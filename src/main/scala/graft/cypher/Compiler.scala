@@ -664,9 +664,18 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         // (reference: one table per label, ag_label.h), so every extra
         // DISTINCT label must also hold — filter on all of them rather than
         // silently matching only the first (folds to empty when they differ).
-        val first = graph.vertexLabels.getOrElse(l,
+        val whole = graph.vertexLabels.getOrElse(l,
           throw new UnknownLabelException(s"unknown vertex label $l"))
-          .withColumn("label", lit(l))
+        // r13 manifest-stats skipping: a scalar-literal property filter may
+        // prune the label's FILE LIST before the scan is built (the GIN
+        // property-index analog); the literal filter itself still applies
+        // below, so the pruned scan only narrows, never decides
+        val pruned = if (more.isEmpty) props.iterator.flatMap {
+            case (k, Lit(g)) => graph.statsPrune(l, PropNames.esc(k), g, whole)
+            case _ => None
+          }.nextOption()
+          else None
+        val first = pruned.getOrElse(whole).withColumn("label", lit(l))
         more.foldLeft(first)((df, extra) => df.filter(col("label") === lit(extra)))
     }
     val renamed = base.columns.foldLeft(base)((df, c) =>

@@ -135,6 +135,48 @@ object GraphStore {
   def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
   def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** Parsed `file` manifest line (r12 id stats + r13 per-file typed
+    * property min/max — the data-skipping analog of the reference's GIN
+    * property index, gtype_gin.c:62-554, re-expressed as Delta-style
+    * manifest statistics). Line shape:
+    *
+    *   file <kind> <encLabel> <encRel> [minId maxId [<encCol> <ty> <encMin> <encMax>]...]
+    *
+    * `ty`: l = integral, d = double, s = string, n = column all-null in
+    * this file (provably no row matches an equality predicate on it).
+    * A column absent from the tail carries NO claim — readers must keep
+    * the file.
+    */
+  final case class FileStats(kind: String, encLabel: String, rel: String,
+      idStats: Option[(Long, Long)],
+      pstats: Map[String, (String, String, String)]) {
+    def version: Long = rel.takeWhile(_ != '/').drop(1).toLong
+    /** May a row with `colEsc` equal to this literal live in the file?
+      * Conservative: absent stats or a domain mismatch keep the file.
+      */
+    def mayMatch(colEsc: String, v: Any): Boolean = pstats.get(colEsc) match {
+      case None => true
+      case Some(("n", _, _)) => false // all-null column: x = v is never true
+      case Some((ty, mn, mx)) => (ty, v) match {
+        case ("l", n: Long)   => mn.toLong <= n && n <= mx.toLong
+        case ("l", n: Double) => mn.toLong <= n && n <= mx.toLong
+        case ("d", n: Long)   => mn.toDouble <= n && n <= mx.toDouble
+        case ("d", n: Double) => mn.toDouble <= n && n <= mx.toDouble
+        case ("s", s: String) => mn <= s && s <= mx
+        case _ => true
+      }
+    }
+  }
+
+  def parseFileLine(line: String): FileStats = {
+    val p = line.split(" ")
+    FileStats(p(1), p(2), dec(p(3)),
+      if (p.length > 5) Some((p(4).toLong, p(5).toLong)) else None,
+      p.drop(6).grouped(4).collect {
+        case Array(n, ty, mn, mx) => dec(n) -> ((ty, dec(mn), dec(mx)))
+      }.toMap)
+  }
+
   def latestVersion(root: String): Option[Long] = {
     val p = Paths.get(root, "_LATEST")
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), UTF_8).trim.toLong)

@@ -57,11 +57,18 @@ object Ivf {
       // struct(dist, cluster) is a unique ordering key → deterministic
       .agg(min_by(col("cluster"), struct(col("dist"), col("cluster"))).as("cluster"))
 
+  /** Assignment passes this JVM has run — lets IvfIndexSpec assert that a
+    * reopened store's probe reads the STORED entries (r13) instead of
+    * re-deriving assignments over the label. */
+  val assignBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Nearest-centroid assignment keyed back to the caller's id column. */
   def assignments(emb: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame =
+      centroids: Array[Array[Double]]): DataFrame = {
+    assignBuilds.incrementAndGet()
     assignmentsFlat(flatten(emb, idCol, vecCol), centroids)
       .select(col("__vid").as(idCol), col("cluster"))
+  }
 
   /** Deterministic Lloyd's k-means over a pre-flattened component relation:
     * seeds are an id-stride sample (no RNG — reruns give identical
@@ -202,8 +209,12 @@ object Ivf {
     * subspace, via the same flatten → broadcast-join → two keyed
     * aggregations chain as the IVF assignment (never a per-row loop).
     */
+  /** Encode passes this JVM has run (see [[assignBuilds]]). */
+  val encodeBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    encodeBuilds.incrementAndGet()
     val dsub = codebooks(0)(0).length
     val flat = flatten(emb, idCol, vecCol)
       .withColumn("sub", (col("pos") / dsub).cast("int"))

@@ -204,18 +204,39 @@ object Dedup {
     * to every consumer. Keyed by (session, dir); bounded; stopped
     * sessions evicted eagerly (same discipline as Similarity.resultCache).
     */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
   private val PairsCacheCap = 64
   /** Benchmark hook: cold-path measurements drop the cache (ScaleBench). */
   def clearSessionCache(): Unit = pairsCache.clear()
 
+  /** Cheap content fingerprint of the corpus files a cached artifact was
+    * built from (r13, ADVICE r12): (name, size, mtime) of every file under
+    * documents.parquet, folded. A regenerated dataset under the same path
+    * changes the fingerprint, so the cache misses instead of serving a
+    * stale pair set. Driver-side listing only — no Spark job.
+    */
+  private[operators] def corpusFingerprint(dir: String): Long = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
+          .flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir, "documents.parquet")).foldLeft(17L)((h, f) =>
+      31L * (31L * (31L * h + f.getName.hashCode) + f.length()) + f.lastModified())
+  }
+
   private[operators] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    pairsCache.keys.foreach { k =>
+    import scala.jdk.CollectionConverters._
+    pairsCache.keySet.asScala.foreach { k =>
       if (k._1.sparkContext.isStopped) pairsCache.remove(k)
     }
     if (pairsCache.size >= PairsCacheCap) pairsCache.clear()
-    pairsCache.getOrElseUpdate((s, dir), lshVerifiedPairsBuild(s, dir).localCheckpoint())
+    // computeIfAbsent = single-flight: concurrent first calls run ONE
+    // build (TrieMap.getOrElseUpdate could run it twice and pin duplicate
+    // localCheckpoint blocks)
+    pairsCache.computeIfAbsent((s, dir, corpusFingerprint(dir)),
+      _ => lshVerifiedPairsBuild(s, dir).localCheckpoint())
   }
 
   private def lshVerifiedPairsBuild(s: SparkSession, dir: String): DataFrame = {

@@ -48,17 +48,21 @@ object Pipeline {
   /** Session cache for the cluster-label fixpoint — d6 AND d10 consume it
     * (same amortization as Dedup.pairsCache; the fixpoint runs once).
     */
-  private val labelsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val labelsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
   /** Benchmark hook (ScaleBench cold path). */
   def clearSessionCache(): Unit = labelsCache.clear()
 
   private def dupClusterLabels(s: SparkSession, dir: String): DataFrame = {
-    labelsCache.keys.foreach { k =>
+    import scala.jdk.CollectionConverters._
+    labelsCache.keySet.asScala.foreach { k =>
       if (k._1.sparkContext.isStopped) labelsCache.remove(k)
     }
     if (labelsCache.size >= 64) labelsCache.clear()
-    labelsCache.getOrElseUpdate((s, dir), dupClusterLabelsBuild(s, dir))
+    // content-fingerprinted key + single-flight, same discipline (and the
+    // same fingerprint) as Dedup.pairsCache — see corpusFingerprint
+    labelsCache.computeIfAbsent((s, dir, Dedup.corpusFingerprint(dir)),
+      _ => dupClusterLabelsBuild(s, dir))
   }
 
   private def dupClusterLabelsBuild(s: SparkSession, dir: String): DataFrame = {

@@ -54,6 +54,43 @@ object StoreBench {
     r.openGraph("sb", root)
     val cnt = r.run("MATCH (p:P) RETURN count(*) AS n").collect().head.getLong(0)
     println(f"STORE reopen+count            ${(System.nanoTime() - t0) / 1e9}%8.3f s   rows=$cnt (expect ${n})")
+    // r13: IVF index ENTRIES persistence — a reopened store's first probe
+    // reads the stored (id, cluster) relation (cluster-pruned parquet)
+    // instead of re-deriving assignments over the label
+    t(s"CREATE $n vector rows")(
+      s.run(s"UNWIND range(1, $n) AS i " +
+        "CREATE (:V {k: i, embedding: [i % 100 + 0.0, (i * 7) % 100 + 0.0]})").count())
+    t("ivf DDL build (entries persisted)")(
+      s.run("SELECT create_ivfflat_l2_ops_index('sb', 'V', 'embedding', 2, 16)").count())
+    val as0 = graft.functions.Ivf.assignBuilds.get()
+    val tP = System.nanoTime()
+    val rp = new graft.cypher.GraphSession(spark)
+    rp.openGraph("sb", root)
+    rp.run("MATCH (v:V) RETURN v.k AS k ORDER BY v.embedding <-> [3.0, 21.0] LIMIT 5").count()
+    println(f"STORE reopen+ivf probe        ${(System.nanoTime() - tP) / 1e9}%8.3f s   " +
+      s"assignPasses=${graft.functions.Ivf.assignBuilds.get() - as0} (expect 0: stored lists)")
+    // r13: sustained CDC upsert steady state — bytes/batch through the dv
+    // path with periodic self-compaction at the 64-line manifest bound
+    locally {
+      import spark.implicits._
+      s.ingestVertexBatch("U", "k",
+        (1L to n).map(i => (i, s"payload-$i")).toDF("k", "t"), "sbup", 0L)
+      var total = 0L; var tail = List.empty[Long]; var compactions = 0
+      val tU = System.nanoTime()
+      for (b <- 1 to 40) {
+        val df = Seq.tabulate(4)(j => (((b * 7 + j) % 1000) + 1L, s"upd-$b-$j"))
+          .toDF("k", "t")
+        s.ingestVertexUpsertBatch("U", "k", df, "sbup", b.toLong)
+        val v = graft.cypher.GraphStore.latestVersion(root).get
+        val b2 = dirBytes(java.nio.file.Paths.get(s"$root/v$v"))
+        total += b2
+        if (b > 20) tail ::= b2
+        val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
+        if (cat.exists(_.startsWith("vlabel U "))) compactions += 1
+      }
+      println(f"STORE upsert x40 (4 keys/b)   ${(System.nanoTime() - tU) / 1e9}%8.3f s   " +
+        f"steady ${tail.sum / tail.size}%d bytes/batch, $compactions%d self-compactions")
+    }
     graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(root))
     spark.stop()
   }

@@ -215,6 +215,90 @@ class IvfIndexSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
+  test("index ENTRIES persist: reopen + probe reads stored lists, no assignment pass (r13)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_ivfa_persist").toString
+    val s = new graft.cypher.GraphSession(spark)
+    s.createGraph("ivfe", root)
+    (0 until 40).foreach { i =>
+      val (bx, by) = if (i % 2 == 0) (0.0, 0.0) else (100.0, 100.0)
+      s.run(s"CREATE (:Doc {k: $i, embedding: [${bx + (i / 2) * 0.5}, ${by + (i % 5) * 0.5}]})")
+    }
+    s.run("SELECT create_ivfflat_l2_ops_index('ivfe', 'Doc', 'embedding', 2, 2)")
+    val vBuild = graft.cypher.GraphStore.latestVersion(root).get
+    val cat = scala.io.Source.fromFile(s"$root/v$vBuild/catalog.txt").getLines().toList
+    assert(cat.exists(_ == s"ivfa Doc embedding $vBuild"), cat.mkString("; "))
+    assert(Files.isDirectory(Paths.get(s"$root/v$vBuild/ivfa/Doc__embedding")))
+    assert(spark.read.parquet(s"$root/v$vBuild/ivfa/Doc__embedding").count() == 40L)
+    // a write REFRESHES the stored entries incrementally (the ivfinsert
+    // analog): new ivfa line at the write's version, 41 entries, and the
+    // assignment pass it ran covered only the touched row — asserted
+    // end-to-end below by the reopen probe needing none at all
+    s.run("CREATE (:Doc {k: 999, embedding: [0.1, 0.1]})")
+    val vAfter = graft.cypher.GraphStore.latestVersion(root).get
+    val cat2 = scala.io.Source.fromFile(s"$root/v$vAfter/catalog.txt").getLines().toList
+    assert(cat2.exists(_ == s"ivfa Doc embedding $vAfter"), cat2.mkString("; "))
+    assert(spark.read.parquet(s"$root/v$vAfter/ivfa/Doc__embedding").count() == 41L)
+    // reopen in a FRESH session: the probe reads the STORED entries — no
+    // k-means, and no row→list assignment job over the label either
+    val km0 = graft.functions.Ivf.kmeansBuilds.get()
+    val as0 = graft.functions.Ivf.assignBuilds.get()
+    val r = new graft.cypher.GraphSession(spark)
+    r.openGraph("ivfe", root)
+    val top = r.run(
+      "MATCH (d:Doc) RETURN d.k AS k ORDER BY d.embedding <-> [0.1, 0.1] LIMIT 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(999L), top.toString)
+    assert(graft.functions.Ivf.kmeansBuilds.get() == km0, "reopen re-ran k-means")
+    assert(graft.functions.Ivf.assignBuilds.get() == as0,
+      "reopened probe re-derived row->list assignments instead of reading stored entries")
+    // probed restriction still holds from the stored entries
+    val near = r.run(
+      "MATCH (d:Doc) RETURN d.k AS k ORDER BY d.embedding <-> [0.0, 0.0] LIMIT 41")
+      .collect().map(_.getLong(0)).toSet
+    assert(near.size < 41 && near.forall(k => k % 2 == 0 || k == 999L), near.toString)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
+  test("PQ code relation persists: reopen + probe runs no corpus encode (r13)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_pqc_persist").toString
+    val s = new graft.cypher.GraphSession(spark)
+    s.createGraph("pqe", root)
+    (0 until 40).foreach { i =>
+      val (bx, by) = if (i % 2 == 0) (0.0, 0.0) else (100.0, 100.0)
+      s.run(s"CREATE (:Doc {k: $i, embedding: [${bx + (i / 2) * 0.5}, ${by + (i % 5) * 0.5}]})")
+    }
+    s.run("SELECT create_pq_l2_ops_index('pqe', 'Doc', 'embedding', 2, 2, 4)")
+    val vBuild = graft.cypher.GraphStore.latestVersion(root).get
+    val cat = scala.io.Source.fromFile(s"$root/v$vBuild/catalog.txt").getLines().toList
+    assert(cat.exists(_ == s"pqc Doc embedding $vBuild"), cat.mkString("; "))
+    // 40 docs × m=2 subspaces
+    assert(spark.read.parquet(s"$root/v$vBuild/pqc/Doc__embedding").count() == 80L)
+    // id-local SET (k stays long): the dv publish refreshes the stored
+    // code relation incrementally — anti-join + encode of the ONE touched
+    // row. (A type-changing SET would full-rewrite and correctly DROP the
+    // line; the next publish re-persists.)
+    s.run("MATCH (d:Doc {k: 7}) SET d.k = 777")
+    val vAfter = graft.cypher.GraphStore.latestVersion(root).get
+    val cat2 = scala.io.Source.fromFile(s"$root/v$vAfter/catalog.txt").getLines().toList
+    assert(cat2.exists(_ == s"pqc Doc embedding $vAfter"), cat2.mkString("; "))
+    assert(spark.read.parquet(s"$root/v$vAfter/pqc/Doc__embedding").count() == 80L)
+    val km0 = graft.functions.Ivf.kmeansBuilds.get()
+    val en0 = graft.functions.Ivf.encodeBuilds.get()
+    val r = new graft.cypher.GraphSession(spark)
+    r.openGraph("pqe", root)
+    // doc 7's embedding is (101.5, 101.0); its exact-rerank top-1 is itself
+    val top = r.run(
+      "MATCH (d:Doc) RETURN d.k AS k ORDER BY d.embedding <-> [101.5, 101.0] LIMIT 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(777L), top.toString)
+    assert(graft.functions.Ivf.kmeansBuilds.get() == km0, "reopen re-trained codebooks")
+    assert(graft.functions.Ivf.encodeBuilds.get() == en0,
+      "reopened probe re-encoded the corpus instead of reading the stored code relation")
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
   test("non-matching shapes never rewrite (other props, DESC, no limit)") {
     val s = mkSession()
     s.run("SELECT create_ivfflat_l2_ops_index('ivfg', 'Doc', 'embedding', 2, 2)")

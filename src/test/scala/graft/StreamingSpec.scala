@@ -168,6 +168,66 @@ class StreamingSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("sustained upsert ingest: bounded manifest, forced compactions, time travel stays exact (r13)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_gupslong").toString
+    val root = s"$tmp/store"
+    val s = new graft.cypher.GraphSession(spark)
+    s.createGraph("gupslong", root)
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val expected = scala.collection.mutable.Map.empty[Long, String]
+    (1L to 50L).foreach(i => expected(i) = s"t$i")
+    s.ingestVertexUpsertBatch("Doc", "doc_id", docs(expected.toSeq), "app", 0L)
+    // 60 CDC batches: 3 key updates + 1 insert each. The dv path takes
+    // most batches; the 64-line manifest bound and the 4096-tombstone
+    // budget must force periodic self-compactions (full rewrites) that
+    // keep open-time cost and store size bounded — this is the steady
+    // state a 100 TB CDC ingest lives in.
+    var maxLines = 0
+    var compactions = 0
+    (1 to 60).foreach { b =>
+      val upd = (1 to 3).map { j =>
+        val k = (b * 3 + j) % 50 + 1L; val t = s"u$b-$j"; expected(k) = t; (k, t)
+      } :+ { val k = 50L + b; val t = s"n$b"; expected(k) = t; (k, t) }
+      s.ingestVertexUpsertBatch("Doc", "doc_id", docs(upd), "app", b.toLong)
+      val v = graft.cypher.GraphStore.latestVersion(root).get
+      val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
+      val lines = cat.count(l => l.startsWith("file v Doc ") || l.startsWith("dv v Doc "))
+      maxLines = math.max(maxLines, lines)
+      if (cat.exists(_.startsWith("vlabel Doc "))) compactions += 1
+    }
+    // the 64-line check fires BEFORE a statement adds its own ≤2 lines, so
+    // the chain peaks at 65 — bounded, never growing past one batch's delta
+    assert(maxLines <= 66, s"manifest chain blew past the compaction bound: $maxLines")
+    assert(compactions >= 1,
+      "60 dv batches never forced a self-compaction — the bound is not engaging")
+    // store size stays bounded: gc retains the two newest catalogs' refs
+    val vers = java.nio.file.Files.list(java.nio.file.Paths.get(root)).iterator()
+    val nVers = scala.jdk.CollectionConverters.IteratorHasAsScala(vers).asScala
+      .count(_.getFileName.toString.matches("v\\d+"))
+    assert(nVers <= 70, s"gc left $nVers version dirs after 61 publishes")
+    // exactly-once + last-writer-wins across the whole run
+    val r = new graft.cypher.GraphSession(spark)
+    r.openGraph("gupslong", root)
+    val got = r.run("MATCH (d:Doc) RETURN d.doc_id AS k, d.text AS t")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(got.size == 110, s"expected 110 rows, got ${got.size}")
+    assert(got == expected.toMap,
+      (got.toSet -- expected.toSet).take(5).toString + " / " +
+        (expected.toSet -- got.toSet).take(5).toString)
+    // time travel to the previous version (survives gc by construction):
+    // exactly the last batch's delta is missing
+    val vLast = graft.cypher.GraphStore.latestVersion(root).get
+    val tt = new graft.cypher.GraphSession(spark)
+    tt.openGraph("gupslong", root, asOfVersion = vLast - 1)
+    val old = tt.run("MATCH (d:Doc) RETURN d.doc_id AS k, d.text AS t")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(old.size == 109, s"as-of previous: ${old.size}")
+    assert(old.contains(109L)) // batch 59's insert is present
+    assert(!old.contains(110L), "batch 60's insert leaked into the previous version")
+    graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("watermarked windowed aggregation over the events stream") {
     val fixed = eventStream
     val agg = Streams.windowedEventCounts(fixed, watermark = "1 hour", window_ = "6 hours")

@@ -739,10 +739,12 @@ class WriteSpec extends AnyFunSuite {
     val cat3 = scala.io.Source.fromFile(s"$root/v$v3/catalog.txt").getLines().toList
     assert(cat3.count(_.startsWith("file v P ")) == filesOf(root, v2).size + 1)
     // the freshly-written file carries min/max id stats (r12 data
-    // skipping); k=3 packs to (labelId<<48)|3, so min == max == that id
+    // skipping) plus r13 typed property stats (4 tokens per column: name,
+    // type tag, min, max); k=3 packs to (labelId<<48)|3, so min == max
     val newLine3 = cat3.filter(_.startsWith("file v P "))
       .map(_.split(" ")).filter(_(3).contains(s"v$v3%2F"))
-    assert(newLine3.nonEmpty && newLine3.head.length == 6, cat3.mkString("; "))
+    assert(newLine3.nonEmpty && newLine3.head.length >= 6 &&
+      (newLine3.head.length - 6) % 4 == 0, cat3.mkString("; "))
     assert(newLine3.head(4) == newLine3.head(5), "single-row file: min == max")
     // pure insert: no deletion vector was needed (sequence-position check)
     assert(!cat3.exists(_.startsWith("dv v P ")), cat3.mkString("; "))
@@ -950,6 +952,82 @@ class WriteSpec extends AnyFunSuite {
     val s3 = new GraphSession(spark)
     s3.openGraph("durcr", root)
     assert(s3.run("MATCH (p:P) RETURN count(*) AS n").collect().head.getLong(0) == 3L)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
+  test("GraphStore: dv version attribution survives a /vN/ segment in the store ROOT (r13)") {
+    import java.nio.file.{Files, Paths}
+    // a root like …/v1/store made the old regexp take the ROOT's segment
+    // as every file's version: all files read as v1, so a dv written at
+    // v2+ suppressed its ids in ALL files — including the same-version
+    // row-version a SET just wrote (silent row loss)
+    val base = Files.createTempDirectory("graft_store_vroot")
+    val root = base.resolve("v1").resolve("store").toString
+    val s = new GraphSession(spark)
+    s.createGraph("durvroot", root)
+    s.run("UNWIND range(1, 8) AS i CREATE (:P {k: i, t: 'x' + tostring(i)})")
+    // dv-path SET (one touched id, manifest from the dir-pointer backfill)
+    s.run("MATCH (p:P {k: 3}) SET p.t = 'x3-v2'")
+    val cat = scala.io.Source.fromFile(
+      s"$root/v${graft.cypher.GraphStore.latestVersion(root).get}/catalog.txt")
+      .getLines().toList
+    assert(cat.exists(_.startsWith("dv v P ")), cat.mkString("; "))
+    val r = new GraphSession(spark)
+    r.openGraph("durvroot", root)
+    val n = r.run("MATCH (p:P) RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n == 8L, s"expected 8 rows, got $n — dv mis-attribution lost or duplicated rows")
+    val t3 = r.run("MATCH (p:P {k: 3}) RETURN p.t AS t").collect().map(_.getString(0)).toSeq
+    assert(t3 == Seq("x3-v2"), t3.toString)
+    // and a CoW rewrite through the same reader stays exact
+    r.run("UNWIND range(9, 10) AS i CREATE (:P {k: i, t: 'x' + tostring(i)})")
+    val r2 = new GraphSession(spark)
+    r2.openGraph("durvroot", root)
+    val n2 = r2.run("MATCH (p:P) RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n2 == 10L, s"after append: $n2")
+    graft.cypher.GraphStore.deleteTree(base)
+  }
+
+  test("GraphStore: per-file property stats prune a literal-filtered MATCH (r13)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_pstats").toString
+    val s = new GraphSession(spark)
+    s.createGraph("durps", root)
+    // three statements → manifest form with ≥2 files of disjoint k ranges
+    s.run("UNWIND range(1, 100) AS i CREATE (:P {k: i, t: 'a' + tostring(i)})")
+    s.run("UNWIND range(101, 200) AS i CREATE (:P {k: i, t: 'b' + tostring(i)})")
+    s.run("UNWIND range(201, 300) AS i CREATE (:P {k: i, t: 'c' + tostring(i)})")
+    val v = graft.cypher.GraphStore.latestVersion(root).get
+    val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
+    val fileLines = cat.filter(_.startsWith("file v P "))
+    assert(fileLines.size >= 2, cat.mkString("; "))
+    // the manifest carries typed property stats (k as integral, t string)
+    assert(fileLines.exists(_.split(" ").containsSlice(Seq("k", "l"))),
+      fileLines.mkString("; "))
+    // in-session: pruned scan answers the literal MATCH, reading fewer files
+    s.graph.lastPruneInfo = None
+    val hit = s.run("MATCH (p:P {k: 250}) RETURN p.t AS t").collect().map(_.getString(0)).toSeq
+    assert(hit == Seq("c250"), hit.toString)
+    val (kept, total) = s.graph.lastPruneInfo.getOrElse(fail("stats prune never ran"))
+    assert(kept < total, s"no files skipped: kept=$kept total=$total")
+    // reopen: stats survive in the catalog and still prune
+    val r = new GraphSession(spark)
+    r.openGraph("durps", root)
+    r.graph.lastPruneInfo = None
+    val hit2 = r.run("MATCH (p:P {k: 42}) RETURN p.t AS t").collect().map(_.getString(0)).toSeq
+    assert(hit2 == Seq("a42"), hit2.toString)
+    val (kept2, total2) = r.graph.lastPruneInfo.getOrElse(fail("stats prune never ran after reopen"))
+    assert(kept2 < total2, s"no files skipped after reopen: kept=$kept2 total=$total2")
+    // a write refreshes the manifest at publish (dv line + row-version
+    // file) — the pruned read applies the dv, so the OLD copy stays out
+    r.run("MATCH (p:P {k: 42}) SET p.t = 'a42-v2'")
+    val hit3 = r.run("MATCH (p:P {k: 42}) RETURN p.t AS t").collect().map(_.getString(0)).toSeq
+    assert(hit3 == Seq("a42-v2"), hit3.toString)
+    // string stats prune too
+    r.graph.lastPruneInfo = None
+    val hs = r.run("MATCH (p:P {t: 'b150'}) RETURN p.k AS k").collect().map(_.getLong(0)).toSeq
+    assert(hs == Seq(150L), hs.toString)
+    val (kept3, total3) = r.graph.lastPruneInfo.getOrElse(fail("string stats prune never ran"))
+    assert(kept3 < total3, s"no files skipped on string literal: kept=$kept3 total=$total3")
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
