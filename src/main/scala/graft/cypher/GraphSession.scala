@@ -2014,12 +2014,16 @@ final class MutableGraph(spark: SparkSession) {
     */
   private def ingestFlatten(kind: String, label: String, batchId: Long): Unit =
     if (batchId % 16 == 15) {
+      // coalesce first: the union history also inflated the PARTITION
+      // count (each 4-row batch contributes its own partitions), which
+      // would make every later scan schedule hundreds of near-empty tasks
+      val parts = spark.sparkContext.defaultParallelism
       if (kind == "v")
         vertexLabels.get(label).foreach(df =>
-          vertexLabels += (label -> df.localCheckpoint()))
+          vertexLabels += (label -> df.coalesce(parts).localCheckpoint()))
       else
         edgeLabels.get(label).foreach(df =>
-          edgeLabels += (label -> df.localCheckpoint()))
+          edgeLabels += (label -> df.coalesce(parts).localCheckpoint()))
     }
 
   /** Upsert twin of [[ingestVertexBatch]] (r12 streaming CDC): a batch
@@ -2786,7 +2790,18 @@ final class MutableGraph(spark: SparkSession) {
                 acc.withColumn(f.name, col(f.name).cast(StringType))
               case (acc, _) => acc
             }
-            clean.write.mode("overwrite").parquet(s"$dir/$kind/${enc(l)}")
+            // file-count hygiene (r13): an in-memory label inflated by
+            // append history (every union adds the batch's partitions)
+            // must not explode the next dir-pointer backfill — a 50k-row
+            // label was writing 90+ tiny files after ~16 CDC batches,
+            // instantly re-blowing the 64-line manifest bound so EVERY
+            // batch full-rewrote (StoreBench: 400 KB/batch steady state).
+            // Cap a full write at 16 files: coalesce is narrow (no
+            // shuffle), leaves ~23 dv batches of manifest headroom, and
+            // is the local-scale stand-in for Delta OPTIMIZE's
+            // byte-targeted file sizing (at cluster scale the cap would
+            // be bytes/128 MB, not a constant).
+            clean.coalesce(16).write.mode("overwrite").parquet(s"$dir/$kind/${enc(l)}")
         }
       }
     writeTables("v", vertexLabels, prevV)
