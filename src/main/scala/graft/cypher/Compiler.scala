@@ -309,7 +309,58 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     conds.foldLeft(df)((d, c) => d.filter(c))
   }
 
+  /** Sargable conjuncts of a MATCH's WHERE, usable for manifest-stats
+    * file pruning (r13): (alias, propKey) → [lo, hi] bounds from literal
+    * `=`, `<`, `<=`, `>`, `>=` comparisons (either operand order; NEG-
+    * wrapped numeric literals folded — the parser emits Un("NEG", Lit)).
+    * Pruning is advisory: the WHERE filter itself still applies, so a
+    * missed or over-wide hint only costs reads, never correctness.
+    */
+  private def pruneHintsOf(w: Expr): Map[(String, String),
+      (Option[GValue], Option[GValue])] = {
+    def lit(e: Expr): Option[GValue] = e match {
+      case Lit(g: GInt) => Some(g)
+      case Lit(g: GFloat) => Some(g)
+      case Lit(g: GString) => Some(g)
+      case Un("NEG", Lit(GInt(v))) => Some(GInt(-v))
+      case Un("NEG", Lit(GFloat(v))) => Some(GFloat(-v))
+      case _ => None
+    }
+    def conjuncts(e: Expr): List[Expr] = e match {
+      case Bin("AND", a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => List(other)
+    }
+    val acc = scala.collection.mutable.Map.empty[(String, String),
+      (Option[GValue], Option[GValue])]
+    def add(a: String, k: String, lo: Option[GValue], hi: Option[GValue]): Unit = {
+      val (l0, h0) = acc.getOrElse((a, k), (None, None))
+      acc((a, k)) = (lo.orElse(l0), hi.orElse(h0))
+    }
+    conjuncts(w).foreach {
+      case Bin("=", Prop(Var(a), k), r) => lit(r).foreach(g => add(a, k, Some(g), Some(g)))
+      case Bin("=", l, Prop(Var(a), k)) => lit(l).foreach(g => add(a, k, Some(g), Some(g)))
+      case Bin("<" | "<=", Prop(Var(a), k), r) => lit(r).foreach(g => add(a, k, None, Some(g)))
+      case Bin(">" | ">=", Prop(Var(a), k), r) => lit(r).foreach(g => add(a, k, Some(g), None))
+      case Bin("<" | "<=", l, Prop(Var(a), k)) => lit(l).foreach(g => add(a, k, Some(g), None))
+      case Bin(">" | ">=", l, Prop(Var(a), k)) => lit(l).foreach(g => add(a, k, None, Some(g)))
+      case _ => ()
+    }
+    acc.toMap
+  }
+
+  /** WHERE-derived pruning hints active while THIS match's patterns
+    * compile; saved/restored around nested compiles (EXISTS sublinks).
+    */
+  private var pruneHints: Map[(String, String),
+    (Option[GValue], Option[GValue])] = Map.empty
+
   private def compileMatch(ctx: Ctx, m: Match): Ctx = {
+    val savedHints = pruneHints
+    pruneHints = m.where.map(pruneHintsOf).getOrElse(Map.empty)
+    try compileMatchInner(ctx, m) finally pruneHints = savedHints
+  }
+
+  private def compileMatchInner(ctx: Ctx, m: Match): Ctx = {
     if (m.optional) {
       // Compile the pattern fresh, then LEFT JOIN on the shared entity vars
       // (reference: transform_cypher_match builds JOIN_LEFT,
@@ -666,15 +717,24 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         // silently matching only the first (folds to empty when they differ).
         val whole = graph.vertexLabels.getOrElse(l,
           throw new UnknownLabelException(s"unknown vertex label $l"))
-        // r13 manifest-stats skipping: a scalar-literal property filter may
-        // prune the label's FILE LIST before the scan is built (the GIN
-        // property-index analog); the literal filter itself still applies
-        // below, so the pruned scan only narrows, never decides
-        val pruned = if (more.isEmpty) props.iterator.flatMap {
-            case (k, Lit(g)) => graph.statsPrune(l, PropNames.esc(k), g, whole)
-            case _ => None
-          }.nextOption()
-          else None
+        // r13 manifest-stats skipping: a scalar-literal property filter
+        // (prop map or a sargable WHERE conjunct) may prune the label's
+        // FILE LIST before the scan is built (the GIN property-index
+        // analog); the filters themselves still apply below/after, so the
+        // pruned scan only narrows, never decides
+        val pruned = if (more.isEmpty) {
+            val fromProps = props.iterator.flatMap {
+              case (k, Lit(g)) =>
+                graph.statsPrune("v", l, PropNames.esc(k), Some(g), Some(g), whole)
+              case _ => None
+            }
+            val fromWhere = pruneHints.iterator.flatMap {
+              case ((a, k), (lo, hi)) if a == alias =>
+                graph.statsPrune("v", l, PropNames.esc(k), lo, hi, whole)
+              case _ => None
+            }
+            (fromProps ++ fromWhere).nextOption()
+          } else None
         val first = pruned.getOrElse(whole).withColumn("label", lit(l))
         more.foldLeft(first)((df, extra) => df.filter(col("label") === lit(extra)))
     }
@@ -689,9 +749,24 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       props: Map[String, Expr], ctx: Ctx): DataFrame = {
     val base = types match {
       case Nil      => graph.allEdges.withColumnRenamed("__label", "label")
-      case t :: Nil => graph.edgeLabels.getOrElse(t,
-        throw new UnknownLabelException(s"unknown edge label $t"))
-        .withColumn("label", lit(t))
+      case t :: Nil =>
+        val whole = graph.edgeLabels.getOrElse(t,
+          throw new UnknownLabelException(s"unknown edge label $t"))
+        // r13 manifest-stats skipping, edge twin of the vertexScan hook
+        val pruned = {
+          val fromProps = props.iterator.flatMap {
+            case (k, Lit(g)) =>
+              graph.statsPrune("e", t, PropNames.esc(k), Some(g), Some(g), whole)
+            case _ => None
+          }
+          val fromWhere = pruneHints.iterator.flatMap {
+            case ((a, k), (lo, hi)) if a == alias =>
+              graph.statsPrune("e", t, PropNames.esc(k), lo, hi, whole)
+            case _ => None
+          }
+          (fromProps ++ fromWhere).nextOption()
+        }
+        pruned.getOrElse(whole).withColumn("label", lit(t))
       case many =>
         val common = many.map(t => graph.edgeLabels(t).columns.toSet)
           .reduce(_ intersect _).toSeq.sorted :+ "label"

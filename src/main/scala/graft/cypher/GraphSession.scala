@@ -1614,25 +1614,31 @@ final class MutableGraph(spark: SparkSession) {
   @volatile var lastPruneInfo: Option[(Int, Int)] = None
 
   /** Scan of `label` restricted to the manifest files whose stats may
-    * hold a row with property `propEsc` equal to the literal. None when
+    * hold a row with property `propEsc` inside [lo, hi] (equality = same
+    * literal both sides; half-open ranges leave one side None). None when
     * stats cannot prune (no manifest, diverged content, non-scalar
     * literal, or nothing skippable) — the caller uses the in-memory
     * table. The pruned scan is LAZY parquet (not checkpointed): at
     * 100 TB this is the difference between touching the probed files
     * and materializing the label.
     */
-  private def statsPrunedScan(label: String, propEsc: String,
-      g: GValue, tbl: DataFrame): Option[DataFrame] = {
+  private def statsPrunedScan(kind: String, label: String, propEsc: String,
+      lo: Option[GValue], hi: Option[GValue], tbl: DataFrame): Option[DataFrame] = {
     val root = storeRoot.getOrElse(return None)
-    val (src, ents, dvs) = manifestInfo.getOrElse(("v", label), return None)
+    val (src, ents, dvs) = manifestInfo.getOrElse((kind, label), return None)
     if (!(src eq tbl)) return None // scanned snapshot ≠ manifest content
-    val litv: Any = g match {
-      case GInt(v) => v
-      case GFloat(v) => v
-      case GString(v) => v
-      case _ => return None
+    // PG orders NaN above every number (and NaN = NaN is true) — IEEE
+    // range logic would mis-prune, so NaN bounds carry no hint
+    def conv(g: GValue): Option[Any] = g match {
+      case GInt(v) => Some(v)
+      case GFloat(v) => if (v.isNaN) None else Some(v)
+      case GString(v) => Some(v)
+      case _ => None
     }
-    val kept = ents.filter(_.mayMatch(propEsc, litv))
+    if (lo.isEmpty && hi.isEmpty) return None
+    val loV = lo.map(g => conv(g).getOrElse(return None))
+    val hiV = hi.map(g => conv(g).getOrElse(return None))
+    val kept = ents.filter(_.mayOverlap(propEsc, loV, hiV))
     lastPruneInfo = Some((kept.size, ents.size))
     if (kept.size == ents.size) return None
     if (kept.isEmpty) return Some(tbl.limit(0))
@@ -1676,13 +1682,13 @@ final class MutableGraph(spark: SparkSession) {
   /** r13 (VERDICT r12 #1): persisted row→list assignment RELATION — the
     * index ENTRIES, the analog of the reference's stored list pages
     * (ivfbuild.c writes the tuples into lists; ivfscan.c probes read them
-    * back, never re-deriving). Version of the `ivfa/` parquet + the label
-    * DataFrame identity whose content the stored entries reflect: a probe
-    * may read the stored relation only while the label is that exact
-    * snapshot.
+    * back, never re-deriving). Rel paths of the `ivfa/` parquet chain
+    * (base + per-publish delta files, Delta-shaped) + the label DataFrame
+    * identity whose content the stored entries reflect: a probe may read
+    * the stored relation only while the label is that exact snapshot.
     */
-  private var ivfAssignPersistedAt = Map.empty[(String, String), (Long, DataFrame)]
-  private var pqCodesPersistedAt = Map.empty[(String, String), (Long, DataFrame)]
+  private var ivfAssignPersistedAt = Map.empty[(String, String), (List[String], DataFrame)]
+  private var pqCodesPersistedAt = Map.empty[(String, String), (List[String], DataFrame)]
   /** Clusters probed per ANN query (reference GUC ivfflat.probes; default 1). */
   @volatile var ivfProbes: Int = 1
 
@@ -1762,15 +1768,26 @@ final class MutableGraph(spark: SparkSession) {
     pqCodesCache.get(key) match {
       case Some((src, c)) if src eq tbl => c
       case _ =>
-        // r13: prefer the STORED codes (pqc parquet) over re-encoding the
-        // corpus — one compact scan of (id, sub, code) instead of a full
-        // vector read + encode chain after reopen
+        // r13: prefer the STORED codes (pqc parquet chain) over re-encoding
+        // the corpus — one compact scan of (id, sub, code) instead of a
+        // full vector read + encode chain after reopen. Unlike the IVF
+        // candidate union, codes must dedup LAST-WINS per (id, sub): a
+        // stale code row from an older file would double-count in the ADC
+        // distance sum. Each file is tagged with its version at read (from
+        // the rel path the catalog carries — never parsed out of the
+        // absolute file path).
         val stored = pqCodesPersistedAt.get(key).collect {
-          case (ver, src) if (src eq tbl) && storeRoot.isDefined &&
-              java.nio.file.Files.exists(java.nio.file.Paths.get( // gc race: fall back, don't error
-                s"${storeRoot.get}/v$ver/pqc/${GraphStore.enc(ix.label)}__${GraphStore.enc(ix.prop)}")) =>
-            spark.read.parquet(
-              s"${storeRoot.get}/v$ver/pqc/${GraphStore.enc(ix.label)}__${GraphStore.enc(ix.prop)}")
+          case (rels, src) if (src eq tbl) && storeRoot.isDefined &&
+              rels.forall(r => java.nio.file.Files.exists( // gc race: fall back
+                java.nio.file.Paths.get(s"${storeRoot.get}/$r"))) =>
+            val tagged = rels.map { r =>
+              val ver = r.takeWhile(_ != '/').drop(1).toLong
+              spark.read.parquet(s"${storeRoot.get}/$r")
+                .withColumn("__ver", lit(ver))
+            }
+            tagged.reduce(_ unionByName _)
+              .groupBy(col("id"), col("sub"))
+              .agg(max_by(col("code"), struct(col("__ver"), col("code"))).as("code"))
         }
         val c = stored.getOrElse(graft.functions.Ivf.pqEncode(
           ivfEmb(tbl, ix.prop, ix.dims), "id", ix.prop, ix.codebooks))
@@ -1828,14 +1845,18 @@ final class MutableGraph(spark: SparkSession) {
       case (src, a) if src eq tbl => a }
     cached.map(_.filter(col("cluster").isin(probed: _*)).select(col("id")))
       .orElse(ivfAssignPersistedAt.get(key).collect {
-        case (ver, src) if (src eq tbl) && storeRoot.isDefined &&
+        case (rels, src) if (src eq tbl) && storeRoot.isDefined &&
             // a 2+-versions-stale reader may race a concurrent writer's gc;
             // fall back to the lazy derive instead of a mid-query error
-            java.nio.file.Files.exists(java.nio.file.Paths.get(
-              s"${storeRoot.get}/v$ver/ivfa/${GraphStore.enc(ix.label)}__${GraphStore.enc(ix.prop)}")) =>
-          spark.read.parquet(
-            s"${storeRoot.get}/v$ver/ivfa/${GraphStore.enc(ix.label)}__${GraphStore.enc(ix.prop)}")
-            .filter(col("cluster").isin(probed: _*)).select(col("id"))
+            rels.forall(r => java.nio.file.Files.exists(
+              java.nio.file.Paths.get(s"${storeRoot.get}/$r"))) =>
+          // union of base + delta entry files, read RAW: stale rows are a
+          // recall-safe superset (a moved id's new entry is in a delta;
+          // stale/deleted entries only add candidates that the exact
+          // rerank's label join drops)
+          rels.map(r => spark.read.parquet(s"${storeRoot.get}/$r"))
+            .reduce(_ unionByName _)
+            .filter(col("cluster").isin(probed: _*)).select(col("id")).distinct()
       })
       .getOrElse(ivfAssignments(ix)
         .filter(col("cluster").isin(probed: _*)).select(col("id")))
@@ -2859,21 +2880,37 @@ final class MutableGraph(spark: SparkSession) {
     // trained structure. The reference stores the list pages themselves
     // (ivfbuild.c writes the tuples into lists; ivfscan.c probes read
     // stored lists, never re-deriving) — the analog is the (id, cluster)
-    // assignment relation / (id, sub, code) PQ code relation as parquet
-    // under the version dir, carried by `ivfa`/`pqc` catalog pointer while
-    // the label content is unchanged. A changed label refreshes the stored
-    // entries INCREMENTALLY from the statement's touched ids (anti-join
-    // old entries, re-derive only the touched rows — the ivfinsert
-    // analog); unbounded or full-rewrite changes drop the line instead
+    // assignment relation / (id, sub, code) PQ code relation as parquet,
+    // one `ivfa`/`pqc <encLabel> <encProp> <encRel>` catalog line per
+    // entry FILE. Maintenance is Delta-shaped: an id-local write appends
+    // a DELTA file holding only the touched rows' new entries (write
+    // volume ∝ batch, the ivfinsert analog — a full-relation rewrite per
+    // point write would be ∝ corpus at 100 TB), carried files are
+    // re-emitted verbatim, and the chain compacts to one file at 16
+    // lines (full recompute, amortized). Readers:
+    //   - IVF probes read the UNION raw — stale rows are recall-safe
+    //     supersets (a moved id's NEW entry is present; stale/deleted
+    //     entries add candidates the exact rerank's label join drops).
+    //   - PQ codes dedup last-wins per (id, sub) by file version — a
+    //     stale code row would DOUBLE-COUNT in the ADC distance sum.
+    // Unbounded or full-rewrite label changes drop the lines instead
     // (next probe lazily re-derives, the following publish re-persists).
-    val prevIvfaVers: Map[(String, String), Long] = prevLines.collect {
-      case s if s.startsWith("ivfa ") =>
-        val p = s.split(" "); ((p(1), p(2)), p(3).toLong) }.toMap
-    val prevPqcVers: Map[(String, String), Long] = prevLines.collect {
-      case s if s.startsWith("pqc ") =>
-        val p = s.split(" "); ((p(1), p(2)), p(3).toLong) }.toMap
-    val ivfaNow = scala.collection.mutable.Map.empty[(String, String), (Long, DataFrame)]
-    val pqcNow = scala.collection.mutable.Map.empty[(String, String), (Long, DataFrame)]
+    def entryRels(tag: String, p: Array[String]): List[String] =
+      // back-compat: a bare version number is the r13-early single-dir form
+      if (p(3).forall(_.isDigit)) List(s"v${p(3)}/$tag/${p(1)}__${p(2)}")
+      else List(GraphStore.dec(p(3)))
+    val prevIvfaRels: Map[(String, String), List[String]] =
+      prevLines.filter(_.startsWith("ivfa ")).map(_.split(" "))
+        .groupBy(p => (p(1), p(2)))
+        .map { case (k, ps) => k -> ps.flatMap(entryRels("ivfa", _)) }
+    val prevPqcRels: Map[(String, String), List[String]] =
+      prevLines.filter(_.startsWith("pqc ")).map(_.split(" "))
+        .groupBy(p => (p(1), p(2)))
+        .map { case (k, ps) => k -> ps.flatMap(entryRels("pqc", _)) }
+    val ivfaNow = scala.collection.mutable.Map.empty[(String, String),
+      (List[String], DataFrame)]
+    val pqcNow = scala.collection.mutable.Map.empty[(String, String),
+      (List[String], DataFrame)]
     // touched ids of one label, bounded: None = unusable for incremental
     // refresh (full rewrite marked, nothing recorded, or > 4096 ids)
     def boundedTouched(label: String): Option[DataFrame] = {
@@ -2883,67 +2920,68 @@ final class MutableGraph(spark: SparkSession) {
       if (t.limit(4097).count() > 4096) None else Some(t)
     }
     def persistEntries(tag: String, key: (String, String),
-        prevVers: Map[(String, String), Long],
-        now: scala.collection.mutable.Map[(String, String), (Long, DataFrame)],
-        persisted: Option[(Long, DataFrame)],
+        prevRels: Map[(String, String), List[String]],
+        now: scala.collection.mutable.Map[(String, String), (List[String], DataFrame)],
+        persisted: Option[(List[String], DataFrame)],
         cachedFor: DataFrame => Option[DataFrame],
-        reassign: DataFrame => DataFrame, sortCols: Seq[String]): Unit = {
+        reassign: DataFrame => DataFrame,
+        fullRecompute: DataFrame => DataFrame, sortCols: Seq[String]): Unit = {
       val (label, propE) = key
       val encl = enc(label); val encp = enc(propE)
       if (!vertexLabels.contains(label)) return
       val tbl = vertexLabels(label)
-      def write(a: DataFrame): Unit = {
-        val outDir = s"$dir/$tag/${encl}__${encp}"
+      def emit(rels: List[String]): Unit = {
+        rels.foreach { r =>
+          referenced += versionOfRel(r)
+          sb ++= s"$tag $encl $encp ${enc(r)}\n"
+        }
+        now(key) = (rels, tbl)
+      }
+      def write(a: DataFrame, carried: List[String]): Unit = {
+        val rel = s"v$next/$tag/${encl}__${encp}"
         // range-partition + sort on the probe key so row-group stats act
         // as the list index: a cluster-pruned scan reads only probed lists
         a.repartitionByRange(sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
-          .write.parquet(outDir)
-        sb ++= s"$tag $encl $encp $next\n"
-        now(key) = (next, tbl)
+          .write.parquet(s"$root/$rel")
+        emit(carried :+ rel)
       }
       persisted match {
-        case Some((ver, src)) if src eq tbl => // content unchanged: pointer
-          referenced += ver
-          sb ++= s"$tag $encl $encp $ver\n"
-          now(key) = (ver, tbl)
+        case Some((rels, src)) if src eq tbl => emit(rels) // unchanged: pointers
         case _ => cachedFor(tbl) match {
-          case Some(a) => write(a) // fresh in-memory entries for THIS content
-          case None => (prevVers.get((encl, encp)), boundedTouched(label)) match {
-            case (Some(pv), Some(touched)) =>
-              val prevA = spark.read.parquet(s"$root/v$pv/$tag/${encl}__${encp}")
-              if (touched.limit(1).count() == 0) {
-                // identity churn without content change for this label
-                referenced += pv
-                sb ++= s"$tag $encl $encp $pv\n"
-                now(key) = (pv, tbl)
-              } else write(prevA.join(touched, Seq("id"), "left_anti")
-                .unionByName(reassign(touched)))
+          case Some(a) => write(a, Nil) // fresh in-memory entries, one file
+          case None => (prevRels.get((encl, encp)), boundedTouched(label)) match {
+            case (Some(rels), Some(touched)) =>
+              if (touched.limit(1).count() == 0) emit(rels) // identity churn only
+              else if (rels.size >= 16) write(fullRecompute(tbl), Nil) // compact
+              else write(reassign(touched), rels) // delta: ∝ touched rows
             case _ => () // drop: lazily re-derived, re-persisted next publish
           }
         }
       }
     }
     ivfIndexes.foreach { case (key, ix) =>
-      persistEntries("ivfa", key, prevIvfaVers, ivfaNow,
+      def assignOf(rows: DataFrame) = graft.functions.Ivf.assignments(
+        rows, "id", ix.prop, ix.centroids)
+      persistEntries("ivfa", key, prevIvfaRels, ivfaNow,
         ivfAssignPersistedAt.get(key),
         tbl => ivfAssignCache.get(key).collect {
           case (src, a) if src eq tbl => a.select(col("id"), col("cluster")) },
-        touched => graft.functions.Ivf.assignments(
-          ivfEmb(vertexLabels(key._1), ix.prop, ix.dims)
-            .join(touched, Seq("id"), "left_semi"),
-          "id", ix.prop, ix.centroids),
+        touched => assignOf(ivfEmb(vertexLabels(key._1), ix.prop, ix.dims)
+          .join(touched, Seq("id"), "left_semi")),
+        tbl => assignOf(ivfEmb(tbl, ix.prop, ix.dims)),
         Seq("cluster", "id"))
     }
     pqIndexes.foreach { case (key, ix) =>
-      persistEntries("pqc", key, prevPqcVers, pqcNow,
+      def codesOf(rows: DataFrame) = graft.functions.Ivf.pqEncode(
+        rows, "id", ix.prop, ix.codebooks)
+      persistEntries("pqc", key, prevPqcRels, pqcNow,
         pqCodesPersistedAt.get(key),
         tbl => pqCodesCache.get(key).collect {
           case (src, c) if src eq tbl => c.select(col("id"), col("sub"), col("code")) },
-        touched => graft.functions.Ivf.pqEncode(
-          ivfEmb(vertexLabels(key._1), ix.prop, ix.dims)
-            .join(touched, Seq("id"), "left_semi"),
-          "id", ix.prop, ix.codebooks),
+        touched => codesOf(ivfEmb(vertexLabels(key._1), ix.prop, ix.dims)
+          .join(touched, Seq("id"), "left_semi")),
+        tbl => codesOf(ivfEmb(tbl, ix.prop, ix.dims)),
         Seq("id", "sub"))
     }
     Files.write(Paths.get(dir, "catalog.txt"), sb.toString.getBytes(UTF_8))
@@ -2979,8 +3017,10 @@ final class MutableGraph(spark: SparkSession) {
       .map(line => versionOfRel(GraphStore.dec(line.split(" ")(3)))).toSet
     // retain: the two newest catalogs plus every dir either one references
     GraphStore.gc(root, keep = referenced.toSet ++ prevLoc.values.toSet ++
-      prevIvfVers ++ prevPqVers ++ prevIvfaVers.values.toSet ++
-      prevPqcVers.values.toSet ++ prevFileVers ++ Set(cur, next))
+      prevIvfVers ++ prevPqVers ++
+      (prevIvfaRels.values.flatten ++ prevPqcRels.values.flatten)
+        .map(versionOfRel).toSet ++
+      prevFileVers ++ Set(cur, next))
     }
   }
 
@@ -3084,6 +3124,11 @@ object MutableGraph {
       // tombstone list written at version V suppresses those ids in files
       // from versions < V only (the row-version a SET wrote at V stays
       // visible). One scan; the filter is a codegen'd InSet probe per dv.
+      // Note (r12 review): the per-dv `!(fileVer < V && id IN ...)` chain
+      // defeats parquet row-group pruning on `id` for dv-bearing labels.
+      // Safe at the current bounds (≤4096 tombstones, ≤64 lines); if the
+      // bounds ever loosen, the Delta answer is a POSITIONAL dv bitmap
+      // per file applied at the reader, which leaves id predicates intact.
       val dvByLabel: Map[String, List[(Long, Array[Long])]] =
         lines.filter(_.startsWith(s"dv $kind ")).map(_.split(" "))
           .groupBy(p => p(2)).map { case (encl, ps) =>
@@ -3120,9 +3165,14 @@ object MutableGraph {
         }
       dirLabels ++ fileLabels
     }
-    // r13 stored index entries: wired to label identities AFTER readTables
-    val pendingIvfa = scala.collection.mutable.Map.empty[(String, String), Long]
-    val pendingPqc = scala.collection.mutable.Map.empty[(String, String), Long]
+    // r13 stored index entries: wired to label identities AFTER readTables.
+    // One rel per catalog line (base + delta chain); bare-number lines are
+    // the r13-early single-dir form
+    val pendingIvfa = scala.collection.mutable.Map.empty[(String, String), List[String]]
+    val pendingPqc = scala.collection.mutable.Map.empty[(String, String), List[String]]
+    def entryRelOf(tag: String, p: Array[String]): String =
+      if (p(3).forall(_.isDigit)) s"v${p(3)}/$tag/${p(1)}__${p(2)}"
+      else dec(p(3))
     lines.foreach { s =>
       val parts = s.split(" ")
       parts(0) match {
@@ -3156,9 +3206,11 @@ object MutableGraph {
             parts(3), parts(4).toInt, m, k, cbs)
           g.pqPersistedAt += ((label, prop) -> ver)
         case "ivfa" => // r13: stored row→list assignments (index entries)
-          pendingIvfa((dec(parts(1)), dec(parts(2)))) = parts(3).toLong
+          val k = (dec(parts(1)), dec(parts(2)))
+          pendingIvfa(k) = pendingIvfa.getOrElse(k, Nil) :+ entryRelOf("ivfa", parts)
         case "pqc" => // r13: stored PQ code relation
-          pendingPqc((dec(parts(1)), dec(parts(2)))) = parts(3).toLong
+          val k = (dec(parts(1)), dec(parts(2)))
+          pendingPqc(k) = pendingPqc.getOrElse(k, Nil) :+ entryRelOf("pqc", parts)
         case _ => ()
       }
     }
@@ -3166,13 +3218,13 @@ object MutableGraph {
     g.edgeLabels = readTables("e")
     // the stored entries are valid exactly for the label snapshots this
     // load produced — a probe reads them instead of re-deriving (r13)
-    pendingIvfa.foreach { case (key, ver) =>
+    pendingIvfa.foreach { case (key, rels) =>
       g.vertexLabels.get(key._1).foreach(tbl =>
-        g.ivfAssignPersistedAt += (key -> (ver, tbl)))
+        g.ivfAssignPersistedAt += (key -> (rels, tbl)))
     }
-    pendingPqc.foreach { case (key, ver) =>
+    pendingPqc.foreach { case (key, rels) =>
       g.vertexLabels.get(key._1).foreach(tbl =>
-        g.pqCodesPersistedAt += (key -> (ver, tbl)))
+        g.pqCodesPersistedAt += (key -> (rels, tbl)))
     }
     g.manifestInfo = pendingManifest.toMap.flatMap { case ((kind, l), (fs, dvs)) =>
       val tblOpt = if (kind == "v") g.vertexLabels.get(l) else g.edgeLabels.get(l)

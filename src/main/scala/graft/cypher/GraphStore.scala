@@ -151,21 +151,34 @@ object GraphStore {
       idStats: Option[(Long, Long)],
       pstats: Map[String, (String, String, String)]) {
     def version: Long = rel.takeWhile(_ != '/').drop(1).toLong
-    /** May a row with `colEsc` equal to this literal live in the file?
+    /** May a row with `lo <= colEsc <= hi` live in the file? Bounds are
+      * treated as inclusive (sound for strict predicates: it only KEEPS
+      * more files); equality passes the same value on both sides.
       * Conservative: absent stats or a domain mismatch keep the file.
       */
-    def mayMatch(colEsc: String, v: Any): Boolean = pstats.get(colEsc) match {
-      case None => true
-      case Some(("n", _, _)) => false // all-null column: x = v is never true
-      case Some((ty, mn, mx)) => (ty, v) match {
-        case ("l", n: Long)   => mn.toLong <= n && n <= mx.toLong
-        case ("l", n: Double) => mn.toLong <= n && n <= mx.toLong
-        case ("d", n: Long)   => mn.toDouble <= n && n <= mx.toDouble
-        case ("d", n: Double) => mn.toDouble <= n && n <= mx.toDouble
-        case ("s", s: String) => mn <= s && s <= mx
-        case _ => true
+    def mayOverlap(colEsc: String, lo: Option[Any], hi: Option[Any]): Boolean =
+      pstats.get(colEsc) match {
+        case None => true
+        case Some(("n", _, _)) => false // all-null: no comparison is ever true
+        case Some((ty, mn, mx)) =>
+          // a query lower bound must not exceed the file max, and the
+          // query upper bound must not undercut the file min
+          def boundOk(v: Any, fileEdge: String, loSide: Boolean): Boolean =
+            (ty, v) match {
+              case ("l", n: Long) =>
+                if (loSide) n <= fileEdge.toLong else fileEdge.toLong <= n
+              case ("l" | "d", n: Long) =>
+                if (loSide) n.toDouble <= fileEdge.toDouble
+                else fileEdge.toDouble <= n.toDouble
+              case ("l" | "d", n: Double) =>
+                if (loSide) n <= fileEdge.toDouble else fileEdge.toDouble <= n
+              case ("s", s: String) =>
+                if (loSide) s <= fileEdge else fileEdge <= s
+              case _ => true // cross-domain compare: no claim, keep
+            }
+          lo.forall(boundOk(_, mx, loSide = true)) &&
+            hi.forall(boundOk(_, mn, loSide = false))
       }
-    }
   }
 
   def parseFileLine(line: String): FileStats = {

@@ -33,16 +33,18 @@ final class PropertyGraph(
     val ivfProbe: (String, String, Seq[Double]) => Option[(Int, DataFrame)] =
       (_, _, _) => None,
     /** r13 manifest-stats data skipping (the GIN property-index analog,
-      * reference gtype_gin.c): (label, escaped property, literal, the
-      * exact label DataFrame this plan scans) → a file-pruned scan of the
-      * label when per-file min/max stats prove some files cannot hold a
-      * matching row. The DataFrame identity is the validity proof: stats
-      * apply only to the snapshot they were collected for. None = no
-      * stats / no win / diverged — callers fall back to the full table.
-      * Wired by MutableGraph.snapshot.
+      * reference gtype_gin.c): (kind "v"/"e", label, escaped property,
+      * lower bound, upper bound, the exact label DataFrame this plan
+      * scans) → a file-pruned scan of the label when per-file min/max
+      * stats prove some files cannot hold a row in [lo, hi] (equality =
+      * both bounds the same literal). The DataFrame identity is the
+      * validity proof: stats apply only to the snapshot they were
+      * collected for. None = no stats / no win / diverged — callers fall
+      * back to the full table. Wired by MutableGraph.snapshot.
       */
-    val statsPrune: (String, String, graft.gvalue.GValue, DataFrame) => Option[DataFrame] =
-      (_, _, _, _) => None) {
+    val statsPrune: (String, String, String, Option[graft.gvalue.GValue],
+        Option[graft.gvalue.GValue], DataFrame) => Option[DataFrame] =
+      (_, _, _, _, _, _) => None) {
 
   def labelIdOf(label: String): Int = labelIds(label)
 

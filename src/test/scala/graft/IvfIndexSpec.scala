@@ -227,18 +227,25 @@ class IvfIndexSpec extends AnyFunSuite {
     s.run("SELECT create_ivfflat_l2_ops_index('ivfe', 'Doc', 'embedding', 2, 2)")
     val vBuild = graft.cypher.GraphStore.latestVersion(root).get
     val cat = scala.io.Source.fromFile(s"$root/v$vBuild/catalog.txt").getLines().toList
-    assert(cat.exists(_ == s"ivfa Doc embedding $vBuild"), cat.mkString("; "))
+    assert(cat.exists(_ == s"ivfa Doc embedding v$vBuild%2Fivfa%2FDoc__embedding"),
+      cat.mkString("; "))
     assert(Files.isDirectory(Paths.get(s"$root/v$vBuild/ivfa/Doc__embedding")))
     assert(spark.read.parquet(s"$root/v$vBuild/ivfa/Doc__embedding").count() == 40L)
-    // a write REFRESHES the stored entries incrementally (the ivfinsert
-    // analog): new ivfa line at the write's version, 41 entries, and the
-    // assignment pass it ran covered only the touched row — asserted
-    // end-to-end below by the reopen probe needing none at all
+    // a write REFRESHES the stored entries with a DELTA file holding ONLY
+    // the touched rows (the ivfinsert analog — write volume ∝ batch, not
+    // corpus): the base file is carried verbatim, the new version's file
+    // has exactly 1 entry
     s.run("CREATE (:Doc {k: 999, embedding: [0.1, 0.1]})")
     val vAfter = graft.cypher.GraphStore.latestVersion(root).get
     val cat2 = scala.io.Source.fromFile(s"$root/v$vAfter/catalog.txt").getLines().toList
-    assert(cat2.exists(_ == s"ivfa Doc embedding $vAfter"), cat2.mkString("; "))
-    assert(spark.read.parquet(s"$root/v$vAfter/ivfa/Doc__embedding").count() == 41L)
+    assert(cat2.exists(_ == s"ivfa Doc embedding v$vBuild%2Fivfa%2FDoc__embedding"),
+      cat2.mkString("; "))
+    assert(cat2.exists(_ == s"ivfa Doc embedding v$vAfter%2Fivfa%2FDoc__embedding"),
+      cat2.mkString("; "))
+    assert(spark.read.parquet(s"$root/v$vAfter/ivfa/Doc__embedding").count() == 1L,
+      "delta entry file must hold only the touched row")
+    assert(spark.read.parquet(s"$root/v$vBuild/ivfa/Doc__embedding",
+      s"$root/v$vAfter/ivfa/Doc__embedding").count() == 41L)
     // reopen in a FRESH session: the probe reads the STORED entries — no
     // k-means, and no row→list assignment job over the label either
     val km0 = graft.functions.Ivf.kmeansBuilds.get()
@@ -272,18 +279,21 @@ class IvfIndexSpec extends AnyFunSuite {
     s.run("SELECT create_pq_l2_ops_index('pqe', 'Doc', 'embedding', 2, 2, 4)")
     val vBuild = graft.cypher.GraphStore.latestVersion(root).get
     val cat = scala.io.Source.fromFile(s"$root/v$vBuild/catalog.txt").getLines().toList
-    assert(cat.exists(_ == s"pqc Doc embedding $vBuild"), cat.mkString("; "))
+    assert(cat.exists(_ == s"pqc Doc embedding v$vBuild%2Fpqc%2FDoc__embedding"),
+      cat.mkString("; "))
     // 40 docs × m=2 subspaces
     assert(spark.read.parquet(s"$root/v$vBuild/pqc/Doc__embedding").count() == 80L)
-    // id-local SET (k stays long): the dv publish refreshes the stored
-    // code relation incrementally — anti-join + encode of the ONE touched
-    // row. (A type-changing SET would full-rewrite and correctly DROP the
-    // line; the next publish re-persists.)
+    // id-local SET (k stays long): the dv publish appends a DELTA code
+    // file for the ONE touched row (m=2 rows); readers dedup last-wins
+    // per (id, sub). (A type-changing SET would full-rewrite and
+    // correctly DROP the lines; the next publish re-persists.)
     s.run("MATCH (d:Doc {k: 7}) SET d.k = 777")
     val vAfter = graft.cypher.GraphStore.latestVersion(root).get
     val cat2 = scala.io.Source.fromFile(s"$root/v$vAfter/catalog.txt").getLines().toList
-    assert(cat2.exists(_ == s"pqc Doc embedding $vAfter"), cat2.mkString("; "))
-    assert(spark.read.parquet(s"$root/v$vAfter/pqc/Doc__embedding").count() == 80L)
+    assert(cat2.exists(_ == s"pqc Doc embedding v$vAfter%2Fpqc%2FDoc__embedding"),
+      cat2.mkString("; "))
+    assert(spark.read.parquet(s"$root/v$vAfter/pqc/Doc__embedding").count() == 2L,
+      "delta code file must hold only the touched row's subspace codes")
     val km0 = graft.functions.Ivf.kmeansBuilds.get()
     val en0 = graft.functions.Ivf.encodeBuilds.get()
     val r = new graft.cypher.GraphSession(spark)

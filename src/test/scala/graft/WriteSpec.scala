@@ -1028,6 +1028,20 @@ class WriteSpec extends AnyFunSuite {
     assert(hs == Seq(150L), hs.toString)
     val (kept3, total3) = r.graph.lastPruneInfo.getOrElse(fail("string stats prune never ran"))
     assert(kept3 < total3, s"no files skipped on string literal: kept=$kept3 total=$total3")
+    // sargable WHERE conjuncts prune as well: equality…
+    r.graph.lastPruneInfo = None
+    val hw = r.run("MATCH (p:P) WHERE p.k = 250 RETURN p.t AS t")
+      .collect().map(_.getString(0)).toSeq
+    assert(hw == Seq("c250"), hw.toString)
+    val (kept4, total4) = r.graph.lastPruneInfo.getOrElse(fail("WHERE equality never pruned"))
+    assert(kept4 < total4, s"no files skipped on WHERE equality: kept=$kept4 total=$total4")
+    // …and ranges (two conjuncts fold to one [lo, hi] hint)
+    r.graph.lastPruneInfo = None
+    val hr = r.run("MATCH (p:P) WHERE p.k >= 205 AND p.k < 208 RETURN p.k AS k ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hr == Seq(205L, 206L, 207L), hr.toString)
+    val (kept5, total5) = r.graph.lastPruneInfo.getOrElse(fail("WHERE range never pruned"))
+    assert(kept5 < total5, s"no files skipped on WHERE range: kept=$kept5 total=$total5")
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
