@@ -1042,6 +1042,18 @@ class WriteSpec extends AnyFunSuite {
     assert(hr == Seq(205L, 206L, 207L), hr.toString)
     val (kept5, total5) = r.graph.lastPruneInfo.getOrElse(fail("WHERE range never pruned"))
     assert(kept5 < total5, s"no files skipped on WHERE range: kept=$kept5 total=$total5")
+    // negative: OR is not a conjunct — no hint may be extracted, and the
+    // result must still be exact (both branches from different files)
+    r.graph.lastPruneInfo = None
+    val ho = r.run("MATCH (p:P) WHERE p.k = 250 OR p.k = 44 RETURN p.k AS k ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ho == Seq(44L, 250L), ho.toString)
+    assert(r.graph.lastPruneInfo.isEmpty, "an OR predicate must not produce a prune hint")
+    // negative: cross-type literal (string vs long column) — the 'l' stats
+    // carry no claim for a string bound, so nothing may be lost
+    val hx = r.run("MATCH (p:P) WHERE p.k = 'nope' RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(hx == 0L)
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
