@@ -7,6 +7,13 @@ object Bench {
     // bench silently ran local[4] on a 32-cpu box)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // passes: median-of-N per query (VERDICT r13 #1 — three rounds of
+    // flag→refute cycles on local[32] scheduling noise; four same-code runs
+    // spanned 113–132 s, so a single-pass total cannot detect a real 20%
+    // regression). Interleaved A,B,C × queries — NOT 3× back-to-back per
+    // query — so cache/JIT drift between passes hits every query equally.
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,33 +36,46 @@ object Bench {
       SparkEntry.queries("d10_dedup_corpus")(spark, warmDir).count()
       spark.catalog.clearCache()
     } catch { case _: Throwable => () } // dataset without documents: skip warmup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to passes; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // cache teardown OUTSIDE the timed interval (ADVICE r11, same fix as
       // ScaleBench): clearCache() isn't part of the query's cost
       spark.catalog.clearCache() // drop per-query persist()s
-      name -> elapsed
-    }.toMap
+      samples(name) = samples(name) :+ elapsed
+    }
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map(n => n -> median(samples(n))).toMap
     // Two artifacts (judge r9/r10: BENCH_r*.json carried parsed:null because
     // the driver keeps only the LAST 2000 chars of stdout, and the full-name
     // 113-query map is ~2.8 KB — the line's front got clipped and nothing
     // parsed). So:
-    //   1. BENCH_LAST.json (git-tracked) gets the full-name %.3f map —
-    //      the canonical machine-readable per-query record.
+    //   1. BENCH_LAST.json (git-tracked) gets the full-name per-query
+    //      {median,min,max} record — the canonical machine-readable one.
     //   2. stdout gets ONE compact JSON line keyed by each query's unique
     //      id prefix ("g21_vle_path_values" -> "g21") — ~1.4 KB, which fits
     //      whole inside the 2000-char tail together with sbt's trailing
-    //      "[success]" line, so the driver's parsed field finally populates.
+    //      "[success]" line, so the driver's parsed field populates. Its
+    //      per-query values are the MEDIANS (scalar, spec-shape-compatible).
     // Prefix keys are verified unique below; on a future collision the
     // colliding queries keep their full names (still valid JSON, just bigger).
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val sorted = results.toSeq.sortBy(_._1)
-    val qs = sorted.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    val qs = sorted.map { case (k, _) =>
+      val xs = samples(k)
+      "\"" + k + "\":{\"median\":" + f(median(xs)) +
+        ",\"min\":" + f(xs.min) + ",\"max\":" + f(xs.max) + "}"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val doc = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val doc = s"""{"metric":"total_median","value":${f(total)},"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (doc + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // read-only cwd: stdout line still carries it
@@ -65,7 +85,7 @@ object Bench {
       val key = if (prefixCount(p) == 1) p else k
       "\"" + key + "\":" + f(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","keys":"id-prefix; full names in BENCH_LAST.json","queries":$shortQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","passes":$passes,"keys":"id-prefix medians; per-query {median,min,max} in BENCH_LAST.json","queries":$shortQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

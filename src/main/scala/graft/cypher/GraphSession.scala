@@ -1608,7 +1608,7 @@ final class MutableGraph(spark: SparkSession) {
   // label's deletion vectors. Rebuilt at load and after every publish;
   // an in-session change invalidates by identity until the next publish.
   private var manifestInfo = Map.empty[(String, String),
-    (DataFrame, List[GraphStore.FileStats], List[(Long, Array[Long])])]
+    (DataFrame, List[GraphStore.FileStats], MutableGraph.DvSets)]
   /** (files kept, files total) of the last pruned-scan attempt — lets
     * WriteSpec assert a property-filtered MATCH actually skipped files. */
   @volatile var lastPruneInfo: Option[(Int, Int)] = None
@@ -1644,14 +1644,9 @@ final class MutableGraph(spark: SparkSession) {
     if (kept.isEmpty) return Some(tbl.limit(0))
     val raw = spark.read.option("mergeSchema", "true")
       .parquet(kept.map(e => s"$root/${e.rel}"): _*)
-    val verByBase: Map[String, Long] = kept.map(e =>
+    def verByBase: Map[String, Long] = kept.map(e =>
       e.rel.substring(e.rel.lastIndexOf('/') + 1) -> e.version).toMap
-    val fileVer = element_at(typedLit(verByBase),
-      element_at(split(col("_metadata.file_path"), "/"), -1))
-    val dved = dvs.foldLeft(raw) { case (acc, (ver, ids)) =>
-      acc.filter(!(fileVer < lit(ver) &&
-        col("id").isin(ids.map(Long.box): _*)))
-    }
+    val dved = MutableGraph.applyDvs(raw, verByBase, dvs)
     // align to the in-memory schema: the subset may lack columns a CoW
     // SET added only to other files (absent = null), and types a wider
     // merge settled differently
@@ -1788,6 +1783,11 @@ final class MutableGraph(spark: SparkSession) {
             tagged.reduce(_ unionByName _)
               .groupBy(col("id"), col("sub"))
               .agg(max_by(col("code"), struct(col("__ver"), col("code"))).as("code"))
+              // deltas only ADD touched-row entries, so codes of deleted
+              // vertices survive the last-wins dedup until compaction and
+              // would eat ADC shortlist slots; an id-only semi-join
+              // against the live label keeps the shortlist's k real
+              .join(tbl.select(col("id")), Seq("id"), "left_semi")
         }
         val c = stored.getOrElse(graft.functions.Ivf.pqEncode(
           ivfEmb(tbl, ix.prop, ix.dims), "id", ix.prop, ix.codebooks))
@@ -2502,6 +2502,14 @@ final class MutableGraph(spark: SparkSession) {
     val prevDvLines: Map[(String, String), List[String]] =
       prevLines.filter(_.startsWith("dv "))
         .groupBy { s => val p = s.split(" "); (p(1), p(2)) }
+    // r14 positional deletion vectors: `dvp <kind> <encLabel> <encRelPath>
+    // <count>` — the file holds `<fileBasename> <rowIndex>` lines naming
+    // the exact rows suppressed in the exact files. File-targeted, so no
+    // version logic at read, and rewritten files (fresh part-UUID
+    // basenames) can never be hit by a carried entry.
+    val prevDvpLines: Map[(String, String), List[String]] =
+      prevLines.filter(_.startsWith("dvp "))
+        .groupBy { s => val p = s.split(" "); (p(1), p(2)) }
     def versionOfRel(rel: String): Long = rel.takeWhile(_ != '/').drop(1).toLong
     def listParquet(d: String): List[String] = {
       val dp = Paths.get(d)
@@ -2568,28 +2576,41 @@ final class MutableGraph(spark: SparkSession) {
       referenced += e.ver
       sb ++= s"dv $kind $encl ${enc(e.rel)} ${e.count}\n"
     }
+    // r14 positional dv entry: tombstone (basename, rowIndex) file + its
+    // version (gc retention) + line count (bound checks without a read)
+    final case class DvpEnt(rel: String, ver: Long, count: Long)
+    def dvpEntsOf(kind: String, encl: String): List[DvpEnt] =
+      prevDvpLines.getOrElse((kind, encl), Nil).map { s =>
+        val p = s.split(" ")
+        val rel = GraphStore.dec(p(3))
+        DvpEnt(rel, versionOfRel(rel), p(4).toLong)
+      }
+    def dvpPosOf(es: List[DvpEnt]): Map[String, Array[Long]] =
+      es.foldLeft(Map.empty[String, Array[Long]])((acc, e) =>
+        MutableGraph.mergePos(acc, MutableGraph.readDvpFile(s"$root/${e.rel}")))
+    def emitDvp(kind: String, encl: String, e: DvpEnt): Unit = {
+      referenced += e.ver
+      sb ++= s"dvp $kind $encl ${enc(e.rel)} ${e.count}\n"
+    }
     // read manifest files with their applicable deletion vectors applied —
     // the same filter load uses, needed by every publish-side read of prev
     // files (CoW discovery + rewrite) or suppressed row-versions would be
     // resurrected into rewritten files
-    def readEntsWithDv(ents: List[FileEnt], dvs: List[DvEnt]): DataFrame = {
+    def readEntsWithDv(ents: List[FileEnt], dvs: List[DvEnt],
+        dvps: List[DvpEnt]): DataFrame = {
       val raw = spark.read.option("mergeSchema", "true")
         .parquet(ents.map(e => s"$root/${e.rel}"): _*)
-      if (dvs.isEmpty) raw
+      if (dvs.isEmpty && dvps.isEmpty) raw
       else {
         // version per file from the manifest's OWN rel paths, keyed by
         // part-file basename (unique per Spark write job) — regexp over
         // the absolute path took the FIRST /vN/ segment, so a store root
         // that itself contains one (…/v2/store) mis-attributed every file
         // and dvs silently suppressed same-version row-versions
-        val verByBase: Map[String, Long] = ents.map(e =>
+        def verByBase: Map[String, Long] = ents.map(e =>
           e.rel.substring(e.rel.lastIndexOf('/') + 1) -> versionOfRel(e.rel)).toMap
-        val fileVer = element_at(typedLit(verByBase),
-          element_at(split(col("_metadata.file_path"), "/"), -1))
-        dvs.foldLeft(raw) { (acc, d) =>
-          acc.filter(!(fileVer < lit(d.ver) &&
-            col("id").isin(dvIdsOf(d).map(Long.box): _*)))
-        }
+        MutableGraph.applyDvs(raw, verByBase, MutableGraph.DvSets(
+          dvs.map(d => (d.ver, dvIdsOf(d))), dvpPosOf(dvps)))
       }
     }
     // stats for files just written into outDir: one footer-bounded job.
@@ -2675,8 +2696,9 @@ final class MutableGraph(spark: SparkSession) {
       val encl = enc(l)
       val prevEnts = idLocalPrevEnts(kind, l, df).getOrElse(return false)
       val prevDvs = dvEntsOf(kind, encl)
+      val prevDvps = dvpEntsOf(kind, encl)
       // compaction bound counts dv lines too — open-time cost is files+dvs
-      if (prevEnts.size + prevDvs.size >= 64) return false
+      if (prevEnts.size + prevDvs.size + prevDvps.size >= 64) return false
       val touched = touchedOf(l)
       val touchedIds: Array[Long] =
         touched.limit(1025).collect().map(_.getLong(0)).sorted
@@ -2693,7 +2715,8 @@ final class MutableGraph(spark: SparkSession) {
         case None => true
       })
       val tombstones = touchedIds.filter(mayHoldId)
-      if (prevDvs.map(_.count).sum + tombstones.length > 4096) return false
+      if (prevDvs.map(_.count).sum + prevDvps.map(_.count).sum +
+        tombstones.length > 4096) return false
       val newRows = df.join(touched, Seq("id"), "left_semi")
       val hasNew = newRows.limit(1).count() > 0
       if (!hasNew && tombstones.isEmpty) return false
@@ -2706,13 +2729,44 @@ final class MutableGraph(spark: SparkSession) {
       }
       prevEnts.foreach(emitEnt(kind, encl, _))
       prevDvs.foreach(emitDv(kind, encl, _))
+      prevDvps.foreach(emitDvp(kind, encl, _))
       if (tombstones.nonEmpty) {
-        val dvDir = Paths.get(dir, "dv")
-        Files.createDirectories(dvDir)
-        val rel = s"v$next/dv/${kind}__$encl.txt"
-        Files.write(dvDir.resolve(s"${kind}__$encl.txt"),
-          tombstones.mkString("\n").getBytes(UTF_8))
-        emitDv(kind, encl, DvEnt(rel, next, tombstones.length.toLong))
+        // r14 positional deletion vectors (VERDICT r13 #2, the Delta
+        // shape): record the (file basename, row position) of every copy
+        // of a tombstoned id with ONE column-pruned scan of just the
+        // files whose id range may hold one — files a CoW rewrite would
+        // have read whole AND rewritten. The id filter pushes down to
+        // parquet here on the write side; the stored entries are
+        // positions, so every future READ of this label filters on
+        // _metadata.row_index and never mentions `id` — row-group
+        // pruning on id stays live for dv-bearing labels.
+        val affected = prevEnts.filter(_.stats match {
+          case Some((mn, mx)) =>
+            val i = java.util.Arrays.binarySearch(tombstones, mn)
+            val from = if (i >= 0) i else -i - 1
+            from < tombstones.length && tombstones(from) <= mx
+          case None => true
+        })
+        // existing dvs applied first: only LIVE copies get new entries, so
+        // repeated point writes to one row add one entry each, not a
+        // re-recording of every already-suppressed copy
+        val posRows: Array[(String, Long)] =
+          if (affected.isEmpty) Array.empty
+          else readEntsWithDv(affected, prevDvs, prevDvps)
+            .filter(col("id").isin(tombstones.map(Long.box): _*))
+            .select(
+              element_at(split(col("_metadata.file_path"), "/"), -1).as("__b"),
+              col("_metadata.row_index").as("__p"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+        if (posRows.nonEmpty) {
+          val dvDir = Paths.get(dir, "dv")
+          Files.createDirectories(dvDir)
+          val rel = s"v$next/dv/${kind}__$encl.txt"
+          Files.write(dvDir.resolve(s"${kind}__$encl.txt"),
+            posRows.map { case (b, p) => s"$b $p" }.sorted
+              .mkString("\n").getBytes(UTF_8))
+          emitDvp(kind, encl, DvpEnt(rel, next, posRows.length.toLong))
+        }
       }
       true
     }
@@ -2720,11 +2774,12 @@ final class MutableGraph(spark: SparkSession) {
       val encl = enc(l)
       val prevEnts = idLocalPrevEnts(kind, l, df).getOrElse(return false)
       val prevDvs = dvEntsOf(kind, encl)
+      val prevDvps = dvpEntsOf(kind, encl)
       // compaction bound: once the manifest chain reaches 64 files the
       // next change rewrites the label whole — keeps open-time footer
       // reads and gc's live-version set bounded (Delta's OPTIMIZE analog,
       // triggered by write rather than by a maintenance job)
-      if (prevEnts.size + prevDvs.size >= 64) return false
+      if (prevEnts.size + prevDvs.size + prevDvps.size >= 64) return false
       val touched = touchedOf(l)
       // reference-changed but nothing of THIS label touched (e.g. a DELETE
       // that matched other labels): carry the manifest verbatim
@@ -2733,6 +2788,7 @@ final class MutableGraph(spark: SparkSession) {
       if (touchedIds.isEmpty) {
         prevEnts.foreach(emitEnt(kind, encl, _))
         prevDvs.foreach(emitDv(kind, encl, _))
+        prevDvps.foreach(emitDvp(kind, encl, _))
         return true
       }
       // data skipping: a file whose [minId, maxId] cannot hold a touched
@@ -2755,7 +2811,7 @@ final class MutableGraph(spark: SparkSession) {
       // duplicate it against the carried file holding the real one
       val touchedNames: Set[String] =
         if (candEnts.isEmpty) Set.empty
-        else readEntsWithDv(candEnts, prevDvs)
+        else readEntsWithDv(candEnts, prevDvs, prevDvps)
           .select(col("id"), element_at(split(col("_metadata.file_path"), "/"), -1)
             .as("__fname"))
           .join(touched, Seq("id"), "left_semi")
@@ -2767,7 +2823,7 @@ final class MutableGraph(spark: SparkSession) {
       if (touchedEnts.size * 2 > prevEnts.size && prevEnts.size > 1) return false
       val idsToRewrite =
         if (touchedEnts.isEmpty) touched // pure insert
-        else readEntsWithDv(touchedEnts, prevDvs) // dv-suppressed ids stay out
+        else readEntsWithDv(touchedEnts, prevDvs, prevDvps) // dv-suppressed ids stay out
           .select(col("id")).union(touched).distinct()
       val rows = df.join(idsToRewrite, Seq("id"), "left_semi")
       if (carriedEnts.isEmpty && rows.limit(1).count() == 0)
@@ -2778,8 +2834,11 @@ final class MutableGraph(spark: SparkSession) {
         .map(p => s"v$next/$kind/$encl/${Paths.get(p).getFileName}")
       (carriedEnts ++ statsOf(outDir, newRels)).foreach(emitEnt(kind, encl, _))
       // carried dvs still suppress old copies in carried files; rewritten
-      // files are at version `next` (> every dv), so they're untouched
+      // files are untouched: legacy dvs by version (next > every dv),
+      // positional dvs by construction (fresh part-UUID basenames can
+      // never match a carried entry — stale entries are no-ops)
       prevDvs.foreach(emitDv(kind, encl, _))
+      prevDvps.foreach(emitDvp(kind, encl, _))
       true
     }
     def writeTables(kind: String, m: Map[String, DataFrame],
@@ -2799,6 +2858,7 @@ final class MutableGraph(spark: SparkSession) {
               sb ++= line + "\n"
             }
             dvEntsOf(kind, enc(l)).foreach(emitDv(kind, enc(l), _))
+            dvpEntsOf(kind, enc(l)).foreach(emitDvp(kind, enc(l), _))
           case None if tryDv(kind, l, df) => () // dv + new-rows file emitted
           case None if tryCow(kind, l, df) => () // manifest emitted by tryCow
           case None =>
@@ -3005,15 +3065,25 @@ final class MutableGraph(spark: SparkSession) {
               .toArray(Array.empty[String]).map(_.toLong))
           }.toList
         }
+    val newDvps: Map[(String, String), Map[String, Array[Long]]] =
+      newLines.filter(_.startsWith("dvp ")).map(_.split(" "))
+        .groupBy(p => (p(1), p(2))).map { case (k, ps) =>
+          k -> ps.foldLeft(Map.empty[String, Array[Long]])((acc, p) =>
+            MutableGraph.mergePos(acc,
+              MutableGraph.readDvpFile(s"$root/${GraphStore.dec(p(3))}")))
+        }
     manifestInfo = newLines.filter(_.startsWith("file "))
       .map(GraphStore.parseFileLine).groupBy(f => (f.kind, f.encLabel))
       .flatMap { case ((kind, encl), fs) =>
         val l = GraphStore.dec(encl)
         val tblOpt = if (kind == "v") vertexLabels.get(l) else edgeLabels.get(l)
         tblOpt.map(tbl =>
-          (kind, l) -> ((tbl, fs, newDvs.getOrElse((kind, encl), Nil))))
+          (kind, l) -> ((tbl, fs, MutableGraph.DvSets(
+            newDvs.getOrElse((kind, encl), Nil),
+            newDvps.getOrElse((kind, encl), Map.empty)))))
       }
-    val prevFileVers = (prevFileLines.values.flatten ++ prevDvLines.values.flatten)
+    val prevFileVers = (prevFileLines.values.flatten ++
+      prevDvLines.values.flatten ++ prevDvpLines.values.flatten)
       .map(line => versionOfRel(GraphStore.dec(line.split(" ")(3)))).toSet
     // retain: the two newest catalogs plus every dir either one references
     GraphStore.gc(root, keep = referenced.toSet ++ prevLoc.values.toSet ++
@@ -3041,7 +3111,8 @@ final class MutableGraph(spark: SparkSession) {
       else scala.util.Try(scala.io.Source.fromFile(
         s"$root/v$cur/catalog.txt").getLines().toList).getOrElse(Nil)
     val manifested: Set[(String, String)] = lines.collect {
-      case s if s.startsWith("file ") || s.startsWith("dv ") =>
+      case s if s.startsWith("file ") || s.startsWith("dv ") ||
+          s.startsWith("dvp ") =>
         val p = s.split(" "); (p(1), GraphStore.dec(p(2)))
     }.toSet
     if (manifested.isEmpty) false
@@ -3071,6 +3142,73 @@ final class MutableGraph(spark: SparkSession) {
 
 object MutableGraph {
 
+  /** A label's deletion-vector state (r14). `pos` is the positional form —
+    * file basename → sorted deleted row positions, the Delta/Iceberg DV
+    * shape, the only form new publishes write. `legacy` is the r12/r13
+    * id-list form (version-scoped tombstone ids), kept read-compatible so
+    * stores written by earlier rounds still open.
+    */
+  final case class DvSets(legacy: List[(Long, Array[Long])],
+      pos: Map[String, Array[Long]]) {
+    def isEmpty: Boolean = legacy.isEmpty && pos.isEmpty
+    def count: Long = legacy.map(_._2.length.toLong).sum +
+      pos.valuesIterator.map(_.length.toLong).sum
+  }
+  private[cypher] val NoDvs = DvSets(Nil, Map.empty)
+
+  /** Parse a positional dv file: one `<fileBasename> <rowIndex>` per line. */
+  private[cypher] def readDvpFile(path: String): Map[String, Array[Long]] =
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .toArray(Array.empty[String]).filter(_.nonEmpty)
+      .map { s =>
+        val i = s.lastIndexOf(' ')
+        (s.substring(0, i), s.substring(i + 1).toLong)
+      }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sorted }
+
+  private[cypher] def mergePos(a: Map[String, Array[Long]],
+      b: Map[String, Array[Long]]): Map[String, Array[Long]] =
+    b.foldLeft(a) { case (acc, (k, v)) =>
+      acc.updated(k, (acc.getOrElse(k, Array.empty[Long]) ++ v).distinct.sorted)
+    }
+
+  /** Test hook: the most recent dv-filtered scan, pre-checkpoint — lets
+    * WriteSpec assert the dv-read plan carries no `id IN (…)` chain. */
+  @volatile private[graft] var lastDvRead: Option[DataFrame] = None
+
+  /** Apply deletion vectors to a raw manifest-file scan (r14, VERDICT r13
+    * #2). The positional form compiles to ONE filter over (file basename,
+    * `_metadata.row_index`): `id` never appears in the predicate, so
+    * pushed id filters and parquet row-group pruning on id survive on
+    * dv-bearing label reads — the scan-path ceiling the per-dv
+    * `!(fileVer < V && id IN (…))` chain imposed. Legacy id-form dvs keep
+    * the version-scoped chain (read-compat for r12/r13 catalogs only).
+    */
+  private[cypher] def applyDvs(raw: DataFrame, verByBase: => Map[String, Long],
+      dvs: DvSets): DataFrame = {
+    if (dvs.isEmpty) return raw
+    val base = element_at(split(col("_metadata.file_path"), "/"), -1)
+    val withPos =
+      if (dvs.pos.isEmpty) raw
+      else {
+        val posArr = element_at(
+          typedLit(dvs.pos.map { case (k, v) => k -> v.toSeq }), base)
+        raw.filter(posArr.isNull ||
+          !array_contains(posArr, col("_metadata.row_index")))
+      }
+    val out =
+      if (dvs.legacy.isEmpty) withPos
+      else {
+        val fileVer = element_at(typedLit(verByBase), base)
+        dvs.legacy.foldLeft(withPos) { case (acc, (ver, ids)) =>
+          acc.filter(!(fileVer < lit(ver) &&
+            col("id").isin(ids.map(Long.box): _*)))
+        }
+      }
+    lastDvRead = Some(out)
+    out
+  }
+
   /** Reopen a durable graph from its store root (latest version). Tables
     * localCheckpoint eagerly so subsequent version GC can never invalidate
     * a lazily-held file reference.
@@ -3097,7 +3235,7 @@ object MutableGraph {
     // r13 manifest stats for file-form labels, collected by readTables and
     // wired to the loaded label identities below
     val pendingManifest = scala.collection.mutable.Map.empty[(String, String),
-      (List[GraphStore.FileStats], List[(Long, Array[Long])])]
+      (List[GraphStore.FileStats], DvSets)]
     def readTables(kind: String): Map[String, DataFrame] = {
       val dirLabels = lines.collect { case s if s.startsWith(s"${kind}label ") =>
         val parts = s.split(" ")
@@ -3120,15 +3258,13 @@ object MutableGraph {
       // only into rewritten files; carried files read it as null, which IS
       // the absent-property semantics (nulltype columns never take this
       // path — guarded at publish)
-      // r12 deletion vectors: `dv <kind> <encLabel> <encRel> <count>` — a
-      // tombstone list written at version V suppresses those ids in files
-      // from versions < V only (the row-version a SET wrote at V stays
-      // visible). One scan; the filter is a codegen'd InSet probe per dv.
-      // Note (r12 review): the per-dv `!(fileVer < V && id IN ...)` chain
-      // defeats parquet row-group pruning on `id` for dv-bearing labels.
-      // Safe at the current bounds (≤4096 tombstones, ≤64 lines); if the
-      // bounds ever loosen, the Delta answer is a POSITIONAL dv bitmap
-      // per file applied at the reader, which leaves id predicates intact.
+      // r12 deletion vectors (legacy id form, read-compat): `dv <kind>
+      // <encLabel> <encRel> <count>` — a tombstone id list written at
+      // version V suppresses those ids in files from versions < V only.
+      // r14 writes POSITIONAL dvs instead (`dvp` lines below): per-file
+      // (basename, rowIndex) bitmaps applied via _metadata.row_index, so
+      // id predicates and parquet row-group pruning on id stay intact on
+      // dv-bearing labels (VERDICT r13 #2).
       val dvByLabel: Map[String, List[(Long, Array[Long])]] =
         lines.filter(_.startsWith(s"dv $kind ")).map(_.split(" "))
           .groupBy(p => p(2)).map { case (encl, ps) =>
@@ -3141,27 +3277,27 @@ object MutableGraph {
               (ver, ids)
             }.toList
           }
+      val dvpByLabel: Map[String, Map[String, Array[Long]]] =
+        lines.filter(_.startsWith(s"dvp $kind ")).map(_.split(" "))
+          .groupBy(p => p(2)).map { case (encl, ps) =>
+            encl -> ps.foldLeft(Map.empty[String, Array[Long]])((acc, p) =>
+              mergePos(acc, readDvpFile(s"$root/${dec(p(3))}")))
+          }
       val fileLabels = lines.filter(_.startsWith(s"file $kind "))
         .map(_.split(" ")).groupBy(p => p(2)).map { case (encl, ps) =>
+          val dvs = DvSets(dvByLabel.getOrElse(encl, Nil),
+            dvpByLabel.getOrElse(encl, Map.empty))
           pendingManifest((kind, dec(encl))) =
-            (ps.map(p => GraphStore.parseFileLine(p.mkString(" "))),
-              dvByLabel.getOrElse(encl, Nil))
+            (ps.map(p => GraphStore.parseFileLine(p.mkString(" "))), dvs)
           val rels = ps.map(p => dec(p(3)))
           val paths = rels.map(r => s"$root/$r")
           val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
           // basename→version from the manifest rel paths (not a regexp
           // over the absolute path, which breaks under a /vN/ store root)
-          val verByBase: Map[String, Long] = rels.map(r =>
+          def verByBase: Map[String, Long] = rels.map(r =>
             r.substring(r.lastIndexOf('/') + 1) ->
               r.takeWhile(_ != '/').drop(1).toLong).toMap
-          val fileVer = element_at(typedLit(verByBase),
-            element_at(split(col("_metadata.file_path"), "/"), -1))
-          val filtered = dvByLabel.getOrElse(encl, Nil).foldLeft(raw) {
-            case (acc, (ver, ids)) =>
-              acc.filter(!(fileVer < lit(ver) &&
-                col("id").isin(ids.map(Long.box): _*)))
-          }
-          dec(encl) -> filtered.localCheckpoint()
+          dec(encl) -> applyDvs(raw, verByBase, dvs).localCheckpoint()
         }
       dirLabels ++ fileLabels
     }

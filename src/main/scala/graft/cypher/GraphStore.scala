@@ -131,6 +131,19 @@ object GraphStore {
     } finally plock.unlock()
   }
 
+  /** `a <= b` in code-point lexicographic order — the order of Spark's
+    * UTF8String binary comparison used to compute the manifest string
+    * min/max, NOT Java's UTF-16 code-unit order (String.compareTo).
+    */
+  def cpLe(a: String, b: String): Boolean = {
+    val ai = a.codePoints().iterator(); val bi = b.codePoints().iterator()
+    while (ai.hasNext && bi.hasNext) {
+      val c = Integer.compare(ai.nextInt(), bi.nextInt())
+      if (c != 0) return c < 0
+    }
+    !ai.hasNext // a is a prefix of b (or equal)
+  }
+
   /** Filesystem/catalog-safe label and column encoding. */
   def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
   def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
@@ -162,18 +175,36 @@ object GraphStore {
         case Some(("n", _, _)) => false // all-null: no comparison is ever true
         case Some((ty, mn, mx)) =>
           // a query lower bound must not exceed the file max, and the
-          // query upper bound must not undercut the file min
+          // query upper bound must not undercut the file min.
+          // Cross-type numeric compares go through BigDecimal (exact):
+          // toDouble rounds longs above 2^53 and could round a file edge
+          // to the wrong side of the query value, pruning a file that
+          // holds a matching row. Non-finite double edges carry no claim.
+          def numOk(q: BigDecimal, fileEdge: String, loSide: Boolean): Boolean = {
+            val e: BigDecimal =
+              if (ty == "l") BigDecimal(new java.math.BigDecimal(fileEdge))
+              else {
+                val d = fileEdge.toDouble
+                if (d.isNaN || d.isInfinite) return true
+                BigDecimal(d)
+              }
+            if (loSide) q <= e else e <= q
+          }
           def boundOk(v: Any, fileEdge: String, loSide: Boolean): Boolean =
             (ty, v) match {
               case ("l", n: Long) =>
                 if (loSide) n <= fileEdge.toLong else fileEdge.toLong <= n
-              case ("l" | "d", n: Long) =>
-                if (loSide) n.toDouble <= fileEdge.toDouble
-                else fileEdge.toDouble <= n.toDouble
+              case ("l" | "d", n: Long) => numOk(BigDecimal(n), fileEdge, loSide)
               case ("l" | "d", n: Double) =>
-                if (loSide) n <= fileEdge.toDouble else fileEdge.toDouble <= n
+                if (n.isNaN) true else numOk(BigDecimal(n), fileEdge, loSide)
               case ("s", s: String) =>
-                if (loSide) s <= fileEdge else fileEdge <= s
+                // code-point order: Spark's string min/max compare UTF-8
+                // bytes (code-point lexicographic); Java String <= is
+                // UTF-16 code-unit order, which disagrees when a bound
+                // mixes U+E000..U+FFFF with supplementary-plane chars —
+                // comparing code points keeps the pruning sound.
+                if (loSide) GraphStore.cpLe(s, fileEdge)
+                else GraphStore.cpLe(fileEdge, s)
               case _ => true // cross-domain compare: no claim, keep
             }
           lo.forall(boundOk(_, mx, loSide = true)) &&

@@ -222,8 +222,34 @@ object Dedup {
         Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
           .flatMap(walk)
       else Seq(f)
-    walk(new java.io.File(dir, "documents.parquet")).foldLeft(17L)((h, f) =>
-      31L * (31L * (31L * h + f.getName.hashCode) + f.length()) + f.lastModified())
+    walk(new java.io.File(dir, "documents.parquet")).foldLeft(17L) { (h, f) =>
+      // File.lastModified is second-granularity on some filesystems — a
+      // same-second in-place regeneration with identical names/sizes would
+      // serve the stale cache. Prefer the nanos-capable NIO mtime and fold
+      // in the last 64 footer bytes (contains the parquet footer length +
+      // magic + tail of the metadata — content-sensitive, one tiny read).
+      val p = f.toPath
+      val mtime =
+        try java.nio.file.Files.getLastModifiedTime(p).to(
+          java.util.concurrent.TimeUnit.NANOSECONDS)
+        catch { case _: java.io.IOException => f.lastModified() }
+      val tail: Long =
+        if (f.getName.endsWith(".parquet") && f.length() >= 64)
+          try {
+            val ch = java.nio.channels.FileChannel.open(p,
+              java.nio.file.StandardOpenOption.READ)
+            try {
+              val buf = java.nio.ByteBuffer.allocate(64)
+              ch.read(buf, f.length() - 64)
+              buf.flip()
+              var t = 1125899906842597L
+              while (buf.hasRemaining) t = 31L * t + buf.get()
+              t
+            } finally ch.close()
+          } catch { case _: java.io.IOException => 0L }
+        else 0L
+      31L * (31L * (31L * (31L * h + f.getName.hashCode) + f.length()) + mtime) + tail
+    }
   }
 
   private[operators] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {

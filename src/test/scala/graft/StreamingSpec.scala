@@ -143,7 +143,7 @@ class StreamingSpec extends AnyFunSuite {
     // tombstone suppresses doc 2's old copy
     val v2 = graft.cypher.GraphStore.latestVersion(root).get
     val cat = scala.io.Source.fromFile(s"$root/v$v2/catalog.txt").getLines().toList
-    assert(cat.exists(_.startsWith("dv v Doc ")), cat.mkString("; "))
+    assert(cat.exists(_.startsWith("dvp v Doc ")), cat.mkString("; "))
     // replay of batch 1 is a no-op (restart contract)
     s.ingestVertexUpsertBatch("Doc", "doc_id",
       docs(2L -> "b-v2", 4L -> "d"), "up1", 1L)
@@ -192,7 +192,7 @@ class StreamingSpec extends AnyFunSuite {
       s.ingestVertexUpsertBatch("Doc", "doc_id", docs(upd), "app", b.toLong)
       val v = graft.cypher.GraphStore.latestVersion(root).get
       val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
-      val lines = cat.count(l => l.startsWith("file v Doc ") || l.startsWith("dv v Doc "))
+      val lines = cat.count(l => l.startsWith("file v Doc ") || l.startsWith("dvp v Doc "))
       maxLines = math.max(maxLines, lines)
       if (cat.exists(_.startsWith("vlabel Doc "))) compactions += 1
     }

@@ -640,8 +640,8 @@ class WriteSpec extends AnyFunSuite {
     assert(partFiles("v", "P").isEmpty && partFiles("e", "E").isEmpty,
       "pure DETACH DELETE must write no parquet files")
     val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
-    assert(cat.exists(_.startsWith("dv v P ")), cat.mkString("; "))
-    assert(cat.exists(_.startsWith("dv e E ")), cat.mkString("; "))
+    assert(cat.exists(_.startsWith("dvp v P ")), cat.mkString("; "))
+    assert(cat.exists(_.startsWith("dvp e E ")), cat.mkString("; "))
     // reads exact after reopen: vertex gone, cascade gone, rest intact
     val r = new GraphSession(spark)
     r.openGraph("durdet", root)
@@ -747,7 +747,7 @@ class WriteSpec extends AnyFunSuite {
       (newLine3.head.length - 6) % 4 == 0, cat3.mkString("; "))
     assert(newLine3.head(4) == newLine3.head(5), "single-row file: min == max")
     // pure insert: no deletion vector was needed (sequence-position check)
-    assert(!cat3.exists(_.startsWith("dv v P ")), cat3.mkString("; "))
+    assert(!cat3.exists(_.startsWith("dvp v P ")), cat3.mkString("; "))
     // label now spans files across v2 and v3 — the multi-file shape.
     // Record EVERY file's bytes, then SET one row that lives in a v2 file:
     // the r12 deletion-vector path must write only the new row-version +
@@ -768,7 +768,7 @@ class WriteSpec extends AnyFunSuite {
     // new one, and a single-id deletion vector suppresses the old copy
     assert(pFiles4.size == cat3.count(_.startsWith("file v P ")) + 1,
       cat4.mkString("; "))
-    val dv4 = cat4.filter(_.startsWith("dv v P "))
+    val dv4 = cat4.filter(_.startsWith("dvp v P "))
     assert(dv4.size == 1 && dv4.head.split(" ")(4) == "1", cat4.mkString("; "))
     // every pre-SET file survives BYTE-EQUAL on disk — including the one
     // holding the OLD copy of k=1 (merge-on-read, not copy-on-write)
@@ -789,7 +789,7 @@ class WriteSpec extends AnyFunSuite {
     val v5 = graft.cypher.GraphStore.latestVersion(root).get
     assert(filesOf(root, v5).isEmpty, "pure DELETE must write no parquet file")
     val cat5 = scala.io.Source.fromFile(s"$root/v$v5/catalog.txt").getLines().toList
-    assert(cat5.count(_.startsWith("dv v P ")) == 2, cat5.mkString("; "))
+    assert(cat5.count(_.startsWith("dvp v P ")) == 2, cat5.mkString("; "))
     val r2 = new GraphSession(spark)
     r2.openGraph("durcow", root)
     val ks = r2.run("MATCH (p:P) RETURN p.k AS k ORDER BY k")
@@ -841,7 +841,7 @@ class WriteSpec extends AnyFunSuite {
     val cat2 = scala.io.Source.fromFile(s"$root/v$v2/catalog.txt").getLines().toList
     assert(cat2.exists(_ == s"vlabel P $v2"), cat2.mkString("; "))
     assert(!cat2.exists(_.startsWith("file v P ")), cat2.mkString("; "))
-    assert(!cat2.exists(_.startsWith("dv v P ")),
+    assert(!cat2.exists(_.startsWith("dvp v P ")),
       "full rewrite must drop deletion vectors: " + cat2.mkString("; "))
     // contents exact after the compaction-by-fallback
     val r = new GraphSession(spark)
@@ -865,7 +865,7 @@ class WriteSpec extends AnyFunSuite {
     }
     val vAfterDv = graft.cypher.GraphStore.latestVersion(root).get
     val catDv = scala.io.Source.fromFile(s"$root/v$vAfterDv/catalog.txt").getLines().toList
-    assert(catDv.count(_.startsWith("dv v P ")) == 4, catDv.mkString("; "))
+    assert(catDv.count(_.startsWith("dvp v P ")) == 4, catDv.mkString("; "))
     // the fifth overflows the budget → CoW partial rewrite with dvs live.
     // Its discovery and rewrite reads must apply the dvs, or the three
     // stale copies of each id would be resurrected into the new file.
@@ -901,13 +901,13 @@ class WriteSpec extends AnyFunSuite {
     s.run("MATCH (p:P {k: 9}) DELETE p")      // dv
     val before = graft.cypher.GraphStore.latestVersion(root).get
     val catB = scala.io.Source.fromFile(s"$root/v$before/catalog.txt").getLines().toList
-    assert(catB.exists(_.startsWith("file v P ")) && catB.exists(_.startsWith("dv v P ")))
+    assert(catB.exists(_.startsWith("file v P ")) && catB.exists(_.startsWith("dvp v P ")))
     s.run("COMPACT GRAPH durcp")
     val v = graft.cypher.GraphStore.latestVersion(root).get
     assert(v == before + 1)
     val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
     assert(cat.exists(_ == s"vlabel P $v"), cat.mkString("; "))
-    assert(!cat.exists(l => l.startsWith("file v P ") || l.startsWith("dv v P ")),
+    assert(!cat.exists(l => l.startsWith("file v P ") || l.startsWith("dvp v P ")),
       cat.mkString("; "))
     // a second COMPACT is a no-op: nothing manifest-form remains
     s.run("COMPACT GRAPH durcp")
@@ -971,7 +971,7 @@ class WriteSpec extends AnyFunSuite {
     val cat = scala.io.Source.fromFile(
       s"$root/v${graft.cypher.GraphStore.latestVersion(root).get}/catalog.txt")
       .getLines().toList
-    assert(cat.exists(_.startsWith("dv v P ")), cat.mkString("; "))
+    assert(cat.exists(_.startsWith("dvp v P ")), cat.mkString("; "))
     val r = new GraphSession(spark)
     r.openGraph("durvroot", root)
     val n = r.run("MATCH (p:P) RETURN count(*) AS n").collect().head.getLong(0)
@@ -985,6 +985,45 @@ class WriteSpec extends AnyFunSuite {
     val n2 = r2.run("MATCH (p:P) RETURN count(*) AS n").collect().head.getLong(0)
     assert(n2 == 10L, s"after append: $n2")
     graft.cypher.GraphStore.deleteTree(base)
+  }
+
+  test("GraphStore: positional dvs — no id-IN chain in the dv-read plan, id pushdown intact (r14)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_dvplan").toString
+    val s = new GraphSession(spark)
+    s.createGraph("durpos", root)
+    s.run("UNWIND range(1, 50) AS i CREATE (:P {k: i})")
+    s.run("CREATE (:P {k: 51})") // manifest-form the label
+    s.run("MATCH (p:P {k: 7}) SET p.t = 'seven'") // merge-on-read point write
+    val v = graft.cypher.GraphStore.latestVersion(root).get
+    val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
+    assert(cat.exists(_.startsWith("dvp v P ")), cat.mkString("; "))
+    graft.cypher.MutableGraph.lastDvRead = None
+    val r = new GraphSession(spark)
+    r.openGraph("durpos", root)
+    val dvScan = graft.cypher.MutableGraph.lastDvRead
+      .getOrElse(fail("reopen never built a dv-filtered scan"))
+    // the dv filter is positional: (file basename, _metadata.row_index)
+    // only — `id` appears in NO filter, so parquet row-group pruning and
+    // pushed id predicates survive on this dv-bearing label (VERDICT r13 #2)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val conds = dvScan.queryExecution.optimizedPlan.collect {
+      case f: LFilter => f.condition.toString }
+    assert(conds.nonEmpty, "dv scan lost its filter")
+    assert(!conds.exists(_.contains("id#")), s"id in dv filter: ${conds.mkString(" | ")}")
+    assert(conds.exists(_.contains("row_index")), conds.mkString(" | "))
+    // an id predicate on the dv-bearing scan still reaches the parquet scan
+    val phys = dvScan.filter(org.apache.spark.sql.functions.col("id") === 123L)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("EqualTo(id,123)"), phys)
+    // and reads are exact: 51 rows, the SET visible exactly once
+    val counts = r.run("MATCH (p:P) RETURN count(*) AS n, count(p.t) AS t")
+      .collect().head
+    assert(counts.getLong(0) == 51L && counts.getLong(1) == 1L, counts.toString)
+    val t7 = r.run("MATCH (p:P {k: 7}) RETURN p.t AS t")
+      .collect().map(_.getString(0)).toSeq
+    assert(t7 == Seq("seven"), t7.toString)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
   test("GraphStore: per-file property stats prune a literal-filtered MATCH (r13)") {
