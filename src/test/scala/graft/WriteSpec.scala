@@ -1026,6 +1026,53 @@ class WriteSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
+  test("GraphStore: unlabeled + multi-label scans prune files from manifest stats (r14)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_upstats").toString
+    val s = new GraphSession(spark)
+    s.createGraph("durups", root)
+    // two labels, each manifest-form with 3 files of disjoint k ranges
+    s.run("UNWIND range(1, 100) AS i CREATE (:A {k: i})")
+    s.run("UNWIND range(101, 200) AS i CREATE (:A {k: i})")
+    s.run("UNWIND range(201, 300) AS i CREATE (:A {k: i})")
+    s.run("UNWIND range(1001, 1100) AS i CREATE (:B {k: i})")
+    s.run("UNWIND range(1101, 1200) AS i CREATE (:B {k: i})")
+    s.run("UNWIND range(1201, 1300) AS i CREATE (:B {k: i})")
+    val r = new GraphSession(spark)
+    r.openGraph("durups", root)
+    // unlabeled MATCH over the union view: EVERY branch prunes its file
+    // list (the reference GIN serves the parent-label scan, VERDICT r13 #3)
+    r.graph.lastPruneInfo = None
+    val hit = r.run("MATCH (n) WHERE n.k = 250 RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(hit == 1L)
+    val (kept, total) = r.graph.lastPruneInfo
+      .getOrElse(fail("unlabeled scan never consulted the stats"))
+    assert(kept < total, s"no files skipped on unlabeled scan: kept=$kept total=$total")
+    // prop-map literal form over the union view prunes too
+    r.graph.lastPruneInfo = None
+    val hit2 = r.run("MATCH (n {k: 1150}) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(hit2 == 1L)
+    val (kept2, total2) = r.graph.lastPruneInfo
+      .getOrElse(fail("unlabeled prop-map scan never consulted the stats"))
+    assert(kept2 < total2, s"kept=$kept2 total=$total2")
+    // multi-label conjunction: the r13 hook skipped `(n:A:B)` shapes —
+    // the repeated-label form scans label A and must still prune
+    r.graph.lastPruneInfo = None
+    val hit3 = r.run("MATCH (n:A:A {k: 250}) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(hit3 == 1L)
+    val (kept3, total3) = r.graph.lastPruneInfo
+      .getOrElse(fail("multi-label scan never consulted the stats"))
+    assert(kept3 < total3, s"kept=$kept3 total=$total3")
+    // exactness across the union: distinct-label conjunction stays empty
+    val none = r.run("MATCH (n:A:B {k: 250}) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(none == 0L)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
   test("GraphStore: per-file property stats prune a literal-filtered MATCH (r13)") {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft_store_pstats").toString
