@@ -2130,14 +2130,29 @@ final class MutableGraph(spark: SparkSession) {
       edgeLabels += (label -> aligned(kind, label, edgeLabels.get(label), df))
   }
 
+  /** The type with every nullability mark relaxed — two types equal under
+    * this differ only in NOT NULL claims and union/compare losslessly. */
+  private def relaxNullability(dt: DataType): DataType = dt match {
+    case StructType(fs) => StructType(fs.map(f =>
+      f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
+    case ArrayType(et, _) => ArrayType(relaxNullability(et), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(relaxNullability(k), relaxNullability(v), valueContainsNull = true)
+    case other => other
+  }
+
   private def aligned(kind: String, label: String, old: Option[DataFrame],
       add: DataFrame): DataFrame = old match {
     case None => add
     case Some(o) =>
       import graft.gvalue.GValueCol
+      // nullability-only differences are NOT conflicts: a streaming batch
+      // round-trips through parquet, which relaxes containsNull/nullable —
+      // treating that as a type change forced a dynCoerce full rewrite on
+      // every wrapper-ingested batch (dropping index-entry chains, r14)
       val conflicts = o.schema.fields.flatMap { f =>
         add.schema.fields.find(_.name == f.name)
-          .filter(g => g.dataType != f.dataType &&
+          .filter(g => relaxNullability(g.dataType) != relaxNullability(f.dataType) &&
             f.dataType != NullType && g.dataType != NullType)
           .map(_ => f.name)
       }.toSeq

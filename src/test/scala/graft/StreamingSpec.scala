@@ -228,6 +228,70 @@ class StreamingSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(tmp))
   }
 
+  test("streaming upsert maintains stored index entries — reopened probe runs no passes (r14)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_gupsidx").toString
+    val root = s"$tmp/store"
+    val s = new graft.cypher.GraphSession(spark)
+    s.createGraph("gupsidx", root)
+    def docs(rows: Seq[(Long, Seq[Double])]) = rows.toDF("doc_id", "embedding")
+    // batch 0: two well-separated clouds (even near (0,0), odd far)
+    val base = (0 until 40).map { i =>
+      val (bx, by) = if (i % 2 == 0) (0.0, 0.0) else (100.0, 100.0)
+      (i.toLong, Seq(bx + (i / 2) * 0.5, by + (i % 5) * 0.5))
+    }
+    s.ingestVertexUpsertBatch("Doc", "doc_id", docs(base), "appix", 0L)
+    s.run("SELECT create_ivfflat_l2_ops_index('gupsidx', 'Doc', 'embedding', 2, 2)")
+    s.run("SELECT create_pq_l2_ops_index('gupsidx', 'Doc', 'embedding', 2, 2, 4)")
+    // 4 CDC batches through the publish hooks: doc 2 MOVES clouds in
+    // batch 2, each batch also inserts a far-cloud doc — every publish
+    // must append an index-entry DELTA, never drop the chain
+    (1 to 4).foreach { b =>
+      val upd: Seq[(Long, Seq[Double])] =
+        (if (b == 2) Seq(2L -> Seq(100.0, 100.0)) else Seq.empty) :+
+          ((100L + b) -> Seq(101.0 + b, 100.0))
+      s.ingestVertexUpsertBatch("Doc", "doc_id", docs(upd), "appix", b.toLong)
+    }
+    // ... and one batch through the streaming wrapper itself
+    val src = spark.readStream.schema(docs(base).schema).parquet {
+      val d = s"$tmp/in"; docs(Seq(110L -> Seq(102.0, 101.0))).write.parquet(d); d
+    }
+    Streams.graphStoreUpsertIngest(src, s, "Doc", "doc_id", s"$tmp/ck")
+      .awaitTermination(60000)
+    val v = graft.cypher.GraphStore.latestVersion(root).get
+    val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
+    assert(cat.count(_.startsWith("ivfa Doc embedding ")) >= 2,
+      "streaming upserts did not keep the ivfa entry chain: " + cat.mkString("; "))
+    assert(cat.count(_.startsWith("pqc Doc embedding ")) >= 2,
+      "streaming upserts did not keep the pqc entry chain: " + cat.mkString("; "))
+    // reopen in a fresh session: probes answer from the STORED entries —
+    // zero k-means / assignment / encode passes
+    val km0 = graft.functions.Ivf.kmeansBuilds.get()
+    val as0 = graft.functions.Ivf.assignBuilds.get()
+    val en0 = graft.functions.Ivf.encodeBuilds.get()
+    val r = new graft.cypher.GraphSession(spark)
+    r.openGraph("gupsidx", root)
+    // doc 2's stale near-list entry is a recall-safe superset candidate —
+    // the exact rerank orders it LAST (its true position is the far
+    // cloud), so the top-19 are exactly the 19 true near-cloud docs
+    val near = r.run(
+      "MATCH (d:Doc) RETURN d.doc_id AS k ORDER BY d.embedding <-> [0.0, 0.0] LIMIT 19")
+      .collect().map(_.getLong(0)).toSet
+    assert(near.size == 19 && !near.contains(2L),
+      s"moved doc outranked a true near doc — entry delta not applied: $near")
+    assert(near.forall(k => k % 2 == 0), s"far-cloud docs leaked: $near")
+    val far = r.run(
+      "MATCH (d:Doc) RETURN d.k AS k, d.doc_id AS i ORDER BY d.embedding <-> [102.0, 101.0] LIMIT 1")
+      .collect().map(_.getLong(1)).toSeq
+    assert(far == Seq(110L), far.toString)
+    assert(graft.functions.Ivf.kmeansBuilds.get() == km0, "reopened probe re-ran k-means")
+    assert(graft.functions.Ivf.assignBuilds.get() == as0,
+      "reopened probe re-derived assignments despite streamed entry deltas")
+    assert(graft.functions.Ivf.encodeBuilds.get() == en0,
+      "reopened probe re-encoded the corpus despite streamed entry deltas")
+    graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(tmp))
+  }
+
   test("watermarked windowed aggregation over the events stream") {
     val fixed = eventStream
     val agg = Streams.windowedEventCounts(fixed, watermark = "1 hour", window_ = "6 hours")
