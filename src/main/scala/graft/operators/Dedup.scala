@@ -216,13 +216,14 @@ object Dedup {
     * changes the fingerprint, so the cache misses instead of serving a
     * stale pair set. Driver-side listing only — no Spark job.
     */
-  private[operators] def corpusFingerprint(dir: String): Long = {
+  private[operators] def corpusFingerprint(dir: String,
+      table: String = "documents.parquet"): Long = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
           .flatMap(walk)
       else Seq(f)
-    walk(new java.io.File(dir, "documents.parquet")).foldLeft(17L) { (h, f) =>
+    walk(new java.io.File(dir, table)).foldLeft(17L) { (h, f) =>
       // File.lastModified is second-granularity on some filesystems — a
       // same-second in-place regeneration with identical names/sizes would
       // serve the stale cache. Prefer the nanos-capable NIO mtime and fold

@@ -266,6 +266,26 @@ object Similarity {
   // headroom at every measured SF.
   private val PqShortlist = 192
 
+  /** r14 (VERDICT r13 #8): durable `_index/` sidecar home for a RAW parquet
+    * corpus's PQ structure (codebooks + the (vid, sub, code) relation), so
+    * a reopened corpus skips the linear-in-corpus encode (~0.5 ms/vector,
+    * 10.9 s at sf1 — SCALE.md r13). Keyed by the corpus CONTENT fingerprint
+    * and the PQ shape, so a regenerated corpus or retuned constants miss.
+    * Lives next to the corpus when writable (the deployment shape); a
+    * read-only corpus (the shared testdata) falls back to a tmp-dir root,
+    * overridable via GRAFT_INDEX_ROOT.
+    */
+  private[graft] def pqSidecarHome(dir: String): String = {
+    val fp = Dedup.corpusFingerprint(dir, "embeddings.parquet")
+    val root = sys.env.getOrElse("GRAFT_INDEX_ROOT", {
+      val corpus = new java.io.File(dir)
+      if (corpus.canWrite) new java.io.File(corpus, "_index").getPath
+      else new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_index/${java.lang.Integer.toHexString(dir.hashCode)}").getPath
+    })
+    s"$root/pq_m${PqM}_k${PqK}_${java.lang.Long.toHexString(fp)}"
+  }
+
   private def pqSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // L2-normalize first: the recall truth (s1) is COSINE top-k, and ADC
@@ -287,31 +307,78 @@ object Similarity {
     require(dim % PqM == 0 && dim >= PqM,
       s"PQ requires embedding dim divisible by PqM=$PqM and >= $PqM, got $dim")
     val sub = dim / PqM
-    // ONE stride sample (the kmeansSampled discipline), sliced driver-side
-    // into PqM sub-samples — 8 codebooks for the price of one collect
-    val n = emb.count()
-    val stride = math.max(n / 4096, 1)
-    val sample: Array[Array[Double]] = emb
-      .filter(col("vec_id") % stride === 0).orderBy(col("vec_id")).limit(4096)
-      .select(col("embedding")).collect().map(_.getSeq[Double](0).toArray)
-    val books: Seq[Array[Array[Double]]] = (0 until PqM).map { si =>
-      graft.functions.Ivf.lloyd(
-        sample.map(v => java.util.Arrays.copyOfRange(v, si * sub, (si + 1) * sub)),
-        PqK, iters = 4)
+    // reopen path: the `_index/` sidecar already holds this corpus's
+    // codebooks + code relation — skip the sample, the k-means, and the
+    // corpus encode entirely (zero encode passes, like the GraphStore's
+    // stored pqc chain)
+    val home = pqSidecarHome(dir)
+    val storedBooks: Option[Seq[Array[Array[Double]]]] =
+      if (new java.io.File(s"$home/codes.parquet").isDirectory &&
+        new java.io.File(s"$home/codebooks.parquet").isDirectory)
+        scala.util.Try {
+          val rows = s.read.parquet(s"$home/codebooks.parquet").collect()
+          val bks = Array.fill(PqM, PqK)(new Array[Double](sub))
+          rows.foreach(r => bks(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+          bks.toSeq.map(_.toArray)
+        }.toOption
+      else None
+    val (books: Seq[Array[Array[Double]]], codes: DataFrame) = storedBooks match {
+      case Some(bks) =>
+        (bks, s.read.parquet(s"$home/codes.parquet")
+          .select(col("vid").as("__vid"), col("sub"), col("code")))
+      case None =>
+        // this IS an encode pass over the corpus — count it like
+        // Ivf.pqEncode so specs can assert a sidecar hit runs none
+        graft.functions.Ivf.encodeBuilds.incrementAndGet()
+        // ONE stride sample (the kmeansSampled discipline), sliced
+        // driver-side into PqM sub-samples — 8 codebooks for one collect
+        val n = emb.count()
+        val stride = math.max(n / 4096, 1)
+        val sample: Array[Array[Double]] = emb
+          .filter(col("vec_id") % stride === 0).orderBy(col("vec_id")).limit(4096)
+          .select(col("embedding")).collect().map(_.getSeq[Double](0).toArray)
+        val bks: Seq[Array[Array[Double]]] = (0 until PqM).map { si =>
+          graft.functions.Ivf.lloyd(
+            sample.map(v => java.util.Arrays.copyOfRange(v, si * sub, (si + 1) * sub)),
+            PqK, iters = 4)
+        }
+        val cb = bks.zipWithIndex.flatMap { case (cents, si) =>
+          cents.zipWithIndex.toSeq.flatMap { case (cent, ci) =>
+            cent.zipWithIndex.toSeq.map { case (cv, j) => (si, ci, j, cv) } }
+        }.toDF("sub", "cluster", "spos", "c")
+        val flat = graft.functions.Ivf.flatten(emb, "vec_id", "embedding")
+          .withColumn("sub", (col("pos") / sub).cast("int"))
+          .withColumn("spos", col("pos") % sub)
+        val built = flat.join(broadcast(cb), Seq("sub", "spos"))
+          .groupBy(col("__vid"), col("sub"), col("cluster"))
+          .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("dist"))
+          .groupBy(col("__vid"), col("sub"))
+          // struct(dist, cluster) → deterministic argmin (the Ivf convention)
+          .agg(min_by(col("cluster"), struct(col("dist"), col("cluster"))).as("code"))
+          .localCheckpoint()
+        // persist the sidecar: write into a tmp home, then ONE atomic dir
+        // rename — a concurrent reader sees the old state or the new one,
+        // never a half-written index. Failures are non-fatal (the sidecar
+        // is a pure reopen accelerator).
+        scala.util.Try {
+          val tmpHome = java.nio.file.Paths.get(home + s".tmp${System.nanoTime()}")
+          cb.coalesce(1).write.parquet(s"$tmpHome/codebooks.parquet")
+          built.select(col("__vid").as("vid"), col("sub"), col("code"))
+            .repartitionByRange(col("vid"), col("sub"))
+            .sortWithinPartitions(col("vid"), col("sub"))
+            .write.parquet(s"$tmpHome/codes.parquet")
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(home).getParent)
+          try java.nio.file.Files.move(tmpHome, java.nio.file.Paths.get(home),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { // lost a publish race: the other writer's index is equivalent
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.AccessDeniedException =>
+              graft.cypher.GraphStore.deleteTree(tmpHome)
+          }
+        }
+        (bks, built)
     }
-    val cb = books.zipWithIndex.flatMap { case (cents, si) =>
-      cents.zipWithIndex.toSeq.flatMap { case (cent, ci) =>
-        cent.zipWithIndex.toSeq.map { case (cv, j) => (si, ci, j, cv) } }
-    }.toDF("sub", "cluster", "spos", "c")
-    val flat = graft.functions.Ivf.flatten(emb, "vec_id", "embedding")
-      .withColumn("sub", (col("pos") / sub).cast("int"))
-      .withColumn("spos", col("pos") % sub)
-    val codes = flat.join(broadcast(cb), Seq("sub", "spos"))
-      .groupBy(col("__vid"), col("sub"), col("cluster"))
-      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("dist"))
-      .groupBy(col("__vid"), col("sub"))
-      // struct(dist, cluster) → deterministic argmin (the Ivf convention)
-      .agg(min_by(col("cluster"), struct(col("dist"), col("cluster"))).as("code"))
     val qt = qRows.toSeq.flatMap { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Double](1)

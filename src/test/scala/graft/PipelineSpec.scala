@@ -151,6 +151,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s8 _index sidecar: a reopened raw corpus skips the PQ encode (r14)") {
+    import graft.operators.Similarity
+    // clean slate: drop any sidecar a previous run left for this corpus
+    val home = java.nio.file.Paths.get(Similarity.pqSidecarHome(sf))
+    graft.cypher.GraphStore.deleteTree(home)
+    Similarity.clearSessionCache()
+    val en0 = graft.functions.Ivf.encodeBuilds.get()
+    val first = graft.SparkEntry.queries("s8_pq_adc_ann")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(graft.functions.Ivf.encodeBuilds.get() == en0 + 1,
+      "cold build must run exactly one encode pass")
+    assert(java.nio.file.Files.isDirectory(home), s"sidecar not written at $home")
+    // drop the in-JVM session cache — the second run must come from the
+    // DURABLE sidecar, with zero encode passes, and be row-identical
+    Similarity.clearSessionCache()
+    val en1 = graft.functions.Ivf.encodeBuilds.get()
+    val second = graft.SparkEntry.queries("s8_pq_adc_ann")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(graft.functions.Ivf.encodeBuilds.get() == en1,
+      "sidecar reopen re-encoded the corpus")
+    assert(first == second, "sidecar-served result differs from the cold build")
+    graft.cypher.GraphStore.deleteTree(home)
+  }
+
   test("token counts: regex tokens >= whitespace tokens") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFns._

@@ -1026,6 +1026,37 @@ class WriteSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
+  test("manifest stat bounds: code-point string order, exact numeric compares (r14 ADVICE)") {
+    import graft.cypher.GraphStore
+    // Spark's string min/max compare UTF-8 bytes (code-point order): a file
+    // whose max is 😀 (U+1F600) CAN hold "￿". Java's UTF-16 compareTo
+    // says "￿" > "😀" (0xFFFF > 0xD83D) and would prune the file.
+    val f = GraphStore.FileStats("v", "P", "v1/x", None,
+      Map("t" -> (("s", "a", "😀"))))
+    assert(f.mayOverlap("t", Some("￿"), Some("￿")),
+      "file with max U+1F600 must keep a \\uFFFF equality probe")
+    assert(!f.mayOverlap("t", Some("😁"), None),
+      "lower bound above the code-point max must prune")
+    assert(GraphStore.cpLe("￿", "😀") &&
+      !GraphStore.cpLe("😀", "￿") &&
+      GraphStore.cpLe("ab", "ab") && GraphStore.cpLe("a", "ab") &&
+      !GraphStore.cpLe("ab", "a"))
+    // long stats beyond 2^53 compare exactly (no toDouble round-trip)
+    val big = (1L << 53) + 3 // 9007199254740995, not double-representable
+    val g = GraphStore.FileStats("v", "P", "v1/x", None,
+      Map("k" -> (("l", big.toString, big.toString))))
+    assert(g.mayOverlap("k", Some(big), Some(big)))
+    assert(!g.mayOverlap("k", Some(big + 1), None))
+    assert(!g.mayOverlap("k", None, Some(big - 1)))
+    // double query bound vs long stats: exact BigDecimal, no 2^53 collapse
+    assert(!g.mayOverlap("k", Some(((1L << 53) + 4).toDouble), None))
+    assert(g.mayOverlap("k", Some(((1L << 53) + 2).toDouble), None))
+    // non-finite double edges carry no claim — always keep
+    val h = GraphStore.FileStats("v", "P", "v1/x", None,
+      Map("d" -> (("d", "NaN", "Infinity"))))
+    assert(h.mayOverlap("d", Some(5L), Some(5L)))
+  }
+
   test("GraphStore: unlabeled + multi-label scans prune files from manifest stats (r14)") {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft_store_upstats").toString
