@@ -1628,8 +1628,13 @@ final class MutableGraph(spark: SparkSession) {
     * 100 TB this is the difference between touching the probed files
     * and materializing the label.
     */
+  /** Benchmark/test switch: disables manifest-stats pruning so tools can
+    * measure the pruned vs unpruned scan of the same store (StoreBench). */
+  @volatile var statsPruneEnabled: Boolean = true
+
   private def statsPrunedScan(kind: String, label: String, propEsc: String,
       lo: Option[GValue], hi: Option[GValue], tbl: DataFrame): Option[DataFrame] = {
+    if (!statsPruneEnabled) return None
     val root = storeRoot.getOrElse(return None)
     val (src, ents, dvs) = manifestInfo.getOrElse((kind, label), return None)
     if (!(src eq tbl)) return None // scanned snapshot ≠ manifest content

@@ -91,6 +91,49 @@ object StoreBench {
       println(f"STORE upsert x40 (4 keys/b)   ${(System.nanoTime() - tU) / 1e9}%8.3f s   " +
         f"steady ${tail.sum / tail.size}%d bytes/batch, $compactions%d self-compactions")
     }
+    // r14 (VERDICT r13 #6): manifest-stats file pruning AT SCALE — a label
+    // grown to the 63-line manifest edge (the bound compacts at 64), then
+    // a sargable point MATCH with pruning on vs off, plus the raw
+    // all-files parquet scan as the no-metadata baseline. nP defaults to
+    // 1M rows (sf1-order label).
+    locally {
+      val nP = if (args.length > 1) args(1).toLong else 1000000L
+      val chunks = 61L // appends after the initial write → manifest at the 63-line edge (64 compacts)
+      val per = nP / chunks
+      val tB = System.nanoTime()
+      s.run(s"UNWIND range(1, ${per * 2}) AS i " +
+        "CREATE (:K {k: i, t: 'payload-' + toString(i)})").count()
+      for (c <- 2L until chunks + 1L)
+        s.run(s"UNWIND range(${c * per + 1}, ${(c + 1) * per}) AS i " +
+          "CREATE (:K {k: i, t: 'payload-' + toString(i)})").count()
+      val vB = graft.cypher.GraphStore.latestVersion(root).get
+      val nFiles = scala.io.Source.fromFile(s"$root/v$vB/catalog.txt")
+        .getLines().count(_.startsWith("file v K "))
+      println(f"STORE prune-label build       ${(System.nanoTime() - tB) / 1e9}%8.3f s   $nFiles files, ~$nP rows")
+      val probe = per * 10 + 37 // lives in one mid-chain file
+      def q = s"MATCH (p:K) WHERE p.k = $probe RETURN p.t AS t"
+      s.run(q).count() // warm codegen/JIT for the shape
+      s.graph.lastPruneInfo = None
+      val t1 = System.nanoTime(); s.run(q).count()
+      val pruned = (System.nanoTime() - t1) / 1e9
+      val (kept, total) = s.graph.lastPruneInfo.getOrElse((-1, -1))
+      s.graph.statsPruneEnabled = false
+      val t2 = System.nanoTime(); s.run(q).count()
+      val unpruned = (System.nanoTime() - t2) / 1e9
+      s.graph.statsPruneEnabled = true
+      // the no-metadata floor: read every file of the label, filter, count
+      val cat = scala.io.Source.fromFile(s"$root/v$vB/catalog.txt").getLines().toList
+      val rels = cat.filter(_.startsWith("file v K "))
+        .map(l => graft.cypher.GraphStore.dec(l.split(" ")(3)))
+      val t3 = System.nanoTime()
+      spark.read.option("mergeSchema", "true")
+        .parquet(rels.map(r => s"$root/$r"): _*)
+        .filter(org.apache.spark.sql.functions.col("k") === probe).count()
+      val raw = (System.nanoTime() - t3) / 1e9
+      println(f"STORE pruned MATCH k=const    $pruned%8.3f s   files read $kept/$total")
+      println(f"STORE unpruned MATCH k=const  $unpruned%8.3f s   (statsPruneEnabled=false, checkpointed label)")
+      println(f"STORE raw all-files scan      $raw%8.3f s   ($total files, no manifest stats)")
+    }
     graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(root))
     spark.stop()
   }
