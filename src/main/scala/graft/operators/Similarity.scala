@@ -75,7 +75,7 @@ object Similarity {
     * storage — survives the bench harness's catalog.clearCache()).
     */
   private val resultCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String, Long), DataFrame]
   /** Bound on cached entries (r12, ADVICE r11): a long-lived JVM opening
     * many sessions/dirs must not pin checkpoint blocks forever. Dropped
     * entries become unreachable and Spark's ContextCleaner unpersists
@@ -88,7 +88,12 @@ object Similarity {
       if (k._1.sparkContext.isStopped) resultCache.remove(k)
     }
     if (resultCache.size >= ResultCacheCap) resultCache.clear()
-    resultCache.getOrElseUpdate((s, dir, kind), build.localCheckpoint())
+    // content-fingerprinted like Dedup.pairsCache (ADVICE r12 applied here
+    // too, r14): a corpus regenerated under the same path misses instead
+    // of serving a stale ANN result set
+    resultCache.getOrElseUpdate(
+      (s, dir, kind, Dedup.corpusFingerprint(dir, "embeddings.parquet")),
+      build.localCheckpoint())
   }
 
   /** Benchmark hook: drop the session cache so a measurement sees the
@@ -376,6 +381,16 @@ object Similarity {
                  _: java.nio.file.AccessDeniedException =>
               graft.cypher.GraphStore.deleteTree(tmpHome)
           }
+          // hygiene: a regenerated corpus changes the fingerprint — drop
+          // sibling sidecars of other fingerprints (same PQ shape) so the
+          // index root doesn't grow one dead dir per regeneration
+          import scala.jdk.CollectionConverters._
+          val homeP = java.nio.file.Paths.get(home)
+          java.nio.file.Files.list(homeP.getParent).iterator().asScala
+            .filter { p =>
+              val n = p.getFileName.toString
+              n.startsWith(s"pq_m${PqM}_k${PqK}_") && p != homeP
+            }.toList.foreach(graft.cypher.GraphStore.deleteTree)
         }
         (bks, built)
     }
