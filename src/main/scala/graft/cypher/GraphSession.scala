@@ -1619,6 +1619,10 @@ final class MutableGraph(spark: SparkSession) {
     * rows per publish). */
   val entryChainMerges = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Benchmark/test switch: disables manifest-stats pruning so tools can
+    * measure the pruned vs unpruned scan of the same store (StoreBench). */
+  @volatile var statsPruneEnabled: Boolean = true
+
   /** Scan of `label` restricted to the manifest files whose stats may
     * hold a row with property `propEsc` inside [lo, hi] (equality = same
     * literal both sides; half-open ranges leave one side None). None when
@@ -1628,10 +1632,6 @@ final class MutableGraph(spark: SparkSession) {
     * 100 TB this is the difference between touching the probed files
     * and materializing the label.
     */
-  /** Benchmark/test switch: disables manifest-stats pruning so tools can
-    * measure the pruned vs unpruned scan of the same store (StoreBench). */
-  @volatile var statsPruneEnabled: Boolean = true
-
   private def statsPrunedScan(kind: String, label: String, propEsc: String,
       lo: Option[GValue], hi: Option[GValue], tbl: DataFrame): Option[DataFrame] = {
     if (!statsPruneEnabled) return None
@@ -1669,17 +1669,10 @@ final class MutableGraph(spark: SparkSession) {
       // SET added only to other files (absent = null), and types a wider
       // merge settled differently. Cast targets are nullability-RELAXED:
       // equality/order semantics don't depend on the NOT NULL marks.
-      def relax(dt: DataType): DataType = dt match {
-        case StructType(fs) => StructType(fs.map(f =>
-          f.copy(dataType = relax(f.dataType), nullable = true)))
-        case ArrayType(et, _) => ArrayType(relax(et), containsNull = true)
-        case MapType(k, v, _) => MapType(relax(k), relax(v), valueContainsNull = true)
-        case other => other
-      }
       val aligned = tbl.schema.fields.foldLeft(dved)((acc, f) =>
         if (acc.columns.contains(f.name))
-          acc.withColumn(f.name, col(f.name).cast(relax(f.dataType)))
-        else acc.withColumn(f.name, lit(null).cast(relax(f.dataType))))
+          acc.withColumn(f.name, col(f.name).cast(relaxNullability(f.dataType)))
+        else acc.withColumn(f.name, lit(null).cast(relaxNullability(f.dataType))))
       val out = aligned.select(tbl.columns.map(col): _*)
       out.schema // force analysis inside the Try
       out
