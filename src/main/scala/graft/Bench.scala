@@ -39,7 +39,18 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to passes; name <- names) {
+    for (pass <- 1 to passes; name <- names) {
+      if (name == names.head) {
+        // reset the operator session caches at each pass boundary so a
+        // pass reproduces the single-pass cache semantics: the first
+        // query of a family pays its build, gates reuse it within the
+        // pass — and the MEDIAN measures the query, not a cache hit.
+        // Durable artifacts (GraphStore indexes, the s8 _index sidecar)
+        // legitimately persist: steady-state serving reopens them.
+        graft.operators.Similarity.clearSessionCache()
+        graft.operators.Dedup.clearSessionCache()
+        graft.operators.Pipeline.clearSessionCache()
+      }
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
