@@ -196,7 +196,10 @@ object GraphStore {
                 if (loSide) n <= fileEdge.toLong else fileEdge.toLong <= n
               case ("l" | "d", n: Long) => numOk(BigDecimal(n), fileEdge, loSide)
               case ("l" | "d", n: Double) =>
-                if (n.isNaN) true else numOk(BigDecimal(n), fileEdge, loSide)
+                // Non-finite query bounds carry no claim (BigDecimal cannot
+                // represent them; 1e400 parses to Infinity): keep the file.
+                if (n.isNaN || n.isInfinite) true
+                else numOk(BigDecimal(n), fileEdge, loSide)
               case ("s", s: String) =>
                 // code-point order: Spark's string min/max compare UTF-8
                 // bytes (code-point lexicographic); Java String <= is

@@ -241,7 +241,13 @@ object Dedup {
               java.nio.file.StandardOpenOption.READ)
             try {
               val buf = java.nio.ByteBuffer.allocate(64)
-              ch.read(buf, f.length() - 64)
+              // FileChannel.read may return short of the buffer — loop to
+              // full/EOF so the folded hash is stable across runs
+              var off = f.length() - 64
+              var n = 0
+              while (buf.hasRemaining && n >= 0) {
+                n = ch.read(buf, off + buf.position())
+              }
               buf.flip()
               var t = 1125899906842597L
               while (buf.hasRemaining) t = 31L * t + buf.get()

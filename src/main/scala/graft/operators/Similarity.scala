@@ -282,12 +282,20 @@ object Similarity {
     */
   private[graft] def pqSidecarHome(dir: String): String = {
     val fp = Dedup.corpusFingerprint(dir, "embeddings.parquet")
-    val root = sys.env.getOrElse("GRAFT_INDEX_ROOT", {
-      val corpus = new java.io.File(dir)
-      if (corpus.canWrite) new java.io.File(corpus, "_index").getPath
-      else new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_index/${java.lang.Integer.toHexString(dir.hashCode)}").getPath
-    })
+    // Every root shape is namespaced PER CORPUS (the env override and the
+    // tmp fallback both get a dir.hashCode subdir; the corpus-local
+    // `_index` is per-corpus by construction): the hygiene sweep below the
+    // build deletes stale same-shape siblings, and a shared root would
+    // make two corpora evict each other's LIVE sidecars on every build.
+    val root = sys.env.get("GRAFT_INDEX_ROOT") match {
+      case Some(r) =>
+        new java.io.File(r, java.lang.Integer.toHexString(dir.hashCode)).getPath
+      case None =>
+        val corpus = new java.io.File(dir)
+        if (corpus.canWrite) new java.io.File(corpus, "_index").getPath
+        else new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_index/${java.lang.Integer.toHexString(dir.hashCode)}").getPath
+    }
     s"$root/pq_m${PqM}_k${PqK}_${java.lang.Long.toHexString(fp)}"
   }
 

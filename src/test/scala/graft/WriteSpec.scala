@@ -1055,6 +1055,45 @@ class WriteSpec extends AnyFunSuite {
     val h = GraphStore.FileStats("v", "P", "v1/x", None,
       Map("d" -> (("d", "NaN", "Infinity"))))
     assert(h.mayOverlap("d", Some(5L), Some(5L)))
+    // non-finite QUERY bounds carry no claim and must not throw (r15
+    // ADVICE: 1e400 parses to Infinity; BigDecimal(Infinity) would throw
+    // outside statsPrunedScan's advisory Try, failing the query)
+    assert(g.mayOverlap("k", Some(Double.PositiveInfinity), None))
+    assert(g.mayOverlap("k", None, Some(Double.NegativeInfinity)))
+  }
+
+  test("GraphStore: wide point write (5000 ids) stays merge-on-read, reads exact (r15)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_dvwide").toString
+    val s = new GraphSession(spark)
+    s.createGraph("durdvw", root)
+    s.run("UNWIND range(1, 10000) AS i CREATE (:P {k: i, n: 0})")
+    s.run("CREATE (:P {k: 10001, n: 0})") // manifest-form the label
+    // ONE statement touching 5000 ids: under the r14 bounds (1024 ids /
+    // 4096 tombstones) this fell through to a CoW rewrite; the r15
+    // binary-search dv membership makes the 8192/65536 bounds safe, so it
+    // publishes as new-rows + one positional dv — no parquet rewrite of
+    // the carried files
+    s.run("MATCH (p:P) WHERE p.k <= 5000 SET p.n = 1")
+    val v = graft.cypher.GraphStore.latestVersion(root).get
+    val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
+    val dvp = cat.filter(_.startsWith("dvp v P "))
+    assert(dvp.size == 1, s"expected one positional dv line: ${cat.mkString("; ")}")
+    assert(dvp.head.split(" ")(4).toLong == 5000L, dvp.head)
+    val r = new GraphSession(spark)
+    r.openGraph("durdvw", root)
+    val agg = r.run(
+      "MATCH (p:P) RETURN count(*) AS c, sum(p.n) AS s, min(p.k) AS mn, max(p.k) AS mx")
+      .collect().head
+    assert(agg.getLong(0) == 10001L, s"count ${agg.getLong(0)}")
+    assert(agg.getLong(1) == 5000L, s"sum ${agg.getLong(1)}")
+    assert(agg.getLong(2) == 1L && agg.getLong(3) == 10001L, agg.toString)
+    // point read through the 5000-position dv stays exact on both sides
+    // of the touched boundary
+    val probe = r.run("MATCH (p:P) WHERE p.k IN [4999, 5001] RETURN p.k AS k, p.n AS n ORDER BY k")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(probe == Seq((4999L, 1L), (5001L, 0L)), probe.toString)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
   test("GraphStore: unlabeled + multi-label scans prune files from manifest stats (r14)") {
