@@ -324,6 +324,19 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case Lit(g: GString) => Some(g)
       case Un("NEG", Lit(GInt(v))) => Some(GInt(-v))
       case Un("NEG", Lit(GFloat(v))) => Some(GFloat(-v))
+      // r15: constant-fold temporal casts of strict-ISO-UTC string
+      // literals ('2024-01-03'::date, '2024-01-03 12:00:00'::timestamp) —
+      // date-range filters are the canonical 100 TB prune. Folding is
+      // deliberately narrower than pgTimestampParse's style matrix: a
+      // style the fold can't PROVE it parses identically to the runtime
+      // kernel yields no hint (advisory pruning must never disagree with
+      // the filter), so non-ISO forms and non-UTC offsets fold to None.
+      case FnCall(fn, List(inner), false)
+          if fn == "todate" || fn == "totimestamp" || fn == "totimestamptz" =>
+        lit(inner) match {
+          case Some(GString(s)) => Compiler.foldTemporalLit(fn, s)
+          case _ => None
+        }
       case _ => None
     }
     def conjuncts(e: Expr): List[Expr] = e match {
@@ -343,6 +356,26 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       case Bin(">" | ">=", Prop(Var(a), k), r) => lit(r).foreach(g => add(a, k, Some(g), None))
       case Bin("<" | "<=", l, Prop(Var(a), k)) => lit(l).foreach(g => add(a, k, Some(g), None))
       case Bin(">" | ">=", l, Prop(Var(a), k)) => lit(l).foreach(g => add(a, k, None, Some(g)))
+      // r15: `n.k IN [literals]` claims the list's [min, max] envelope —
+      // sound for membership (any match lies inside the envelope) when
+      // every element folds AND the list stays in ONE stats domain
+      // (numeric / string / temporal); a mixed-domain list would need a
+      // cross-domain order the per-file stats don't record, so: no hint.
+      case Bin("IN", Prop(Var(a), k), ListLit(items)) if items.nonEmpty =>
+        val gs = items.map(lit)
+        if (gs.forall(_.isDefined)) {
+          val vs = gs.flatten
+          def dom(g: GValue): Int = g match {
+            case _: GInt | _: GFloat => 0
+            case _: GString => 1
+            case _: GTimestamp | _: GDate => 2
+            case _ => -1
+          }
+          if (dom(vs.head) >= 0 && vs.forall(dom(_) == dom(vs.head))) {
+            val sorted = vs.sortWith(GValue.cmp(_, _) < 0)
+            add(a, k, Some(sorted.head), Some(sorted.last))
+          }
+        }
       case _ => ()
     }
     acc.toMap
@@ -5368,6 +5401,43 @@ object Compiler {
     * by |E|, this bounds the *plan* size (each hop is one join).
     */
   val VleMaxHops = 10
+
+  private val IsoDateRe =
+    """(\d{4})-(\d{2})-(\d{2})""".r
+  private val IsoTsRe =
+    """(\d{4})-(\d{2})-(\d{2})[ T](\d{2}):(\d{2})(?::(\d{2})(\.\d{1,6})?)?(?:Z|\+00(?::?00)?)?""".r
+
+  /** Fold a temporal cast of a string literal to its GValue for manifest
+    * prune hints (r15). ONLY strict ISO forms in UTC: for these,
+    * java.time parsing provably agrees with the runtime kernels
+    * (pgTimestampParse / todate both ISO-parse first, session zone UTC).
+    * Anything else — PG's MM/DD/YYYY styles, day names, non-UTC offsets,
+    * 'infinity' — returns None: no hint, never a wrong one.
+    */
+  private[graft] def foldTemporalLit(fn: String,
+      s0: String): Option[graft.gvalue.GValue] = {
+    import graft.gvalue.{GDate, GTimestamp}
+    val s = s0.trim
+    try fn match {
+      case "todate" => s match {
+        case IsoDateRe(y, m, d) => Some(GDate(java.time.LocalDate
+          .of(y.toInt, m.toInt, d.toInt).toEpochDay.toInt))
+        case _ => None
+      }
+      case _ => s match { // totimestamp / totimestamptz (UTC session zone)
+        case IsoDateRe(y, m, d) => Some(GTimestamp(java.time.LocalDate
+          .of(y.toInt, m.toInt, d.toInt).toEpochDay * 86400000000L))
+        case IsoTsRe(y, mo, d, h, mi, se, frac) =>
+          val day = java.time.LocalDate.of(y.toInt, mo.toInt, d.toInt).toEpochDay
+          val secs = h.toLong * 3600 + mi.toLong * 60 +
+            Option(se).map(_.toLong).getOrElse(0L)
+          val us = Option(frac).map(f =>
+            (f.drop(1) + "000000").take(6).toLong).getOrElse(0L)
+          Some(GTimestamp((day * 86400L + secs) * 1000000L + us))
+        case _ => None
+      }
+    } catch { case _: RuntimeException => None } // out-of-range fields: no hint
+  }
 
   /** `topoint/topath/topolygon('…literal…')::geometry` — the PG-builtin
     * geometric → PostGIS conversion over a constant (point→POINT,

@@ -135,6 +135,12 @@ object GraphStore {
     * UTF8String binary comparison used to compute the manifest string
     * min/max, NOT Java's UTF-16 code-unit order (String.compareTo).
     */
+  /** Tagged temporal query bounds for [[FileStats.mayOverlap]] (r15):
+    * micros since epoch / epoch days, matching the `t`/`D` stat encodings.
+    */
+  final case class TsBound(us: Long)
+  final case class DateBound(days: Long)
+
   def cpLe(a: String, b: String): Boolean = {
     val ai = a.codePoints().iterator(); val bi = b.codePoints().iterator()
     while (ai.hasNext && bi.hasNext) {
@@ -155,8 +161,10 @@ object GraphStore {
     *
     *   file <kind> <encLabel> <encRel> [minId maxId [<encCol> <ty> <encMin> <encMax>]...]
     *
-    * `ty`: l = integral, d = double, s = string, n = column all-null in
-    * this file (provably no row matches an equality predicate on it).
+    * `ty`: l = integral, d = double, s = string, t = timestamp (edges are
+    * micros since epoch, UTC wall for NTZ), D = date (edges are epoch
+    * days), n = column all-null in this file (provably no row matches an
+    * equality predicate on it).
     * A column absent from the tail carries NO claim — readers must keep
     * the file.
     */
@@ -208,6 +216,19 @@ object GraphStore {
                 // comparing code points keeps the pruning sound.
                 if (loSide) GraphStore.cpLe(s, fileEdge)
                 else GraphStore.cpLe(fileEdge, s)
+              // r15 temporal stats: both domains compare in micros; a date
+              // promotes to its midnight timestamp (PG date→timestamp
+              // cast), matching GValue.cmp's cross-temporal order
+              case ("t", GraphStore.TsBound(us)) =>
+                if (loSide) us <= fileEdge.toLong else fileEdge.toLong <= us
+              case ("t", GraphStore.DateBound(d)) =>
+                val us = d * 86400000000L
+                if (loSide) us <= fileEdge.toLong else fileEdge.toLong <= us
+              case ("D", GraphStore.DateBound(d)) =>
+                if (loSide) d <= fileEdge.toLong else fileEdge.toLong <= d
+              case ("D", GraphStore.TsBound(us)) =>
+                val e = fileEdge.toLong * 86400000000L
+                if (loSide) us <= e else e <= us
               case _ => true // cross-domain compare: no claim, keep
             }
           lo.forall(boundOk(_, mx, loSide = true)) &&

@@ -831,12 +831,19 @@ class WriteSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_store_cowfb").toString
     val s = new GraphSession(spark)
     s.createGraph("durfb", root)
-    // 1200 rows puts an every-row SET past the 1024-id deletion-vector
-    // bound, so it reaches the CoW path, which then sees every file
-    // touched and falls back to the full rewrite
-    s.run("UNWIND range(1, 1200) AS i CREATE (:P {k: i})") // full write (files A…)
-    s.run("CREATE (:P {k: 1201})")                         // dv append (file B)
-    s.run("MATCH (p:P) SET p.u = 1") // touches every row → every file
+    // pin the statement-id bound to the r14 value so the every-row SET
+    // exercises the CoW→full-rewrite fallback at spec scale (at the r15
+    // default it would need a 9000-row label for the same path)
+    val savedIds = graft.cypher.MutableGraph.DvMaxStatementIds
+    graft.cypher.MutableGraph.DvMaxStatementIds = 1024
+    try {
+      // 1200 rows puts an every-row SET past the 1024-id deletion-vector
+      // bound, so it reaches the CoW path, which then sees every file
+      // touched and falls back to the full rewrite
+      s.run("UNWIND range(1, 1200) AS i CREATE (:P {k: i})") // full write (files A…)
+      s.run("CREATE (:P {k: 1201})")                         // dv append (file B)
+      s.run("MATCH (p:P) SET p.u = 1") // touches every row → every file
+    } finally graft.cypher.MutableGraph.DvMaxStatementIds = savedIds
     val v2 = graft.cypher.GraphStore.latestVersion(root).get
     val cat2 = scala.io.Source.fromFile(s"$root/v$v2/catalog.txt").getLines().toList
     assert(cat2.exists(_ == s"vlabel P $v2"), cat2.mkString("; "))
@@ -857,19 +864,25 @@ class WriteSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_store_dvcow").toString
     val s = new GraphSession(spark)
     s.createGraph("durdvc", root)
-    s.run("UNWIND range(1, 1200) AS i CREATE (:P {k: i, t: 0})")
-    s.run("CREATE (:P {k: 1201, t: 0})") // manifest form
-    // four 1024-id SETs fill the 4096-tombstone budget through the dv path
-    (1 to 4).foreach { n =>
-      s.run(s"MATCH (p:P) WHERE p.k <= 1024 SET p.t = $n")
-    }
-    val vAfterDv = graft.cypher.GraphStore.latestVersion(root).get
-    val catDv = scala.io.Source.fromFile(s"$root/v$vAfterDv/catalog.txt").getLines().toList
-    assert(catDv.count(_.startsWith("dvp v P ")) == 4, catDv.mkString("; "))
-    // the fifth overflows the budget → CoW partial rewrite with dvs live.
-    // Its discovery and rewrite reads must apply the dvs, or the three
-    // stale copies of each id would be resurrected into the new file.
-    s.run("MATCH (p:P) WHERE p.k <= 1024 SET p.t = 5")
+    // pin the tombstone budget to the r14 value so the budget-overflow →
+    // CoW-over-live-dvs path runs at spec scale
+    val savedTombs = graft.cypher.MutableGraph.DvMaxTombstones
+    graft.cypher.MutableGraph.DvMaxTombstones = 4096
+    try {
+      s.run("UNWIND range(1, 1200) AS i CREATE (:P {k: i, t: 0})")
+      s.run("CREATE (:P {k: 1201, t: 0})") // manifest form
+      // four 1024-id SETs fill the 4096-tombstone budget through the dv path
+      (1 to 4).foreach { n =>
+        s.run(s"MATCH (p:P) WHERE p.k <= 1024 SET p.t = $n")
+      }
+      val vAfterDv = graft.cypher.GraphStore.latestVersion(root).get
+      val catDv = scala.io.Source.fromFile(s"$root/v$vAfterDv/catalog.txt").getLines().toList
+      assert(catDv.count(_.startsWith("dvp v P ")) == 4, catDv.mkString("; "))
+      // the fifth overflows the budget → CoW partial rewrite with dvs live.
+      // Its discovery and rewrite reads must apply the dvs, or the three
+      // stale copies of each id would be resurrected into the new file.
+      s.run("MATCH (p:P) WHERE p.k <= 1024 SET p.t = 5")
+    } finally graft.cypher.MutableGraph.DvMaxTombstones = savedTombs
     val v = graft.cypher.GraphStore.latestVersion(root).get
     val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
     assert(cat.exists(_.startsWith("file v P ")),
@@ -1210,6 +1223,84 @@ class WriteSpec extends AnyFunSuite {
     val hx = r.run("MATCH (p:P) WHERE p.k = 'nope' RETURN count(*) AS n")
       .collect().head.getLong(0)
     assert(hx == 0L)
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
+  test("GraphStore: temporal stats prune date-range MATCHes; IN hints claim envelopes (r15)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_store_tstats").toString
+    val s = new GraphSession(spark)
+    s.createGraph("durts", root)
+    // three files with disjoint k/ts/dt ranges
+    s.run("UNWIND range(1, 100) AS i CREATE (:P {k: i, ts: '2024-01-05 08:30:00'::timestamp, dt: '2024-01-05'::date})")
+    s.run("UNWIND range(101, 200) AS i CREATE (:P {k: i, ts: '2024-02-05 08:30:00'::timestamp, dt: '2024-02-05'::date})")
+    s.run("UNWIND range(201, 300) AS i CREATE (:P {k: i, ts: '2024-03-05 08:30:00'::timestamp, dt: '2024-03-05'::date})")
+    val v = graft.cypher.GraphStore.latestVersion(root).get
+    val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
+    val fileLines = cat.filter(_.startsWith("file v P "))
+    assert(fileLines.size >= 2, cat.mkString("; "))
+    assert(fileLines.exists(_.split(" ").containsSlice(Seq("ts", "t"))),
+      fileLines.mkString("; "))
+    assert(fileLines.exists(_.split(" ").containsSlice(Seq("dt", "D"))),
+      fileLines.mkString("; "))
+    val r = new GraphSession(spark)
+    r.openGraph("durts", root)
+    // timestamp range scan — the canonical 100 TB prune shape
+    r.graph.lastPruneInfo = None
+    val n1 = r.run("MATCH (p:P) WHERE p.ts >= '2024-02-20'::timestamp RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n1 == 100L)
+    val (k1, t1) = r.graph.lastPruneInfo.getOrElse(fail("ts range never pruned"))
+    assert(k1 < t1, s"kept=$k1 total=$t1")
+    // date equality
+    r.graph.lastPruneInfo = None
+    val n2 = r.run("MATCH (p:P) WHERE p.dt = '2024-02-05'::date RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(n2 == 100L)
+    val (k2, t2) = r.graph.lastPruneInfo.getOrElse(fail("date equality never pruned"))
+    assert(k2 < t2, s"kept=$k2 total=$t2")
+    // IN over integral literals claims the [min,max] envelope
+    r.graph.lastPruneInfo = None
+    val hin = r.run("MATCH (p:P) WHERE p.k IN [250, 260] RETURN p.k AS k ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hin == Seq(250L, 260L), hin.toString)
+    val (k3, t3) = r.graph.lastPruneInfo.getOrElse(fail("IN never pruned"))
+    assert(k3 < t3, s"kept=$k3 total=$t3")
+    // negative: a mixed-domain IN list carries no hint, stays exact
+    r.graph.lastPruneInfo = None
+    val hmx = r.run("MATCH (p:P) WHERE p.k IN [250, 'nope'] RETURN p.k AS k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hmx == Seq(250L), hmx.toString)
+    assert(r.graph.lastPruneInfo.isEmpty, "mixed-domain IN must not hint")
+    // negative: NOT IN must not hint (envelope logic only holds for IN)
+    r.graph.lastPruneInfo = None
+    val nnot = r.run("MATCH (p:P) WHERE NOT p.k IN [250] RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(nnot == 299L)
+    assert(r.graph.lastPruneInfo.isEmpty, "NOT IN must not hint")
+    // negative folds: non-ISO styles and non-UTC offsets yield no claim
+    import graft.cypher.Compiler
+    assert(Compiler.foldTemporalLit("totimestamp", "1/5/2024 8:30:00").isEmpty)
+    assert(Compiler.foldTemporalLit("totimestamp", "2024-01-05 08:30:00+05").isEmpty)
+    assert(Compiler.foldTemporalLit("totimestamp", "infinity").isEmpty)
+    assert(Compiler.foldTemporalLit("todate", "Jan 5 2024").isEmpty)
+    assert(Compiler.foldTemporalLit("todate", "2024-13-40").isEmpty)
+    // positive folds agree with the runtime kernels (UTC wall micros)
+    assert(Compiler.foldTemporalLit("totimestamp", "2024-01-05 08:30:00")
+      .contains(graft.gvalue.GTimestamp(1704443400000000L)))
+    assert(Compiler.foldTemporalLit("totimestamptz", "2024-01-05T08:30:00.25Z")
+      .contains(graft.gvalue.GTimestamp(1704443400250000L)))
+    assert(Compiler.foldTemporalLit("todate", "2024-01-05")
+      .contains(graft.gvalue.GDate(19727)))
+    // cross-domain temporal overlap promotes dates to midnight micros
+    import graft.cypher.GraphStore
+    val fs = GraphStore.FileStats("v", "P", "v1/x", None,
+      Map("ts" -> (("t", "1704443400000000", "1704443400000000")), // 2024-01-05 08:30
+          "dt" -> (("D", "19727", "19727"))))                       // 2024-01-05
+    assert(fs.mayOverlap("ts", Some(GraphStore.DateBound(19727)), None))  // 00:00 <= 08:30
+    assert(!fs.mayOverlap("ts", Some(GraphStore.DateBound(19728)), None)) // next midnight > 08:30
+    assert(fs.mayOverlap("dt", None, Some(GraphStore.TsBound(19727L * 86400000000L))))
+    assert(!fs.mayOverlap("dt", None, Some(GraphStore.TsBound(19727L * 86400000000L - 1))))
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
