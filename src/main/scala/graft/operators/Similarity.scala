@@ -231,29 +231,34 @@ object Similarity {
     // (n_truth, recall_ok) is pinned by a constant oracle — an ANN
     // regression that drops recall below the floor now hash-FAILS the
     // driver gate instead of hiding behind `no_oracle`.
-    // Floors set to ~80% of 3-run measured minima at sf0.01 (VERDICT r11
-    // #5; RecallProbe 2026-08-15): LSH 0.6167 → 0.5 stays (already 81%),
-    // IVF 0.80 → 0.65, PQ 1.00 (0.93 at sf0.1) → 0.75. Each floor is
-    // below the measured minimum at EVERY swept SF (sf0.01/0.1/1), so a
-    // green gate means healthy, not merely non-broken.
+    // Floors set to ~80% of measured minima (VERDICT r11 #5 method),
+    // r15 re-measured across sf0.01/0.1/1 AND the adversarial clustered/
+    // near-dup corpus (MakeAdversarial; RecallProbe 2026-08-16): LSH min
+    // 0.6167 (sf0.01; 1.00 at sf1 + adversarial) → floor 0.5 stays; IVF
+    // min 0.80 (sf0.01; 1.00 at sf1 + adversarial) → 0.65 stays; PQ
+    // (IVFADC) min 0.9833 (adversarial; 1.00 at every SF) → floor raised
+    // 0.75 → 0.8. Each floor is below the measured minimum on EVERY swept
+    // distribution, so a green gate means healthy, not merely non-broken.
     "s6_lsh_recall_gate" -> ((s, dir) => recallGate(s, dir, "s3_ann_lsh", 0.5)),
     "s7_ivf_recall_gate" -> ((s, dir) => recallGate(s, dir, "s4_ivf_ann", 0.65)),
 
-    // Product quantization + asymmetric distance (PQ/ADC — Jégou et al.
-    // 2011, the memory-bounded ANN form): PqM=8 subspace codebooks trained
-    // by the same bounded sampled k-means as IVF, vectors encoded to 8
-    // 5-bit codes (PqK=32 → 40 bits/vector) in ONE shuffle chain (flatten
-    // → broadcast-codebook join → two keyed aggregations — never
-    // all-pairs), queries scored via per-(sub, code) distance lookup
-    // tables broadcast as PqM×PqK rows per query. At 100 TB the encoded
-    // corpus is 5 bytes/vector and the probe cost is one broadcast join
-    // over the code relation.
+    // IVFADC: coarse quantizer + product-quantized RESIDUALS + asymmetric
+    // distance (Jégou et al. 2011, the full serving pipeline). r15: raw
+    // vectors → residuals from a PqC-list coarse k-means. Raw-vector PQ
+    // collapsed on clustered corpora (adversarial probe: a whole tight
+    // cluster quantizes to ONE codeword, recall@3 0.52) — residuals keep
+    // within-cluster structure, and the coarse lists bound the probe to
+    // nprobe/PqC of the corpus (sublinear candidates, where raw-PQ ADC
+    // scanned every code row). Codes stay 40 bits + one list id/vector;
+    // query tables are NQuery × nprobe × PqM × PqK broadcast rows.
     "s8_pq_adc_ann" -> ((s, dir) => cachedResult(s, dir, "s8")(pqSearch(s, dir))),
-    "s9_pq_recall_gate" -> ((s, dir) => recallGate(s, dir, "s8_pq_adc_ann", 0.75))
+    "s9_pq_recall_gate" -> ((s, dir) => recallGate(s, dir, "s8_pq_adc_ann", 0.8))
   )
 
   private val PqM = 8    // subspaces
   private val PqK = 32   // codewords per subspace → 8×5 = 40 bits/vector
+  private val PqC = 64   // coarse residual-quantizer lists (IVFADC, r15)
+  private val PqNprobe = 16 // coarse lists probed per query
   // Persistence note (VERDICT r11 #1): the DDL-built IVFFlat index now
   // persists into the GraphStore catalog (GraphSession ivf lines). The s8
   // PQ codebooks deliberately stay session-scoped: this operator reads a
@@ -264,15 +269,22 @@ object Similarity {
   // surface over a durable graph, the ivf catalog mechanism
   // (GraphSession.scala publish/load `ivf` lines) is the slot-in path.
   //
-  // ADC candidates per query before exact rerank. 192 (r12, was 64):
-  // rerank cost stays NQuery-bounded and corpus-independent, and the
-  // wider shortlist lifts recall@3 to 1.00/0.93/1.00 at sf0.01/0.1/1
-  // (was 0.93/0.70/1.00) so the tightened s9 floor (0.75) keeps
-  // headroom at every measured SF.
-  private val PqShortlist = 192
+  // ADC candidates per query before exact rerank. r15 (VERDICT r14 #2):
+  // scaled with corpus size instead of the fixed 192 — 40-bit codes get
+  // coarser relative to the corpus as n grows, so a fixed shortlist
+  // squeezes recall at scale. floor 192 (the r12 calibration), 16·√n in
+  // between (the adversarial clustered corpus needed 16·√n — 4·√n left
+  // recall@3 at 0.60, near-tie ADC ranks run deep inside a tight
+  // cluster), capped at 8192: the exact rerank stays NQuery-bounded
+  // (20 × 8192 exact distances ≪ the ADC pass over the probed lists).
+  // Past the cap (n ≥ 262k) recall on adversarially clustered data is
+  // traded for bounded rerank cost — the cap is the serving knob.
+  private[graft] def pqShortlist(n: Long): Int =
+    math.max(192, math.min(8192, (16.0 * math.sqrt(n.toDouble)).toInt))
 
   /** r14 (VERDICT r13 #8): durable `_index/` sidecar home for a RAW parquet
-    * corpus's PQ structure (codebooks + the (vid, sub, code) relation), so
+    * corpus's PQ structure (r15 `pqr` format: coarse centroids + residual
+    * codebooks + the (vid, list, sub, code) relation), so
     * a reopened corpus skips the linear-in-corpus encode (~0.5 ms/vector,
     * 10.9 s at sf1 — SCALE.md r13). Keyed by the corpus CONTENT fingerprint
     * and the PQ shape, so a regenerated corpus or retuned constants miss.
@@ -296,7 +308,9 @@ object Similarity {
         else new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_index/${java.lang.Integer.toHexString(dir.hashCode)}").getPath
     }
-    s"$root/pq_m${PqM}_k${PqK}_${java.lang.Long.toHexString(fp)}"
+    // `pqr` = the r15 residual (IVFADC) format; the sweep below also
+    // retires any stale r14 `pq_…` raw-vector sidecars
+    s"$root/pqr_m${PqM}_k${PqK}_${java.lang.Long.toHexString(fp)}"
   }
 
   private def pqSearch(s: SparkSession, dir: String): DataFrame = {
@@ -320,52 +334,99 @@ object Similarity {
     require(dim % PqM == 0 && dim >= PqM,
       s"PQ requires embedding dim divisible by PqM=$PqM and >= $PqM, got $dim")
     val sub = dim / PqM
+    val nCorpus = emb.count()
+    // tiny corpora: fewer coarse lists (kmeans needs n ≥ lists; ~8 rows/
+    // list keeps every list populated), nprobe scales down with them
+    val pqC = math.min(PqC, math.max(1, (nCorpus / 8).toInt))
+    // probe enough lists that the expected candidate pool (n·nprobe/pqC)
+    // comfortably exceeds the exact-rerank shortlist — on a small or
+    // uniform corpus the coarse lists barely correlate with true
+    // neighbors, so under-probing (not quantization) becomes the recall
+    // ceiling; at large n the floor PqNprobe binds and the probe goes
+    // sublinear (sf0.01 probes all 62 lists, 20k+ vectors probe 16/64)
+    val candTarget = math.max(3L * pqShortlist(nCorpus), 2048L)
+    val nprobe = math.max(PqNprobe, math.min(pqC,
+      math.ceil(pqC.toDouble * candTarget / math.max(nCorpus, 1L)).toInt))
     // reopen path: the `_index/` sidecar already holds this corpus's
-    // codebooks + code relation — skip the sample, the k-means, and the
-    // corpus encode entirely (zero encode passes, like the GraphStore's
-    // stored pqc chain)
+    // coarse centroids + residual codebooks + code relation — skip the
+    // k-means, the assignment pass, and the corpus encode entirely (zero
+    // encode passes, like the GraphStore's stored pqc chain)
     val home = pqSidecarHome(dir)
-    val storedBooks: Option[Seq[Array[Array[Double]]]] =
-      if (new java.io.File(s"$home/codes.parquet").isDirectory &&
-        new java.io.File(s"$home/codebooks.parquet").isDirectory)
+    val storedIdx: Option[(Array[Array[Double]], Seq[Array[Array[Double]]])] =
+      if (Seq("codes", "codebooks", "centroids").forall(f =>
+        new java.io.File(s"$home/$f.parquet").isDirectory))
         scala.util.Try {
+          val cRows = s.read.parquet(s"$home/centroids.parquet").collect()
+          val cents = Array.fill(cRows.map(_.getInt(0)).max + 1)(new Array[Double](dim))
+          cRows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
           val rows = s.read.parquet(s"$home/codebooks.parquet").collect()
           val bks = Array.fill(PqM, PqK)(new Array[Double](sub))
           rows.foreach(r => bks(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
-          bks.toSeq.map(_.toArray)
+          (cents, bks.toSeq.map(_.toArray))
         }.toOption
       else None
-    val (books: Seq[Array[Array[Double]]], codes: DataFrame) = storedBooks match {
-      case Some(bks) =>
-        (bks, s.read.parquet(s"$home/codes.parquet")
-          .select(col("vid").as("__vid"), col("sub"), col("code")))
+    val (cents: Array[Array[Double]], books: Seq[Array[Array[Double]]],
+        codes: DataFrame) = storedIdx match {
+      case Some((cs, bks)) =>
+        (cs, bks, s.read.parquet(s"$home/codes.parquet")
+          .select(col("vid").as("__vid"), col("list"), col("sub"), col("code")))
       case None =>
         // this IS an encode pass over the corpus — count it like
         // Ivf.pqEncode so specs can assert a sidecar hit runs none
         graft.functions.Ivf.encodeBuilds.incrementAndGet()
-        // ONE stride sample (the kmeansSampled discipline), sliced
-        // driver-side into PqM sub-samples — 8 codebooks for one collect
-        val n = emb.count()
-        val stride = math.max(n / 4096, 1)
+        // coarse quantizer: the bounded sampled k-means (driver holds
+        // ≤4096 vectors at any corpus size)
+        val cs = graft.functions.Ivf.kmeansSampled(emb, "vec_id", "embedding",
+          pqC, iters = 4, nHint = Some(nCorpus))
+        def nearest(v: Array[Double]): Int = {
+          var best = 0; var bd = Double.MaxValue; var l = 0
+          while (l < cs.length) {
+            var d = 0.0; var j = 0
+            while (j < dim) { val x = v(j) - cs(l)(j); d += x * x; j += 1 }
+            if (d < bd) { bd = d; best = l }
+            l += 1
+          }
+          best
+        }
+        // residual codebooks from ONE stride sample (the kmeansSampled
+        // discipline), coarse-assigned + residualized driver-side, sliced
+        // into PqM sub-samples — 8 codebooks for one collect
+        val stride = math.max(nCorpus / 4096, 1)
         val sample: Array[Array[Double]] = emb
           .filter(col("vec_id") % stride === 0).orderBy(col("vec_id")).limit(4096)
           .select(col("embedding")).collect().map(_.getSeq[Double](0).toArray)
+        val resSample = sample.map { v =>
+          val c = cs(nearest(v)); Array.tabulate(dim)(j => v(j) - c(j))
+        }
         val bks: Seq[Array[Array[Double]]] = (0 until PqM).map { si =>
           graft.functions.Ivf.lloyd(
-            sample.map(v => java.util.Arrays.copyOfRange(v, si * sub, (si + 1) * sub)),
+            resSample.map(v => java.util.Arrays.copyOfRange(v, si * sub, (si + 1) * sub)),
             PqK, iters = 4)
         }
         val cb = bks.zipWithIndex.flatMap { case (cents, si) =>
           cents.zipWithIndex.toSeq.flatMap { case (cent, ci) =>
             cent.zipWithIndex.toSeq.map { case (cv, j) => (si, ci, j, cv) } }
         }.toDF("sub", "cluster", "spos", "c")
-        val flat = graft.functions.Ivf.flatten(emb, "vec_id", "embedding")
+        val centDf = cs.zipWithIndex.flatMap { case (c, i) =>
+          c.zipWithIndex.map { case (v, p) => (i, p, v) }
+        }.toSeq.toDF("list", "pos", "cc")
+        // distributed: ONE assignment pass (broadcast centroids), then the
+        // flatten → residualize → broadcast-codebook-join → two keyed
+        // aggregations encode chain. The flat ⋈ assignment join is one
+        // n×dim-row shuffle — index-BUILD cost, amortized by the sidecar.
+        val asg = graft.functions.Ivf.assignments(emb, "vec_id", "embedding", cs)
+          .select(col("vec_id").as("__vid"), col("cluster").as("list"))
+        val resFlat = graft.functions.Ivf.flatten(emb, "vec_id", "embedding")
+          .join(asg, "__vid")
+          .join(broadcast(centDf), Seq("list", "pos"))
+          .select(col("__vid"), col("list"), col("pos"), (col("v") - col("cc")).as("v"))
+        val built = resFlat
           .withColumn("sub", (col("pos") / sub).cast("int"))
           .withColumn("spos", col("pos") % sub)
-        val built = flat.join(broadcast(cb), Seq("sub", "spos"))
-          .groupBy(col("__vid"), col("sub"), col("cluster"))
+          .join(broadcast(cb), Seq("sub", "spos"))
+          .groupBy(col("__vid"), col("list"), col("sub"), col("cluster"))
           .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("dist"))
-          .groupBy(col("__vid"), col("sub"))
+          .groupBy(col("__vid"), col("list"), col("sub"))
           // struct(dist, cluster) → deterministic argmin (the Ivf convention)
           .agg(min_by(col("cluster"), struct(col("dist"), col("cluster"))).as("code"))
           .localCheckpoint()
@@ -375,8 +436,9 @@ object Similarity {
         // is a pure reopen accelerator).
         scala.util.Try {
           val tmpHome = java.nio.file.Paths.get(home + s".tmp${System.nanoTime()}")
+          centDf.coalesce(1).write.parquet(s"$tmpHome/centroids.parquet")
           cb.coalesce(1).write.parquet(s"$tmpHome/codebooks.parquet")
-          built.select(col("__vid").as("vid"), col("sub"), col("code"))
+          built.select(col("__vid").as("vid"), col("list"), col("sub"), col("code"))
             .repartitionByRange(col("vid"), col("sub"))
             .sortWithinPartitions(col("vid"), col("sub"))
             .write.parquet(s"$tmpHome/codes.parquet")
@@ -390,40 +452,54 @@ object Similarity {
               graft.cypher.GraphStore.deleteTree(tmpHome)
           }
           // hygiene: a regenerated corpus changes the fingerprint — drop
-          // sibling sidecars of other fingerprints (same PQ shape) so the
-          // index root doesn't grow one dead dir per regeneration
+          // sibling sidecars of other fingerprints or formats (incl. the
+          // r14 raw-vector `pq_…` dirs) so the index root doesn't grow
+          // one dead dir per regeneration
           import scala.jdk.CollectionConverters._
           val homeP = java.nio.file.Paths.get(home)
           java.nio.file.Files.list(homeP.getParent).iterator().asScala
             .filter { p =>
               val n = p.getFileName.toString
-              n.startsWith(s"pq_m${PqM}_k${PqK}_") && p != homeP
+              n.startsWith("pq") && p != homeP
             }.toList.foreach(graft.cypher.GraphStore.deleteTree)
         }
-        (bks, built)
+        (cs, bks, built)
     }
+    // query tables: per probed coarse list, the query RESIDUAL's distance
+    // to every codeword — NQuery × nprobe × PqM × PqK broadcast rows.
+    // Candidates restrict to the probed lists through the inner join on
+    // `list` (the IVF part of IVFADC): probe cost is ~nprobe/pqC of the
+    // code relation, not a full scan.
     val qt = qRows.toSeq.flatMap { r =>
       val qid = r.getLong(0)
-      val qv = r.getSeq[Double](1)
-      (0 until PqM).flatMap { si =>
-        books(si).zipWithIndex.map { case (cent, ci) =>
-          var d = 0.0; var j = 0
-          while (j < sub) { val x = qv(si * sub + j) - cent(j); d += x * x; j += 1 }
-          (qid, si, ci, d)
+      val qv = r.getSeq[Double](1).toArray
+      val probed = cents.indices.map { l =>
+        var d = 0.0; var j = 0
+        while (j < dim) { val x = qv(j) - cents(l)(j); d += x * x; j += 1 }
+        (d, l)
+      }.sorted.take(nprobe).map(_._2)
+      probed.flatMap { l =>
+        val res = Array.tabulate(dim)(j => qv(j) - cents(l)(j))
+        (0 until PqM).flatMap { si =>
+          books(si).zipWithIndex.map { case (cent, ci) =>
+            var d = 0.0; var j = 0
+            while (j < sub) { val x = res(si * sub + j) - cent(j); d += x * x; j += 1 }
+            (qid, l, si, ci, d)
+          }
         }
       }
-    }.toDF("qid", "sub", "code", "partial")
+    }.toDF("qid", "list", "sub", "code", "partial")
     import org.apache.spark.sql.expressions.Window
-    val adc = codes.join(broadcast(qt), Seq("sub", "code"))
+    val adc = codes.join(broadcast(qt), Seq("list", "sub", "code"))
       .filter(col("qid") =!= col("__vid"))
       .groupBy(col("qid"), col("__vid"))
       .agg(sum(col("partial")).as("adc"))
     // shortlist by approximate distance, then EXACT rerank of the
     // shortlist only (the standard PQ serving pipeline): rerank cost is
-    // NQuery × PqShortlist exact distances, independent of corpus size
+    // NQuery × shortlist exact distances, sublinear in corpus size
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("__vid"))
     val shortlist = adc.withColumn("arank", row_number().over(wAdc))
-      .filter(col("arank") <= PqShortlist)
+      .filter(col("arank") <= pqShortlist(nCorpus))
       .select(col("qid"), col("__vid").as("cid"))
     val scored = shortlist
       .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
