@@ -175,6 +175,43 @@ class PipelineSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(home)
   }
 
+  test("s8 _index sidecar: an in-place corpus append misses the fingerprint and rebuilds (r15)") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    // writable copy of the tiny corpus — the append happens IN PLACE
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidecar_app").toString
+    Tables.T(spark, sf, "embeddings")
+      .write.parquet(s"$dir/embeddings.parquet")
+    Similarity.clearSessionCache()
+    val en0 = graft.functions.Ivf.encodeBuilds.get()
+    val first = graft.SparkEntry.queries("s8_pq_adc_ann")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(graft.functions.Ivf.encodeBuilds.get() == en0 + 1)
+    // append near-duplicates of query 0's vector: if a stale sidecar were
+    // served, qid 0's result could not contain the new ids
+    val q0 = Tables.T(spark, dir, "embeddings")
+      .filter(col("vec_id") === 0L).select(col("embedding"))
+      .collect().head.getSeq[Float](0)
+    import spark.implicits._
+    (0 until 3).map(i => (100000L + i,
+        q0.zipWithIndex.map { case (x, j) => x + (if (j == i) 1e-4f else 0f) },
+        99))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    Similarity.clearSessionCache()
+    val en1 = graft.functions.Ivf.encodeBuilds.get()
+    val second = graft.SparkEntry.queries("s8_pq_adc_ann")(spark, dir)
+      .collect()
+    assert(graft.functions.Ivf.encodeBuilds.get() == en1 + 1,
+      "in-place append must miss the sidecar fingerprint and re-encode")
+    assert(second.map(_.toSeq).toSeq != first,
+      "post-append result identical — a stale sidecar was served")
+    val q0Cids = second.filter(_.getLong(0) == 0L).map(_.getLong(2)).toSet
+    assert(q0Cids == Set(100000L, 100001L, 100002L),
+      s"appended near-dups must dominate qid 0's top-3: $q0Cids")
+    graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("token counts: regex tokens >= whitespace tokens") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFns._

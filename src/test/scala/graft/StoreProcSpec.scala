@@ -20,6 +20,46 @@ object LockHolderMain {
   }
 }
 
+/** Second-JVM child that performs indexed point writes against a shared
+  * durable graph. args: root graphName loKey hiKey marker — SETs d.t on
+  * Doc rows k in [lo, hi), each write a full open→run→publish with the
+  * same conflict-retry loop a real writer needs (serialization failures
+  * and GC'd-version reads retry). Writes "done" to the marker on success.
+  */
+object IndexWriterMain {
+  def main(args: Array[String]): Unit = {
+    val root = args(0); val name = args(1)
+    val lo = args(2).toInt; val hi = args(3).toInt; val marker = args(4)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.datetime.java8API.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      for (k <- lo until hi) {
+        var done = false
+        while (!done) {
+          try {
+            val s = new graft.cypher.GraphSession(spark)
+            s.openGraph(name, root)
+            s.run(s"MATCH (d:Doc {k: $k}) SET d.t = 'w$k'")
+            done = true
+          } catch {
+            case e: Throwable
+                if e.getMessage != null &&
+                  e.getMessage.contains("could not serialize") => ()
+            case _: org.apache.spark.SparkException |
+                 _: java.io.FileNotFoundException => ()
+          }
+        }
+      }
+      Files.write(Paths.get(marker), "done".getBytes("UTF-8"))
+    } finally spark.stop()
+  }
+}
+
 /** Cross-PROCESS commit-lock behavior (VERDICT r12 #4): the r12 redesign's
   * whole point is that `FileChannel.tryLock` serializes across OS
   * processes and the kernel frees a dead holder's lock — WriteSpec hammers
@@ -84,6 +124,81 @@ class StoreProcSpec extends AnyFunSuite {
       assert(acquired)
       assert(waited < 2000, s"lock not freed promptly after holder kill (${waited}ms)")
     } finally { p.destroyForcibly(); p.waitFor() }
+    graft.cypher.GraphStore.deleteTree(Paths.get(root))
+  }
+
+  test("two JVMs interleave indexed point writes: chains exact and compacted (r15)") {
+    // VERDICT r14 #5: StoreProcSpec proved the commit lock cross-process;
+    // this proves the ivfa/pqc index CHAINS survive two processes
+    // interleaving point writes and compactions — every write appends a
+    // delta chain file under the lock, compaction merges whichever
+    // writer's publish crosses the threshold, and the reopened probe must
+    // still be exact with the chain folded, not grown per write.
+    val spark = TestSpark.spark
+    val root = Files.createTempDirectory("graft_xproc_idx").toString
+    val s = new graft.cypher.GraphSession(spark)
+    s.createGraph("xidx", root)
+    (0 until 40).foreach { i =>
+      val (bx, by) = if (i % 2 == 0) (0.0, 0.0) else (100.0, 100.0)
+      s.run(s"CREATE (:Doc {k: $i, embedding: [${bx + (i / 2) * 0.5}, ${by + (i % 5) * 0.5}]})")
+    }
+    s.run("SELECT create_ivfflat_l2_ops_index('xidx', 'Doc', 'embedding', 2, 2)")
+    s.run("SELECT create_pq_l2_ops_index('xidx', 'Doc', 'embedding', 2, 2, 4)")
+    // child JVM writes k ∈ [20, 30) while this JVM writes k ∈ [0, 10)
+    val marker = s"$root/writer.marker"
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    import scala.jdk.CollectionConverters._
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val p = new ProcessBuilder(
+      (Seq(javaBin) ++ addOpens ++ Seq("-cp", System.getProperty("java.class.path"),
+        "graft.IndexWriterMain", root, "xidx", "20", "30", marker)).asJava)
+      .redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      .start()
+    try {
+      for (k <- 0 until 10) {
+        var done = false
+        while (!done) {
+          try {
+            val w = new graft.cypher.GraphSession(spark)
+            w.openGraph("xidx", root)
+            w.run(s"MATCH (d:Doc {k: $k}) SET d.t = 'w$k'")
+            done = true
+          } catch {
+            case e: Throwable
+                if e.getMessage != null &&
+                  e.getMessage.contains("could not serialize") => ()
+            case _: org.apache.spark.SparkException |
+                 _: java.io.FileNotFoundException => ()
+          }
+        }
+      }
+      awaitMarker(marker, "done", timeoutMs = 240000)
+    } finally { p.destroyForcibly(); p.waitFor() }
+    // reopen cold: every one of the 20 writes visible exactly once
+    val r = new graft.cypher.GraphSession(spark)
+    r.openGraph("xidx", root)
+    val rows = r.run("MATCH (d:Doc) WHERE d.t IS NOT NULL RETURN d.k AS k, d.t AS t ORDER BY k")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    val expect = ((0 until 10) ++ (20 until 30)).map(k => (k.toLong, s"w$k"))
+    assert(rows == expect, s"lost/duplicated indexed writes: $rows")
+    assert(r.run("MATCH (d:Doc) RETURN count(*) AS n").collect().head.getLong(0) == 40L)
+    // the stored index still probes exactly (doc 0 is (0.0, 0.0))
+    val top = r.run(
+      "MATCH (d:Doc) RETURN d.k AS k ORDER BY d.embedding <-> [0.0, 0.0] LIMIT 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(0L), top.toString)
+    // chains are bounded: 20 interleaved writes crossed the compaction
+    // threshold, so the final catalog carries a folded chain, not 21 lines
+    val v = graft.cypher.GraphStore.latestVersion(root).get
+    val cat = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines().toList
+    val nIvfa = cat.count(_.startsWith("ivfa Doc embedding "))
+    val nPqc = cat.count(_.startsWith("pqc Doc embedding "))
+    assert(nIvfa >= 1 && nIvfa <= 16, s"ivfa chain unbounded/missing: $nIvfa")
+    assert(nPqc >= 1 && nPqc <= 16, s"pqc chain unbounded/missing: $nPqc")
+    assert(cat.count(_.startsWith("file v Doc ")) < 64, "label manifest unbounded")
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 }
