@@ -54,7 +54,10 @@ def main():
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[: -len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+        # Spark-written tables are DIRECTORIES of part files (the MakeScale
+        # sf1 layout); driver-written testdata is a single file
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name in sorted(oracles):
