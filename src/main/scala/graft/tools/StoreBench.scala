@@ -134,6 +134,33 @@ object StoreBench {
       println(f"STORE unpruned MATCH k=const  $unpruned%8.3f s   (statsPruneEnabled=false, checkpointed label)")
       println(f"STORE raw all-files scan      $raw%8.3f s   ($total files, no manifest stats)")
     }
+    // r15 (VERDICT r14 #3): dv read time vs tombstone count — binary-search
+    // membership (DvLive) should hold the full-label read FLAT as the
+    // accumulated positional tombstones grow 10×, where the r14 per-row
+    // array_contains paid O(tombstones) per row.
+    locally {
+      val nD = if (args.length > 2) args(2).toLong else 200000L
+      s.run(s"UNWIND range(1, $nD) AS i " +
+        "CREATE (:D {k: i, t: 'payload-' + toString(i)})").count()
+      s.run(s"CREATE (:D {k: ${nD + 1}, t: 'x'})").count() // manifest form
+      def readTime(tag: String, expectDvp: Long): Unit = {
+        val r2 = new graft.cypher.GraphSession(spark)
+        r2.openGraph("sb", root)
+        r2.run("MATCH (d:D) RETURN count(*) AS n").count() // absorb reopen/plan
+        val t0 = System.nanoTime()
+        r2.run("MATCH (d:D) RETURN count(*) AS n, max(d.k) AS m").count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val v = graft.cypher.GraphStore.latestVersion(root).get
+        val dvp = scala.io.Source.fromFile(s"$root/v$v/catalog.txt").getLines()
+          .filter(_.startsWith("dvp v D ")).map(_.split(" ")(4).toLong).sum
+        println(f"STORE dv read $tag%-15s $dt%8.3f s   $dvp positions (expect ~$expectDvp)")
+      }
+      readTime("0 tombstones", 0L)
+      s.run("MATCH (d:D) WHERE d.k <= 600 SET d.t = 'u1'").count()
+      readTime("600 tombstones", 600L)
+      s.run("MATCH (d:D) WHERE d.k > 600 AND d.k <= 6600 SET d.t = 'u2'").count()
+      readTime("6600 tombstones", 6600L)
+    }
     graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(root))
     spark.stop()
   }
