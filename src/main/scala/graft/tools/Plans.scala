@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 /** Dumps physical-plan evidence for the SCALE.md audit. */
 object Plans {
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()

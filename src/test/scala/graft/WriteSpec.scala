@@ -1226,6 +1226,35 @@ class WriteSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
+  test("DvIndex: binary-search membership, interleaved-file memo, buffer reuse (r15)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val idx = new graft.cypher.DvIndex(Map(
+      "part-a.parquet" -> Array(3L, 7L, 4096L),
+      "part-b.parquet" -> Array(0L)))
+    def u(s: String) = UTF8String.fromString(s)
+    val pa = u("/store/v1/v/P/part-a.parquet")
+    val pb = u("/store/v1/v/P/part-b.parquet")
+    val pc = u("/store/v1/v/P/part-c.parquet") // no dv entries
+    assert(idx.deleted(pa, 3L) && idx.deleted(pa, 7L) && idx.deleted(pa, 4096L))
+    assert(!idx.deleted(pa, 0L) && !idx.deleted(pa, 5L) && !idx.deleted(pa, 4097L))
+    // interleaved files churn the last-file memo — every switch re-resolves
+    assert(idx.deleted(pb, 0L))
+    assert(!idx.deleted(pa, 0L))
+    assert(!idx.deleted(pb, 3L)) // position 3 deleted in a, NOT in b
+    assert(!idx.deleted(pc, 3L)) // unknown file: nothing deleted
+    assert(idx.deleted(pa, 7L))
+    // the memo must COPY the path: callers may reuse the backing buffer
+    val buf = "/store/v1/v/P/part-a.parquet".getBytes("UTF-8")
+    val reused = UTF8String.fromBytes(buf)
+    assert(idx.deleted(reused, 3L))
+    // mutate the buffer in place to look like part-b: a memo holding the
+    // ORIGINAL bytes must not serve part-a's positions for part-b
+    val b2 = "/store/v1/v/P/part-b.parquet".getBytes("UTF-8")
+    System.arraycopy(b2, 0, buf, 0, b2.length)
+    assert(idx.deleted(reused, 0L) && !idx.deleted(reused, 3L),
+      "memo served stale positions after the backing buffer was reused")
+  }
+
   test("GraphStore: temporal stats prune date-range MATCHes; IN hints claim envelopes (r15)") {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft_store_tstats").toString
