@@ -372,8 +372,39 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
             case _ => -1
           }
           if (dom(vs.head) >= 0 && vs.forall(dom(_) == dom(vs.head))) {
-            val sorted = vs.sortWith(GValue.cmp(_, _) < 0)
-            add(a, k, Some(sorted.head), Some(sorted.last))
+            // Envelope min/max must be picked in the SAME order
+            // FileStats.mayOverlap compares in (ADVICE r15): strings in
+            // code-point order (GValue.cmp is UTF-16 compareTo, which
+            // disagrees when supplementary-plane chars mix with
+            // U+E000..U+FFFF), numerics via exact BigDecimal (cmp's
+            // long-as-double rounds above 2^53 and can pick an envelope
+            // edge smaller than the true max). Temporal cmp is exact
+            // micros/days — matches mayOverlap's order as-is.
+            val le: (GValue, GValue) => Boolean = dom(vs.head) match {
+              case 1 => (x, y) => GraphStore.cpLe(x.asInstanceOf[GString].s,
+                y.asInstanceOf[GString].s)
+              case 0 =>
+                def bd(g: GValue): Option[BigDecimal] = g match {
+                  case GInt(n) => Some(BigDecimal(n))
+                  case GFloat(d) =>
+                    if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+                  case _ => None
+                }
+                (x, y) => (bd(x), bd(y)) match {
+                  case (Some(a0), Some(b0)) => a0 <= b0
+                  case _ => GValue.cmp(x, y) <= 0
+                }
+              case _ => (x, y) => GValue.cmp(x, y) <= 0
+            }
+            // non-finite doubles make the envelope unbounded on that side;
+            // simplest sound move: emit no hint when any element is one
+            val finite = !vs.exists {
+              case GFloat(d) => d.isNaN || d.isInfinite
+              case _ => false
+            }
+            if (finite)
+              add(a, k, Some(vs.reduce((x, y) => if (le(x, y)) x else y)),
+                Some(vs.reduce((x, y) => if (le(x, y)) y else x)))
           }
         }
       case _ => ()

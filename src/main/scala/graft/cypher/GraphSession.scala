@@ -2691,17 +2691,23 @@ final class MutableGraph(spark: SparkSession) {
         // temporal edges persist as plain longs (micros since epoch /
         // epoch days) — exact, total-ordered, and collector-representation
         // independent (java8API on/off changes the collected class)
-        def usOf(v: Any): Long = v match {
+        // Option: an unexpected collector representation (future Spark
+        // change, another java8API/NTZ combination) drops the per-column
+        // CLAIM — readers keep the file — instead of a MatchError failing
+        // the whole commit (ADVICE r15).
+        def usOf(v: Any): Option[Long] = v match {
           case t: java.sql.Timestamp =>
-            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+            Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
           case i: java.time.Instant =>
-            i.getEpochSecond * 1000000L + i.getNano / 1000L
+            Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
           case l: java.time.LocalDateTime =>
-            l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L
+            Some(l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L)
+          case _ => None
         }
-        def dayOf(v: Any): Long = v match {
-          case d: java.sql.Date => d.toLocalDate.toEpochDay
-          case d: java.time.LocalDate => d.toEpochDay
+        def dayOf(v: Any): Option[Long] = v match {
+          case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+          case d: java.time.LocalDate => Some(d.toEpochDay)
+          case _ => None
         }
         val m = rows.map { r =>
           val ptail = eligible.zipWithIndex.flatMap { case (f, i) =>
@@ -2717,9 +2723,17 @@ final class MutableGraph(spark: SparkSession) {
             else if (ty == "s" &&
               (mn.toString.length > 64 || mx.toString.length > 64)) Nil
             else if (ty == "t")
-              Seq(enc(f.name), ty, enc(usOf(mn).toString), enc(usOf(mx).toString))
+              (usOf(mn), usOf(mx)) match {
+                case (Some(a), Some(b)) =>
+                  Seq(enc(f.name), ty, enc(a.toString), enc(b.toString))
+                case _ => Nil
+              }
             else if (ty == "D")
-              Seq(enc(f.name), ty, enc(dayOf(mn).toString), enc(dayOf(mx).toString))
+              (dayOf(mn), dayOf(mx)) match {
+                case (Some(a), Some(b)) =>
+                  Seq(enc(f.name), ty, enc(a.toString), enc(b.toString))
+                case _ => Nil
+              }
             else Seq(enc(f.name), ty, enc(mn.toString), enc(mx.toString))
           }.toList
           r.getString(0) -> ((r.getLong(1), r.getLong(2)), ptail)
@@ -2859,9 +2873,12 @@ final class MutableGraph(spark: SparkSession) {
       if (prevEnts.size + prevDvs.size + prevDvps.size >= 64) return false
       val touched = touchedOf(l)
       // reference-changed but nothing of THIS label touched (e.g. a DELETE
-      // that matched other labels): carry the manifest verbatim
+      // that matched other labels): carry the manifest verbatim.
+      // Bound shared with the dv path (VERDICT r15 #7): one knob, no
+      // silent divergence if the merge-on-read bound is retuned.
+      val maxIds = MutableGraph.DvMaxStatementIds
       val touchedIds: Array[Long] = // bounded collect: stats-based pruning
-        touched.limit(10001).collect().map(_.getLong(0)).sorted
+        touched.limit(maxIds + 1).collect().map(_.getLong(0)).sorted
       if (touchedIds.isEmpty) {
         prevEnts.foreach(emitEnt(kind, encl, _))
         prevDvs.foreach(emitDv(kind, encl, _))
@@ -2872,7 +2889,7 @@ final class MutableGraph(spark: SparkSession) {
       // id is carried without being read. Files without stats (legacy dir
       // pointers) and oversized touch sets stay candidates.
       def mayHold(e: FileEnt): Boolean = e.stats match {
-        case Some((mn, mx)) if touchedIds.length <= 10000 =>
+        case Some((mn, mx)) if touchedIds.length <= maxIds =>
           val i = java.util.Arrays.binarySearch(touchedIds, mn)
           val from = if (i >= 0) i else -i - 1
           from < touchedIds.length && touchedIds(from) <= mx

@@ -299,14 +299,27 @@ object Similarity {
     // `_index` is per-corpus by construction): the hygiene sweep below the
     // build deletes stale same-shape siblings, and a shared root would
     // make two corpora evict each other's LIVE sidecars on every build.
+    // Subdir key = 64-bit FNV-1a of the CANONICAL corpus path (ADVICE r15):
+    // String.hashCode is 32-bit (birthday-collision two corpora into one
+    // subdir, where the hygiene sweep would evict each other's live
+    // sidecars), and raw-path keying splits the cache across spellings of
+    // the same directory (trailing slash, relative vs absolute).
+    def pathKey(d: String): String = {
+      val canon = try new java.io.File(d).getCanonicalPath
+                  catch { case _: java.io.IOException => new java.io.File(d).getAbsolutePath }
+      var h = 0xcbf29ce484222325L
+      canon.getBytes("UTF-8").foreach { b =>
+        h ^= (b & 0xffL); h *= 0x100000001b3L
+      }
+      java.lang.Long.toHexString(h)
+    }
     val root = sys.env.get("GRAFT_INDEX_ROOT") match {
-      case Some(r) =>
-        new java.io.File(r, java.lang.Integer.toHexString(dir.hashCode)).getPath
+      case Some(r) => new java.io.File(r, pathKey(dir)).getPath
       case None =>
         val corpus = new java.io.File(dir)
         if (corpus.canWrite) new java.io.File(corpus, "_index").getPath
         else new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_index/${java.lang.Integer.toHexString(dir.hashCode)}").getPath
+          s"graft_index/${pathKey(dir)}").getPath
     }
     // `pqr` = the r15 residual (IVFADC) format; the sweep below also
     // retires any stale r14 `pq_…` raw-vector sidecars

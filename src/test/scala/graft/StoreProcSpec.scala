@@ -39,7 +39,13 @@ object IndexWriterMain {
     spark.sparkContext.setLogLevel("ERROR")
     try {
       for (k <- lo until hi) {
+        // bounded retries (ADVICE r15): a DETERMINISTIC failure must fail
+        // the suite with its cause, not wedge it in an infinite loop —
+        // only genuine write-write conflict shapes are retried, and only
+        // within a wall-clock deadline.
         var done = false
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        var last: Throwable = null
         while (!done) {
           try {
             val s = new graft.cypher.GraphSession(spark)
@@ -48,10 +54,12 @@ object IndexWriterMain {
             done = true
           } catch {
             case e: Throwable
-                if e.getMessage != null &&
-                  e.getMessage.contains("could not serialize") => ()
-            case _: org.apache.spark.SparkException |
-                 _: java.io.FileNotFoundException => ()
+                if (e.getMessage != null &&
+                  e.getMessage.contains("could not serialize")) ||
+                  e.isInstanceOf[org.apache.spark.SparkException] ||
+                  e.isInstanceOf[java.io.FileNotFoundException] =>
+              last = e
+              if (System.nanoTime() > deadline) throw last
           }
         }
       }
@@ -159,7 +167,12 @@ class StoreProcSpec extends AnyFunSuite {
       .start()
     try {
       for (k <- 0 until 10) {
+        // bounded like the child's loop (ADVICE r15): deterministic
+        // failures surface instead of wedging the suite before
+        // awaitMarker's own deadline can fire
         var done = false
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        var last: Throwable = null
         while (!done) {
           try {
             val w = new graft.cypher.GraphSession(spark)
@@ -168,10 +181,12 @@ class StoreProcSpec extends AnyFunSuite {
             done = true
           } catch {
             case e: Throwable
-                if e.getMessage != null &&
-                  e.getMessage.contains("could not serialize") => ()
-            case _: org.apache.spark.SparkException |
-                 _: java.io.FileNotFoundException => ()
+                if (e.getMessage != null &&
+                  e.getMessage.contains("could not serialize")) ||
+                  e.isInstanceOf[org.apache.spark.SparkException] ||
+                  e.isInstanceOf[java.io.FileNotFoundException] =>
+              last = e
+              if (System.nanoTime() > deadline) throw last
           }
         }
       }

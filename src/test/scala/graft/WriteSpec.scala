@@ -1333,6 +1333,43 @@ class WriteSpec extends AnyFunSuite {
     graft.cypher.GraphStore.deleteTree(Paths.get(root))
   }
 
+  test("GraphStore: IN envelopes pick bounds in the stats order, not GValue.cmp (ADVICE r15)") {
+    // Hazard 1 (strings): GValue.cmp is UTF-16 compareTo, where a
+    // supplementary-plane char (U+10000, surrogate pair D800 DC00) sorts
+    // BELOW U+E000; the manifest's min/max and mayOverlap compare code
+    // points, where it sorts ABOVE. A cmp-picked envelope max of U+E000
+    // would prune the file holding only the U+10000 row.
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_store_inenv").toString
+    val s = new GraphSession(spark)
+    s.createGraph("durenv", root)
+    val supp = "\uD800\uDC00" // U+10000 as an explicit surrogate pair
+    val pua = "\uE000"         // BMP private-use: UTF-16-above supp, code-point-below
+    s.run("UNWIND range(1, 50) AS i CREATE (:P {k: i, s: 'a' + i})")
+    s.run(s"UNWIND range(51, 60) AS i CREATE (:P {k: i, s: '$pua'})")
+    s.run(s"UNWIND range(61, 70) AS i CREATE (:P {k: i, s: '$supp'})")
+    // Hazard 2 (numerics): cmp compares long-as-double; 2^53+1 rounds to
+    // 2^53, tying with the double 9007199254740992.0 — a stable sort then
+    // keeps the DOUBLE as envelope max and mayOverlap's exact BigDecimal
+    // compare prunes the file holding the real 2^53+1 match.
+    s.run("UNWIND range(71, 80) AS i CREATE (:P {k: i + 9007199254740922})") // 2^53+1 at i=71
+    val r = new GraphSession(spark)
+    r.openGraph("durenv", root)
+    r.graph.lastPruneInfo = None
+    val hs = r.run(s"MATCH (p:P) WHERE p.s IN ['$pua', '$supp'] RETURN p.k AS k ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hs == (51L to 70L), hs.toString) // the supplementary-plane rows survive
+    val (k1, t1) = r.graph.lastPruneInfo.getOrElse(fail("string IN never pruned"))
+    assert(k1 < t1, s"kept=$k1 total=$t1") // but pruning still fires (the 'a…' file skips)
+    r.graph.lastPruneInfo = None
+    val hn = r.run("MATCH (p:P) WHERE p.k IN [9007199254740993, 9007199254740992.0] RETURN p.k AS k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hn == Seq(9007199254740993L), hn.toString)
+    val (k2, t2) = r.graph.lastPruneInfo.getOrElse(fail("numeric IN never pruned"))
+    assert(k2 < t2, s"kept=$k2 total=$t2")
+    graft.cypher.GraphStore.deleteTree(java.nio.file.Paths.get(root))
+  }
+
   test("per-row CREATE binds the edge variable (create.sql:86-92)") {
     val gs = freshSession("g19")
     gs.run("CREATE (:N {i: 1})")
