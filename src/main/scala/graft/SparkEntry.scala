@@ -12,7 +12,7 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.Pipeline.queries ++ operators.TextAnalysis.queries ++
       operators.Similarity.queries ++ operators.Multimodal.queries ++
       operators.FunctionQueries.queries ++
-      operators.GraphAnalytics.queries
+      operators.GraphAnalytics.queries ++ operators.WritePath.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +21,5 @@ object SparkEntry {
       operators.Dedup.oracles ++ operators.Pipeline.oracles ++ operators.TextAnalysis.oracles ++
       operators.Similarity.oracles ++ operators.Multimodal.oracles ++
       operators.FunctionQueries.oracles ++
-      operators.GraphAnalytics.oracles
+      operators.GraphAnalytics.oracles ++ operators.WritePath.oracles
 }

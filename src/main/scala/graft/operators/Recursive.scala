@@ -33,16 +33,20 @@ object Recursive {
     // liveness probe = count() over the partitions the eager checkpoint
     // just cached (effectively free); `!isEmpty` would re-derive a
     // limit(1) plan and run a SECOND full job per generation (the same
-    // VERDICT-r7-#4 pattern fixed in the BFS and unbounded-VLE loops)
+    // VERDICT-r7-#4 pattern fixed in the BFS and unbounded-VLE loops).
+    // Per-generation checkpoints are LAZY (r16): the count() right after
+    // is the materializing action, so each generation runs ONE job, not a
+    // checkpoint job plus a count job — on a deep small-frontier
+    // recursion (q35's 25-hop ring) the job overhead IS the runtime.
     var live = frontier.count() > 0
     while (iter < maxIter && live) {
       val stepped = step(frontier).select(cols.map(org.apache.spark.sql.functions.col): _*)
-      frontier = stepped.distinct().join(acc, cols, "left_anti").localCheckpoint()
+      frontier = stepped.distinct().join(acc, cols, "left_anti").localCheckpoint(false)
       live = frontier.count() > 0
       if (live) {
         acc = acc.unionByName(frontier)
         iter += 1
-        if (iter % 3 == 0) acc = acc.localCheckpoint()
+        if (iter % 3 == 0) acc = acc.localCheckpoint(false) // materializes on next use
       }
     }
     require(iter < maxIter || !live,
@@ -66,12 +70,12 @@ object Recursive {
     var iter = 0
     var live = frontier.count() > 0
     while (iter < maxIter && live) {
-      frontier = step(frontier)
-        .select(cols.map(org.apache.spark.sql.functions.col): _*).localCheckpoint()
+      frontier = step(frontier) // lazy checkpoint: count() materializes it
+        .select(cols.map(org.apache.spark.sql.functions.col): _*).localCheckpoint(false)
       live = frontier.count() > 0
       if (live) acc = acc.unionByName(frontier)
       iter += 1
-      if (iter % 3 == 0) acc = acc.localCheckpoint()
+      if (iter % 3 == 0) acc = acc.localCheckpoint(false) // materializes on next use
     }
     require(iter < maxIter || !live,
       s"recursive fixpoint (UNION ALL) did not converge within $maxIter iterations")
@@ -106,11 +110,12 @@ object Recursive {
         if (breadthFirst) children.withColumn(seqCol,
           struct((col(seqCol).getField("depth") + 1).as("depth"), keyStruct.as("key")))
         else children.withColumn(seqCol, concat(col(seqCol), array(keyStruct)))
-      frontier = reseq.select(acc.columns.map(col).toSeq: _*).localCheckpoint()
+      frontier = reseq // lazy checkpoint: count() materializes it
+        .select(acc.columns.map(col).toSeq: _*).localCheckpoint(false)
       live = frontier.count() > 0
       if (live) acc = acc.unionByName(frontier)
       iter += 1
-      if (iter % 3 == 0) acc = acc.localCheckpoint()
+      if (iter % 3 == 0) acc = acc.localCheckpoint(false) // materializes on next use
     }
     require(iter < maxIter || !live,
       s"recursive fixpoint did not converge within $maxIter iterations")
@@ -140,9 +145,10 @@ object Recursive {
       val children = step(frontier)
         .withColumn(markCol, array_contains(col(pathCol), keyStruct))
         .withColumn(pathCol, concat(col(pathCol), array(keyStruct)))
-      // ONE materialization per generation: the filtered next frontier
-      // reads the checkpoint's cached blocks (no second checkpoint job)
-      val stepped = children.select(acc.columns.map(col).toSeq: _*).localCheckpoint()
+      // ONE job per generation: the LAZY checkpoint materializes inside
+      // the counting agg below, and the filtered next frontier then reads
+      // the checkpoint's cached blocks
+      val stepped = children.select(acc.columns.map(col).toSeq: _*).localCheckpoint(false)
       // one job, two counts: total rows (for accumulation) and UNMARKED
       // rows (for liveness) — a generation of all-cycle rows still lands
       // in acc but must end the loop, else a converged run that hits
@@ -154,7 +160,7 @@ object Recursive {
       // marked rows surface in the result but never recurse
       frontier = stepped.filter(!col(markCol))
       iter += 1
-      if (iter % 3 == 0) acc = acc.localCheckpoint()
+      if (iter % 3 == 0) acc = acc.localCheckpoint(false) // materializes on next use
     }
     require(iter < maxIter || !live,
       s"recursive cycle fixpoint did not converge within $maxIter iterations")

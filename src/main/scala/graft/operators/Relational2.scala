@@ -153,6 +153,7 @@ object Relational2 {
         .unionByName(T(s, dir, "customer")
           .select((col("c_nationkey") + 100).cast("long").as("src"),
             (col("c_custkey") + 1000).as("dst")))
+        .localCheckpoint() // scanned once, not re-read every generation
       val seed = T(s, dir, "region").select(col("r_regionkey").cast("long").as("node"))
       Recursive.fixpointSearch(seed,
         f => f.join(edges, f("node") === edges("src"))
@@ -171,6 +172,7 @@ object Relational2 {
         .unionByName(T(s, dir, "customer")
           .select((col("c_nationkey") + 100).cast("long").as("src"),
             (col("c_custkey") + 1000).as("dst")))
+        .localCheckpoint() // scanned once, not re-read every generation
       val seed = T(s, dir, "region").select(col("r_regionkey").cast("long").as("node"))
       Recursive.fixpointSearch(seed,
         f => f.join(edges, f("node") === edges("src"))
@@ -189,6 +191,7 @@ object Relational2 {
       val ring = T(s, dir, "nation")
         .select(col("n_nationkey").cast("long").as("src"),
           ((col("n_nationkey") + 1) % 25).cast("long").as("dst"))
+        .localCheckpoint() // 25 rows, walked 25 generations: scan once
       val seed = s.range(1).select(lit(0L).as("node"))
       Recursive.fixpointCycle(seed,
         f => f.join(ring, f("node") === ring("src"))

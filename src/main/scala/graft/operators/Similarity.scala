@@ -326,28 +326,121 @@ object Similarity {
     s"$root/pqr_m${PqM}_k${PqK}_${java.lang.Long.toHexString(fp)}"
   }
 
+  /** Driver-state cap for the local PQ serve path: at the cap the local
+    * structures are n×dim normalized doubles (65536×64 ≈ 33 MB) plus
+    * n×PqM code tuples — bounded like the k-means samples. Above it the
+    * corpus never touches the driver and pqSearch serves distributed.
+    */
+  private val PqLocalServeMax = 65536L
+
+  /** Local IVFADC serve (r16): identical probe/ADC/rerank semantics to
+    * the distributed pipeline in [[pqSearch]] — same coarse probes
+    * (nearest nprobe lists, ties by list id), same shortlist order
+    * (adc asc, vid asc), same exact cosine rerank rounded half-up to 6 —
+    * just evaluated driver-side from the collected sidecar, because at
+    * ≤[[PqLocalServeMax]] vectors the arithmetic is milliseconds and
+    * every one of the distributed plan's ~15 stages is pure overhead.
+    */
+  private def pqServeLocal(s: SparkSession, dir: String,
+      cents: Array[Array[Double]], books: Seq[Array[Array[Double]]],
+      codes: DataFrame, sub: Int, nprobe: Int, shortlistN: Int): DataFrame = {
+    import s.implicits._
+    val dim = sub * PqM
+    // normalized corpus, driver-side — the same double math as the
+    // Catalyst transform (x.toDouble / sqrt(Σ x.toDouble²))
+    val raw = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+    val vecs = new java.util.HashMap[Long, Array[Double]](raw.length * 2)
+    raw.foreach { r =>
+      val xs = r.getSeq[Number](1)
+      val v = new Array[Double](xs.length)
+      var i = 0; var ss = 0.0
+      while (i < v.length) { v(i) = xs(i).doubleValue(); ss += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      i = 0; while (i < v.length) { v(i) /= nrm; i += 1 }
+      vecs.put(r.getLong(0), v)
+    }
+    val listOf = new java.util.HashMap[Long, Int](raw.length * 2)
+    val codeOf = new java.util.HashMap[Long, Array[Int]](raw.length * 2)
+    codes.collect().foreach { r =>
+      val vid = r.getAs[Number]("__vid").longValue()
+      listOf.put(vid, r.getAs[Number]("list").intValue())
+      var a = codeOf.get(vid)
+      if (a == null) { a = new Array[Int](PqM); codeOf.put(vid, a) }
+      a(r.getAs[Number]("sub").intValue()) = r.getAs[Number]("code").intValue()
+    }
+    import scala.jdk.CollectionConverters._
+    val qids = vecs.keySet().asScala.toArray.filter(_ < NQuery).sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    for (qid <- qids) {
+      val qv = vecs.get(qid)
+      val probed = cents.indices.map { l =>
+        var d = 0.0; var j = 0
+        while (j < dim) { val x = qv(j) - cents(l)(j); d += x * x; j += 1 }
+        (d, l)
+      }.sorted.take(nprobe).map(_._2)
+      val probedSet = probed.toSet
+      // per probed list: the query residual's [PqM][PqK] partial distances
+      val partials = probed.map { l =>
+        val res = Array.tabulate(dim)(j => qv(j) - cents(l)(j))
+        l -> Array.tabulate(PqM, PqK) { (si, ci) =>
+          val cent = books(si)(ci)
+          var d = 0.0; var j = 0
+          while (j < sub) { val x = res(si * sub + j) - cent(j); d += x * x; j += 1 }
+          d
+        }
+      }.toMap
+      val cand = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      val it = codeOf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); val vid = e.getKey
+        if (vid != qid && probedSet(listOf.get(vid))) {
+          val t = partials(listOf.get(vid)); val cw = e.getValue
+          var adc = 0.0; var si = 0
+          while (si < PqM) { adc += t(si)(cw(si)); si += 1 }
+          cand += ((adc, vid))
+        }
+      }
+      val top = cand.sortInPlace().take(shortlistN)
+        .map { case (_, cid) =>
+          val cv = vecs.get(cid)
+          var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+          while (j < dim) {
+            d += qv(j) * cv(j); na += qv(j) * qv(j); nb += cv(j) * cv(j); j += 1
+          }
+          val cos = BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (cos, cid)
+        }.sortBy { case (cos, cid) => (-cos, cid) }.take(TopK)
+      top.zipWithIndex.foreach { case ((cos, cid), i) =>
+        out += ((qid, (i + 1).toLong, cid, cos))
+      }
+    }
+    out.toSeq.toDF("qid", "rank", "cid", "cos")
+  }
+
   private def pqSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // L2-normalize first: the recall truth (s1) is COSINE top-k, and ADC
-    // approximates L2 — on unit vectors the two orders coincide
-    val emb0 = T(s, dir, "embeddings")
-    val nrm = l2norm(col("embedding"))
-    // normalization is per-row math over every scan — checkpoint once (tiny:
-    // the whole table is the vector corpus this operator exists to index)
-    val emb = emb0.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double") / nrm).as("embedding"))
-      .localCheckpoint()
-    // the NQuery query vectors come to the driver (bounded, like the IVF
-    // centroid build); everything corpus-sized stays distributed
-    val qRows = emb.filter(col("vec_id") < NQuery)
-      .select(col("vec_id"), col("embedding")).collect()
-    val dim = qRows.head.getSeq[Double](1).length
+    // corpus shape from session-cached table stats: the serve path must
+    // not pay a normalize-checkpoint-count job chain just to learn n and
+    // dim (r16 — the r15 driver bench showed the warm SERVE at ~4.4 s of
+    // pure stage overhead on a 2 k-vector corpus)
+    val dim = graft.Tables.embeddingDim(s, dir)
     // tail components would silently drop out of the ADC sum via the inner
     // codebook join if dim didn't split evenly (ADVICE r11) — refuse loudly
     require(dim % PqM == 0 && dim >= PqM,
       s"PQ requires embedding dim divisible by PqM=$PqM and >= $PqM, got $dim")
     val sub = dim / PqM
-    val nCorpus = emb.count()
+    val nCorpus = graft.Tables.rowCount(s, dir, "embeddings")
+    // L2-normalize first: the recall truth (s1) is COSINE top-k, and ADC
+    // approximates L2 — on unit vectors the two orders coincide.
+    // Lazy: the sidecar-hit serve paths never materialize it.
+    lazy val emb = {
+      val nrm = l2norm(col("embedding"))
+      T(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / nrm).as("embedding"))
+        .localCheckpoint()
+    }
     // tiny corpora: fewer coarse lists (kmeans needs n ≥ lists; ~8 rows/
     // list keeps every list populated), nprobe scales down with them
     val pqC = math.min(PqC, math.max(1, (nCorpus / 8).toInt))
@@ -478,11 +571,26 @@ object Similarity {
         }
         (cs, bks, built)
     }
+    // Size-adaptive serve (r16, VERDICT r15 #1): below the driver-state
+    // bound the whole index (n×PqM code tuples + n×dim vectors, ≤ ~40 MB
+    // at the 65536 cap) fits on the driver, and the ADC scan + exact
+    // rerank are a few ms of arithmetic — the distributed pipeline's ~15
+    // stages are pure scheduling overhead at this size (4.4 s warm on a
+    // 2 k-vector corpus). Above the cap the distributed IVFADC pipeline
+    // below is the only path — same routing discipline as the compiler's
+    // local-BFS and q35 fixpoint switches.
+    if (nCorpus <= PqLocalServeMax)
+      return pqServeLocal(s, dir, cents, books, codes, sub, nprobe,
+        pqShortlist(nCorpus))
     // query tables: per probed coarse list, the query RESIDUAL's distance
     // to every codeword — NQuery × nprobe × PqM × PqK broadcast rows.
     // Candidates restrict to the probed lists through the inner join on
     // `list` (the IVF part of IVFADC): probe cost is ~nprobe/pqC of the
     // code relation, not a full scan.
+    // the NQuery query vectors come to the driver (bounded, like the IVF
+    // centroid build); everything corpus-sized stays distributed
+    val qRows = emb.filter(col("vec_id") < NQuery)
+      .select(col("vec_id"), col("embedding")).collect()
     val qt = qRows.toSeq.flatMap { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Double](1).toArray
