@@ -6,21 +6,58 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver's test data (TESTDATA.md). */
 object Tables {
-  def T(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS). Spark 4.1 reads it natively as
-    // TIMESTAMP_NTZ truncated to micros (the legacy nanosAsLong conf no
-    // longer applies); normalize to tz-aware TimestampType so temporal ops
-    // match DuckDB — session tz is UTC, so the wall-clock value is kept.
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) {
-      case (acc, f) if f.name == "ts" && f.dataType == TimestampNTZType =>
-        acc.withColumn("ts", col("ts").cast(TimestampType))
-      case (acc, f) if f.name == "ts" && f.dataType == LongType =>
-        // older Spark read nanos as a raw long; integer `div`, NOT `/`:
-        // nanos (~1.7e18) exceed double's 2^53 mantissa
-        acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case (acc, _) => acc
+  /** Session-scoped DataFrame-HANDLE memo (r16, guide §1/§6): every
+    * `spark.read.parquet` pays a driver-side file listing plus a schema
+    * read of parquet footers, and a bench pass constructs each table
+    * several hundred times (tpchGraph alone reads 7 tables per g-query) —
+    * measured ~0.3–0.5 s of pure construction time per graph query. The
+    * memo caches the LAZY plan only (no data, no persist — every action
+    * still computes from the parquet files), keyed by a (name, size,
+    * mtime-nanos) walk of the table directory so a regenerated dataset
+    * under the same path misses instead of serving a stale file list —
+    * the same discipline as Dedup.corpusFingerprint.
+    */
+  private val dfCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, Long), DataFrame]
+  private val DfCacheCap = 512
+
+  private def tableFingerprint(path: String): Long = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
+          .flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(path)).foldLeft(17L) { (h, f) =>
+      val mtime =
+        try java.nio.file.Files.getLastModifiedTime(f.toPath)
+          .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+        catch { case _: java.io.IOException => f.lastModified() }
+      31L * (31L * (31L * h + f.getName.hashCode) + f.length()) + mtime
     }
+  }
+
+  def T(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    dfCache.keys.foreach { k => // stopped sessions: evict eagerly
+      if (k._1.sparkContext.isStopped) dfCache.remove(k)
+    }
+    if (dfCache.size >= DfCacheCap) dfCache.clear()
+    dfCache.getOrElseUpdate((spark, path, tableFingerprint(path)), {
+      // events.ts is parquet TIMESTAMP(NANOS). Spark 4.1 reads it natively as
+      // TIMESTAMP_NTZ truncated to micros (the legacy nanosAsLong conf no
+      // longer applies); normalize to tz-aware TimestampType so temporal ops
+      // match DuckDB — session tz is UTC, so the wall-clock value is kept.
+      val df = spark.read.parquet(path)
+      df.schema.fields.foldLeft(df) {
+        case (acc, f) if f.name == "ts" && f.dataType == TimestampNTZType =>
+          acc.withColumn("ts", col("ts").cast(TimestampType))
+        case (acc, f) if f.name == "ts" && f.dataType == LongType =>
+          // older Spark read nanos as a raw long; integer `div`, NOT `/`:
+          // nanos (~1.7e18) exceed double's 2^53 mantissa
+          acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case (acc, _) => acc
+      }
+    })
   }
 
   /** Per-(dir, table) scalar metadata memo. A table's row count and an

@@ -672,6 +672,11 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     // process first node
     val firstNode = elems.head.asInstanceOf[NodePattern]
     var prevAlias = nodeAlias(firstNode)
+    // the pattern labels of the node that prevAlias currently denotes —
+    // valid constraints on its rows after bindNode (fresh bind scans the
+    // label table; re-mention filters on it), consumed by bindVle's
+    // endpoint-label branch pruning
+    var prevNodeLabels = firstNode.labels
     val nodeAliases = scala.collection.mutable.ListBuffer(prevAlias)
     val edgeAliases = scala.collection.mutable.ListBuffer.empty[String]
     ctx = bindNode(ctx, prevAlias, firstNode, joinOn = None)
@@ -701,10 +706,12 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           val relAlias = rel.variable.getOrElse(freshAlias())
           edgeAliases += relAlias
           collect.vles += relAlias
-          ctx = bindVle(ctx, prevAlias, rel, relAlias, lo, hi, nextAlias, node)
+          ctx = bindVle(ctx, prevAlias, rel, relAlias, lo, hi, nextAlias, node,
+            prevNodeLabels)
       }
       nodeAliases += nextAlias
       prevAlias = nextAlias
+      prevNodeLabels = node.labels
       rest = rest.drop(2)
     }
     // path variable: member aliases back nodes()/relationships()/length()
@@ -823,8 +830,14 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         val first = pruned.getOrElse(whole).withColumn("label", lit(l))
         more.foldLeft(first)((df, extra) => df.filter(col("label") === lit(extra)))
     }
-    val renamed = base.columns.foldLeft(base)((df, c) =>
-      df.withColumnRenamed(c, s"${alias}__$c"))
+    // ONE select instead of a withColumnRenamed chain (r16, guide §1.2:
+    // per-query analysis time): each withColumnRenamed wraps the plan in
+    // another Project, and a wide label table renamed column-by-column
+    // made every scan contribute O(columns) nested Projects to analysis.
+    // Dataset.apply resolves the name EXACTLY (dots and all), matching
+    // withColumnRenamed's lookup.
+    val renamed = base.select(
+      base.columns.map(c => base(c).as(s"${alias}__$c")).toSeq: _*)
     props.foldLeft(renamed) { case (df, (k, v)) =>
       df.filter(propFilter(df, alias, k, v, ctx))
     }
@@ -890,8 +903,14 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
         many.map(t => branch(t).withColumn("label", lit(t))
           .select(common.map(col): _*)).reduce(_ unionByName _)
     }
-    val renamed = base.columns.foldLeft(base)((df, c) =>
-      df.withColumnRenamed(c, s"${alias}__$c"))
+    // ONE select instead of a withColumnRenamed chain (r16, guide §1.2:
+    // per-query analysis time): each withColumnRenamed wraps the plan in
+    // another Project, and a wide label table renamed column-by-column
+    // made every scan contribute O(columns) nested Projects to analysis.
+    // Dataset.apply resolves the name EXACTLY (dots and all), matching
+    // withColumnRenamed's lookup.
+    val renamed = base.select(
+      base.columns.map(c => base(c).as(s"${alias}__$c")).toSeq: _*)
     props.foldLeft(renamed) { case (df, (k, v)) =>
       df.filter(propFilter(df, alias, k, v, ctx))
     }
@@ -1026,7 +1045,8 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     * edge-uniqueness bounds path length by |E| anyway).
     */
   private def bindVle(ctx0: Ctx, prev: String, rel: RelPattern, relAlias: String,
-      lo: Int, hiOpt: Option[Int], next: String, node: NodePattern): Ctx = {
+      lo: Int, hiOpt: Option[Int], next: String, node: NodePattern,
+      prevLabels: List[String] = Nil): Ctx = {
     val ctx = ctx0
     // unbounded `*..` iterates to the edge-uniqueness fixpoint (paths are
     // simple in edges, so ≤ |E| hops); the literal bound is a safety rail,
@@ -1039,35 +1059,92 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     // edge before checking bounds (dfs.c:666-775)
     val lo1 = math.max(1, lo)
     val e = freshAlias()
-    val scan0 = edgeScan(e, rel.types, rel.props, ctx)
     // `ostart` = the edge's ORIGINAL start_id regardless of traversal
     // orientation — the reference's materialized traversal prints interior
     // vertex i (i ≥ 2) as edge i's start endpoint rather than its arrival
     // vertex (old cypher_vle.out:310-324: `…, "main edge" 281→282}, {"id":
     // …281,…}, {bypass 282→…}` — the vertex between contradicts both
     // edges), so the display sequence needs it
-    val directed = rel.dir match {
-      case 1 => scan0.select(col(s"${e}__id").as("eid"),
+    def oriented(df: DataFrame, rev: Boolean, dropLoops: Boolean): DataFrame = {
+      // a self-loop's reversed copy is identical to its forward copy —
+      // keeping both would double-count every path through it (the
+      // reference's DFS visits a loop edge once; dfs.c get_next_vertex)
+      val base = if (dropLoops)
+        df.filter(col(s"${e}__start_id") =!= col(s"${e}__end_id")) else df
+      if (!rev) base.select(col(s"${e}__id").as("eid"),
         col(s"${e}__start_id").as("src"), col(s"${e}__end_id").as("dst"),
         col(s"${e}__start_id").as("ostart"))
-      case -1 => scan0.select(col(s"${e}__id").as("eid"),
+      else base.select(col(s"${e}__id").as("eid"),
         col(s"${e}__end_id").as("src"), col(s"${e}__start_id").as("dst"),
         col(s"${e}__start_id").as("ostart"))
-      case 0 => scan0.select(col(s"${e}__id").as("eid"),
-        col(s"${e}__start_id").as("src"), col(s"${e}__end_id").as("dst"),
-        col(s"${e}__start_id").as("ostart"))
-        .unionByName(scan0
-          // a self-loop's reversed copy is identical to its forward copy —
-          // keeping both would double-count every path through it (the
-          // reference's DFS visits a loop edge once; dfs.c get_next_vertex)
-          .filter(col(s"${e}__start_id") =!= col(s"${e}__end_id"))
-          .select(col(s"${e}__id").as("eid"),
-            col(s"${e}__end_id").as("src"), col(s"${e}__start_id").as("dst"),
-            col(s"${e}__start_id").as("ostart")))
     }
-    // eager: every hop's join rescans the edge union, and those map stages
-    // can launch concurrently — lazy persist() let each recompute the union
-    val edges = directed.localCheckpoint()
+    // r16 endpoint-label branch pruning (guide §2.4 — remove work before
+    // the join): hop 1 can only traverse oriented branches whose SOURCE
+    // label matches prev's single pattern label, and the final hop
+    // (k == hi) only branches whose DESTINATION label matches next's —
+    // a frontier row produced by hop `hi` is only ever emitted, never
+    // extended, and a dst whose packed label prefix differs from next's
+    // label could never join next's label scan anyway. GraphBuilder
+    // graphs declare endpoints per edge label (the packing guarantees
+    // them), so mismatched branches drop out of the hop's scan AND join
+    // entirely — whole edge tables, which is the 100 TB-relevant saving.
+    // Graphs without the metadata, multi-label endpoints, pre-bound next
+    // (its id-equality filter decides, not the pattern label), or
+    // prop-filtered VLE relations take the single unpruned union scan —
+    // exactly the pre-r16 shape. Correctness never depends on the prune.
+    val branches: Seq[(Boolean, Boolean, DataFrame)] = {
+      def single(ls: List[String]): Option[String] =
+        ls match { case l :: Nil => Some(l); case _ => None }
+      val prevLab = single(prevLabels)
+      val nextLab = if (ctx.vars.contains(next)) None else single(node.labels)
+      val types = if (rel.types.nonEmpty) rel.types
+        else graph.edgeLabels.keys.toSeq.sorted.toList
+      val meta = graph.edgeEndpoints
+      if (rel.props.nonEmpty || meta.isEmpty || types.isEmpty ||
+          (prevLab.isEmpty && nextLab.isEmpty)) {
+        val scan0 = edgeScan(e, rel.types, rel.props, ctx)
+        rel.dir match {
+          case 1 => Seq((true, true, oriented(scan0, rev = false, dropLoops = false)))
+          case -1 => Seq((true, true, oriented(scan0, rev = true, dropLoops = false)))
+          case _ => Seq(
+            (true, true, oriented(scan0, rev = false, dropLoops = false)),
+            (true, true, oriented(scan0, rev = true, dropLoops = true)))
+        }
+      } else types.flatMap { t =>
+        val scanT = edgeScan(e, List(t), Map.empty, ctx)
+        val ends = meta.get(t) // unknown endpoints → participates everywhere
+        def fits(lab: Option[String], branchEnd: Option[String]) =
+          lab.isEmpty || branchEnd.isEmpty || lab == branchEnd
+        val fwd = (fits(prevLab, ends.map(_._1)), fits(nextLab, ends.map(_._2)),
+          oriented(scanT, rev = false, dropLoops = false))
+        val rev = (fits(prevLab, ends.map(_._2)), fits(nextLab, ends.map(_._1)),
+          oriented(scanT, rev = true, dropLoops = rel.dir == 0))
+        rel.dir match {
+          case 1 => Seq(fwd)
+          case -1 => Seq(rev)
+          case _ => Seq(fwd, rev)
+        }
+      }
+    }
+    def edgeUnion(first: Boolean, last: Boolean): DataFrame =
+      branches.collect {
+        case (f, l, df) if (!first || f) && (!last || l) => df
+      } match {
+        case Nil => branches.head._3.limit(0)
+        case xs => xs.reduce(_ unionByName _)
+      }
+    // Interior hops (1 < k < hi) reuse the full union; checkpoint it only
+    // when MORE THAN ONE hop actually reads it (eager job otherwise wasted
+    // — the pre-r16 unconditional checkpoint paid a full edge-union
+    // materialization even for *1..1). The unbounded loop re-joins it
+    // every generation, so there it always checkpoints.
+    val interiorUses = if (hi <= VleMaxHops) math.max(0, hi - 2) else hi
+    lazy val interior: DataFrame =
+      if (interiorUses > 1) edgeUnion(first = false, last = false).localCheckpoint()
+      else edgeUnion(first = false, last = false)
+    def edgesFor(k: Int): DataFrame =
+      if (k == 1 || k == hi) edgeUnion(first = k == 1, last = k == hi)
+      else interior
 
     // Narrow frontier: only (row id, traversal end, edge set) travels
     // through the hop joins — the input row's other columns rejoin once at
@@ -1088,13 +1165,13 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
     // hop 1 records its true arrival; later hops record the DISPLAY vertex
     // (the edge's original start — see `ostart` above); the true position
     // always travels in __vle_end
-    def hop(f: DataFrame, first: Boolean): DataFrame = f
-      .join(edges, col("__vle_end") === col("src") &&
+    def hop(f: DataFrame, k: Int): DataFrame = f
+      .join(edgesFor(k), col("__vle_end") === col("src") &&
         !array_contains(col("__vle_edges"), col("eid")))
       .select(col(rid), col("dst").as("__vle_end"),
         array_append(col("__vle_edges"), col("eid")).as("__vle_edges"),
         array_append(col("__vle_nodes"),
-          if (first) col("dst") else col("ostart")).as("__vle_nodes"))
+          if (k == 1) col("dst") else col("ostart")).as("__vle_nodes"))
     // a generation entering the result set seals its LAST node back to the
     // true arrival — the reference materializes path ENDPOINTS correctly,
     // only interiors carry the display defect
@@ -1105,7 +1182,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // small bound: unroll lazily — one plan, no per-hop actions
       var k = 1
       while (k <= hi) {
-        frontier = hop(frontier, k == 1)
+        frontier = hop(frontier, k)
         if (k >= lo1) {
           val gen = seal(frontier)
           results = if (results == null) gen else results.unionByName(gen)
@@ -1125,7 +1202,7 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       var k = 1
       var live = frontier.count() > 0
       while (live && k <= hi) {
-        frontier = hop(frontier, k == 1).localCheckpoint()
+        frontier = hop(frontier, k).localCheckpoint()
         live = frontier.count() > 0
         if (live && k >= lo1) {
           val gen = seal(frontier)

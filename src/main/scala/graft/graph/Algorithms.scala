@@ -48,12 +48,59 @@ object Algorithms {
     Graph(vertexRdd, edgeRdd)
   }
 
-  /** Connected components (undirected min-id propagation): (id, component). */
+  /** Connected components (undirected min-id propagation): (id, component).
+    * Size-adaptive (r16, same rule as pageRank/sssp): below the local-bytes
+    * estimate the union-find runs in ONE executor task — GraphX CC spent
+    * ~15 RDD jobs of pure scheduling on a graph that fits in one array.
+    * Semantics identical to GraphX: component id = lowest vertex id in the
+    * component, vertices = vertex set ∪ edge endpoints.
+    */
   def connectedComponents(pg: PropertyGraph): DataFrame = {
     val spark = pg.spark
     import spark.implicits._
+    val e = pg.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+    val v = pg.allVertices.select(col("id"))
+    if (isSmall(e, v)) return ccLocal(pg, e, v)
     toGraphX(pg).connectedComponents().vertices
       .toDF("id", "component")
+  }
+
+  private def ccLocal(pg: PropertyGraph, e: DataFrame, v: DataFrame): DataFrame = {
+    val spark = pg.spark
+    import spark.implicits._
+    val tagged = e.select(lit(true).as("_1"), col("src").as("_2"), col("dst").as("_3"))
+      .unionByName(v.select(lit(false).as("_1"), col("id").as("_2"), lit(0L).as("_3")))
+      .as[(Boolean, Long, Long)]
+      // repartition(1), not coalesce(1): keep the scans parallel, exchange
+      // only the narrow tagged pairs; union-find min-id roots are exact and
+      // order-independent, so fetch order cannot change the result
+      .repartition(1)
+    tagged.mapPartitions { it =>
+      // union-find with min-id representatives — the same fixpoint GraphX's
+      // label propagation converges to, in one pass
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+      def union(a: Long, b: Long): Unit = {
+        add(a); add(b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { // keep the SMALLER id as root → root = component min
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      it.foreach { case (isEdge, a, b) =>
+        if (isEdge) union(a, b) else add(a)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      parent.forEach((id, _) => out += ((id, find(id))))
+      out.iterator
+    }.toDF("id", "component")
   }
 
   /** Static PageRank with `iters` iterations: (id, rank).
@@ -239,7 +286,12 @@ object Algorithms {
       maxHops: Int): DataFrame = {
     val spark = pg.spark
     import spark.implicits._
-    e.toDF("_1", "_2").as[(Long, Long)].coalesce(1).mapPartitions { it =>
+    // repartition(1), NOT coalesce(1): coalesce folds the parquet scan
+    // itself into the single task (770k edges read single-threaded at
+    // sf0.1); an exchange keeps the scan parallel and ships only narrow
+    // (src,dst) pairs. BFS hop distances are order-independent, so the
+    // nondeterministic shuffle-fetch order cannot change the result.
+    e.toDF("_1", "_2").as[(Long, Long)].repartition(1).mapPartitions { it =>
       val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
       it.foreach { case (s, d) =>
         val b = adj.get(s)
@@ -267,10 +319,47 @@ object Algorithms {
     }.toDF("id", "d")
   }
 
-  /** In/out degrees joined back to the label: (id, label_id, in_deg, out_deg). */
+  /** In/out degrees joined back to the label: (id, label_id, in_deg, out_deg).
+    * Size-adaptive local twin (r16): one task builds the degree maps over
+    * local arrays; the GraphX route pays 3 RDD aggregations + 2 joins of
+    * scheduling for the same counts. Semantics identical to the GraphX
+    * path, including Graph.apply's default attribute: an edge endpoint
+    * absent from the vertex set appears with label_id 0.
+    */
   def degrees(pg: PropertyGraph): DataFrame = {
     val spark = pg.spark
     import spark.implicits._
+    val e = pg.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+    if (isSmall(e, pg.allVertices.select(col("id")))) {
+      val vl = pg.vertexLabels.toSeq.sortBy(_._1).map { case (label, df) =>
+        val lid = pg.labelIdOf(label)
+        df.select(col("id"), lit(lid.toLong).as("lid"))
+      }.reduce(_ unionByName _)
+      val tagged = e.select(lit(true).as("_1"), col("src").as("_2"), col("dst").as("_3"))
+        .unionByName(vl.select(lit(false).as("_1"), col("id").as("_2"), col("lid").as("_3")))
+        .as[(Boolean, Long, Long)]
+        // repartition(1), not coalesce(1): parallel scans, narrow exchange;
+        // integer degree counts are order-independent
+        .repartition(1)
+      return tagged.mapPartitions { it =>
+        val lids = new java.util.HashMap[Long, Long]()
+        val ins = new java.util.HashMap[Long, Int]()
+        val outs = new java.util.HashMap[Long, Int]()
+        def touch(id: Long): Unit = if (!lids.containsKey(id)) lids.put(id, 0L)
+        it.foreach { case (isEdge, a, b) =>
+          if (isEdge) {
+            touch(a); touch(b)
+            outs.merge(a, 1, (x, y) => x + y)
+            ins.merge(b, 1, (x, y) => x + y)
+          } else lids.put(a, b)
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+        lids.forEach((id, lid) => out += ((id, lid,
+          ins.getOrDefault(id, 0), outs.getOrDefault(id, 0))))
+        out.iterator
+      }.toDF("id", "label_id", "in_deg", "out_deg")
+        .withColumn("label_id", col("label_id").cast("int"))
+    }
     val g = toGraphX(pg)
     val in = g.inDegrees.toDF("id", "in_deg")
     val out = g.outDegrees.toDF("id", "out_deg")

@@ -44,7 +44,17 @@ final class PropertyGraph(
       */
     val statsPrune: (String, String, String, Option[graft.gvalue.GValue],
         Option[graft.gvalue.GValue], DataFrame) => Option[DataFrame] =
-      (_, _, _, _, _, _) => None) {
+      (_, _, _, _, _, _) => None,
+    /** r16: declared endpoint labels per edge label, (srcLabel, dstLabel),
+      * recorded by GraphBuilder (which packs start/end ids from exactly
+      * these labels). Lets the VLE expansion drop whole edge tables from a
+      * hop's scan+join when the hop's source/destination label is known
+      * (guide §2.4 — remove work before the exchange). Empty (the default,
+      * e.g. GraphSession mutable graphs where an edge label may connect
+      * arbitrary vertex labels) disables the pruning — correctness never
+      * depends on it.
+      */
+    val edgeEndpoints: Map[String, (String, String)] = Map.empty) {
 
   def labelIdOf(label: String): Int = labelIds(label)
 
@@ -158,6 +168,7 @@ final class GraphBuilder(spark: SparkSession) {
   private val labelIds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
   private val vertices = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
   private val edges = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+  private val endpoints = scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
 
   private def allocate(label: String): Int = {
     require(!labelIds.contains(label), s"duplicate label $label")
@@ -188,6 +199,7 @@ final class GraphBuilder(spark: SparkSession) {
     val lid = allocate(label)
     val srcLid = labelIds(srcLabel)
     val dstLid = labelIds(dstLabel)
+    endpoints(label) = (srcLabel, dstLabel)
     edges(label) = df.select(
       Seq(
         (shiftleft(lit(lid.toLong), 48).bitwiseOR(col(keyCol).cast("long"))).as("id"),
@@ -198,5 +210,6 @@ final class GraphBuilder(spark: SparkSession) {
   }
 
   def build(): PropertyGraph =
-    new PropertyGraph(spark, vertices.toMap, edges.toMap, labelIds.toMap)
+    new PropertyGraph(spark, vertices.toMap, edges.toMap, labelIds.toMap,
+      edgeEndpoints = endpoints.toMap)
 }

@@ -110,12 +110,26 @@ object Similarity {
     */
   private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < NQuery)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val cand = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // Flat-column pair scoring (r16, the d5 trick — guide §1.2 per-task
+    // work): `aggregate(zip_with(...))` evaluates interpreted per element,
+    // so every pair paid 2×dim lambda steps outside codegen; flattening to
+    // dim scalar doubles makes the dot/norms a plain codegen multiply-add
+    // chain. Identical summation order (left fold over elements 1..dim),
+    // identical doubles.
+    val dim = graft.Tables.embeddingDim(s, dir)
+    val flat = emb.select(col("vec_id") +: (1 to dim).map(i =>
+      element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+    val q = flat.filter(col("vec_id") < NQuery)
+      .select(col("vec_id").as("qid") +:
+        (1 to dim).map(i => col(s"x$i").as(s"q$i")): _*)
+    val cand = flat.select(col("vec_id").as("cid") +:
+      (1 to dim).map(i => col(s"x$i").as(s"c$i")): _*)
+    val dotQC = (1 to dim).map(i => col(s"q$i") * col(s"c$i")).reduce(_ + _)
+    val qn = sqrt((1 to dim).map(i => col(s"q$i") * col(s"q$i")).reduce(_ + _))
+    val cn = sqrt((1 to dim).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _))
     import org.apache.spark.sql.expressions.Window
     val scored = q.join(cand, col("qid") =!= col("cid"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(dotQC / (qn * cn), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
