@@ -284,20 +284,27 @@ object Dedup {
       // intersection over per-doc SORTED LONG ARRAYS (array_intersect on
       // longs; the string-array form was the round-2 hot spot).
       val hashed = docShingleHashes(s, dir).localCheckpoint()
-      // ONE aggregation computes the 63 signature mins AND the per-doc
-      // sorted shingle-hash set for exact verification (r16, guide §2.4:
-      // the r15 shape ran two separate doc_id aggregations over `hashed`
-      // plus a join to glue them — same grouping key, so one pass + no
-      // join computes identical values with one fewer scan and exchange).
-      val docs = hashed.groupBy(col("doc_id"))
+      // TWO aggregations on the same key, glued by a co-partitioned join —
+      // deliberately NOT one combined agg (measured r16: folding the
+      // `collect_set` into the min() agg forces the whole aggregate into
+      // ObjectHashAggregate, which has no whole-stage codegen, so the 63
+      // min(xxhash64) chains run interpreted — the shared docs build went
+      // 4.2 s → 7.4 s. Separate, the mins stay in a codegen HashAggregate
+      // and the join adds no exchange: both sides are hash-partitioned on
+      // doc_id by their own aggs.)
+      val sig = hashed.groupBy(col("doc_id"))
         .agg(min(xxhash64(lit(0), col("h"))).as("m0"),
-          ((1 until MinhashK).map(i =>
-            min(xxhash64(lit(i), col("h"))).as(s"m$i")) :+
-            sort_array(collect_set(col("h"))).as("hs")): _*)
+          (1 until MinhashK).map(i =>
+            min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
         .select(col("doc_id"),
-          array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"),
-          col("hs"))
+          array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+      // per-doc shingle-hash set for exact verification; co-partitioned
+      // with `sig` (both group on doc_id) so the join below is shuffle-free
+      val sets = hashed.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("h"))).as("hs"))
+      val docs = sig
         .withColumn("bands", lshBandKeys(col("sig"), MinhashK, LshBands))
+        .join(sets, "doc_id")
         .select(col("doc_id"), col("bands"), col("hs"))
         .localCheckpoint()
       val banded = docs.select(col("doc_id"), explode(col("bands")).as("band"))

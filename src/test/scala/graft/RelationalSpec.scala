@@ -87,6 +87,64 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, false), (1L, true), (2L, false), (3L, false)))
   }
 
+  test("recursive fixpoints: local-frontier mode ≡ distributed ≡ overflow fallback") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 chains of depth 5 sharing a tail, plus a cycle edge for the cycle
+    // combinator: big enough that every combinator runs several generations
+    val edges = ((0L until 15L).map(i => (i, i + 1)) ++
+      Seq((15L, 3L), (2L, 20L), (20L, 21L))).toDF("src", "dst")
+    val seed = Seq((0L, 0L)).toDF("origin", "node")
+    val nseed = Seq(Tuple1(0L)).toDF("node")
+    def results(): Seq[String] = {
+      val fp = graft.operators.Recursive.fixpoint(seed, f =>
+        f.join(edges, f("node") === edges("src"))
+          .select(f("origin"), edges("dst").as("node")))
+        .collect().map(r => s"fp:${r.getLong(0)}:${r.getLong(1)}")
+      val all = graft.operators.Recursive.fixpointAll(nseed, f =>
+        f.join(edges.filter(col("src") =!= 15L), f("node") === edges("src"))
+          .select(edges("dst").as("node")))
+        .collect().map(r => s"all:${r.getLong(0)}")
+      val bfs = graft.operators.Recursive.fixpointSearch(nseed, f =>
+        f.join(edges.filter(col("src") =!= 15L), f("node") === edges("src"))
+          .select(edges("dst").as("node"), f("seq")),
+        keyCols = Seq("node"), breadthFirst = true)
+        .select(col("node"), col("seq").getField("depth"))
+        .collect().map(r => s"bfs:${r.getLong(0)}@${r.getLong(1)}")
+      val dfs = graft.operators.Recursive.fixpointSearch(nseed, f =>
+        f.join(edges.filter(col("src") =!= 15L), f("node") === edges("src"))
+          .select(edges("dst").as("node"), f("seq")),
+        keyCols = Seq("node"), breadthFirst = false)
+        .select(concat_ws("->", transform(col("seq"),
+          p => p.getField("node").cast("string"))))
+        .collect().map(r => s"dfs:${r.getString(0)}")
+      val cyc = graft.operators.Recursive.fixpointCycle(nseed, f =>
+        f.join(edges, f("node") === edges("src"))
+          .select(edges("dst").as("node"), f("is_cycle"), f("path")),
+        keyCols = Seq("node"))
+        .select(col("node"), col("is_cycle"), size(col("path")))
+        .collect().map(r => s"cyc:${r.getLong(0)}:${r.getBoolean(1)}:${r.getInt(2)}")
+      (fp ++ all ++ bfs ++ dfs ++ cyc).toSeq.sorted
+    }
+    def withConf(kvs: (String, String)*)(body: => Seq[String]): Seq[String] = {
+      val prior = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+      finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val local = results() // tiny LocalRelation seeds take the local path
+    val dist = withConf("spark.graft.recursive.localBytes" -> "-1")(results())
+    // cap of 1 row: every multi-row generation overflows, forcing the
+    // mid-run push-back to the distributed recurrence
+    val fallback = withConf("spark.graft.recursive.localRows" -> "1")(results())
+    assert(local == dist, "local-frontier mode diverged from distributed")
+    assert(fallback == dist, "overflow fallback diverged from distributed")
+    assert(local.nonEmpty)
+  }
+
   test("TABLESAMPLE BERNOULLI p<100: REPEATABLE determinism + binomial envelope") {
     val spark = TestSpark.spark
     spark.range(10000).toDF("i").createOrReplaceTempView("ts_base")
