@@ -189,12 +189,60 @@ object Similarity {
     // matches across tables, then exact scoring of candidates only
     // (rows-only: recall vs s1 asserted in PipelineSpec)
     "s3_ann_lsh" -> ((s, dir) => cachedResult(s, dir, "s3") {
-      // Relational form of lshBucketKeys: explode vector components once,
-      // broadcast-join the (plane, pos, component) hyperplane table, sum
-      // projections per (vector, plane), then fold sign bits into a bucket
-      // per (vector, table). All codegen'd aggregates — the array-HOF form
-      // evaluated 32 planes × dim interpreted lambda steps per vector.
       val planesPerTable = 4; val tables = 8
+      // Size-adaptive serve (r16, the s8 pqServeLocal discipline): below
+      // the driver-state bound the whole corpus is ≤ ~35 MB of doubles and
+      // the bucket keys + candidate rerank are milliseconds of arithmetic —
+      // the distributed pipeline's ~10 stages (two keyed aggregations, a
+      // self-join, two window sorts) are pure scheduling overhead at this
+      // size. Identical key math (same xxhash64 plane components, same
+      // sign-bit fold), identical candidate rule and rerank ordering.
+      // Above the cap: the distributed path below, unchanged — that is the
+      // 100 TB shape.
+      if (graft.Tables.rowCount(s, dir, "embeddings") <= localServeMax(s))
+        lshServeLocal(s, dir, planesPerTable, tables)
+      else lshAnnDistributed(s, dir, planesPerTable, tables)
+    }),
+
+    "s4_ivf_ann" -> ((s, dir) => cachedResult(s, dir, "s4")(ivfQuery(s, dir))),
+
+    // HARD recall gates for the two ANN paths (VERDICT r7 #4): the exact
+    // reranker is the in-query ground truth, and the emitted envelope row
+    // (n_truth, recall_ok) is pinned by a constant oracle — an ANN
+    // regression that drops recall below the floor now hash-FAILS the
+    // driver gate instead of hiding behind `no_oracle`.
+    // Floors set to ~80% of measured minima (VERDICT r11 #5 method),
+    // r15 re-measured across sf0.01/0.1/1 AND the adversarial clustered/
+    // near-dup corpus (MakeAdversarial; RecallProbe 2026-08-16): LSH min
+    // 0.6167 (sf0.01; 1.00 at sf1 + adversarial) → floor 0.5 stays; IVF
+    // min 0.80 (sf0.01; 1.00 at sf1 + adversarial) → 0.65 stays; PQ
+    // (IVFADC) min 0.9833 (adversarial; 1.00 at every SF) → floor raised
+    // 0.75 → 0.8. Each floor is below the measured minimum on EVERY swept
+    // distribution, so a green gate means healthy, not merely non-broken.
+    "s6_lsh_recall_gate" -> ((s, dir) => recallGate(s, dir, "s3_ann_lsh", 0.5)),
+    "s7_ivf_recall_gate" -> ((s, dir) => recallGate(s, dir, "s4_ivf_ann", 0.65)),
+
+    // IVFADC: coarse quantizer + product-quantized RESIDUALS + asymmetric
+    // distance (Jégou et al. 2011, the full serving pipeline). r15: raw
+    // vectors → residuals from a PqC-list coarse k-means. Raw-vector PQ
+    // collapsed on clustered corpora (adversarial probe: a whole tight
+    // cluster quantizes to ONE codeword, recall@3 0.52) — residuals keep
+    // within-cluster structure, and the coarse lists bound the probe to
+    // nprobe/PqC of the corpus (sublinear candidates, where raw-PQ ADC
+    // scanned every code row). Codes stay 40 bits + one list id/vector;
+    // query tables are NQuery × nprobe × PqM × PqK broadcast rows.
+    "s8_pq_adc_ann" -> ((s, dir) => cachedResult(s, dir, "s8")(pqSearch(s, dir))),
+    "s9_pq_recall_gate" -> ((s, dir) => recallGate(s, dir, "s8_pq_adc_ann", 0.8))
+  )
+
+  /** Relational LSH build + probe — the 100 TB path (explode components
+    * once, broadcast-join the (plane, pos, component) hyperplane table,
+    * sum projections per (vector, plane), fold sign bits into a bucket per
+    * (vector, table); all codegen'd aggregates — the array-HOF form
+    * evaluated 32 planes × dim interpreted lambda steps per vector).
+    */
+  private def lshAnnDistributed(s: SparkSession, dir: String,
+      planesPerTable: Int, tables: Int): DataFrame = {
       // no checkpoint on emb: each of the three scans is a pruned parquet
       // read (cheaper than an eager materialization job at this size, and
       // at scale the scans prune to the referenced columns anyway)
@@ -236,38 +284,169 @@ object Similarity {
         .filter(col("rank") <= TopK)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"), col("cos"))
         .orderBy(col("qid"), col("rank"))
-    }),
+  }
 
-    "s4_ivf_ann" -> ((s, dir) => cachedResult(s, dir, "s4")(ivfQuery(s, dir))),
+  /** Driver-state cap for the local ANN serve paths (s3/s4/s8): at the cap
+    * the local structures are n×dim doubles (65536×64 ≈ 33 MB) plus small
+    * per-vector metadata — bounded like the k-means samples. Above it the
+    * corpus never touches the driver and every serve is distributed.
+    */
+  /** Conf-backed so deployments (and the equivalence spec) can move or
+    * disable the local/distributed switch: `spark.graft.ann.localServeMax`
+    * (vectors; 0 forces every serve distributed). Default 65536.
+    */
+  private def localServeMax(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.ann.localServeMax").map(_.toLong)
+      .getOrElse(65536L)
 
-    // HARD recall gates for the two ANN paths (VERDICT r7 #4): the exact
-    // reranker is the in-query ground truth, and the emitted envelope row
-    // (n_truth, recall_ok) is pinned by a constant oracle — an ANN
-    // regression that drops recall below the floor now hash-FAILS the
-    // driver gate instead of hiding behind `no_oracle`.
-    // Floors set to ~80% of measured minima (VERDICT r11 #5 method),
-    // r15 re-measured across sf0.01/0.1/1 AND the adversarial clustered/
-    // near-dup corpus (MakeAdversarial; RecallProbe 2026-08-16): LSH min
-    // 0.6167 (sf0.01; 1.00 at sf1 + adversarial) → floor 0.5 stays; IVF
-    // min 0.80 (sf0.01; 1.00 at sf1 + adversarial) → 0.65 stays; PQ
-    // (IVFADC) min 0.9833 (adversarial; 1.00 at every SF) → floor raised
-    // 0.75 → 0.8. Each floor is below the measured minimum on EVERY swept
-    // distribution, so a green gate means healthy, not merely non-broken.
-    "s6_lsh_recall_gate" -> ((s, dir) => recallGate(s, dir, "s3_ann_lsh", 0.5)),
-    "s7_ivf_recall_gate" -> ((s, dir) => recallGate(s, dir, "s4_ivf_ann", 0.65)),
+  /** Local LSH serve (r16): identical bucket-key math to
+    * [[lshAnnDistributed]] — same xxhash64(plane, pos) hyperplane
+    * components (Spark's XXH64 with the xxhash64 seed 42), same sign-bit
+    * fold, same candidate rule (any shared (table, bucket), qid ≠ cid),
+    * same exact cosine rerank rounded half-up to 6 with the same
+    * (cos desc, cid) tie-break — evaluated driver-side because at
+    * ≤`localServeMax` vectors the arithmetic is milliseconds and every
+    * one of the distributed plan's stages is pure overhead.
+    */
+  private def lshServeLocal(s: SparkSession, dir: String,
+      planesPerTable: Int, tables: Int): DataFrame = {
+    import s.implicits._
+    val nPlanes = planesPerTable * tables
+    val raw = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+    val vecs = new java.util.LinkedHashMap[Long, Array[Double]](raw.length * 2)
+    raw.foreach { r =>
+      val xs = r.getSeq[Number](1)
+      val v = new Array[Double](xs.length)
+      var i = 0
+      while (i < v.length) { v(i) = xs(i).doubleValue(); i += 1 }
+      vecs.put(r.getLong(0), v)
+    }
+    val dim = if (raw.isEmpty) 0 else vecs.values.iterator().next().length
+    // comp(plane, pos) = xxhash64(int plane, int pos) / Long.MaxValue —
+    // exactly planeComponent's chain: seed 42, then one hashInt per arg
+    val comp = Array.tabulate(nPlanes, dim) { (plane, pos) =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(pos,
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(plane, 42L))
+      h.toDouble / Long.MaxValue.toDouble
+    }
+    import scala.jdk.CollectionConverters._
+    // (table, bucket) keys per vector — sign bits of the 4 plane projections
+    val keysOf = new java.util.LinkedHashMap[Long, Array[Long]]()
+    vecs.entrySet().asScala.foreach { e =>
+      val v = e.getValue
+      val buckets = Array.tabulate(tables) { t =>
+        var b = 0L; var p = 0
+        while (p < planesPerTable) {
+          val plane = t * planesPerTable + p
+          var proj = 0.0; var i = 0
+          while (i < v.length) { proj += v(i) * comp(plane)(i); i += 1 }
+          if (proj >= 0) b |= (1L << p)
+          p += 1
+        }
+        b
+      }
+      keysOf.put(e.getKey, buckets)
+    }
+    // candidates: any shared (table, bucket); inverted index per table
+    val byBucket = Array.fill(tables)(new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]())
+    keysOf.entrySet().asScala.foreach { e =>
+      var t = 0
+      while (t < tables) {
+        byBucket(t).computeIfAbsent(e.getValue()(t),
+          _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += e.getKey
+        t += 1
+      }
+    }
+    val qids = vecs.keySet().asScala.toArray.filter(_ < NQuery).sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    for (qid <- qids) {
+      val qv = vecs.get(qid)
+      val cands = scala.collection.mutable.SortedSet.empty[Long]
+      var t = 0
+      while (t < tables) {
+        val mates = byBucket(t).get(keysOf.get(qid)(t))
+        if (mates != null) mates.foreach(c => if (c != qid) cands += c)
+        t += 1
+      }
+      val top = cands.toSeq.map { cid =>
+        val cv = vecs.get(cid)
+        var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+        while (j < qv.length) {
+          d += qv(j) * cv(j); na += qv(j) * qv(j); nb += cv(j) * cv(j); j += 1
+        }
+        val cos = BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (cos, cid)
+      }.sortBy { case (cos, cid) => (-cos, cid) }.take(TopK)
+      top.zipWithIndex.foreach { case ((cos, cid), i) =>
+        out += ((qid, (i + 1).toLong, cid, cos))
+      }
+    }
+    out.toSeq.toDF("qid", "rank", "cid", "cos")
+  }
 
-    // IVFADC: coarse quantizer + product-quantized RESIDUALS + asymmetric
-    // distance (Jégou et al. 2011, the full serving pipeline). r15: raw
-    // vectors → residuals from a PqC-list coarse k-means. Raw-vector PQ
-    // collapsed on clustered corpora (adversarial probe: a whole tight
-    // cluster quantizes to ONE codeword, recall@3 0.52) — residuals keep
-    // within-cluster structure, and the coarse lists bound the probe to
-    // nprobe/PqC of the corpus (sublinear candidates, where raw-PQ ADC
-    // scanned every code row). Codes stay 40 bits + one list id/vector;
-    // query tables are NQuery × nprobe × PqM × PqK broadcast rows.
-    "s8_pq_adc_ann" -> ((s, dir) => cachedResult(s, dir, "s8")(pqSearch(s, dir))),
-    "s9_pq_recall_gate" -> ((s, dir) => recallGate(s, dir, "s8_pq_adc_ann", 0.8))
-  )
+  /** Local IVF serve (r16): identical index + probe semantics to the
+    * distributed [[ivfQuery]]/annSearch pipeline — same sampled-k-means
+    * centroids (the caller passes them), same nearest-list assignment with
+    * the (dist, cluster) tie-break, same nprobe nearest-lists probe, same
+    * exact cosine rerank rounded half-up to 6 with the (cos desc, cid)
+    * tie-break — evaluated driver-side below `localServeMax`.
+    */
+  private def ivfServeLocal(s: SparkSession, dir: String,
+      cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    import s.implicits._
+    val raw = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+    val vecs = new java.util.LinkedHashMap[Long, Array[Double]](raw.length * 2)
+    raw.foreach { r =>
+      val xs = r.getSeq[Number](1)
+      val v = new Array[Double](xs.length)
+      var i = 0
+      while (i < v.length) { v(i) = xs(i).doubleValue(); i += 1 }
+      vecs.put(r.getLong(0), v)
+    }
+    import scala.jdk.CollectionConverters._
+    def distTo(v: Array[Double], c: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < v.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+      d
+    }
+    // nearest-centroid assignment, (dist, cluster) tie-break = min_by struct
+    val listOf = new java.util.HashMap[Long, Int](raw.length * 2)
+    vecs.entrySet().asScala.foreach { e =>
+      val v = e.getValue
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        val d = distTo(v, cents(c))
+        if (d < bd) { bd = d; best = c } // strict <: dist tie keeps lower c
+        c += 1
+      }
+      listOf.put(e.getKey, best)
+    }
+    val qids = vecs.keySet().asScala.toArray.filter(_ < NQuery).sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    for (qid <- qids) {
+      val qv = vecs.get(qid)
+      val probed = cents.indices.map(l => (distTo(qv, cents(l)), l))
+        .sorted.take(nprobe).map(_._2).toSet
+      val top = vecs.keySet().asScala.toSeq.collect {
+        case cid if cid != qid && probed(listOf.get(cid)) =>
+          val cv = vecs.get(cid)
+          var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+          while (j < qv.length) {
+            d += qv(j) * cv(j); na += qv(j) * qv(j); nb += cv(j) * cv(j); j += 1
+          }
+          val cos = BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (cos, cid)
+      }.sortBy { case (cos, cid) => (-cos, cid) }.take(TopK)
+      top.zipWithIndex.foreach { case ((cos, cid), i) =>
+        out += ((qid, i + 1, cid, cos))
+      }
+    }
+    out.toSeq.toDF("qid", "rank", "cid", "cos")
+  }
 
   private val PqM = 8    // subspaces
   private val PqK = 32   // codewords per subspace → 8×5 = 40 bits/vector
@@ -345,14 +524,15 @@ object Similarity {
     * n×PqM code tuples — bounded like the k-means samples. Above it the
     * corpus never touches the driver and pqSearch serves distributed.
     */
-  private val PqLocalServeMax = 65536L
+  // r16: conf-backed via localServeMax (spark.graft.ann.localServeMax),
+  // unified with the s3/s4 local serves; 65536 stays the default cap.
 
   /** Local IVFADC serve (r16): identical probe/ADC/rerank semantics to
     * the distributed pipeline in [[pqSearch]] — same coarse probes
     * (nearest nprobe lists, ties by list id), same shortlist order
     * (adc asc, vid asc), same exact cosine rerank rounded half-up to 6 —
     * just evaluated driver-side from the collected sidecar, because at
-    * ≤[[PqLocalServeMax]] vectors the arithmetic is milliseconds and
+    * ≤`localServeMax` vectors the arithmetic is milliseconds and
     * every one of the distributed plan's ~15 stages is pure overhead.
     */
   private def pqServeLocal(s: SparkSession, dir: String,
@@ -593,7 +773,7 @@ object Similarity {
     // 2 k-vector corpus). Above the cap the distributed IVFADC pipeline
     // below is the only path — same routing discipline as the compiler's
     // local-BFS and q35 fixpoint switches.
-    if (nCorpus <= PqLocalServeMax)
+    if (nCorpus <= localServeMax(s))
       return pqServeLocal(s, dir, cents, books, codes, sub, nprobe,
         pqShortlist(nCorpus))
     // query tables: per probed coarse list, the query RESIDUAL's distance
@@ -670,7 +850,6 @@ object Similarity {
     * brute force asserted in PipelineSpec.
     */
   val ivfQuery: (SparkSession, String) => DataFrame = (s, dir) => {
-    val emb = T(s, dir, "embeddings").localCheckpoint()
     // lists scale with corpus (reference default lists=100 for real corpora,
     // ivfflat.h:52); tiny corpora get few lists so probes still cover enough
     val n = graft.Tables.rowCount(s, dir, "embeddings")
@@ -678,15 +857,28 @@ object Similarity {
     // probe ~40% of lists: recall over speed while list count is small
     // relative to the true cluster structure (10 label clusters here)
     val nprobe = math.max(2, (k * 2) / 5)
-    // sampled driver-side Lloyd build (the reference's ivfbuild.c shape);
-    // the flatten feeds the DISTRIBUTED index assignment + query probes
-    val flat = graft.functions.Ivf.flatten(emb, "vec_id", "embedding")
-    val centroids = graft.functions.Ivf.kmeansSampled(
-      emb, "vec_id", "embedding", k, iters = 6, nHint = Some(n))
-    graft.functions.Ivf.annSearch(
-      emb, "vec_id", "embedding",
-      emb.filter(col("vec_id") < NQuery), "vec_id", "embedding",
-      centroids, nprobe, topK = TopK, flatOpt = Some(flat))
+    // Size-adaptive serve (r16, the s8 pqServeLocal discipline): below the
+    // driver-state bound, same centroids (the identical sampled build),
+    // same assignment/probe/rerank semantics, driver-side — the
+    // distributed pipeline's ~12 stages are pure scheduling overhead at
+    // this size. Above the cap: the distributed path, unchanged.
+    if (n <= localServeMax(s)) {
+      val centroids = graft.functions.Ivf.kmeansSampled(
+        T(s, dir, "embeddings"), "vec_id", "embedding", k, iters = 6,
+        nHint = Some(n))
+      ivfServeLocal(s, dir, centroids, nprobe)
+    } else {
+      val emb = T(s, dir, "embeddings").localCheckpoint()
+      // sampled driver-side Lloyd build (the reference's ivfbuild.c shape);
+      // the flatten feeds the DISTRIBUTED index assignment + query probes
+      val flat = graft.functions.Ivf.flatten(emb, "vec_id", "embedding")
+      val centroids = graft.functions.Ivf.kmeansSampled(
+        emb, "vec_id", "embedding", k, iters = 6, nHint = Some(n))
+      graft.functions.Ivf.annSearch(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < NQuery), "vec_id", "embedding",
+        centroids, nprobe, topK = TopK, flatOpt = Some(flat))
+    }
   }
 
   val oracles: Map[String, String] = Map(

@@ -48,6 +48,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.65, s"IVF recall $recall (brute=${brute.size}, ivf=${ivf.size})")
   }
 
+  test("s3/s4 local ANN serves match the distributed pipelines row-for-row") {
+    // default cap → local serve; cap 0 → every serve distributed. The
+    // session cache keys don't see the conf, so clear between runs.
+    def rows(name: String): Seq[(Long, Long, Long, Double)] = {
+      Similarity.clearSessionCache()
+      Similarity.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue(),
+          r.getLong(2), r.getDouble(3))).toSeq
+    }
+    val key = "spark.graft.ann.localServeMax"
+    val localS3 = rows("s3_ann_lsh")
+    val localS4 = rows("s4_ivf_ann")
+    spark.conf.set(key, "0")
+    try {
+      assert(rows("s3_ann_lsh") == localS3, "s3 local serve diverged")
+      assert(rows("s4_ivf_ann") == localS4, "s4 local serve diverged")
+    } finally {
+      spark.conf.unset(key)
+      Similarity.clearSessionCache()
+    }
+    assert(localS3.nonEmpty && localS4.nonEmpty)
+  }
+
   test("quality score is bounded and text-length monotone-ish") {
     import org.apache.spark.sql.functions._
     val scored = Tables.T(spark, sf, "documents")
