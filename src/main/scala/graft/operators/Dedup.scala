@@ -96,6 +96,22 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** r16 (VERDICT r15 #3): exactness-gate size guard. The deliberate
+    * O(n²) gates (d2 all-pairs shingle join, d5 all-pairs cosine) stay
+    * exact at oracle/bench scales but must not silently launch quadratic
+    * plans on a 100× input: above this optimizer-ESTIMATED input size
+    * (pure stats, no job) d2 routes to its banded twin and d5 refuses.
+    * Override with `spark.graft.dedup.exactBytes` (−1 disables the guard).
+    */
+  private def exactGateBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.dedup.exactBytes").map(_.toLong)
+      .getOrElse(1L << 30)
+
+  private def overExactGate(s: SparkSession, input: DataFrame): Boolean = {
+    val limit = exactGateBytes(s)
+    limit >= 0 && input.queryExecution.optimizedPlan.stats.sizeInBytes > limit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: md5-of-normalized-text groups
     "d1_exact_dedup" -> ((s, dir) => {
@@ -107,8 +123,16 @@ object Dedup {
           sum(when(col("copies") > 1, col("copies") - 1).otherwise(0L)).as("n_removed"))
     }),
 
-    // ground-truth n-gram Jaccard near-dup pairs
-    "d2_ngram_jaccard" -> ((s, dir) => jaccardPairs(s, dir, JaccardThreshold)),
+    // ground-truth n-gram Jaccard near-dup pairs. Size-guarded (r16,
+    // VERDICT r15 #3): the all-pairs shingle join is the deliberate
+    // exactness gate, but nothing prevented it running on a 100× input —
+    // above the estimated-input guard it now routes to d3's banded
+    // MinHash-LSH + exact-verify twin (same (da, db, jaccard) schema,
+    // same pair set whenever LSH recall holds — the documented scale
+    // trade). The guard never fires at oracle/bench scales.
+    "d2_ngram_jaccard" -> ((s, dir) =>
+      if (overExactGate(s, T(s, dir, "documents"))) lshVerifiedPairs(s, dir)
+      else jaccardPairs(s, dir, JaccardThreshold)),
 
     // MinHash+LSH candidates, then exact verification — same result as the
     // ground truth when recall holds; the LSH join replaces the all-pairs
@@ -121,6 +145,17 @@ object Dedup {
     // operator is s3 (hyperplane LSH) / s4 (IVF): candidates ∝ corpus,
     // not corpus².
     "d5_cosine_neardup" -> ((s, dir) => {
+      // Size guard (r16, VERDICT r15 #3): all-pairs exactness gate with no
+      // exact twin — refuse loudly above the estimated-input bound instead
+      // of launching an O(n²) plan; the bucketed ANN paths (s3/s4/s8) are
+      // the scale answer. Never fires at oracle/bench scales.
+      val embScan = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      if (overExactGate(s, embScan))
+        throw new IllegalStateException(
+          "d5_cosine_neardup is an all-pairs exactness gate: input estimated at " +
+            s"${embScan.queryExecution.optimizedPlan.stats.sizeInBytes} bytes exceeds " +
+            s"spark.graft.dedup.exactBytes=${exactGateBytes(s)}; " +
+            "use the bucketed ANN paths (s3/s4/s8) at this scale")
       // Exact all-pairs cosine, fully columnar: normalize once, FLATTEN the
       // vector to `dim` scalar double columns, then the pair score is a
       // 64-term scalar multiply-add — plain codegen over flat columns.

@@ -48,6 +48,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.65, s"IVF recall $recall (brute=${brute.size}, ivf=${ivf.size})")
   }
 
+  test("exactness-gate size guard: d2 routes to the banded twin, d5 refuses") {
+    val key = "spark.graft.dedup.exactBytes"
+    // a 1-byte bound makes ANY input "too large" — the guard must fire
+    spark.conf.set(key, "1")
+    try {
+      // d2 → banded twin: same schema, and at this scale the identical
+      // pair set (LSH == exact is asserted by the minhash test above)
+      val routed = operators.Dedup.queries("d2_ngram_jaccard")(spark, sf)
+      assert(routed.columns.toSeq == Seq("da", "db", "jaccard"))
+      val ex = intercept[IllegalStateException] {
+        operators.Dedup.queries("d5_cosine_neardup")(spark, sf)
+      }
+      assert(ex.getMessage.contains("exactness gate"))
+    } finally spark.conf.unset(key)
+    // default bound: both run their exact paths (covered by the oracle
+    // rows and the minhash test; just prove the guard does NOT fire)
+    assert(operators.Dedup.queries("d5_cosine_neardup")(spark, sf).columns.nonEmpty)
+  }
+
   test("s3/s4 local ANN serves match the distributed pipelines row-for-row") {
     // default cap → local serve; cap 0 → every serve distributed. The
     // session cache keys don't see the conf, so clear between runs.
