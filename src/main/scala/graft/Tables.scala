@@ -72,4 +72,29 @@ object Tables {
   def embeddingDim(spark: SparkSession, dir: String, name: String = "embeddings"): Int =
     statCache.getOrElseUpdate((s"$dir/$name", "dim"),
       T(spark, dir, name).select(size(col("embedding"))).head.getInt(0).toLong).toInt
+
+  /** Fan a too-coarse scan out to the session's parallelism (r16, guide
+    * §2.5 input skew / §6 input splits): the test corpus packs each table
+    * into ONE parquet row group, so a scan is a single task and any
+    * CPU-heavy per-row work above it (decimal aggregation, tokenize +
+    * explode) runs single-threaded no matter how many cores exist. Adds a
+    * round-robin exchange ONLY when the planned scan has fewer partitions
+    * than half the default parallelism AND the optimizer-estimated input
+    * is under `spark.graft.scan.fanoutBytes` (default 1 GiB; −1 disables)
+    * — at scale the scan already has ≥ cores splits and no exchange is
+    * added. Callers must use it only where downstream results are
+    * order-independent (exact integer/decimal aggregation, distinct,
+    * per-row maps): a round-robin exchange reorders rows.
+    */
+  def fanout(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val limit = spark.conf.getOption("spark.graft.scan.fanoutBytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    if (limit < 0) return df
+    val par = spark.sparkContext.defaultParallelism
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= limit &&
+        df.rdd.getNumPartitions * 2 <= par)
+      df.repartition(par)
+    else df
+  }
 }

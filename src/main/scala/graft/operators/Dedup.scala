@@ -49,8 +49,31 @@ object Dedup {
     * tokens contribute their whole normalized text as the single shingle.
     */
   private[operators] def docShingleHashes(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    // r16 (guide §2.4 — don't recompute what a sibling already built):
+    // d2, d9, d10's pair build, and the streaming band index each re-ran
+    // the posexplode + window-lead + distinct chain on the same corpus.
+    // One checkpointed build per (session, corpus-fingerprint) serves all
+    // of them; the bench resets it at each pass boundary via
+    // clearSessionCache, same discipline as pairsCache below.
+    shingleCache.keySet.asScala.foreach { k =>
+      if (k._1.sparkContext.isStopped) shingleCache.remove(k)
+    }
+    if (shingleCache.size >= PairsCacheCap) shingleCache.clear()
+    shingleCache.computeIfAbsent((s, dir, corpusFingerprint(dir)),
+      _ => buildDocShingleHashes(s, dir).localCheckpoint())
+  }
+
+  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
+
+  private def buildDocShingleHashes(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = T(s, dir, "documents")
+    // fanout (r16): the split + posexplode + hash work ran inside the
+    // single-task documents scan; every downstream value is an exact
+    // integer/hash (order-independent), so the exchange is free of
+    // semantic risk and the window's doc_id shuffle happens regardless
+    val docs = graft.Tables.fanout(T(s, dir, "documents"))
     val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))))
       .toDF("doc_id", "pos", "w")
     val win = Window.partitionBy("doc_id").orderBy("pos")
@@ -77,9 +100,10 @@ object Dedup {
     // merge two distinct shingles (P ≈ n²/2⁶⁴ — negligible below ~10⁹
     // distinct shingles; at larger corpora switch the key to
     // (xxhash64, length) or verify candidates exactly as d3 does).
-    val sh = docShingleHashes(s, dir)
-      .withColumnRenamed("h", "hk")
-      .localCheckpoint() // eager: scanned 3× (sizes + both join sides) — persist() alone races (concurrent stages each recompute)
+    // docShingleHashes is already a session-memoized checkpoint — the
+    // rename is a cheap projection over its cached blocks, safe to scan 3×
+    // (sizes + both join sides)
+    val sh = docShingleHashes(s, dir).withColumnRenamed("h", "hk")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -199,7 +223,10 @@ object Dedup {
       // posexplode + pos guard: deterministic first-32767-token prefix per
       // doc (SWAR lane capacity — see LaneMask). Never binds on this
       // corpus, so the DuckDB oracle replay needs no mirror clause.
-      val toks = T(s, dir, "documents")
+      // fanout (r16): tokenize + md5 per token ran inside the single-task
+      // documents scan; the SWAR vote sums are exact longs
+      // (order-independent), so the exchange cannot change the result
+      val toks = graft.Tables.fanout(T(s, dir, "documents"))
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
         .filter(col("pos") < SwarMaxTokens)
         .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
@@ -242,8 +269,8 @@ object Dedup {
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Long), DataFrame]()
   private val PairsCacheCap = 64
-  /** Benchmark hook: cold-path measurements drop the cache (ScaleBench). */
-  def clearSessionCache(): Unit = pairsCache.clear()
+  /** Benchmark hook: cold-path measurements drop the caches (ScaleBench). */
+  def clearSessionCache(): Unit = { pairsCache.clear(); shingleCache.clear() }
 
   /** Cheap content fingerprint of the corpus files a cached artifact was
     * built from (r13, ADVICE r12): (name, size, mtime) of every file under
@@ -318,7 +345,7 @@ object Dedup {
       // xxhash64 of the shingle — signature mins, and the exact-verify
       // intersection over per-doc SORTED LONG ARRAYS (array_intersect on
       // longs; the string-array form was the round-2 hot spot).
-      val hashed = docShingleHashes(s, dir).localCheckpoint()
+      val hashed = docShingleHashes(s, dir) // session-memoized checkpoint
       // TWO aggregations on the same key, glued by a co-partitioned join —
       // deliberately NOT one combined agg (measured r16: folding the
       // `collect_set` into the min() agg forces the whole aggregate into

@@ -43,7 +43,11 @@ object Recursive {
 
   private def localBytes(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.recursive.localBytes").map(_.toLong)
-      .getOrElse(1L << 20)
+      // 64 KiB, not 1 MiB (r16 measured): a 15k-row seed (q31) is cheaper
+      // distributed — the local mode's per-generation acc re-broadcast for
+      // the anti-join grows with the accumulated set, while a truly tiny
+      // deep recursion (q35's 25-row ring) wins 2× locally
+      .getOrElse(64L << 10)
 
   private def localRowCap(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.recursive.localRows").map(_.toInt)

@@ -65,6 +65,12 @@ object Relational {
 
     // Top-N over a shuffled agg+join (ORDER BY ... LIMIT with deterministic tiebreak).
     "q3_topn_orders" -> ((s, dir) => {
+      // fanout was MEASURED A LOSS here (r16): repartitioning the 600k-row
+      // projection before the decimal agg cost more than the single-task
+      // partial agg saved (wall 1.2 s → 1.4 s, task time 1.2 s → 13 s) —
+      // per-orderkey groups are ~4 rows, so round-robin partials reduce
+      // nothing and the exchange carries the full row set anyway. Kept the
+      // single-shuffle partial-agg shape (the 100 TB-correct plan).
       val li = T(s, dir, "lineitem")
       val ord = T(s, dir, "orders")
       li.groupBy(col("l_orderkey"))

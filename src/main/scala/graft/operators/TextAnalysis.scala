@@ -97,10 +97,17 @@ object TextAnalysis {
       val terms = Seq("hash", "merge", "window")
       val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
         t => length(t) > 0)
+      // tf_i = |toks| − |array_remove(toks, t)| — identical integer counts
+      // to the array-filter form, but array_remove is a codegen collection
+      // expression while filter() is a higher-order function evaluated
+      // interpreted per token per term (r16, guide §4.1). localCheckpoint:
+      // the tf relation feeds BOTH the corpus-stats agg and the scoring
+      // scan — without it the tokenize ran twice per query.
       val tf = T(s, dir, "documents")
         .select(col("doc_id") +: size(toks).as("dl") +:
           terms.zipWithIndex.map { case (t, i) =>
-            size(filter(toks, x => x === t)).as(s"tf$i") }: _*)
+            (size(toks) - size(array_remove(toks, t))).as(s"tf$i") }: _*)
+        .localCheckpoint()
       val stats = tf.agg(
         count(lit(1)).cast("double").as("n"),
         (avg(col("dl")).as("avgdl") +:
