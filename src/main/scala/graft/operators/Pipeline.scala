@@ -68,6 +68,38 @@ object Pipeline {
   private def dupClusterLabelsBuild(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.lshVerifiedPairs(s, dir)
       .select(col("da"), col("db")).localCheckpoint()
+    // r16 size-adaptive local path (the Algorithms.ccLocal discipline): the
+    // pair set is ∝ duplicates, not corpus — usually tiny — and the
+    // distributed min-label loop paid ~3 jobs per iteration of pure
+    // scheduling. Union-find with min-id roots computes the SAME fixpoint
+    // (lbl = min id in the connected component) exactly; above the cap
+    // (spark.graft.dedup.localClusterPairs, default 1M pairs; −1 disables)
+    // the distributed loop below is unchanged.
+    val localCap = s.conf.getOption("spark.graft.dedup.localClusterPairs")
+      .map(_.toLong).getOrElse(1L << 20)
+    if (localCap >= 0 && pairs.count() <= localCap) {
+      import s.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+      pairs.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        add(a); add(b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { // smaller id as root → root = component min
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      parent.forEach((id, _) => out += ((id, find(id))))
+      return out.toSeq.toDF("id", "lbl")
+    }
     val edges = pairs.unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
       .toDF("src", "dst").localCheckpoint()
     var lbl = edges.select(col("src").as("id")).distinct()

@@ -48,6 +48,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.65, s"IVF recall $recall (brute=${brute.size}, ivf=${ivf.size})")
   }
 
+  test("dup-cluster local union-find matches the distributed label loop") {
+    def rows(): Set[(Long, Long, Long)] = {
+      Pipeline.clearSessionCache()
+      Pipeline.queries("d6_dup_clusters")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val key = "spark.graft.dedup.localClusterPairs"
+    val local = rows()
+    spark.conf.set(key, "-1") // force the distributed min-label loop
+    try assert(rows() == local, "local union-find diverged from label loop")
+    finally { spark.conf.unset(key); Pipeline.clearSessionCache() }
+    assert(local.nonEmpty)
+  }
+
   test("exactness-gate size guard: d2 routes to the banded twin, d5 refuses") {
     val key = "spark.graft.dedup.exactBytes"
     // a 1-byte bound makes ANY input "too large" — the guard must fire
