@@ -109,6 +109,15 @@ object Similarity {
     * scale; restricted here to a bounded query set.
     */
   private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    // Size-adaptive serve (r16, same discipline as the s3/s4/s8 local
+    // serves): below the driver-state cap the exact scan is NQuery × n ×
+    // dim multiply-adds — milliseconds — with IDENTICAL arithmetic to the
+    // flat-column plan below (ascending-index left-fold dot and norms,
+    // HALF_UP round to 6, (cos desc, cid) tie-break), so the hash-checked
+    // oracle rows see the same doubles. Above the cap: the distributed
+    // scan below, unchanged.
+    if (graft.Tables.rowCount(s, dir, "embeddings") <= localServeMax(s))
+      return bruteTopKLocal(s, dir)
     val emb = T(s, dir, "embeddings")
     // Flat-column pair scoring (r16, the d5 trick — guide §1.2 per-task
     // work): `aggregate(zip_with(...))` evaluates interpreted per element,
@@ -135,6 +144,42 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"), col("cos"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Driver-side exact brute force — see the header of [[bruteTopK]]. */
+  private def bruteTopKLocal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+    val vecs = new java.util.LinkedHashMap[Long, Array[Double]](raw.length * 2)
+    raw.foreach { r =>
+      val xs = r.getSeq[Number](1)
+      val v = new Array[Double](xs.length)
+      var i = 0
+      while (i < v.length) { v(i) = xs(i).doubleValue(); i += 1 }
+      vecs.put(r.getLong(0), v)
+    }
+    import scala.jdk.CollectionConverters._
+    val qids = vecs.keySet().asScala.toArray.filter(_ < NQuery).sorted
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    for (qid <- qids) {
+      val qv = vecs.get(qid)
+      val top = vecs.keySet().asScala.toSeq.collect {
+        case cid if cid != qid =>
+          val cv = vecs.get(cid)
+          var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+          while (j < qv.length) {
+            d += qv(j) * cv(j); na += qv(j) * qv(j); nb += cv(j) * cv(j); j += 1
+          }
+          val cos = BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (cos, cid)
+      }.sortBy { case (cos, cid) => (-cos, cid) }.take(TopK)
+      top.zipWithIndex.foreach { case ((cos, cid), i) =>
+        out += ((qid, (i + 1).toLong, cid, cos))
+      }
+    }
+    out.toSeq.toDF("qid", "rank", "cid", "cos")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -91,17 +91,19 @@ class PipelineSpec extends AnyFunSuite {
           r.getLong(2), r.getDouble(3))).toSeq
     }
     val key = "spark.graft.ann.localServeMax"
+    val localS1 = rows("s1_cosine_topk")
     val localS3 = rows("s3_ann_lsh")
     val localS4 = rows("s4_ivf_ann")
     spark.conf.set(key, "0")
     try {
+      assert(rows("s1_cosine_topk") == localS1, "s1 local serve diverged")
       assert(rows("s3_ann_lsh") == localS3, "s3 local serve diverged")
       assert(rows("s4_ivf_ann") == localS4, "s4 local serve diverged")
     } finally {
       spark.conf.unset(key)
       Similarity.clearSessionCache()
     }
-    assert(localS3.nonEmpty && localS4.nonEmpty)
+    assert(localS1.nonEmpty && localS3.nonEmpty && localS4.nonEmpty)
   }
 
   test("quality score is bounded and text-length monotone-ish") {
