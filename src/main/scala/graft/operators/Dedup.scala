@@ -193,13 +193,46 @@ object Dedup {
       // evaluate interpreted).
       val e0 = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val dim = graft.Tables.embeddingDim(s, dir)
+      // r17 (§1.2 per-task work): the normalize used interpreted HOFs
+      // (transform + aggregate-l2norm) that project-collapse inlined into
+      // EVERY one of the dim element_at outputs — the norm fold ran ~dim
+      // times per row with no CSE (HOFs are CodegenFallback; Prof6: the
+      // flatten checkpoint alone cost ~1.0 s warm for 2k rows). Same
+      // doubles from pure codegen expressions: nrm = sqrt(r1²+r2²+⋯) is
+      // the identical ascending left-fold (0.0+x² ≡ x² in IEEE for squares,
+      // the HOF fold's seed), and xᵢ = cast(elemᵢ)/nrm is the transform
+      // lambda verbatim. Codegen CSE then evaluates the norm once per row.
+      // Two-step select, not one: inlining the ~130-node norm tree into all
+      // `dim` outputs makes an ~8k-node projection whose analysis+codegen
+      // cost ~1.5 s warm (Prof6); with the norm as its own column,
+      // CollapseProject keeps the two Projects separate (non-cheap expr
+      // referenced dim times), the tree stays ~200 nodes, and the whole
+      // flatten costs ~0.25 s. Values are bit-identical either way.
+      val rawE = (1 to dim).map(i => element_at(col("embedding"), i).cast("double"))
+      val nrmE = sqrt(rawE.map(c => c * c).reduce(_ + _))
       val e = e0
-        .withColumn("nrm", Similarity.l2norm(col("embedding")))
-        .withColumn("nv", transform(col("embedding"), x => x.cast("double") / col("nrm")))
-        .select(col("vec_id") +: (1 to dim).map(i => element_at(col("nv"), i).as(s"x$i")): _*)
+        .select(col("vec_id"), col("embedding"), nrmE.as("nrm"))
+        .select(col("vec_id") +: (1 to dim).map(i =>
+          (element_at(col("embedding"), i).cast("double") / col("nrm")).as(s"x$i")): _*)
         .localCheckpoint()
+      // r17 (guide §2.5 input parallelism / §3.1 explicit build side): the
+      // single-row-group test file plans the scan as ONE partition, and a
+      // BroadcastNestedLoopJoin's parallelism is the STREAMED side's
+      // partition count — so the whole n²·dim pair materialization ran on
+      // one core (Prof4: 3.0 s construction-time checkpoint, exec 0.2 s).
+      // Repartition ONLY the streamed side to the session's cores (guarded
+      // like Tables.fanout — at scale the scan already has ≥ cores splits)
+      // and pin the build side with an explicit broadcast so the planner
+      // cannot flip to streaming the 1-partition side or, worse, a
+      // CartesianProduct (measured: fanning BOTH sides before the
+      // checkpoint lost the small-stats estimate and planned a 1024-task
+      // cartesian, 32 s of task time). Pair set and per-pair multiply-add
+      // chain are partition-independent; the trailing orderBy fixes order.
+      val par = s.sparkContext.defaultParallelism
+      val eStream =
+        if (e.rdd.getNumPartitions * 2 <= par) e.repartition(par) else e
       val dot = (1 to dim).map(i => col(s"a.x$i") * col(s"b.x$i")).reduce(_ + _)
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      eStream.as("a").join(broadcast(e).as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), dot.as("c"))
         .localCheckpoint()
         .filter(col("c") >= 0.45)
