@@ -17,17 +17,32 @@ object Tables {
     * under the same path misses instead of serving a stale file list —
     * the same discipline as Dedup.corpusFingerprint.
     */
-  private val dfCache =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String, Long), DataFrame]
+  // r17 (ADVICE r16): LRU map, not a TrieMap with wholesale clear() — a
+  // long-lived session cycling >cap distinct (session, path, fingerprint)
+  // keys now evicts only the least-recently-used entry instead of dropping
+  // every hot handle at once.
   private val DfCacheCap = 512
+  private val dfCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(SparkSession, String, Long), DataFrame](
+        64, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, Long), DataFrame]): Boolean =
+        size() > DfCacheCap
+    })
 
-  private def tableFingerprint(path: String): Long = {
+  private def tableFingerprint(spark: SparkSession, path: String): Long = {
+    val local = new java.io.File(path)
+    // r17 (ADVICE r16): a non-local path (hdfs://, s3a://) used to walk a
+    // nonexistent java.io.File and fold to a CONSTANT — the staleness
+    // discipline silently vanished off local disk. Resolve through
+    // Hadoop's FileSystem for anything java.io cannot see.
+    if (!local.exists()) return hadoopFingerprint(spark, path)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
           .flatMap(walk)
       else Seq(f)
-    walk(new java.io.File(path)).foldLeft(17L) { (h, f) =>
+    walk(local).foldLeft(17L) { (h, f) =>
       val mtime =
         try java.nio.file.Files.getLastModifiedTime(f.toPath)
           .to(java.util.concurrent.TimeUnit.NANOSECONDS)
@@ -36,13 +51,29 @@ object Tables {
     }
   }
 
+  private def hadoopFingerprint(spark: SparkSession, path: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    try {
+      val it = fs.listFiles(hp, /*recursive=*/ true)
+      while (it.hasNext) {
+        val st = it.next()
+        files += ((st.getPath.getName, st.getLen, st.getModificationTime))
+      }
+    } catch { case _: java.io.IOException => return 17L }
+    files.sortBy(_._1).foldLeft(17L) { case (h, (n, len, mtime)) =>
+      31L * (31L * (31L * h + n.hashCode) + len) + mtime
+    }
+  }
+
   def T(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    dfCache.keys.foreach { k => // stopped sessions: evict eagerly
-      if (k._1.sparkContext.isStopped) dfCache.remove(k)
+    dfCache.synchronized { // stopped sessions: evict eagerly
+      val it = dfCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     }
-    if (dfCache.size >= DfCacheCap) dfCache.clear()
-    dfCache.getOrElseUpdate((spark, path, tableFingerprint(path)), {
+    dfCache.computeIfAbsent((spark, path, tableFingerprint(spark, path)), _ => {
       // events.ts is parquet TIMESTAMP(NANOS). Spark 4.1 reads it natively as
       // TIMESTAMP_NTZ truncated to micros (the legacy nanosAsLong conf no
       // longer applies); normalize to tz-aware TimestampType so temporal ops
@@ -95,6 +126,26 @@ object Tables {
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= limit &&
         df.rdd.getNumPartitions * 2 <= par)
       df.repartition(par)
+    else df
+  }
+
+  /** Keyed twin of [[fanout]] (r17, guide §2.3 "project before the
+    * exchange"): hash-repartition a NARROW projection on the grouping key
+    * so the expensive per-row/aggregation work above the single-task scan
+    * runs on all cores, while the downstream groupBy on the same key reuses
+    * this exchange (no second shuffle — hashpartitioning(key) satisfies the
+    * aggregation's distribution). Same guards as fanout; only safe where
+    * the aggregate is order-independent (exact integer/decimal sums).
+    */
+  def fanoutByKey(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    val limit = spark.conf.getOption("spark.graft.scan.fanoutBytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    if (limit < 0) return df
+    val par = spark.sparkContext.defaultParallelism
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= limit &&
+        df.rdd.getNumPartitions * 2 <= par)
+      df.repartition(par, col(key))
     else df
   }
 }

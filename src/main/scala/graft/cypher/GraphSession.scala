@@ -23,14 +23,76 @@ import scala.collection.mutable
 private[graft] object RowNumber {
   def attach(df: DataFrame, name: String): (DataFrame, Long) = {
     val spark = df.sparkSession
+    val schema = df.schema.add(name, LongType, nullable = false)
+    // r17 (guide §1.2 — a tiny write's per-statement cost is pure job
+    // scheduling): below the WriteLocal bound the freeze + count +
+    // zipWithIndex trio (3 jobs, each over defaultParallelism-sliced
+    // partitions) collapses to ONE collect; numbering is identical
+    // (executeCollect returns rows in partition order — the exact order
+    // zipWithIndex numbers), and the LocalRelation result keeps every
+    // downstream read/probe of the created rows driver-foldable.
+    if (WriteLocal.isSmall(df)) {
+      val rows = df.collect()
+      val numbered = rows.iterator.zipWithIndex.map { case (row, i) =>
+        Row.fromSeq(row.toSeq :+ (i + 1L))
+      }.toIndexedSeq
+      import scala.jdk.CollectionConverters._
+      return (spark.createDataFrame(numbered.asJava, schema), rows.length.toLong)
+    }
     val frozen = df.localCheckpoint()
     val n = frozen.count() // cheap: counts the materialized blocks
-    val schema = frozen.schema.add(name, LongType, nullable = false)
+    // stats can be join-inflated while the ACTUAL row count is tiny (a
+    // MERGE's anti-join input) — the count above knows; below the row
+    // bound, number the checkpointed rows driver-side (same partition
+    // order) so the created rows stay LocalRelation-foldable downstream.
+    if (n <= WriteLocal.rowBound(spark)) {
+      val numbered = frozen.collect().iterator.zipWithIndex.map { case (row, i) =>
+        Row.fromSeq(row.toSeq :+ (i + 1L))
+      }.toIndexedSeq
+      import scala.jdk.CollectionConverters._
+      return (spark.createDataFrame(numbered.asJava, schema), n)
+    }
     val rdd = frozen.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ (i + 1L))
     }
     (spark.createDataFrame(rdd, schema), n)
   }
+}
+
+/** Size-adaptive freeze for the write path (r17; the Algorithms.scala /
+  * Recursive local-mode discipline applied to mutation statements): a
+  * statement-scoped snapshot whose optimizer-ESTIMATED size is under
+  * `spark.graft.write.localBytes` (default 1 MiB; −1 disables) collects to
+  * a LocalRelation instead of localCheckpointing — the snapshot semantics
+  * are identical (driver-held rows are as frozen as checkpoint blocks, in
+  * the same partition order), but downstream existence probes, broadcast
+  * builds and per-row CREATE numbering stop paying a multi-task job each.
+  * Above the bound (or with stats inflated by joins) the distributed
+  * checkpoint path is unchanged — the 100 TB write shape.
+  */
+private[graft] object WriteLocal {
+  def bound(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.write.localBytes").map(_.toLong)
+      .getOrElse(1L << 20)
+  /** Row bound for the post-count local conversion in RowNumber.attach —
+    * disabled together with localBytes = −1.
+    */
+  def rowBound(spark: SparkSession): Long =
+    if (bound(spark) < 0) -1L
+    else spark.conf.getOption("spark.graft.write.localRows").map(_.toLong)
+      .getOrElse(65536L)
+  def isSmall(df: DataFrame): Boolean = {
+    val b = bound(df.sparkSession)
+    b >= 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= b
+  }
+  /** Freeze a statement snapshot: LocalRelation when small, else an eager
+    * localCheckpoint — value- and order-identical either way.
+    */
+  def freeze(df: DataFrame): DataFrame =
+    if (isSmall(df)) {
+      import scala.jdk.CollectionConverters._
+      df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    } else df.localCheckpoint()
 }
 
 /** Mutable graph + Cypher write-clause execution — the engine's equivalent of
@@ -907,12 +969,12 @@ final class GraphSession(val spark: SparkSession) {
         // match-or-create of the whole pattern, input rows only gate it
         // (cypher_merge.out test 16 creates a fresh path, test 20 matches)
         registerPatternLabels(m.pattern)
-        if (ctx.df.limit(1).count() > 0) {
+        if (!ctx.df.isEmpty) {
           val matched = try {
-            new Compiler(graph.snapshot, params)
+            !new Compiler(graph.snapshot, params)
               .compileClause(Ctx.empty,
                 Match(List(m.pattern), optional = false, None))
-              .df.limit(1).count() > 0
+              .df.isEmpty
           } catch { case _: UnknownLabelException => false }
           if (!matched)
             executeCreate(Ctx.empty, mergeDirected(m.pattern),
@@ -953,7 +1015,7 @@ final class GraphSession(val spark: SparkSession) {
       // lazy plan over them, and a RETURN after DELETE must show the
       // deleted entities (delete.out `DETACH DELETE n RETURN n`), not a
       // re-evaluation against the post-delete graph
-      val frozen = if (ctx.df == null) ctx else ctx.copy(df = ctx.df.localCheckpoint())
+      val frozen = if (ctx.df == null) ctx else ctx.copy(df = WriteLocal.freeze(ctx.df))
       executeDelete(frozen, exprs, detach); frozen
     case other => throw new UnsupportedOperationException(s"write clause: $other")
   }
@@ -1235,7 +1297,7 @@ final class GraphSession(val spark: SparkSession) {
       val probe = new Compiler(graph.snapshot, compiler.params)
       val matched = try {
         val c = probe.compileClause(Ctx.empty, Match(List(pattern), optional = false, None))
-        c.df.limit(1).count() > 0
+        !c.df.isEmpty
       } catch { case _: UnknownLabelException => false } // unknown label → no match
       if (matched) {
         new Compiler(graph.snapshot, compiler.params)
@@ -1266,8 +1328,12 @@ final class GraphSession(val spark: SparkSession) {
           .reduce(_ && _)
         ctx.df.join(proj, cond, "left_anti")
       } catch { case _: UnknownLabelException => ctx.df } // unknown label → all missing
-      val distinctMissing = missing.dropDuplicates(boundVars.map(v => s"${v}__id"))
-      if (distinctMissing.limit(1).count() > 0)
+      // r17: freeze ONCE, probe the frozen relation — the emptiness probe
+      // and createPerRow's own freeze each re-executed the anti-join plan
+      // (two full AQE executions per MERGE, ~6 jobs each on tiny graphs)
+      val distinctMissing = WriteLocal.freeze(
+        missing.dropDuplicates(boundVars.map(v => s"${v}__id")))
+      if (!distinctMissing.isEmpty)
         createPerRow(Ctx(distinctMissing, ctx.vars, projected = false),
           mergeDirected(pattern).elements, compiler)
       // every binding now matches: inner-join the pattern from the new
@@ -1311,9 +1377,9 @@ final class GraphSession(val spark: SparkSession) {
           Match(List(PathPattern(None,
             List(NodePattern(Some("__merge_probe"), n.labels, Map.empty)))),
             optional = false, None))
-        c.df.limit(1).count() > 0
+        !c.df.isEmpty
       } catch { case _: UnknownLabelException => false }
-      if (!exists && ctx.df.limit(1).count() > 0)
+      if (!exists && !ctx.df.isEmpty)
         executeCreate(Ctx.empty, PathPattern(None, List(n)),
           new Compiler(graph.snapshot, compiler.params))
       return rematch(ctx, pattern, compiler.params)
@@ -1386,7 +1452,7 @@ final class GraphSession(val spark: SparkSession) {
     // freeze the binding before mutating: ctx.df is lazy over the label
     // tables, and a MATCH whose predicate reads the very property being
     // SET must not re-evaluate against the post-update graph
-    val ctx = if (ctx0.df == null) ctx0 else ctx0.copy(df = ctx0.df.localCheckpoint())
+    val ctx = if (ctx0.df == null) ctx0 else ctx0.copy(df = WriteLocal.freeze(ctx0.df))
     // constant CONTAINER values store in the same typed-or-dynamic form
     // the CREATE path uses (homogeneous scalar list → typed array; mixed/
     // nested/map → dynamic struct), so reads and filters stay consistent
@@ -1453,7 +1519,7 @@ final class GraphSession(val spark: SparkSession) {
   private var snapCounter = 0
 
   private def executeRemove(ctx0: Ctx, items: List[(String, String)]): Ctx = {
-    val ctx = if (ctx0.df == null) ctx0 else ctx0.copy(df = ctx0.df.localCheckpoint())
+    val ctx = if (ctx0.df == null) ctx0 else ctx0.copy(df = WriteLocal.freeze(ctx0.df))
     items.foreach { case (v, k) =>
       require(ctx.df != null && ctx.vars.get(v).exists(_.isEntity), s"REMOVE target $v not matched")
       if (ctx.vars(v).derived) throw new IllegalArgumentException(
@@ -1479,7 +1545,7 @@ final class GraphSession(val spark: SparkSession) {
         val ids = ctx.df.select(col(s"${v}__id").as("id")).distinct()
         graph.deleteEdges(ids)
       case Var(v) if ctx.vars.get(v).exists(_.isEntity) =>
-        val ids = ctx.df.select(col(s"${v}__id").as("id")).distinct().localCheckpoint()
+        val ids = WriteLocal.freeze(ctx.df.select(col(s"${v}__id").as("id")).distinct())
         graph.deleteVertices(ids, detach)
         // remember what this query deleted: a later CREATE reusing a
         // variable bound to one of these ids must error
@@ -1494,8 +1560,8 @@ final class GraphSession(val spark: SparkSession) {
 
   private[cypher] def requireNotDeleted(v: String, binding: DataFrame): Unit =
     queryDeletedIds.foreach { del =>
-      val hit = binding.select(col(s"${v}__id").as("id"))
-        .join(del, Seq("id"), "left_semi").limit(1).count() > 0
+      val hit = !binding.select(col(s"${v}__id").as("id"))
+        .join(del, Seq("id"), "left_semi").isEmpty
       if (hit) throw new IllegalStateException(
         s"vertex assigned to variable $v was deleted")
     }
@@ -2230,11 +2296,11 @@ final class MutableGraph(spark: SparkSession) {
     val propNames = rows.columns.filterNot(_ == "id").toSeq
     uniqueConstraints.filter(c => c._1 == label && propNames.contains(c._2))
       .foreach { case (_, k) =>
-        if (rows.groupBy(col(k)).count().filter(col("count") > 1).limit(1).count() > 0)
+        if (!rows.groupBy(col(k)).count().filter(col("count") > 1).isEmpty)
           throw new IllegalStateException(
             s"unique constraint violation: bulk CREATE would duplicate $label.$k")
         vertexLabels.get(label).filter(_.columns.contains(k)).foreach { existing =>
-          if (existing.join(rows.select(col(k)), Seq(k), "left_semi").limit(1).count() > 0)
+          if (!existing.join(rows.select(col(k)), Seq(k), "left_semi").isEmpty)
             throw new IllegalStateException(
               s"unique constraint violation: $label.$k already has one of these values")
         }
@@ -2284,7 +2350,7 @@ final class MutableGraph(spark: SparkSession) {
           }
         }.foldLeft(lit(true))(_ && _)
         val extraKeys = props.keySet.diff(propCols.toSet).nonEmpty
-        if (!extraKeys && df.filter(pred).limit(1).count() > 0)
+        if (!extraKeys && !df.filter(pred).isEmpty)
           throw new IllegalStateException("duplicate key value violates " +
             s"""unique constraint "${label}_properties_key"""")
       }
@@ -2293,7 +2359,7 @@ final class MutableGraph(spark: SparkSession) {
     uniqueConstraints.filter(_._1 == label).foreach { case (_, prop) =>
       props.get(prop).filter(_ != GNull).foreach { v =>
         vertexLabels.get(label).filter(_.columns.contains(prop)).foreach { df =>
-          val clash = df.filter(col(prop) === gLit(v)).limit(1).count()
+          val clash = if (df.filter(col(prop) === gLit(v)).isEmpty) 0 else 1
           if (clash > 0) throw new IllegalStateException(
             s"unique constraint violation: $label.$prop = ${v.render}")
         }
@@ -2402,7 +2468,7 @@ final class MutableGraph(spark: SparkSession) {
     // action" point to unpersist at — checkpointing materializes once, cuts
     // the lineage (deterministic re-scans), and the blocks are released by
     // the context cleaner when the session drops the table version
-    val updates = updates0.localCheckpoint()
+    val updates = WriteLocal.freeze(updates0)
     noteTouched(updates.select(col("__set_id").as("id")))
     def apply(kind: String, tables: Map[String, DataFrame]): Map[String, DataFrame] =
       tables.map { case (l, df) =>
@@ -2448,7 +2514,7 @@ final class MutableGraph(spark: SparkSession) {
     */
   /** DELETE edges by id across every edge label table. */
   def deleteEdges(ids0: DataFrame): Unit = {
-    val ids = ids0.localCheckpoint()
+    val ids = WriteLocal.freeze(ids0)
     noteTouched(ids)
     edgeLabels = edgeLabels.map { case (l, e) =>
       l -> e.join(ids, e("id") === ids("id"), "left_anti")
@@ -2456,7 +2522,7 @@ final class MutableGraph(spark: SparkSession) {
   }
 
   def deleteVertices(ids0: DataFrame, detach: Boolean): Unit = {
-    val ids = ids0.localCheckpoint() // eager + lineage-cut (see updateProperty)
+    val ids = WriteLocal.freeze(ids0) // eager + lineage-cut (see updateProperty)
     if (!detach) {
       val incident = edgeLabels.values.map(e =>
         e.join(ids, e("start_id") === ids("id") || e("end_id") === ids("id"), "left_semi")
@@ -2809,7 +2875,7 @@ final class MutableGraph(spark: SparkSession) {
       if (prevDvs.map(_.count).sum + prevDvps.map(_.count).sum +
         tombstones.length > MutableGraph.DvMaxTombstones) return false
       val newRows = df.join(touched, Seq("id"), "left_semi")
-      val hasNew = newRows.limit(1).count() > 0
+      val hasNew = !newRows.isEmpty
       if (!hasNew && tombstones.isEmpty) return false
       if (hasNew) {
         val outDir = s"$dir/$kind/$encl"
@@ -2920,7 +2986,7 @@ final class MutableGraph(spark: SparkSession) {
         else readEntsWithDv(touchedEnts, prevDvs, prevDvps) // dv-suppressed ids stay out
           .select(col("id")).union(touched).distinct()
       val rows = df.join(idsToRewrite, Seq("id"), "left_semi")
-      if (carriedEnts.isEmpty && rows.limit(1).count() == 0)
+      if (carriedEnts.isEmpty && rows.isEmpty)
         return false // label emptied: full write keeps a schema-bearing dir
       val outDir = s"$dir/$kind/$encl"
       rows.coalesce(math.max(1, touchedEnts.size)).write.parquet(outDir)
@@ -3106,7 +3172,7 @@ final class MutableGraph(spark: SparkSession) {
           case Some(a) => write(a, Nil) // fresh in-memory entries, one file
           case None => (prevRels.get((encl, encp)), boundedTouched(label)) match {
             case (Some(rels), Some(touched)) =>
-              if (touched.limit(1).count() == 0) emit(rels) // identity churn only
+              if (touched.isEmpty) emit(rels) // identity churn only
               else if (rels.size >= 16) {
                 // r14 (VERDICT r13 #4): compact by merging the chain FILES
                 // — base + deltas + this statement's delta, last-wins per

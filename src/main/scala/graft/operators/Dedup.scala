@@ -49,23 +49,32 @@ object Dedup {
     * tokens contribute their whole normalized text as the single shingle.
     */
   private[operators] def docShingleHashes(s: SparkSession, dir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
     // r16 (guide §2.4 — don't recompute what a sibling already built):
     // d2, d9, d10's pair build, and the streaming band index each re-ran
     // the posexplode + window-lead + distinct chain on the same corpus.
     // One checkpointed build per (session, corpus-fingerprint) serves all
     // of them; the bench resets it at each pass boundary via
     // clearSessionCache, same discipline as pairsCache below.
-    shingleCache.keySet.asScala.foreach { k =>
-      if (k._1.sparkContext.isStopped) shingleCache.remove(k)
+    shingleCache.synchronized {
+      val it = shingleCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     }
-    if (shingleCache.size >= PairsCacheCap) shingleCache.clear()
     shingleCache.computeIfAbsent((s, dir, corpusFingerprint(dir)),
       _ => buildDocShingleHashes(s, dir).localCheckpoint())
   }
 
-  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long), DataFrame]()
+  // r17 (ADVICE r16): LRU-evicting map instead of wholesale clear() at the
+  // cap — synchronizedMap keeps computeIfAbsent single-flight.
+  private def lruCache[V](): java.util.Map[(SparkSession, String, Long), V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(SparkSession, String, Long), V](
+          16, 0.75f, /*accessOrder=*/ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String, Long), V]): Boolean =
+          size() > PairsCacheCap
+      })
+
+  private val shingleCache = lruCache[DataFrame]()
 
   private def buildDocShingleHashes(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -155,8 +164,16 @@ object Dedup {
     // same pair set whenever LSH recall holds — the documented scale
     // trade). The guard never fires at oracle/bench scales.
     "d2_ngram_jaccard" -> ((s, dir) =>
-      if (overExactGate(s, T(s, dir, "documents"))) lshVerifiedPairs(s, dir)
-      else jaccardPairs(s, dir, JaccardThreshold)),
+      if (overExactGate(s, T(s, dir, "documents"))) {
+        // r17 (ADVICE r16): the reroute is a scale-dependent result change
+        // (LSH recall < 1.0 returns a subset of the exact pair set) — say
+        // so out loud instead of switching silently.
+        System.err.println(
+          "[graft] d2_ngram_jaccard: input exceeds spark.graft.dedup.exactBytes — " +
+            "routing to the banded MinHash-LSH twin; the result is " +
+            "recall-bounded, not the exact all-pairs ground truth")
+        lshVerifiedPairs(s, dir)
+      } else jaccardPairs(s, dir, JaccardThreshold)),
 
     // MinHash+LSH candidates, then exact verification — same result as the
     // ground truth when recall holds; the LSH join replaces the all-pairs
@@ -299,8 +316,7 @@ object Dedup {
     * to every consumer. Keyed by (session, dir); bounded; stopped
     * sessions evicted eagerly (same discipline as Similarity.resultCache).
     */
-  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long), DataFrame]()
+  private val pairsCache = lruCache[DataFrame]()
   private val PairsCacheCap = 64
   /** Benchmark hook: cold-path measurements drop the caches (ScaleBench). */
   def clearSessionCache(): Unit = { pairsCache.clear(); shingleCache.clear() }
@@ -355,11 +371,10 @@ object Dedup {
   }
 
   private[operators] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    pairsCache.keySet.asScala.foreach { k =>
-      if (k._1.sparkContext.isStopped) pairsCache.remove(k)
+    pairsCache.synchronized {
+      val it = pairsCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     }
-    if (pairsCache.size >= PairsCacheCap) pairsCache.clear()
     // computeIfAbsent = single-flight: concurrent first calls run ONE
     // build (TrieMap.getOrElseUpdate could run it twice and pin duplicate
     // localCheckpoint blocks)

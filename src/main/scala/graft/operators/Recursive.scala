@@ -86,10 +86,18 @@ object Recursive {
     * re-plans and stage-materializes every per-generation micro-query (all
     * under `localRows` driver rows by construction), which is pure fixed
     * overhead at this size. Physical-only switch — results are unaffected.
-    * The conf is restored even if the step throws, and the driver loop is
-    * single-threaded, so the scoped flip cannot leak.
+    * The conf is restored even if the step throws.
+    *
+    * r17 (ADVICE r16): the flip is session-global, so (a) a lock makes
+    * concurrent fixpoint calls on one session serialize instead of
+    * clobbering each other's restore (the loops are tiny by construction —
+    * they hold the lock for milliseconds per generation set), and (b) it
+    * remains DOCUMENTED that a concurrent unrelated query on the same
+    * session can observe AQE off for the duration of one local fixpoint;
+    * set `spark.graft.recursive.localBytes = -1` to keep AQE untouched.
     */
-  private def withoutAqe[A](spark: SparkSession)(body: => A): A = {
+  private val aqeLock = new Object
+  private def withoutAqe[A](spark: SparkSession)(body: => A): A = aqeLock.synchronized {
     val key = "spark.sql.adaptive.enabled"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "false")
@@ -97,6 +105,26 @@ object Recursive {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  /** Freeze a SMALL static relation a fixpoint step re-joins every
+    * generation (r17, guide §1.2/§3.1): a localCheckpoint leaves it an
+    * RDD-backed relation, so each generation's micro-query pays a
+    * distributed BroadcastExchange JOB to rebuild the same broadcast
+    * (~45-50 ms of scheduling on local[32], × generations). Collected to a
+    * LocalRelation, the broadcast build is a driver-side executeCollect —
+    * no job at all — and the values are identical. Above
+    * `spark.graft.recursive.staticLocalRows` (default 65536; −1 disables)
+    * the checkpoint is returned unchanged — the 100 TB shape.
+    */
+  def staticLocal(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cap = spark.conf.getOption("spark.graft.recursive.staticLocalRows")
+      .map(_.toLong).getOrElse(65536L)
+    val frozen = df.localCheckpoint()
+    if (cap < 0 || frozen.count() > cap) return frozen
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(frozen.collect().toSeq.asJava, frozen.schema)
   }
 
   def fixpoint(seed: DataFrame, step: DataFrame => DataFrame,

@@ -65,15 +65,24 @@ object Relational {
 
     // Top-N over a shuffled agg+join (ORDER BY ... LIMIT with deterministic tiebreak).
     "q3_topn_orders" -> ((s, dir) => {
-      // fanout was MEASURED A LOSS here (r16): repartitioning the 600k-row
-      // projection before the decimal agg cost more than the single-task
-      // partial agg saved (wall 1.2 s → 1.4 s, task time 1.2 s → 13 s) —
-      // per-orderkey groups are ~4 rows, so round-robin partials reduce
-      // nothing and the exchange carries the full row set anyway. Kept the
-      // single-shuffle partial-agg shape (the 100 TB-correct plan).
+      // ROUND-ROBIN fanout was MEASURED A LOSS here (r16): per-orderkey
+      // groups are ~4 rows, so round-robin partials reduce nothing and the
+      // exchange carried the full row set. r17 (guide §2.3 project before
+      // the exchange): hash-fanout a NARROW (key, price, discount)
+      // projection on l_orderkey instead — the 14 MB keyed exchange IS the
+      // groupBy's own shuffle (hashpartitioning(l_orderkey) satisfies the
+      // aggregation, no second exchange), and the expensive part — the
+      // double→decimal casts and wide-decimal multiply/sum that ran
+      // single-threaded inside the one-row-group scan task's partial agg —
+      // now runs on all cores. Decimal sums are exact, so partitioning
+      // cannot change the value. At scale the scan has ≥ cores splits and
+      // fanoutByKey adds nothing.
       val li = T(s, dir, "lineitem")
       val ord = T(s, dir, "orders")
-      li.groupBy(col("l_orderkey"))
+      graft.Tables.fanoutByKey(
+          li.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          "l_orderkey")
+        .groupBy(col("l_orderkey"))
         .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
         ).cast("double").as("revenue"))
