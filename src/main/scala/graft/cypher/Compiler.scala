@@ -1479,7 +1479,14 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
       // AS s ORDER BY n.code`) — carry such sort keys through the projection
       // as hidden columns, dropped after the sort.
       if (boundOrder.nonEmpty) {
-        val tentative = ctx.df.select(cols.toSeq: _*)
+        // resolvability probe only — an EMPTY same-schema leaf instead of
+        // the real frame, so the analyzer does not re-walk the accumulated
+        // plan under the (possibly kernel-expanded) projection columns
+        // (r17; sampled ~35% of g25's construction). The real projection
+        // at the end of this branch still selects from ctx.df.
+        lazy val tentative = ctx.df.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), ctx.df.schema)
+          .select(cols.toSeq: _*)
         boundOrder.zipWithIndex.foreach { case (s, i) =>
           // ORDER BY a path value sorts by the interleaved (v, e, v, …)
           // id sequence (traversal.c:188-215 compare_traversal_orderability)
@@ -1489,11 +1496,20 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
               Some(pathOrderKey(p, ctx))
             case _ => None
           }
-          val postOk = pathKey.isEmpty && scala.util.Try {
+          // fast path (r17): a sort key that is simply one of the
+          // projection's own output names resolves post-projection by
+          // construction — no need to analyze the full projected frame
+          // (for kernel-expanded projections that probe alone was ~20% of
+          // construction time)
+          val aliasSort = s.expr match {
+            case Var(v) => outVars.contains(v)
+            case _ => false
+          }
+          val postOk = pathKey.isEmpty && (aliasSort || scala.util.Try {
             val c = compileExpr(s.expr,
               Ctx(tentative, outVars, projected = true))
             tentative.select(c).schema
-          }.isSuccess
+          }.isSuccess)
           if (!postOk) {
             val pre = pathKey.getOrElse(compileExpr(s.expr, ctx))
             cols += pre.as(s"__sort$i")
@@ -5290,6 +5306,21 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
   private val typeProbes =
     new java.util.IdentityHashMap[org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame]()
 
+  /** Per-frame type memo (r17, guide §1.2 driver-side cost): even against
+    * the empty probe frame, `select(c).schema` runs a full analyzer pass
+    * over the COLUMN's tree — for kernel-expanded expressions (geometric
+    * operators compile to ~100-node trees) that is milliseconds per probe,
+    * and nested operators re-probe the same subtree at every enclosing
+    * level (sampled: 55% of g25's 1.2 s construction). Structural
+    * Expression equality is exact (same unresolved tree + same frame ⇒
+    * same resolved type), and hashing a tree is ~100× cheaper than
+    * analyzing it. Keyed by frame identity like typeProbes; lifetime is
+    * the single statement's Compiler instance.
+    */
+  private val typeMemo = new java.util.IdentityHashMap[
+    org.apache.spark.sql.DataFrame,
+    java.util.HashMap[org.apache.spark.sql.catalyst.expressions.Expression, DataType]]()
+
   /** Static Spark type of a compiled column (resolved against the ctx frame). */
   private def dataTypeOf(c: Column, ctx: Ctx): DataType =
     if (ctx.df == null) NullType
@@ -5299,9 +5330,22 @@ final class Compiler(graph: PropertyGraph, val params: Map[String, GValue] = Map
           new java.util.ArrayList[org.apache.spark.sql.Row](), ctx.df.schema)
         typeProbes.put(ctx.df, p); p
       }
-      try probe.select(c).schema.head.dataType
-      catch { case scala.util.control.NonFatal(_) =>
-        ctx.df.select(c).schema.head.dataType }
+      val memo = Option(typeMemo.get(ctx.df)).getOrElse {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.catalyst.expressions.Expression, DataType]()
+        typeMemo.put(ctx.df, m); m
+      }
+      val key = org.apache.spark.sql.graft.Bridge.expression(c)
+      val hit = memo.get(key)
+      if (hit != null) hit
+      else {
+        val dt =
+          try probe.select(c).schema.head.dataType
+          catch { case scala.util.control.NonFatal(_) =>
+            ctx.df.select(c).schema.head.dataType }
+        memo.put(key, dt)
+        dt
+      }
     }
 
   /** Like dataTypeOf but never throws (lambda-bound columns don't resolve). */

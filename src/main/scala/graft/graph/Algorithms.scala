@@ -292,29 +292,80 @@ object Algorithms {
     // (src,dst) pairs. BFS hop distances are order-independent, so the
     // nondeterministic shuffle-fetch order cannot change the result.
     e.toDF("_1", "_2").as[(Long, Long)].repartition(1).mapPartitions { it =>
-      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      // r17 (guide §1.2 per-task work): the boxed
+      // HashMap[Long, ArrayBuffer[Long]] adjacency allocated a Long box +
+      // hash node per edge endpoint (~0.5 s of the ~0.9 s task at 770k
+      // edges). Primitive open-addressing id→slot map + CSR arrays do the
+      // same BFS with zero boxing; results are identical (set of (id,
+      // min-hop distance)) and order-independent downstream.
+      var srcA = new Array[Long](1 << 16)
+      var dstA = new Array[Long](1 << 16)
+      var n = 0
       it.foreach { case (s, d) =>
-        val b = adj.get(s)
-        if (b == null) { val nb = scala.collection.mutable.ArrayBuffer(d); adj.put(s, nb) }
-        else b += d
-      }
-      val dist = new java.util.HashMap[Long, Int]()
-      dist.put(src, 0)
-      var frontier = scala.collection.mutable.ArrayBuffer(src)
-      var level = 0
-      while (level < maxHops && frontier.nonEmpty) {
-        level += 1
-        val next = scala.collection.mutable.ArrayBuffer.empty[Long]
-        frontier.foreach { u =>
-          val outs = adj.get(u)
-          if (outs != null) outs.foreach { v =>
-            if (!dist.containsKey(v)) { dist.put(v, level); next += v }
-          }
+        if (n == srcA.length) {
+          srcA = java.util.Arrays.copyOf(srcA, n * 2)
+          dstA = java.util.Arrays.copyOf(dstA, n * 2)
         }
-        frontier = next
+        srcA(n) = s; dstA(n) = d; n += 1
+      }
+      // open-addressing map: id → dense slot (ids are never MinValue)
+      val EMPTY = Long.MinValue
+      val cap = java.lang.Integer.highestOneBit(math.max(16, n * 2)) * 2
+      val keys = new Array[Long](cap); java.util.Arrays.fill(keys, EMPTY)
+      val slots = new Array[Int](cap)
+      val mask = cap - 1
+      var nSlots = 0
+      val slotIds = new Array[Long](n * 2 + 2)
+      def slotOf(id: Long): Int = {
+        var i = (java.lang.Long.hashCode(id * -7046029254386353131L) & mask)
+        while (keys(i) != EMPTY && keys(i) != id) i = (i + 1) & mask
+        if (keys(i) == EMPTY) {
+          keys(i) = id; slotIds(nSlots) = id; nSlots += 1
+          slots(i) = nSlots - 1
+        }
+        slots(i)
+      }
+      // register every endpoint + the source so slots cover all BFS ids
+      slotOf(src)
+      var i = 0
+      while (i < n) { slotOf(srcA(i)); slotOf(dstA(i)); i += 1 }
+      // CSR: per-src degree → offsets → fill
+      val deg = new Array[Int](nSlots)
+      i = 0; while (i < n) { deg(slotOf(srcA(i))) += 1; i += 1 }
+      val off = new Array[Int](nSlots + 1)
+      i = 0; while (i < nSlots) { off(i + 1) = off(i) + deg(i); i += 1 }
+      val fill = java.util.Arrays.copyOf(off, nSlots)
+      val csr = new Array[Int](n)
+      i = 0
+      while (i < n) {
+        val s = slotOf(srcA(i)); csr(fill(s)) = slotOf(dstA(i)); fill(s) += 1; i += 1
+      }
+      // level-synchronous BFS over slots
+      val dist = new Array[Int](nSlots); java.util.Arrays.fill(dist, -1)
+      var frontier = new Array[Int](math.max(16, nSlots)); var fLen = 0
+      var next = new Array[Int](math.max(16, nSlots)); var nLen = 0
+      val s0 = slotOf(src); dist(s0) = 0; frontier(0) = s0; fLen = 1
+      var level = 0
+      while (level < maxHops && fLen > 0) {
+        level += 1; nLen = 0
+        var f = 0
+        while (f < fLen) {
+          val u = frontier(f)
+          var j = off(u)
+          while (j < off(u + 1)) {
+            val v = csr(j)
+            if (dist(v) < 0) { dist(v) = level; next(nLen) = v; nLen += 1 }
+            j += 1
+          }
+          f += 1
+        }
+        val tmp = frontier; frontier = next; next = tmp; fLen = nLen
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-      dist.forEach((id, d) => out += ((id, d)))
+      i = 0
+      while (i < nSlots) {
+        if (dist(i) >= 0) out += ((slotIds(i), dist(i))); i += 1
+      }
       out.iterator
     }.toDF("id", "d")
   }

@@ -48,7 +48,7 @@ object Dedup {
     * the shingle string never crosses a shuffle boundary. Docs with < 3
     * tokens contribute their whole normalized text as the single shingle.
     */
-  private[operators] def docShingleHashes(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docShingleHashes(s: SparkSession, dir: String): DataFrame = {
     // r16 (guide §2.4 — don't recompute what a sibling already built):
     // d2, d9, d10's pair build, and the streaming band index each re-ran
     // the posexplode + window-lead + distinct chain on the same corpus.
@@ -298,8 +298,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           hamming64(col("a.sig"), col("b.sig")).as("hamming"))
-        .distinct()
+        // r17 (guide §2.3 shuffle fewer bytes): the per-row hamming filter
+        // commutes with distinct — applying it BEFORE the distinct's
+        // exchange drops non-near-dup chunk collisions from the shuffle
         .filter(col("hamming") <= 6)
+        .distinct()
         .orderBy(col("da"), col("db"))
     })
   )
@@ -370,7 +373,7 @@ object Dedup {
     }
   }
 
-  private[operators] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     pairsCache.synchronized {
       val it = pairsCache.keySet().iterator()
       while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()

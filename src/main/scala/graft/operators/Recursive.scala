@@ -107,26 +107,6 @@ object Recursive {
     }
   }
 
-  /** Freeze a SMALL static relation a fixpoint step re-joins every
-    * generation (r17, guide §1.2/§3.1): a localCheckpoint leaves it an
-    * RDD-backed relation, so each generation's micro-query pays a
-    * distributed BroadcastExchange JOB to rebuild the same broadcast
-    * (~45-50 ms of scheduling on local[32], × generations). Collected to a
-    * LocalRelation, the broadcast build is a driver-side executeCollect —
-    * no job at all — and the values are identical. Above
-    * `spark.graft.recursive.staticLocalRows` (default 65536; −1 disables)
-    * the checkpoint is returned unchanged — the 100 TB shape.
-    */
-  def staticLocal(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val cap = spark.conf.getOption("spark.graft.recursive.staticLocalRows")
-      .map(_.toLong).getOrElse(65536L)
-    val frozen = df.localCheckpoint()
-    if (cap < 0 || frozen.count() > cap) return frozen
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(frozen.collect().toSeq.asJava, frozen.schema)
-  }
-
   def fixpoint(seed: DataFrame, step: DataFrame => DataFrame,
       maxIter: Int = 100): DataFrame = {
     val cols = seed.columns.toSeq

@@ -153,11 +153,13 @@ object Relational2 {
         .unionByName(T(s, dir, "customer")
           .select((col("c_nationkey") + 100).cast("long").as("src"),
             (col("c_custkey") + 1000).as("dst")))
-      val edgesL = Recursive.staticLocal(edges) // r17: LocalRelation → no per-generation broadcast job
+      val edgesC = edges.localCheckpoint() // scanned once, not re-read every generation
+      // (r17 A/B: collecting this 15k-row relation to a LocalRelation was
+      // MEASURED SLOWER — 0.84 s vs 0.52 s warm — the checkpoint stays)
       val seed = T(s, dir, "region").select(col("r_regionkey").cast("long").as("node"))
       Recursive.fixpointSearch(seed,
-        f => f.join(edgesL, f("node") === edgesL("src"))
-          .select(edgesL("dst").as("node"), f("seq")),
+        f => f.join(edgesC, f("node") === edgesC("src"))
+          .select(edgesC("dst").as("node"), f("seq")),
         keyCols = Seq("node"), breadthFirst = true)
         .select(col("node"), col("seq").getField("depth").as("d"))
         .orderBy(col("d"), col("node")).limit(40)
@@ -172,11 +174,11 @@ object Relational2 {
         .unionByName(T(s, dir, "customer")
           .select((col("c_nationkey") + 100).cast("long").as("src"),
             (col("c_custkey") + 1000).as("dst")))
-      val edgesL = Recursive.staticLocal(edges) // r17: LocalRelation → no per-generation broadcast job
+      val edgesC = edges.localCheckpoint() // scanned once, not re-read every generation
       val seed = T(s, dir, "region").select(col("r_regionkey").cast("long").as("node"))
       Recursive.fixpointSearch(seed,
-        f => f.join(edgesL, f("node") === edgesL("src"))
-          .select(edgesL("dst").as("node"), f("seq")),
+        f => f.join(edgesC, f("node") === edgesC("src"))
+          .select(edgesC("dst").as("node"), f("seq")),
         keyCols = Seq("node"), breadthFirst = false)
         .filter(col("node") >= 1001 && col("node") <= 1020)
         .select(col("node"),
@@ -188,11 +190,10 @@ object Relational2 {
     // CYCLE … SET … USING (cypher_gram.y:1419-1443): 25-node ring walked
     // from node 0; the marked row closes the cycle and stops expansion
     "q35_cycle_mark" -> ((s, dir) => {
-      val ring = Recursive.staticLocal(T(s, dir, "nation")
+      val ring = T(s, dir, "nation")
         .select(col("n_nationkey").cast("long").as("src"),
-          ((col("n_nationkey") + 1) % 25).cast("long").as("dst")))
-      // r17: LocalRelation ring → per-generation broadcast builds run
-      // driver-side (no job) instead of a ~50 ms distributed exchange each
+          ((col("n_nationkey") + 1) % 25).cast("long").as("dst"))
+        .localCheckpoint() // 25 rows, walked 25 generations: scan once
       val seed = s.range(1).select(lit(0L).as("node"))
       Recursive.fixpointCycle(seed,
         f => f.join(ring, f("node") === ring("src"))

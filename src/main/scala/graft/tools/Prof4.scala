@@ -19,6 +19,10 @@ object Prof4 {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc conf overrides for A/B runs: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     spark.read.parquet(s"$dir/region.parquet").count()
 
     val jobs = new AtomicInteger; val stages = new AtomicInteger
