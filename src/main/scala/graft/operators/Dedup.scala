@@ -77,21 +77,27 @@ object Dedup {
   private val shingleCache = lruCache[DataFrame]()
 
   private def buildDocShingleHashes(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // fanout (r16): the split + posexplode + hash work ran inside the
     // single-task documents scan; every downstream value is an exact
     // integer/hash (order-independent), so the exchange is free of
-    // semantic risk and the window's doc_id shuffle happens regardless
+    // semantic risk
     val docs = graft.Tables.fanout(T(s, dir, "documents"))
-    val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))))
-      .toDF("doc_id", "pos", "w")
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-    val grams = toks
-      .select(col("doc_id"), col("w"),
-        lead("w", 1).over(win).as("w1"), lead("w", 2).over(win).as("w2"))
-      .filter(col("w2").isNotNull)
+    // r17 (guide §2.4 remove shuffles): the 3-gram used a window
+    // `lead` over posexploded tokens — an exchange on doc_id plus a 270k-row
+    // sort just to see two positions ahead. Keeping the token ARRAY beside
+    // posexplode and reading w+1/w+2 with element_at stays inside ONE
+    // whole-stage-codegen fragment (Generate supports codegen, so the array
+    // is never copied per row): same (doc_id, 3-gram hash) multiset — for
+    // pos 0-based, element_at is 1-based, so neighbors are pos+2 / pos+3 —
+    // with no exchange and no sort before the distinct.
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val grams = toked
+      .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("pos", "w")))
+      .filter(col("pos") <= size(col("t")) - 3)
       .select(col("doc_id"),
-        xxhash64(concat_ws(" ", col("w"), col("w1"), col("w2"))).as("h"))
+        xxhash64(concat_ws(" ", col("w"),
+          element_at(col("t"), col("pos") + 2),
+          element_at(col("t"), col("pos") + 3))).as("h"))
     val short = docs.filter(size(tokens(col("text"))) < 3)
       .select(col("doc_id"), xxhash64(normalized(col("text"))).as("h"))
     grams.unionByName(short).distinct()

@@ -1381,4 +1381,23 @@ class WriteSpec extends AnyFunSuite {
     // distinct targets were created per row
     assert(rows.map(_.getLong(2)).distinct.length == 2)
   }
+
+  // r17: the write path's size-adaptive freeze (WriteLocal — LocalRelation
+  // below the bound, localCheckpoint above) must be value-invisible. Run
+  // the four driver-oracled write rows under both modes and compare the
+  // one-row digests (counts + sums + md5 of the sorted final state) —
+  // any ordering/typing drift in the local path would flip the md5.
+  test("write-path local freeze == distributed checkpoint (w1-w4 digests)") {
+    val names = Seq("w1_create", "w2_set_remove", "w3_detach_delete", "w4_merge")
+    def digests(): Map[String, Seq[String]] = names.map { n =>
+      n -> graft.operators.WritePath.queries(n)(spark, "")
+        .collect().toSeq.map(_.toString)
+    }.toMap
+    val local = digests() // default: WriteLocal bound active
+    spark.conf.set("spark.graft.write.localBytes", "-1")
+    try {
+      val dist = digests()
+      names.foreach { n => assert(local(n) == dist(n), s"$n digests diverge") }
+    } finally spark.conf.unset("spark.graft.write.localBytes")
+  }
 }
